@@ -1,0 +1,549 @@
+"""Schema-parameterized frames over ``pyspark.sql.DataFrame``.
+
+Mirrors the reference's frame layer (reference: src/colnade/dataframe.py:
+298-1643): ``DataFrame[S]`` (eager-styled), ``LazyFrame[S]``, ``GroupBy``,
+``JoinedDataFrame[S,S2]``, module-level ``concat``, and the pure-Python
+``cast_schema`` resolution (dataframe.py:234-290) + cross-schema column guard
+(dataframe.py:179-227).
+
+Execution-model decision (SURVEY.md §3.4): Spark frames are ALWAYS lazy
+internally. A faithful "eager" surface would force a Spark action per
+operation — ruinous at 100 TB — so ``DataFrame[S]`` is *logically*
+materialized: only explicitly materializing methods (``height``/``item``/
+``collect``/``iter_rows_as``/``to_batches``/``tail``) trigger jobs. This
+follows the reference's own Dask precedent (its Dask backend dropped eager
+I/O entirely, CHANGELOG.md:222-231).
+"""
+
+from __future__ import annotations
+
+import typing
+from collections.abc import Callable, Iterable, Iterator, Sequence
+from typing import Any, Generic, TypeVar
+
+from colnade_spark.backend import SparkBackend, rewrite_refs
+from colnade_spark.errors import ColumnGuardError, SchemaError
+from colnade_spark.expr import (
+    AliasedExpr,
+    Expr,
+    JoinCondition,
+    SortExpr,
+    collect_column_names,
+)
+from colnade_spark.schema import Column, Schema
+from colnade_spark.validation import ValidationLevel, get_validation
+
+if typing.TYPE_CHECKING:
+    from pyspark.sql import DataFrame as SparkDF
+
+S = TypeVar("S", bound=Schema)
+S2 = TypeVar("S2", bound=Schema)
+
+_BACKEND = SparkBackend()
+
+
+def _names(cols: Sequence[Column | str]) -> list[str]:
+    return [c if isinstance(c, str) else c.name for c in cols]
+
+
+class _FrameBase(Generic[S]):
+    """Shared operation surface for DataFrame and LazyFrame."""
+
+    _data: SparkDF
+    _schema: type[S] | None
+    _backend: SparkBackend
+
+    def __init__(
+        self,
+        data: SparkDF,
+        schema: type[S] | None,
+        backend: SparkBackend = _BACKEND,
+    ) -> None:
+        self._data = data
+        self._schema = schema
+        self._backend = backend
+
+    # -- plumbing ----------------------------------------------------------
+    def _wrap(self, data: SparkDF):
+        return type(self)(data, self._schema, self._backend)
+
+    def _wrap_erased(self, data: SparkDF):
+        return type(self)(data, None, self._backend)
+
+    def _guard(self, *exprs: Any) -> None:
+        """Cross-schema column guard: every referenced column must exist in
+        this frame's schema (reference: dataframe.py:179-227)."""
+        if self._schema is None:
+            return
+        allowed = set(self._schema._columns)
+        for e in exprs:
+            refs = collect_column_names(e)
+            missing = sorted(refs - allowed)
+            if missing:
+                raise ColumnGuardError(
+                    message=f"expression references columns not in "
+                    f"{self._schema.__name__}",
+                    missing_columns=missing,
+                )
+
+    @property
+    def schema(self) -> type[S] | None:
+        return self._schema
+
+    @property
+    def native(self) -> SparkDF:
+        """The underlying pyspark DataFrame (read-only escape hatch)."""
+        return self._data
+
+    def explain(self, mode: str = "formatted") -> None:
+        self._data.explain(mode)
+
+    # -- row-level ops -----------------------------------------------------
+    def filter(self, predicate: Expr):
+        self._guard(predicate)
+        return self._wrap(self._backend.filter(self._data, predicate))
+
+    def sort(self, *by: Column | SortExpr, descending: bool = False):
+        sort_exprs: list[SortExpr] = []
+        for b in by:
+            if isinstance(b, SortExpr):
+                sort_exprs.append(b)
+            elif isinstance(b, Column):
+                sort_exprs.append(SortExpr(b._ref(), descending=descending))
+            else:
+                raise TypeError(f"sort() takes Columns or SortExprs, got {type(b)}")
+        self._guard(*sort_exprs)
+        return self._wrap(self._backend.sort(self._data, sort_exprs))
+
+    def limit(self, n: int):
+        return self._wrap(self._backend.limit(self._data, n))
+
+    def head(self, n: int = 5):
+        return self.limit(n)
+
+    def unique(self, *subset: Column | str):
+        cols = _names(subset) or None
+        if cols and self._schema is not None:
+            missing = sorted(set(cols) - set(self._schema._columns))
+            if missing:
+                raise ColumnGuardError(
+                    message="unique() columns not in schema", missing_columns=missing
+                )
+        return self._wrap(self._backend.unique(self._data, cols))
+
+    def drop_nulls(self, *subset: Column | str):
+        cols = _names(subset) or None
+        return self._wrap(self._backend.drop_nulls(self._data, cols))
+
+    def with_columns(self, *exprs: AliasedExpr):
+        for e in exprs:
+            if not isinstance(e, AliasedExpr):
+                raise TypeError("with_columns() requires aliased expressions")
+        self._guard(*exprs)
+        return self._wrap(self._backend.with_columns(self._data, list(exprs)))
+
+    def select(self, *cols: Column | str):
+        """Projection; the result is schema-erased (``Frame[Any]``) until
+        re-bound with ``cast_schema`` (reference: dataframe.py:586-590)."""
+        names = _names(cols)
+        if self._schema is not None:
+            missing = sorted(set(names) - set(self._schema._columns))
+            if missing:
+                raise ColumnGuardError(
+                    message="select() columns not in schema", missing_columns=missing
+                )
+        return self._wrap_erased(self._backend.select(self._data, names))
+
+    # -- aggregation -------------------------------------------------------
+    def group_by(self, *keys: Column | str):
+        self._guard(*[k._ref() for k in keys if isinstance(k, Column)])
+        return _GroupBy(self, _names(keys))
+
+    def agg(self, *aggs: AliasedExpr):
+        self._guard(*aggs)
+        return self._wrap_erased(self._backend.agg(self._data, list(aggs)))
+
+    # -- join / concat -----------------------------------------------------
+    def join(self, other: _FrameBase[S2], on: JoinCondition | None = None, how: str = "inner"):
+        if type(other) is not type(self):
+            raise TypeError("cannot mix eager and lazy frames in join()")
+        if self._schema is None or other._schema is None:
+            raise SchemaError(message="join() requires schema-bound frames")
+        if how != "cross" and not isinstance(on, JoinCondition):
+            raise SchemaError(
+                message="join(on=...) must be a cross-schema equality, e.g. "
+                "Users.id == Orders.user_id"
+            )
+        data, rename = self._backend.join(self._data, other._data, on, how)
+        cls = JoinedLazyFrame if isinstance(self, LazyFrame) else JoinedDataFrame
+        return cls(data, self._schema, other._schema, rename, self._backend)
+
+    # -- cast_schema -------------------------------------------------------
+    def cast_schema(
+        self,
+        target: type[S2],
+        mapping: dict[Any, Any] | None = None,
+        *,
+        extra: str = "drop",
+    ):
+        """Bind this frame to ``target``. Resolution precedence per target
+        column (reference: dataframe.py:234-290): explicit ``mapping`` →
+        ``mapped_from`` declaration → same-name match → error. ``extra`` ∈
+        {"drop", "forbid"} controls unmatched source columns."""
+        resolved = _resolve_mapping(
+            target,
+            available=list(self._data.columns),
+            mapping=mapping,
+            ambiguous=set(),
+            extra=extra,
+        )
+        data = self._backend.rename_project(self._data, resolved)
+        out = _as_frame_class(self)(data, target, self._backend)
+        _boundary_validate(out)
+        return out
+
+    # -- escape hatch / validation ----------------------------------------
+    def with_raw(self, fn: Callable[[SparkDF], SparkDF]):
+        """Bounded ``unsafe`` block: apply an arbitrary pyspark transform,
+        revalidating at the boundary when validation is enabled
+        (reference: dataframe.py:653-673)."""
+        out = self._wrap(self._backend.with_raw(self._data, fn))
+        _boundary_validate(out)
+        return out
+
+    def validate(self):
+        """Explicit structural + value validation regardless of the toggle."""
+        if self._schema is None:
+            raise SchemaError(message="cannot validate a schema-erased frame")
+        err = self._backend.validate_schema(self._data, self._schema)
+        if not err.ok:
+            raise err
+        err = self._backend.validate_values(self._data, self._schema)
+        if not err.ok:
+            raise err
+        return self
+
+
+class DataFrame(_FrameBase[S]):
+    """Logically-materialized frame. Internally lazy (see module docstring);
+    materializing methods below trigger Spark jobs."""
+
+    # -- materializing methods --------------------------------------------
+    def tail(self, n: int):
+        return self._wrap(self._backend.tail(self._data, n))
+
+    def sample(self, n: int, seed: int | None = None):
+        return self._wrap(self._backend.sample(self._data, n, seed))
+
+    @property
+    def height(self) -> int:
+        return self._backend.height(self._data)
+
+    @property
+    def width(self) -> int:
+        if self._schema is None:
+            raise SchemaError(message="width on schema-erased frame")
+        return len(self._schema._columns)
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.height, len(self._data.columns))
+
+    def __len__(self) -> int:
+        return self.height
+
+    def is_empty(self) -> bool:
+        return self._data.isEmpty()
+
+    def item(self, column: Column | str | None = None) -> Any:
+        name = None if column is None else (column if isinstance(column, str) else column.name)
+        return self._backend.item(self._data, name)
+
+    def rows(self) -> list[Any]:
+        """Typed rows (schema.Row dataclasses) — driver-side materialization."""
+        if self._schema is None:
+            return [tuple(r) for r in self._backend.collect_rows(self._data)]
+        row_cls = self._schema.Row
+        return [row_cls(**d) for d in self._backend.iter_rows(self._data)]
+
+    def iter_rows_as(self, row_type: type) -> Iterator[Any]:
+        for d in self._backend.iter_rows(self._data):
+            yield row_type(**d)
+
+    def to_batches(self) -> Iterator[Any]:
+        from colnade_spark.arrow import ArrowBatch
+
+        if self._schema is None:
+            raise SchemaError(message="to_batches requires a schema-bound frame")
+        for b in self._backend.to_batches(self._data):
+            yield ArrowBatch(b, self._schema)
+
+    def lazy(self) -> LazyFrame[S]:
+        return LazyFrame(self._data, self._schema, self._backend)
+
+    # -- construction ------------------------------------------------------
+    @classmethod
+    def from_dict(cls, data: dict[str, list[Any]], schema: type[S]) -> DataFrame[S]:
+        out = cls(_BACKEND.from_dict(data, schema), schema)
+        _boundary_validate(out)
+        return out
+
+    @classmethod
+    def from_rows(cls, rows: Sequence[Any], schema: type[S]) -> DataFrame[S]:
+        out = cls(_BACKEND.from_rows(rows, schema), schema)
+        _boundary_validate(out)
+        return out
+
+    @classmethod
+    def from_batches(cls, batches: Iterable[Any], schema: type[S]) -> DataFrame[S]:
+        from colnade_spark.arrow import ArrowBatch
+
+        raw = [b.batch if isinstance(b, ArrowBatch) else b for b in batches]
+        out = cls(_BACKEND.from_batches(raw, schema), schema)
+        _boundary_validate(out)
+        return out
+
+
+class LazyFrame(_FrameBase[S]):
+    """Lazy frame; ``collect()`` is the materialization boundary."""
+
+    def collect(self) -> DataFrame[S]:
+        return DataFrame(self._data, self._schema, self._backend)
+
+    def lazy(self) -> LazyFrame[S]:
+        return self
+
+
+def _as_frame_class(frame: _FrameBase) -> type:
+    if isinstance(frame, (LazyFrame, JoinedLazyFrame)):
+        return LazyFrame
+    return DataFrame
+
+
+class _GroupBy(Generic[S]):
+    """Transitional object from ``group_by()``; only ``.agg()``
+    (reference: dataframe.py:1133-1180)."""
+
+    def __init__(self, frame: _FrameBase[S], keys: list[str]):
+        self._frame = frame
+        self._keys = keys
+
+    def agg(self, *aggs: AliasedExpr):
+        for a in aggs:
+            if not isinstance(a, AliasedExpr):
+                raise TypeError("group_by().agg() requires aliased aggregate expressions")
+        self._frame._guard(*aggs)
+        data = self._frame._backend.group_agg(self._frame._data, self._keys, list(aggs))
+        return _as_frame_class(self._frame)(data, None, self._frame._backend)
+
+
+class _JoinedBase(Generic[S, S2]):
+    """Two-schema frame produced by ``join()``; row-level ops allowed,
+    ``cast_schema`` flattens to a single schema
+    (reference: dataframe.py:1188-1643)."""
+
+    def __init__(
+        self,
+        data: SparkDF,
+        left_schema: type[S],
+        right_schema: type[S2],
+        rename: dict[str, str],
+        backend: SparkBackend = _BACKEND,
+    ) -> None:
+        self._data = data
+        self._left = left_schema
+        self._right = right_schema
+        self._rename = rename  # right original name -> actual name in data
+        self._backend = backend
+
+    @property
+    def native(self) -> SparkDF:
+        return self._data
+
+    def explain(self, mode: str = "formatted") -> None:
+        self._data.explain(mode)
+
+    # resolve a ColumnRef against the two schemas, applying right-side renames
+    def _mapper(self, ref):
+        if ref.schema_name == self._right.__name__ and ref.name in self._rename:
+            return self._rename[ref.name]
+        return ref.name
+
+    def _rw(self, e):
+        return rewrite_refs(e, self._mapper)
+
+    def _guard(self, *exprs: Any) -> None:
+        allowed = set(self._left._columns) | set(self._right._columns)
+        for e in exprs:
+            missing = sorted(collect_column_names(e) - allowed)
+            if missing:
+                raise ColumnGuardError(
+                    message=f"expression references columns in neither "
+                    f"{self._left.__name__} nor {self._right.__name__}",
+                    missing_columns=missing,
+                )
+
+    def _wrap(self, data: SparkDF):
+        return type(self)(data, self._left, self._right, self._rename, self._backend)
+
+    def filter(self, predicate: Expr):
+        self._guard(predicate)
+        return self._wrap(self._backend.filter(self._data, self._rw(predicate)))
+
+    def with_columns(self, *exprs: AliasedExpr):
+        self._guard(*exprs)
+        return self._wrap(
+            self._backend.with_columns(self._data, [self._rw(e) for e in exprs])
+        )
+
+    def sort(self, *by: Column | SortExpr, descending: bool = False):
+        sort_exprs = [
+            b if isinstance(b, SortExpr) else SortExpr(b._ref(), descending=descending)
+            for b in by
+        ]
+        self._guard(*sort_exprs)
+        return self._wrap(
+            self._backend.sort(self._data, [self._rw(s) for s in sort_exprs])
+        )
+
+    def limit(self, n: int):
+        return self._wrap(self._backend.limit(self._data, n))
+
+    def cast_schema(
+        self,
+        target: type,
+        mapping: dict[Any, Any] | None = None,
+        *,
+        extra: str = "drop",
+    ):
+        """Flatten to ``target``. Columns whose plain name exists in BOTH
+        input schemas are ambiguous and require explicit ``mapping`` or a
+        ``mapped_from`` declaration naming the owning schema
+        (reference: dataframe.py:1381-1400)."""
+        ambiguous = set(self._left._columns) & set(self._right._columns)
+        resolved = _resolve_mapping(
+            target,
+            available=list(self._data.columns),
+            mapping=mapping,
+            ambiguous=ambiguous,
+            extra=extra,
+            joined=self,
+        )
+        data = self._backend.rename_project(self._data, resolved)
+        cls = LazyFrame if isinstance(self, JoinedLazyFrame) else DataFrame
+        out = cls(data, target, self._backend)
+        _boundary_validate(out)
+        return out
+
+
+class JoinedDataFrame(_JoinedBase[S, S2]):
+    @property
+    def height(self) -> int:
+        return self._backend.height(self._data)
+
+
+class JoinedLazyFrame(_JoinedBase[S, S2]):
+    def collect(self) -> JoinedDataFrame[S, S2]:
+        return JoinedDataFrame(
+            self._data, self._left, self._right, self._rename, self._backend
+        )
+
+
+def _source_name_for(col_or_name: Any, joined: _JoinedBase | None) -> str:
+    """Resolve a mapping *source* (Column or str) to the actual column name
+    in the underlying data, applying joined-frame right-side renames."""
+    if isinstance(col_or_name, str):
+        return col_or_name
+    col = col_or_name
+    if joined is not None and col.schema is joined._right:
+        return joined._rename.get(col.name, col.name)
+    return col.name
+
+
+def _resolve_mapping(
+    target: type,
+    available: list[str],
+    mapping: dict[Any, Any] | None,
+    ambiguous: set[str],
+    extra: str,
+    joined: _JoinedBase | None = None,
+) -> dict[str, str]:
+    """Pure-Python cast_schema resolution (reference: dataframe.py:234-290).
+
+    Returns {target column name -> source column name in data}.
+    """
+    explicit: dict[str, str] = {}
+    if mapping:
+        for k, v in mapping.items():
+            tgt_name = k if isinstance(k, str) else k.name
+            explicit[tgt_name] = _source_name_for(v, joined)
+
+    avail = set(available)
+    resolved: dict[str, str] = {}
+    for name, col in target._columns.items():
+        if name in explicit:
+            src = explicit[name]
+        elif col._mapped_from is not None:
+            src = _source_name_for(col._mapped_from.source, joined)
+        elif name in ambiguous:
+            raise SchemaError(
+                message=f"column {name!r} is ambiguous after join (defined in "
+                "both schemas); provide an explicit mapping or mapped_from",
+            )
+        elif name in avail:
+            src = name
+        else:
+            raise SchemaError(
+                message=f"cast_schema: no source for target column {name!r}",
+                missing_columns=[name],
+            )
+        if src not in avail:
+            raise SchemaError(
+                message=f"cast_schema: source column {src!r} not present",
+                missing_columns=[src],
+            )
+        resolved[name] = src
+
+    if extra == "forbid":
+        used = set(resolved.values())
+        extras = sorted(avail - used)
+        if extras:
+            raise SchemaError(
+                message="cast_schema(extra='forbid'): unmatched source columns",
+                extra_columns=extras,
+            )
+    elif extra != "drop":
+        raise SchemaError(message=f"extra must be 'drop' or 'forbid', got {extra!r}")
+    return resolved
+
+
+def _boundary_validate(frame: Any) -> None:
+    """Auto-validation at data boundaries, honoring the process-wide level
+    (reference: io boundary validation, colnade_polars/io.py:28-31)."""
+    level = get_validation()
+    if level is ValidationLevel.OFF or frame._schema is None:
+        return
+    err = frame._backend.validate_schema(frame._data, frame._schema)
+    if not err.ok:
+        raise err
+    if level is ValidationLevel.FULL:
+        err = frame._backend.validate_values(frame._data, frame._schema)
+        if not err.ok:
+            raise err
+
+
+def concat(frames: Sequence[_FrameBase[S]]) -> _FrameBase[S]:
+    """Vertical concatenation of ≥2 same-schema-class frames; mixing eager
+    and lazy frames is an error (reference: dataframe.py:106-164)."""
+    if len(frames) < 2:
+        raise ValueError("concat() requires at least 2 frames")
+    first = frames[0]
+    for f in frames[1:]:
+        if type(f) is not type(first):
+            raise TypeError("concat() cannot mix DataFrame and LazyFrame")
+        if f._schema is not first._schema:
+            raise SchemaError(
+                message="concat() requires identical schema classes (nominal typing)"
+            )
+    data = first._backend.concat([f._data for f in frames])
+    return type(first)(data, first._schema, first._backend)

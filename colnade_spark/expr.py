@@ -1,0 +1,367 @@
+"""Immutable expression AST — the entire IR of the engine.
+
+Node inventory mirrors the reference IR (reference: src/colnade/expr.py:24-405,
+12 node types): ColumnRef, Literal, BinOp, UnaryOp, Agg, FunctionCall,
+AliasedExpr, SortExpr, StructFieldAccess, ListOp, WhenThenOtherwise,
+JoinCondition. The Spark backend translates each node to a
+``pyspark.sql.Column`` (a Catalyst expression fragment), so the full frame
+pipeline composes into ONE logical plan that Catalyst optimizes end-to-end —
+predicate pushdown, column pruning and constant folding are free.
+
+Nothing in this module imports Spark; it is pure driver-side Python with
+O(expression-size) build cost (amortized to ~0 against any real job).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import TYPE_CHECKING, Any
+
+if TYPE_CHECKING:
+    from colnade_spark.schema import Column
+
+# Binary operators supported by the IR (reference: src/colnade/expr.py:33-92).
+BINOPS = {"+", "-", "*", "/", "%", ">", "<", ">=", "<=", "==", "!=", "&", "|"}
+UNARY_OPS = {"neg", "not", "is_null", "is_not_null", "is_nan"}
+AGG_TYPES = {
+    "sum",
+    "mean",
+    "min",
+    "max",
+    "count",
+    "std",
+    "var",
+    "first",
+    "last",
+    "n_unique",
+}
+
+
+class Expr:
+    """Base expression node. All subclasses are frozen dataclasses."""
+
+    # -- operator overloads build BinOp nodes ------------------------------
+    def _bin(self, other: Any, op: str, reflected: bool = False) -> BinOp:
+        other_e = _wrap(other)
+        return BinOp(other_e, self, op) if reflected else BinOp(self, other_e, op)
+
+    def __add__(self, other: Any) -> BinOp:
+        return self._bin(other, "+")
+
+    def __radd__(self, other: Any) -> BinOp:
+        return self._bin(other, "+", True)
+
+    def __sub__(self, other: Any) -> BinOp:
+        return self._bin(other, "-")
+
+    def __rsub__(self, other: Any) -> BinOp:
+        return self._bin(other, "-", True)
+
+    def __mul__(self, other: Any) -> BinOp:
+        return self._bin(other, "*")
+
+    def __rmul__(self, other: Any) -> BinOp:
+        return self._bin(other, "*", True)
+
+    def __truediv__(self, other: Any) -> BinOp:
+        return self._bin(other, "/")
+
+    def __rtruediv__(self, other: Any) -> BinOp:
+        return self._bin(other, "/", True)
+
+    def __mod__(self, other: Any) -> BinOp:
+        return self._bin(other, "%")
+
+    def __gt__(self, other: Any) -> BinOp:  # type: ignore[override]
+        return self._bin(other, ">")
+
+    def __lt__(self, other: Any) -> BinOp:  # type: ignore[override]
+        return self._bin(other, "<")
+
+    def __ge__(self, other: Any) -> BinOp:  # type: ignore[override]
+        return self._bin(other, ">=")
+
+    def __le__(self, other: Any) -> BinOp:  # type: ignore[override]
+        return self._bin(other, "<=")
+
+    def __eq__(self, other: Any) -> BinOp:  # type: ignore[override]
+        return self._bin(other, "==")
+
+    def __ne__(self, other: Any) -> BinOp:  # type: ignore[override]
+        return self._bin(other, "!=")
+
+    __hash__ = None  # type: ignore[assignment]  # == builds an AST node
+
+    def __and__(self, other: Any) -> BinOp:
+        return self._bin(other, "&")
+
+    def __rand__(self, other: Any) -> BinOp:
+        return self._bin(other, "&", True)
+
+    def __or__(self, other: Any) -> BinOp:
+        return self._bin(other, "|")
+
+    def __ror__(self, other: Any) -> BinOp:
+        return self._bin(other, "|", True)
+
+    def __invert__(self) -> UnaryOp:
+        return UnaryOp(self, "not")
+
+    def __neg__(self) -> UnaryOp:
+        return UnaryOp(self, "neg")
+
+    # -- null / nan --------------------------------------------------------
+    def is_null(self) -> UnaryOp:
+        return UnaryOp(self, "is_null")
+
+    def is_not_null(self) -> UnaryOp:
+        return UnaryOp(self, "is_not_null")
+
+    def is_nan(self) -> UnaryOp:
+        return UnaryOp(self, "is_nan")
+
+    def fill_null(self, value: Any) -> FunctionCall:
+        return FunctionCall("fill_null", self, (_wrap(value),))
+
+    def fill_nan(self, value: Any) -> FunctionCall:
+        return FunctionCall("fill_nan", self, (_wrap(value),))
+
+    def assert_non_null(self) -> FunctionCall:
+        return FunctionCall("assert_non_null", self, ())
+
+    def cast(self, dtype: Any) -> FunctionCall:
+        return FunctionCall("cast", self, (), options={"dtype": dtype})
+
+    # -- aggregation -------------------------------------------------------
+    def sum(self) -> Agg:
+        return Agg(self, "sum")
+
+    def mean(self) -> Agg:
+        return Agg(self, "mean")
+
+    def min(self) -> Agg:
+        return Agg(self, "min")
+
+    def max(self) -> Agg:
+        return Agg(self, "max")
+
+    def count(self) -> Agg:
+        return Agg(self, "count")
+
+    def std(self) -> Agg:
+        return Agg(self, "std")
+
+    def var(self) -> Agg:
+        return Agg(self, "var")
+
+    def first(self) -> Agg:
+        return Agg(self, "first")
+
+    def last(self) -> Agg:
+        return Agg(self, "last")
+
+    def n_unique(self) -> Agg:
+        return Agg(self, "n_unique")
+
+    # -- alias / sort / window --------------------------------------------
+    def alias(self, target: Column | str) -> AliasedExpr:
+        return AliasedExpr(self, target)
+
+    def asc(self) -> SortExpr:
+        return SortExpr(self, descending=False)
+
+    def desc(self) -> SortExpr:
+        return SortExpr(self, descending=True)
+
+    def over(self, *partition_by: Any) -> FunctionCall:
+        """Windowed aggregate over an unbounded partition (no ordering/frames;
+        matches the reference's partition-only ``over``, src/colnade/schema.py:440-446)."""
+        return FunctionCall("over", self, tuple(_wrap(p) for p in partition_by))
+
+
+@dataclass(frozen=True, eq=False)
+class ColumnRef(Expr):
+    name: str
+    # schema class name for diagnostics / join disambiguation (may be None
+    # for ad-hoc refs)
+    schema_name: str | None = None
+
+
+@dataclass(frozen=True, eq=False)
+class Literal(Expr):
+    value: Any
+
+
+@dataclass(frozen=True, eq=False)
+class BinOp(Expr):
+    left: Expr
+    right: Expr
+    op: str
+
+
+@dataclass(frozen=True, eq=False)
+class UnaryOp(Expr):
+    operand: Expr
+    op: str
+
+
+@dataclass(frozen=True, eq=False)
+class Agg(Expr):
+    operand: Expr
+    agg_type: str
+
+
+@dataclass(frozen=True, eq=False)
+class FunctionCall(Expr):
+    """Named scalar function: string/temporal/null/cast/over families."""
+
+    name: str
+    operand: Expr
+    args: tuple[Expr, ...] = ()
+    options: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass(frozen=True, eq=False)
+class AliasedExpr(Expr):
+    expr: Expr
+    target: Any  # Column descriptor or plain string
+
+    @property
+    def out_name(self) -> str:
+        t = self.target
+        return t if isinstance(t, str) else t.name
+
+
+@dataclass(frozen=True, eq=False)
+class SortExpr:
+    """Direction wrapper used by ``sort``; deliberately NOT an Expr."""
+
+    expr: Expr
+    descending: bool = False
+
+
+@dataclass(frozen=True, eq=False)
+class StructFieldAccess(Expr):
+    operand: Expr
+    field_name: str
+
+
+@dataclass(frozen=True, eq=False)
+class ListOp(Expr):
+    operand: Expr
+    op: str  # len | get | contains | sum | mean | min | max
+    args: tuple[Expr, ...] = ()
+
+
+@dataclass(frozen=True, eq=False)
+class WhenThenOtherwise(Expr):
+    """Ordered (condition, value) cases + default; a missing ``.otherwise``
+    yields a null default (reference: src/colnade/expr.py:305-366)."""
+
+    cases: tuple[tuple[Expr, Expr], ...]
+    default: Expr | None = None
+
+
+class _WhenThen:
+    """Builder state after ``when(c).then(v)``."""
+
+    def __init__(self, cases: tuple[tuple[Expr, Expr], ...]):
+        self._cases = cases
+
+    def when(self, condition: Any) -> _When:
+        return _When(self._cases, _wrap(condition))
+
+    def otherwise(self, value: Any) -> WhenThenOtherwise:
+        return WhenThenOtherwise(self._cases, _wrap(value))
+
+    def done(self) -> WhenThenOtherwise:
+        """Finish without a default (null for unmatched rows)."""
+        return WhenThenOtherwise(self._cases, None)
+
+
+class _When:
+    """Builder state after ``when(c)``."""
+
+    def __init__(self, cases: tuple[tuple[Expr, Expr], ...], condition: Expr):
+        self._cases = cases
+        self._condition = condition
+
+    def then(self, value: Any) -> _WhenThen:
+        return _WhenThen(self._cases + ((self._condition, _wrap(value)),))
+
+
+def when(condition: Any) -> _When:
+    return _When((), _wrap(condition))
+
+
+@dataclass(frozen=True, eq=False)
+class JoinCondition:
+    """Equi-join condition produced by cross-schema ``Column == Column``
+    (reference: src/colnade/schema.py:229-238). Same-schema ``==`` builds a
+    plain BinOp filter predicate instead."""
+
+    left: ColumnRef
+    right: ColumnRef
+
+
+def lit(value: Any) -> Literal:
+    return Literal(value)
+
+
+def _wrap(value: Any) -> Expr:
+    """Auto-lift Columns and raw Python values into Expr nodes."""
+    from colnade_spark.schema import Column
+
+    if isinstance(value, Expr):
+        return value
+    if isinstance(value, Column):
+        return value._ref()
+    return Literal(value)
+
+
+def collect_column_names(node: Any) -> set[str]:
+    """Walk every node type collecting referenced column names — feeds the
+    cross-schema column guard (reference: src/colnade/expr.py:435-475)."""
+    out: set[str] = set()
+    _collect(node, out)
+    return out
+
+
+def _collect(node: Any, out: set[str]) -> None:
+    if node is None:
+        return
+    if isinstance(node, ColumnRef):
+        out.add(node.name)
+    elif isinstance(node, Literal):
+        pass
+    elif isinstance(node, BinOp):
+        _collect(node.left, out)
+        _collect(node.right, out)
+    elif isinstance(node, UnaryOp):
+        _collect(node.operand, out)
+    elif isinstance(node, Agg):
+        _collect(node.operand, out)
+    elif isinstance(node, FunctionCall):
+        _collect(node.operand, out)
+        for a in node.args:
+            _collect(a, out)
+    elif isinstance(node, AliasedExpr):
+        _collect(node.expr, out)
+    elif isinstance(node, SortExpr):
+        _collect(node.expr, out)
+    elif isinstance(node, StructFieldAccess):
+        _collect(node.operand, out)
+    elif isinstance(node, ListOp):
+        _collect(node.operand, out)
+        for a in node.args:
+            _collect(a, out)
+    elif isinstance(node, WhenThenOtherwise):
+        for c, v in node.cases:
+            _collect(c, out)
+            _collect(v, out)
+        _collect(node.default, out)
+    elif isinstance(node, JoinCondition):
+        _collect(node.left, out)
+        _collect(node.right, out)
+    else:
+        raise TypeError(f"unknown AST node: {type(node).__name__}")

@@ -1,0 +1,300 @@
+"""End-to-end execution of every frame operator against the driver testdata
+(sf0.001), modeled on the reference's per-backend execution-parity tests
+(reference: tests/integration/test_polars_execution.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from colnade_spark import (
+    DataFrame,
+    concat,
+    lit,
+    read_parquet,
+    scan_parquet,
+    when,
+)
+from colnade_spark.dtypes import Float64, Int32, Int64, Utf8
+from colnade_spark.errors import ColumnGuardError, SchemaError
+from colnade_spark.schema import Column, Schema, mapped_from
+from colnade_spark.tpch import Customer, Lineitem, Nation, Orders, Region, table_path
+
+
+@pytest.fixture(scope="module")
+def customer(spark, sf_dir):
+    return read_parquet(table_path(sf_dir, "customer"), Customer, spark=spark)
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return read_parquet(table_path(sf_dir, "orders"), Orders, spark=spark)
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return read_parquet(table_path(sf_dir, "lineitem"), Lineitem, spark=spark)
+
+
+def test_read_height_width(customer):
+    assert customer.height > 0
+    assert customer.width == 5
+
+
+def test_filter(customer):
+    out = customer.filter(Customer.c_acctbal > 0)
+    for row in out.rows():
+        assert row.c_acctbal > 0
+
+
+def test_filter_guard_rejects_foreign_columns(customer):
+    with pytest.raises(ColumnGuardError) as ei:
+        customer.filter(Orders.o_totalprice > 0)
+    assert "o_totalprice" in ei.value.missing_columns
+
+
+def test_sort_desc_and_limit(customer):
+    out = customer.sort(Customer.c_acctbal.desc()).limit(10)
+    vals = [r.c_acctbal for r in out.rows()]
+    assert vals == sorted(vals, reverse=True)
+    assert len(vals) == 10
+
+
+def test_sort_multi_direction(customer):
+    out = customer.sort(Customer.c_mktsegment.asc(), Customer.c_acctbal.desc()).limit(50)
+    rows = out.rows()
+    segs = [r.c_mktsegment for r in rows]
+    assert segs == sorted(segs)
+
+
+def test_unique(orders):
+    out = orders.unique(Orders.o_orderstatus)
+    statuses = [r.o_orderstatus for r in out.rows()]
+    assert len(statuses) == len(set(statuses))
+
+
+def test_unique_all_columns_when_no_subset(customer):
+    assert customer.unique().height == customer.height
+
+
+def test_drop_nulls_noop_on_non_null(customer):
+    assert customer.drop_nulls(Customer.c_acctbal).height == customer.height
+
+
+def test_with_columns(lineitem):
+    out = lineitem.with_columns(
+        (Lineitem.l_extendedprice * (1 - Lineitem.l_discount)).alias("disc_price"),
+        (Lineitem.l_quantity > 25).alias("bulk"),
+    )
+    row = out.native.select("l_extendedprice", "l_discount", "disc_price", "bulk").first()
+    assert row.disc_price == pytest.approx(row.l_extendedprice * (1 - row.l_discount))
+
+
+def test_select_erases_schema_then_cast_schema(customer):
+    class Slim(Schema):
+        c_custkey: Column[Int64]
+        c_acctbal: Column[Float64]
+
+    erased = customer.select(Customer.c_custkey, Customer.c_acctbal)
+    assert erased.schema is None
+    bound = erased.cast_schema(Slim)
+    assert bound.schema is Slim
+    assert bound.width == 2
+
+
+def test_group_by_agg(lineitem):
+    class Agg(Schema):
+        l_returnflag: Column[Utf8]
+        sum_qty: Column[Float64]
+        avg_price: Column[Float64]
+        n: Column[Int64]
+
+    out = (
+        lineitem.group_by(Lineitem.l_returnflag)
+        .agg(
+            Lineitem.l_quantity.sum().alias("sum_qty"),
+            Lineitem.l_extendedprice.mean().alias("avg_price"),
+            Lineitem.l_orderkey.count().alias("n"),
+        )
+        .cast_schema(Agg)
+    )
+    rows = out.rows()
+    assert len(rows) >= 2
+    assert all(r.n > 0 for r in rows)
+
+
+def test_ungrouped_agg(lineitem):
+    out = lineitem.agg(
+        Lineitem.l_quantity.sum().alias("total_qty"),
+        Lineitem.l_orderkey.n_unique().alias("orders"),
+    )
+    assert out.native.count() == 1
+
+
+def test_join_inner_and_cast_schema(customer, orders):
+    class CustOrder(Schema):
+        c_name: Column[Utf8]
+        o_totalprice: Column[Float64]
+
+    joined = customer.join(orders, on=Customer.c_custkey == Orders.o_custkey)
+    out = joined.cast_schema(CustOrder)
+    assert out.height > 0
+
+
+def test_join_collision_rename_and_rowlevel_filter(spark):
+    class A(Schema):
+        id: Column[Int64]
+        v: Column[Int64]
+
+    class B(Schema):
+        id: Column[Int64]
+        v: Column[Int64]
+
+    a = DataFrame.from_dict({"id": [1, 2, 3], "v": [10, 20, 30]}, A)
+    b = DataFrame.from_dict({"id": [1, 2, 4], "v": [1, 2, 4]}, B)
+    j = a.join(b, on=A.id == B.id, how="inner")
+    # row-level filter on the RIGHT schema's colliding column name
+    out = j.filter(B.v >= 2)
+    assert out.native.count() == 1
+
+    class Flat(Schema):
+        id: Column[Int64] = mapped_from(A.id)
+        left_v: Column[Int64] = mapped_from(A.v)
+        right_v: Column[Int64] = mapped_from(B.v)
+
+    flat = j.cast_schema(Flat)
+    rows = {r.id: (r.left_v, r.right_v) for r in flat.rows()}
+    assert rows[2] == (20, 2)
+
+
+def test_join_ambiguous_cast_requires_mapping(spark):
+    class A(Schema):
+        id: Column[Int64]
+        v: Column[Int64]
+
+    class B(Schema):
+        id: Column[Int64]
+        v: Column[Int64]
+
+    class Flat(Schema):
+        v: Column[Int64]
+
+    a = DataFrame.from_dict({"id": [1], "v": [10]}, A)
+    b = DataFrame.from_dict({"id": [1], "v": [1]}, B)
+    j = a.join(b, on=A.id == B.id)
+    with pytest.raises(SchemaError, match="ambiguous"):
+        j.cast_schema(Flat)
+
+
+def test_join_left_and_outer(customer, orders):
+    inner = customer.join(orders, on=Customer.c_custkey == Orders.o_custkey)
+    left = customer.join(orders, on=Customer.c_custkey == Orders.o_custkey, how="left")
+    outer = customer.join(orders, on=Customer.c_custkey == Orders.o_custkey, how="outer")
+    ih, lh, oh = inner.height, left.height, outer.height
+    assert lh >= ih
+    assert oh >= lh
+
+
+def test_cross_join(spark, sf_dir):
+    region = read_parquet(table_path(sf_dir, "region"), Region, spark=spark)
+    nation = read_parquet(table_path(sf_dir, "nation"), Nation, spark=spark)
+    crossed = region.join(nation, how="cross")
+    assert crossed.height == region.height * nation.height
+
+
+def test_concat(customer):
+    a = customer.filter(Customer.c_acctbal > 0)
+    b = customer.filter(Customer.c_acctbal <= 0)
+    both = concat([a, b])
+    assert both.height == customer.height
+
+
+def test_concat_rejects_different_schema(customer, orders):
+    with pytest.raises(SchemaError):
+        concat([customer, orders])
+
+
+def test_when_then_otherwise(customer):
+    out = customer.with_columns(
+        when(Customer.c_acctbal > 5000)
+        .then(lit("high"))
+        .when(Customer.c_acctbal > 0)
+        .then(lit("mid"))
+        .otherwise(lit("low"))
+        .alias("bucket")
+    )
+    buckets = {r["bucket"] for r in out.native.select("bucket").distinct().collect()}
+    assert buckets <= {"high", "mid", "low"}
+
+
+def test_str_functions(customer):
+    out = customer.with_columns(
+        Customer.c_name.str_to_uppercase().alias("upper"),
+        Customer.c_name.str_len().alias("ln"),
+        Customer.c_name.str_contains("1").alias("has1"),
+        Customer.c_name.str_replace("Customer", "X").alias("rep"),
+    )
+    row = out.native.first()
+    assert row.upper == row.c_name.upper()
+    assert row.ln == len(row.c_name)
+
+
+def test_dt_functions(orders):
+    out = orders.with_columns(
+        Orders.o_orderdate.dt_year().alias("y"),
+        Orders.o_orderdate.dt_month().alias("m"),
+        Orders.o_orderdate.dt_truncate("month").alias("mstart"),
+    )
+    row = out.native.first()
+    assert row.y == row.o_orderdate.year
+    assert row.mstart.day == 1
+
+
+def test_window_over(customer):
+    out = customer.with_columns(
+        Customer.c_acctbal.mean().over(Customer.c_mktsegment).alias("seg_avg"),
+        Customer.c_custkey.n_unique().over(Customer.c_mktsegment).alias("seg_n"),
+    )
+    rows = out.native.select("c_mktsegment", "seg_avg", "seg_n").collect()
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r.c_mktsegment, set()).add((round(r.seg_avg, 6), r.seg_n))
+    for seg, vals in by_seg.items():
+        assert len(vals) == 1  # constant within partition
+
+
+def test_tail_and_sample(customer):
+    t = customer.sort(Customer.c_custkey).tail(7)
+    assert t.height == 7
+    s = customer.sample(5, seed=1)
+    assert s.height == 5
+
+
+def test_item_and_is_empty(customer):
+    top = (
+        customer.sort(Customer.c_acctbal.desc())
+        .limit(1)
+        .select(Customer.c_custkey)
+    )
+    assert isinstance(top.item(), int)
+    empty = customer.filter(Customer.c_acctbal > 1e18)
+    assert empty.is_empty()
+
+
+def test_lazy_collect_equivalence(spark, sf_dir):
+    lazy = scan_parquet(table_path(sf_dir, "customer"), Customer, spark=spark)
+    eager = read_parquet(table_path(sf_dir, "customer"), Customer, spark=spark)
+    a = (
+        lazy.filter(Customer.c_acctbal > 100)
+        .sort(Customer.c_custkey)
+        .limit(5)
+        .collect()
+    )
+    b = eager.filter(Customer.c_acctbal > 100).sort(Customer.c_custkey).limit(5)
+    assert [r.c_custkey for r in a.rows()] == [r.c_custkey for r in b.rows()]
+
+
+def test_with_raw_escape_hatch(customer):
+    from pyspark.sql import functions as F
+
+    out = customer.with_raw(lambda df: df.withColumn("c_acctbal", F.abs("c_acctbal")))
+    assert out.filter(Customer.c_acctbal < 0).height == 0

@@ -1,0 +1,116 @@
+"""I/O round-trips (parquet + CSV) and the typed Arrow boundary
+(model: reference tests/integration/test_*_io.py, test_arrow_boundary.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from colnade_spark import (
+    DataFrame,
+    read_csv,
+    read_parquet,
+    scan_csv,
+    write_csv,
+    write_parquet,
+)
+from colnade_spark.dtypes import Float64, Int64, List, Utf8
+from colnade_spark.errors import SchemaError
+from colnade_spark.schema import Column, Schema
+from colnade_spark.tpch import Customer, table_path
+
+
+class Users(Schema):
+    id: Column[Int64]
+    name: Column[Utf8]
+    score: Column[Float64 | None]
+
+
+DATA = {"id": [1, 2, 3], "name": ["a", "b", "c"], "score": [1.5, None, 3.5]}
+
+
+def test_parquet_round_trip(spark, tmp_path):
+    df = DataFrame.from_dict(DATA, Users)
+    p = str(tmp_path / "users.parquet")
+    write_parquet(df, p)
+    back = read_parquet(p, Users, spark=spark)
+    assert sorted(r.id for r in back.rows()) == [1, 2, 3]
+    assert back.filter(Users.score.is_null()).height == 1
+
+
+def test_parquet_partitioned_write(spark, tmp_path):
+    df = DataFrame.from_dict(DATA, Users)
+    p = str(tmp_path / "part.parquet")
+    write_parquet(df, p, partition_by=[Users.name])
+    import os
+
+    assert any(d.startswith("name=") for d in os.listdir(p))
+
+
+def test_csv_round_trip(spark, tmp_path):
+    df = DataFrame.from_dict(DATA, Users)
+    p = str(tmp_path / "users_csv")
+    write_csv(df, p)
+    back = read_csv(p, Users, spark=spark)
+    assert back.height == 3
+    lazy = scan_csv(p, Users, spark=spark)
+    assert lazy.collect().height == 3
+
+
+def test_from_rows(spark):
+    rows = [Users.Row(id=1, name="a", score=2.0), Users.Row(id=2, name="b")]
+    df = DataFrame.from_rows(rows, Users)
+    assert df.height == 2
+
+
+def test_iter_rows_as(spark):
+    class Plain:
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+    df = DataFrame.from_dict(DATA, Users)
+    objs = list(df.iter_rows_as(Plain))
+    assert {o.id for o in objs} == {1, 2, 3}
+
+
+def test_arrow_round_trip(spark):
+    df = DataFrame.from_dict(DATA, Users)
+    batches = list(df.to_batches())
+    assert all(b.schema is Users for b in batches)
+    assert sum(b.num_rows for b in batches) == 3
+    back = DataFrame.from_batches(batches, Users)
+    assert back.height == 3
+
+
+def test_arrow_batch_name_validation(spark):
+    import pyarrow as pa
+
+    from colnade_spark.arrow import ArrowBatch
+
+    bad = pa.RecordBatch.from_pydict({"wrong": [1]})
+    with pytest.raises(SchemaError):
+        ArrowBatch(bad, Users)
+
+
+def test_list_column_round_trip(spark, tmp_path):
+    class Tagged(Schema):
+        id: Column[Int64]
+        tags: Column[List[Utf8]]
+
+    df = DataFrame.from_dict({"id": [1, 2], "tags": [["a", "b"], ["c"]]}, Tagged)
+    p = str(tmp_path / "tags.parquet")
+    write_parquet(df, p)
+    back = read_parquet(p, Tagged, spark=spark)
+    out = back.with_columns(Tagged.tags.list.len().alias("n"))
+    assert {r["n"] for r in out.native.select("n").collect()} == {1, 2}
+
+
+def test_read_real_testdata_validates(spark, sf_dir):
+    from colnade_spark import set_validation
+    from colnade_spark.validation import ValidationLevel
+
+    set_validation(ValidationLevel.STRUCTURAL)
+    try:
+        df = read_parquet(table_path(sf_dir, "customer"), Customer, spark=spark)
+        assert df.height > 0
+    finally:
+        set_validation(ValidationLevel.OFF)
