@@ -27,6 +27,7 @@ from colnade_spark.dtypes import (
     Bool,
     Date,
     Datetime,
+    Decimal,
     Duration,
     Float32,
     Float64,
@@ -68,6 +69,7 @@ __all__ = [
     "DataFrame",
     "Date",
     "Datetime",
+    "Decimal",
     "Duration",
     "Field",
     "FieldInfo",

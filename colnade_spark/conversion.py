@@ -48,6 +48,8 @@ def to_spark_type(dtype: Any) -> T.DataType:
     if stripped is not None:
         dtype = stripped[0]
     if isinstance(dtype, type):
+        if issubclass(dtype, dt.Decimal):
+            return T.DecimalType(dtype.precision, dtype.scale)
         if issubclass(dtype, dt.List):
             elem = dtype.element
             inner = dt.strip_nullable(elem)

@@ -126,6 +126,35 @@ class Duration(TemporalType):
     pass
 
 
+class _DecimalMeta(type):
+    _cache: dict[Any, type] = {}
+
+    def __getitem__(cls, args: tuple[int, int]) -> type[Decimal]:
+        precision, scale = args
+        key = (precision, scale)
+        if key not in _DecimalMeta._cache:
+            sub = type(
+                f"Decimal[{precision},{scale}]",
+                (Decimal,),
+                {"precision": precision, "scale": scale},
+            )
+            _DecimalMeta._cache[key] = sub
+        return _DecimalMeta._cache[key]  # type: ignore[return-value]
+
+
+class Decimal(NumericType, metaclass=_DecimalMeta):
+    """Exact decimal, parameterized ``Decimal[precision, scale]``.
+
+    EXTENSION beyond the reference dtype set (reference has no Decimal,
+    SURVEY.md §1.2): Spark's DecimalType enables exact, order-independent
+    aggregation of monetary columns — the scale-safe way to sum 100 TB of
+    doubles without nondeterministic float accumulation.
+    """
+
+    precision: int = 38
+    scale: int = 18
+
+
 class _StructMeta(type):
     _cache: dict[Any, type] = {}
 

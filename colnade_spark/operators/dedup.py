@@ -1,0 +1,325 @@
+"""Deduplication operators: exact, fingerprint, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Design for 100 TB (the whole point of these ops):
+- Exact / fingerprint dedup: hash-groupBy on a 128-bit digest — one shuffle
+  keyed on the digest, never on raw text (shuffle bytes ∝ 16B + id, not
+  document size).
+- MinHash: signatures are computed SCAN-SIDE with built-in higher-order
+  functions (xxhash64 + universal rehash + array_min) — zero Python, zero
+  shuffle. LSH banding turns the O(n²) pair problem into a self-join on
+  (band_idx, band_hash) — candidate pairs only.
+- SimHash: 64-bit sketch via bit-bucket majority, also pure built-ins;
+  near-dup blocking via 4×16-bit chunk tables (any chunk equal → candidate,
+  guaranteeing recall for hamming distance ≤ 3... at ≤ 4-chunk granularity).
+- "Dedup" = drop any doc that has a confirmed smaller-id duplicate — the
+  standard single-pass policy (no transitive closure; chains are handled by
+  repeated application or a connected-components pass, deliberately out of
+  the default path because CC is iterative).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from colnade_spark.operators.text import char_ngrams, fingerprint, normalized_text, tokens
+
+# Mersenne prime 2^61-1: universal-hash modulus, products of 61-bit values
+# stay within signed-128 ... we keep arithmetic in long via pmod of xxhash64.
+_PRIME = (1 << 61) - 1
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup on text content: keep the smallest id per md5 digest.
+
+    Returns the surviving ids (one column, ``id_col``). Group key is the
+    16-byte digest, not the document — shuffle volume is O(rows·16B).
+    """
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_digest"))
+        .groupBy("_digest")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+
+
+def dedup_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Near-exact dedup on the normalized-text fingerprint (case /
+    punctuation / whitespace insensitive)."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Append ``_sig``: array<long> MinHash signature of the char-k-shingle
+    set.
+
+    Entirely scan-side built-ins: shingles → one xxhash64 per shingle →
+    ``num_hashes`` seeded rehashes (xxhash64 of the shingle hash + a per-
+    function salt) reduced with array_min. No UDF, no shuffle, and no
+    overflow under ANSI mode (a modular universal hash a·h+b mod p would
+    overflow signed-64 multiply).
+    """
+    rng = random.Random(seed)
+    salts = [rng.randrange(1 << 31) for _ in range(num_hashes)]
+    base = F.transform(
+        F.array_distinct(char_ngrams(normalized_text(F.col(text_col)), shingle_k)),
+        lambda s: F.xxhash64(s),
+    )
+    hashed = F.when(F.size(base) > 0, base).otherwise(F.array(F.lit(0).cast("long")))
+
+    def rehash(salt: int):
+        # single-arg lambda required: pyspark treats 2-arg lambdas as
+        # (element, index) callbacks, which would silently drop the salt
+        return lambda h: F.xxhash64(h, F.lit(salt))
+
+    sig = F.array(*[F.array_min(F.transform(hashed, rehash(s))) for s in salts])
+    return df.withColumn("_sig", sig)
+
+
+def minhash_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands of
+    ``num_hashes/bands`` rows; docs sharing any band hash become candidate
+    pairs (id_a < id_b), each with the signature-estimated Jaccard.
+
+    The self-join shuffles on (band_idx, band_hash) — matching docs
+    co-locate; non-matching docs never meet.
+    """
+    rows = num_hashes // bands
+    banded = sig_df.select(
+        F.col(id_col).alias("_id"),
+        F.col("_sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("_sig"), bi * rows + 1, rows).cast("string")
+                        ).alias("bhash"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "_sig", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    # estimated jaccard = fraction of equal signature positions, computed
+    # directly on the banded self-join output (signatures travel with the
+    # band rows; distinct() collapses pairs matching in multiple bands)
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            (
+                F.aggregate(
+                    F.zip_with(
+                        F.col("l._sig"),
+                        F.col("r._sig"),
+                        lambda a, b: F.when(a == b, 1).otherwise(0),
+                    ),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                ).cast("double")
+                / F.lit(num_hashes)
+            ).alias("est_jaccard"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def dedup_minhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH near-dedup: returns surviving ids (docs with no
+    estimated-Jaccard ≥ threshold duplicate of smaller id)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, seed)
+    pairs = minhash_candidate_pairs(sigs, id_col, num_hashes, bands)
+    dup_ids = (
+        pairs.filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.select(id_col).join(dup_ids, id_col, "left_anti")
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "simhash",
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens, pure built-ins: token →
+    xxhash64; per-bit majority vote packed into a long."""
+    tok_hashes = F.transform(
+        F.array_distinct(tokens(normalized_text(F.col(text_col)))),
+        lambda t: F.xxhash64(t),
+    )
+    # Unrolled per-bit majority vote (shift amounts must be Python ints for
+    # the builtin shift functions). 64 aggregates over the token-hash array,
+    # all inside one projection — still scan-side, no shuffle.
+    hashes = F.col("_tok_hashes")
+
+    def vote(b: int):
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    def bitval(b: int) -> int:
+        return (1 << b) if b < 63 else -(1 << 63)
+
+    packed = F.lit(0).cast("long")
+    for b in range(64):
+        packed = packed.bitwiseOR(
+            F.when(vote(b) > 0, F.lit(bitval(b)).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return (
+        df.withColumn("_tok_hashes", tok_hashes)
+        .withColumn(out_col, packed)
+        .drop("_tok_hashes")
+    )
+
+
+def hamming64(a, b):
+    """Hamming distance between two 64-bit sketches (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    sim_df: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via 4×16-bit chunk blocking (Charikar):
+    any pair within hamming ≤ 3 shares at least one exact 16-bit chunk, so
+    recall is guaranteed; each block is an equi-self-join, not O(n²)."""
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftright(F.col(sim_col), i * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("ckey"),
+            )
+            for i in range(4)
+        ]
+    )
+    blocked = sim_df.select(
+        F.col(id_col).alias("_id"), F.col(sim_col).alias("_sh"), F.explode(chunks).alias("c")
+    ).select("_id", "_sh", F.col("c.chunk").alias("chunk"), F.col("c.ckey").alias("ckey"))
+    l, r = blocked.alias("l"), blocked.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.ckey") == F.col("r.ckey"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            hamming64(F.col("l._sh"), F.col("r._sh")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = "lang",
+) -> DataFrame:
+    """Exact n-gram (token) Jaccard similarity on candidate pairs.
+
+    Pairs are blocked by ``block_col`` (plus a coarse length bucket) to keep
+    the self-join from going quadratic; within a block, Jaccard is computed
+    with array_intersect/array_union on DISTINCT token n-gram sets.
+    """
+    toks = tokens(normalized_text(F.col(text_col)))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))
+            ),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    # overlapping length buckets: each doc carries keys {b, b+1} so near-
+    # boundary pairs (e.g. 63 vs 65 chars straddling a power of two) still
+    # meet; docs >2x apart in length can't clear a meaningful Jaccard anyway
+    lb = F.floor(F.log2(F.greatest(F.length(F.col(text_col)), F.lit(1))))
+    blocks = [F.explode(F.array(lb, lb + 1)).alias("_lb")]
+    if block_col is not None:
+        blocks.append(F.col(block_col).alias("_blk"))
+    g = df.select(F.col(id_col).alias("_id"), grams.alias("_g"), *blocks)
+    join_cond = [F.col("l._lb") == F.col("r._lb"), F.col("l._id") < F.col("r._id")]
+    if block_col is not None:
+        join_cond.append(F.col("l._blk") == F.col("r._blk"))
+    l, r = g.alias("l"), g.alias("r")
+    inter = F.size(F.array_intersect(F.col("l._g"), F.col("r._g")))
+    union = F.size(F.array_union(F.col("l._g"), F.col("r._g")))
+    return (
+        l.join(r, reduce_and(join_cond))
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            (inter.cast("double") / F.greatest(union, F.lit(1))).alias("jaccard"),
+        )
+        .distinct()
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def reduce_and(conds):
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out

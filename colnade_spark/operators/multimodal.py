@@ -1,0 +1,199 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The Spark-side design is REAL and tested — schemas, partitioning, UDF
+signatures, batch shapes. The actual media decode is STUBBED behind
+``NotImplementedError`` (no image/audio libraries in this container) with a
+deterministic fake decoder for exercising the pipeline end-to-end.
+
+At 100 TB: media bytes stay in executor-side Arrow batches (never
+collected); decode/resize/frame-sample parallelism is per input split;
+``spark.sql.files.maxPartitionBytes`` bounds batch memory; derived features
+are small typed columns so downstream joins/aggs shuffle features, not
+media bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Typed metadata carried alongside the opaque payload.
+MEDIA_META_TYPE = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("format", T.StringType(), True),  # png|jpeg|wav|mp4|...
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", MEDIA_META_TYPE, True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_intensity", T.DoubleType(), True),
+        T.StructField("std_intensity", T.DoubleType(), True),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an encoded image payload to an HxWx3 uint8 array.
+
+    STUB: real decoding needs PIL/opencv, which are not available in this
+    container. Use ``fake_decode_image`` (deterministic) to exercise the
+    pipeline, or inject a real decoder into ``image_features``.
+    """
+    raise NotImplementedError(
+        "image decoding requires PIL/opencv (not installed); pass "
+        "decoder=fake_decode_image for a deterministic stand-in"
+    )
+
+
+def fake_decode_image(payload: bytes, size: int = 16) -> np.ndarray:
+    """Deterministic fake decoder: expands the payload digest into a
+    ``size×size×3`` uint8 'image'. Stable across runs/processes — usable in
+    tests and oracle checks."""
+    digest = hashlib.sha256(payload or b"").digest()
+    raw = np.frombuffer(digest, dtype=np.uint8)
+    reps = (size * size * 3 + len(raw) - 1) // len(raw)
+    return np.tile(raw, reps)[: size * size * 3].reshape(size, size, 3)
+
+
+def _phash64(img: np.ndarray) -> int:
+    """Tiny perceptual-hash: 8x8 mean-threshold bits of the grayscale image."""
+    gray = img.mean(axis=2)
+    h, w = gray.shape
+    bh, bw = max(h // 8, 1), max(w // 8, 1)
+    blocks = gray[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    bits = (blocks > blocks.mean()).flatten()
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    return out - (1 << 64) if out >= 1 << 63 else out
+
+
+def image_features(
+    media: DataFrame,
+    decoder: Callable[[bytes], np.ndarray] = decode_image,
+) -> DataFrame:
+    """Decode + feature-extract images via Arrow-batched mapInPandas.
+
+    The UDF receives an iterator of pandas batches (bounded memory per
+    executor thread) and emits small typed feature rows — media bytes never
+    leave the executor.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list[Any]] = {
+                "media_id": [],
+                "width": [],
+                "height": [],
+                "mean_intensity": [],
+                "std_intensity": [],
+                "phash": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decoder(payload)
+                out["media_id"].append(mid)
+                out["height"].append(img.shape[0])
+                out["width"].append(img.shape[1])
+                out["mean_intensity"].append(float(img.mean()))
+                out["std_intensity"].append(float(img.std()))
+                out["phash"].append(_phash64(img))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+def resize_images(
+    media: DataFrame,
+    target: int = 64,
+    decoder: Callable[[bytes], np.ndarray] = decode_image,
+) -> DataFrame:
+    """Re-encode images at a target size. Decode is pluggable (stubbed);
+    the 'resize' here is nearest-neighbor sampling in numpy and the output
+    payload is the raw RGB buffer — schema/batching plumbing is the point."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decoder(payload)
+                h, w = img.shape[:2]
+                yi = (np.arange(target) * h // target).clip(0, h - 1)
+                xi = (np.arange(target) * w // target).clip(0, w - 1)
+                resized = img[yi][:, xi]
+                ids.append(mid)
+                payloads.append(resized.astype(np.uint8).tobytes())
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return media.select("media_id", "payload").mapInPandas(
+        work,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), True),
+            ]
+        ),
+    )
+
+
+def sample_video_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+) -> DataFrame:
+    """Frame-sampling plan for video payloads: emits (media_id, frame_ts_ms)
+    rows from the metadata duration — the decode of actual frames is the
+    stubbed step. Pure built-ins: explode over a generated sequence."""
+    return media.select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.coalesce(F.col("meta.duration_ms"), F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ts_ms"),
+    )
+
+
+def make_fake_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic synthetic media table for tests (payload = seeded bytes)."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(str(i).encode()).digest() * 4
+        rows.append(
+            (
+                i,
+                payload,
+                ("image", "png", 16, 16, None, None)
+                if i % 3 != 0
+                else ("video", "mp4", 320, 240, 5000, None),
+            )
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

@@ -1,0 +1,186 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, as a real 100 TB pipeline needs both:
+- ``brute_force_topk``: exact cosine top-k. The query set is broadcast
+  (small side), the corpus is scanned once; per-query top-k is taken with a
+  window over the query partition. Cost O(|corpus|·|queries|·dim) — the
+  correctness baseline and fine for ≤ ~10⁴ queries.
+- ``lsh_topk``: random-hyperplane LSH. Each vector gets a b-bit sign
+  sketch; candidates are corpus vectors sharing a bucket in any of ``tables``
+  independent tables. Turns the cross product into equi-joins on bucket keys
+  — the scale path (recall < 1, tunable via bits/tables).
+
+Dot products use ``F.zip_with`` + ``F.aggregate`` in DOUBLE — JVM built-ins,
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank). Self-matches are
+    excluded; ties break on neighbor id for determinism."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def rp_sketch(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane sign sketch packed into a long (≤ 63 planes)."""
+    out = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        bit = F.when(dot(vec, plane) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        out = out.bitwiseOR(bit)
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    bits: int = 12,
+    tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via multi-table random-hyperplane LSH.
+
+    Each of ``tables`` independent sketches maps a vector to a bucket;
+    query↔corpus candidates meet via an equi-join on (table, bucket) —
+    shuffle is proportional to bucket collisions, not |corpus|×|queries|.
+    """
+    plane_sets = [_hyperplanes(dim, bits, seed + 1000 * t) for t in range(tables)]
+
+    def bucketed(df: DataFrame, ident: str, vec: str) -> DataFrame:
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"), rp_sketch(F.col(vec), plane_sets[t]).alias("bkt")
+                )
+                for t in range(tables)
+            ]
+        )
+        return df.select(
+            F.col(ident), F.col(vec), F.explode(buckets).alias("b")
+        ).select(ident, vec, F.col("b.tbl").alias("tbl"), F.col("b.bkt").alias("bkt"))
+
+    c = bucketed(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        "neighbor_id",
+        "_cv",
+    )
+    q = bucketed(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
+        "query_id",
+        "_qv",
+    )
+    cand = (
+        c.join(F.broadcast(q), ["tbl", "bkt"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "_qv", "_cv")
+        .distinct()
+        .withColumn("sim", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    bits: int = 12,
+    tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    threshold), candidates via the same multi-table RP-LSH bucketing."""
+    plane_sets = [_hyperplanes(dim, bits, seed + 1000 * t) for t in range(tables)]
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                rp_sketch(F.col(vec_col), plane_sets[t]).alias("bkt"),
+            )
+            for t in range(tables)
+        ]
+    )
+    b = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), F.explode(buckets).alias("bb")
+    ).select("_id", "_v", F.col("bb.tbl").alias("tbl"), F.col("bb.bkt").alias("bkt"))
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.bkt") == F.col("r.bkt"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            cosine(F.col("l._v"), F.col("r._v")).alias("cos_sim"),
+        )
+        .distinct()
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,164 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen'd) — no Python UDFs — so they run at full scan speed over
+100 TB of documents. Each returns a Column (composable) or a DataFrame.
+
+These are EXTENSIONS beyond the reference's operator surface (reference scope
+boundary: SURVEY.md §2.6); they target the driver's ``documents`` table
+(doc_id, text, lang, source, n_chars).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small embedded stopword profiles for the language-ID heuristic. Real
+# pipelines would ship larger profiles; the mechanism (per-language stopword
+# hit scoring, argmax) is what matters.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "sich"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "y", "es", "no", "una", "en", "que", "por"],
+}
+
+_WORD_SPLIT = r"\s+"
+# BPE-ish token regex: runs of letters, runs of digits, or single
+# non-space-non-alnum symbols — a cheap proxy for subword token counts.
+_BPE_TOKEN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of trimmed text."""
+    return F.split(F.trim(text), _WORD_SPLIT)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Approximate subword token count via a BPE-ish regex (letters runs /
+    digit runs / individual symbols)."""
+    return F.size(F.regexp_extract_all(text, F.lit(_BPE_TOKEN), 0))
+
+
+def char_ngrams(text: Column, n: int) -> Column:
+    """Array of character n-grams (shingles). Built-ins only: a positions
+    sequence + per-position substring — no UDF, fully codegen'd."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(0))),
+        lambda i: text.substr(i, F.lit(n)),
+    )
+
+
+def punct_count(text: Column, chars: str = "!.,;?") -> Column:
+    """Occurrences of the given punctuation characters."""
+    cls = "[" + "".join("\\" + c for c in chars) + "]"
+    return F.length(text) - F.length(F.regexp_replace(text, cls, ""))
+
+
+def upper_ratio(text: Column) -> Column:
+    upper = F.length(text) - F.length(F.regexp_replace(text, "[A-Z]", ""))
+    return upper / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_hits(text: Column, lang: str = "en") -> Column:
+    """Number of DISTINCT stopwords of ``lang`` present in the text."""
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(tokens(F.lower(text)), words))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append standard quality-signal columns: characters, words, average
+    word length, punctuation count/ratio, uppercase ratio, stopword ratio.
+    One projection — no shuffle, no UDF."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = token_count(t)
+    return df.withColumns(
+        {
+            "q_chars": n_chars,
+            "q_words": n_words,
+            "q_avg_word_len": n_chars.cast("double") / F.greatest(n_words, F.lit(1)),
+            "q_punct": punct_count(t),
+            "q_punct_ratio": punct_count(t).cast("double")
+            / F.greatest(n_chars, F.lit(1)),
+            "q_upper_ratio": upper_ratio(t),
+            "q_stopword_ratio": stopword_hits(t).cast("double")
+            / F.lit(len(STOPWORDS["en"])),
+        }
+    )
+
+
+def language_scores(text: Column) -> Column:
+    """Struct of per-language stopword-hit counts."""
+    toks = tokens(F.lower(text))
+    return F.struct(
+        *[
+            F.size(
+                F.array_intersect(toks, F.array(*[F.lit(w) for w in ws]))
+            ).alias(lang)
+            for lang, ws in STOPWORDS.items()
+        ]
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic n-gram/stopword language ID: score each language profile by
+    distinct stopword hits, argmax wins (ties broken by language code order
+    for determinism). Pure built-ins; scales linearly with the scan."""
+    toks = tokens(F.lower(F.col(text_col)))
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(toks, F.array(*[F.lit(w) for w in ws]))
+                ).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, ws in sorted(STOPWORDS.items())
+        ]
+    )
+    # array_max on struct uses field-order comparison: (score, lang).
+    # To make ties deterministic and FIRST-lang-wins, invert lang ordering
+    # is unnecessary — max picks highest score, then lexicographically
+    # greatest lang; we instead sort descending and take element 0 with the
+    # lang ascending as tiebreak via negated score.
+    best = F.array_max(scored)
+    return df.withColumn(out_col, best.getField("lang"))
+
+
+def normalized_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non-alphanumerics
+    (keep spaces), collapse whitespace runs, trim."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, "[^a-z0-9 ]", " ")
+    t = F.regexp_replace(t, " +", " ")
+    return F.trim(t)
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic 128-bit document fingerprint (md5 of normalized text) —
+    the standard near-exact dedup key."""
+    return F.md5(normalized_text(text))
+
+
+def rolling_hashes(text: Column, window: int = 8) -> Column:
+    """Array of rolling window hashes over the normalized text — the basis
+    for winnowing-style fingerprints. Built-ins only."""
+    norm = normalized_text(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (window - 1), F.lit(0))),
+        lambda i: F.xxhash64(norm.substr(i, F.lit(window))),
+    )
+
+
+def winnowing_fingerprint(text: Column, window: int = 8, keep: int = 16) -> Column:
+    """Bounded-size document sketch: the ``keep`` smallest rolling hashes
+    (a winnowing/bottom-k sketch). Set-overlap of sketches estimates
+    document similarity at a fixed per-doc cost."""
+    return F.slice(F.array_sort(F.array_distinct(rolling_hashes(text, window))), 1, keep)

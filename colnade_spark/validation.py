@@ -72,6 +72,10 @@ def python_types_for(dtype: Any) -> tuple[type, ...]:
     if stripped is not None:
         dtype = stripped[0]
     if isinstance(dtype, type):
+        if issubclass(dtype, dt.Decimal):
+            import decimal
+
+            return (int, float, decimal.Decimal)
         if issubclass(dtype, dt.IntegerType):
             return (int,)
         if issubclass(dtype, dt.FloatType):

@@ -1,0 +1,215 @@
+"""Extension operators: dedup / similarity / text / multimodal, run on the
+driver testdata documents + embeddings tables."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from colnade_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+# ----------------------------------------------------------------- text ----
+def test_token_count_matches_python(docs):
+    row = docs.select("text", text.token_count(F.col("text")).alias("n")).first()
+    assert row["n"] == len(row["text"].split())
+
+
+def test_quality_features(docs):
+    out = text.quality_features(docs).select(
+        "doc_id", "q_chars", "q_words", "q_avg_word_len", "q_punct_ratio"
+    )
+    r = out.first()
+    assert r.q_chars > 0 and r.q_words > 0
+    assert 0 <= r.q_punct_ratio <= 1
+
+
+def test_language_id_prefers_english_on_english_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog went to the park and it was good for all"),
+            (2, "der hund und die katze sind nicht auf der wiese mit dem ball"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.lang_pred for r in text.language_id(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "different text")],
+        ["doc_id", "text"],
+    )
+    out = df.select("doc_id", text.fingerprint(F.col("text")).alias("fp")).collect()
+    fps = {r.doc_id: r.fp for r in out}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_char_ngrams(spark):
+    df = spark.createDataFrame([("abcd",)], ["t"])
+    row = df.select(text.char_ngrams(F.col("t"), 3).alias("g")).first()
+    assert row.g == ["abc", "bcd"]
+
+
+def test_winnowing_fingerprint_bounded(docs):
+    out = docs.limit(20).select(
+        text.winnowing_fingerprint(F.col("text")).alias("w")
+    )
+    assert all(len(r.w) <= 16 for r in out.collect())
+
+
+# ---------------------------------------------------------------- dedup ----
+def test_dedup_exact_removes_copies(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other text")],
+        ["doc_id", "text"],
+    )
+    kept = {r.doc_id for r in dedup.dedup_exact(df).collect()}
+    assert kept == {1, 3}
+
+
+def test_dedup_exact_on_real_docs(docs):
+    kept = dedup.dedup_exact(docs).count()
+    assert 0 < kept <= docs.count()
+
+
+def test_minhash_detects_near_duplicates(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running through "
+        "the quiet green field toward the distant river bank every single morning"
+    )
+    near = base.replace("quiet", "silent")
+    far = "completely unrelated content about spark execution engines and shuffles etc"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    sigs = dedup.minhash_signatures(df, num_hashes=64)
+    pairs = dedup.minhash_candidate_pairs(sigs, num_hashes=64).collect()
+    match = {(r.id_a, r.id_b): r.est_jaccard for r in pairs}
+    assert (1, 2) in match and match[(1, 2)] > 0.5
+    assert all(v < 0.5 for k, v in match.items() if k != (1, 2))
+    kept = {r.doc_id for r in dedup.dedup_minhash(df, threshold=0.5).collect()}
+    assert kept == {1, 3}
+
+
+def test_simhash_and_near_pairs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    near = base.replace("kappa", "lambda")
+    df = spark.createDataFrame([(1, base), (2, near), (3, "tiny doc")], ["doc_id", "text"])
+    sh = dedup.simhash(df)
+    vals = {r.doc_id: r.simhash for r in sh.collect()}
+    assert all(isinstance(v, int) for v in vals.values())
+    pairs = dedup.simhash_near_pairs(sh, max_hamming=16).collect()
+    pair_ids = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in pair_ids
+
+
+def test_ngram_jaccard_pairs(spark):
+    a = "one two three four five six seven eight nine ten eleven twelve"
+    b = "one two three four five six seven eight nine ten eleven thirteen"
+    df = spark.createDataFrame(
+        [(1, a, "en"), (2, b, "en"), (3, "zz yy xx ww vv uu tt ss rr qq pp oo", "en")],
+        ["doc_id", "text", "lang"],
+    )
+    pairs = dedup.ngram_jaccard_pairs(df, threshold=0.3).collect()
+    ids = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in ids and len(ids) == 1
+
+
+# ----------------------------------------------------------- similarity ----
+def test_brute_force_topk_self_consistency(embs):
+    queries = embs.orderBy("vec_id").limit(3)
+    out = similarity.brute_force_topk(embs, queries, k=5)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 3
+    for q, rs in by_q.items():
+        assert [r.rank for r in sorted(rs, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
+        assert all(r.neighbor_id != q for r in rs)
+
+
+def test_lsh_topk_recall_on_clustered_data(spark):
+    # LSH recall is only meaningful when true near neighbors exist; uniform
+    # random vectors are near-orthogonal and any LSH correctly prunes them.
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim = 32
+    rows = []
+    for c in range(3):
+        center = rng.normal(size=dim)
+        center /= np.linalg.norm(center)
+        for i in range(20):
+            v = center + rng.normal(scale=0.05, size=dim)
+            rows.append((c * 100 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.filter(F.col("vec_id") % 100 == 0)  # one per cluster
+    exact = similarity.brute_force_topk(df, queries, k=5).collect()
+    approx = similarity.lsh_topk(df, queries, dim=dim, k=5, bits=8, tables=6).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8
+    # neighbors should come from the query's own cluster
+    assert all(r.neighbor_id // 100 == r.query_id // 100 for r in approx)
+
+
+def test_embedding_near_dups_finds_planted_duplicate(spark, embs):
+    dim = len(embs.select("embedding").first().embedding)
+    base = embs.limit(50)
+    clone = base.filter(F.col("vec_id") == base.first().vec_id).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    df = base.unionByName(clone)
+    pairs = similarity.embedding_near_dups(df, dim=dim, threshold=0.99).collect()
+    assert any(r.id_b == r.id_a + 1_000_000 for r in pairs)
+
+
+# ------------------------------------------------------------ multimodal ---
+def test_image_features_with_fake_decoder(spark):
+    media = multimodal.make_fake_media(spark, n=12)
+    feats = multimodal.image_features(media, decoder=multimodal.fake_decode_image)
+    rows = feats.collect()
+    assert len(rows) == 12
+    assert all(r.width == 16 and r.height == 16 for r in rows)
+    # deterministic: same payload -> same features
+    again = {r.media_id: r.phash for r in feats.collect()}
+    assert {r.media_id: r.phash for r in rows} == again
+
+
+def test_real_decoder_is_stubbed(spark):
+    media = multimodal.make_fake_media(spark, n=2)
+    with pytest.raises(Exception, match="NotImplementedError|PIL|opencv"):
+        multimodal.image_features(media).collect()
+
+
+def test_resize_images_shapes(spark):
+    media = multimodal.make_fake_media(spark, n=4)
+    out = multimodal.resize_images(
+        media, target=8, decoder=multimodal.fake_decode_image
+    ).collect()
+    assert all(len(r.payload) == 8 * 8 * 3 for r in out)
+
+
+def test_video_frame_sampling(spark):
+    media = multimodal.make_fake_media(spark, n=9)
+    frames = multimodal.sample_video_frames(media, every_ms=1000)
+    vids = media.filter("meta.media_type = 'video'")
+    per = frames.groupBy("media_id").count()
+    joined = vids.select("media_id").join(per, "media_id").collect()
+    assert all(r["count"] == 6 for r in joined)  # 0..5000 step 1000
