@@ -1,38 +1,690 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2 +
+training-pipeline extensions); each takes (spark, sf_dir) → pyspark DataFrame.
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query (omitted for
+non-SQL-expressible ops: MinHash/SimHash/LSH sketches, mapInPandas stubs).
+
+Float-determinism policy (so value-hashes match the oracle bit-for-bit):
+- money sums go through DECIMAL (exact, order-independent) then CAST AS DOUBLE;
+- averages are exact-decimal-sum / count, both sides;
+- pure int / comparison / string outputs are exact by construction;
+- everything else is ROUND()ed identically on both sides.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+import colnade_spark as cs
+from colnade_spark.dtypes import Bool, Datetime, Decimal, Float64, Int32, Int64, Utf8
+from colnade_spark.expr import when
+from colnade_spark.operators import dedup, multimodal, similarity, text
+from colnade_spark.schema import Column, Schema
+from colnade_spark.tpch import (
+    Customer,
+    Lineitem,
+    Nation,
+    Orders,
+    Region,
+    table_path,
+)
+
+# ---------------------------------------------------------------------------
+# result schemas (extension-schema idiom: inherit + add computed columns)
+# ---------------------------------------------------------------------------
+
+Dec4 = Decimal[18, 4]
+Dec6 = Decimal[18, 6]
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+class Q1Out(Schema):
+    l_returnflag: Column[Utf8]
+    l_linestatus: Column[Utf8]
+    sum_qty: Column[Float64]
+    sum_base_price: Column[Float64]
+    sum_disc_price: Column[Float64]
+    sum_charge: Column[Float64]
+    avg_qty: Column[Float64]
+    avg_price: Column[Float64]
+    avg_disc: Column[Float64]
+    count_order: Column[Int64]
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+def _load(spark: SparkSession, sf_dir: str, name: str, schema):
+    return cs.read_parquet(table_path(sf_dir, name), schema, spark=spark)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---------------------------------------------------------------------------
+# core queries (typed API end-to-end)
+# ---------------------------------------------------------------------------
+
+_CUTOFF = _dt.datetime(1998, 9, 2)
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """TPC-H Q1 shape: filter → derived decimal columns → group agg → sort.
+
+    Exercises: read_parquet, filter, BinOp arithmetic, cast(Decimal),
+    expression aggs, group_by().agg, cast_schema, sort.
     """
-    return {}
+    li = _load(spark, sf_dir, "lineitem", Lineitem)
+    disc_price = (Lineitem.l_extendedprice * (1 - Lineitem.l_discount)).cast(Dec4)
+    charge = (
+        Lineitem.l_extendedprice * (1 - Lineitem.l_discount) * (1 + Lineitem.l_tax)
+    ).cast(Dec6)
+    out = (
+        li.filter(Lineitem.l_shipdate <= _CUTOFF)
+        .group_by(Lineitem.l_returnflag, Lineitem.l_linestatus)
+        .agg(
+            Lineitem.l_quantity.cast(Decimal[18, 2]).sum().alias("sum_qty_d"),
+            Lineitem.l_extendedprice.cast(Decimal[18, 2]).sum().alias("sum_base_d"),
+            disc_price.sum().alias("sum_disc_d"),
+            charge.sum().alias("sum_charge_d"),
+            Lineitem.l_discount.cast(Decimal[18, 2]).sum().alias("sum_disc_only_d"),
+            Lineitem.l_orderkey.count().alias("count_order"),
+        )
+    )
+    # exact decimal sums → double; averages = exact-sum / count (bit-stable)
+    n = F.col("count_order").cast("long")
+    return (
+        out.native.select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("sum_qty_d").cast("double").alias("sum_qty"),
+            F.col("sum_base_d").cast("double").alias("sum_base_price"),
+            F.col("sum_disc_d").cast("double").alias("sum_disc_price"),
+            F.col("sum_charge_d").cast("double").alias("sum_charge"),
+            (F.col("sum_qty_d").cast("double") / n).alias("avg_qty"),
+            (F.col("sum_base_d").cast("double") / n).alias("avg_price"),
+            (F.col("sum_disc_only_d").cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+def filter_sort_limit(spark: SparkSession, sf_dir: str) -> SparkDF:
+    c = _load(spark, sf_dir, "customer", Customer)
+    out = (
+        c.filter(Customer.c_acctbal > 5000.0)
+        .sort(Customer.c_acctbal.desc(), Customer.c_custkey)
+        .limit(100)
+        .select(Customer.c_custkey, Customer.c_name, Customer.c_acctbal)
+    )
+    return out.native
+
+
+class CustOrder(Schema):
+    c_mktsegment: Column[Utf8]
+    o_totalprice: Column[Float64]
+
+
+class SegAgg(Schema):
+    c_mktsegment: Column[Utf8]
+    n_orders: Column[Int64]
+    sum_total_d: Column[Decimal[28, 2]]
+
+
+def join_agg(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """customer ⋈ orders (broadcast-eligible dim side) → segment rollup."""
+    c = _load(spark, sf_dir, "customer", Customer)
+    o = _load(spark, sf_dir, "orders", Orders)
+    joined = c.join(o, on=Customer.c_custkey == Orders.o_custkey, how="inner")
+    flat = joined.cast_schema(CustOrder)
+    out = flat.group_by(CustOrder.c_mktsegment).agg(
+        CustOrder.o_totalprice.count().cast(Int64).alias("n_orders"),
+        CustOrder.o_totalprice.cast(Decimal[18, 2]).sum().alias("sum_total_d"),
+    )
+    return out.native.select(
+        "c_mktsegment",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("sum_total_d").cast("double").alias("sum_total"),
+        (F.col("sum_total_d").cast("double") / F.col("n_orders")).alias("avg_total"),
+    )
+
+
+class CustNation(Schema):
+    c_custkey: Column[Int64]
+    c_acctbal: Column[Float64]
+    n_name: Column[Utf8]
+    n_regionkey: Column[Int32]
+
+
+class NationRegion(Schema):
+    r_name: Column[Utf8]
+    c_acctbal: Column[Float64]
+
+
+def triple_join_region(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Chained equi-joins through cast_schema: customer⋈nation⋈region."""
+    c = _load(spark, sf_dir, "customer", Customer)
+    n = _load(spark, sf_dir, "nation", Nation)
+    r = _load(spark, sf_dir, "region", Region)
+    cn = c.join(n, on=Customer.c_nationkey == Nation.n_nationkey).cast_schema(
+        CustNation
+    )
+    cnr = cn.join(r, on=CustNation.n_regionkey == Region.r_regionkey).cast_schema(
+        NationRegion
+    )
+    out = cnr.group_by(NationRegion.r_name).agg(
+        NationRegion.c_acctbal.count().alias("n_cust"),
+        NationRegion.c_acctbal.cast(Decimal[18, 2]).sum().alias("sum_bal_d"),
+    )
+    return out.native.select(
+        "r_name",
+        F.col("n_cust").cast("long").alias("n_cust"),
+        F.col("sum_bal_d").cast("double").alias("sum_bal"),
+    )
+
+
+class StatusPriority(Schema):
+    o_orderstatus: Column[Utf8]
+    o_orderpriority: Column[Utf8]
+
+
+def distinct_status_priority(spark: SparkSession, sf_dir: str) -> SparkDF:
+    o = _load(spark, sf_dir, "orders", Orders)
+    out = (
+        o.select(Orders.o_orderstatus, Orders.o_orderpriority)
+        .cast_schema(StatusPriority)
+        .unique()
+    )
+    return out.native
+
+
+def case_when_buckets(spark: SparkSession, sf_dir: str) -> SparkDF:
+    c = _load(spark, sf_dir, "customer", Customer)
+    bucket = (
+        when(Customer.c_acctbal > 7500.0)
+        .then("high")
+        .when(Customer.c_acctbal > 2500.0)
+        .then("mid")
+        .when(Customer.c_acctbal >= 0.0)
+        .then("low")
+        .otherwise("neg")
+    )
+    out = c.with_columns(bucket.alias("bucket"))
+    return (
+        out.native.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_bal"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def global_agg(spark: SparkSession, sf_dir: str) -> SparkDF:
+    o = _load(spark, sf_dir, "orders", Orders)
+    out = o.agg(
+        Orders.o_totalprice.cast(Decimal[18, 2]).sum().alias("sum_total_d"),
+        Orders.o_totalprice.min().alias("min_total"),
+        Orders.o_totalprice.max().alias("max_total"),
+        Orders.o_orderkey.count().cast(Int64).alias("n_rows"),
+        Orders.o_custkey.n_unique().cast(Int64).alias("n_customers"),
+    )
+    return out.native.select(
+        F.col("sum_total_d").cast("double").alias("sum_total"),
+        "min_total",
+        "max_total",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_customers").cast("long").alias("n_customers"),
+    )
+
+
+class PartStr(Schema):
+    p_partkey: Column[Int64]
+    p_name: Column[Utf8]
+    p_brand: Column[Utf8]
+    p_type: Column[Utf8]
+
+
+def str_funcs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    from colnade_spark.tpch import Part
+
+    p = _load(spark, sf_dir, "part", Part)
+    out = (
+        p.filter(Part.p_name.str_contains("red"))
+        .select(Part.p_partkey, Part.p_name, Part.p_brand, Part.p_type)
+        .cast_schema(PartStr)
+        .with_columns(
+            PartStr.p_name.str_to_uppercase().alias("name_upper"),
+            PartStr.p_type.str_to_lowercase().alias("type_lower"),
+            PartStr.p_name.str_len().alias("name_len"),
+            PartStr.p_name.str_starts_with("red").alias("starts_red"),
+            PartStr.p_name.str_ends_with("bolt").alias("ends_bolt"),
+            PartStr.p_name.str_replace("red", "RED").alias("name_replaced"),
+            PartStr.p_brand.str_strip().alias("brand_stripped"),
+        )
+    )
+    return out.native.withColumn("name_len", F.col("name_len").cast("long"))
+
+
+def dt_extract_truncate(spark: SparkSession, sf_dir: str) -> SparkDF:
+    from colnade_spark.tpch import Events
+
+    e = _load(spark, sf_dir, "events", Events)
+    out = e.with_columns(
+        Events.ts.dt_truncate("day").alias("day"),
+        Events.ts.dt_year().alias("yr"),
+        Events.ts.dt_month().alias("mo"),
+        Events.ts.dt_day().alias("dom"),
+        Events.ts.dt_hour().alias("hr"),
+        Events.ts.dt_minute().alias("minute_"),
+        Events.ts.dt_second().alias("second_"),
+    )
+    return (
+        out.native.groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+def window_partition_agg(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Partition-only window aggregates (the reference's ``over``)."""
+    c = _load(spark, sf_dir, "customer", Customer)
+    out = c.with_columns(
+        Customer.c_custkey.count().over(Customer.c_mktsegment).alias("seg_n"),
+        Customer.c_acctbal.max().over(Customer.c_mktsegment).alias("seg_max"),
+        Customer.c_acctbal.min().over(Customer.c_mktsegment).alias("seg_min"),
+        Customer.c_nationkey.n_unique().over(Customer.c_mktsegment).alias("seg_nations"),
+    )
+    return out.native.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.col("seg_n").cast("long").alias("seg_n"),
+        "seg_max",
+        "seg_min",
+        F.col("seg_nations").cast("long").alias("seg_nations"),
+    )
+
+
+def concat_union(spark: SparkSession, sf_dir: str) -> SparkDF:
+    o = _load(spark, sf_dir, "orders", Orders)
+    f_part = o.filter(Orders.o_orderstatus == "F")
+    o_part = o.filter(Orders.o_orderstatus == "O")
+    both = cs.concat([f_part, o_part])
+    out = both.group_by(Orders.o_orderpriority).agg(
+        Orders.o_orderkey.count().cast(Int64).alias("n")
+    )
+    return out.native.select(
+        "o_orderpriority", F.col("n").cast("long").alias("n")
+    )
+
+
+def list_ops(spark: SparkSession, sf_dir: str) -> SparkDF:
+    from colnade_spark.tpch import Embeddings
+
+    e = _load(spark, sf_dir, "embeddings", Embeddings)
+    out = e.with_columns(
+        Embeddings.embedding.list.len().alias("dim"),
+        Embeddings.embedding.list.get(0).alias("first_val"),
+        Embeddings.embedding.list.min().alias("min_val"),
+        Embeddings.embedding.list.max().alias("max_val"),
+    )
+    return out.native.select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.col("first_val").cast("double").alias("first_val"),
+        F.col("min_val").cast("double").alias("min_val"),
+        F.col("max_val").cast("double").alias("max_val"),
+    )
+
+
+def cast_fill_null(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """when-without-otherwise (null default) + fill_null + int cast."""
+    o = _load(spark, sf_dir, "orders", Orders)
+    big = when(Orders.o_totalprice > 200000.0).then(Orders.o_totalprice)
+    out = o.with_columns(
+        big.alias("big_raw"),
+        Orders.o_totalprice.cast(Int64).alias("price_int"),
+    )
+    return out.native.select(
+        "o_orderkey",
+        F.coalesce(F.col("big_raw"), F.lit(-1.0)).alias("big_filled"),
+        "price_int",
+    )
+
+
+class OrdersBig(Orders):
+    big_raw: Column[Float64 | None]
+
+
+def drop_nulls_agg(spark: SparkSession, sf_dir: str) -> SparkDF:
+    o = _load(spark, sf_dir, "orders", Orders)
+    big = when(Orders.o_totalprice > 200000.0).then(Orders.o_totalprice)
+    out = (
+        o.with_columns(big.alias("big_raw"))
+        .cast_schema(OrdersBig)
+        .drop_nulls(OrdersBig.big_raw)
+        .agg(
+            OrdersBig.big_raw.count().cast(Int64).alias("n_big"),
+            OrdersBig.big_raw.cast(Decimal[18, 2]).sum().alias("sum_big_d"),
+        )
+    )
+    return out.native.select(
+        F.col("n_big").cast("long").alias("n_big"),
+        F.col("sum_big_d").cast("double").alias("sum_big"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-pipeline extension queries (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    return spark.read.parquet(table_path(sf_dir, "documents"))
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    return spark.read.parquet(table_path(sf_dir, "embeddings"))
+
+
+def dedup_exact_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
+    return dedup.dedup_exact(_docs(spark, sf_dir))
+
+
+def dedup_fingerprint_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
+    return dedup.dedup_fingerprint(_docs(spark, sf_dir))
+
+
+def dedup_minhash_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
+    return dedup.dedup_minhash(_docs(spark, sf_dir), threshold=0.8)
+
+
+def simhash_sketch(spark: SparkSession, sf_dir: str) -> SparkDF:
+    return dedup.simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
+
+
+def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> SparkDF:
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.5, block_col="lang"
+    ).select("id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> SparkDF:
+    out = text.quality_features(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("q_chars").cast("long").alias("q_chars"),
+        F.col("q_words").cast("long").alias("q_words"),
+        F.round("q_avg_word_len", 6).alias("q_avg_word_len"),
+        F.col("q_punct").cast("long").alias("q_punct"),
+        F.round("q_punct_ratio", 6).alias("q_punct_ratio"),
+        F.round("q_upper_ratio", 6).alias("q_upper_ratio"),
+        F.round("q_stopword_ratio", 6).alias("q_stopword_ratio"),
+    )
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> SparkDF:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        text.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        text.bpe_token_count(F.col("text")).cast("long").alias("n_bpe"),
+    )
+
+
+def language_pred(spark: SparkSession, sf_dir: str) -> SparkDF:
+    return text.language_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+def ann_bruteforce(spark: SparkSession, sf_dir: str) -> SparkDF:
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 8)
+    return similarity.brute_force_topk(e, q, k=5)
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> SparkDF:
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 8)
+    return similarity.lsh_topk(e, q, dim=64, k=5, bits=10, tables=6)
+
+
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    return similarity.embedding_near_dups(
+        _embs(spark, sf_dir), dim=64, threshold=0.4, bits=8, tables=4
+    ).select("id_a", "id_b", F.round(F.col("cos_sim"), 6).alias("cos_sim"))
+
+
+def image_features_stub(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Multimodal plumbing over mapInPandas with the deterministic fake
+    decoder (media payload synthesized from document text bytes)."""
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
+    )
+    return multimodal.image_features(media, decoder=multimodal.fake_decode_image)
+
+
+def winnow_sketch(spark: SparkSession, sf_dir: str) -> SparkDF:
+    d = _docs(spark, sf_dir).withColumn("_norm", text.normalized_text(F.col("text")))
+    sk = text.winnowing_fingerprint(F.col("_norm"), window=8, keep=16, normalized=True)
+    return d.select(
+        "doc_id", F.size(sk).cast("long").alias("sketch_len"), sk.getItem(0).alias("h0")
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract functions
+# ---------------------------------------------------------------------------
+
+
+def entry(spark: SparkSession) -> SparkDF:
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "filter_sort_limit": filter_sort_limit,
+        "join_agg": join_agg,
+        "triple_join_region": triple_join_region,
+        "distinct_status_priority": distinct_status_priority,
+        "case_when_buckets": case_when_buckets,
+        "global_agg": global_agg,
+        "str_funcs": str_funcs,
+        "dt_extract_truncate": dt_extract_truncate,
+        "window_partition_agg": window_partition_agg,
+        "concat_union": concat_union,
+        "list_ops": list_ops,
+        "cast_fill_null": cast_fill_null,
+        "drop_nulls_agg": drop_nulls_agg,
+        "dedup_exact_ids": dedup_exact_ids,
+        "dedup_fingerprint_ids": dedup_fingerprint_ids,
+        "dedup_minhash_ids": dedup_minhash_ids,
+        "simhash_sketch": simhash_sketch,
+        "ngram_jaccard_dups": ngram_jaccard_dups,
+        "text_quality": text_quality,
+        "token_counts": token_counts,
+        "language_pred": language_pred,
+        "ann_bruteforce": ann_bruteforce,
+        "ann_lsh": ann_lsh,
+        "emb_near_dup_pairs": emb_near_dup_pairs,
+        "image_features_stub": image_features_stub,
+        "winnow_sketch": winnow_sketch,
+    }
+
+
+_NORM_TEXT = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+_TOKENS = "regexp_split_to_array(trim({col}), '\\s+')"
+_STOP = {k: v for k, v in sorted(text.STOPWORDS.items())}
+
+
+def _stop_hits(lang: str, toks: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _STOP[lang])
+    return f"len(list_distinct(list_intersect({toks}, [{words}])))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = _TOKENS.format(col="text")
+    toks_lower = _TOKENS.format(col="lower(text)")
+    lang_structs = ", ".join(
+        f"{{'score': {_stop_hits(lang, toks_lower)}, 'lang': '{lang}'}}"
+        for lang in _STOP
+    )
+    return {
+        "q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+              CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+              CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+              CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+              count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '{_CUTOFF:%Y-%m-%d %H:%M:%S}'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "filter_sort_limit": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE c_acctbal > 5000.0
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 100
+        """,
+        "join_agg": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_total
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_mktsegment
+        """,
+        "triple_join_region": """
+            SELECT r_name, count(*) AS n_cust,
+              CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "distinct_status_priority": """
+            SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        """,
+        "case_when_buckets": """
+            SELECT CASE WHEN c_acctbal > 7500.0 THEN 'high'
+                        WHEN c_acctbal > 2500.0 THEN 'mid'
+                        WHEN c_acctbal >= 0.0 THEN 'low'
+                        ELSE 'neg' END AS bucket,
+              count(*) AS n,
+              CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+            FROM customer GROUP BY 1 ORDER BY bucket
+        """,
+        "global_agg": """
+            SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+              min(o_totalprice) AS min_total, max(o_totalprice) AS max_total,
+              count(*) AS n_rows, count(DISTINCT o_custkey) AS n_customers
+            FROM orders
+        """,
+        "str_funcs": """
+            SELECT p_partkey, p_name, p_brand, p_type,
+              upper(p_name) AS name_upper, lower(p_type) AS type_lower,
+              length(p_name) AS name_len,
+              starts_with(p_name, 'red') AS starts_red,
+              ends_with(p_name, 'bolt') AS ends_bolt,
+              replace(p_name, 'red', 'RED') AS name_replaced,
+              trim(p_brand) AS brand_stripped
+            FROM part WHERE contains(p_name, 'red')
+        """,
+        "dt_extract_truncate": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+              count(*) AS n,
+              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY day, event_type
+        """,
+        "window_partition_agg": """
+            SELECT c_custkey, c_mktsegment, c_acctbal,
+              count(*) OVER w AS seg_n,
+              max(c_acctbal) OVER w AS seg_max,
+              min(c_acctbal) OVER w AS seg_min,
+              count(DISTINCT c_nationkey) OVER w AS seg_nations
+            FROM customer WINDOW w AS (PARTITION BY c_mktsegment)
+        """,
+        "concat_union": """
+            SELECT o_orderpriority, count(*) AS n FROM (
+              SELECT * FROM orders WHERE o_orderstatus = 'F'
+              UNION ALL
+              SELECT * FROM orders WHERE o_orderstatus = 'O'
+            ) GROUP BY o_orderpriority
+        """,
+        "list_ops": """
+            SELECT vec_id, len(embedding) AS dim,
+              CAST(embedding[1] AS DOUBLE) AS first_val,
+              CAST(list_min(embedding) AS DOUBLE) AS min_val,
+              CAST(list_max(embedding) AS DOUBLE) AS max_val
+            FROM embeddings
+        """,
+        "cast_fill_null": """
+            SELECT o_orderkey,
+              coalesce(CASE WHEN o_totalprice > 200000.0 THEN o_totalprice END, -1.0)
+                AS big_filled,
+              CAST(trunc(o_totalprice) AS BIGINT) AS price_int
+            FROM orders
+        """,
+        "drop_nulls_agg": """
+            SELECT count(*) AS n_big,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_big
+            FROM orders WHERE o_totalprice > 200000.0
+        """,
+        "dedup_exact_ids": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        """,
+        "dedup_fingerprint_ids": f"""
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY {_NORM_TEXT}
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+              length(text) AS q_chars,
+              len({toks}) AS q_words,
+              round(CAST(length(text) AS DOUBLE) / greatest(len({toks}), 1), 6)
+                AS q_avg_word_len,
+              length(text) - length(regexp_replace(text, '[\\!\\.\\,\\;\\?]', '', 'g'))
+                AS q_punct,
+              round(CAST(length(text) - length(regexp_replace(text, '[\\!\\.\\,\\;\\?]', '', 'g')) AS DOUBLE)
+                / greatest(length(text), 1), 6) AS q_punct_ratio,
+              round(CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+                / greatest(length(text), 1), 6) AS q_upper_ratio,
+              round(CAST({_stop_hits('en', toks_lower)} AS DOUBLE) / 10, 6)
+                AS q_stopword_ratio
+            FROM documents
+        """,
+        "token_counts": f"""
+            SELECT doc_id, len({toks}) AS n_tokens,
+              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe
+            FROM documents
+        """,
+        "language_pred": f"""
+            SELECT doc_id, list_max([{lang_structs}]).lang AS lang_pred
+            FROM documents
+        """,
+        "ann_bruteforce": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                       WHERE vec_id < 8),
+            s AS (SELECT qid AS query_id, vec_id AS neighbor_id,
+                    list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                           CAST(qv AS DOUBLE[])) AS sim
+                  FROM embeddings CROSS JOIN q WHERE vec_id <> qid)
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+              FROM s)
+            WHERE rank <= 5
+        """,
+    }

@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with per-query wall seconds.
+
+Execution is forced with the noop sink (full computation, no driver
+transfer, no output I/O) so the number measures the query, not collect().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "filter_sort_limit",
+    "join_agg",
+    "triple_join_region",
+    "global_agg",
+    "dt_extract_truncate",
+    "window_partition_agg",
+    "dedup_exact_ids",
+    "dedup_minhash_ids",
+    "simhash_sketch",
+    "ngram_jaccard_dups",
+    "text_quality",
+    "token_counts",
+    "language_pred",
+    "ann_bruteforce",
+    "ann_lsh",
+    "image_features_stub",
+]
+
+
+def main() -> None:
+    from __spark_entry__ import queries
+
+    from colnade_spark.session import get_spark
+
+    spark = get_spark("colnade-spark-bench")
+    qs = queries()
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else None
+
+    # warm the JVM / parquet footers with one cheap action
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.time() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

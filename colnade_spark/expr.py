@@ -278,6 +278,11 @@ class _WhenThen:
         """Finish without a default (null for unmatched rows)."""
         return WhenThenOtherwise(self._cases, None)
 
+    def alias(self, target: Any) -> AliasedExpr:
+        """Alias directly off the builder — missing ``.otherwise`` means a
+        null default (reference: src/colnade/expr.py:348,365)."""
+        return self.done().alias(target)
+
 
 class _When:
     """Builder state after ``when(c)``."""

@@ -30,7 +30,38 @@ S = TypeVar("S", bound=Schema)
 
 
 def _reader(spark: SparkSession | None) -> SparkSession:
-    return spark if spark is not None else get_spark()
+    sp = spark if spark is not None else get_spark()
+    try:
+        # parquet TIMESTAMP(NANOS) columns (no Spark type) arrive as long
+        # nanos instead of erroring the scan; _normalize_scan converts them
+        sp.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover - read-only conf on some sessions
+        pass
+    return sp
+
+
+def _normalize_scan(data, schema: type[Schema]):
+    """Normalize physical quirks at the scan boundary: declared Datetime
+    columns materialized as long (nanosAsLong) become microsecond
+    timestamps (``div 1000`` in integer space — double math would lose
+    precision at 1e18)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from colnade_spark import dtypes as dt
+
+    actual = {f.name: f.dataType for f in data.schema.fields}
+    fixes = {}
+    for name, col in schema._columns.items():
+        stripped = dt.strip_nullable(col.dtype)
+        dtype = stripped[0] if stripped is not None else col.dtype
+        if (
+            isinstance(dtype, type)
+            and issubclass(dtype, dt.Datetime)
+            and isinstance(actual.get(name), T.LongType)
+        ):
+            fixes[name] = F.timestamp_micros(F.expr(f"`{name}` div 1000"))
+    return data.withColumns(fixes) if fixes else data
 
 
 def read_parquet(
@@ -39,7 +70,7 @@ def read_parquet(
     sp = _reader(spark)
     # project to declared columns: extra file columns are dropped at the scan
     names = list(schema._columns)
-    data = sp.read.parquet(path).select(*names)
+    data = _normalize_scan(sp.read.parquet(path).select(*names), schema)
     out = DataFrame(data, schema)
     _boundary_validate(out)
     return out
@@ -50,7 +81,7 @@ def scan_parquet(
 ) -> LazyFrame[S]:
     sp = _reader(spark)
     names = list(schema._columns)
-    data = sp.read.parquet(path).select(*names)
+    data = _normalize_scan(sp.read.parquet(path).select(*names), schema)
     out = LazyFrame(data, schema)
     _boundary_validate(out)
     return out

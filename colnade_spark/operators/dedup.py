@@ -80,19 +80,33 @@ def minhash_signatures(
     """
     rng = random.Random(seed)
     salts = [rng.randrange(1 << 31) for _ in range(num_hashes)]
-    base = F.transform(
-        F.array_distinct(char_ngrams(normalized_text(F.col(text_col)), shingle_k)),
-        lambda s: F.xxhash64(s),
+    # Staged projections, NOT one inlined expression: an outer-scope
+    # expression referenced inside a higher-order-function lambda is
+    # re-evaluated PER ARRAY ELEMENT (the normalized-text regexes would run
+    # |shingles| × num_hashes times per row — measured 60×+ slowdown).
+    # Materializing each stage as a column keeps every stage once-per-row;
+    # the rehash lambdas below then only touch the small hash array.
+    staged = (
+        df.withColumn("_mh_norm", normalized_text(F.col(text_col)))
+        .withColumn("_mh_grams", F.array_distinct(char_ngrams(F.col("_mh_norm"), shingle_k)))
+        .withColumn("_mh_raw", F.transform(F.col("_mh_grams"), lambda s: F.xxhash64(s)))
+        .withColumn(
+            "_mh_h",
+            F.when(F.size(F.col("_mh_raw")) > 0, F.col("_mh_raw")).otherwise(
+                F.array(F.lit(0).cast("long"))
+            ),
+        )
     )
-    hashed = F.when(F.size(base) > 0, base).otherwise(F.array(F.lit(0).cast("long")))
 
     def rehash(salt: int):
         # single-arg lambda required: pyspark treats 2-arg lambdas as
         # (element, index) callbacks, which would silently drop the salt
         return lambda h: F.xxhash64(h, F.lit(salt))
 
-    sig = F.array(*[F.array_min(F.transform(hashed, rehash(s))) for s in salts])
-    return df.withColumn("_sig", sig)
+    sig = F.array(*[F.array_min(F.transform(F.col("_mh_h"), rehash(s))) for s in salts])
+    return staged.withColumn("_sig", sig).drop(
+        "_mh_norm", "_mh_grams", "_mh_raw", "_mh_h"
+    )
 
 
 def minhash_candidate_pairs(
@@ -109,6 +123,14 @@ def minhash_candidate_pairs(
     co-locate; non-matching docs never meet.
     """
     rows = num_hashes // bands
+    # Materialization barrier: the signature projection is expensive
+    # (num_hashes × shingles hash evaluations per doc). Without an exchange,
+    # Catalyst inlines it into every band row (×bands) on BOTH sides of the
+    # self-join (×2) — a 2·bands× recompute. The repartition forces the
+    # signatures to be computed exactly once at shuffle write; the two join
+    # branches then share it via ReuseExchange. Shuffle payload is just
+    # (id, signature) ≈ num_hashes·8B per doc.
+    sig_df = sig_df.select(id_col, "_sig").repartition(F.col(id_col))
     banded = sig_df.select(
         F.col(id_col).alias("_id"),
         F.col("_sig"),
@@ -283,13 +305,19 @@ def ngram_jaccard_pairs(
     the self-join from going quadratic; within a block, Jaccard is computed
     with array_intersect/array_union on DISTINCT token n-gram sets.
     """
-    toks = tokens(normalized_text(F.col(text_col)))
+    # stage tokens as a column first — referencing the tokenizer expression
+    # inside the n-gram lambda would re-run it per gram position (see
+    # minhash_signatures note on HOF outer references)
+    toks = F.col("_ng_toks")
+    # intersect 8-byte gram hashes, not gram strings: Jaccard over the
+    # hashed sets is exact up to xxhash64 collisions (~n²/2⁶⁴), and the
+    # pairwise set ops drop from string-compare to long-compare cost
     grams = F.array_distinct(
         F.transform(
             F.sequence(
                 F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))
             ),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
         )
     )
     # overlapping length buckets: each doc carries keys {b, b+1} so near-
@@ -299,8 +327,18 @@ def ngram_jaccard_pairs(
     blocks = [F.explode(F.array(lb, lb + 1)).alias("_lb")]
     if block_col is not None:
         blocks.append(F.col(block_col).alias("_blk"))
-    g = df.select(F.col(id_col).alias("_id"), grams.alias("_g"), *blocks)
-    join_cond = [F.col("l._lb") == F.col("r._lb"), F.col("l._id") < F.col("r._id")]
+    g = df.withColumn("_ng_toks", tokens(normalized_text(F.col(text_col)))).select(
+        F.col(id_col).alias("_id"), grams.alias("_g"), *blocks
+    )
+    join_cond = [
+        F.col("l._lb") == F.col("r._lb"),
+        F.col("l._id") < F.col("r._id"),
+        # size-ratio prefilter: jaccard ≥ t needs t·|B| ≤ |A| (and vice
+        # versa); a cheap integer compare culls pairs before the O(|A|+|B|)
+        # set intersection runs
+        F.size(F.col("l._g")) * F.lit(threshold) <= F.size(F.col("r._g")),
+        F.size(F.col("r._g")) * F.lit(threshold) <= F.size(F.col("l._g")),
+    ]
     if block_col is not None:
         join_cond.append(F.col("l._blk") == F.col("r._blk"))
     l, r = g.alias("l"), g.alias("r")

@@ -126,11 +126,28 @@ def lsh_topk(
         "query_id",
         "_qv",
     )
-    cand = (
-        c.join(F.broadcast(q), ["tbl", "bkt"])
+    # Dedupe multi-table collisions on the ID PAIR only (16 bytes through
+    # the shuffle), then attach vectors back for scoring — never distinct()
+    # on the vector payload itself (at 100 TB that shuffles the embeddings
+    # `tables`× over and hashes arrays as group keys).
+    pair_ids = (
+        c.select("neighbor_id", "tbl", "bkt")
+        .join(F.broadcast(q.select("query_id", "tbl", "bkt")), ["tbl", "bkt"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "_qv", "_cv")
+        .select("query_id", "neighbor_id")
         .distinct()
+    )
+    cand = (
+        pair_ids.join(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+            ),
+            "query_id",
+        )
         .withColumn("sim", cosine(F.col("_qv"), F.col("_cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -166,21 +183,30 @@ def embedding_near_dups(
         ]
     )
     b = df.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), F.explode(buckets).alias("bb")
-    ).select("_id", "_v", F.col("bb.tbl").alias("tbl"), F.col("bb.bkt").alias("bkt"))
+        F.col(id_col).alias("_id"), F.explode(buckets).alias("bb")
+    ).select("_id", F.col("bb.tbl").alias("tbl"), F.col("bb.bkt").alias("bkt"))
     l, r = b.alias("l"), b.alias("r")
-    return (
+    # id-only candidate pairs (see lsh_topk: never distinct() on vectors),
+    # then score once per pair after joining the vectors back
+    pair_ids = (
         l.join(
             r,
             (F.col("l.tbl") == F.col("r.tbl"))
             & (F.col("l.bkt") == F.col("r.bkt"))
             & (F.col("l._id") < F.col("r._id")),
         )
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            cosine(F.col("l._v"), F.col("r._v")).alias("cos_sim"),
-        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        pair_ids.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= threshold)
     )

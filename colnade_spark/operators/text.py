@@ -147,18 +147,31 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized_text(text))
 
 
-def rolling_hashes(text: Column, window: int = 8) -> Column:
+def rolling_hashes(text: Column, window: int = 8, *, normalized: bool = False) -> Column:
     """Array of rolling window hashes over the normalized text — the basis
-    for winnowing-style fingerprints. Built-ins only."""
-    norm = normalized_text(text)
+    for winnowing-style fingerprints. Built-ins only.
+
+    PERF: ``text`` is referenced inside the per-position lambda, so any
+    expression passed here is re-evaluated per position. Stage the
+    normalized text as a real column first (``withColumn``) and pass
+    ``normalized=True`` — see dedup.minhash_signatures for why.
+    """
+    norm = text if normalized else normalized_text(text)
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(norm) - (window - 1), F.lit(0))),
         lambda i: F.xxhash64(norm.substr(i, F.lit(window))),
     )
 
 
-def winnowing_fingerprint(text: Column, window: int = 8, keep: int = 16) -> Column:
+def winnowing_fingerprint(
+    text: Column, window: int = 8, keep: int = 16, *, normalized: bool = False
+) -> Column:
     """Bounded-size document sketch: the ``keep`` smallest rolling hashes
     (a winnowing/bottom-k sketch). Set-overlap of sketches estimates
-    document similarity at a fixed per-doc cost."""
-    return F.slice(F.array_sort(F.array_distinct(rolling_hashes(text, window))), 1, keep)
+    document similarity at a fixed per-doc cost. See ``rolling_hashes`` for
+    the ``normalized`` staging contract."""
+    return F.slice(
+        F.array_sort(F.array_distinct(rolling_hashes(text, window, normalized=normalized))),
+        1,
+        keep,
+    )
