@@ -1,0 +1,77 @@
+"""Plan-quality gates: these tests pin the PHYSICAL plan shape that makes
+the engine viable at 100 TB — filter pushdown into the parquet scan, column
+pruning, broadcast joins for dimension tables, and no Python row-at-a-time
+evaluation in hot paths (whole-stage codegen present).
+
+If a refactor regresses one of these, correctness tests stay green but the
+100 TB story dies — hence explicit assertions on explain() output.
+"""
+
+from __future__ import annotations
+
+import io as _io
+from contextlib import redirect_stdout
+
+from colnade_spark import read_parquet
+from colnade_spark.tpch import Customer, Nation, Orders, Region, table_path
+
+
+def _plan(frame) -> str:
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        frame.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    f = read_parquet(table_path(sf_dir, "customer"), Customer, spark=spark).filter(
+        Customer.c_acctbal > 1000.0
+    )
+    plan = _plan(f)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "c_acctbal" in pushed[0], plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    f = (
+        read_parquet(table_path(sf_dir, "customer"), Customer, spark=spark)
+        .select(Customer.c_custkey, Customer.c_acctbal)
+    )
+    plan = _plan(f)
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "c_custkey" in rs and "c_name" not in rs and "c_mktsegment" not in rs, rs
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    c = read_parquet(table_path(sf_dir, "customer"), Customer, spark=spark)
+    n = read_parquet(table_path(sf_dir, "nation"), Nation, spark=spark)
+    j = c.join(n, on=Customer.c_nationkey == Nation.n_nationkey)
+    plan = _plan(j)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    """Group-agg must be HashAggregate(partial) → Exchange →
+    HashAggregate(final): the map-side combine is what keeps shuffle volume
+    proportional to groups, not rows. (AQE's pre-execution explain doesn't
+    render WholeStageCodegen spans, so assert the agg/exchange shape.)"""
+    o = read_parquet(table_path(sf_dir, "orders"), Orders, spark=spark)
+    out = o.group_by(Orders.o_orderstatus).agg(
+        Orders.o_totalprice.sum().alias("s")
+    )
+    plan = _plan(out)
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Exchange" in plan, plan
+
+
+def test_small_dim_chain_single_shuffle(spark, sf_dir):
+    """nation⋈region are both broadcastable: the whole chain should contain
+    no shuffle exchange at all (only broadcast exchanges)."""
+    n = read_parquet(table_path(sf_dir, "nation"), Nation, spark=spark)
+    r = read_parquet(table_path(sf_dir, "region"), Region, spark=spark)
+    j = n.join(r, on=Nation.n_regionkey == Region.r_regionkey)
+    plan = _plan(j)
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "Broadcast" not in line:
+            raise AssertionError(f"unexpected shuffle exchange: {line}\n{plan}")
