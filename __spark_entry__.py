@@ -469,6 +469,16 @@ def image_features_stub(spark: SparkSession, sf_dir: str) -> SparkDF:
     return multimodal.image_features(media, decoder=multimodal.fake_decode_image)
 
 
+def sessionize(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Gap-based sessionization (30-min) of the events table — the batch
+    twin of operators.sessions.sessionize_stream."""
+    from colnade_spark.operators import sessions
+    from colnade_spark.tpch import Events
+
+    e = _load(spark, sf_dir, "events", Events)
+    return sessions.sessionize_batch(e.native, gap_minutes=30)
+
+
 def winnow_sketch(spark: SparkSession, sf_dir: str) -> SparkDF:
     d = _docs(spark, sf_dir).withColumn("_norm", text.normalized_text(F.col("text")))
     sk = text.winnowing_fingerprint(F.col("_norm"), window=8, keep=16, normalized=True)
@@ -515,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "ann_lsh": ann_lsh,
         "emb_near_dup_pairs": emb_near_dup_pairs,
         "image_features_stub": image_features_stub,
+        "sessionize": sessionize,
         "winnow_sketch": winnow_sketch,
     }
 
@@ -672,6 +683,23 @@ def oracle_sql() -> dict[str, str]:
         "language_pred": f"""
             SELECT doc_id, list_max([{lang_structs}]).lang AS lang_pred
             FROM documents
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                     THEN 1 ELSE 0 END AS news
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, ts,
+                sum(news) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+              FROM g
+            )
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sid
         """,
         "ann_bruteforce": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings

@@ -1,0 +1,213 @@
+"""StreamFrame: schema-typed wrapper over a streaming pyspark DataFrame.
+
+Design notes (scale-first):
+- File sources only list + incrementally process new files; the declared
+  schema is mandatory (streaming reads cannot infer).
+- ``with_watermark`` is required before any window aggregation: it bounds
+  state-store size (late rows beyond the delay are dropped) — without it a
+  100 TB/day stream accumulates state forever.
+- ``window_agg`` emits tumbling/sliding event-time windows via the built-in
+  ``window()`` function — incremental, partial-aggregated, AQE-free but
+  state-store backed.
+- Sinks: ``to_memory_sink`` for tests (availableNow trigger processes the
+  backlog then stops), ``to_parquet_sink`` for real output with
+  checkpointing.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Generic, TypeVar
+
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from colnade_spark.backend import SparkBackend
+from colnade_spark.conversion import to_struct_type
+from colnade_spark.dataframe import _names
+from colnade_spark.expr import AliasedExpr, Expr
+from colnade_spark.schema import Column, Schema
+
+S = TypeVar("S", bound=Schema)
+
+_backend = SparkBackend()
+
+
+def _stream_reader(spark: SparkSession):
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover
+        pass
+    return spark.readStream
+
+
+def scan_stream_parquet(
+    path: str, schema: type[S], *, spark: SparkSession
+) -> StreamFrame[S]:
+    """Incremental parquet file source with the declared schema."""
+    from colnade_spark.io import _normalize_scan
+
+    reader = _stream_reader(spark)  # sets nanosAsLong BEFORE the probe below
+    struct = to_struct_type(schema)
+    # nanos timestamps arrive as long under nanosAsLong; declare long at the
+    # source and let _normalize_scan convert (same policy as batch io)
+    import pyspark.sql.types as T
+
+    probe = spark.read.parquet(path).schema
+    fields = []
+    for f in struct.fields:
+        actual = next((a for a in probe.fields if a.name == f.name), None)
+        if (
+            isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
+            and actual is not None
+            and isinstance(actual.dataType, T.LongType)
+        ):
+            fields.append(T.StructField(f.name, T.LongType(), f.nullable))
+        else:
+            fields.append(f)
+    import os
+
+    reader = reader.schema(T.StructType(fields))
+    if os.path.isfile(path):
+        # file-source streams monitor directories; for a single-file path
+        # watch the parent directory with a glob filter selecting the file
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    data = reader.parquet(path)
+    return StreamFrame(_normalize_scan(data, schema), schema)
+
+
+def scan_stream_csv(
+    path: str, schema: type[S], *, spark: SparkSession, header: bool = True
+) -> StreamFrame[S]:
+    data = (
+        _stream_reader(spark)
+        .schema(to_struct_type(schema))
+        .csv(path, header=header)
+    )
+    return StreamFrame(data, schema)
+
+
+class StreamFrame(Generic[S]):
+    """Typed streaming frame: row-level ops via the shared AST translation,
+    plus watermark / window aggregation / sinks."""
+
+    def __init__(self, data: SparkDF, schema: type[S] | None):
+        self._data = data
+        self._schema = schema
+        self._watermark_col: str | None = None
+
+    # -- introspection ----------------------------------------------------
+    @property
+    def native(self) -> SparkDF:
+        return self._data
+
+    @property
+    def schema(self) -> type[S] | None:
+        return self._schema
+
+    @property
+    def is_streaming(self) -> bool:
+        return bool(self._data.isStreaming)
+
+    def _wrap(self, data: SparkDF) -> StreamFrame[S]:
+        out = StreamFrame(data, self._schema)
+        out._watermark_col = self._watermark_col
+        return out
+
+    # -- row-level ops (shared translation) -------------------------------
+    def filter(self, predicate: Expr) -> StreamFrame[S]:
+        return self._wrap(self._data.filter(_backend.translate_expr(predicate)))
+
+    def select(self, *cols: Column | str) -> StreamFrame[Any]:
+        out = StreamFrame(self._data.select(*_names(cols)), None)
+        out._watermark_col = self._watermark_col
+        return out
+
+    def with_columns(self, *exprs: AliasedExpr) -> StreamFrame[S]:
+        return self._wrap(
+            self._data.withColumns(
+                {e.out_name: _backend.translate_expr(e.expr) for e in exprs}
+            )
+        )
+
+    def with_raw(self, fn) -> StreamFrame[S]:
+        return self._wrap(fn(self._data))
+
+    # -- streaming-specific ------------------------------------------------
+    def with_watermark(self, ts_col: Column | str, delay: str) -> StreamFrame[S]:
+        """Event-time watermark: bounds aggregation state (rows later than
+        ``delay`` behind the max seen event time are dropped)."""
+        name = ts_col if isinstance(ts_col, str) else ts_col.name
+        out = self._wrap(self._data.withWatermark(name, delay))
+        out._watermark_col = name
+        return out
+
+    def window_agg(
+        self,
+        ts_col: Column | str,
+        duration: str,
+        *aggs: AliasedExpr,
+        slide: str | None = None,
+        keys: tuple[Column | str, ...] = (),
+    ) -> StreamFrame[Any]:
+        """Tumbling (or sliding) event-time window aggregation.
+
+        Requires a prior ``with_watermark`` — enforced here, because append
+        sinks can never emit and state never evicts otherwise.
+        """
+        if self._watermark_col is None:
+            raise ValueError(
+                "window_agg requires with_watermark() first: unbounded "
+                "streaming state does not survive at scale"
+            )
+        name = ts_col if isinstance(ts_col, str) else ts_col.name
+        win = F.window(F.col(name), duration, slide or duration)
+        group_cols = [win] + [F.col(k if isinstance(k, str) else k.name) for k in keys]
+        translated = [
+            _backend.translate_expr(a.expr).alias(a.out_name) for a in aggs
+        ]
+        out = self._data.groupBy(*group_cols).agg(*translated)
+        flat = out.select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *[c for c in out.columns if c != "window"],
+        )
+        wrapped = StreamFrame(flat, None)
+        wrapped._watermark_col = self._watermark_col
+        return wrapped
+
+    # -- sinks -------------------------------------------------------------
+    def to_memory_sink(
+        self, name: str, *, output_mode: str = "append", available_now: bool = True
+    ):
+        """Test sink: process the current backlog (availableNow) into an
+        in-memory table, return the StreamingQuery."""
+        return (
+            self._data.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=available_now)
+            .start()
+        )
+
+    def to_parquet_sink(
+        self,
+        path: str,
+        checkpoint: str,
+        *,
+        output_mode: str = "append",
+        available_now: bool = False,
+        partition_by: list[str] | None = None,
+    ):
+        w = (
+            self._data.writeStream.format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", checkpoint)
+            .outputMode(output_mode)
+        )
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        if available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
