@@ -320,38 +320,55 @@ def ngram_jaccard_pairs(
             lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
         )
     )
-    # overlapping length buckets: each doc carries keys {b, b+1} so near-
-    # boundary pairs (e.g. 63 vs 65 chars straddling a power of two) still
-    # meet; docs >2x apart in length can't clear a meaningful Jaccard anyway
+    # coarse length bucket: pairs straddling adjacent power-of-two buckets
+    # must still meet (63- vs 65-char docs), but docs >2x apart in length
+    # can't clear a meaningful Jaccard threshold anyway
     lb = F.floor(F.log2(F.greatest(F.length(F.col(text_col)), F.lit(1))))
-    blocks = [F.explode(F.array(lb, lb + 1)).alias("_lb")]
+    blocks = [lb.alias("_lb")]
     if block_col is not None:
         blocks.append(F.col(block_col).alias("_blk"))
     g = df.withColumn("_ng_toks", tokens(normalized_text(F.col(text_col)))).select(
         F.col(id_col).alias("_id"), grams.alias("_g"), *blocks
     )
-    join_cond = [
-        F.col("l._lb") == F.col("r._lb"),
-        F.col("l._id") < F.col("r._id"),
-        # size-ratio prefilter: jaccard ≥ t needs t·|B| ≤ |A| (and vice
-        # versa); a cheap integer compare culls pairs before the O(|A|+|B|)
-        # set intersection runs
+    # size-ratio prefilter: jaccard ≥ t needs t·|B| ≤ |A| (and vice versa);
+    # a cheap integer compare culls pairs before the O(|A|+|B|) set
+    # intersection runs
+    size_guard = [
         F.size(F.col("l._g")) * F.lit(threshold) <= F.size(F.col("r._g")),
         F.size(F.col("r._g")) * F.lit(threshold) <= F.size(F.col("l._g")),
     ]
-    if block_col is not None:
-        join_cond.append(F.col("l._blk") == F.col("r._blk"))
+    blk_guard = (
+        [F.col("l._blk") == F.col("r._blk")] if block_col is not None else []
+    )
     l, r = g.alias("l"), g.alias("r")
+    # Each unordered pair with |bucket diff| ≤ 1 meets EXACTLY ONCE — no
+    # dual-bucket explode, no distinct() re-shuffle, and no pair scored
+    # twice: same-bucket pairs are ordered by id, adjacent-bucket pairs by
+    # bucket. Both joins are plain equi-joins on the bucket key.
+    same = l.join(
+        r,
+        reduce_and(
+            [F.col("l._lb") == F.col("r._lb"), F.col("l._id") < F.col("r._id")]
+            + blk_guard
+            + size_guard
+        ),
+    )
+    adjacent = l.join(
+        r,
+        reduce_and(
+            [F.col("l._lb") + 1 == F.col("r._lb")] + blk_guard + size_guard
+        ),
+    )
     inter = F.size(F.array_intersect(F.col("l._g"), F.col("r._g")))
     union = F.size(F.array_union(F.col("l._g"), F.col("r._g")))
+    out_cols = [
+        F.least(F.col("l._id"), F.col("r._id")).alias("id_a"),
+        F.greatest(F.col("l._id"), F.col("r._id")).alias("id_b"),
+        (inter.cast("double") / F.greatest(union, F.lit(1))).alias("jaccard"),
+    ]
     return (
-        l.join(r, reduce_and(join_cond))
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            (inter.cast("double") / F.greatest(union, F.lit(1))).alias("jaccard"),
-        )
-        .distinct()
+        same.select(*out_cols)
+        .unionByName(adjacent.select(*out_cols))
         .filter(F.col("jaccard") >= threshold)
     )
 

@@ -72,6 +72,40 @@ def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
 
 
+def rp_buckets_udf(plane_sets: list[list[list[float]]]):
+    """Vectorized multi-table sketching: one Arrow-batched pandas UDF
+    computing ALL tables' bucket ids per vector via a single numpy matmul.
+
+    Dense linear algebra is the sanctioned Pandas-UDF case: the interpreted
+    higher-order-function fold costs ~60 array traversals per row, while
+    (batch × dim) @ (dim × total_bits) is one BLAS call per Arrow batch.
+    Returns array<long>, one bucket id per table.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    tables = len(plane_sets)
+    bits = len(plane_sets[0])
+    stacked = np.asarray(
+        [p for planes in plane_sets for p in planes], dtype=np.float64
+    ).T  # (dim, tables*bits)
+    weights = 1 << np.arange(bits, dtype=np.int64)
+
+    def f(s):
+        mat = np.vstack(s.to_numpy())  # (batch, dim)
+        signs = (mat.astype(np.float64) @ stacked) >= 0  # (batch, tables*bits)
+        per_table = signs.reshape(len(mat), tables, bits)
+        buckets = (per_table * weights).sum(axis=2)  # (batch, tables)
+        return pd.Series(list(buckets))
+
+    # real class annotations: the module-wide `from __future__ import
+    # annotations` would stringify inline hints, which pandas_udf can't
+    # resolve at decoration time
+    f.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(f, "array<long>")
+
+
 def rp_sketch(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane sign sketch packed into a long (≤ 63 planes)."""
     out = F.lit(0).cast("long")
@@ -102,19 +136,12 @@ def lsh_topk(
     shuffle is proportional to bucket collisions, not |corpus|×|queries|.
     """
     plane_sets = [_hyperplanes(dim, bits, seed + 1000 * t) for t in range(tables)]
+    sketch = rp_buckets_udf(plane_sets)
 
     def bucketed(df: DataFrame, ident: str, vec: str) -> DataFrame:
-        buckets = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"), rp_sketch(F.col(vec), plane_sets[t]).alias("bkt")
-                )
-                for t in range(tables)
-            ]
-        )
         return df.select(
-            F.col(ident), F.col(vec), F.explode(buckets).alias("b")
-        ).select(ident, vec, F.col("b.tbl").alias("tbl"), F.col("b.bkt").alias("bkt"))
+            F.col(ident), F.posexplode(sketch(F.col(vec))).alias("tbl", "bkt")
+        )
 
     c = bucketed(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
@@ -173,18 +200,11 @@ def embedding_near_dups(
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     threshold), candidates via the same multi-table RP-LSH bucketing."""
     plane_sets = [_hyperplanes(dim, bits, seed + 1000 * t) for t in range(tables)]
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                rp_sketch(F.col(vec_col), plane_sets[t]).alias("bkt"),
-            )
-            for t in range(tables)
-        ]
-    )
+    sketch = rp_buckets_udf(plane_sets)
     b = df.select(
-        F.col(id_col).alias("_id"), F.explode(buckets).alias("bb")
-    ).select("_id", F.col("bb.tbl").alias("tbl"), F.col("bb.bkt").alias("bkt"))
+        F.col(id_col).alias("_id"),
+        F.posexplode(sketch(F.col(vec_col))).alias("tbl", "bkt"),
+    )
     l, r = b.alias("l"), b.alias("r")
     # id-only candidate pairs (see lsh_topk: never distinct() on vectors),
     # then score once per pair after joining the vectors back
