@@ -469,6 +469,33 @@ def image_features_stub(spark: SparkSession, sf_dir: str) -> SparkDF:
     return multimodal.image_features(media, decoder=multimodal.fake_decode_image)
 
 
+def json_props_agg(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """JSON metadata extraction (from_json with an explicit schema — typed,
+    vectorized) + rollup. Training pipelines parse JSON sidecar metadata at
+    the scan; schema-on-read with from_json keeps it JVM-side."""
+    from colnade_spark.tpch import Events
+
+    e = _load(spark, sf_dir, "events", Events)
+    parsed = e.native.withColumn(
+        "k", F.from_json(F.col("props"), "struct<k: bigint>").getField("k")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count(F.when(F.col("k").isNotNull(), 1)).alias("n_with_k"),
+        )
+        .select("event_type", F.col("sum_k").cast("long").alias("sum_k"), "n_with_k")
+    )
+
+
+def sorted_tail(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """tail() after a total sort — deterministic last-n semantics."""
+    c = _load(spark, sf_dir, "customer", Customer)
+    out = c.sort(Customer.c_custkey).tail(50)
+    return out.native.select("c_custkey", "c_name", "c_acctbal")
+
+
 def sessionize(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Gap-based sessionization (30-min) of the events table — the batch
     twin of operators.sessions.sessionize_stream."""
@@ -525,6 +552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "ann_lsh": ann_lsh,
         "emb_near_dup_pairs": emb_near_dup_pairs,
         "image_features_stub": image_features_stub,
+        "json_props_agg": json_props_agg,
+        "sorted_tail": sorted_tail,
         "sessionize": sessionize,
         "winnow_sketch": winnow_sketch,
     }
@@ -683,6 +712,17 @@ def oracle_sql() -> dict[str, str]:
         "language_pred": f"""
             SELECT doc_id, list_max([{lang_structs}]).lang AS lang_pred
             FROM documents
+        """,
+        "json_props_agg": """
+            SELECT event_type,
+              sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+              count(*) FILTER (json_extract(props, '$.k') IS NOT NULL)
+                AS n_with_k
+            FROM events GROUP BY event_type
+        """,
+        "sorted_tail": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            ORDER BY c_custkey DESC LIMIT 50
         """,
         "sessionize": """
             WITH g AS (
