@@ -469,6 +469,63 @@ def image_features_stub(spark: SparkSession, sf_dir: str) -> SparkDF:
     return multimodal.image_features(media, decoder=multimodal.fake_decode_image)
 
 
+def asof_align(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """As-of join: each click event picks up the most recent prior-or-equal
+    purchase value of the same user (operators.asof union+window trick —
+    one shuffle on user_id, no range-join blowup)."""
+    from colnade_spark.operators.asof import asof_join
+    from colnade_spark.tpch import Events
+
+    e = _load(spark, sf_dir, "events", Events).native
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = asof_join(clicks, purchases, key="user_id", ts="ts", right_cols=["value"])
+    return out.select("event_id", "user_id", "ts", F.col("value_right"))
+
+
+def rollup_daily(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Hierarchical rollup (day × event_type → day → grand total) — the
+    hypertable-style pre-aggregation a metrics store materializes."""
+    from colnade_spark.tpch import Events
+
+    e = _load(spark, sf_dir, "events", Events).native
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    return (
+        e.select(day, "event_type", "value")
+        .rollup("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def quantiles_totalprice(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Exact linear-interpolation quantiles (extension: reference has no
+    quantile op; percentile_approx is the 100 TB path, exact percentile is
+    the oracle-checkable one)."""
+    o = _load(spark, sf_dir, "orders", Orders).native
+    q = F.percentile(F.col("o_totalprice"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return o.agg(
+        F.get(q, 0).alias("q25"), F.get(q, 1).alias("q50"), F.get(q, 2).alias("q75")
+    )
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """posexplode over the embedding column → per-dimension stats (the
+    unnest/explode surface; shuffle is on the small (pos) key)."""
+    e = _embs(spark, sf_dir)
+    return (
+        e.select(F.posexplode(F.col("embedding")).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("v").cast("double").alias("min_v"),
+            F.max("v").cast("double").alias("max_v"),
+        )
+    )
+
+
 def json_props_agg(spark: SparkSession, sf_dir: str) -> SparkDF:
     """JSON metadata extraction (from_json with an explicit schema — typed,
     vectorized) + rollup. Training pipelines parse JSON sidecar metadata at
@@ -552,6 +609,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "ann_lsh": ann_lsh,
         "emb_near_dup_pairs": emb_near_dup_pairs,
         "image_features_stub": image_features_stub,
+        "asof_align": asof_align,
+        "rollup_daily": rollup_daily,
+        "quantiles_totalprice": quantiles_totalprice,
+        "embedding_dim_stats": embedding_dim_stats,
         "json_props_agg": json_props_agg,
         "sorted_tail": sorted_tail,
         "sessionize": sessionize,
@@ -712,6 +773,35 @@ def oracle_sql() -> dict[str, str]:
         "language_pred": f"""
             SELECT doc_id, list_max([{lang_structs}]).lang AS lang_pred
             FROM documents
+        """,
+        "asof_align": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+                 r AS (SELECT user_id, ts, value FROM events
+                       WHERE event_type = 'purchase')
+            SELECT l.event_id, l.user_id, l.ts, r.value AS value_right
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "rollup_daily": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+              event_type, count(*) AS n,
+              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY ROLLUP(day, event_type)
+        """,
+        "quantiles_totalprice": """
+            SELECT quantile_cont(o_totalprice, 0.25) AS q25,
+                   quantile_cont(o_totalprice, 0.5) AS q50,
+                   quantile_cont(o_totalprice, 0.75) AS q75
+            FROM orders
+        """,
+        "embedding_dim_stats": """
+            SELECT pos, count(*) AS n,
+              CAST(min(v) AS DOUBLE) AS min_v, CAST(max(v) AS DOUBLE) AS max_v
+            FROM (SELECT unnest(embedding) AS v,
+                         generate_subscripts(embedding, 1) - 1 AS pos
+                  FROM embeddings)
+            GROUP BY pos
         """,
         "json_props_agg": """
             SELECT event_type,
