@@ -469,6 +469,67 @@ def image_features_stub(spark: SparkSession, sf_dir: str) -> SparkDF:
     return multimodal.image_features(media, decoder=multimodal.fake_decode_image)
 
 
+class OrderLine(Schema):
+    l_orderkey: Column[Int64]
+    l_extendedprice: Column[Float64]
+    l_discount: Column[Float64]
+    o_orderdate: Column[Datetime]
+    o_orderpriority: Column[Utf8]
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """TPC-H Q3 shape: selective dim filter (customer segment) broadcast
+    into orders, then the orders⋈lineitem fact-fact shuffle join, revenue
+    rollup per order. The big-join stress test: both sides shuffle on
+    l_orderkey/o_orderkey; AQE handles skew."""
+    c = _load(spark, sf_dir, "customer", Customer)
+    o = _load(spark, sf_dir, "orders", Orders)
+    li = _load(spark, sf_dir, "lineitem", Lineitem)
+
+    building = c.filter(Customer.c_mktsegment == "BUILDING")
+    cust_orders = building.join(
+        o, on=Customer.c_custkey == Orders.o_custkey
+    ).cast_schema(OrdersOfBuilding)
+    jo = li.join(
+        cust_orders, on=Lineitem.l_orderkey == OrdersOfBuilding.o_orderkey
+    ).cast_schema(OrderLine)
+    revenue = (
+        (OrderLine.l_extendedprice * (1 - OrderLine.l_discount)).cast(Dec4)
+    )
+    out = (
+        jo.filter(OrderLine.o_orderdate < _dt.datetime(1998, 3, 15))
+        .group_by(OrderLine.l_orderkey, OrderLine.o_orderdate, OrderLine.o_orderpriority)
+        .agg(revenue.sum().alias("rev_d"))
+    )
+    return (
+        out.native.select(
+            "l_orderkey",
+            F.col("rev_d").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(100)
+    )
+
+
+class OrdersOfBuilding(Schema):
+    o_orderkey: Column[Int64]
+    o_orderdate: Column[Datetime]
+    o_orderpriority: Column[Utf8]
+
+
+def approx_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Sketch-based stats for 100 TB interactive profiling: HLL distinct +
+    t-digest-style quantile. No oracle (sketches are engine-specific);
+    the exact twins are global_agg and quantiles_totalprice."""
+    o = _load(spark, sf_dir, "orders", Orders).native
+    return o.agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median"),
+    )
+
+
 def asof_align(spark: SparkSession, sf_dir: str) -> SparkDF:
     """As-of join: each click event picks up the most recent prior-or-equal
     purchase value of the same user (operators.asof union+window trick —
@@ -609,6 +670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "ann_lsh": ann_lsh,
         "emb_near_dup_pairs": emb_near_dup_pairs,
         "image_features_stub": image_features_stub,
+        "q3_shipping_priority": q3_shipping_priority,
+        "approx_stats": approx_stats,
         "asof_align": asof_align,
         "rollup_daily": rollup_daily,
         "quantiles_totalprice": quantiles_totalprice,
@@ -773,6 +836,19 @@ def oracle_sql() -> dict[str, str]:
         "language_pred": f"""
             SELECT doc_id, list_max([{lang_structs}]).lang AS lang_pred
             FROM documents
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey,
+              CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
+                   AS DOUBLE) AS revenue,
+              o_orderdate, o_orderpriority
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey LIMIT 100
         """,
         "asof_align": """
             WITH l AS (SELECT event_id, user_id, ts FROM events

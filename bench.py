@@ -20,12 +20,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
     "filter_sort_limit",
     "join_agg",
     "triple_join_region",
     "global_agg",
     "dt_extract_truncate",
     "window_partition_agg",
+    "sessionize",
+    "asof_align",
+    "rollup_daily",
     "dedup_exact_ids",
     "dedup_minhash_ids",
     "simhash_sketch",
