@@ -53,8 +53,15 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
 
-    # warm the JVM / parquet footers with one cheap action
+    # warm the JVM / parquet footers / Python UDF workers with cheap actions
+    # (otherwise the first UDF query in the loop pays ~3s of worker startup)
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    from pyspark.sql import functions as F
+
+    _noop = F.pandas_udf(lambda s: s, "long")
+    spark.range(1000).select(_noop("id")).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:

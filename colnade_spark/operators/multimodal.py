@@ -163,6 +163,69 @@ def resize_images(
     )
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.DoubleType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+    ]
+)
+
+
+def decode_audio(payload: bytes) -> np.ndarray:
+    """Decode an encoded audio payload to a float32 mono waveform.
+
+    STUB: real decoding needs soundfile/ffmpeg (not in this container); use
+    ``fake_decode_audio`` to exercise the pipeline."""
+    raise NotImplementedError(
+        "audio decoding requires soundfile/ffmpeg (not installed); pass "
+        "decoder=fake_decode_audio for a deterministic stand-in"
+    )
+
+
+def fake_decode_audio(payload: bytes, n: int = 1024) -> np.ndarray:
+    """Deterministic fake decoder: digest-seeded waveform in [-1, 1]."""
+    digest = hashlib.sha256(payload or b"").digest()
+    raw = np.frombuffer(digest, dtype=np.uint8).astype(np.float64)
+    reps = (n + len(raw) - 1) // len(raw)
+    wave = np.tile(raw, reps)[:n]
+    return ((wave / 127.5) - 1.0).astype(np.float32)
+
+
+def audio_features(
+    media: DataFrame,
+    decoder: Callable[[bytes], np.ndarray] = decode_audio,
+) -> DataFrame:
+    """Waveform feature extraction (RMS, peak, zero-crossing count) via
+    Arrow-batched mapInPandas — same plumbing contract as image_features."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list[Any]] = {
+                "media_id": [],
+                "n_samples": [],
+                "rms": [],
+                "peak": [],
+                "zero_crossings": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                wave = decoder(payload).astype(np.float64)
+                out["media_id"].append(mid)
+                out["n_samples"].append(len(wave))
+                out["rms"].append(float(np.sqrt(np.mean(wave**2))) if len(wave) else None)
+                out["peak"].append(float(np.abs(wave).max()) if len(wave) else None)
+                out["zero_crossings"].append(
+                    int((np.diff(np.signbit(wave)) != 0).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
 def sample_video_frames(
     media: DataFrame,
     every_ms: int = 1000,

@@ -213,3 +213,34 @@ def test_video_frame_sampling(spark):
     per = frames.groupBy("media_id").count()
     joined = vids.select("media_id").join(per, "media_id").collect()
     assert all(r["count"] == 6 for r in joined)  # 0..5000 step 1000
+
+
+def test_audio_features_stub(spark):
+    from colnade_spark.operators import multimodal
+
+    media = multimodal.make_fake_media(spark, n=32)
+    out = multimodal.audio_features(
+        media, decoder=multimodal.fake_decode_audio
+    ).collect()
+    assert len(out) == 32
+    assert all(r.n_samples == 1024 for r in out)
+    assert all(0.0 < r.rms <= 1.0 for r in out)
+    assert all(r.peak <= 1.0 for r in out)
+    # deterministic across runs
+    again = multimodal.audio_features(
+        media, decoder=multimodal.fake_decode_audio
+    ).collect()
+    assert sorted((r.media_id, r.rms) for r in out) == sorted(
+        (r.media_id, r.rms) for r in again
+    )
+
+
+def test_decode_stubs_raise(spark):
+    import pytest as _pytest
+
+    from colnade_spark.operators import multimodal
+
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"x")
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"x")
