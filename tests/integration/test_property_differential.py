@@ -1,0 +1,192 @@
+"""Property-based differential testing: hypothesis-generated frames run
+through the typed API and through DuckDB SQL on the SAME data; results must
+agree. Catches translation bugs the example-based tests can't enumerate
+(null interactions, boundary literals, empty frames, degenerate groups).
+
+The reference has no property-based tests (SURVEY.md §5) — this layer is an
+extension of its strategy, sized to stay fast (small max_examples; one
+shared SparkSession; deadline disabled since Spark actions are seconds).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from colnade_spark.dataframe import DataFrame
+from colnade_spark.dtypes import Float64, Int64, Utf8
+from colnade_spark.schema import Column, Schema
+
+
+class T(Schema):
+    i: Column[Int64 | None]
+    x: Column[Float64 | None]
+    s: Column[Utf8]
+
+
+ints = st.one_of(st.none(), st.integers(min_value=-(2**31), max_value=2**31))
+floats = st.one_of(
+    st.none(),
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),
+)
+strings = st.sampled_from(["", "a", "ab", "ba", "Aa", "zzz", "a b"])
+
+
+@st.composite
+def frames(draw):
+    n = draw(st.integers(min_value=0, max_value=30))
+    return {
+        "i": [draw(ints) for _ in range(n)],
+        "x": [draw(floats) for _ in range(n)],
+        "s": [draw(strings) for _ in range(n)],
+    }
+
+
+def _duck(data):
+    con = duckdb.connect()
+    con.register(
+        "t",
+        pd.DataFrame(
+            {
+                "i": pd.array(data["i"], dtype="Int64"),
+                "x": pd.array(data["x"], dtype="Float64"),
+                "s": pd.array(data["s"], dtype="string"),
+            }
+        ),
+    )
+    return con
+
+
+def _key(row):
+    out = []
+    for v in row:
+        if v is None:
+            out.append((0, ""))
+        elif isinstance(v, bool):
+            out.append((1, str(int(v))))
+        elif isinstance(v, (int, float)):
+            out.append((2, f"{float(v):.9e}"))
+        else:
+            out.append((3, str(v)))
+    return tuple(out)
+
+
+def _rows(df):
+    return sorted(
+        (tuple(None if v is None else v for v in r) for r in df.native.collect()),
+        key=_key,
+    )
+
+
+def _close(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+    return a == b
+
+
+def _assert_same(got, want, ctx):
+    assert len(got) == len(want), (ctx, len(got), len(want), got[:3], want[:3])
+    for g, w in zip(got, want):
+        assert len(g) == len(w) and all(_close(x, y) for x, y in zip(g, w)), (
+            ctx,
+            g,
+            w,
+        )
+
+
+common = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@pytest.mark.usefixtures("spark")
+@common
+@given(data=frames(), c=st.integers(min_value=-100, max_value=100))
+def test_filter_differential(spark, data, c):
+    f = DataFrame.from_dict(data, T)
+    got = _rows(f.filter((T.i > c) | (T.s.str_contains("a") & T.x.is_not_null())))
+    want = sorted(
+        (
+            tuple(None if pd.isna(v) else v for v in r)
+            for r in _duck(data)
+            .execute(
+                f"SELECT i, x, s FROM t WHERE i > {c} OR (contains(s, 'a') AND x IS NOT NULL)"
+            )
+            .fetchall()
+        ),
+        key=_key,
+    )
+    _assert_same(got, want, f"filter c={c}")
+
+
+@pytest.mark.usefixtures("spark")
+@common
+@given(data=frames())
+def test_groupby_agg_differential(spark, data):
+    f = DataFrame.from_dict(data, T)
+    agged = f.group_by(T.s).agg(
+        T.i.sum().alias("si"),
+        T.i.count().alias("ci"),
+        T.x.min().alias("mn"),
+        T.x.max().alias("mx"),
+    )
+    got = _rows(agged.cast_schema(_AggOut))
+    want = sorted(
+        (
+            tuple(None if pd.isna(v) else v for v in r)
+            for r in _duck(data)
+            .execute(
+                "SELECT s, sum(i) AS si, count(i) AS ci, min(x) AS mn, max(x) AS mx"
+                " FROM t GROUP BY s"
+            )
+            .fetchall()
+        ),
+        key=_key,
+    )
+    _assert_same(got, want, "groupby")
+
+
+class _AggOut(Schema):
+    s: Column[Utf8]
+    si: Column[Int64 | None]
+    ci: Column[Int64]
+    mn: Column[Float64 | None]
+    mx: Column[Float64 | None]
+
+
+@pytest.mark.usefixtures("spark")
+@common
+@given(data=frames(), k=st.integers(min_value=1, max_value=7))
+def test_arithmetic_differential(spark, data, k):
+    f = DataFrame.from_dict(data, T)
+    out = f.with_columns(
+        (T.i % k).alias("m"),
+        (T.x * 2 + 1).alias("y"),
+        T.i.fill_null(0).alias("fi"),
+    )
+    got = sorted(
+        (
+            tuple(None if v is None else v for v in (r.m, r.y, r.fi))
+            for r in out.native.collect()
+        ),
+        key=_key,
+    )
+    want = sorted(
+        (
+            tuple(None if pd.isna(v) else v for v in r)
+            for r in _duck(data)
+            .execute(f"SELECT i % {k} AS m, x * 2 + 1 AS y, coalesce(i, 0) AS fi FROM t")
+            .fetchall()
+        ),
+        key=_key,
+    )
+    _assert_same(got, want, f"arith k={k}")
