@@ -587,6 +587,21 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Keep-newest-per-key via the typed ordered-window extension
+    (row_number over (custkey, orderdate desc)) — the canonical
+    training-pipeline dedup-by-recency shape."""
+    from colnade_spark import row_number
+
+    o = _load(spark, sf_dir, "orders", Orders)
+    rn = row_number(
+        partition_by=Orders.o_custkey,
+        order_by=(Orders.o_orderdate.desc(), Orders.o_orderkey.desc()),
+    )
+    out = o.with_columns(rn.alias("rn")).with_raw(lambda d: d.filter("rn = 1"))
+    return out.native.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+
+
 def json_props_agg(spark: SparkSession, sf_dir: str) -> SparkDF:
     """JSON metadata extraction (from_json with an explicit schema — typed,
     vectorized) + rollup. Training pipelines parse JSON sidecar metadata at
@@ -676,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "rollup_daily": rollup_daily,
         "quantiles_totalprice": quantiles_totalprice,
         "embedding_dim_stats": embedding_dim_stats,
+        "latest_order_per_customer": latest_order_per_customer,
         "json_props_agg": json_props_agg,
         "sorted_tail": sorted_tail,
         "sessionize": sessionize,
@@ -878,6 +894,13 @@ def oracle_sql() -> dict[str, str]:
                          generate_subscripts(embedding, 1) - 1 AS pos
                   FROM embeddings)
             GROUP BY pos
+        """,
+        "latest_order_per_customer": """
+            SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders) WHERE rn = 1
         """,
         "json_props_agg": """
             SELECT event_type,

@@ -45,7 +45,7 @@ from colnade_spark.dtypes import (
     Utf8,
 )
 from colnade_spark.errors import ColumnGuardError, SchemaError, ValueViolation
-from colnade_spark.expr import lit, when
+from colnade_spark.expr import dense_rank, lag, lead, lit, rank, row_number, when
 from colnade_spark.io import (
     read_csv,
     read_parquet,
@@ -105,6 +105,11 @@ __all__ = [
     "scan_parquet",
     "schema_check",
     "set_validation",
+    "dense_rank",
+    "lag",
+    "lead",
+    "rank",
+    "row_number",
     "when",
     "write_csv",
     "write_parquet",

@@ -57,6 +57,7 @@ from colnade_spark.expr import (
     StructFieldAccess,
     UnaryOp,
     WhenThenOtherwise,
+    WindowExpr,
 )
 
 _BINOP_FNS: dict[str, Callable[[Any, Any], Any]] = {
@@ -130,6 +131,13 @@ def collect_assertions(node: Any, out: list[Expr] | None = None) -> list[Expr]:
             collect_assertions(v, out)
         if node.default is not None:
             collect_assertions(node.default, out)
+    elif isinstance(node, WindowExpr):
+        if node.operand is not None:
+            collect_assertions(node.operand, out)
+        for p in node.partition_by:
+            collect_assertions(p, out)
+        for o in node.order_by:
+            collect_assertions(o, out)
     return out
 
 
@@ -173,6 +181,14 @@ def rewrite_refs(node: Any, mapping: dict[str, str] | Callable[[ColumnRef], str]
                 (rewrite_refs(c, mapping), rewrite_refs(v, mapping)) for c, v in node.cases
             ),
             None if node.default is None else rewrite_refs(node.default, mapping),
+        )
+    if isinstance(node, WindowExpr):
+        return WindowExpr(
+            node.func,
+            None if node.operand is None else rewrite_refs(node.operand, mapping),
+            node.offset,
+            tuple(rewrite_refs(p, mapping) for p in node.partition_by),
+            tuple(rewrite_refs(o, mapping) for o in node.order_by),
         )
     return node
 
@@ -231,7 +247,25 @@ class SparkBackend:
             c = self.translate_expr(node.expr)
             # deterministic cross-engine null placement: always NULLS LAST
             return c.desc_nulls_last() if node.descending else c.asc_nulls_last()
+        if isinstance(node, WindowExpr):
+            return self._translate_window(node)
         raise SchemaError(message=f"cannot translate node {type(node).__name__}")
+
+    def _translate_window(self, node: WindowExpr):
+        w = Window.partitionBy(
+            *[self.translate_expr(p) for p in node.partition_by]
+        ).orderBy(*[self.translate_expr(o) for o in node.order_by])
+        if node.func == "row_number":
+            return F.row_number().over(w)
+        if node.func == "rank":
+            return F.rank().over(w)
+        if node.func == "dense_rank":
+            return F.dense_rank().over(w)
+        if node.func == "lag":
+            return F.lag(self.translate_expr(node.operand), node.offset).over(w)
+        if node.func == "lead":
+            return F.lead(self.translate_expr(node.operand), node.offset).over(w)
+        raise SchemaError(message=f"unknown window function {node.func!r}")
 
     def _translate_agg(self, node: Agg):
         inner = self.translate_expr(node.operand)

@@ -300,6 +300,77 @@ def when(condition: Any) -> _When:
 
 
 @dataclass(frozen=True, eq=False)
+class WindowExpr(Expr):
+    """Ordered window function (EXTENSION — the reference has no ordered
+    windows, SURVEY.md §2.6; ranking/lag-lead are table stakes for
+    keep-newest-per-key dedup and sequence features in training pipelines).
+
+    ``func`` ∈ {row_number, rank, dense_rank, lag, lead}; ``operand`` is the
+    value expression for lag/lead (None for ranking); ``order_by`` entries
+    may be Expr or SortExpr.
+    """
+
+    func: str
+    operand: Expr | None
+    offset: int
+    partition_by: tuple[Any, ...]
+    order_by: tuple[Any, ...]
+
+
+def _window(
+    func: str,
+    operand: Any,
+    offset: int,
+    partition_by: Any,
+    order_by: Any,
+) -> WindowExpr:
+    if not order_by:
+        raise ValueError(f"{func} requires order_by (ordered window)")
+    part = tuple(_wrap_ref(p) for p in _as_tuple(partition_by))
+    order = tuple(
+        o if isinstance(o, SortExpr) else _wrap_ref(o) for o in _as_tuple(order_by)
+    )
+    return WindowExpr(func, operand, offset, part, order)
+
+
+def _as_tuple(v: Any) -> tuple:
+    if v is None:
+        return ()
+    if isinstance(v, (list, tuple)):
+        return tuple(v)
+    return (v,)
+
+
+def _wrap_ref(v: Any) -> Expr:
+    ref = getattr(v, "_ref", None)
+    return ref() if callable(ref) else _wrap(v)
+
+
+def row_number(*, partition_by: Any = None, order_by: Any = None) -> WindowExpr:
+    return _window("row_number", None, 0, partition_by, order_by)
+
+
+def rank(*, partition_by: Any = None, order_by: Any = None) -> WindowExpr:
+    return _window("rank", None, 0, partition_by, order_by)
+
+
+def dense_rank(*, partition_by: Any = None, order_by: Any = None) -> WindowExpr:
+    return _window("dense_rank", None, 0, partition_by, order_by)
+
+
+def lag(
+    value: Any, offset: int = 1, *, partition_by: Any = None, order_by: Any = None
+) -> WindowExpr:
+    return _window("lag", _wrap_ref(value), offset, partition_by, order_by)
+
+
+def lead(
+    value: Any, offset: int = 1, *, partition_by: Any = None, order_by: Any = None
+) -> WindowExpr:
+    return _window("lead", _wrap_ref(value), offset, partition_by, order_by)
+
+
+@dataclass(frozen=True, eq=False)
 class JoinCondition:
     """Equi-join condition produced by cross-schema ``Column == Column``
     (reference: src/colnade/schema.py:229-238). Same-schema ``==`` builds a
@@ -365,6 +436,12 @@ def _collect(node: Any, out: set[str]) -> None:
             _collect(c, out)
             _collect(v, out)
         _collect(node.default, out)
+    elif isinstance(node, WindowExpr):
+        _collect(node.operand, out)
+        for p in node.partition_by:
+            _collect(p, out)
+        for o in node.order_by:
+            _collect(o, out)
     elif isinstance(node, JoinCondition):
         _collect(node.left, out)
         _collect(node.right, out)
