@@ -59,7 +59,9 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     _noop = F.pandas_udf(lambda s: s, "long")
-    spark.range(1000).select(_noop("id")).write.format("noop").mode(
+    # 64 partitions so EVERY executor thread forks its Python worker now,
+    # not inside the first UDF-bearing measured query
+    spark.range(0, 100_000, 1, 64).select(_noop("id")).write.format("noop").mode(
         "overwrite"
     ).save()
 

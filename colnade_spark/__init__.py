@@ -48,10 +48,13 @@ from colnade_spark.errors import ColumnGuardError, SchemaError, ValueViolation
 from colnade_spark.expr import dense_rank, lag, lead, lit, rank, row_number, when
 from colnade_spark.io import (
     read_csv,
+    read_json,
     read_parquet,
     scan_csv,
+    scan_json,
     scan_parquet,
     write_csv,
+    write_json,
     write_parquet,
 )
 from colnade_spark.schema import Column, Schema, mapped_from
@@ -100,8 +103,10 @@ __all__ = [
     "lit",
     "mapped_from",
     "read_csv",
+    "read_json",
     "read_parquet",
     "scan_csv",
+    "scan_json",
     "scan_parquet",
     "schema_check",
     "set_validation",
@@ -112,5 +117,6 @@ __all__ = [
     "row_number",
     "when",
     "write_csv",
+    "write_json",
     "write_parquet",
 ]

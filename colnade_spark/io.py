@@ -115,6 +115,44 @@ def scan_csv(
     return out
 
 
+def read_json(
+    path: str,
+    schema: type[S],
+    *,
+    spark: SparkSession | None = None,
+) -> DataFrame[S]:
+    """JSON-lines source (EXTENSION — reference I/O is Parquet+CSV only).
+    The declared schema drives parsing: no inference pass over the data,
+    malformed rows become nulls in a PERMISSIVE read."""
+    sp = _reader(spark)
+    data = sp.read.schema(to_struct_type(schema)).json(path)
+    out = DataFrame(data, schema)
+    _boundary_validate(out)
+    return out
+
+
+def scan_json(
+    path: str,
+    schema: type[S],
+    *,
+    spark: SparkSession | None = None,
+) -> LazyFrame[S]:
+    sp = _reader(spark)
+    data = sp.read.schema(to_struct_type(schema)).json(path)
+    out = LazyFrame(data, schema)
+    _boundary_validate(out)
+    return out
+
+
+def write_json(
+    frame: DataFrame | LazyFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+) -> None:
+    frame.native.write.mode(mode).json(path)
+
+
 def write_parquet(
     frame: DataFrame | LazyFrame,
     path: str,

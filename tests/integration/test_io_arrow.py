@@ -114,3 +114,16 @@ def test_read_real_testdata_validates(spark, sf_dir):
         assert df.height > 0
     finally:
         set_validation(ValidationLevel.OFF)
+
+
+def test_json_round_trip(spark, sf_dir, tmp_path):
+    import colnade_spark as cs
+
+    src = cs.read_parquet(table_path(sf_dir, "customer"), Customer, spark=spark)
+    path = str(tmp_path / "cust_json")
+    cs.write_json(src, path)
+    back = cs.read_json(path, Customer, spark=spark)
+    assert back.height == src.height
+    a = sorted(tuple(r) for r in src.native.collect())
+    b = sorted(tuple(r) for r in back.native.collect())
+    assert a == b
