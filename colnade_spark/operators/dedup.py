@@ -382,20 +382,18 @@ def ngram_jaccard_pairs(
     blocks = [lb.alias("_lb")]
     if block_col is not None:
         blocks.append(F.col(block_col).alias("_blk"))
-    g = df.withColumn("_ng_toks", tokens(normalized_text(F.col(text_col)))).select(
+    staged = df.withColumn("_ng_toks", tokens(normalized_text(F.col(text_col)))).select(
         F.col(id_col).alias("_id"), grams.alias("_g"), *blocks
     )
-    # size-ratio prefilter: jaccard ≥ t needs t·|B| ≤ |A| (and vice versa);
-    # a cheap integer compare culls pairs before the O(|A|+|B|) set
-    # intersection runs
-    size_guard = [
-        F.size(F.col("l._g")) * F.lit(threshold) <= F.size(F.col("r._g")),
-        F.size(F.col("r._g")) * F.lit(threshold) <= F.size(F.col("l._g")),
-    ]
+    # Pair generation runs on a SKETCH-ONLY projection: the full gram
+    # arrays (~KB/doc) never flow through the candidate join — only
+    # (id, bucket, size, bottom-k sketch). Survivors (tiny) join the gram
+    # arrays back for the exact Jaccard. Same pattern as LSH candidates:
+    # shuffle ids and sketches, not payloads.
     if prefilter_k:
         import math
 
-        g = g.withColumn("_sk", F.slice(F.array_sort(F.col("_g")), 1, prefilter_k))
+        sk = F.slice(F.array_sort(F.col("_g")), 1, prefilter_k)
         cutoff = max(
             1,
             math.ceil(
@@ -403,6 +401,20 @@ def ngram_jaccard_pairs(
                 * prefilter_k
             ),
         )
+    else:
+        # exact mode: the "sketch" is the full gram set (payload cost
+        # returns, semantics become exhaustive-over-blocks)
+        sk = F.col("_g")
+        cutoff = None
+    g = staged.select("_id", F.size(F.col("_g")).alias("_sz"), sk.alias("_sk"), *[
+        F.col(c) for c in (["_lb"] + (["_blk"] if block_col is not None else []))
+    ])
+    # size-ratio guard: jaccard ≥ t needs t·|B| ≤ |A| (and vice versa)
+    size_guard = [
+        F.col("l._sz") * F.lit(threshold) <= F.col("r._sz"),
+        F.col("r._sz") * F.lit(threshold) <= F.col("l._sz"),
+    ]
+    if cutoff is not None:
         size_guard.append(
             F.size(F.array_intersect(F.col("l._sk"), F.col("r._sk"))) >= cutoff
         )
@@ -428,16 +440,27 @@ def ngram_jaccard_pairs(
             [F.col("l._lb") + 1 == F.col("r._lb")] + blk_guard + size_guard
         ),
     )
-    inter = F.size(F.array_intersect(F.col("l._g"), F.col("r._g")))
-    union = F.size(F.array_union(F.col("l._g"), F.col("r._g")))
-    out_cols = [
+    pair_ids = same.select(
         F.least(F.col("l._id"), F.col("r._id")).alias("id_a"),
         F.greatest(F.col("l._id"), F.col("r._id")).alias("id_b"),
-        (inter.cast("double") / F.greatest(union, F.lit(1))).alias("jaccard"),
-    ]
+    ).unionByName(
+        adjacent.select(
+            F.least(F.col("l._id"), F.col("r._id")).alias("id_a"),
+            F.greatest(F.col("l._id"), F.col("r._id")).alias("id_b"),
+        )
+    )
+    ga = staged.select(F.col("_id").alias("id_a"), F.col("_g").alias("_ga"))
+    gb = staged.select(F.col("_id").alias("id_b"), F.col("_g").alias("_gb"))
+    inter = F.size(F.array_intersect(F.col("_ga"), F.col("_gb")))
+    union = F.size(F.array_union(F.col("_ga"), F.col("_gb")))
     return (
-        same.select(*out_cols)
-        .unionByName(adjacent.select(*out_cols))
+        pair_ids.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / F.greatest(union, F.lit(1))).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
     )
 
