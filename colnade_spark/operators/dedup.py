@@ -61,6 +61,56 @@ def dedup_fingerprint(
     )
 
 
+def _minhash_full_udf(num_hashes: int, shingle_k: int, seed: int):
+    """Fully-vectorized signature: normalized text in → array<long> out.
+
+    Per Arrow batch: bytes → sliding k-byte windows → polynomial hash →
+    murmur-style mix → np.unique (distinct shingles) → (num_hashes × m)
+    affine rehash broadcast → column min. The normalized text is ASCII by
+    construction (normalized_text strips to [a-z0-9 ]), so byte windows ==
+    char shingles exactly.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    rng = random.Random(seed)
+    A = np.array(
+        [rng.randrange(1, 1 << 62) | 1 for _ in range(num_hashes)], dtype=np.uint64
+    ).reshape(-1, 1)
+    B = np.array(
+        [rng.randrange(1 << 62) for _ in range(num_hashes)], dtype=np.uint64
+    ).reshape(-1, 1)
+    C = np.uint64(0xFF51AFD7ED558CCD)
+    P = np.uint64(1099511628211)  # FNV-ish odd multiplier
+    powers = (P ** np.arange(shingle_k - 1, -1, -1, dtype=np.uint64)).reshape(-1, 1)
+
+    def f(s):
+        out = []
+        win = np.lib.stride_tricks.sliding_window_view
+        with np.errstate(over="ignore"):
+            for text in s:
+                b = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+                if b.size < shingle_k:
+                    h = np.zeros(1, dtype=np.uint64)
+                else:
+                    w = win(b, shingle_k).astype(np.uint64)  # (m, k)
+                    h = w @ powers[:, 0]  # polynomial hash, wraps mod 2^64
+                    h ^= h >> np.uint64(33)
+                    h *= C
+                    h ^= h >> np.uint64(29)
+                    h = np.unique(h)  # distinct shingle set
+                y = A * h[None, :] + B
+                y ^= y >> np.uint64(33)
+                y *= C
+                y ^= y >> np.uint64(29)
+                out.append(y.min(axis=1).view(np.int64))
+        return pd.Series(out)
+
+    f.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(f, "array<long>")
+
+
 def _minhash_rehash_udf(num_hashes: int, seed: int):
     """Vectorized (num_hashes × shingles) rehash + column-min per row.
 
@@ -118,14 +168,24 @@ def minhash_signatures(
     overflow under ANSI mode (a modular universal hash a·h+b mod p would
     overflow signed-64 multiply).
     """
-    rng = random.Random(seed)
-    salts = [rng.randrange(1 << 31) for _ in range(num_hashes)]
+    if impl == "vectorized":
+        # normalization (regex) stays JVM-side; everything downstream of the
+        # normalized string — shingling, hashing, distinct, rehash, min —
+        # runs in one numpy pass per Arrow batch. Transfers the ~1.5 KB
+        # string per doc instead of a ~12 KB hash array.
+        staged = df.withColumn("_mh_norm", normalized_text(F.col(text_col)))
+        sig = _minhash_full_udf(num_hashes, shingle_k, seed)(F.col("_mh_norm"))
+        return staged.withColumn("_sig", sig).drop("_mh_norm")
+
+    # pure built-ins (zero Python), ~10× slower at num_hashes=64.
     # Staged projections, NOT one inlined expression: an outer-scope
     # expression referenced inside a higher-order-function lambda is
     # re-evaluated PER ARRAY ELEMENT (the normalized-text regexes would run
     # |shingles| × num_hashes times per row — measured 60×+ slowdown).
     # Materializing each stage as a column keeps every stage once-per-row;
     # the rehash lambdas below then only touch the small hash array.
+    rng = random.Random(seed)
+    salts = [rng.randrange(1 << 31) for _ in range(num_hashes)]
     staged = (
         df.withColumn("_mh_norm", normalized_text(F.col(text_col)))
         .withColumn("_mh_grams", F.array_distinct(char_ngrams(F.col("_mh_norm"), shingle_k)))
@@ -138,18 +198,14 @@ def minhash_signatures(
         )
     )
 
-    if impl == "vectorized":
-        sig = _minhash_rehash_udf(num_hashes, seed)(F.col("_mh_h"))
-    else:  # pure built-ins (zero Python), ~10× slower at num_hashes=64
+    def rehash(salt: int):
+        # single-arg lambda required: pyspark treats 2-arg lambdas as
+        # (element, index) callbacks, which would silently drop the salt
+        return lambda h: F.xxhash64(h, F.lit(salt))
 
-        def rehash(salt: int):
-            # single-arg lambda required: pyspark treats 2-arg lambdas as
-            # (element, index) callbacks, which would silently drop the salt
-            return lambda h: F.xxhash64(h, F.lit(salt))
-
-        sig = F.array(
-            *[F.array_min(F.transform(F.col("_mh_h"), rehash(s))) for s in salts]
-        )
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("_mh_h"), rehash(s))) for s in salts]
+    )
     return staged.withColumn("_sig", sig).drop(
         "_mh_norm", "_mh_grams", "_mh_raw", "_mh_h"
     )
