@@ -454,6 +454,16 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> SparkDF:
     return similarity.lsh_topk(e, q, dim=64, k=5, bits=10, tables=6)
 
 
+def ann_ivf(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """IVF top-k with nprobe == nlist (probes every inverted list): result
+    is exactly brute force, so the same SQL oracle applies — validating the
+    quantize→bucket→probe machinery end-to-end. Production uses
+    nprobe < nlist for the |corpus|·nprobe/nlist cost cut."""
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 8)
+    return similarity.ivf_topk(e, q, k=5, nlist=8, nprobe=8)
+
+
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> SparkDF:
     return similarity.embedding_near_dups(
         _embs(spark, sf_dir), dim=64, threshold=0.4, bits=8, tables=4
@@ -587,6 +597,28 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def struct_field_access(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Struct construction + field access (nested-type surface): pack event
+    fields into a struct, extract, aggregate."""
+    from colnade_spark.tpch import Events
+
+    e = _load(spark, sf_dir, "events", Events).native
+    packed = e.select(
+        F.struct(
+            F.col("event_type").alias("et"), F.col("value").alias("v")
+        ).alias("s")
+    )
+    return (
+        packed.groupBy(F.col("s").getField("et").alias("et"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("s").getField("v").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_v"),
+        )
+    )
+
+
 def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Keep-newest-per-key via the typed ordered-window extension
     (row_number over (custkey, orderdate desc)) — the canonical
@@ -683,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "language_pred": language_pred,
         "ann_bruteforce": ann_bruteforce,
         "ann_lsh": ann_lsh,
+        "ann_ivf": ann_ivf,
         "emb_near_dup_pairs": emb_near_dup_pairs,
         "image_features_stub": image_features_stub,
         "q3_shipping_priority": q3_shipping_priority,
@@ -691,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "rollup_daily": rollup_daily,
         "quantiles_totalprice": quantiles_totalprice,
         "embedding_dim_stats": embedding_dim_stats,
+        "struct_field_access": struct_field_access,
         "latest_order_per_customer": latest_order_per_customer,
         "json_props_agg": json_props_agg,
         "sorted_tail": sorted_tail,
@@ -895,6 +929,12 @@ def oracle_sql() -> dict[str, str]:
                   FROM embeddings)
             GROUP BY pos
         """,
+        "struct_field_access": """
+            SELECT s.et AS et, count(*) AS n,
+              CAST(sum(CAST(s.v AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+            FROM (SELECT {'et': event_type, 'v': value} AS s FROM events)
+            GROUP BY s.et
+        """,
         "latest_order_per_customer": """
             SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
               SELECT *, row_number() OVER (
@@ -931,6 +971,20 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, sid
         """,
         "ann_bruteforce": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                       WHERE vec_id < 8),
+            s AS (SELECT qid AS query_id, vec_id AS neighbor_id,
+                    list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                           CAST(qv AS DOUBLE[])) AS sim
+                  FROM embeddings CROSS JOIN q WHERE vec_id <> qid)
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+              FROM s)
+            WHERE rank <= 5
+        """,
+        "ann_ivf": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
                        WHERE vec_id < 8),
             s AS (SELECT qid AS query_id, vec_id AS neighbor_id,

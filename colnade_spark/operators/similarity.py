@@ -187,6 +187,119 @@ def lsh_topk(
     )
 
 
+def _assign_udf(centroids):
+    """pandas UDF: nearest-centroid id per vector (one matmul per batch)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)  # (nlist, dim)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    def f(s):
+        M = np.vstack(s.to_numpy()).astype(np.float64)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series((Mn @ Cn.T).argmax(axis=1).astype("int32"))
+
+    f.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(f, "int")
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    nlist: int = 16,
+    dim: int | None = None,
+    iters: int = 5,
+    sample_n: int = 2048,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Tiny spherical k-means on a driver-side sample — the coarse
+    quantizer for IVF. At 100 TB you train on a bounded sample regardless
+    of corpus size (standard practice), so the driver-side fit is sound;
+    assignment (the full-data pass) stays distributed."""
+    import numpy as np
+
+    rows = (
+        corpus.select(vec_col)
+        .orderBy(F.rand(seed))
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = Xn[rng.choice(len(Xn), size=min(nlist, len(Xn)), replace=False)]
+    for _ in range(iters):
+        assign = (Xn @ C.T).argmax(axis=1)
+        for j in range(len(C)):
+            members = Xn[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                C[j] = m / max(np.linalg.norm(m), 1e-12)
+    return C.tolist()
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are bucketed by nearest
+    centroid (ONE int per vector); each query probes its ``nprobe`` nearest
+    lists. Candidate volume is |corpus|·nprobe/nlist per query instead of
+    |corpus| — the structured-pruning alternative to hash-based LSH.
+    """
+    import numpy as np
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, nlist=nlist, seed=seed, vec_col=vec_col
+        )
+    assign = _assign_udf(centroids)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        assign(F.col(vec_col)).alias("_list"),
+    )
+
+    # query-side probe lists: nprobe nearest centroids, computed in numpy on
+    # the (small, broadcastable) query set via the same normalized dot
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    q_rows = queries.select(id_col, vec_col).collect()
+    spark = corpus.sparkSession
+    probe_rows = []
+    for r in q_rows:
+        v = np.asarray(r[1], dtype=np.float64)
+        vn = v / max(np.linalg.norm(v), 1e-12)
+        top = np.argsort(-(Cn @ vn))[:nprobe]
+        for lst in top:
+            probe_rows.append((int(r[0]), list(map(float, r[1])), int(lst)))
+    q = spark.createDataFrame(
+        probe_rows, schema="query_id long, _qv array<float>, _list int"
+    )
+    cand = (
+        c.join(F.broadcast(q), "_list")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     dim: int,

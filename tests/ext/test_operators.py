@@ -244,3 +244,45 @@ def test_decode_stubs_raise(spark):
         multimodal.decode_image(b"x")
     with _pytest.raises(NotImplementedError):
         multimodal.decode_audio(b"x")
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators import similarity
+    from colnade_spark.tpch import table_path
+
+    e = spark.read.parquet(table_path(sf_dir, "embeddings")).cache()
+    q = e.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(e, q, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(e, q, k=5, nlist=8, nprobe=4).collect()
+    }
+    assert len(ivf) == len(exact)
+    # probing half the lists on random data should still recover most of
+    # the true neighbors; exactness is not the contract, recall is
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.5, recall
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators import similarity
+    from colnade_spark.tpch import table_path
+
+    e = spark.read.parquet(table_path(sf_dir, "embeddings")).cache()
+    q = e.filter(F.col("vec_id") < 3)
+    exact = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.brute_force_topk(e, q, k=3).collect()
+    )
+    full = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.ivf_topk(e, q, k=3, nlist=4, nprobe=4).collect()
+    )
+    assert full == exact  # nprobe == nlist probes everything → exact
