@@ -50,9 +50,11 @@ from colnade_spark.io import (
     read_csv,
     read_json,
     read_parquet,
+    read_table,
     scan_csv,
     scan_json,
     scan_parquet,
+    write_bucketed_table,
     write_csv,
     write_json,
     write_parquet,
@@ -104,6 +106,7 @@ __all__ = [
     "mapped_from",
     "read_csv",
     "read_json",
+    "read_table",
     "read_parquet",
     "scan_csv",
     "scan_json",
@@ -116,6 +119,7 @@ __all__ = [
     "rank",
     "row_number",
     "when",
+    "write_bucketed_table",
     "write_csv",
     "write_json",
     "write_parquet",

@@ -168,6 +168,44 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed_table(
+    frame: DataFrame | LazyFrame,
+    name: str,
+    bucket_by: list[str | Column],
+    num_buckets: int = 16,
+    sort_by: list[str | Column] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+
+    Bucketing pre-shuffles data by the join/agg key at WRITE time: two
+    tables bucketed on the same key with the same bucket count join with
+    ZERO exchanges (and zero sorts if sort_by matches) — the way fact⋈fact
+    joins at 100 TB skip their dominant cost. Requires the table catalog
+    (``saveAsTable``); plain parquet paths cannot carry bucket metadata.
+    """
+
+    def _names_of(cols):
+        return [c if isinstance(c, str) else c.name for c in cols]
+
+    writer = frame.native.write.mode(mode).bucketBy(
+        num_buckets, *_names_of(bucket_by)
+    )
+    if sort_by:
+        writer = writer.sortBy(*_names_of(sort_by))
+    writer.format("parquet").saveAsTable(name)
+
+
+def read_table(name: str, schema: type[S], *, spark: SparkSession | None = None) -> DataFrame[S]:
+    """Read a catalog table (e.g. one written by ``write_bucketed_table``)
+    into a typed frame — bucket metadata flows into join planning."""
+    sp = _reader(spark)
+    data = sp.table(name).select(*list(schema._columns))
+    out = DataFrame(data, schema)
+    _boundary_validate(out)
+    return out
+
+
 def write_csv(
     frame: DataFrame | LazyFrame,
     path: str,
