@@ -174,6 +174,12 @@ def minhash_signatures(
         # runs in one numpy pass per Arrow batch. Transfers the ~1.5 KB
         # string per doc instead of a ~12 KB hash array.
         staged = df.withColumn("_mh_norm", normalized_text(F.col(text_col)))
+        # a small input (fewer splits than cores) would run the signature
+        # UDF on 1-2 tasks; spread it. At real scale inputs have thousands
+        # of splits and this branch never fires — no extra shuffle.
+        sc = df.sparkSession.sparkContext
+        if df.rdd.getNumPartitions() < sc.defaultParallelism:
+            staged = staged.repartition(sc.defaultParallelism)
         sig = _minhash_full_udf(num_hashes, shingle_k, seed)(F.col("_mh_norm"))
         return staged.withColumn("_sig", sig).drop("_mh_norm")
 
