@@ -311,18 +311,58 @@ def dedup_minhash(
     return df.select(id_col).join(dup_ids, id_col, "left_anti")
 
 
+def _simhash_pack_udf():
+    """Vectorized per-bit majority vote + pack: array<long> token hashes in,
+    one packed int64 sketch out. (batch × tokens × 64) bit matrix via numpy
+    shifts — replaces 64 interpreted aggregate folds per row."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    shifts = np.arange(64, dtype=np.uint64)
+    weights = (np.uint64(1) << shifts).view(np.int64)  # bit 63 → INT64_MIN
+
+    def f(s):
+        out = []
+        with np.errstate(over="ignore"):
+            for arr in s:
+                h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+                if h.size == 0:
+                    out.append(0)
+                    continue
+                bits = (h[:, None] >> shifts) & np.uint64(1)  # (n, 64)
+                votes = bits.astype(np.int64).sum(axis=0) * 2 - len(h)
+                packed = np.where(votes > 0, weights, np.int64(0)).sum(
+                    dtype=np.int64
+                )
+                out.append(int(packed))
+        return pd.Series(out, dtype="int64")
+
+    f.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(f, "long")
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     out_col: str = "simhash",
+    impl: str = "vectorized",
 ) -> DataFrame:
-    """64-bit SimHash over whitespace tokens, pure built-ins: token →
-    xxhash64; per-bit majority vote packed into a long."""
+    """64-bit SimHash over whitespace tokens: token → xxhash64 (JVM-side);
+    per-bit majority vote packed into a long (vectorized UDF by default,
+    pure-builtin unrolled fold as the zero-Python option)."""
     tok_hashes = F.transform(
         F.array_distinct(tokens(normalized_text(F.col(text_col)))),
         lambda t: F.xxhash64(t),
     )
+    if impl == "vectorized":
+        return (
+            df.withColumn("_tok_hashes", tok_hashes)
+            .withColumn(out_col, _simhash_pack_udf()(F.col("_tok_hashes")))
+            .drop("_tok_hashes")
+        )
+
     # Unrolled per-bit majority vote (shift amounts must be Python ints for
     # the builtin shift functions). 64 aggregates over the token-hash array,
     # all inside one projection — still scan-side, no shuffle.
