@@ -944,7 +944,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_props_agg": """
             SELECT event_type,
-              sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+              -- DuckDB sum(BIGINT) returns HUGEINT (decimal128 via Arrow);
+              -- cast back to BIGINT so the value-hash matches Spark's long.
+              CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                AS sum_k,
               count(*) FILTER (json_extract(props, '$.k') IS NOT NULL)
                 AS n_with_k
             FROM events GROUP BY event_type

@@ -55,6 +55,20 @@ def compare(name: str, spark_df, con) -> tuple[bool, str]:
     res = con.execute(sql)
     o_cols = [d[0] for d in res.description]
     o_rows = [tuple(r) for r in res.fetchall()]
+    # The driver fetches oracle results via Arrow: DuckDB HUGEINT (e.g. a bare
+    # sum(BIGINT)) arrives as decimal128 and value-hashes differently from
+    # Spark's int64 even when the Python ints are equal. Flag it here so the
+    # local gate catches what the driver's hash catches.
+    arrow_schema = con.execute(sql).fetch_arrow_table().schema
+    leaks = [
+        f"{f.name}:{f.type}" for f in arrow_schema
+        if "decimal" in str(f.type)
+    ]
+    if leaks:
+        return False, (
+            f"ORACLE TYPE LEAK (decimal128 via Arrow, hash-mismatch risk): "
+            f"{leaks} — CAST the aggregate to BIGINT/DOUBLE in the SQL"
+        )
     if sorted(s_cols) != sorted(o_cols):
         return False, f"COLUMN MISMATCH spark={sorted(s_cols)} oracle={sorted(o_cols)}"
     if len(s_rows) != len(o_rows):
