@@ -382,8 +382,10 @@ class SparkBackend:
 
     def sample(self, data: SparkDF, n: int, seed: int | None) -> SparkDF:
         # rand-order + limit compiles to TakeOrderedAndProject: per-partition
-        # top-n heap, no full shuffle — scales to arbitrary input size
-        return data.orderBy(F.rand(seed if seed is not None else 42)).limit(n)
+        # top-n heap, no full shuffle — scales to arbitrary input size.
+        # seed=None means random-by-default (fresh draw per call), matching
+        # the reference's sample semantics — not a silent fixed seed.
+        return data.orderBy(F.rand() if seed is None else F.rand(seed)).limit(n)
 
     def unique(self, data: SparkDF, subset: Sequence[str] | None) -> SparkDF:
         return data.dropDuplicates(list(subset) if subset else None)

@@ -29,22 +29,53 @@ from colnade_spark.session import get_spark
 S = TypeVar("S", bound=Schema)
 
 
-def _reader(spark: SparkSession | None) -> SparkSession:
-    sp = spark if spark is not None else get_spark()
+def _nanos_columns(path: str) -> set[str] | None:
+    """Names of parquet columns whose LOGICAL type is TIMESTAMP(NANOS),
+    read from file metadata via pyarrow (handles files and directories).
+    Returns ``None`` when metadata can't be inspected (e.g. glob patterns)
+    — callers treat that as "unknown"."""
     try:
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+
+        sch = pads.dataset(path, format="parquet").schema
+        return {
+            f.name
+            for f in sch
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        }
+    except Exception:
+        return None
+
+
+def _reader(spark: SparkSession | None, nanos: set[str] | None = None) -> SparkSession:
+    sp = spark if spark is not None else get_spark()
+    if nanos is None or nanos:
         # parquet TIMESTAMP(NANOS) columns (no Spark type) arrive as long
-        # nanos instead of erroring the scan; _normalize_scan converts them
-        sp.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:  # pragma: no cover - read-only conf on some sessions
-        pass
+        # nanos instead of erroring the scan; _normalize_scan converts them.
+        # Only set when the file actually has nanos columns (or metadata is
+        # uninspectable) — a plain-INT64 read doesn't need the legacy conf.
+        # NOTE: the conf must stay set for the lifetime of the resulting
+        # plan (the per-file schema converter consults it at execution), so
+        # it cannot be save/restored around the read() call.
+        try:
+            sp.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:  # pragma: no cover - read-only conf on some sessions
+            pass
     return sp
 
 
-def _normalize_scan(data, schema: type[Schema]):
+def _normalize_scan(data, schema: type[Schema], nanos: set[str] | None = None):
     """Normalize physical quirks at the scan boundary: declared Datetime
-    columns materialized as long (nanosAsLong) become microsecond
-    timestamps (``div 1000`` in integer space — double math would lose
-    precision at 1e18)."""
+    columns whose parquet logical type is TIMESTAMP(NANOS) (materialized as
+    long under nanosAsLong) become microsecond timestamps (``div 1000`` in
+    integer space — double math would lose precision at 1e18).
+
+    ``nanos`` is the set of column names the parquet metadata reports as
+    nanos-typed; a plain INT64 column declared Datetime is NOT divided — it
+    stays Long and fails structural validation instead of being silently
+    corrupted. ``nanos=None`` (metadata uninspectable) falls back to
+    treating every declared-Datetime-arrived-as-Long column as nanos."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -59,6 +90,7 @@ def _normalize_scan(data, schema: type[Schema]):
             isinstance(dtype, type)
             and issubclass(dtype, dt.Datetime)
             and isinstance(actual.get(name), T.LongType)
+            and (nanos is None or name in nanos)
         ):
             fixes[name] = F.timestamp_micros(F.expr(f"`{name}` div 1000"))
     return data.withColumns(fixes) if fixes else data
@@ -67,10 +99,11 @@ def _normalize_scan(data, schema: type[Schema]):
 def read_parquet(
     path: str, schema: type[S], *, spark: SparkSession | None = None
 ) -> DataFrame[S]:
-    sp = _reader(spark)
+    nanos = _nanos_columns(path)
+    sp = _reader(spark, nanos)
     # project to declared columns: extra file columns are dropped at the scan
     names = list(schema._columns)
-    data = _normalize_scan(sp.read.parquet(path).select(*names), schema)
+    data = _normalize_scan(sp.read.parquet(path).select(*names), schema, nanos)
     out = DataFrame(data, schema)
     _boundary_validate(out)
     return out
@@ -79,9 +112,10 @@ def read_parquet(
 def scan_parquet(
     path: str, schema: type[S], *, spark: SparkSession | None = None
 ) -> LazyFrame[S]:
-    sp = _reader(spark)
+    nanos = _nanos_columns(path)
+    sp = _reader(spark, nanos)
     names = list(schema._columns)
-    data = _normalize_scan(sp.read.parquet(path).select(*names), schema)
+    data = _normalize_scan(sp.read.parquet(path).select(*names), schema, nanos)
     out = LazyFrame(data, schema)
     _boundary_validate(out)
     return out
@@ -94,7 +128,7 @@ def read_csv(
     header: bool = True,
     spark: SparkSession | None = None,
 ) -> DataFrame[S]:
-    sp = _reader(spark)
+    sp = _reader(spark, set())
     data = sp.read.schema(to_struct_type(schema)).csv(path, header=header)
     out = DataFrame(data, schema)
     _boundary_validate(out)
@@ -108,7 +142,7 @@ def scan_csv(
     header: bool = True,
     spark: SparkSession | None = None,
 ) -> LazyFrame[S]:
-    sp = _reader(spark)
+    sp = _reader(spark, set())
     data = sp.read.schema(to_struct_type(schema)).csv(path, header=header)
     out = LazyFrame(data, schema)
     _boundary_validate(out)
@@ -124,7 +158,7 @@ def read_json(
     """JSON-lines source (EXTENSION — reference I/O is Parquet+CSV only).
     The declared schema drives parsing: no inference pass over the data,
     malformed rows become nulls in a PERMISSIVE read."""
-    sp = _reader(spark)
+    sp = _reader(spark, set())
     data = sp.read.schema(to_struct_type(schema)).json(path)
     out = DataFrame(data, schema)
     _boundary_validate(out)
@@ -137,7 +171,7 @@ def scan_json(
     *,
     spark: SparkSession | None = None,
 ) -> LazyFrame[S]:
-    sp = _reader(spark)
+    sp = _reader(spark, set())
     data = sp.read.schema(to_struct_type(schema)).json(path)
     out = LazyFrame(data, schema)
     _boundary_validate(out)
@@ -199,7 +233,7 @@ def write_bucketed_table(
 def read_table(name: str, schema: type[S], *, spark: SparkSession | None = None) -> DataFrame[S]:
     """Read a catalog table (e.g. one written by ``write_bucketed_table``)
     into a typed frame — bucket metadata flows into join planning."""
-    sp = _reader(spark)
+    sp = _reader(spark, set())
     data = sp.table(name).select(*list(schema._columns))
     out = DataFrame(data, schema)
     _boundary_validate(out)

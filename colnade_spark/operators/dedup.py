@@ -469,14 +469,18 @@ def ngram_jaccard_pairs(
     # intersect 8-byte gram hashes, not gram strings: Jaccard over the
     # hashed sets is exact up to xxhash64 collisions (~n²/2⁶⁴), and the
     # pairwise set ops drop from string-compare to long-compare cost
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(
-                F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))
-            ),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
-        )
-    )
+    # Guard sub-n-token docs: F.sequence(0, -1) yields the DESCENDING
+    # sequence [0, -1] (not empty), and slice(toks, 0, n) then throws under
+    # ANSI. Docs with fewer than n tokens have no n-grams — empty array.
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
     # coarse length bucket: pairs straddling adjacent power-of-two buckets
     # must still meet (63- vs 65-char docs), but docs >2x apart in length
     # can't clear a meaningful Jaccard threshold anyway

@@ -48,11 +48,18 @@ def bpe_token_count(text: Column) -> Column:
 
 def char_ngrams(text: Column, n: int) -> Column:
     """Array of character n-grams (shingles). Built-ins only: a positions
-    sequence + per-position substring — no UDF, fully codegen'd."""
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(0))),
-        lambda i: text.substr(i, F.lit(n)),
-    )
+    sequence + per-position substring — no UDF, fully codegen'd.
+
+    Sub-n-length text yields an EMPTY array (guarded: F.sequence(1, 0) is
+    the descending [1, 0], not empty, and substr tolerates pos 0 — without
+    the guard short docs got a bogus [text, text] shingle pair)."""
+    return F.when(
+        F.length(text) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(text) - (n - 1)),
+            lambda i: text.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def punct_count(text: Column, chars: str = "!.,;?") -> Column:

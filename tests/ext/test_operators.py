@@ -64,6 +64,17 @@ def test_char_ngrams(spark):
     assert row.g == ["abc", "bcd"]
 
 
+def test_char_ngrams_short_text_is_empty(spark):
+    # regression: F.sequence(1, 0) is the DESCENDING [1, 0], which used to
+    # produce a bogus [text, text] pair for sub-n-length inputs
+    df = spark.createDataFrame([("ab",), ("",), ("abc",)], ["t"])
+    rows = df.select("t", text.char_ngrams(F.col("t"), 3).alias("g")).collect()
+    got = {r.t: r.g for r in rows}
+    assert got["ab"] == []
+    assert got[""] == []
+    assert got["abc"] == ["abc"]
+
+
 def test_winnowing_fingerprint_bounded(docs):
     out = docs.limit(20).select(
         text.winnowing_fingerprint(F.col("text")).alias("w")
@@ -127,6 +138,48 @@ def test_ngram_jaccard_pairs(spark):
     pairs = dedup.ngram_jaccard_pairs(df, threshold=0.3).collect()
     ids = {(r.id_a, r.id_b) for r in pairs}
     assert (1, 2) in ids and len(ids) == 1
+
+
+def test_ngram_jaccard_tolerates_short_docs(spark):
+    # regression: docs with < n tokens used to hit F.sequence(0, -1) →
+    # slice(toks, 0, n) → SparkRuntimeException under ANSI. Real corpora
+    # always contain short/empty docs; they must simply produce no pairs.
+    a = "one two three four five six seven eight nine ten eleven twelve"
+    b = "one two three four five six seven eight nine ten eleven thirteen"
+    df = spark.createDataFrame(
+        [
+            (1, a, "en"),
+            (2, b, "en"),
+            (3, "", "en"),
+            (4, "single", "en"),
+            (5, "two words", "en"),
+            (6, "   ", "en"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    pairs = dedup.ngram_jaccard_pairs(df, threshold=0.3).collect()
+    ids = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in ids
+    assert all({p[0], p[1]} <= {1, 2} for p in ids)
+    # exact mode (no prefilter) must tolerate them too
+    exact = dedup.ngram_jaccard_pairs(df, threshold=0.3, prefilter_k=None).collect()
+    assert {(r.id_a, r.id_b) for r in exact} >= {(1, 2)}
+
+
+def test_minhash_short_docs_both_impls(spark):
+    # sub-shingle-length docs get the sentinel h=[0] signature base in BOTH
+    # impls; signatures must come back non-null and dedup must not crash
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, "a much longer document body here")],
+        ["doc_id", "text"],
+    )
+    for impl in ("vectorized", "builtin"):
+        sigs = dedup.minhash_signatures(df, num_hashes=8, impl=impl).collect()
+        by_id = {r.doc_id: r._sig for r in sigs}
+        assert all(len(v) == 8 for v in by_id.values())
+        # the two short docs normalize to "ab" and "" → both sub-k → the
+        # sentinel base, so their signatures are identical within an impl
+        assert by_id[1] == by_id[2]
 
 
 # ----------------------------------------------------------- similarity ----

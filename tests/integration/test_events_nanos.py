@@ -9,7 +9,14 @@ import datetime
 from pyspark.sql import types as T
 
 from colnade_spark import read_parquet
+from colnade_spark.dtypes import Datetime, Int64
+from colnade_spark.schema import Column, Schema
 from colnade_spark.tpch import Events, table_path
+
+
+class PlainTs(Schema):
+    event_id: Column[Int64]
+    ts: Column[Datetime]
 
 
 def test_events_ts_reads_as_timestamp(spark, sf_dir):
@@ -26,3 +33,46 @@ def test_events_micros_precision_not_truncated(spark, sf_dir):
     rows = e.native.select("ts").limit(50).collect()
     assert any(r.ts.microsecond != 0 for r in rows)
     assert all(isinstance(r.ts, datetime.datetime) for r in rows)
+
+
+def test_plain_int64_not_mistaken_for_nanos(spark, tmp_path):
+    """Regression: a declared-Datetime column whose parquet type is PLAIN
+    INT64 (not TIMESTAMP(NANOS)) must NOT be silently divided by 1000 — it
+    stays Long and structural validation rejects it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from colnade_spark.errors import SchemaError
+    from colnade_spark.io import _nanos_columns
+
+    p = str(tmp_path / "plain_int64.parquet")
+    pq.write_table(
+        pa.table({"event_id": pa.array([1, 2], pa.int64()),
+                  "ts": pa.array([1_700_000_000_000_000, 1_700_000_000_000_001],
+                                 pa.int64())}),
+        p,
+    )
+    assert _nanos_columns(p) == set()
+
+    # with validation off the column simply stays Long (no silent div 1000)
+    raw = read_parquet(p, PlainTs, spark=spark)
+    assert isinstance(raw.native.schema["ts"].dataType, T.LongType)
+    assert raw.native.orderBy("event_id").first().ts == 1_700_000_000_000_000
+
+    from colnade_spark.validation import get_validation, set_validation
+
+    prev = get_validation()
+    set_validation("structural")
+    try:
+        with pytest.raises(SchemaError):
+            read_parquet(p, PlainTs, spark=spark)
+    finally:
+        set_validation(prev)
+
+
+def test_nanos_metadata_detected_on_events(sf_dir):
+    from colnade_spark.io import _nanos_columns
+
+    cols = _nanos_columns(table_path(sf_dir, "events"))
+    assert cols is not None and "ts" in cols

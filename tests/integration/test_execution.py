@@ -267,6 +267,21 @@ def test_tail_and_sample(customer):
     assert t.height == 7
     s = customer.sample(5, seed=1)
     assert s.height == 5
+    # explicit seed → reproducible
+    a = sorted(r.c_custkey for r in customer.sample(5, seed=1).rows())
+    b = sorted(r.c_custkey for r in customer.sample(5, seed=1).rows())
+    assert a == b
+
+
+def test_sample_without_seed_is_random(customer):
+    # regression: seed=None used to silently substitute a fixed seed 42, so
+    # "random" sampling always returned the same rows. Unseeded F.rand()
+    # draws a fresh seed per plan — two calls must (overwhelmingly) differ.
+    draws = {
+        tuple(sorted(r.c_custkey for r in customer.sample(10).rows()))
+        for _ in range(4)
+    }
+    assert len(draws) > 1
 
 
 def test_item_and_is_empty(customer):
