@@ -205,6 +205,27 @@ def _assign_udf(centroids):
     return pandas_udf(f, "int")
 
 
+def _probe_udf(centroids, nprobe: int):
+    """pandas UDF: the ``nprobe`` nearest centroid ids per vector
+    (array<int>), one matmul per Arrow batch — the distributed twin of
+    ``_assign_udf`` for the query side."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    def f(s):
+        M = np.vstack(s.to_numpy()).astype(np.float64)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        top = np.argsort(-(Mn @ Cn.T), axis=1)[:, :nprobe].astype("int32")
+        return pd.Series(list(top))
+
+    f.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(f, "array<int>")
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     nlist: int = 16,
@@ -256,8 +277,6 @@ def ivf_topk(
     lists. Candidate volume is |corpus|·nprobe/nlist per query instead of
     |corpus| — the structured-pruning alternative to hash-based LSH.
     """
-    import numpy as np
-
     if centroids is None:
         centroids = train_ivf_centroids(
             corpus, nlist=nlist, seed=seed, vec_col=vec_col
@@ -269,21 +288,16 @@ def ivf_topk(
         assign(F.col(vec_col)).alias("_list"),
     )
 
-    # query-side probe lists: nprobe nearest centroids, computed in numpy on
-    # the (small, broadcastable) query set via the same normalized dot
-    C = np.asarray(centroids, dtype=np.float64)
-    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-    q_rows = queries.select(id_col, vec_col).collect()
-    spark = corpus.sparkSession
-    probe_rows = []
-    for r in q_rows:
-        v = np.asarray(r[1], dtype=np.float64)
-        vn = v / max(np.linalg.norm(v), 1e-12)
-        top = np.argsort(-(Cn @ vn))[:nprobe]
-        for lst in top:
-            probe_rows.append((int(r[0]), list(map(float, r[1])), int(lst)))
-    q = spark.createDataFrame(
-        probe_rows, schema="query_id long, _qv array<float>, _list int"
+    # query-side probe lists: nprobe nearest centroids, assigned
+    # DISTRIBUTEDLY by the same pandas-UDF matmul pattern as the corpus
+    # side (top-nprobe variant) + explode — no driver-side collect, so the
+    # query side can itself be a table at scale. query_id keeps its native
+    # type (string ids work; nothing is hardcoded to long).
+    probe = _probe_udf(centroids, nprobe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(probe(F.col(vec_col))).alias("_list"),
     )
     cand = (
         c.join(F.broadcast(q), "_list")

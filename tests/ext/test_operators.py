@@ -322,6 +322,24 @@ def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, recall
 
 
+def test_ivf_topk_string_ids_and_no_driver_collect(spark, sf_dir):
+    """Regression: probe assignment used to collect() the query table and
+    hardcode query_id as long — string ids crashed and the query side
+    couldn't be a table at scale. Now it's a pandas-UDF + explode."""
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators import similarity
+    from colnade_spark.tpch import table_path
+
+    e = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    s = e.withColumn("vec_id", F.concat(F.lit("doc-"), F.col("vec_id")))
+    q = s.filter(F.col("vec_id").isin("doc-0", "doc-1"))
+    out = similarity.ivf_topk(s, q, k=3, nlist=4, nprobe=4).collect()
+    assert {r.query_id for r in out} == {"doc-0", "doc-1"}
+    assert all(isinstance(r.neighbor_id, str) for r in out)
+    assert all(r.rank <= 3 for r in out)
+
+
 def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
     from pyspark.sql import functions as F
 
