@@ -406,7 +406,13 @@ def dedup_minhash_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 def simhash_sketch(spark: SparkSession, sf_dir: str) -> SparkDF:
-    return dedup.simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
+    """SimHash with the portable md5-derived 60-bit token hash so the full
+    voting/packing logic is value-checked against the DuckDB oracle (the
+    xxhash64 default stays the production fast path; both impls share the
+    pack, pinned bit-identical in tests)."""
+    return dedup.simhash(
+        _docs(spark, sf_dir), token_hash=text.md5_hash60
+    ).select("doc_id", "simhash")
 
 
 def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> SparkDF:
@@ -672,10 +678,22 @@ def sessionize(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 def winnow_sketch(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Winnowing/bottom-k sketch with the portable md5-derived hash; the
+    oracle recomputes every sketch row-by-row in DuckDB. h0/hx (first
+    element + xor-fold) pin the full sketch content, not just its length."""
     d = _docs(spark, sf_dir).withColumn("_norm", text.normalized_text(F.col("text")))
-    sk = text.winnowing_fingerprint(F.col("_norm"), window=8, keep=16, normalized=True)
+    sk_expr = text.winnowing_fingerprint(
+        F.col("_norm"), window=8, keep=16, normalized=True, hash_fn=text.md5_hash60
+    )
+    # stage the sketch as a column: h0/hx would otherwise re-evaluate it
+    d = d.withColumn("_sk", sk_expr)
+    sk = F.col("_sk")
+    hx = F.aggregate(sk, F.lit(0).cast("long"), lambda a, x: a.bitwiseXOR(x))
     return d.select(
-        "doc_id", F.size(sk).cast("long").alias("sketch_len"), sk.getItem(0).alias("h0")
+        "doc_id",
+        F.size(sk).cast("long").alias("sketch_len"),
+        F.get(sk, 0).alias("h0"),
+        hx.alias("hx"),
     )
 
 
@@ -744,6 +762,24 @@ _STOP = {k: v for k, v in sorted(text.STOPWORDS.items())}
 def _stop_hits(lang: str, toks: str) -> str:
     words = ", ".join(f"'{w}'" for w in _STOP[lang])
     return f"len(list_distinct(list_intersect({toks}, [{words}])))"
+
+
+def _md5h(expr: str) -> str:
+    """DuckDB twin of colnade_spark.operators.text.md5_hash60: top 15 hex
+    digits of md5 as a BIGINT — identical value in both engines."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def _simhash_vote_sql(hs: str, n: str, bits: int = 60) -> str:
+    """Per-bit majority vote + pack, the SQL twin of _simhash_pack_udf:
+    bit b set iff 2·(count of ones at b) > n. md5_hash60 values are < 2^60
+    so bits 60..63 are never set."""
+    terms = " + ".join(
+        f"CASE WHEN 2 * list_sum(list_transform({hs}, h -> (h >> {b}) & 1))"
+        f" > {n} THEN {1 << b}::BIGINT ELSE 0 END"
+        for b in range(bits)
+    )
+    return f"({terms})"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -886,6 +922,72 @@ def oracle_sql() -> dict[str, str]:
         "language_pred": f"""
             SELECT doc_id, list_max([{lang_structs}]).lang AS lang_pred
             FROM documents
+        """,
+        "simhash_sketch": f"""
+            WITH n AS (SELECT doc_id, {_NORM_TEXT} AS nt FROM documents),
+            t AS (
+              SELECT doc_id,
+                list_distinct({_TOKENS.format(col="nt")}) AS toks
+              FROM n
+            ),
+            h AS (
+              SELECT doc_id,
+                list_transform(toks, t -> {_md5h("t")}) AS hs,
+                len(toks) AS ntk
+              FROM t
+            )
+            SELECT doc_id,
+              CASE WHEN ntk = 0 THEN 0
+                   ELSE {_simhash_vote_sql("hs", "ntk")} END AS simhash
+            FROM h
+        """,
+        "winnow_sketch": f"""
+            WITH n AS (SELECT doc_id, {_NORM_TEXT} AS nt FROM documents),
+            h AS (
+              SELECT doc_id,
+                CASE WHEN length(nt) >= 8 THEN
+                  list_sort(list_distinct(list_transform(
+                    range(1, length(nt) - 6),
+                    i -> {_md5h("substr(nt, i, 8)")})))
+                ELSE [] END AS hs
+              FROM n
+            ),
+            s AS (SELECT doc_id, hs[1:16] AS sk FROM h)
+            SELECT doc_id,
+              CAST(len(sk) AS BIGINT) AS sketch_len,
+              sk[1] AS h0,
+              CASE WHEN len(sk) = 0 THEN 0
+                   ELSE list_reduce(sk, (a, b) -> xor(a, b)) END AS hx
+            FROM s
+        """,
+        "ngram_jaccard_dups": f"""
+            WITH d AS (
+              SELECT doc_id, lang,
+                floor(log2(greatest(length(text), 1))) AS lb,
+                {_TOKENS.format(col=_NORM_TEXT)} AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, lang, lb,
+                CASE WHEN len(toks) >= 3 THEN
+                  list_distinct(list_transform(
+                    range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' ')))
+                ELSE [] END AS grams
+              FROM d
+            ),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                len(list_intersect(a.grams, b.grams)) AS ni,
+                len(list_distinct(a.grams || b.grams)) AS nu
+              FROM g a JOIN g b
+                ON a.lang = b.lang AND a.doc_id < b.doc_id
+               AND abs(a.lb - b.lb) <= 1
+            )
+            SELECT id_a, id_b,
+              round(CAST(ni AS DOUBLE) / greatest(nu, 1), 6) AS jaccard
+            FROM p
+            WHERE CAST(ni AS DOUBLE) / greatest(nu, 1) >= 0.5
         """,
         "q3_shipping_priority": """
             SELECT l_orderkey,

@@ -348,13 +348,19 @@ def simhash(
     text_col: str = "text",
     out_col: str = "simhash",
     impl: str = "vectorized",
+    token_hash=None,
 ) -> DataFrame:
     """64-bit SimHash over whitespace tokens: token → xxhash64 (JVM-side);
     per-bit majority vote packed into a long (vectorized UDF by default,
-    pure-builtin unrolled fold as the zero-Python option)."""
+    pure-builtin unrolled fold as the zero-Python option).
+
+    ``token_hash``: Column→Column hash per distinct token (default
+    xxhash64; pass ``text.md5_hash60`` for the DuckDB-oracle-checkable
+    variant — same voting/packing, portable hash)."""
+    th = token_hash if token_hash is not None else F.xxhash64
     tok_hashes = F.transform(
         F.array_distinct(tokens(normalized_text(F.col(text_col)))),
-        lambda t: F.xxhash64(t),
+        lambda t: th(t),
     )
     if impl == "vectorized":
         return (

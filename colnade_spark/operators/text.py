@@ -154,9 +154,25 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized_text(text))
 
 
-def rolling_hashes(text: Column, window: int = 8, *, normalized: bool = False) -> Column:
+def md5_hash60(col: Column) -> Column:
+    """Portable 60-bit hash: the top 15 hex digits of md5, as a long.
+
+    Slower than xxhash64 but computable IDENTICALLY in DuckDB
+    (``('0x' || substr(md5(x), 1, 15))::BIGINT``), so sketches built on it
+    (simhash, winnowing) can be value-checked against a SQL oracle."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def rolling_hashes(
+    text: Column, window: int = 8, *, normalized: bool = False, hash_fn=None
+) -> Column:
     """Array of rolling window hashes over the normalized text — the basis
-    for winnowing-style fingerprints. Built-ins only.
+    for winnowing-style fingerprints. Built-ins only. Sub-window-length
+    text yields an EMPTY array (F.sequence(1, 0) descends — see
+    char_ngrams).
+
+    ``hash_fn``: Column→Column hash of each window (default xxhash64; pass
+    ``md5_hash60`` for the oracle-checkable variant).
 
     PERF: ``text`` is referenced inside the per-position lambda, so any
     expression passed here is re-evaluated per position. Stage the
@@ -164,21 +180,34 @@ def rolling_hashes(text: Column, window: int = 8, *, normalized: bool = False) -
     ``normalized=True`` — see dedup.minhash_signatures for why.
     """
     norm = text if normalized else normalized_text(text)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(norm) - (window - 1), F.lit(0))),
-        lambda i: F.xxhash64(norm.substr(i, F.lit(window))),
-    )
+    h = hash_fn if hash_fn is not None else F.xxhash64
+    return F.when(
+        F.length(norm) >= window,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - (window - 1)),
+            lambda i: h(norm.substr(i, F.lit(window))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
 
 
 def winnowing_fingerprint(
-    text: Column, window: int = 8, keep: int = 16, *, normalized: bool = False
+    text: Column,
+    window: int = 8,
+    keep: int = 16,
+    *,
+    normalized: bool = False,
+    hash_fn=None,
 ) -> Column:
     """Bounded-size document sketch: the ``keep`` smallest rolling hashes
     (a winnowing/bottom-k sketch). Set-overlap of sketches estimates
     document similarity at a fixed per-doc cost. See ``rolling_hashes`` for
-    the ``normalized`` staging contract."""
+    the ``normalized`` staging contract and ``hash_fn``."""
     return F.slice(
-        F.array_sort(F.array_distinct(rolling_hashes(text, window, normalized=normalized))),
+        F.array_sort(
+            F.array_distinct(
+                rolling_hashes(text, window, normalized=normalized, hash_fn=hash_fn)
+            )
+        ),
         1,
         keep,
     )
