@@ -17,9 +17,11 @@ from colnade_spark.arrow import ArrowBatch
 from colnade_spark.constraints import Field, FieldInfo, schema_check
 from colnade_spark.dataframe import (
     DataFrame,
+    GroupBy,
     JoinedDataFrame,
     JoinedLazyFrame,
     LazyFrame,
+    LazyGroupBy,
     concat,
 )
 from colnade_spark.dtypes import (
@@ -80,6 +82,7 @@ __all__ = [
     "FieldInfo",
     "Float32",
     "Float64",
+    "GroupBy",
     "Int8",
     "Int16",
     "Int32",
@@ -87,6 +90,7 @@ __all__ = [
     "JoinedDataFrame",
     "JoinedLazyFrame",
     "LazyFrame",
+    "LazyGroupBy",
     "List",
     "Schema",
     "SchemaError",

@@ -1,10 +1,25 @@
 """Schema-parameterized frames over ``pyspark.sql.DataFrame``.
 
 Mirrors the reference's frame layer (reference: src/colnade/dataframe.py:
-298-1643): ``DataFrame[S]`` (eager-styled), ``LazyFrame[S]``, ``GroupBy``,
-``JoinedDataFrame[S,S2]``, module-level ``concat``, and the pure-Python
-``cast_schema`` resolution (dataframe.py:234-290) + cross-schema column guard
-(dataframe.py:179-227).
+298-1643): ``DataFrame[S]`` (eager-styled), ``LazyFrame[S]``, ``GroupBy[S]``/
+``LazyGroupBy[S]``, ``JoinedDataFrame[S,S2]``, module-level ``concat``, and
+the pure-Python ``cast_schema`` resolution (dataframe.py:234-290) +
+cross-schema column guard (dataframe.py:179-227).
+
+Static-typing contract (checked by ``tests/typing/``):
+- Schema-preserving ops (``filter``/``sort``/``limit``/``head``/``tail``/
+  ``sample``/``unique``/``drop_nulls``/``with_columns``/``with_raw``/
+  ``validate``) return ``Self`` — both the frame class AND the schema
+  parameter survive.
+- Schema-transforming ops erase to the precise frame class with an ``Any``
+  schema: ``DataFrame.select → DataFrame[Any]``, ``LazyFrame.agg →
+  LazyFrame[Any]`` — never bare ``Any``.
+- ``join`` returns ``JoinedDataFrame[S, S2]`` / ``JoinedLazyFrame[S, S2]``;
+  ``cast_schema(target)`` returns the frame class parameterized by the
+  target schema.
+- ``DataFrame.item(col)`` has dtype-directed overloads (reference:
+  dataframe.py:387-427): ``Column[Int64] → int``, ``Column[Utf8 | None] →
+  str | None``, etc.
 
 Execution-model decision (SURVEY.md §3.4): Spark frames are ALWAYS lazy
 internally. A faithful "eager" surface would force a Spark action per
@@ -19,9 +34,31 @@ from __future__ import annotations
 
 import typing
 from collections.abc import Callable, Iterable, Iterator, Sequence
-from typing import Any, Generic, TypeVar
+from datetime import date as _date
+from datetime import datetime as _datetime
+from datetime import timedelta as _timedelta
+from typing import Any, Generic, Self, TypeVar, overload
 
 from colnade_spark.backend import SparkBackend, rewrite_refs
+from colnade_spark.dtypes import (
+    Binary,
+    Bool,
+    Date,
+    Datetime,
+    Duration,
+    Float32,
+    Float64,
+    Int8,
+    Int16,
+    Int32,
+    Int64,
+    Time,
+    UInt8,
+    UInt16,
+    UInt32,
+    UInt64,
+    Utf8,
+)
 from colnade_spark.errors import ColumnGuardError, SchemaError
 from colnade_spark.expr import (
     AliasedExpr,
@@ -40,6 +77,33 @@ S = TypeVar("S", bound=Schema)
 S2 = TypeVar("S2", bound=Schema)
 
 _BACKEND = SparkBackend()
+
+# --- item() overload aliases (reference: dataframe.py:387-427) -------------
+# Column is invariant in its dtype parameter, so Column[Int64] and
+# Column[Int64 | None] are distinct and the nullable overloads fire exactly
+# for `Column[T | None]` annotations.
+_IntCol = (
+    Column[Int8]
+    | Column[Int16]
+    | Column[Int32]
+    | Column[Int64]
+    | Column[UInt8]
+    | Column[UInt16]
+    | Column[UInt32]
+    | Column[UInt64]
+)
+_IntColN = (
+    Column[Int8 | None]
+    | Column[Int16 | None]
+    | Column[Int32 | None]
+    | Column[Int64 | None]
+    | Column[UInt8 | None]
+    | Column[UInt16 | None]
+    | Column[UInt32 | None]
+    | Column[UInt64 | None]
+)
+_FloatCol = Column[Float32] | Column[Float64]
+_FloatColN = Column[Float32 | None] | Column[Float64 | None]
 
 
 def _names(cols: Sequence[Column | str]) -> list[str]:
@@ -64,11 +128,8 @@ class _FrameBase(Generic[S]):
         self._backend = backend
 
     # -- plumbing ----------------------------------------------------------
-    def _wrap(self, data: SparkDF):
+    def _wrap(self, data: SparkDF) -> Self:
         return type(self)(data, self._schema, self._backend)
-
-    def _wrap_erased(self, data: SparkDF):
-        return type(self)(data, None, self._backend)
 
     def _guard(self, *exprs: Any) -> None:
         """Cross-schema column guard: every referenced column must exist in
@@ -98,12 +159,12 @@ class _FrameBase(Generic[S]):
     def explain(self, mode: str = "formatted") -> None:
         self._data.explain(mode)
 
-    # -- row-level ops -----------------------------------------------------
-    def filter(self, predicate: Expr):
+    # -- row-level ops (schema-preserving: return Self) --------------------
+    def filter(self, predicate: Expr) -> Self:
         self._guard(predicate)
         return self._wrap(self._backend.filter(self._data, predicate))
 
-    def sort(self, *by: Column | SortExpr, descending: bool = False):
+    def sort(self, *by: Column | SortExpr, descending: bool = False) -> Self:
         sort_exprs: list[SortExpr] = []
         for b in by:
             if isinstance(b, SortExpr):
@@ -115,13 +176,13 @@ class _FrameBase(Generic[S]):
         self._guard(*sort_exprs)
         return self._wrap(self._backend.sort(self._data, sort_exprs))
 
-    def limit(self, n: int):
+    def limit(self, n: int) -> Self:
         return self._wrap(self._backend.limit(self._data, n))
 
-    def head(self, n: int = 5):
+    def head(self, n: int = 5) -> Self:
         return self.limit(n)
 
-    def unique(self, *subset: Column | str):
+    def unique(self, *subset: Column | str) -> Self:
         cols = _names(subset) or None
         if cols and self._schema is not None:
             missing = sorted(set(cols) - set(self._schema._columns))
@@ -131,20 +192,19 @@ class _FrameBase(Generic[S]):
                 )
         return self._wrap(self._backend.unique(self._data, cols))
 
-    def drop_nulls(self, *subset: Column | str):
+    def drop_nulls(self, *subset: Column | str) -> Self:
         cols = _names(subset) or None
         return self._wrap(self._backend.drop_nulls(self._data, cols))
 
-    def with_columns(self, *exprs: AliasedExpr):
+    def with_columns(self, *exprs: AliasedExpr) -> Self:
         for e in exprs:
             if not isinstance(e, AliasedExpr):
                 raise TypeError("with_columns() requires aliased expressions")
         self._guard(*exprs)
         return self._wrap(self._backend.with_columns(self._data, list(exprs)))
 
-    def select(self, *cols: Column | str):
-        """Projection; the result is schema-erased (``Frame[Any]``) until
-        re-bound with ``cast_schema`` (reference: dataframe.py:586-590)."""
+    # -- schema-transforming op internals (typed wrappers in subclasses) ---
+    def _select_data(self, cols: Sequence[Column | str]) -> SparkDF:
         names = _names(cols)
         if self._schema is not None:
             missing = sorted(set(names) - set(self._schema._columns))
@@ -152,19 +212,19 @@ class _FrameBase(Generic[S]):
                 raise ColumnGuardError(
                     message="select() columns not in schema", missing_columns=missing
                 )
-        return self._wrap_erased(self._backend.select(self._data, names))
+        return self._backend.select(self._data, names)
 
-    # -- aggregation -------------------------------------------------------
-    def group_by(self, *keys: Column | str):
-        self._guard(*[k._ref() for k in keys if isinstance(k, Column)])
-        return _GroupBy(self, _names(keys))
-
-    def agg(self, *aggs: AliasedExpr):
+    def _agg_data(self, aggs: Sequence[AliasedExpr]) -> SparkDF:
         self._guard(*aggs)
-        return self._wrap_erased(self._backend.agg(self._data, list(aggs)))
+        return self._backend.agg(self._data, list(aggs))
 
-    # -- join / concat -----------------------------------------------------
-    def join(self, other: _FrameBase[S2], on: JoinCondition | None = None, how: str = "inner"):
+    def _group_keys(self, keys: Sequence[Column | str]) -> list[str]:
+        self._guard(*[k._ref() for k in keys if isinstance(k, Column)])
+        return _names(keys)
+
+    def _join_parts(
+        self, other: _FrameBase[Any], on: JoinCondition | None, how: str
+    ) -> tuple[SparkDF, dict[str, str]]:
         if type(other) is not type(self):
             raise TypeError("cannot mix eager and lazy frames in join()")
         if self._schema is None or other._schema is None:
@@ -174,18 +234,14 @@ class _FrameBase(Generic[S]):
                 message="join(on=...) must be a cross-schema equality, e.g. "
                 "Users.id == Orders.user_id"
             )
-        data, rename = self._backend.join(self._data, other._data, on, how)
-        cls = JoinedLazyFrame if isinstance(self, LazyFrame) else JoinedDataFrame
-        return cls(data, self._schema, other._schema, rename, self._backend)
+        return self._backend.join(self._data, other._data, on, how)
 
-    # -- cast_schema -------------------------------------------------------
-    def cast_schema(
+    def _cast_data(
         self,
-        target: type[S2],
-        mapping: dict[Any, Any] | None = None,
-        *,
-        extra: str = "drop",
-    ):
+        target: type[Schema],
+        mapping: dict[Any, Any] | None,
+        extra: str,
+    ) -> SparkDF:
         """Bind this frame to ``target``. Resolution precedence per target
         column (reference: dataframe.py:234-290): explicit ``mapping`` →
         ``mapped_from`` declaration → same-name match → error. ``extra`` ∈
@@ -197,13 +253,10 @@ class _FrameBase(Generic[S]):
             ambiguous=set(),
             extra=extra,
         )
-        data = self._backend.rename_project(self._data, resolved)
-        out = _as_frame_class(self)(data, target, self._backend)
-        _boundary_validate(out)
-        return out
+        return self._backend.rename_project(self._data, resolved)
 
     # -- escape hatch / validation ----------------------------------------
-    def with_raw(self, fn: Callable[[SparkDF], SparkDF]):
+    def with_raw(self, fn: Callable[[SparkDF], SparkDF]) -> Self:
         """Bounded ``unsafe`` block: apply an arbitrary pyspark transform,
         revalidating at the boundary when validation is enabled
         (reference: dataframe.py:653-673)."""
@@ -211,7 +264,7 @@ class _FrameBase(Generic[S]):
         _boundary_validate(out)
         return out
 
-    def validate(self):
+    def validate(self) -> Self:
         """Explicit structural + value validation regardless of the toggle."""
         if self._schema is None:
             raise SchemaError(message="cannot validate a schema-erased frame")
@@ -228,11 +281,46 @@ class DataFrame(_FrameBase[S]):
     """Logically-materialized frame. Internally lazy (see module docstring);
     materializing methods below trigger Spark jobs."""
 
+    # -- schema-transforming ops (erase to DataFrame[Any]) -----------------
+    def select(self, *cols: Column | str) -> DataFrame[Any]:
+        """Projection; the result is schema-erased (``DataFrame[Any]``)
+        until re-bound with ``cast_schema`` (reference: dataframe.py:586-590)."""
+        return DataFrame(self._select_data(cols), None, self._backend)
+
+    def agg(self, *aggs: AliasedExpr) -> DataFrame[Any]:
+        return DataFrame(self._agg_data(aggs), None, self._backend)
+
+    def group_by(self, *keys: Column | str) -> GroupBy[S]:
+        return GroupBy(self, self._group_keys(keys))
+
+    def join(
+        self,
+        other: DataFrame[S2],
+        on: JoinCondition | None = None,
+        how: str = "inner",
+    ) -> JoinedDataFrame[S, S2]:
+        data, rename = self._join_parts(other, on, how)
+        assert self._schema is not None and other._schema is not None
+        return JoinedDataFrame(data, self._schema, other._schema, rename, self._backend)
+
+    def cast_schema(
+        self,
+        target: type[S2],
+        mapping: dict[Any, Any] | None = None,
+        *,
+        extra: str = "drop",
+    ) -> DataFrame[S2]:
+        out: DataFrame[S2] = DataFrame(
+            self._cast_data(target, mapping, extra), target, self._backend
+        )
+        _boundary_validate(out)
+        return out
+
     # -- materializing methods --------------------------------------------
-    def tail(self, n: int):
+    def tail(self, n: int) -> Self:
         return self._wrap(self._backend.tail(self._data, n))
 
-    def sample(self, n: int, seed: int | None = None):
+    def sample(self, n: int, seed: int | None = None) -> Self:
         return self._wrap(self._backend.sample(self._data, n, seed))
 
     @property
@@ -255,7 +343,54 @@ class DataFrame(_FrameBase[S]):
     def is_empty(self) -> bool:
         return self._data.isEmpty()
 
-    def item(self, column: Column | str | None = None) -> Any:
+    # -- scalar extraction: dtype-directed overloads -----------------------
+    # (reference: dataframe.py:387-427; divergence: Time maps to Long
+    # microseconds-since-midnight on Spark — item(Column[Time]) is int, not
+    # datetime.time — SURVEY.md §1.2.)
+    @overload
+    def item(self, column: _IntCol) -> int: ...
+    @overload
+    def item(self, column: _IntColN) -> int | None: ...
+    @overload
+    def item(self, column: _FloatCol) -> float: ...
+    @overload
+    def item(self, column: _FloatColN) -> float | None: ...
+    @overload
+    def item(self, column: Column[Utf8]) -> str: ...
+    @overload
+    def item(self, column: Column[Utf8 | None]) -> str | None: ...
+    @overload
+    def item(self, column: Column[Bool]) -> bool: ...
+    @overload
+    def item(self, column: Column[Bool | None]) -> bool | None: ...
+    @overload
+    def item(self, column: Column[Binary]) -> bytes: ...
+    @overload
+    def item(self, column: Column[Binary | None]) -> bytes | None: ...
+    @overload
+    def item(self, column: Column[Date]) -> _date: ...
+    @overload
+    def item(self, column: Column[Date | None]) -> _date | None: ...
+    @overload
+    def item(self, column: Column[Datetime]) -> _datetime: ...
+    @overload
+    def item(self, column: Column[Datetime | None]) -> _datetime | None: ...
+    @overload
+    def item(self, column: Column[Duration]) -> _timedelta: ...
+    @overload
+    def item(self, column: Column[Duration | None]) -> _timedelta | None: ...
+    @overload
+    def item(self, column: Column[Time]) -> int: ...
+    @overload
+    def item(self, column: Column[Time | None]) -> int | None: ...
+    @overload
+    def item(self, column: Column[Any]) -> Any: ...
+    @overload
+    def item(self, column: str) -> Any: ...
+    @overload
+    def item(self) -> Any: ...
+
+    def item(self, column: Column[Any] | str | None = None) -> Any:
         name = None if column is None else (column if isinstance(column, str) else column.name)
         return self._backend.item(self._data, name)
 
@@ -307,20 +442,54 @@ class DataFrame(_FrameBase[S]):
 class LazyFrame(_FrameBase[S]):
     """Lazy frame; ``collect()`` is the materialization boundary."""
 
+    # -- schema-transforming ops (erase to LazyFrame[Any]) -----------------
+    def select(self, *cols: Column | str) -> LazyFrame[Any]:
+        """Projection; schema-erased until ``cast_schema`` re-binds."""
+        return LazyFrame(self._select_data(cols), None, self._backend)
+
+    def agg(self, *aggs: AliasedExpr) -> LazyFrame[Any]:
+        return LazyFrame(self._agg_data(aggs), None, self._backend)
+
+    def group_by(self, *keys: Column | str) -> LazyGroupBy[S]:
+        return LazyGroupBy(self, self._group_keys(keys))
+
+    def join(
+        self,
+        other: LazyFrame[S2],
+        on: JoinCondition | None = None,
+        how: str = "inner",
+    ) -> JoinedLazyFrame[S, S2]:
+        data, rename = self._join_parts(other, on, how)
+        assert self._schema is not None and other._schema is not None
+        return JoinedLazyFrame(data, self._schema, other._schema, rename, self._backend)
+
+    def cast_schema(
+        self,
+        target: type[S2],
+        mapping: dict[Any, Any] | None = None,
+        *,
+        extra: str = "drop",
+    ) -> LazyFrame[S2]:
+        out: LazyFrame[S2] = LazyFrame(
+            self._cast_data(target, mapping, extra), target, self._backend
+        )
+        _boundary_validate(out)
+        return out
+
     def collect(self) -> DataFrame[S]:
         return DataFrame(self._data, self._schema, self._backend)
 
     def lazy(self) -> LazyFrame[S]:
         return self
 
+    @property
+    def width(self) -> int:
+        if self._schema is None:
+            raise SchemaError(message="width on schema-erased frame")
+        return len(self._schema._columns)
 
-def _as_frame_class(frame: _FrameBase) -> type:
-    if isinstance(frame, (LazyFrame, JoinedLazyFrame)):
-        return LazyFrame
-    return DataFrame
 
-
-class _GroupBy(Generic[S]):
+class _GroupByBase(Generic[S]):
     """Transitional object from ``group_by()``; only ``.agg()``
     (reference: dataframe.py:1133-1180)."""
 
@@ -328,13 +497,26 @@ class _GroupBy(Generic[S]):
         self._frame = frame
         self._keys = keys
 
-    def agg(self, *aggs: AliasedExpr):
+    def _agg_data(self, aggs: Sequence[AliasedExpr]) -> SparkDF:
         for a in aggs:
             if not isinstance(a, AliasedExpr):
                 raise TypeError("group_by().agg() requires aliased aggregate expressions")
         self._frame._guard(*aggs)
-        data = self._frame._backend.group_agg(self._frame._data, self._keys, list(aggs))
-        return _as_frame_class(self._frame)(data, None, self._frame._backend)
+        return self._frame._backend.group_agg(self._frame._data, self._keys, list(aggs))
+
+
+class GroupBy(_GroupByBase[S]):
+    def agg(self, *aggs: AliasedExpr) -> DataFrame[Any]:
+        return DataFrame(self._agg_data(aggs), None, self._frame._backend)
+
+
+class LazyGroupBy(_GroupByBase[S]):
+    def agg(self, *aggs: AliasedExpr) -> LazyFrame[Any]:
+        return LazyFrame(self._agg_data(aggs), None, self._frame._backend)
+
+
+# Backward-compat alias (pre-typing name).
+_GroupBy = GroupBy
 
 
 class _JoinedBase(Generic[S, S2]):
@@ -383,20 +565,20 @@ class _JoinedBase(Generic[S, S2]):
                     missing_columns=missing,
                 )
 
-    def _wrap(self, data: SparkDF):
+    def _wrap(self, data: SparkDF) -> Self:
         return type(self)(data, self._left, self._right, self._rename, self._backend)
 
-    def filter(self, predicate: Expr):
+    def filter(self, predicate: Expr) -> Self:
         self._guard(predicate)
         return self._wrap(self._backend.filter(self._data, self._rw(predicate)))
 
-    def with_columns(self, *exprs: AliasedExpr):
+    def with_columns(self, *exprs: AliasedExpr) -> Self:
         self._guard(*exprs)
         return self._wrap(
             self._backend.with_columns(self._data, [self._rw(e) for e in exprs])
         )
 
-    def sort(self, *by: Column | SortExpr, descending: bool = False):
+    def sort(self, *by: Column | SortExpr, descending: bool = False) -> Self:
         sort_exprs = [
             b if isinstance(b, SortExpr) else SortExpr(b._ref(), descending=descending)
             for b in by
@@ -406,16 +588,15 @@ class _JoinedBase(Generic[S, S2]):
             self._backend.sort(self._data, [self._rw(s) for s in sort_exprs])
         )
 
-    def limit(self, n: int):
+    def limit(self, n: int) -> Self:
         return self._wrap(self._backend.limit(self._data, n))
 
-    def cast_schema(
+    def _cast_data(
         self,
-        target: type,
-        mapping: dict[Any, Any] | None = None,
-        *,
-        extra: str = "drop",
-    ):
+        target: type[Schema],
+        mapping: dict[Any, Any] | None,
+        extra: str,
+    ) -> SparkDF:
         """Flatten to ``target``. Columns whose plain name exists in BOTH
         input schemas are ambiguous and require explicit ``mapping`` or a
         ``mapped_from`` declaration naming the owning schema
@@ -429,11 +610,10 @@ class _JoinedBase(Generic[S, S2]):
             extra=extra,
             joined=self,
         )
-        data = self._backend.rename_project(self._data, resolved)
-        cls = LazyFrame if isinstance(self, JoinedLazyFrame) else DataFrame
-        out = cls(data, target, self._backend)
-        _boundary_validate(out)
-        return out
+        return self._backend.rename_project(self._data, resolved)
+
+
+S3 = TypeVar("S3", bound=Schema)
 
 
 class JoinedDataFrame(_JoinedBase[S, S2]):
@@ -441,12 +621,38 @@ class JoinedDataFrame(_JoinedBase[S, S2]):
     def height(self) -> int:
         return self._backend.height(self._data)
 
+    def cast_schema(
+        self,
+        target: type[S3],
+        mapping: dict[Any, Any] | None = None,
+        *,
+        extra: str = "drop",
+    ) -> DataFrame[S3]:
+        out: DataFrame[S3] = DataFrame(
+            self._cast_data(target, mapping, extra), target, self._backend
+        )
+        _boundary_validate(out)
+        return out
+
 
 class JoinedLazyFrame(_JoinedBase[S, S2]):
     def collect(self) -> JoinedDataFrame[S, S2]:
         return JoinedDataFrame(
             self._data, self._left, self._right, self._rename, self._backend
         )
+
+    def cast_schema(
+        self,
+        target: type[S3],
+        mapping: dict[Any, Any] | None = None,
+        *,
+        extra: str = "drop",
+    ) -> LazyFrame[S3]:
+        out: LazyFrame[S3] = LazyFrame(
+            self._cast_data(target, mapping, extra), target, self._backend
+        )
+        _boundary_validate(out)
+        return out
 
 
 def _source_name_for(col_or_name: Any, joined: _JoinedBase | None) -> str:
@@ -530,6 +736,12 @@ def _boundary_validate(frame: Any) -> None:
         err = frame._backend.validate_values(frame._data, frame._schema)
         if not err.ok:
             raise err
+
+
+@overload
+def concat(frames: Sequence[DataFrame[S]]) -> DataFrame[S]: ...
+@overload
+def concat(frames: Sequence[LazyFrame[S]]) -> LazyFrame[S]: ...
 
 
 def concat(frames: Sequence[_FrameBase[S]]) -> _FrameBase[S]:

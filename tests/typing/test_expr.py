@@ -1,0 +1,221 @@
+"""Static type tests for colnade_spark.expr (mypy --strict / ty).
+
+Must produce zero type errors.
+
+DESIGN NOTE (divergence from the reference, SURVEY.md §3): the reference
+parameterizes every AST node by dtype (``BinOp[Bool]``, ``Agg[Float64]``).
+Here the static dtype machinery lives entirely in ``Column[DType]`` —
+the AST nodes (``BinOp``, ``Agg``, ...) are untyped plan IR, because the
+Spark backend re-derives types from the Catalyst plan anyway. What IS
+statically pinned: every Column operation returns the documented node
+class, sort/alias/window builders produce the right builder types, and
+the ``when`` chain only exposes the legal next step.
+"""
+
+from colnade_spark import (
+    Column,
+    Datetime,
+    Float64,
+    Int64,
+    Schema,
+    Utf8,
+    lit,
+    when,
+)
+from colnade_spark.expr import (
+    Agg,
+    AliasedExpr,
+    BinOp,
+    ColumnRef,
+    Expr,
+    FunctionCall,
+    JoinCondition,
+    ListOp,
+    Literal,
+    SortExpr,
+    StructFieldAccess,
+    UnaryOp,
+    WhenThenOtherwise,
+    WindowExpr,
+    dense_rank,
+    lag,
+    lead,
+    rank,
+    row_number,
+)
+
+
+class Users(Schema):
+    id: Column[Int64]
+    name: Column[Utf8]
+    score: Column[Float64]
+    created: Column[Datetime]
+
+
+# --- AST node classes are importable and usable as types -------------------
+
+
+def check_ast_nodes_exist() -> None:
+    _e: type[Expr] = Expr
+    _c: type[ColumnRef] = ColumnRef
+    _l: type[Literal] = Literal
+    _b: type[BinOp] = BinOp
+    _u: type[UnaryOp] = UnaryOp
+    _a: type[Agg] = Agg
+    _f: type[FunctionCall] = FunctionCall
+    _al: type[AliasedExpr] = AliasedExpr
+    _s: type[SortExpr] = SortExpr
+    _sf: type[StructFieldAccess] = StructFieldAccess
+    _lo: type[ListOp] = ListOp
+    _w: type[WhenThenOtherwise] = WhenThenOtherwise
+    _j: type[JoinCondition] = JoinCondition
+    _ = (_e, _c, _l, _b, _u, _a, _f, _al, _s, _sf, _lo, _w, _j)
+
+
+# --- Expr inheritance: nodes are Exprs, builders are not -------------------
+
+
+def check_nodes_are_exprs(b: BinOp, a: Agg, f: FunctionCall) -> None:
+    _1: Expr = b
+    _2: Expr = a
+    _3: Expr = f
+    _ = (_1, _2, _3)
+
+
+def check_neg_sortexpr_not_expr(s: SortExpr) -> None:
+    """SortExpr is a sort directive, deliberately NOT an Expr."""
+    _: Expr = s  # type: ignore[assignment]
+
+
+def check_neg_joincondition_not_expr(j: JoinCondition) -> None:
+    """JoinCondition is a join spec, deliberately NOT an Expr."""
+    _: Expr = j  # type: ignore[assignment]
+
+
+# --- Column operations return the documented node classes ------------------
+
+
+def check_arithmetic_returns_binop() -> None:
+    _add: BinOp = Users.score + 1.0
+    _sub: BinOp = Users.score - 1.0
+    _mul: BinOp = Users.score * 2.0
+    _div: BinOp = Users.score / 2.0
+    _mod: BinOp = Users.id % 2
+    _ = (_add, _sub, _mul, _div, _mod)
+
+
+def check_reflected_arithmetic_returns_binop() -> None:
+    _radd: BinOp = 1.0 + Users.score
+    _rsub: BinOp = 1.0 - Users.score
+    _ = (_radd, _rsub)
+
+
+def check_comparisons_return_binop() -> None:
+    _gt: BinOp = Users.score > 1.0
+    _lt: BinOp = Users.score < 1.0
+    _ge: BinOp = Users.score >= 1.0
+    _le: BinOp = Users.score <= 1.0
+    _ne: BinOp = Users.name != "x"
+    _ = (_gt, _lt, _ge, _le, _ne)
+
+
+def check_boolean_combinators_return_binop() -> None:
+    _and: BinOp = (Users.score > 1.0) & (Users.id > 0)
+    _or: BinOp = (Users.score > 1.0) | (Users.id > 0)
+    _ = (_and, _or)
+
+
+def check_aggregations_return_agg() -> None:
+    _sum: Agg = Users.score.sum()
+    _mean: Agg = Users.score.mean()
+    _min: Agg = Users.score.min()
+    _max: Agg = Users.score.max()
+    _count: Agg = Users.id.count()
+    _std: Agg = Users.score.std()
+    _var: Agg = Users.score.var()
+    _first: Agg = Users.name.first()
+    _last: Agg = Users.name.last()
+    _nu: Agg = Users.name.n_unique()
+    _ = (_sum, _mean, _min, _max, _count, _std, _var, _first, _last, _nu)
+
+
+def check_string_functions_return_functioncall() -> None:
+    _c: FunctionCall = Users.name.str_contains("a")
+    _s: FunctionCall = Users.name.str_starts_with("a")
+    _e: FunctionCall = Users.name.str_ends_with("a")
+    _l: FunctionCall = Users.name.str_len()
+    _lo: FunctionCall = Users.name.str_to_lowercase()
+    _up: FunctionCall = Users.name.str_to_uppercase()
+    _st: FunctionCall = Users.name.str_strip()
+    _re: FunctionCall = Users.name.str_replace("a", "b")
+    _ = (_c, _s, _e, _l, _lo, _up, _st, _re)
+
+
+def check_temporal_functions_return_functioncall() -> None:
+    _y: FunctionCall = Users.created.dt_year()
+    _mo: FunctionCall = Users.created.dt_month()
+    _d: FunctionCall = Users.created.dt_day()
+    _h: FunctionCall = Users.created.dt_hour()
+    _mi: FunctionCall = Users.created.dt_minute()
+    _se: FunctionCall = Users.created.dt_second()
+    _tr: FunctionCall = Users.created.dt_truncate("day")
+    _ = (_y, _mo, _d, _h, _mi, _se, _tr)
+
+
+def check_null_nan_cast() -> None:
+    _fn: FunctionCall = Users.score.fill_null(0.0)
+    _fnan: FunctionCall = Users.score.fill_nan(0.0)
+    _an: FunctionCall = Users.score.assert_non_null()
+    _ = (_fn, _fnan, _an)
+
+
+def check_alias_returns_aliased_expr() -> None:
+    _a: AliasedExpr = Users.score.alias("s")
+    _b: AliasedExpr = (Users.score + 1.0).alias("s1")
+    _c: AliasedExpr = Users.score.sum().alias("total")
+    _ = (_a, _b, _c)
+
+
+def check_sort_builders() -> None:
+    _asc: SortExpr = Users.name.asc()
+    _desc: SortExpr = Users.name.desc()
+    _ = (_asc, _desc)
+
+
+# --- when/then/otherwise chain only exposes the legal next step ------------
+
+
+def check_when_chain() -> None:
+    _done: WhenThenOtherwise = (
+        when(Users.score > 1.0).then(1).when(Users.score > 0.0).then(0).otherwise(-1)
+    )
+    _ = _done
+
+
+def check_when_result_is_expr() -> None:
+    e = when(Users.score > 1.0).then(1).otherwise(0)
+    _: Expr = e
+    _a: AliasedExpr = e.alias("bucket")
+    _ = _a
+
+
+# --- lit and window helpers ------------------------------------------------
+
+
+def check_lit_returns_literal() -> None:
+    _l: Literal = lit(1)
+    _ = _l
+
+
+def check_window_helpers_return_windowexpr() -> None:
+    _rn: WindowExpr = row_number(partition_by=Users.id, order_by=Users.score.desc())
+    _rk: WindowExpr = rank(partition_by=Users.id, order_by=Users.score)
+    _dr: WindowExpr = dense_rank(partition_by=Users.id, order_by=Users.score)
+    _lg: WindowExpr = lag(Users.score, 1, partition_by=Users.id, order_by=Users.created)
+    _ld: WindowExpr = lead(Users.score, 1, partition_by=Users.id, order_by=Users.created)
+    _ = (_rn, _rk, _dr, _lg, _ld)
+
+
+def check_agg_over_returns_functioncall() -> None:
+    _w: FunctionCall = Users.score.mean().over(Users.id)
+    _ = _w
