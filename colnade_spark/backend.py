@@ -488,8 +488,10 @@ class SparkBackend:
 
         from colnade_spark.session import get_spark
 
+        # Spark 4 createDataFrame accepts a pyarrow.Table directly — no
+        # pandas hop (which loses nullable-int dtypes and copies memory).
         table = pa.Table.from_batches(list(batches))
-        return get_spark().createDataFrame(table.to_pandas(), schema=to_struct_type(schema))
+        return get_spark().createDataFrame(table, schema=to_struct_type(schema))
 
     def from_dict(self, data: dict[str, list[Any]], schema: Any) -> SparkDF:
         from colnade_spark.session import get_spark

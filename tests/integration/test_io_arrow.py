@@ -81,6 +81,28 @@ def test_arrow_round_trip(spark):
     assert back.height == 3
 
 
+def test_from_batches_preserves_nullable_ints(spark):
+    """Regression: the old pandas hop turned nullable int64 into float64
+    (nulls became NaN). The direct pyarrow.Table path must preserve both
+    the dtype and the nulls."""
+    import pyarrow as pa
+
+    class MaybeInts(Schema):
+        id: Column[Int64]
+        v: Column[Int64 | None]
+
+    batch = pa.RecordBatch.from_pydict(
+        {
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "v": pa.array([10, None, 30], pa.int64()),
+        }
+    )
+    df = DataFrame.from_batches([batch], MaybeInts)
+    assert dict(df.native.dtypes)["v"] == "bigint"
+    rows = {r.id: r.v for r in df.rows()}
+    assert rows == {1: 10, 2: None, 3: 30}
+
+
 def test_arrow_batch_name_validation(spark):
     import pyarrow as pa
 
