@@ -130,11 +130,12 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred
             for lang, ws in sorted(STOPWORDS.items())
         ]
     )
-    # array_max on struct uses field-order comparison: (score, lang).
-    # To make ties deterministic and FIRST-lang-wins, invert lang ordering
-    # is unnecessary — max picks highest score, then lexicographically
-    # greatest lang; we instead sort descending and take element 0 with the
-    # lang ascending as tiebreak via negated score.
+    # array_max on struct uses field-order comparison (score, lang): the
+    # winner is the highest score, ties broken by the lexicographically
+    # GREATEST language code ("der le" → de=1, fr=1 → 'fr'). Deterministic
+    # by construction; the DuckDB oracle replicates the same struct-max
+    # (list_max over {'score','lang'} structs), and the tie semantics are
+    # pinned cross-engine by test_language_id_tie_break.
     best = F.array_max(scored)
     return df.withColumn(out_col, best.getField("lang"))
 

@@ -47,6 +47,34 @@ def test_language_id_prefers_english_on_english_text(spark):
     assert out[2] == "de"
 
 
+def test_language_id_tie_break(spark):
+    """Ties break to the lexicographically GREATEST language code (struct
+    array_max semantics), identically in Spark and the DuckDB oracle."""
+    import duckdb
+
+    cases = [
+        (1, "der le"),  # de=1, fr=1 → 'fr'
+        (2, "la"),  # fr=1, es=1 (shared stopword) → 'fr'
+        (3, "xyzzy"),  # all zero → greatest lang code 'fr'
+    ]
+    df = spark.createDataFrame(cases, ["doc_id", "text"])
+    got = {r.doc_id: r.lang_pred for r in text.language_id(df).collect()}
+    assert got == {1: "fr", 2: "fr", 3: "fr"}
+
+    con = duckdb.connect()
+    structs = ", ".join(
+        "{'score': len(list_distinct(list_intersect("
+        "regexp_split_to_array(trim(lower(t)), '\\s+'), [%s]))), 'lang': '%s'}"
+        % (", ".join(f"'{w}'" for w in ws), lang)
+        for lang, ws in sorted(text.STOPWORDS.items())
+    )
+    for doc_id, t in cases:
+        (oracle_lang,) = con.execute(
+            f"SELECT list_max([{structs}]).lang FROM (SELECT ? AS t)", [t]
+        ).fetchone()
+        assert oracle_lang == got[doc_id], (doc_id, oracle_lang, got[doc_id])
+
+
 def test_fingerprint_normalization(spark):
     df = spark.createDataFrame(
         [(1, "Hello,   World!"), (2, "hello world"), (3, "different text")],
