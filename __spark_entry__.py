@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 import colnade_spark as cs
 from colnade_spark.dtypes import Bool, Datetime, Decimal, Float64, Int32, Int64, Utf8
 from colnade_spark.expr import when
-from colnade_spark.operators import dedup, multimodal, similarity, text
+from colnade_spark.operators import dedup, multimodal, quality, similarity, text
 from colnade_spark.schema import Column, Schema
 from colnade_spark.tpch import (
     Customer,
@@ -448,6 +448,41 @@ def language_pred(spark: SparkSession, sf_dir: str) -> SparkDF:
     return text.language_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
 
 
+def repetition_profile(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Per-doc repetition signals (duplicate line/paragraph/token
+    fractions) — quality.repetition_stats, DuckDB-oracled."""
+    out = quality.repetition_stats(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.round("rep_dup_line_frac", 6).alias("rep_dup_line_frac"),
+        F.round("rep_dup_line_char_frac", 6).alias("rep_dup_line_char_frac"),
+        F.round("rep_dup_para_frac", 6).alias("rep_dup_para_frac"),
+        F.round("rep_dup_token_frac", 6).alias("rep_dup_token_frac"),
+    )
+
+
+def top_token_profile(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Most-frequent-token stats per doc — the one shuffle-backed quality
+    signal (explode → two-level agg with map-side combine)."""
+    out = quality.top_token_stats(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "top_token_count",
+        F.round("top_token_frac", 6).alias("top_token_frac"),
+    )
+
+
+def gopher_rules(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Gopher rule flags (Rae et al. 2021 §A1.1) on the documents table;
+    flags cast to long for engine-neutral hashing."""
+    out = quality.gopher_flags(_docs(spark, sf_dir), min_words=10, min_stopword_hits=1)
+    flags = [c for c in out.columns if c.startswith("g_") or c == "gopher_keep"]
+    return out.select(
+        "doc_id", *[F.col(c).cast("long").alias(c) for c in flags]
+    )
+
+
 def ann_bruteforce(spark: SparkSession, sf_dir: str) -> SparkDF:
     e = _embs(spark, sf_dir)
     q = e.filter(F.col("vec_id") < 8)
@@ -731,6 +766,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "text_quality": text_quality,
         "token_counts": token_counts,
         "language_pred": language_pred,
+        "repetition_profile": repetition_profile,
+        "top_token_profile": top_token_profile,
+        "gopher_rules": gopher_rules,
         "ann_bruteforce": ann_bruteforce,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
@@ -922,6 +960,93 @@ def oracle_sql() -> dict[str, str]:
         "language_pred": f"""
             SELECT doc_id, list_max([{lang_structs}]).lang AS lang_pred
             FROM documents
+        """,
+        "repetition_profile": r"""
+            WITH s AS (
+              SELECT doc_id,
+                list_filter(list_transform(string_split(text, chr(10)),
+                    l -> trim(l)), l -> l != '') AS ln,
+                list_filter(list_transform(
+                    regexp_split_to_array(text, '\n[ \t]*\n'),
+                    p -> trim(p)), p -> p != '') AS pg,
+                regexp_split_to_array(trim(text), '\s+') AS tk
+              FROM documents
+            )
+            SELECT doc_id,
+              round((len(ln) - len(list_distinct(ln)))::DOUBLE
+                / greatest(len(ln), 1), 6) AS rep_dup_line_frac,
+              round(coalesce(list_sum(list_transform(ln,
+                    l -> CASE WHEN len(list_filter(ln, x -> x = l)) > 1
+                         THEN length(l) ELSE 0 END)), 0)::DOUBLE
+                / greatest(coalesce(list_sum(list_transform(ln,
+                    l -> length(l))), 0), 1), 6) AS rep_dup_line_char_frac,
+              round((len(pg) - len(list_distinct(pg)))::DOUBLE
+                / greatest(len(pg), 1), 6) AS rep_dup_para_frac,
+              round((len(tk) - len(list_distinct(tk)))::DOUBLE
+                / greatest(len(tk), 1), 6) AS rep_dup_token_frac
+            FROM s
+        """,
+        "top_token_profile": r"""
+            WITH t AS (
+              SELECT doc_id,
+                unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                       x -> x != '')) AS tok
+              FROM documents
+            ),
+            c AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY doc_id, tok),
+            a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS nt,
+                         CAST(max(n) AS BIGINT) AS tc
+                  FROM c GROUP BY doc_id)
+            SELECT d.doc_id,
+              coalesce(nt, 0) AS n_tokens,
+              coalesce(tc, 0) AS top_token_count,
+              round(coalesce(tc, 0)::DOUBLE
+                / greatest(coalesce(nt, 0), 1), 6) AS top_token_frac
+            FROM documents d LEFT JOIN a USING (doc_id)
+        """,
+        "gopher_rules": f"""
+            WITH s AS (
+              SELECT doc_id, text,
+                {toks} AS tk,
+                list_filter(list_transform(string_split(text, chr(10)),
+                    l -> trim(l)), l -> l != '') AS ln
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                len(tk) AS n_words,
+                coalesce(list_sum(list_transform(tk, w -> length(w))), 0)::DOUBLE
+                  / greatest(len(tk), 1) AS awl,
+                (length(text) - length(replace(text, '#', ''))
+                 + length(text) - length(replace(text, '…', ''))
+                 + CAST((length(text) - length(replace(text, '...', ''))) / 3
+                        AS INT))::DOUBLE
+                  / greatest(len(tk), 1) AS sym_ratio,
+                len(list_filter(ln, l -> starts_with(l, '- ')
+                    OR starts_with(l, '* ')
+                    OR starts_with(l, '•')))::DOUBLE
+                  / greatest(len(ln), 1) AS bullet_frac,
+                len(list_filter(ln, l -> ends_with(l, '...')
+                    OR ends_with(l, '…')))::DOUBLE
+                  / greatest(len(ln), 1) AS ell_frac,
+                len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+                  / greatest(len(tk), 1) AS alpha_frac,
+                {_stop_hits('en', 'list_transform(tk, w -> lower(w))')} AS stop_hits
+              FROM s
+            )
+            SELECT doc_id,
+              CAST(n_words >= 10 AND n_words <= 100000 AS BIGINT) AS g_word_count_ok,
+              CAST(awl >= 3.0 AND awl <= 10.0 AS BIGINT) AS g_avg_word_len_ok,
+              CAST(sym_ratio <= 0.1 AS BIGINT) AS g_symbol_ratio_ok,
+              CAST(bullet_frac <= 0.9 AS BIGINT) AS g_bullet_ok,
+              CAST(ell_frac <= 0.3 AS BIGINT) AS g_ellipsis_ok,
+              CAST(alpha_frac >= 0.8 AS BIGINT) AS g_alpha_ok,
+              CAST(stop_hits >= 1 AS BIGINT) AS g_stopword_ok,
+              CAST(n_words >= 10 AND n_words <= 100000
+                AND awl >= 3.0 AND awl <= 10.0
+                AND sym_ratio <= 0.1 AND bullet_frac <= 0.9
+                AND ell_frac <= 0.3 AND alpha_frac >= 0.8
+                AND stop_hits >= 1 AS BIGINT) AS gopher_keep
+            FROM m
         """,
         "simhash_sketch": f"""
             WITH n AS (SELECT doc_id, {_NORM_TEXT} AS nt FROM documents),

@@ -1,0 +1,250 @@
+"""Training-corpus quality filtering: repetition statistics and
+Gopher-style rule filters.
+
+Reference parity: the reference repo has no quality-filter operators —
+this module is part of the LLM-data-pipeline extension layer the build
+brief asks for. The rule set follows the published Gopher filters
+(Rae et al. 2021, "Scaling Language Models", §A1.1) and MassiveText /
+RefinedWeb practice: doc-length windows, mean-word-length windows,
+symbol-to-word ratios, bullet/ellipsis line fractions, alpha-word
+fraction, stopword presence, and duplicate line/paragraph/n-gram
+fractions.
+
+Scale notes (100 TB):
+- ``repetition_stats`` and ``gopher_flags`` are single narrow
+  projections over built-in HOFs/regex — scan-speed, no shuffle, no UDF,
+  fully whole-stage-codegen.
+- Per-line duplicate-char fractions are O(lines²) per document via
+  array HOFs; documents have bounded line counts (hundreds), so this is
+  per-row bounded work that parallelizes embarrassingly.
+- ``top_token_stats`` is the one shuffle in this module: explode →
+  two-level aggregation keyed by (doc_id, token). Partial aggregation
+  (map-side combine) collapses each partition's token counts before the
+  exchange, so shuffle volume is ~distinct tokens per doc, not tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from colnade_spark.operators.text import STOPWORDS, token_count, tokens
+
+__all__ = [
+    "doc_lines",
+    "doc_paragraphs",
+    "repetition_stats",
+    "top_token_stats",
+    "gopher_flags",
+    "gopher_filter",
+]
+
+
+def doc_lines(text: Column) -> Column:
+    """Non-empty trimmed lines of a document."""
+    return F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+
+
+def doc_paragraphs(text: Column) -> Column:
+    """Non-empty trimmed paragraphs (blank-line separated)."""
+    return F.filter(
+        F.transform(F.split(text, "\n[ \t]*\n"), lambda p: F.trim(p)),
+        lambda p: p != "",
+    )
+
+
+def _dup_frac(arr: Column) -> Column:
+    """Fraction of array elements that are duplicates (1 - distinct/len);
+    0.0 for empty arrays."""
+    return (
+        (F.size(arr) - F.size(F.array_distinct(arr))).cast("double")
+        / F.greatest(F.size(arr), F.lit(1))
+    )
+
+
+def _dup_char_frac(arr: Column) -> Column:
+    """Fraction of CHARACTERS contained in elements that occur more than
+    once (the Gopher "fraction of characters in duplicate lines" signal).
+    O(len²) per row via HOFs — bounded per document, no shuffle."""
+    dup_chars = F.aggregate(
+        F.transform(
+            arr,
+            lambda l: F.when(
+                F.size(F.filter(arr, lambda x: x == l)) > 1, F.length(l)
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    total = F.aggregate(
+        F.transform(arr, lambda l: F.length(l)), F.lit(0), lambda acc, x: acc + x
+    )
+    return dup_chars.cast("double") / F.greatest(total, F.lit(1))
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition signals: duplicate line/paragraph fractions
+    (count- and character-weighted) and duplicate token fraction.
+
+    One projection, no shuffle. Line columns are staged with
+    ``withColumns`` before the HOF lambdas reference them — outer
+    expressions inside ``transform``/``aggregate`` lambdas re-evaluate
+    per element otherwise."""
+    staged = df.withColumns(
+        {
+            "_ln": doc_lines(F.col(text_col)),
+            "_pg": doc_paragraphs(F.col(text_col)),
+            "_tk": tokens(F.col(text_col)),
+        }
+    )
+    out = staged.withColumns(
+        {
+            "rep_dup_line_frac": _dup_frac(F.col("_ln")),
+            "rep_dup_line_char_frac": _dup_char_frac(F.col("_ln")),
+            "rep_dup_para_frac": _dup_frac(F.col("_pg")),
+            "rep_dup_para_char_frac": _dup_char_frac(F.col("_pg")),
+            "rep_dup_token_frac": _dup_frac(F.col("_tk")),
+        }
+    )
+    return out.drop("_ln", "_pg", "_tk")
+
+
+def top_token_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Most-frequent-token statistics per document: ``n_tokens``,
+    ``top_token_count`` and ``top_token_frac`` (count of the single most
+    frequent token / total tokens — the MassiveText "fraction of tokens in
+    the most common n-gram" signal at n=1).
+
+    Explode → groupBy(doc, token) → groupBy(doc). Partial aggregation
+    collapses per-partition token counts before the exchange, so shuffle
+    volume is O(distinct tokens per doc). Empty docs keep
+    ``top_token_frac = 0.0``."""
+    toks = df.select(
+        F.col(id_col),
+        # split("") yields [""] — drop empty tokens; explode_outer keeps
+        # the doc row (as null) so empty docs still appear with count 0
+        F.explode_outer(
+            F.filter(tokens(F.col(text_col)), lambda t: t != "")
+        ).alias("_tok"),
+    )
+    per_token = toks.groupBy(id_col, "_tok").agg(F.count("*").alias("_c"))
+    return (
+        per_token.groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("_tok").isNotNull(), F.col("_c")).otherwise(0)).alias(
+                "n_tokens"
+            ),
+            F.max(F.when(F.col("_tok").isNotNull(), F.col("_c")).otherwise(0)).alias(
+                "top_token_count"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("top_token_count").cast("long").alias("top_token_count"),
+            (
+                F.col("top_token_count").cast("double")
+                / F.greatest(F.col("n_tokens"), F.lit(1))
+            ).alias("top_token_frac"),
+        )
+    )
+
+
+# Published Gopher rule thresholds (Rae et al. 2021 §A1.1). Doc-length
+# bounds are deliberately NOT defaulted to the paper's 50..100k window so
+# the small synthetic corpus keeps non-trivial pass/fail mixes; pass the
+# paper values explicitly for production corpora.
+_BULLET_PREFIXES = ("- ", "* ", "•")
+
+
+def gopher_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_avg_word_len: float = 3.0,
+    max_avg_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Append one boolean column per Gopher rule plus the conjunction
+    ``gopher_keep``. Single projection, built-ins only."""
+    t = F.col(text_col)
+    staged = df.withColumns({"_tk": tokens(t), "_ln": doc_lines(t)})
+    tk, ln = F.col("_tk"), F.col("_ln")
+    n_words = F.size(tk)
+    n_chars_in_words = F.aggregate(
+        F.transform(tk, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    avg_word_len = n_chars_in_words.cast("double") / F.greatest(n_words, F.lit(1))
+    # symbols-per-word: '#' and ellipsis occurrences relative to word count
+    n_sym = (
+        F.length(t)
+        - F.length(F.regexp_replace(t, "#", ""))
+        + (F.length(t) - F.length(F.regexp_replace(t, "…", "")))
+        + (
+            (F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / F.lit(3)
+        ).cast("int")
+    )
+    def _is_bullet(l: Column) -> Column:
+        cond = l.startswith(_BULLET_PREFIXES[0])
+        for p in _BULLET_PREFIXES[1:]:
+            cond = cond | l.startswith(p)
+        return cond
+
+    bullet_frac = (
+        F.size(F.filter(ln, _is_bullet)).cast("double")
+        / F.greatest(F.size(ln), F.lit(1))
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(ln, lambda l: l.endswith("...") | l.endswith("…"))
+        ).cast("double")
+        / F.greatest(F.size(ln), F.lit(1))
+    )
+    alpha_frac = (
+        F.size(F.filter(tk, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+        / F.greatest(n_words, F.lit(1))
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(tk, lambda w: F.lower(w)),
+            F.array(*[F.lit(w) for w in STOPWORDS["en"]]),
+        )
+    )
+    flags = {
+        "g_word_count_ok": (n_words >= min_words) & (n_words <= max_words),
+        "g_avg_word_len_ok": (avg_word_len >= min_avg_word_len)
+        & (avg_word_len <= max_avg_word_len),
+        "g_symbol_ratio_ok": (
+            n_sym.cast("double") / F.greatest(n_words, F.lit(1))
+        )
+        <= max_symbol_word_ratio,
+        "g_bullet_ok": bullet_frac <= max_bullet_line_frac,
+        "g_ellipsis_ok": ellipsis_frac <= max_ellipsis_line_frac,
+        "g_alpha_ok": alpha_frac >= min_alpha_word_frac,
+        "g_stopword_ok": stop_hits >= min_stopword_hits,
+    }
+    out = staged.withColumns(flags)
+    keep = F.lit(True)
+    for name in flags:
+        keep = keep & F.col(name)
+    return out.withColumn("gopher_keep", keep).drop("_tk", "_ln")
+
+
+def gopher_filter(df: DataFrame, **kwargs) -> DataFrame:
+    """Rows surviving every Gopher rule, original columns only."""
+    flagged = gopher_flags(df, **kwargs)
+    extra = [c for c in flagged.columns if c.startswith("g_") or c == "gopher_keep"]
+    return flagged.filter(F.col("gopher_keep")).drop(*extra)

@@ -1,0 +1,105 @@
+"""Quality-filter operators: repetition stats and Gopher rules, checked
+against hand-computed expectations on synthetic multi-line documents (the
+driver corpus is single-line) plus smoke runs on real testdata."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from colnade_spark.operators import quality
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def multiline(spark):
+    # doc 1: 4 lines, "dup line" appears twice; one blank-line paragraph gap
+    # doc 2: no repetition at all
+    # doc 3: empty text
+    # doc 4: every token identical
+    return spark.createDataFrame(
+        [
+            (1, "dup line\nunique one\n\ndup line\nanother line"),
+            (2, "alpha beta\ngamma delta"),
+            (3, ""),
+            (4, "spam spam spam spam"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_repetition_stats_hand_checked(multiline):
+    out = {
+        r.doc_id: r
+        for r in quality.repetition_stats(multiline).collect()
+    }
+    # doc 1: 4 non-empty lines, one value duplicated -> (4-3)/4
+    assert out[1].rep_dup_line_frac == pytest.approx(1 / 4)
+    # chars in duplicated lines: "dup line" (8) * 2 of total 8+8+10+12=38
+    assert out[1].rep_dup_line_char_frac == pytest.approx(16 / 38)
+    # paragraphs: ["dup line\nunique one", "dup line\nanother line"] distinct
+    assert out[1].rep_dup_para_frac == 0.0
+    assert out[2].rep_dup_line_frac == 0.0
+    assert out[2].rep_dup_token_frac == 0.0
+    assert out[3].rep_dup_line_frac == 0.0  # empty: guarded, not NaN
+    assert out[4].rep_dup_token_frac == pytest.approx(3 / 4)
+
+
+def test_top_token_stats_hand_checked(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a c a"), (2, "x y"), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in quality.top_token_stats(df).collect()}
+    assert out[1].n_tokens == 5 and out[1].top_token_count == 3
+    assert out[1].top_token_frac == pytest.approx(3 / 5)
+    assert out[2].top_token_frac == pytest.approx(1 / 2)
+    # empty doc survives (explode_outer) with zero counts
+    assert out[3].n_tokens == 0 and out[3].top_token_frac == 0.0
+
+
+def test_top_token_stats_keeps_every_doc(docs):
+    out = quality.top_token_stats(docs)
+    assert out.count() == docs.count()
+    r = out.agg(F.min("top_token_frac"), F.max("top_token_frac")).first()
+    assert 0 < r[0] <= r[1] <= 1
+
+
+def test_gopher_flags_rules(spark):
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "with many other common words that keep the average length sane "
+        "while it is still long enough to clear the minimum word count "
+        "for this particular test of the gopher quality rule filters"
+    )
+    bullets = "- one\n- two\n- three\n- four"
+    symbols = "### ### ### " + good
+    df = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, symbols), (4, "tiny doc")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in quality.gopher_flags(df, min_words=40).collect()}
+    assert out[1].gopher_keep
+    assert not out[2].g_bullet_ok and not out[2].gopher_keep
+    assert not out[3].g_symbol_ratio_ok
+    assert not out[4].g_word_count_ok
+
+
+def test_gopher_filter_drops_flag_columns(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, "c d")], ["doc_id", "text"])
+    out = quality.gopher_filter(df, min_words=1, min_stopword_hits=0,
+                                min_avg_word_len=0.0, min_alpha_word_frac=0.0)
+    assert out.columns == ["doc_id", "text"]
+    assert out.count() == 2
+
+
+def test_gopher_flags_on_real_docs(docs):
+    # synthetic corpus vocabulary contains only one stopword ("the")
+    out = quality.gopher_flags(docs, min_words=10, min_stopword_hits=1)
+    n = out.count()
+    kept = out.filter("gopher_keep").count()
+    assert n == docs.count() and 0 < kept <= n
