@@ -25,7 +25,15 @@ from pyspark.sql import functions as F
 import colnade_spark as cs
 from colnade_spark.dtypes import Bool, Datetime, Decimal, Float64, Int32, Int64, Utf8
 from colnade_spark.expr import when
-from colnade_spark.operators import dedup, multimodal, quality, similarity, text
+from colnade_spark.operators import (
+    chunking,
+    dedup,
+    multimodal,
+    quality,
+    sampling,
+    similarity,
+    text,
+)
 from colnade_spark.schema import Column, Schema
 from colnade_spark.tpch import (
     Customer,
@@ -483,6 +491,44 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def chunk_windows(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Overlapping 32-token chunk windows (stride 24) over documents —
+    chunking.chunk_by_tokens, DuckDB-oracled."""
+    return chunking.chunk_by_tokens(
+        _docs(spark, sf_dir), chunk_size=32, overlap=8
+    )
+
+
+def hash_sample_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Deterministic 25% content-addressed sample — identical row set on
+    every engine (md5-gated, salt 's1')."""
+    return sampling.hash_sample(_docs(spark, sf_dir), 0.25, salt="s1").select(
+        "doc_id", "lang"
+    )
+
+
+def hash_split_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Deterministic train/val/test split (80/10/10 by key hash), counted
+    per label. Boundary thresholds accumulate in float exactly as the
+    operator does; the oracle embeds the same integers."""
+    out = sampling.hash_split(
+        _docs(spark, sf_dir), {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return (
+        out.groupBy("split")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .select("split", "n_docs")
+    )
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Exact k=20 docs per language by sampling-hash order — the
+    deterministic reservoir; one shuffle on the group column."""
+    return sampling.stratified_sample(_docs(spark, sf_dir), "lang", k=20).select(
+        "doc_id", "lang"
+    )
+
+
 def ann_bruteforce(spark: SparkSession, sf_dir: str) -> SparkDF:
     e = _embs(spark, sf_dir)
     q = e.filter(F.col("vec_id") < 8)
@@ -769,6 +815,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "repetition_profile": repetition_profile,
         "top_token_profile": top_token_profile,
         "gopher_rules": gopher_rules,
+        "chunk_windows": chunk_windows,
+        "hash_sample_ids": hash_sample_ids,
+        "hash_split_stats": hash_split_stats,
+        "stratified_sample_docs": stratified_sample_docs,
         "ann_bruteforce": ann_bruteforce,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
@@ -806,6 +856,20 @@ def _md5h(expr: str) -> str:
     """DuckDB twin of colnade_spark.operators.text.md5_hash60: top 15 hex
     digits of md5 as a BIGINT — identical value in both engines."""
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+# hash_split boundary thresholds, accumulated in float EXACTLY as
+# sampling.hash_split does (0.8 + 0.1 != 0.9 in IEEE754 — the oracle must
+# embed the same integers the operator computes)
+def _split_bounds(weights: list[float]) -> list[int]:
+    bounds, acc = [], 0.0
+    for w in weights[:-1]:
+        acc += w
+        bounds.append(int(acc * (1 << 60)))
+    return bounds
+
+
+_SPLIT_BOUNDS = _split_bounds([0.8, 0.1, 0.1])
 
 
 def _simhash_vote_sql(hs: str, n: str, bits: int = 60) -> str:
@@ -960,6 +1024,53 @@ def oracle_sql() -> dict[str, str]:
         "language_pred": f"""
             SELECT doc_id, list_max([{lang_structs}]).lang AS lang_pred
             FROM documents
+        """,
+        "chunk_windows": r"""
+            WITH s AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(text), '\s+'),
+                            x -> x != '') AS tk
+              FROM documents
+            ),
+            p AS (
+              SELECT doc_id, tk,
+                unnest(list_filter(range(0, greatest(len(tk), 1), 24),
+                       p -> p < len(tk))) AS st
+              FROM s
+            )
+            SELECT doc_id,
+              CAST(st // 24 AS BIGINT) AS chunk_id,
+              CAST(st AS BIGINT) AS chunk_start,
+              CAST(len(list_slice(tk, st + 1, st + 32)) AS BIGINT)
+                AS chunk_tokens,
+              array_to_string(list_slice(tk, st + 1, st + 32), ' ')
+                AS chunk_text
+            FROM p
+        """,
+        "hash_sample_ids": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {_md5h("CAST(doc_id AS VARCHAR) || 's1'")}
+              < {int(0.25 * (1 << 60))}
+        """,
+        "hash_split_stats": f"""
+            SELECT split, CAST(count(*) AS BIGINT) AS n_docs FROM (
+              SELECT CASE
+                WHEN {_md5h("CAST(doc_id AS VARCHAR)")} < {_SPLIT_BOUNDS[0]}
+                  THEN 'train'
+                WHEN {_md5h("CAST(doc_id AS VARCHAR)")} < {_SPLIT_BOUNDS[1]}
+                  THEN 'val'
+                ELSE 'test' END AS split
+              FROM documents
+            ) GROUP BY split
+        """,
+        "stratified_sample_docs": f"""
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang, row_number() OVER (
+                PARTITION BY lang
+                ORDER BY {_md5h("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC
+              ) AS rn
+              FROM documents
+            ) WHERE rn <= 20
         """,
         "repetition_profile": r"""
             WITH s AS (

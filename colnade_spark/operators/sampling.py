@@ -1,0 +1,94 @@
+"""Deterministic, reproducible sampling for training-data pipelines:
+hash-gated row sampling, train/val/test splitting, and exact per-group
+stratified sampling.
+
+Reference parity: the reference's ``sample`` (colnade dataframe op) is
+seeded-random; these operators are the *content-addressed* variants a
+large corpus pipeline needs — membership depends only on the key bytes,
+so re-runs, backfills, and incremental loads select identical rows
+without coordination. All three are built on the portable md5-derived
+60-bit hash (operators/text.md5_hash60), reproducible in any engine.
+
+Scale notes (100 TB):
+- ``hash_sample`` / ``hash_split`` are scan-speed filters/projections —
+  no shuffle, no UDF; the gate pushes into the scan stage.
+- ``stratified_sample`` is one shuffle keyed by the group column
+  (window row_number); skewed groups are bounded by k via
+  rank-pushdown (Spark translates the rank filter into a per-partition
+  top-k before the exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from colnade_spark.operators.text import md5_hash60
+
+__all__ = ["sample_hash", "hash_sample", "hash_split", "stratified_sample"]
+
+_HASH_SPACE = 1 << 60
+
+
+def sample_hash(key: Column, salt: str = "") -> Column:
+    """The 60-bit sampling hash: md5 of (key ∥ salt), top 15 hex digits
+    as a non-negative BIGINT. Uniform over [0, 2^60)."""
+    return md5_hash60(F.concat(key.cast("string"), F.lit(salt)))
+
+
+def hash_sample(
+    df: DataFrame, frac: float, key_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Keep rows whose sampling hash falls below ``frac`` of the hash
+    space. Deterministic in the key: the same rows survive on every run
+    and on every engine; disjoint salts give independent samples."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError("frac must be in [0, 1]")
+    threshold = int(frac * _HASH_SPACE)
+    return df.filter(sample_hash(F.col(key_col), salt) < F.lit(threshold))
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Append a deterministic split label (e.g. train/val/test) chosen by
+    the key's hash bucket; weights must sum to 1. Label boundaries are
+    cumulative-weight thresholds over the hash space, so every key maps
+    to exactly one label, stable across runs and engines."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    h = sample_hash(F.col(key_col), salt)
+    expr = None
+    acc = 0.0
+    *head, (last_label, _) = list(weights.items())
+    for label, w in head:
+        acc += w
+        bound = int(acc * _HASH_SPACE)
+        branch = F.when(h < F.lit(bound), F.lit(label))
+        expr = branch if expr is None else expr.when(h < F.lit(bound), F.lit(label))
+    expr = F.lit(last_label) if expr is None else expr.otherwise(F.lit(last_label))
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame, group_col: str, k: int, key_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Exactly ``min(k, group size)`` rows per group, chosen by sampling-
+    hash order (ties broken by the key) — a deterministic reservoir
+    sample. One shuffle on the group column; the rank filter becomes a
+    per-partition top-k before the exchange."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    w = Window.partitionBy(group_col).orderBy(
+        sample_hash(F.col(key_col), salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_ss_rn", F.row_number().over(w))
+        .filter(F.col("_ss_rn") <= k)
+        .drop("_ss_rn")
+    )

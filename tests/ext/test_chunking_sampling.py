@@ -1,0 +1,104 @@
+"""Chunking and deterministic-sampling operators: hand-checked window
+semantics, determinism across runs, split exhaustiveness, stratified
+exactness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from colnade_spark.operators import chunking, sampling
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+# ------------------------------------------------------------- chunking ----
+def test_chunk_windows_hand_checked(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x"), (3, "")], ["doc_id", "text"]
+    )
+    out = chunking.chunk_by_tokens(df, chunk_size=4, overlap=1)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    # doc 1: 7 tokens, stride 3 -> starts 0, 3, 6
+    assert rows[(1, 0)].chunk_text == "a b c d"
+    assert rows[(1, 1)].chunk_text == "d e f g"
+    assert rows[(1, 2)].chunk_text == "g" and rows[(1, 2)].chunk_tokens == 1
+    # doc 2: single short chunk; doc 3 (empty): no rows
+    assert rows[(2, 0)].chunk_text == "x"
+    assert {d for d, _ in rows} == {1, 2}
+
+
+def test_chunk_coverage_reconstructs_document(docs):
+    out = chunking.chunk_by_tokens(docs, chunk_size=16, overlap=0)
+    rebuilt = (
+        out.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            ).alias("joined")
+        )
+    )
+    orig = docs.select(
+        "doc_id", F.concat_ws(" ", F.split(F.trim("text"), r"\s+")).alias("norm")
+    )
+    diff = rebuilt.join(orig, "doc_id").filter(F.col("joined") != F.col("norm"))
+    assert diff.count() == 0
+
+
+def test_chunk_overlap_validates():
+    with pytest.raises(ValueError):
+        chunking.chunk_by_tokens(None, chunk_size=4, overlap=4)
+
+
+# ------------------------------------------------------------- sampling ----
+def test_hash_sample_deterministic_and_proportional(docs):
+    a = sampling.hash_sample(docs, 0.25, salt="s1")
+    b = sampling.hash_sample(docs, 0.25, salt="s1")
+    ids_a = {r.doc_id for r in a.select("doc_id").collect()}
+    ids_b = {r.doc_id for r in b.select("doc_id").collect()}
+    assert ids_a == ids_b
+    n = docs.count()
+    assert 0.15 * n < len(ids_a) < 0.35 * n
+    # nested: a 0.1 sample is a subset of the 0.25 sample (same salt)
+    ids_c = {
+        r.doc_id
+        for r in sampling.hash_sample(docs, 0.1, salt="s1").select("doc_id").collect()
+    }
+    assert ids_c <= ids_a
+
+
+def test_hash_sample_salt_independence(docs):
+    ids_1 = {r.doc_id for r in sampling.hash_sample(docs, 0.5, salt="a").collect()}
+    ids_2 = {r.doc_id for r in sampling.hash_sample(docs, 0.5, salt="b").collect()}
+    assert ids_1 != ids_2  # different salts select different rows
+
+
+def test_hash_split_exhaustive_and_stable(docs):
+    out = sampling.hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == docs.count()
+    assert counts["train"] > counts["val"]
+    with pytest.raises(ValueError):
+        sampling.hash_split(docs, {"a": 0.5, "b": 0.4})
+
+
+def test_stratified_sample_exact_k(docs):
+    out = sampling.stratified_sample(docs, "lang", k=5)
+    sizes = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    orig = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    for lang, n in sizes.items():
+        assert n == min(5, orig[lang])
+    # deterministic across runs
+    again = sampling.stratified_sample(docs, "lang", k=5)
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
