@@ -30,6 +30,7 @@ from colnade_spark.operators import (
     dedup,
     multimodal,
     quality,
+    redact,
     sampling,
     similarity,
     text,
@@ -529,6 +530,35 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def pii_redaction(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """PII scrub over documents. The synthetic corpus contains no PII, so
+    both engines inject the same deterministic email/URL/IP suffix from
+    doc_id before redacting — the oracle then checks the actual rule
+    behavior, not an identity map."""
+    d = _docs(spark, sf_dir)
+    injected = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or http://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".org/page or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ),
+    )
+    staged = injected.withColumn("_t", F.col("text"))
+    out = redact.redact_pii(staged, text_col="text", out_col="red_text")
+    return out.select(
+        "doc_id",
+        "red_text",
+        F.size(redact.extract_urls(F.col("_t"))).cast("long").alias("n_urls"),
+        F.get(redact.extract_domains(F.col("_t")), 0).alias("first_domain"),
+    )
+
+
 def ann_bruteforce(spark: SparkSession, sf_dir: str) -> SparkDF:
     e = _embs(spark, sf_dir)
     q = e.filter(F.col("vec_id") < 8)
@@ -819,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "hash_sample_ids": hash_sample_ids,
         "hash_split_stats": hash_split_stats,
         "stratified_sample_docs": stratified_sample_docs,
+        "pii_redaction": pii_redaction,
         "ann_bruteforce": ann_bruteforce,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
@@ -1024,6 +1055,28 @@ def oracle_sql() -> dict[str, str]:
         "language_pred": f"""
             SELECT doc_id, list_max([{lang_structs}]).lang AS lang_pred
             FROM documents
+        """,
+        "pii_redaction": r"""
+            WITH inj AS (
+              SELECT doc_id,
+                text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or http://site'
+                  || CAST(doc_id % 7 AS VARCHAR)
+                  || '.org/page or 10.0.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.1' AS t
+              FROM documents
+            )
+            SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+                'https?://[^\s]+', '<URL>', 'g'),
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+                '\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS red_text,
+              CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS BIGINT)
+                AS n_urls,
+              lower(regexp_extract(t, 'https?://([A-Za-z0-9.-]+)', 1))
+                AS first_domain
+            FROM inj
         """,
         "chunk_windows": r"""
             WITH s AS (

@@ -1,0 +1,65 @@
+"""PII redaction / URL extraction: pattern-by-pattern hand checks plus
+rule-ordering pins (URLs before phones so digit runs inside URLs never
+half-redact)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from colnade_spark.operators import redact
+
+
+@pytest.fixture(scope="module")
+def pii_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "mail me at john.doe+spam@example.co.uk today"),
+            (2, "call +1 (555) 123-4567 or 555 867 5309 now"),
+            (3, "server at 192.168.1.254 and 10.0.0.1:8080"),
+            (4, "see https://Sub.Example.org/a?b=1 and http://x.io"),
+            (5, "clean text with no pii at all"),
+            (6, "combo: a@b.com via http://c.de/f on 1.2.3.4 call 555-1234-999"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_redact_each_kind(pii_df):
+    out = {r.doc_id: r.text for r in redact.redact_pii(pii_df).collect()}
+    assert out[1] == "mail me at <EMAIL> today"
+    assert out[2] == "call <PHONE> or <PHONE> now"
+    assert out[3].startswith("server at <IP> and <IP>")
+    assert out[4] == "see <URL> and <URL>"
+    assert out[5] == "clean text with no pii at all"
+    assert "<EMAIL>" in out[6] and "<URL>" in out[6] and "<IP>" in out[6]
+
+
+def test_redact_out_col_preserves_original(pii_df):
+    out = redact.redact_pii(pii_df, out_col="clean")
+    r = out.filter("doc_id = 1").first()
+    assert "@example.co.uk" in r.text and "<EMAIL>" in r.clean
+
+
+def test_url_and_domain_extraction(pii_df):
+    r = pii_df.filter("doc_id = 4").select(
+        redact.extract_urls(F.col("text")).alias("u"),
+        redact.extract_domains(F.col("text")).alias("d"),
+    ).first()
+    assert r.u == ["https://Sub.Example.org/a?b=1", "http://x.io"]
+    assert r.d == ["sub.example.org", "x.io"]
+
+
+def test_domain_counts(pii_df):
+    counts = {r.domain: r.n_docs for r in redact.domain_counts(pii_df).collect()}
+    assert counts["x.io"] == 1 and counts["sub.example.org"] == 1
+    assert counts["c.de"] == 1
+
+
+def test_urls_redacted_before_phone_rule(spark):
+    # digits inside a URL must vanish with the URL, not become <PHONE>
+    df = spark.createDataFrame(
+        [(1, "go to http://site.com/12345678901 now")], ["doc_id", "text"]
+    )
+    out = redact.redact_pii(df).first().text
+    assert out == "go to <URL> now"
