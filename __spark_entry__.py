@@ -28,6 +28,7 @@ from colnade_spark.expr import when
 from colnade_spark.operators import (
     chunking,
     dedup,
+    embeddings,
     multimodal,
     quality,
     redact,
@@ -559,6 +560,36 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+# Fixed literal centroids for the cluster-assignment contract queries:
+# quarter-step values are exact in binary, so the literals embed
+# identically in Spark and DuckDB SQL.
+_CENTROIDS = [
+    [((((j * 31) + (d * 17)) % 7) - 3) / 4.0 for d in range(64)] for j in range(4)
+]
+
+
+def cluster_assignments(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Fixed-centroid cluster assignment over the embeddings table —
+    embeddings.cluster_assign with 4 literal centroids; dots rounded to
+    6dp before argmax so assignment is engine-stable."""
+    e = _embs(spark, sf_dir)
+    out = embeddings.cluster_assign(e, _CENTROIDS)
+    return out.select("vec_id", "cluster_id")
+
+
+def cluster_profile(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Per-cluster membership stats (count + min/max winning dot) —
+    order-independent aggregates only."""
+    e = _embs(spark, sf_dir)
+    out = embeddings.cluster_stats(e, _CENTROIDS)
+    return out.select(
+        "cluster_id",
+        "n_members",
+        F.round("min_sim", 6).alias("min_sim"),
+        F.round("max_sim", 6).alias("max_sim"),
+    )
+
+
 def ann_bruteforce(spark: SparkSession, sf_dir: str) -> SparkDF:
     e = _embs(spark, sf_dir)
     q = e.filter(F.col("vec_id") < 8)
@@ -850,6 +881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "hash_split_stats": hash_split_stats,
         "stratified_sample_docs": stratified_sample_docs,
         "pii_redaction": pii_redaction,
+        "cluster_assignments": cluster_assignments,
+        "cluster_profile": cluster_profile,
         "ann_bruteforce": ann_bruteforce,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
@@ -915,9 +948,18 @@ def _simhash_vote_sql(hs: str, n: str, bits: int = 60) -> str:
     return f"({terms})"
 
 
+def _centroid_sql(c: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in c) + "]::DOUBLE[]"
+
+
 def oracle_sql() -> dict[str, str]:
     toks = _TOKENS.format(col="text")
     toks_lower = _TOKENS.format(col="lower(text)")
+    cluster_structs = ", ".join(
+        "{'sim': round(list_inner_product(CAST(embedding AS DOUBLE[]), %s), 6),"
+        " 'cid': %d}" % (_centroid_sql(c), i)
+        for i, c in enumerate(_CENTROIDS)
+    )
     lang_structs = ", ".join(
         f"{{'score': {_stop_hits(lang, toks_lower)}, 'lang': '{lang}'}}"
         for lang in _STOP
@@ -1055,6 +1097,21 @@ def oracle_sql() -> dict[str, str]:
         "language_pred": f"""
             SELECT doc_id, list_max([{lang_structs}]).lang AS lang_pred
             FROM documents
+        """,
+        "cluster_assignments": f"""
+            SELECT vec_id,
+              CAST(list_max([{cluster_structs}]).cid AS BIGINT) AS cluster_id
+            FROM embeddings
+        """,
+        "cluster_profile": f"""
+            WITH a AS (
+              SELECT vec_id, list_max([{cluster_structs}]) AS b FROM embeddings
+            )
+            SELECT CAST(b.cid AS BIGINT) AS cluster_id,
+              CAST(count(*) AS BIGINT) AS n_members,
+              round(min(b.sim), 6) AS min_sim,
+              round(max(b.sim), 6) AS max_sim
+            FROM a GROUP BY b.cid
         """,
         "pii_redaction": r"""
             WITH inj AS (
