@@ -51,14 +51,17 @@ from colnade_spark.expr import dense_rank, lag, lead, lit, rank, row_number, whe
 from colnade_spark.io import (
     read_csv,
     read_json,
+    read_orc,
     read_parquet,
     read_table,
     scan_csv,
     scan_json,
+    scan_orc,
     scan_parquet,
     write_bucketed_table,
     write_csv,
     write_json,
+    write_orc,
     write_parquet,
 )
 from colnade_spark.schema import Column, Schema, mapped_from
@@ -110,10 +113,12 @@ __all__ = [
     "mapped_from",
     "read_csv",
     "read_json",
+    "read_orc",
     "read_table",
     "read_parquet",
     "scan_csv",
     "scan_json",
+    "scan_orc",
     "scan_parquet",
     "schema_check",
     "set_validation",
@@ -126,5 +131,6 @@ __all__ = [
     "write_bucketed_table",
     "write_csv",
     "write_json",
+    "write_orc",
     "write_parquet",
 ]

@@ -187,6 +187,44 @@ def write_json(
     frame.native.write.mode(mode).json(path)
 
 
+def read_orc(
+    path: str, schema: type[S], *, spark: SparkSession | None = None
+) -> DataFrame[S]:
+    """ORC source (EXTENSION — reference I/O is Parquet+CSV only). ORC
+    carries full logical types and column statistics, so the scan gets
+    the same predicate-pushdown/column-pruning treatment as Parquet."""
+    sp = _reader(spark, set())
+    data = sp.read.orc(path).select(*list(schema._columns))
+    out = DataFrame(data, schema)
+    _boundary_validate(out)
+    return out
+
+
+def scan_orc(
+    path: str, schema: type[S], *, spark: SparkSession | None = None
+) -> LazyFrame[S]:
+    sp = _reader(spark, set())
+    data = sp.read.orc(path).select(*list(schema._columns))
+    out = LazyFrame(data, schema)
+    _boundary_validate(out)
+    return out
+
+
+def write_orc(
+    frame: DataFrame | LazyFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str | Column] | None = None,
+) -> None:
+    writer = frame.native.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(
+            *[c if isinstance(c, str) else c.name for c in partition_by]
+        )
+    writer.orc(path)
+
+
 def write_parquet(
     frame: DataFrame | LazyFrame,
     path: str,

@@ -149,3 +149,41 @@ def test_json_round_trip(spark, sf_dir, tmp_path):
     a = sorted(tuple(r) for r in src.native.collect())
     b = sorted(tuple(r) for r in back.native.collect())
     assert a == b
+
+
+def test_orc_round_trip(spark, sf_dir, tmp_path):
+    import colnade_spark as cs
+
+    src = cs.read_parquet(table_path(sf_dir, "customer"), Customer, spark=spark)
+    path = str(tmp_path / "cust_orc")
+    cs.write_orc(src, path)
+    back = cs.read_orc(path, Customer, spark=spark)
+    assert back.height == src.height
+    a = sorted(tuple(r) for r in src.native.collect())
+    b = sorted(tuple(r) for r in back.native.collect())
+    assert a == b
+
+
+def test_orc_scan_pushdown(spark, sf_dir, tmp_path):
+    """Filters and projections must reach the ORC scan like parquet."""
+    import io as _io
+    import contextlib
+
+    import colnade_spark as cs
+
+    src = cs.read_parquet(table_path(sf_dir, "customer"), Customer, spark=spark)
+    path = str(tmp_path / "cust_orc_scan")
+    cs.write_orc(src, path)
+    lazy = cs.scan_orc(path, Customer, spark=spark)
+    f = lazy.filter(Customer.c_acctbal > 1000.0).select(
+        Customer.c_custkey, Customer.c_acctbal
+    )
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        f.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "c_acctbal" in pushed
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "c_custkey" in rs and "c_mktsegment" not in rs
