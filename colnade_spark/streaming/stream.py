@@ -177,6 +177,56 @@ class StreamFrame(Generic[S]):
         wrapped._watermark_col = self._watermark_col
         return wrapped
 
+    def drop_duplicates(self, *cols: Column | str) -> StreamFrame[S]:
+        """Streaming exact dedup on the given key columns (all columns if
+        none given). State grows with the number of DISTINCT keys ever
+        seen and never evicts — only safe for bounded key domains; for
+        content dedup at scale use
+        :meth:`drop_duplicates_within_watermark`."""
+        names = _names(cols) if cols else None
+        return self._wrap(
+            self._data.dropDuplicates(names) if names else self._data.dropDuplicates()
+        )
+
+    def drop_duplicates_within_watermark(
+        self, *cols: Column | str
+    ) -> StreamFrame[S]:
+        """Streaming dedup whose state EVICTS with the event-time
+        watermark: a duplicate arriving within the watermark delay of its
+        first occurrence is dropped; state for keys older than the
+        watermark is freed. This is the 100 TB streaming-ingest dedup —
+        state is O(keys per watermark window), not O(all keys ever).
+        Requires ``with_watermark`` first (enforced)."""
+        if self._watermark_col is None:
+            raise ValueError(
+                "drop_duplicates_within_watermark requires with_watermark() "
+                "first: without one the state store can never evict"
+            )
+        names = _names(cols) if cols else None
+        data = (
+            self._data.dropDuplicatesWithinWatermark(names)
+            if names
+            else self._data.dropDuplicatesWithinWatermark()
+        )
+        return self._wrap(data)
+
+    def group_agg(
+        self,
+        keys: tuple[Column | str, ...],
+        *aggs: AliasedExpr,
+    ) -> StreamFrame[Any]:
+        """Keyed streaming aggregation WITHOUT an event-time window —
+        running totals per key, emitted in update/complete mode. State is
+        one row per distinct key (bounded by the key domain, not the
+        stream length); use ``window_agg`` when keys are unbounded."""
+        group_cols = [F.col(k if isinstance(k, str) else k.name) for k in keys]
+        translated = [
+            _backend.translate_expr(a.expr).alias(a.out_name) for a in aggs
+        ]
+        out = StreamFrame(self._data.groupBy(*group_cols).agg(*translated), None)
+        out._watermark_col = self._watermark_col
+        return out
+
     # -- sinks -------------------------------------------------------------
     def to_memory_sink(
         self, name: str, *, output_mode: str = "append", available_now: bool = True

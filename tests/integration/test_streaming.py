@@ -118,3 +118,63 @@ def test_stream_sessionize_matches_batch(spark, sf_dir, events_stream):
     assert got, "no sessions emitted"
     assert got <= want, got - want
     assert len(got) >= len(want) * 0.5
+
+
+def test_stream_drop_duplicates_matches_batch_distinct(spark, sf_dir, events_stream):
+    sf = events_stream().drop_duplicates(Events.user_id)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _await(sf.to_memory_sink(name))
+    got = spark.table(name).select("user_id").distinct().count()
+    total = spark.table(name).count()
+    from colnade_spark import read_parquet
+
+    batch = read_parquet(table_path(sf_dir, "events"), Events, spark=spark)
+    want = batch.native.select("user_id").distinct().count()
+    assert got == total == want  # one row per user, each user once
+
+
+def test_stream_dedup_within_watermark_requires_watermark(events_stream):
+    with pytest.raises(ValueError):
+        events_stream().drop_duplicates_within_watermark(Events.user_id)
+
+
+def test_stream_dedup_within_watermark_drops_near_dups(spark, sf_dir, events_stream):
+    sf = (
+        events_stream()
+        .with_watermark(Events.ts, "2 hours")
+        .drop_duplicates_within_watermark(Events.user_id, Events.event_type)
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _await(sf.to_memory_sink(name))
+    got = spark.table(name).count()
+    from colnade_spark import read_parquet
+
+    batch = read_parquet(table_path(sf_dir, "events"), Events, spark=spark)
+    n_raw = batch.height
+    n_exact_distinct = batch.native.select("user_id", "event_type").distinct().count()
+    # watermark-bounded dedup removes SOME rows but cannot dedup harder
+    # than global distinct (duplicates far apart in event time survive)
+    assert n_exact_distinct <= got < n_raw
+
+
+def test_stream_group_agg_running_totals(spark, sf_dir, events_stream):
+    sf = events_stream().group_agg(
+        (Events.event_type,),
+        Events.value.sum().alias("sum_value"),
+        Events.event_id.count().alias("n"),
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _await(sf.to_memory_sink(name, output_mode="complete"))
+    got = {r.event_type: (round(r.sum_value, 6), r.n) for r in spark.table(name).collect()}
+    from pyspark.sql import functions as F
+
+    from colnade_spark import read_parquet
+
+    e = read_parquet(table_path(sf_dir, "events"), Events, spark=spark)
+    want = {
+        r.event_type: (round(r.s, 6), r.n)
+        for r in e.native.groupBy("event_type")
+        .agg(F.sum("value").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
