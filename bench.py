@@ -40,6 +40,12 @@ HEADLINE = [
     "ann_bruteforce",
     "ann_lsh",
     "image_features_stub",
+    "gopher_rules",
+    "top_token_profile",
+    "chunk_windows",
+    "pii_redaction",
+    "cluster_assignments",
+    "stratified_sample_docs",
 ]
 
 
