@@ -187,3 +187,28 @@ def test_orc_scan_pushdown(spark, sf_dir, tmp_path):
     assert "c_acctbal" in pushed
     rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "c_custkey" in rs and "c_mktsegment" not in rs
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """A filter on the partition column must prune directories at planning
+    time (PartitionFilters on the scan), not read-then-filter."""
+    import io as _io
+    import contextlib
+
+    import colnade_spark as cs
+    from colnade_spark.tpch import Orders
+
+    src = cs.read_parquet(table_path(sf_dir, "orders"), Orders, spark=spark)
+    path = str(tmp_path / "orders_part")
+    cs.write_parquet(src, path, partition_by=[Orders.o_orderpriority])
+    back = cs.scan_parquet(path, Orders, spark=spark)
+    f = back.filter(Orders.o_orderpriority == "1-URGENT")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        f.explain("formatted")
+    plan = buf.getvalue()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "o_orderpriority" in pf[0]
+    # and the result is right
+    want = src.filter(Orders.o_orderpriority == "1-URGENT").height
+    assert f.collect().height == want
