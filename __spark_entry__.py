@@ -29,6 +29,7 @@ from colnade_spark.operators import (
     chunking,
     dedup,
     embeddings,
+    funnel,
     multimodal,
     quality,
     redact,
@@ -819,6 +820,28 @@ def sessionize(spark: SparkSession, sf_dir: str) -> SparkDF:
     return sessions.sessionize_batch(e.native, gap_minutes=30)
 
 
+_FUNNEL_STEPS = ["signup", "view", "purchase"]
+
+
+def funnel_stages(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Per-user ordered funnel (signup → view → purchase, strictly
+    increasing event times) — operators.funnel, one user-keyed shuffle,
+    no self-joins."""
+    from colnade_spark.tpch import Events
+
+    e = _load(spark, sf_dir, "events", Events)
+    out = funnel.funnel_user_stages(e.native, _FUNNEL_STEPS)
+    return out.select("user_id", "t_1", "t_2", "t_3", "stage_reached")
+
+
+def funnel_summary(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Aggregate funnel reach counts per step."""
+    from colnade_spark.tpch import Events
+
+    e = _load(spark, sf_dir, "events", Events)
+    return funnel.funnel_counts(e.native, _FUNNEL_STEPS)
+
+
 def winnow_sketch(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Winnowing/bottom-k sketch with the portable md5-derived hash; the
     oracle recomputes every sketch row-by-row in DuckDB. h0/hx (first
@@ -900,6 +923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "sorted_tail": sorted_tail,
         "sessionize": sessionize,
         "winnow_sketch": winnow_sketch,
+        "funnel_stages": funnel_stages,
+        "funnel_summary": funnel_summary,
     }
 
 
@@ -1420,6 +1445,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        "funnel_stages": """
+            WITH u AS (
+              SELECT user_id, list({'ts': ts, 'et': event_type}) AS evs
+              FROM events GROUP BY user_id
+            ),
+            a AS (SELECT user_id, evs,
+                    list_min(list_transform(list_filter(evs,
+                      e -> e.et = 'signup'), e -> e.ts)) AS t_1 FROM u),
+            b AS (SELECT user_id, evs, t_1,
+                    list_min(list_transform(list_filter(evs,
+                      e -> e.et = 'view' AND e.ts > t_1), e -> e.ts)) AS t_2
+                  FROM a),
+            c AS (SELECT user_id, t_1, t_2,
+                    list_min(list_transform(list_filter(evs,
+                      e -> e.et = 'purchase' AND e.ts > t_2), e -> e.ts)) AS t_3
+                  FROM b)
+            SELECT user_id, t_1, t_2, t_3,
+              CAST(CASE WHEN t_3 IS NOT NULL THEN 3
+                        WHEN t_2 IS NOT NULL THEN 2
+                        WHEN t_1 IS NOT NULL THEN 1
+                        ELSE 0 END AS BIGINT) AS stage_reached
+            FROM c
+        """,
+        "funnel_summary": """
+            WITH u AS (
+              SELECT user_id, list({'ts': ts, 'et': event_type}) AS evs
+              FROM events GROUP BY user_id
+            ),
+            a AS (SELECT user_id, evs,
+                    list_min(list_transform(list_filter(evs,
+                      e -> e.et = 'signup'), e -> e.ts)) AS t_1 FROM u),
+            b AS (SELECT user_id, evs, t_1,
+                    list_min(list_transform(list_filter(evs,
+                      e -> e.et = 'view' AND e.ts > t_1), e -> e.ts)) AS t_2
+                  FROM a),
+            c AS (SELECT user_id, t_1, t_2,
+                    list_min(list_transform(list_filter(evs,
+                      e -> e.et = 'purchase' AND e.ts > t_2), e -> e.ts)) AS t_3
+                  FROM b)
+            SELECT * FROM (
+              SELECT CAST(1 AS BIGINT) AS step_index, 'signup' AS step,
+                     CAST(count(t_1) AS BIGINT) AS n_users FROM c
+              UNION ALL
+              SELECT CAST(2 AS BIGINT), 'view', CAST(count(t_2) AS BIGINT)
+              FROM c
+              UNION ALL
+              SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(t_3) AS BIGINT)
+              FROM c)
         """,
         "ann_bruteforce": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
