@@ -30,6 +30,7 @@ from colnade_spark.operators import (
     dedup,
     embeddings,
     funnel,
+    packing,
     multimodal,
     quality,
     redact,
@@ -820,6 +821,13 @@ def sessionize(spark: SparkSession, sf_dir: str) -> SparkDF:
     return sessions.sessionize_batch(e.native, gap_minutes=30)
 
 
+def pack_bins(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Chunk documents then pack chunks into 256-token offset bins across
+    8 md5-derived shards — per-bin fill stats (operators.packing)."""
+    chunks = chunking.chunk_by_tokens(_docs(spark, sf_dir), chunk_size=32, overlap=8)
+    return packing.pack_stats(chunks, budget=256, n_shards=8)
+
+
 _FUNNEL_STEPS = ["signup", "view", "purchase"]
 
 
@@ -925,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "winnow_sketch": winnow_sketch,
         "funnel_stages": funnel_stages,
         "funnel_summary": funnel_summary,
+        "pack_bins": pack_bins,
     }
 
 
@@ -1445,6 +1454,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        "pack_bins": f"""
+            WITH s AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x != '') AS tk
+              FROM documents
+            ),
+            ck AS (
+              SELECT doc_id,
+                CAST(st // 24 AS BIGINT) AS chunk_id,
+                CAST(len(list_slice(tk, st + 1, st + 32)) AS BIGINT)
+                  AS chunk_tokens
+              FROM (
+                SELECT doc_id, tk,
+                  unnest(list_filter(range(0, greatest(len(tk), 1), 24),
+                         p -> p < len(tk))) AS st
+                FROM s
+              )
+            ),
+            packed AS (
+              SELECT
+                {_md5h("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+                (sum(chunk_tokens) OVER (
+                   PARTITION BY {_md5h("CAST(doc_id AS VARCHAR)")} % 8
+                   ORDER BY doc_id, chunk_id
+                   ROWS UNBOUNDED PRECEDING) - chunk_tokens) // 256
+                  AS pack_id,
+                chunk_tokens
+              FROM ck
+            )
+            SELECT CAST(shard AS BIGINT) AS shard,
+              CAST(pack_id AS BIGINT) AS pack_id,
+              CAST(count(*) AS BIGINT) AS n_chunks,
+              CAST(sum(chunk_tokens) AS BIGINT) AS n_tokens
+            FROM packed GROUP BY shard, pack_id
         """,
         "funnel_stages": """
             WITH u AS (
