@@ -828,6 +828,27 @@ def pack_bins(spark: SparkSession, sf_dir: str) -> SparkDF:
     return packing.pack_stats(chunks, budget=256, n_shards=8)
 
 
+def grouped_quantiles(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Exact per-group quantiles (priority × {p25,p50,p75} of totalprice).
+    Exact percentile sorts within each group — oracle-checkable twin; at
+    100 TB use the approx_percentile path (grouped_quantiles_approx in
+    tests) which is one pass, mergeable sketches."""
+    o = _load(spark, sf_dir, "orders", Orders).native
+    q = F.percentile(
+        F.col("o_totalprice"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    )
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(q.alias("_q"))
+        .select(
+            "o_orderpriority",
+            F.round(F.get("_q", 0), 6).alias("q25"),
+            F.round(F.get("_q", 1), 6).alias("q50"),
+            F.round(F.get("_q", 2), 6).alias("q75"),
+        )
+    )
+
+
 _FUNNEL_STEPS = ["signup", "view", "purchase"]
 
 
@@ -934,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "funnel_stages": funnel_stages,
         "funnel_summary": funnel_summary,
         "pack_bins": pack_bins,
+        "grouped_quantiles": grouped_quantiles,
     }
 
 
@@ -1454,6 +1476,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        "grouped_quantiles": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.25), 6) AS q25,
+                   round(quantile_cont(o_totalprice, 0.5), 6) AS q50,
+                   round(quantile_cont(o_totalprice, 0.75), 6) AS q75
+            FROM orders GROUP BY o_orderpriority
         """,
         "pack_bins": f"""
             WITH s AS (

@@ -385,3 +385,26 @@ def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
         for r in similarity.ivf_topk(e, q, k=3, nlist=4, nprobe=4).collect()
     )
     assert full == exact  # nprobe == nlist probes everything → exact
+
+
+def test_grouped_quantiles_approx_tracks_exact(spark, sf_dir):
+    """The 100 TB path (approx_percentile, mergeable sketches) must track
+    the exact per-group percentile within the sketch accuracy."""
+    from colnade_spark import read_parquet
+    from colnade_spark.tpch import Orders, table_path
+
+    o = read_parquet(table_path(sf_dir, "orders"), Orders).native
+    exact = {
+        r.o_orderpriority: r.m
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.percentile("o_totalprice", 0.5).alias("m"))
+        .collect()
+    }
+    approx = {
+        r.o_orderpriority: r.m
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.percentile_approx("o_totalprice", 0.5, 10000).alias("m"))
+        .collect()
+    }
+    for k, v in exact.items():
+        assert abs(approx[k] - v) / max(abs(v), 1) < 0.02
