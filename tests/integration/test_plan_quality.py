@@ -75,3 +75,75 @@ def test_small_dim_chain_single_shuffle(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange" in line and "Broadcast" not in line:
             raise AssertionError(f"unexpected shuffle exchange: {line}\n{plan}")
+
+
+def _spark_plan(df) -> str:
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _n_shuffles(plan: str) -> int:
+    """Count shuffle Exchange operator DETAIL headers ('(n) Exchange') so
+    each node counts once (the tree rendering repeats the name)."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange\b", plan, flags=re.MULTILINE))
+
+
+def test_quality_ops_are_shuffle_free(spark, sf_dir):
+    """repetition/gopher/chunk/redact/cluster-assign must be pure narrow
+    projections: ZERO exchanges, scan-speed at any scale."""
+    from colnade_spark.operators import chunking, embeddings, quality, redact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [[0.25] * 64, [-0.25] * 64]
+    for df in (
+        quality.repetition_stats(docs),
+        quality.gopher_flags(docs),
+        chunking.chunk_by_tokens(docs, chunk_size=32, overlap=8),
+        redact.redact_pii(docs),
+        embeddings.cluster_assign(embs, cents),
+    ):
+        plan = _spark_plan(df)
+        assert _n_shuffles(plan) == 0, plan
+        # HOF lambda projections are JVM-interpreted (not codegen-fusable),
+        # which is fine; what must NEVER appear is row-at-a-time Python
+        assert "BatchEvalPython" not in plan, plan
+
+
+def test_sampling_filters_are_shuffle_free(spark, sf_dir):
+    from colnade_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for df in (
+        sampling.hash_sample(docs, 0.25),
+        sampling.hash_split(docs, {"a": 0.5, "b": 0.5}),
+    ):
+        assert _n_shuffles(_spark_plan(df)) == 0
+
+
+def test_single_shuffle_ops(spark, sf_dir):
+    """top-token / stratified / packing / funnel: exactly ONE exchange,
+    keyed by their partition column — no hidden second shuffle."""
+    from colnade_spark.operators import chunking, funnel, packing, quality, sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    e = read_parquet(
+        table_path(sf_dir, "events"),
+        __import__("colnade_spark.tpch", fromlist=["Events"]).Events,
+        spark=spark,
+    ).native
+    chunks = chunking.chunk_by_tokens(docs, chunk_size=32, overlap=8)
+    cases = [
+        (sampling.stratified_sample(docs, "lang", k=5), 1),
+        (packing.pack_chunks(chunks, budget=256), 1),
+        (funnel.funnel_user_stages(e, ["signup", "view"]), 1),
+        # explode -> (doc,token) agg -> (doc) agg: two-level = two exchanges
+        (quality.top_token_stats(docs), 2),
+    ]
+    for df, want in cases:
+        plan = _spark_plan(df)
+        assert _n_shuffles(plan) == want, (want, plan)
