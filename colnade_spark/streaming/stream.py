@@ -227,6 +227,43 @@ class StreamFrame(Generic[S]):
         out._watermark_col = self._watermark_col
         return out
 
+    def join_stream(
+        self,
+        other: StreamFrame[Any],
+        on,
+        *,
+        time_condition: str | None = None,
+        how: str = "inner",
+    ) -> StreamFrame[Any]:
+        """Stream-stream join. BOTH sides must carry an event-time
+        watermark (enforced): without them the join state grows without
+        bound. ``on`` is a typed cross-schema equality (JoinCondition);
+        ``time_condition`` is an optional raw SQL event-time range (e.g.
+        ``"r_ts BETWEEN l_ts AND l_ts + INTERVAL 1 HOUR"``) — with one,
+        Spark evicts state as the watermark passes the range; without
+        one, state is bounded only by the watermark delay on the keys.
+        Column names must be disjoint (pre-select/rename both sides);
+        outer variants additionally require the time bound per Spark's
+        stream-join semantics."""
+        if self._watermark_col is None or other._watermark_col is None:
+            raise ValueError(
+                "join_stream requires with_watermark() on BOTH sides: "
+                "stream-stream join state cannot evict otherwise"
+            )
+        left, right = self._data, other._data
+        # same collision policy as the batch backend: right side renames
+        # colliding columns to <name>__r before the join
+        rename = {n: f"{n}__r" for n in set(left.columns) & set(right.columns)}
+        right = right.withColumnsRenamed(rename) if rename else right
+        lname = on.left.name
+        rname = rename.get(on.right.name, on.right.name)
+        cond = left[lname] == right[rname]
+        if time_condition is not None:
+            cond = cond & F.expr(time_condition)
+        out = StreamFrame(left.join(right, cond, how), None)
+        out._watermark_col = self._watermark_col
+        return out
+
     # -- sinks -------------------------------------------------------------
     def to_memory_sink(
         self, name: str, *, output_mode: str = "append", available_now: bool = True

@@ -178,3 +178,52 @@ def test_stream_group_agg_running_totals(spark, sf_dir, events_stream):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, events_stream):
+    """click ⋈ purchase per user within +1 hour, both sides watermarked;
+    emitted pairs must equal the batch join on the same files."""
+    from pyspark.sql import functions as F
+
+    clicks = (
+        events_stream()
+        .filter(Events.event_type == "click")
+        .with_watermark(Events.ts, "2 hours")
+    )
+    buys = (
+        events_stream()
+        .filter(Events.event_type == "purchase")
+        .with_watermark(Events.ts, "2 hours")
+    )
+    joined = clicks.join_stream(
+        buys,
+        Events.user_id == Events.user_id,
+        time_condition="ts__r BETWEEN ts AND ts + INTERVAL 1 HOUR",
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _await(joined.to_memory_sink(name))
+    got = spark.table(name).count()
+
+    from colnade_spark import read_parquet
+
+    e = read_parquet(table_path(sf_dir, "events"), Events, spark=spark).native
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("cts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("pts")
+    )
+    want = c.join(
+        p,
+        (F.col("u") == F.col("u2"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+    ).count()
+    assert got == want and got > 0
+
+
+def test_stream_stream_join_requires_both_watermarks(events_stream):
+    clicks = events_stream().filter(Events.event_type == "click")
+    buys = events_stream().filter(Events.event_type == "purchase")
+    with pytest.raises(ValueError):
+        clicks.join_stream(buys, Events.user_id == Events.user_id)
