@@ -1,0 +1,83 @@
+"""Property tests for the pipeline operators: chunking/packing invariants
+on random documents, sampling partition laws.
+
+Pure-Python reference models are recomputed per example and compared
+exactly — these pin the SEMANTICS (coverage, ordering, determinism), the
+DuckDB oracles in __spark_entry__ pin cross-engine equivalence."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from colnade_spark.operators import chunking, packing, sampling
+
+common = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+words = st.text(alphabet="abc xy", min_size=0, max_size=40)
+docs_strategy = st.lists(words, min_size=1, max_size=12)
+
+
+@pytest.mark.usefixtures("spark")
+@common
+@given(texts=docs_strategy, size=st.integers(2, 8), overlap=st.integers(0, 3))
+def test_chunking_model(spark, texts, size, overlap):
+    if overlap >= size:
+        overlap = size - 1
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_start, r.chunk_tokens, r.chunk_text)
+        for r in chunking.chunk_by_tokens(
+            df, chunk_size=size, overlap=overlap
+        ).collect()
+    }
+    # pure-python model
+    stride = size - overlap
+    want = {}
+    for i, t in enumerate(texts):
+        toks = [w for w in t.split() if w]
+        for ci, start in enumerate(range(0, len(toks), stride)):
+            w = toks[start : start + size]
+            want[(i, ci)] = (start, len(w), " ".join(w))
+    assert got == want
+
+
+@pytest.mark.usefixtures("spark")
+@common
+@given(
+    sizes=st.lists(st.integers(1, 30), min_size=1, max_size=40),
+    budget=st.integers(5, 60),
+)
+def test_packing_model(spark, sizes, budget):
+    rows = [(0, i, n) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, ["doc_id", "chunk_id", "chunk_tokens"])
+    got = {
+        r.chunk_id: (r.pack_offset, r.pack_id)
+        for r in packing.pack_chunks(df, budget=budget, n_shards=1).collect()
+    }
+    off = 0
+    want = {}
+    for i, n in enumerate(sizes):
+        want[i] = (off, off // budget)
+        off += n
+    assert got == want
+
+
+@pytest.mark.usefixtures("spark")
+@common
+@given(frac=st.floats(0.0, 1.0), salt=st.sampled_from(["", "a", "bb"]))
+def test_hash_sample_is_prefix_stable(spark, frac, salt):
+    """The frac-sample equals the threshold-filter model, and smaller
+    fractions are strict subsets (same salt)."""
+    df = spark.createDataFrame([(i,) for i in range(60)], ["doc_id"])
+    ids = {r.doc_id for r in sampling.hash_sample(df, frac, salt=salt).collect()}
+    half = {r.doc_id for r in sampling.hash_sample(df, frac / 2, salt=salt).collect()}
+    assert half <= ids
+    assert len(ids) <= 60
