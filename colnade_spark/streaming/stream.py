@@ -278,6 +278,48 @@ class StreamFrame(Generic[S]):
             .start()
         )
 
+    def to_foreach_batch_sink(
+        self,
+        fn,
+        checkpoint: str,
+        *,
+        available_now: bool = True,
+    ):
+        """Arbitrary per-micro-batch sink: ``fn(batch_df, batch_id)``.
+        The checkpoint tracks committed batch ids, so after a crash the
+        same batch can be REDELIVERED — ``fn`` must be idempotent in
+        ``batch_id`` (see ``to_idempotent_parquet_sink`` for the canned
+        pattern)."""
+        w = (
+            self._data.writeStream.foreachBatch(fn)
+            .option("checkpointLocation", checkpoint)
+        )
+        if available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+    def to_idempotent_parquet_sink(
+        self,
+        path: str,
+        checkpoint: str,
+        *,
+        available_now: bool = True,
+    ):
+        """Exactly-once-style parquet sink: each micro-batch OVERWRITES
+        its own ``batch_id=<n>`` partition directory, so a redelivered
+        batch replaces itself instead of appending duplicates — the
+        standard foreachBatch transactional-by-batch-id pattern for
+        stores without atomic commit. Read the result with
+        ``spark.read.parquet(path)`` (batch_id appears as a partition
+        column)."""
+
+        def _write(batch_df: SparkDF, batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+        return self.to_foreach_batch_sink(
+            _write, checkpoint, available_now=available_now
+        )
+
     def to_parquet_sink(
         self,
         path: str,
