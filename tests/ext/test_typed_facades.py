@@ -1,0 +1,49 @@
+"""Typed operator facades: pipeline ops stay on the typed surface —
+schema-preserving ops keep the schema (and revalidate), schema-changing
+ops produce typed Chunks/PackedChunks frames with typed rows."""
+
+from __future__ import annotations
+
+import pytest
+
+from colnade_spark import read_parquet
+from colnade_spark.operators import typed
+from colnade_spark.tpch import Documents, table_path
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return read_parquet(table_path(sf_dir, "documents"), Documents, spark=spark)
+
+
+def test_schema_preserving_ops_keep_schema(docs):
+    kept = typed.gopher_filter(docs, min_words=10, min_stopword_hits=1)
+    assert kept.schema is Documents and 0 < kept.height <= docs.height
+    s = typed.hash_sample(docs, 0.25, salt="s1")
+    assert s.schema is Documents
+    st = typed.stratified_sample(docs, "lang", k=5)
+    assert st.schema is Documents
+    # typed column refs still guard after the op
+    assert kept.filter(Documents.n_chars > 0).height <= kept.height
+
+
+def test_dedup_facades_keep_full_rows(docs):
+    d1 = typed.dedup_exact(docs)
+    d2 = typed.dedup_minhash(docs, threshold=0.8)
+    assert d1.schema is Documents and d2.schema is Documents
+    assert 0 < d2.height <= d1.height <= docs.height
+    # full payload survived the join-back
+    r = d2.rows()[0]
+    assert isinstance(r.text, str) and r.text
+
+
+def test_chunk_and_pack_typed_outputs(docs):
+    chunks = typed.chunk_by_tokens(docs, chunk_size=32, overlap=8)
+    assert chunks.schema is typed.Chunks
+    row = chunks.sort(typed.Chunks.doc_id, typed.Chunks.chunk_id).rows()[0]
+    assert row.chunk_id == 0 and row.chunk_tokens > 0
+    packed = typed.pack_chunks(chunks, budget=256, n_shards=4)
+    assert packed.schema is typed.PackedChunks
+    assert packed.height == chunks.height
+    p = packed.rows()[0]
+    assert 0 <= p.shard < 4 and p.pack_offset >= 0
