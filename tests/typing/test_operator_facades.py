@@ -1,0 +1,50 @@
+"""Typed operator-facade type tests (mypy --strict / ty).
+
+Must produce zero type errors. The pipeline facades are generic in the
+schema for schema-preserving ops and pin concrete output schemas for
+schema-changing ops — verified here by assignability and attribute
+access on the returned frames' typed rows.
+"""
+
+from __future__ import annotations
+
+from colnade_spark import Column, DataFrame, Int64, Schema, Utf8
+from colnade_spark.operators import typed
+from colnade_spark.operators.typed import Chunks, PackedChunks
+
+
+class Corpus(Schema):
+    doc_id: Column[Int64]
+    text: Column[Utf8]
+    lang: Column[Utf8]
+
+
+def check_schema_preserving(frame: DataFrame[Corpus]) -> DataFrame[Corpus]:
+    # every schema-preserving facade returns the SAME frame type
+    kept: DataFrame[Corpus] = typed.gopher_filter(frame, min_words=10)
+    sampled: DataFrame[Corpus] = typed.hash_sample(kept, 0.5, salt="s")
+    strat: DataFrame[Corpus] = typed.stratified_sample(sampled, "lang", k=5)
+    d1: DataFrame[Corpus] = typed.dedup_exact(strat)
+    d2: DataFrame[Corpus] = typed.dedup_minhash(d1, threshold=0.8)
+    # typed column refs still valid on the result
+    return d2.filter(Corpus.doc_id > 0)
+
+
+def check_chunk_pack_types(frame: DataFrame[Corpus]) -> DataFrame[PackedChunks]:
+    chunks: DataFrame[Chunks] = typed.chunk_by_tokens(frame, chunk_size=64)
+    # typed column access on the pinned output schema
+    small = chunks.filter(Chunks.chunk_tokens > 0).sort(
+        Chunks.doc_id, Chunks.chunk_id
+    )
+    packed: DataFrame[PackedChunks] = typed.pack_chunks(small, budget=256)
+    return packed.filter(PackedChunks.pack_id >= 0)
+
+
+def check_typed_rows(chunks: DataFrame[Chunks]) -> list[str]:
+    # rows() yields typed dataclasses: attribute types flow
+    out: list[str] = []
+    for r in chunks.rows():
+        t: str = r.chunk_text
+        n: int = r.chunk_tokens
+        out.append(t if n > 0 else "")
+    return out
