@@ -1,11 +1,51 @@
 """Large-scale data-pipeline operators (extensions beyond reference parity):
 
 - ``dedup``: exact / fingerprint / MinHash-LSH / SimHash / n-gram Jaccard
-- ``similarity``: brute-force + LSH cosine top-k, embedding near-dups
+- ``similarity``: brute-force + LSH + IVF cosine top-k, embedding near-dups
 - ``text``: tokenization, quality scoring, language ID, fingerprints
+- ``quality``: repetition stats, top-token stats, Gopher rule filters
+- ``chunking`` / ``packing``: token-window chunks → shard-local budget bins
+- ``sampling``: deterministic hash sampling, splits, stratified sampling
+- ``redact``: PII redaction, URL/domain extraction
+- ``embeddings``: L2 normalize, fixed-centroid cluster assignment
+- ``funnel``: ordered-funnel analysis over event streams
+- ``sessions``: gap-based sessionization (batch + streaming state)
+- ``asof``: as-of joins
+- ``skew``: salted joins
 - ``multimodal``: binary media columns + Arrow-batched decode plumbing
+- ``typed``: typed-frame facades over the above
 """
 
-from colnade_spark.operators import dedup, multimodal, similarity, text
+from colnade_spark.operators import (
+    asof,
+    chunking,
+    dedup,
+    embeddings,
+    funnel,
+    multimodal,
+    packing,
+    quality,
+    redact,
+    sampling,
+    sessions,
+    similarity,
+    skew,
+    text,
+)
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = [
+    "asof",
+    "chunking",
+    "dedup",
+    "embeddings",
+    "funnel",
+    "multimodal",
+    "packing",
+    "quality",
+    "redact",
+    "sampling",
+    "sessions",
+    "similarity",
+    "skew",
+    "text",
+]
