@@ -470,6 +470,20 @@ def repetition_profile(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.round("rep_dup_line_char_frac", 6).alias("rep_dup_line_char_frac"),
         F.round("rep_dup_para_frac", 6).alias("rep_dup_para_frac"),
         F.round("rep_dup_token_frac", 6).alias("rep_dup_token_frac"),
+        F.round("rep_dup_2gram_frac", 6).alias("rep_dup_2gram_frac"),
+        F.round("rep_dup_3gram_frac", 6).alias("rep_dup_3gram_frac"),
+    )
+
+
+def top_ngram_profile(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Most-frequent word-bigram fraction per doc (MassiveText repetition
+    signal at n=2) — same one-shuffle shape as top_token_profile."""
+    out = quality.top_ngram_stats(_docs(spark, sf_dir), 2)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "top_ngram_count",
+        F.round("top_ngram_frac", 6).alias("top_ngram_frac"),
     )
 
 
@@ -927,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "language_pred": language_pred,
         "repetition_profile": repetition_profile,
         "top_token_profile": top_token_profile,
+        "top_ngram_profile": top_ngram_profile,
         "gopher_rules": gopher_rules,
         "chunk_windows": chunk_windows,
         "hash_sample_ids": hash_sample_ids,
@@ -1260,8 +1275,48 @@ def oracle_sql() -> dict[str, str]:
               round((len(pg) - len(list_distinct(pg)))::DOUBLE
                 / greatest(len(pg), 1), 6) AS rep_dup_para_frac,
               round((len(tk) - len(list_distinct(tk)))::DOUBLE
-                / greatest(len(tk), 1), 6) AS rep_dup_token_frac
-            FROM s
+                / greatest(len(tk), 1), 6) AS rep_dup_token_frac,
+              round((len(g2) - len(list_distinct(g2)))::DOUBLE
+                / greatest(len(g2), 1), 6) AS rep_dup_2gram_frac,
+              round((len(g3) - len(list_distinct(g3)))::DOUBLE
+                / greatest(len(g3), 1), 6) AS rep_dup_3gram_frac
+            FROM (
+              SELECT *,
+                list_transform(list_filter(range(0, greatest(len(tk) - 1, 1), 1),
+                    p -> p < len(tk) - 1),
+                  p -> array_to_string(list_slice(tk, p + 1, p + 2), ' ')) AS g2,
+                list_transform(list_filter(range(0, greatest(len(tk) - 2, 1), 1),
+                    p -> p < len(tk) - 2),
+                  p -> array_to_string(list_slice(tk, p + 1, p + 3), ' ')) AS g3
+              FROM s
+            )
+        """,
+        "top_ngram_profile": r"""
+            WITH s AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(text), '\s+'),
+                            x -> x != '') AS tk
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                unnest(list_transform(
+                  list_filter(range(0, greatest(len(tk) - 1, 1), 1),
+                              p -> p < len(tk) - 1),
+                  p -> array_to_string(list_slice(tk, p + 1, p + 2), ' ')))
+                  AS gram
+              FROM s
+            ),
+            c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY doc_id, gram),
+            a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS ng,
+                         CAST(max(n) AS BIGINT) AS tc
+                  FROM c GROUP BY doc_id)
+            SELECT d.doc_id,
+              coalesce(ng, 0) AS n_grams,
+              coalesce(tc, 0) AS top_ngram_count,
+              round(coalesce(tc, 0)::DOUBLE
+                / greatest(coalesce(ng, 0), 1), 6) AS top_ngram_frac
+            FROM documents d LEFT JOIN a USING (doc_id)
         """,
         "top_token_profile": r"""
             WITH t AS (

@@ -33,8 +33,10 @@ from colnade_spark.operators.text import STOPWORDS, token_count, tokens
 __all__ = [
     "doc_lines",
     "doc_paragraphs",
+    "word_ngrams",
     "repetition_stats",
     "top_token_stats",
+    "top_ngram_stats",
     "gopher_flags",
     "gopher_filter",
 ]
@@ -85,6 +87,19 @@ def _dup_char_frac(arr: Column) -> Column:
     return dup_chars.cast("double") / F.greatest(total, F.lit(1))
 
 
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams of a token array (space-joined strings). Sub-n docs
+    yield an empty array; guarded with F.filter over positions, not
+    F.when (CSE exclusion — see operators/text.char_ngrams)."""
+    positions = F.filter(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        lambda i: (i >= 0) & (i <= F.size(toks) - n),
+    )
+    return F.transform(
+        positions, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+
+
 def repetition_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -109,9 +124,48 @@ def repetition_stats(
             "rep_dup_para_frac": _dup_frac(F.col("_pg")),
             "rep_dup_para_char_frac": _dup_char_frac(F.col("_pg")),
             "rep_dup_token_frac": _dup_frac(F.col("_tk")),
+            # MassiveText-style duplicate word-n-gram fractions
+            "rep_dup_2gram_frac": _dup_frac(word_ngrams(F.col("_tk"), 2)),
+            "rep_dup_3gram_frac": _dup_frac(word_ngrams(F.col("_tk"), 3)),
         }
     )
     return out.drop("_ln", "_pg", "_tk")
+
+
+def top_ngram_stats(
+    df: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Most-frequent word-n-gram fraction per document (count-weighted):
+    ``n_grams``, ``top_ngram_count``, ``top_ngram_frac``. Same explode →
+    two-level agg shape as ``top_token_stats`` (one shuffle, map-side
+    combined); docs with fewer than n tokens appear with zero counts."""
+    grams = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            word_ngrams(F.filter(tokens(F.col(text_col)), lambda t: t != ""), n)
+        ).alias("_g"),
+    )
+    per_gram = grams.groupBy(id_col, "_g").agg(F.count("*").alias("_c"))
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("_g").isNotNull(), F.col("_c")).otherwise(0)).alias(
+                "n_grams"
+            ),
+            F.max(F.when(F.col("_g").isNotNull(), F.col("_c")).otherwise(0)).alias(
+                "top_ngram_count"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("top_ngram_count").cast("long").alias("top_ngram_count"),
+            (
+                F.col("top_ngram_count").cast("double")
+                / F.greatest(F.col("n_grams"), F.lit(1))
+            ).alias("top_ngram_frac"),
+        )
+    )
 
 
 def top_token_stats(

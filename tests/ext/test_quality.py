@@ -103,3 +103,26 @@ def test_gopher_flags_on_real_docs(docs):
     n = out.count()
     kept = out.filter("gopher_keep").count()
     assert n == docs.count() and 0 < kept <= n
+
+
+def test_word_ngrams_and_dup_fracs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y z"), (3, "w")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in quality.repetition_stats(df).collect()}
+    # doc 1 bigrams: [a b, b a, a b, b a] -> 2 dup of 4
+    assert out[1].rep_dup_2gram_frac == pytest.approx(2 / 4)
+    # doc 1 trigrams: [a b a, b a b, a b a] -> 1 dup of 3
+    assert out[1].rep_dup_3gram_frac == pytest.approx(1 / 3)
+    assert out[2].rep_dup_2gram_frac == 0.0
+    assert out[3].rep_dup_2gram_frac == 0.0  # sub-n doc: empty grams
+
+
+def test_top_ngram_stats_hand_checked(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "w")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in quality.top_ngram_stats(df, 2).collect()}
+    assert out[1].n_grams == 4 and out[1].top_ngram_count == 2
+    assert out[1].top_ngram_frac == pytest.approx(0.5)
+    assert out[2].n_grams == 0 and out[2].top_ngram_frac == 0.0
