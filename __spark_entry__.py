@@ -37,6 +37,7 @@ from colnade_spark.operators import (
     sampling,
     similarity,
     text,
+    tfidf,
 )
 from colnade_spark.schema import Column, Schema
 from colnade_spark.tpch import (
@@ -863,6 +864,18 @@ def grouped_quantiles(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Top-3 TF-IDF terms per doc (score desc, term asc — total order).
+    Two window exchanges + one broadcast of the 1-row corpus count."""
+    out = tfidf.top_terms(_docs(spark, sf_dir), k=3)
+    return out.select(
+        "doc_id",
+        F.col("rank").cast("long").alias("rank"),
+        "term",
+        F.round("tfidf", 6).alias("tfidf"),
+    )
+
+
 _FUNNEL_STEPS = ["signup", "view", "purchase"]
 
 
@@ -971,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "funnel_summary": funnel_summary,
         "pack_bins": pack_bins,
         "grouped_quantiles": grouped_quantiles,
+        "tfidf_top_terms": tfidf_top_terms,
     }
 
 
@@ -1531,6 +1545,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        "tfidf_top_terms": r"""
+            WITH t AS (
+              SELECT doc_id,
+                unnest(list_filter(
+                  regexp_split_to_array(trim(lower(text)), '\s+'),
+                  x -> x != '')) AS term
+              FROM documents
+            ),
+            c AS (SELECT doc_id, term, count(*) AS n FROM t
+                  GROUP BY doc_id, term),
+            s AS (
+              SELECT doc_id, term, n,
+                CAST(sum(n) OVER (PARTITION BY doc_id) AS DOUBLE) AS len,
+                CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS df,
+                (SELECT count(*) FROM documents)::DOUBLE AS nd
+              FROM c
+            ),
+            r AS (
+              SELECT doc_id, term,
+                (n::DOUBLE / len) * (ln((nd + 1) / (df + 1)) + 1) AS tfidf,
+                row_number() OVER (
+                  PARTITION BY doc_id
+                  ORDER BY (n::DOUBLE / len) * (ln((nd + 1) / (df + 1)) + 1)
+                             DESC,
+                           term ASC) AS rank
+              FROM s
+            )
+            SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+                   round(tfidf, 6) AS tfidf
+            FROM r WHERE rank <= 3
         """,
         "grouped_quantiles": """
             SELECT o_orderpriority,

@@ -1,0 +1,85 @@
+"""TF-IDF term weighting over a document corpus — the workhorse for
+rare-term filtering, keyword extraction, and cheap lexical relevance in
+training-data pipelines.
+
+Formulation: ``tf = count(term in doc) / len(doc)``,
+``idf = ln((N + 1) / (df + 1)) + 1`` (smoothed — terms in every doc get
+idf 1, unseen-term division never occurs), ``tfidf = tf · idf``.
+
+Scale notes (100 TB):
+- One explode → (doc, term) aggregation (map-side combined: shuffle
+  volume is distinct terms per doc, not tokens).
+- Doc length and term document-frequency come from WINDOW aggregations
+  over that same (doc, term) table — two exchanges total (doc-keyed,
+  term-keyed), no join-backs carrying payloads.
+- The corpus size N is a 1-row aggregate broadcast by a nested-loop
+  cross join (constant cost at any scale).
+- ``top_terms`` adds a doc-keyed rank; Spark plans the rank filter as a
+  per-partition top-k before the exchange (WindowGroupLimit).
+
+Reference parity: no counterpart in the reference repo — extension
+layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from colnade_spark.operators.text import tokens
+
+__all__ = ["tf_idf", "top_terms"]
+
+
+def tf_idf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-(doc, term) weights: ``(id, term, n, tf, idf, tfidf)``.
+    Tokens are lowercased whitespace words; empty docs contribute no
+    rows."""
+    terms = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(tokens(F.lower(F.col(text_col))), lambda t: t != "")
+        ).alias("term"),
+    )
+    counts = terms.groupBy(id_col, "term").agg(F.count("*").alias("n"))
+    w_doc = Window.partitionBy(id_col)
+    w_term = Window.partitionBy("term")
+    n_docs = df.select(F.count("*").cast("double").alias("_n_docs"))
+    scored = (
+        counts.withColumn("_len", F.sum("n").over(w_doc))
+        .withColumn("_df", F.count("*").over(w_term))
+        .crossJoin(F.broadcast(n_docs))
+    )
+    tf = F.col("n").cast("double") / F.col("_len")
+    idf = F.log((F.col("_n_docs") + 1.0) / (F.col("_df") + 1.0)) + 1.0
+    return scored.select(
+        F.col(id_col),
+        "term",
+        F.col("n").cast("long").alias("n"),
+        tf.alias("tf"),
+        idf.alias("idf"),
+        (tf * idf).alias("tfidf"),
+    )
+
+
+def top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k terms per document by TF-IDF (score desc, term asc — a
+    total order, so results are deterministic)."""
+    scored = tf_idf(df, id_col, text_col)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tfidf")
+    )
