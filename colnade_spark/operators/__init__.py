@@ -8,6 +8,7 @@
 - ``sampling``: deterministic hash sampling, splits, stratified sampling
 - ``redact``: PII redaction, URL/domain extraction
 - ``embeddings``: L2 normalize, fixed-centroid cluster assignment
+- ``tfidf``: smoothed TF-IDF weights, top-k terms per document
 - ``funnel``: ordered-funnel analysis over event streams
 - ``sessions``: gap-based sessionization (batch + streaming state)
 - ``asof``: as-of joins
@@ -31,6 +32,7 @@ from colnade_spark.operators import (
     similarity,
     skew,
     text,
+    tfidf,
 )
 
 __all__ = [
@@ -48,4 +50,5 @@ __all__ = [
     "similarity",
     "skew",
     "text",
+    "tfidf",
 ]
