@@ -46,6 +46,9 @@ HEADLINE = [
     "pii_redaction",
     "cluster_assignments",
     "stratified_sample_docs",
+    "tfidf_top_terms",
+    "funnel_summary",
+    "pack_bins",
 ]
 
 
