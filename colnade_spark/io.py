@@ -231,8 +231,18 @@ def write_parquet(
     *,
     mode: str = "overwrite",
     partition_by: list[str | Column] | None = None,
+    sort_by: list[str | Column] | None = None,
 ) -> None:
-    writer = frame.native.write.mode(mode)
+    """``sort_by`` sorts WITHIN each output task before writing: parquet
+    row-group min/max statistics then become selective, so point/range
+    filters on the sort key skip row groups at scan time — the cheap
+    data-layout lever when full partitioning is too coarse."""
+    data = frame.native
+    if sort_by:
+        data = data.sortWithinPartitions(
+            *[c if isinstance(c, str) else c.name for c in sort_by]
+        )
+    writer = data.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(
             *[c if isinstance(c, str) else c.name for c in partition_by]

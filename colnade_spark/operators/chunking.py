@@ -36,8 +36,10 @@ def chunk_by_tokens(
     sequence and a filter guard (``F.sequence`` with a positive step
     raises on empty ranges, and conditional ``F.when`` guards defeat
     common-subexpression elimination — see operators/text.char_ngrams)."""
-    if overlap >= chunk_size:
-        raise ValueError("overlap must be smaller than chunk_size")
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_size")
+    if chunk_size <= 0:
+        raise ValueError("chunk_size must be positive")
     stride = chunk_size - overlap
     staged = df.withColumn(
         "_ck_toks", F.filter(tokens(F.col(text_col)), lambda t: t != "")

@@ -212,3 +212,22 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     # and the result is right
     want = src.filter(Orders.o_orderpriority == "1-URGENT").height
     assert f.collect().height == want
+
+
+def test_sorted_write_produces_sorted_row_groups(spark, sf_dir, tmp_path):
+    """sort_by layout: every parquet file's c_custkey column is
+    non-decreasing, so row-group min/max stats are selective."""
+    import glob
+
+    import pyarrow.parquet as pq_
+
+    import colnade_spark as cs
+
+    src = cs.read_parquet(table_path(sf_dir, "customer"), Customer, spark=spark)
+    path = str(tmp_path / "cust_sorted")
+    cs.write_parquet(src, path, sort_by=[Customer.c_custkey])
+    files = glob.glob(f"{path}/*.parquet")
+    assert files
+    for f in files:
+        col = pq_.read_table(f, columns=["c_custkey"])["c_custkey"].to_pylist()
+        assert col == sorted(col)
