@@ -42,7 +42,10 @@ def chunk_by_tokens(
         raise ValueError("chunk_size must be positive")
     stride = chunk_size - overlap
     staged = df.withColumn(
-        "_ck_toks", F.filter(tokens(F.col(text_col)), lambda t: t != "")
+        "_ck_toks",
+        F.filter(
+            tokens(F.coalesce(F.col(text_col), F.lit(""))), lambda t: t != ""
+        ),
     )
     n = F.size(F.col("_ck_toks"))
     starts = F.filter(

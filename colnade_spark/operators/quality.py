@@ -110,11 +110,12 @@ def repetition_stats(
     ``withColumns`` before the HOF lambdas reference them — outer
     expressions inside ``transform``/``aggregate`` lambdas re-evaluate
     per element otherwise."""
+    t = F.coalesce(F.col(text_col), F.lit(""))  # null text ≡ empty doc
     staged = df.withColumns(
         {
-            "_ln": doc_lines(F.col(text_col)),
-            "_pg": doc_paragraphs(F.col(text_col)),
-            "_tk": tokens(F.col(text_col)),
+            "_ln": doc_lines(t),
+            "_pg": doc_paragraphs(t),
+            "_tk": tokens(t),
         }
     )
     out = staged.withColumns(
@@ -142,7 +143,13 @@ def top_ngram_stats(
     grams = df.select(
         F.col(id_col),
         F.explode_outer(
-            word_ngrams(F.filter(tokens(F.col(text_col)), lambda t: t != ""), n)
+            word_ngrams(
+                F.filter(
+                    tokens(F.coalesce(F.col(text_col), F.lit(""))),
+                    lambda t: t != "",
+                ),
+                n,
+            )
         ).alias("_g"),
     )
     per_gram = grams.groupBy(id_col, "_g").agg(F.count("*").alias("_c"))
@@ -185,7 +192,9 @@ def top_token_stats(
         # split("") yields [""] — drop empty tokens; explode_outer keeps
         # the doc row (as null) so empty docs still appear with count 0
         F.explode_outer(
-            F.filter(tokens(F.col(text_col)), lambda t: t != "")
+            F.filter(
+                tokens(F.coalesce(F.col(text_col), F.lit(""))), lambda t: t != ""
+            )
         ).alias("_tok"),
     )
     per_token = toks.groupBy(id_col, "_tok").agg(F.count("*").alias("_c"))
@@ -234,7 +243,7 @@ def gopher_flags(
 ) -> DataFrame:
     """Append one boolean column per Gopher rule plus the conjunction
     ``gopher_keep``. Single projection, built-ins only."""
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))  # null text ≡ empty doc
     staged = df.withColumns({"_tk": tokens(t), "_ln": doc_lines(t)})
     tk, ln = F.col("_tk"), F.col("_ln")
     n_words = F.size(tk)

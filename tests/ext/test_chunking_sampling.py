@@ -102,3 +102,9 @@ def test_stratified_sample_exact_k(docs):
     # deterministic across runs
     again = sampling.stratified_sample(docs, "lang", k=5)
     assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
+
+
+def test_chunk_null_text_yields_no_chunks(spark):
+    df = spark.createDataFrame([(1, None), (2, "a b")], ["doc_id", "text"])
+    out = chunking.chunk_by_tokens(df, chunk_size=4)
+    assert {r.doc_id for r in out.collect()} == {2}

@@ -126,3 +126,13 @@ def test_top_ngram_stats_hand_checked(spark):
     assert out[1].n_grams == 4 and out[1].top_ngram_count == 2
     assert out[1].top_ngram_frac == pytest.approx(0.5)
     assert out[2].n_grams == 0 and out[2].top_ngram_frac == 0.0
+
+
+def test_null_text_treated_as_empty(spark):
+    df = spark.createDataFrame([(1, None), (2, "a b a")], ["doc_id", "text"])
+    rep = {r.doc_id: r for r in quality.repetition_stats(df).collect()}
+    assert rep[1].rep_dup_line_frac == 0.0 and rep[1].rep_dup_token_frac == 0.0
+    top = {r.doc_id: r for r in quality.top_token_stats(df).collect()}
+    assert top[1].n_tokens == 0
+    flags = {r.doc_id: r for r in quality.gopher_flags(df).collect()}
+    assert flags[1].gopher_keep is False  # not null
