@@ -297,6 +297,108 @@ def minhash_candidate_pairs(
     )
 
 
+def minhash_cross_pairs(
+    sig_new: DataFrame,
+    sig_old: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 96,
+    bands: int = 16,
+) -> DataFrame:
+    """LSH candidate pairs BETWEEN two signature tables (a new batch vs
+    an existing corpus): ``(id_new, id_old, est_jaccard)``.
+
+    Same sketch-only shape as the self-join variant: band rows carry
+    (id, band, bhash) only, pairs dedupe before the signatures join back
+    once per unique pair. At 100 TB the corpus side's banded rows are a
+    stable precomputable table — incremental ingest only shuffles the new
+    batch's bands against it."""
+    rows = num_hashes // bands
+
+    def _banded(sig_df: DataFrame, out_id: str) -> DataFrame:
+        return sig_df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            F.xxhash64(
+                                F.slice(
+                                    F.col("_sig"), bi * rows + 1, rows
+                                ).cast("string")
+                            ).alias("bhash"),
+                        )
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(out_id, F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+
+    sig_new = sig_new.select(id_col, "_sig").repartition(F.col(id_col))
+    sig_old = sig_old.select(id_col, "_sig")
+    pair_ids = (
+        _banded(sig_new, "id_new")
+        .join(_banded(sig_old, "id_old"), ["band", "bhash"])
+        .select("id_new", "id_old")
+        .distinct()
+    )
+    sa = sig_new.select(F.col(id_col).alias("id_new"), F.col("_sig").alias("_sa"))
+    sb = sig_old.select(F.col(id_col).alias("id_old"), F.col("_sig").alias("_sb"))
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("_sa"), F.col("_sb"), lambda a, b: F.when(a == b, 1).otherwise(0)
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / F.lit(num_hashes)
+    )
+    return (
+        pair_ids.join(sa, "id_new")
+        .join(sb, "id_old")
+        .select("id_new", "id_old", est.alias("est_jaccard"))
+    )
+
+
+def dedup_minhash_incremental(
+    new_df: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 96,
+    bands: int = 16,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Continuous-ingest near-dedup: from a NEW batch, keep ids that are
+    (a) not near-duplicates of the EXISTING corpus (``corpus_sigs`` =
+    persisted ``minhash_signatures`` output, same parameters) and
+    (b) not near-duplicates of a smaller id within the batch itself.
+
+    Returns ``(id, _sig)`` for the survivors so the caller can append
+    them to the signature store — the corpus is never re-sketched."""
+    sigs = minhash_signatures(new_df, id_col, text_col, num_hashes, shingle_k, seed)
+    vs_corpus = (
+        minhash_cross_pairs(sigs, corpus_sigs, id_col, num_hashes, bands)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("id_new").alias(id_col))
+        .distinct()
+    )
+    within = minhash_candidate_pairs(sigs, id_col, num_hashes, bands)
+    dup_within = (
+        within.filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        sigs.select(id_col, "_sig")
+        .join(vs_corpus, id_col, "left_anti")
+        .join(dup_within, id_col, "left_anti")
+    )
+
+
 def dedup_minhash(
     df: DataFrame,
     id_col: str = "doc_id",

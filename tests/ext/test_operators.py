@@ -408,3 +408,34 @@ def test_grouped_quantiles_approx_tracks_exact(spark, sf_dir):
     }
     for k, v in exact.items():
         assert abs(approx[k] - v) / max(abs(v), 1) < 0.02
+
+
+def test_dedup_minhash_incremental(spark):
+    """New-batch docs that near-duplicate the existing corpus are dropped;
+    within-batch near-dups keep only the smallest id; novel docs survive
+    with appendable signatures."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "falls gently on the quiet green meadow near the old stone bridge"
+    )
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different text about spark query engines "
+                        "processing massive distributed datasets every day")],
+        ["doc_id", "text"],
+    )
+    corpus_sigs = dedup.minhash_signatures(corpus, num_hashes=96)
+    new = spark.createDataFrame(
+        [
+            (10, base + " extra"),             # near-dup of corpus doc 1
+            (11, "a genuinely novel document describing mountain hiking "
+                 "trails and alpine weather patterns in great detail"),
+            (12, "a genuinely novel document describing mountain hiking "
+                 "trails and alpine weather patterns in great detaill"),  # dup of 11
+        ],
+        ["doc_id", "text"],
+    )
+    out = dedup.dedup_minhash_incremental(new, corpus_sigs, threshold=0.7)
+    survivors = {r.doc_id for r in out.collect()}
+    assert survivors == {11}
+    # signature column is appendable to the store
+    assert out.columns == ["doc_id", "_sig"]
