@@ -81,3 +81,53 @@ def test_hash_sample_is_prefix_stable(spark, frac, salt):
     half = {r.doc_id for r in sampling.hash_sample(df, frac / 2, salt=salt).collect()}
     assert half <= ids
     assert len(ids) <= 60
+
+
+@pytest.mark.usefixtures("spark")
+@common
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 5),                      # user
+            st.integers(0, 50),                     # hour offset
+            st.sampled_from(["a", "b", "c", "x"]),  # type
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_funnel_model(spark, events):
+    from datetime import datetime, timedelta
+
+    from colnade_spark.operators import funnel
+
+    base = datetime(2024, 1, 1)
+    rows = [(u, base + timedelta(hours=h), t) for u, h, t in events]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {
+        r.user_id: (r.t_1, r.t_2, r.t_3, r.stage_reached)
+        for r in funnel.funnel_user_stages(df, ["a", "b", "c"]).collect()
+    }
+    # pure-python model: earliest completion, strictly increasing
+    want = {}
+    by_user = {}
+    for u, ts, t in rows:
+        by_user.setdefault(u, []).append((ts, t))
+    for u, evs in by_user.items():
+        prev = None
+        stages = []
+        for step in ["a", "b", "c"]:
+            cands = [
+                ts for ts, t in evs
+                if t == step and (prev is None or ts > prev)
+            ]
+            cur = min(cands) if cands else None
+            prev = cur
+            stages.append(cur)
+            if cur is None:
+                stages.extend([None] * (2 - len(stages) + 1))
+                break
+        stages = (stages + [None, None, None])[:3]
+        reached = sum(1 for s in stages if s is not None)
+        want[u] = (stages[0], stages[1], stages[2], reached)
+    assert got == want
