@@ -876,6 +876,38 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Corpus-wide vocabulary head: top-50 terms by total count (count
+    desc, term asc — total order). Explode → map-side-combined agg →
+    TakeOrderedAndProject; shuffle volume is the distinct vocabulary."""
+    d = _docs(spark, sf_dir)
+    terms = d.select(
+        F.explode(
+            F.filter(text.tokens(F.lower(F.col("text"))), lambda t: t != "")
+        ).alias("term")
+    )
+    return (
+        terms.groupBy("term")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(50)
+    )
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Document length distribution: 10 fixed-width char buckets over
+    [0, 1000). One tiny aggregation — the corpus-profiling staple."""
+    d = _docs(spark, sf_dir)
+    bucket = F.least(
+        F.floor(F.length("text") / F.lit(100)), F.lit(9)
+    ).cast("long")
+    return (
+        d.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
 _FUNNEL_STEPS = ["signup", "view", "purchase"]
 
 
@@ -985,6 +1017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "pack_bins": pack_bins,
         "grouped_quantiles": grouped_quantiles,
         "tfidf_top_terms": tfidf_top_terms,
+        "vocab_top_terms": vocab_top_terms,
+        "doc_length_histogram": doc_length_histogram,
     }
 
 
@@ -1576,6 +1610,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
                    round(tfidf, 6) AS tfidf
             FROM r WHERE rank <= 3
+        """,
+        "vocab_top_terms": r"""
+            SELECT term, CAST(count(*) AS BIGINT) AS n FROM (
+              SELECT unnest(list_filter(
+                regexp_split_to_array(trim(lower(text)), '\s+'),
+                x -> x != '')) AS term
+              FROM documents
+            ) GROUP BY term
+            ORDER BY n DESC, term ASC LIMIT 50
+        """,
+        "doc_length_histogram": """
+            SELECT CAST(least(length(text) // 100, 9) AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY bucket
         """,
         "grouped_quantiles": """
             SELECT o_orderpriority,
