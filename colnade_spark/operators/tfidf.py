@@ -49,9 +49,12 @@ def tf_idf(
     w_doc = Window.partitionBy(id_col)
     w_term = Window.partitionBy("term")
     n_docs = df.select(F.count("*").cast("double").alias("_n_docs"))
+    # term window FIRST, doc window LAST: downstream doc-keyed consumers
+    # (top_terms' rank window) then reuse the doc partitioning instead of
+    # adding a fourth exchange
     scored = (
-        counts.withColumn("_len", F.sum("n").over(w_doc))
-        .withColumn("_df", F.count("*").over(w_term))
+        counts.withColumn("_df", F.count("*").over(w_term))
+        .withColumn("_len", F.sum("n").over(w_doc))
         .crossJoin(F.broadcast(n_docs))
     )
     tf = F.col("n").cast("double") / F.col("_len")
