@@ -41,7 +41,9 @@ def hash_sample(
 ) -> DataFrame:
     """Keep rows whose sampling hash falls below ``frac`` of the hash
     space. Deterministic in the key: the same rows survive on every run
-    and on every engine; disjoint salts give independent samples."""
+    and on every engine; disjoint salts give independent samples.
+    NULL keys hash to NULL and are dropped (sampling requires an
+    identity; filter nulls upstream if they must be kept)."""
     if not 0.0 <= frac <= 1.0:
         raise ValueError("frac must be in [0, 1]")
     threshold = int(frac * _HASH_SPACE)
