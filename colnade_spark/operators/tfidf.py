@@ -47,13 +47,19 @@ def tf_idf(
     )
     counts = terms.groupBy(id_col, "term").agg(F.count("*").alias("n"))
     w_doc = Window.partitionBy(id_col)
-    w_term = Window.partitionBy("term")
     n_docs = df.select(F.count("*").cast("double").alias("_n_docs"))
-    # term window FIRST, doc window LAST: downstream doc-keyed consumers
-    # (top_terms' rank window) then reuse the doc partitioning instead of
-    # adding a fourth exchange
+    # Document frequency via groupBy + join, NOT a term-partitioned
+    # window: a window puts EVERY row of a hot term ("the" = the whole
+    # corpus) into one partition with no partial aggregation — a
+    # guaranteed straggler at scale. The groupBy partial-aggregates the
+    # skew away map-side, and the resulting (term, df) table is
+    # vocabulary-sized, so AQE broadcasts it — the term-keyed exchange of
+    # the big table disappears entirely. The doc window stays (per-doc
+    # partitions are bounded by distinct terms per doc) and its
+    # partitioning is reused by top_terms' rank window.
+    dfreq = counts.groupBy("term").agg(F.count("*").alias("_df"))
     scored = (
-        counts.withColumn("_df", F.count("*").over(w_term))
+        counts.join(dfreq, "term")
         .withColumn("_len", F.sum("n").over(w_doc))
         .crossJoin(F.broadcast(n_docs))
     )
