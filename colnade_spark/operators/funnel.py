@@ -38,15 +38,25 @@ def funnel_user_stages(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_events_per_user: int | None = None,
 ) -> DataFrame:
     """Per-user funnel progression: ``t_1..t_k`` (earliest completion
     time of each step, null once the funnel breaks) and
-    ``stage_reached`` (number of completed steps, 0..k)."""
+    ``stage_reached`` (number of completed steps, 0..k).
+
+    ``max_events_per_user`` caps each user's sorted event array at the N
+    EARLIEST events before step evaluation — bounds per-user state
+    against bot-like users with millions of events (their funnel is then
+    evaluated on the earliest window, which is where funnels complete)."""
     if not steps:
         raise ValueError("steps must be non-empty")
     evs = F.array_sort(
         F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("et")))
     )
+    if max_events_per_user is not None:
+        if max_events_per_user <= 0:
+            raise ValueError("max_events_per_user must be positive")
+        evs = F.slice(evs, 1, max_events_per_user)
     out = df.groupBy(user_col).agg(evs.alias("_evs"))
     prev: Column | None = None
     for i, step in enumerate(steps, start=1):

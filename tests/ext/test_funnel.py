@@ -71,3 +71,16 @@ def test_funnel_on_real_events(spark, sf_dir):
 def test_funnel_empty_steps_raises(ev):
     with pytest.raises(ValueError):
         funnel.funnel_user_stages(ev, [])
+
+
+def test_funnel_event_cap(spark):
+    # user 1: click arrives only after 4 events; cap at 2 hides it
+    rows = [(1, _ts(1), "view"), (1, _ts(2), "x"), (1, _ts(3), "x"), (1, _ts(4), "click")]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    full = funnel.funnel_user_stages(ev, ["view", "click"]).first()
+    capped = funnel.funnel_user_stages(
+        ev, ["view", "click"], max_events_per_user=2
+    ).first()
+    assert full.stage_reached == 2 and capped.stage_reached == 1
+    with pytest.raises(ValueError):
+        funnel.funnel_user_stages(ev, ["view"], max_events_per_user=0)
