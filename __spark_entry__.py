@@ -27,6 +27,7 @@ from colnade_spark.dtypes import Bool, Datetime, Decimal, Float64, Int32, Int64,
 from colnade_spark.expr import when
 from colnade_spark.operators import (
     chunking,
+    decontaminate,
     dedup,
     embeddings,
     funnel,
@@ -908,6 +909,18 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def decontaminated_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """GPT-3-style benchmark decontamination: docs sharing any normalized
+    13-gram with the 'benchmark' slice (doc_id % 50 == 0) are dropped —
+    which removes the slice itself plus its planted near-copies. The
+    oracle replicates with STRING grams (no xxhash64 in DuckDB); results
+    agree unless xxhash64 collides (~2^-64 per pair)."""
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    out = decontaminate.decontaminate(d, bench, n=13)
+    return out.select("doc_id", "lang")
+
+
 _FUNNEL_STEPS = ["signup", "view", "purchase"]
 
 
@@ -1019,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "tfidf_top_terms": tfidf_top_terms,
         "vocab_top_terms": vocab_top_terms,
         "doc_length_histogram": doc_length_histogram,
+        "decontaminated_ids": decontaminated_ids,
     }
 
 
@@ -1610,6 +1624,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
                    round(tfidf, 6) AS tfidf
             FROM r WHERE rank <= 3
+        """,
+        "decontaminated_ids": f"""
+            WITH norm AS (
+              SELECT doc_id, lang,
+                list_filter(regexp_split_to_array({_NORM_TEXT}, '\\s+'),
+                            x -> x != '') AS tk
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                unnest(list_distinct(list_transform(
+                  list_filter(range(0, greatest(len(tk) - 12, 1), 1),
+                              p -> p < len(tk) - 12),
+                  p -> array_to_string(list_slice(tk, p + 1, p + 13), ' '))))
+                  AS g
+              FROM norm
+            ),
+            bad AS (
+              SELECT DISTINCT d.doc_id
+              FROM grams d JOIN (
+                SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+              ) b USING (g)
+            )
+            SELECT doc_id, lang FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM bad)
         """,
         "vocab_top_terms": r"""
             SELECT term, CAST(count(*) AS BIGINT) AS n FROM (

@@ -8,6 +8,7 @@
 - ``sampling``: deterministic hash sampling, splits, stratified sampling
 - ``redact``: PII redaction, URL/domain extraction
 - ``embeddings``: L2 normalize, fixed-centroid cluster assignment
+- ``decontaminate``: benchmark decontamination (shared-n-gram rule)
 - ``tfidf``: smoothed TF-IDF weights, top-k terms per document
 - ``funnel``: ordered-funnel analysis over event streams
 - ``sessions``: gap-based sessionization (batch + streaming state)
@@ -20,6 +21,7 @@
 from colnade_spark.operators import (
     asof,
     chunking,
+    decontaminate,
     dedup,
     embeddings,
     funnel,
@@ -38,6 +40,7 @@ from colnade_spark.operators import (
 __all__ = [
     "asof",
     "chunking",
+    "decontaminate",
     "dedup",
     "embeddings",
     "funnel",
