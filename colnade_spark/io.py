@@ -288,6 +288,77 @@ def read_table(name: str, schema: type[S], *, spark: SparkSession | None = None)
     return out
 
 
+def zorder_key(cols: list[Column | str], bits: int = 21):
+    """Z-order (Morton) curve key: interleave the low ``bits`` bits of k
+    integer columns into one BIGINT. Sorting by this key
+    (``write_parquet(..., sort_by=[zorder])`` via a staged column)
+    clusters rows that are close in EVERY dimension into the same row
+    groups, so min/max statistics prune scans filtered on ANY of the
+    dimensions — the multi-column generalization of a single sort key.
+    Requires ``k * bits <= 63``; callers bucket non-integer dimensions
+    first (e.g. ``floor(ts / 3600)``)."""
+    from pyspark.sql import functions as _F
+
+    k = len(cols)
+    if k < 2:
+        raise ValueError("zorder_key needs at least 2 columns")
+    if k * bits > 63:
+        raise ValueError(f"k*bits must be <= 63, got {k}*{bits}")
+    refs = [_F.col(c if isinstance(c, str) else c.name) for c in cols]
+    acc = _F.lit(0).cast("long")
+    for i, c in enumerate(refs):
+        v = c.cast("long").bitwiseAND(_F.lit((1 << bits) - 1))
+        for b in range(bits):
+            acc = acc + _F.shiftleft(
+                _F.shiftright(v, b).bitwiseAND(_F.lit(1)), b * k + i
+            )
+    return acc
+
+
+def compact_parquet(
+    src: str,
+    dst: str,
+    *,
+    target_mb: int = 512,
+    spark: SparkSession | None = None,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory as
+    ``ceil(total_bytes / target_mb)`` files (optionally sorted within
+    files for row-group pruning). Returns the output file count.
+
+    The operational fix for streaming/incremental sinks that accrete
+    thousands of tiny files (each file costs a task + a footer read at
+    scan time). Writes to ``dst``; swapping directories atomically is
+    the caller's move (rename after success) — compaction never
+    overwrites its own input."""
+    import math
+
+    sp = _reader(spark, set())
+    data = sp.read.parquet(src)
+    # size probe walks the local filesystem; object-store deployments
+    # should pass an explicit file count via repartition upstream or
+    # extend this with their FS listing
+    total = _dir_bytes(src)
+    n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    out = data.repartition(n_files)
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    out.write.mode("overwrite").parquet(dst)
+    return n_files
+
+
+def _dir_bytes(path: str) -> int:
+    import os as _os
+
+    total = 0
+    for root, _dirs, files in _os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += _os.path.getsize(_os.path.join(root, f))
+    return total
+
+
 def write_csv(
     frame: DataFrame | LazyFrame,
     path: str,

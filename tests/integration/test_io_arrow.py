@@ -231,3 +231,49 @@ def test_sorted_write_produces_sorted_row_groups(spark, sf_dir, tmp_path):
     for f in files:
         col = pq_.read_table(f, columns=["c_custkey"])["c_custkey"].to_pylist()
         assert col == sorted(col)
+
+
+def test_zorder_key_matches_python_model(spark):
+    import colnade_spark as cs
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)], ["x", "y"]
+    )
+    got = {
+        (r.x, r.y): r.z
+        for r in df.withColumn("z", cs.io.zorder_key(["x", "y"], bits=3)).collect()
+    }
+
+    def morton(x, y, bits=3):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    assert got == {(x, y): morton(x, y) for x in range(8) for y in range(8)}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        cs.io.zorder_key(["x"], bits=3)
+    with _pt.raises(ValueError):
+        cs.io.zorder_key(["x", "y"], bits=40)
+
+
+def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
+    import glob
+
+    import colnade_spark as cs
+
+    from colnade_spark.tpch import Orders
+
+    src_frame = cs.read_parquet(table_path(sf_dir, "orders"), Orders, spark=spark)
+    frag = str(tmp_path / "frag")
+    # fragment: 40 tiny files
+    src_frame.native.repartition(40).write.parquet(frag)
+    assert len(glob.glob(f"{frag}/*.parquet")) == 40
+    out = str(tmp_path / "compact")
+    n = cs.io.compact_parquet(frag, out, target_mb=512)
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) == n == 1
+    a = spark.read.parquet(frag).count()
+    assert spark.read.parquet(out).count() == a
