@@ -147,3 +147,27 @@ def test_single_shuffle_ops(spark, sf_dir):
     for df, want in cases:
         plan = _spark_plan(df)
         assert _n_shuffles(plan) == want, (want, plan)
+
+
+def test_tfidf_has_no_term_window(spark, sf_dir):
+    """Document frequency must come from groupBy + broadcast join, not a
+    term-partitioned window (a hot term would serialize into one
+    partition with no partial aggregation)."""
+    from colnade_spark.operators import tfidf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _spark_plan(tfidf.top_terms(docs, k=3))
+    assert "windowspecdefinition(term" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_decontaminate_is_broadcast_semi_join(spark, sf_dir):
+    """The corpus side must stream through a broadcast LeftSemi —
+    never a corpus-keyed SortMergeJoin on gram hashes."""
+    from colnade_spark.operators import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter("doc_id % 50 = 0")
+    plan = _spark_plan(decontaminate.decontaminate(docs, bench, n=13))
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
