@@ -909,6 +909,14 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Deterministic weighted sample (Efraimidis-Spirakis, hash-derived
+    uniforms): 50 docs weighted by length — longer docs proportionally
+    favored, same rows on every engine."""
+    out = sampling.weighted_sample(_docs(spark, sf_dir), k=50, weight_col="n_chars")
+    return out.select("doc_id", "lang")
+
+
 def decontaminated_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
     """GPT-3-style benchmark decontamination: docs sharing any normalized
     13-gram with the 'benchmark' slice (doc_id % 50 == 0) are dropped —
@@ -1033,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "vocab_top_terms": vocab_top_terms,
         "doc_length_histogram": doc_length_histogram,
         "decontaminated_ids": decontaminated_ids,
+        "weighted_sample_docs": weighted_sample_docs,
     }
 
 
@@ -1624,6 +1633,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
                    round(tfidf, 6) AS tfidf
             FROM r WHERE rank <= 3
+        """,
+        "weighted_sample_docs": f"""
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                row_number() OVER (
+                  ORDER BY pow(
+                    (CAST({_md5h("CAST(doc_id AS VARCHAR)")} AS DOUBLE) + 1.0)
+                      / {float(1 << 60)!r},
+                    1.0 / CAST(n_chars AS DOUBLE)) DESC,
+                  doc_id ASC) AS rn
+              FROM documents WHERE n_chars > 0
+            ) WHERE rn <= 50
         """,
         "decontaminated_ids": f"""
             WITH norm AS (

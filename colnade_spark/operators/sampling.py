@@ -25,7 +25,13 @@ from pyspark.sql import functions as F
 
 from colnade_spark.operators.text import md5_hash60
 
-__all__ = ["sample_hash", "hash_sample", "hash_split", "stratified_sample"]
+__all__ = [
+    "sample_hash",
+    "hash_sample",
+    "hash_split",
+    "weighted_sample",
+    "stratified_sample",
+]
 
 _HASH_SPACE = 1 << 60
 
@@ -75,6 +81,33 @@ def hash_split(
         expr = branch if expr is None else expr.when(h < F.lit(bound), F.lit(label))
     expr = F.lit(last_label) if expr is None else expr.otherwise(F.lit(last_label))
     return df.withColumn(out_col, expr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-Res): rank rows by ``u^(1/w)`` where ``u`` is
+    the key's hash mapped to (0, 1] — higher-weight rows win
+    proportionally more often, yet membership is still content-addressed
+    (same rows on every run and engine). Rows with non-positive or null
+    weights are excluded. One global top-k (TakeOrderedAndProject —
+    per-partition top-k then a k-row merge, no full shuffle)."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    u = (sample_hash(F.col(key_col), salt).cast("double") + 1.0) / float(_HASH_SPACE)
+    score = F.pow(u, 1.0 / F.col(weight_col).cast("double"))
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_ws", score)
+        .orderBy(F.col("_ws").desc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("_ws")
+    )
 
 
 def stratified_sample(

@@ -108,3 +108,29 @@ def test_chunk_null_text_yields_no_chunks(spark):
     df = spark.createDataFrame([(1, None), (2, "a b")], ["doc_id", "text"])
     out = chunking.chunk_by_tokens(df, chunk_size=4)
     assert {r.doc_id for r in out.collect()} == {2}
+
+
+def test_weighted_sample_determinism_and_bias(spark):
+    import statistics
+
+    rows = [(i, 10.0 if i < 20 else 0.1) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    a = {r.doc_id for r in sampling.weighted_sample(df, 30, "w").collect()}
+    b = {r.doc_id for r in sampling.weighted_sample(df, 30, "w").collect()}
+    assert a == b and len(a) == 30
+    # the 20 heavy rows (100x weight) should dominate the sample
+    heavy = sum(1 for i in a if i < 20)
+    assert heavy >= 15
+    # different salt -> different sample
+    c = {r.doc_id for r in sampling.weighted_sample(df, 30, "w", salt="z").collect()}
+    assert c != a
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)], ["doc_id", "w"]
+    )
+    out = {r.doc_id for r in sampling.weighted_sample(df, 10, "w").collect()}
+    assert out == {1, 5}
+    with pytest.raises(ValueError):
+        sampling.weighted_sample(df, 0, "w")
