@@ -74,10 +74,17 @@ def fake_decode_image(payload: bytes, size: int = 16) -> np.ndarray:
     """Deterministic fake decoder: expands the payload digest into a
     ``size×size×3`` uint8 'image'. Stable across runs/processes — usable in
     tests and oracle checks."""
-    digest = hashlib.sha256(payload or b"").digest()
-    raw = np.frombuffer(digest, dtype=np.uint8)
-    reps = (size * size * 3 + len(raw) - 1) // len(raw)
-    return np.tile(raw, reps)[: size * size * 3].reshape(size, size, 3)
+    # counter-mode expansion: each 32-byte block gets its own digest, so
+    # the fake image has full entropy (a single tiled digest made every
+    # 8-row block identical — degenerate phashes with frequent collisions)
+    need = size * size * 3
+    blocks = []
+    for i in range((need + 31) // 32):
+        blocks.append(
+            hashlib.sha256((payload or b"") + i.to_bytes(4, "big")).digest()
+        )
+    raw = np.frombuffer(b"".join(blocks), dtype=np.uint8)
+    return raw[:need].reshape(size, size, 3)
 
 
 def _phash64(img: np.ndarray) -> int:
@@ -260,3 +267,34 @@ def make_fake_media(spark, n: int = 64) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def image_near_dups(
+    media: DataFrame,
+    decoder: Callable[[bytes], np.ndarray] = decode_image,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Image near-duplicate candidate pairs: decode → 64-bit perceptual
+    hash → Charikar 16-bit chunk blocking (reuses the text-side
+    ``dedup.simhash_near_pairs`` machinery — the blocking is modality-
+    agnostic once content is a 64-bit sketch). Pairs within hamming ≤ 3
+    are guaranteed found; media bytes never cross a shuffle — only
+    (media_id, phash) rows do."""
+    from colnade_spark.operators.dedup import simhash_near_pairs
+
+    feats = image_features(media, decoder=decoder).select("media_id", "phash")
+    return simhash_near_pairs(
+        feats, id_col="media_id", sim_col="phash", max_hamming=max_hamming
+    )
+
+
+def dedup_images(
+    media: DataFrame,
+    decoder: Callable[[bytes], np.ndarray] = decode_image,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Surviving media_ids after perceptual near-dedup (keep-smallest-id,
+    same policy as the text dedups)."""
+    pairs = image_near_dups(media, decoder, max_hamming)
+    dups = pairs.select(F.col("id_b").alias("media_id")).distinct()
+    return media.select("media_id").join(dups, "media_id", "left_anti")

@@ -439,3 +439,28 @@ def test_dedup_minhash_incremental(spark):
     assert survivors == {11}
     # signature column is appendable to the store
     assert out.columns == ["doc_id", "_sig"]
+
+
+def test_image_near_dups_and_dedup(spark):
+    """Planted byte-identical images share a phash (hamming 0); dedup
+    keeps the smallest id; distinct images with far hashes survive."""
+    from pyspark.sql import Row
+
+    media = multimodal.make_fake_media(spark, n=12)
+    # plant: id 100 duplicates id 1's payload exactly
+    dup = media.filter("media_id = 1").select(
+        F.lit(100).alias("media_id"), "payload", "meta"
+    )
+    planted = media.unionByName(dup)
+    pairs = multimodal.image_near_dups(
+        planted, decoder=multimodal.fake_decode_image, max_hamming=0
+    ).collect()
+    assert any(r.id_a == 1 and r.id_b == 100 and r.hamming == 0 for r in pairs)
+    kept = {
+        r.media_id
+        for r in multimodal.dedup_images(
+            planted, decoder=multimodal.fake_decode_image, max_hamming=0
+        ).collect()
+    }
+    assert 1 in kept and 100 not in kept
+    assert len(kept) >= 12 - 2  # only near-dups removed
