@@ -73,28 +73,25 @@ def main() -> None:
     spark.range(0, 100_000, 1, 64).select(_noop("id")).write.format("noop").mode(
         "overwrite"
     ).save()
-    # Warm whole-stage-codegen / janino and the unsafe shuffle machinery on
-    # tiny synthetic data (decimal hash-agg, sort-merge of a shuffle, window,
-    # broadcast join): the FIRST query that exercises each of these otherwise
-    # pays multi-second one-time JIT cost that has nothing to do with the
-    # query itself.  No measured table is touched or cached here.
-    w1 = spark.range(0, 1000).select(
-        F.col("id"),
-        (F.col("id") % 7).alias("k"),
-        F.col("id").cast("decimal(18,2)").alias("d"),
-        (F.col("id") % 3).cast("string").alias("s"),
-    )
-    w1.groupBy("k", "s").agg(
-        F.sum("d").alias("sd"), F.count("id").alias("c"), F.avg("id").alias("a")
-    ).orderBy("k", "s").write.format("noop").mode("overwrite").save()
-    from pyspark.sql import Window
-
-    w1.select(
-        F.row_number().over(Window.partitionBy("k").orderBy("id")).alias("rn")
-    ).write.format("noop").mode("overwrite").save()
-    w1.join(F.broadcast(w1.select("k").distinct()), "k").write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # Steady-state methodology (matches BASELINE.md, which reports per-op
+    # abstraction overhead at steady state): run each headline query ONCE at
+    # the tiny sf0.001 scale first, so whole-stage-codegen classes (janino),
+    # broadcast/shuffle machinery, and Python UDF worker pools are warm
+    # before measurement — otherwise each measured number is dominated by
+    # one-time JIT compilation of the plan shape, not the query. Codegen
+    # caches key on generated source, so the identical pipeline at the
+    # measured SF is a cache hit. The measured SF_DIR tables are NOT read
+    # (hence not OS-page- or Spark-cached) during warmup, unless SF_DIR
+    # itself is sf0.001.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            try:
+                qs[name](spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass  # a failed warmup only means that query measures cold
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:
