@@ -9,9 +9,10 @@ idf 1, unseen-term division never occurs), ``tfidf = tf · idf``.
 Scale notes (100 TB):
 - One explode → (doc, term) aggregation (map-side combined: shuffle
   volume is distinct terms per doc, not tokens).
-- Doc length and term document-frequency come from WINDOW aggregations
-  over that same (doc, term) table — two exchanges total (doc-keyed,
-  term-keyed), no join-backs carrying payloads.
+- Doc length is computed BEFORE the explode (``size`` of the token
+  array) and carried through the aggregation as ``first(_len)`` — no
+  doc-keyed window needed in ``tf_idf`` at all; the only exchanges are
+  the (doc, term) groupBy and the term document-frequency join.
 - The corpus size N is a 1-row aggregate broadcast by a nested-loop
   cross join (constant cost at any scale).
 - ``top_terms`` adds a doc-keyed rank; Spark plans the rank filter as a
@@ -39,30 +40,35 @@ def tf_idf(
     """Per-(doc, term) weights: ``(id, term, n, tf, idf, tfidf)``.
     Tokens are lowercased whitespace words; empty docs contribute no
     rows."""
-    terms = df.select(
+    toks = df.select(
         F.col(id_col),
-        F.explode(
-            F.filter(tokens(F.lower(F.col(text_col))), lambda t: t != "")
-        ).alias("term"),
+        F.filter(tokens(F.lower(F.col(text_col))), lambda t: t != "").alias(
+            "_toks"
+        ),
     )
-    counts = terms.groupBy(id_col, "term").agg(F.count("*").alias("n"))
-    w_doc = Window.partitionBy(id_col)
+    terms = toks.select(
+        id_col,
+        F.size("_toks").alias("_len"),
+        F.explode("_toks").alias("term"),
+    )
+    # Doc length is known pre-explode (array size), so carry it through
+    # the aggregation with first() — constant per doc — instead of a
+    # doc-keyed window over the aggregated table. One less window.
+    counts = terms.groupBy(id_col, "term").agg(
+        F.count("*").alias("n"), F.first("_len").alias("_len")
+    )
     n_docs = df.select(F.count("*").cast("double").alias("_n_docs"))
     # Document frequency via groupBy + join, NOT a term-partitioned
     # window: a window puts EVERY row of a hot term ("the" = the whole
     # corpus) into one partition with no partial aggregation — a
     # guaranteed straggler at scale. The groupBy partial-aggregates the
     # skew away map-side, and the resulting (term, df) table is
-    # vocabulary-sized, so AQE broadcasts it — the term-keyed exchange of
-    # the big table disappears entirely. The doc window stays (per-doc
-    # partitions are bounded by distinct terms per doc) and its
-    # partitioning is reused by top_terms' rank window.
+    # vocabulary-sized; AQE broadcasts it when it fits (left AQE-decided
+    # on purpose — a 100 TB corpus vocabulary can exceed the broadcast
+    # threshold, and a shuffled-hash join on the de-skewed (term, df)
+    # table is the correct fallback).
     dfreq = counts.groupBy("term").agg(F.count("*").alias("_df"))
-    scored = (
-        counts.join(dfreq, "term")
-        .withColumn("_len", F.sum("n").over(w_doc))
-        .crossJoin(F.broadcast(n_docs))
-    )
+    scored = counts.join(dfreq, "term").crossJoin(F.broadcast(n_docs))
     tf = F.col("n").cast("double") / F.col("_len")
     idf = F.log((F.col("_n_docs") + 1.0) / (F.col("_df") + 1.0)) + 1.0
     return scored.select(
