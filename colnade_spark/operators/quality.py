@@ -17,10 +17,12 @@ Scale notes (100 TB):
 - Per-line duplicate-char fractions are O(lines²) per document via
   array HOFs; documents have bounded line counts (hundreds), so this is
   per-row bounded work that parallelizes embarrassingly.
-- ``top_token_stats`` is the one shuffle in this module: explode →
-  two-level aggregation keyed by (doc_id, token). Partial aggregation
-  (map-side combine) collapses each partition's token counts before the
-  exchange, so shuffle volume is ~distinct tokens per doc, not tokens.
+- ``top_token_stats`` / ``top_ngram_stats`` are shuffle-FREE: the
+  most-frequent-element count of a per-doc array is the longest run in
+  its sorted form, computed row-local with ``array_sort`` + an
+  ``aggregate`` HOF (O(n log n) per doc, whole-stage codegen). The
+  explode → two-level-agg formulation this replaced shuffled ~distinct
+  tokens per doc; this shuffles nothing.
 """
 
 from __future__ import annotations
@@ -133,45 +135,48 @@ def repetition_stats(
     return out.drop("_ln", "_pg", "_tk")
 
 
+def _max_run(arr: Column) -> Column:
+    """Count of the most frequent element of a string array, row-local:
+    longest run of equal adjacent elements in the sorted array, folded
+    with an ``aggregate`` HOF. 0 for empty arrays. The ``""`` sentinel
+    for ``prev`` is safe because callers filter empty tokens out."""
+    s = F.array_sort(arr)
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(s, acc0, merge, lambda acc: acc["best"])
+
+
 def top_ngram_stats(
     df: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Most-frequent word-n-gram fraction per document (count-weighted):
-    ``n_grams``, ``top_ngram_count``, ``top_ngram_frac``. Same explode →
-    two-level agg shape as ``top_token_stats`` (one shuffle, map-side
-    combined); docs with fewer than n tokens appear with zero counts."""
-    grams = df.select(
-        F.col(id_col),
-        F.explode_outer(
-            word_ngrams(
-                F.filter(
-                    tokens(F.coalesce(F.col(text_col), F.lit(""))),
-                    lambda t: t != "",
-                ),
-                n,
-            )
-        ).alias("_g"),
+    ``n_grams``, ``top_ngram_count``, ``top_ngram_frac``. Shuffle-free:
+    per-doc ``_max_run`` over the gram array (the gram arrays never
+    leave the row); docs with fewer than n tokens appear with zero
+    counts."""
+    toks = F.filter(
+        tokens(F.coalesce(F.col(text_col), F.lit(""))), lambda t: t != ""
     )
-    per_gram = grams.groupBy(id_col, "_g").agg(F.count("*").alias("_c"))
-    return (
-        per_gram.groupBy(id_col)
-        .agg(
-            F.sum(F.when(F.col("_g").isNotNull(), F.col("_c")).otherwise(0)).alias(
-                "n_grams"
-            ),
-            F.max(F.when(F.col("_g").isNotNull(), F.col("_c")).otherwise(0)).alias(
-                "top_ngram_count"
-            ),
-        )
-        .select(
-            F.col(id_col),
-            F.col("n_grams").cast("long").alias("n_grams"),
-            F.col("top_ngram_count").cast("long").alias("top_ngram_count"),
-            (
-                F.col("top_ngram_count").cast("double")
-                / F.greatest(F.col("n_grams"), F.lit(1))
-            ).alias("top_ngram_frac"),
-        )
+    staged = df.select(F.col(id_col), word_ngrams(toks, n).alias("_g"))
+    cnt = F.size("_g")
+    best = _max_run(F.col("_g"))
+    return staged.select(
+        F.col(id_col),
+        cnt.cast("long").alias("n_grams"),
+        best.cast("long").alias("top_ngram_count"),
+        (best.cast("double") / F.greatest(cnt, F.lit(1))).alias(
+            "top_ngram_frac"
+        ),
     )
 
 
@@ -183,39 +188,23 @@ def top_token_stats(
     frequent token / total tokens — the MassiveText "fraction of tokens in
     the most common n-gram" signal at n=1).
 
-    Explode → groupBy(doc, token) → groupBy(doc). Partial aggregation
-    collapses per-partition token counts before the exchange, so shuffle
-    volume is O(distinct tokens per doc). Empty docs keep
+    Shuffle-free: token arrays are sorted row-local and the top count is
+    the longest equal-adjacent run (``_max_run``) — replaces an explode →
+    groupBy(doc, token) → groupBy(doc) double aggregation whose shuffle
+    volume was O(distinct tokens per doc). Empty docs keep
     ``top_token_frac = 0.0``."""
-    toks = df.select(
-        F.col(id_col),
-        # split("") yields [""] — drop empty tokens; explode_outer keeps
-        # the doc row (as null) so empty docs still appear with count 0
-        F.explode_outer(
-            F.filter(
-                tokens(F.coalesce(F.col(text_col), F.lit(""))), lambda t: t != ""
-            )
-        ).alias("_tok"),
+    toks = F.filter(
+        tokens(F.coalesce(F.col(text_col), F.lit(""))), lambda t: t != ""
     )
-    per_token = toks.groupBy(id_col, "_tok").agg(F.count("*").alias("_c"))
-    return (
-        per_token.groupBy(id_col)
-        .agg(
-            F.sum(F.when(F.col("_tok").isNotNull(), F.col("_c")).otherwise(0)).alias(
-                "n_tokens"
-            ),
-            F.max(F.when(F.col("_tok").isNotNull(), F.col("_c")).otherwise(0)).alias(
-                "top_token_count"
-            ),
-        )
-        .select(
-            F.col(id_col),
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            F.col("top_token_count").cast("long").alias("top_token_count"),
-            (
-                F.col("top_token_count").cast("double")
-                / F.greatest(F.col("n_tokens"), F.lit(1))
-            ).alias("top_token_frac"),
+    staged = df.select(F.col(id_col), toks.alias("_toks"))
+    n = F.size("_toks")
+    best = _max_run(F.col("_toks"))
+    return staged.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        best.cast("long").alias("top_token_count"),
+        (best.cast("double") / F.greatest(n, F.lit(1))).alias(
+            "top_token_frac"
         )
     )
 

@@ -141,8 +141,9 @@ def test_single_shuffle_ops(spark, sf_dir):
         (sampling.stratified_sample(docs, "lang", k=5), 1),
         (packing.pack_chunks(chunks, budget=256), 1),
         (funnel.funnel_user_stages(e, ["signup", "view"]), 1),
-        # explode -> (doc,token) agg -> (doc) agg: two-level = two exchanges
-        (quality.top_token_stats(docs), 2),
+        # row-local array_sort + max-run fold: no exchange at all
+        (quality.top_token_stats(docs), 0),
+        (quality.top_ngram_stats(docs, 2), 0),
     ]
     for df, want in cases:
         plan = _spark_plan(df)
