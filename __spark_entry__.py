@@ -971,6 +971,100 @@ def winnow_sketch(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Typed left-semi join (filtering join, extension): customers with at
+    least one 1-URGENT order. Right side is projected to its key pre-join
+    — shuffle volume is the key set, AQE broadcasts it when small."""
+    c = _load(spark, sf_dir, "customer", Customer)
+    o = _load(spark, sf_dir, "orders", Orders)
+    urgent = o.filter(Orders.o_orderpriority == "1-URGENT")
+    out = c.semi_join(urgent, Customer.c_custkey == Orders.o_custkey)
+    return out.native.select("c_custkey", "c_mktsegment")
+
+
+def anti_join_quiet_customers(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Typed left-anti join: customers with NO 1-URGENT order — the
+    filtering-join complement of semi_join_urgent_customers."""
+    c = _load(spark, sf_dir, "customer", Customer)
+    o = _load(spark, sf_dir, "orders", Orders)
+    urgent = o.filter(Orders.o_orderpriority == "1-URGENT")
+    out = c.anti_join(urgent, Customer.c_custkey == Orders.o_custkey)
+    return out.native.select("c_custkey", "c_mktsegment")
+
+
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """cube(status, priority) — all four grouping sets in ONE Expand +
+    hash aggregate (one exchange); ``gid`` disambiguates subtotal NULLs
+    (first key = MSB, same convention as DuckDB GROUPING_ID)."""
+    o = _load(spark, sf_dir, "orders", Orders)
+    out = o.cube(Orders.o_orderstatus, Orders.o_orderpriority).agg(
+        Orders.o_totalprice.cast(Decimal[18, 2]).sum().alias("sum_price_d"),
+        Orders.o_orderkey.count().alias("n"),
+    )
+    return out.native.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "gid",
+        F.col("sum_price_d").cast("double").alias("sum_price"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def rollup_returnflag_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """rollup(returnflag, linestatus) over lineitem — hierarchical
+    subtotals + grand total, decimal-exact sums."""
+    li = _load(spark, sf_dir, "lineitem", Lineitem)
+    out = li.rollup(Lineitem.l_returnflag, Lineitem.l_linestatus).agg(
+        Lineitem.l_quantity.cast(Decimal[18, 2]).sum().alias("sum_qty_d"),
+        Lineitem.l_orderkey.count().alias("n"),
+    )
+    return out.native.select(
+        "l_returnflag",
+        "l_linestatus",
+        "gid",
+        F.col("sum_qty_d").cast("double").alias("sum_qty"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def melt_part_measures(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Typed melt (unpivot): part measures to (variable, value) rows — a
+    narrow Expand, no shuffle, no UDF. Measures pre-cast to double so the
+    value column has one exact type on both engines."""
+    from colnade_spark.tpch import Part
+
+    p = _load(spark, sf_dir, "part", Part)
+    # p_retailprice is already Float64; overwrite p_size as double in place
+    p2 = p.with_columns(Part.p_size.cast(Float64).alias(Part.p_size))
+    out = p2.melt(
+        [Part.p_partkey],
+        [Part.p_retailprice, Part.p_size],
+        var_name="measure",
+        value_name="val",
+    )
+    return out.native
+
+
+def interval_click_counts(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Bin-blocked range join (operators.intervals): clicks falling in
+    [error-5min, error+5min) windows, counted per error event. The bins
+    turn the inequality join into an equi-join — no cartesian, no
+    broadcast-nested-loop; the oracle is DuckDB's native inequality
+    join."""
+    from colnade_spark.operators.intervals import interval_join
+    from colnade_spark.tpch import Events
+
+    ev = _load(spark, sf_dir, "events", Events).native
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        (F.col("ts") - F.expr("INTERVAL 5 MINUTES")).alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("w_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("ts")
+    j = interval_join(clicks, errors, "ts", "w_start", "w_end", bin_width_s=600)
+    return j.groupBy("err_id").agg(F.count("*").cast("long").alias("n_clicks"))
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1042,6 +1136,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "doc_length_histogram": doc_length_histogram,
         "decontaminated_ids": decontaminated_ids,
         "weighted_sample_docs": weighted_sample_docs,
+        "semi_join_urgent_customers": semi_join_urgent_customers,
+        "anti_join_quiet_customers": anti_join_quiet_customers,
+        "cube_order_stats": cube_order_stats,
+        "rollup_returnflag_stats": rollup_returnflag_stats,
+        "melt_part_measures": melt_part_measures,
+        "interval_click_counts": interval_click_counts,
     }
 
 
@@ -1804,5 +1904,53 @@ def oracle_sql() -> dict[str, str]:
                                    ORDER BY sim DESC, neighbor_id) AS rank
               FROM s)
             WHERE rank <= 5
+        """,
+        "semi_join_urgent_customers": """
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        """,
+        "anti_join_quiet_customers": """
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
+        """,
+        "cube_order_stats": """
+            SELECT o_orderstatus, o_orderpriority,
+              CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+              CAST(count(o_orderkey) AS BIGINT) AS n
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "rollup_returnflag_stats": """
+            SELECT l_returnflag, l_linestatus,
+              CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(count(l_orderkey) AS BIGINT) AS n
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "melt_part_measures": """
+            SELECT p_partkey, 'p_retailprice' AS measure,
+                   CAST(p_retailprice AS DOUBLE) AS val FROM part
+            UNION ALL
+            SELECT p_partkey, 'p_size' AS measure,
+                   CAST(p_size AS DOUBLE) AS val FROM part
+        """,
+        "interval_click_counts": """
+            WITH err AS (
+              SELECT event_id AS err_id,
+                     ts - INTERVAL 5 MINUTE AS w_start,
+                     ts + INTERVAL 5 MINUTE AS w_end
+              FROM events WHERE event_type = 'error'
+            ),
+            clk AS (SELECT ts FROM events WHERE event_type = 'click')
+            SELECT err_id, CAST(count(*) AS BIGINT) AS n_clicks
+            FROM err JOIN clk
+              ON clk.ts >= err.w_start AND clk.ts < err.w_end
+            GROUP BY err_id
         """,
     }

@@ -442,6 +442,61 @@ class SparkBackend:
         rname = rename.get(condition.right.name, condition.right.name)
         return left.join(right2, left[lname] == right2[rname], how_map[how]), rename
 
+    def semi_anti_join(
+        self,
+        left: SparkDF,
+        right: SparkDF,
+        condition: JoinCondition | None,
+        anti: bool,
+    ) -> SparkDF:
+        """Left-semi / left-anti equi-join (extension beyond the reference's
+        inner/left/outer/cross — reference dataframe.py:609-622 has no
+        filtering joins). Only left columns survive, so the result keeps
+        the left schema. The right side is projected to its key column
+        pre-join — shuffle volume is the key set, never right payloads;
+        AQE broadcasts it when small (the decontamination pattern)."""
+        if condition is None:
+            raise SchemaError(
+                message="semi/anti join requires a JoinCondition"
+            )
+        lname = condition.left.name
+        key = right.select(F.col(condition.right.name).alias("__sa_key"))
+        how = "left_anti" if anti else "left_semi"
+        return left.join(key, left[lname] == key["__sa_key"], how)
+
+    def grouped_sets_agg(
+        self,
+        data: SparkDF,
+        keys: Sequence[str],
+        aggs: Sequence[AliasedExpr],
+        mode: str,
+    ) -> SparkDF:
+        """``cube`` / ``rollup`` aggregation (extension — the reference has
+        no grouping sets, SURVEY.md §2.6). Adds ``gid`` =
+        ``grouping_id(*keys)`` (first key = most-significant bit, the same
+        convention DuckDB's GROUPING_ID uses) so consumers can tell a
+        subtotal row's NULL key from a genuine NULL key. Executes as one
+        Expand + hash aggregate — partial aggregation applies per grouping
+        set, one exchange total."""
+        gb = data.cube(*keys) if mode == "cube" else data.rollup(*keys)
+        cols = [self.translate_expr(a.expr).alias(a.out_name) for a in aggs]
+        return gb.agg(F.grouping_id().cast("long").alias("gid"), *cols)
+
+    def unpivot(
+        self,
+        data: SparkDF,
+        ids: Sequence[str],
+        values: Sequence[str],
+        var_name: str,
+        value_name: str,
+    ) -> SparkDF:
+        """Melt wide columns into (variable, value) rows — extension
+        (reference has no pivot/melt, SURVEY.md §2.6). Spark's native
+        ``unpivot`` is a narrow Expand (rows × len(values)) — no shuffle,
+        no UDF; value columns are cast to their common promoted type by
+        Spark, so callers should pre-cast mixed-type measures."""
+        return data.unpivot(list(ids), list(values), var_name, value_name)
+
     def rename_project(self, data: SparkDF, mapping: dict[str, str]) -> SparkDF:
         """mapping: target name -> source column name in ``data``."""
         return data.select([F.col(src).alias(tgt) for tgt, src in mapping.items()])

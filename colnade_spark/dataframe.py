@@ -222,6 +222,37 @@ class _FrameBase(Generic[S]):
         self._guard(*[k._ref() for k in keys if isinstance(k, Column)])
         return _names(keys)
 
+    def _semi_anti_data(
+        self, other: _FrameBase[Any], on: JoinCondition | None, anti: bool
+    ) -> SparkDF:
+        """Shared body of semi_join/anti_join — schema-preserving filtering
+        joins (extension; reference joins are inner/left/outer/cross only)."""
+        if type(other) is not type(self):
+            raise TypeError("cannot mix eager and lazy frames in semi/anti join")
+        if self._schema is None or other._schema is None:
+            raise SchemaError(message="semi/anti join requires schema-bound frames")
+        if not isinstance(on, JoinCondition):
+            raise SchemaError(
+                message="semi/anti join on= must be a cross-schema equality, "
+                "e.g. Users.id == Orders.user_id"
+            )
+        return self._backend.semi_anti_join(self._data, other._data, on, anti)
+
+    def _melt_data(
+        self,
+        ids: Sequence[Column | str],
+        values: Sequence[Column | str],
+        var_name: str,
+        value_name: str,
+    ) -> SparkDF:
+        id_names = self._group_keys(ids)
+        value_names = self._group_keys(values)
+        if not value_names:
+            raise SchemaError(message="melt() requires at least one value column")
+        return self._backend.unpivot(
+            self._data, id_names, value_names, var_name, value_name
+        )
+
     def _join_parts(
         self, other: _FrameBase[Any], on: JoinCondition | None, how: str
     ) -> tuple[SparkDF, dict[str, str]]:
@@ -293,6 +324,29 @@ class DataFrame(_FrameBase[S]):
     def group_by(self, *keys: Column | str) -> GroupBy[S]:
         return GroupBy(self, self._group_keys(keys))
 
+    def cube(self, *keys: Column | str) -> GroupBy[S]:
+        """All 2^n grouping sets over the keys; result rows carry ``gid``
+        (grouping_id, first key = MSB). Extension beyond the reference."""
+        return GroupBy(self, self._group_keys(keys), mode="cube")
+
+    def rollup(self, *keys: Column | str) -> GroupBy[S]:
+        """Hierarchical prefixes of the keys (n+1 grouping sets); rows
+        carry ``gid``. Extension beyond the reference."""
+        return GroupBy(self, self._group_keys(keys), mode="rollup")
+
+    def melt(
+        self,
+        ids: Sequence[Column | str],
+        values: Sequence[Column | str],
+        var_name: str = "variable",
+        value_name: str = "value",
+    ) -> DataFrame[Any]:
+        """Unpivot value columns into (variable, value) rows; schema-erased
+        until ``cast_schema``. Extension beyond the reference."""
+        return DataFrame(
+            self._melt_data(ids, values, var_name, value_name), None, self._backend
+        )
+
     def join(
         self,
         other: DataFrame[S2],
@@ -302,6 +356,20 @@ class DataFrame(_FrameBase[S]):
         data, rename = self._join_parts(other, on, how)
         assert self._schema is not None and other._schema is not None
         return JoinedDataFrame(data, self._schema, other._schema, rename, self._backend)
+
+    def semi_join(self, other: DataFrame[Any], on: JoinCondition) -> DataFrame[S]:
+        """Rows of self with at least one match in ``other``; keeps this
+        frame's schema (filtering join — extension beyond the reference)."""
+        return DataFrame(
+            self._semi_anti_data(other, on, anti=False), self._schema, self._backend
+        )
+
+    def anti_join(self, other: DataFrame[Any], on: JoinCondition) -> DataFrame[S]:
+        """Rows of self with no match in ``other``; keeps this frame's
+        schema (filtering join — extension beyond the reference)."""
+        return DataFrame(
+            self._semi_anti_data(other, on, anti=True), self._schema, self._backend
+        )
 
     def cast_schema(
         self,
@@ -453,6 +521,26 @@ class LazyFrame(_FrameBase[S]):
     def group_by(self, *keys: Column | str) -> LazyGroupBy[S]:
         return LazyGroupBy(self, self._group_keys(keys))
 
+    def cube(self, *keys: Column | str) -> LazyGroupBy[S]:
+        """All 2^n grouping sets over the keys; rows carry ``gid``."""
+        return LazyGroupBy(self, self._group_keys(keys), mode="cube")
+
+    def rollup(self, *keys: Column | str) -> LazyGroupBy[S]:
+        """Hierarchical prefixes of the keys; rows carry ``gid``."""
+        return LazyGroupBy(self, self._group_keys(keys), mode="rollup")
+
+    def melt(
+        self,
+        ids: Sequence[Column | str],
+        values: Sequence[Column | str],
+        var_name: str = "variable",
+        value_name: str = "value",
+    ) -> LazyFrame[Any]:
+        """Unpivot value columns into (variable, value) rows."""
+        return LazyFrame(
+            self._melt_data(ids, values, var_name, value_name), None, self._backend
+        )
+
     def join(
         self,
         other: LazyFrame[S2],
@@ -462,6 +550,18 @@ class LazyFrame(_FrameBase[S]):
         data, rename = self._join_parts(other, on, how)
         assert self._schema is not None and other._schema is not None
         return JoinedLazyFrame(data, self._schema, other._schema, rename, self._backend)
+
+    def semi_join(self, other: LazyFrame[Any], on: JoinCondition) -> LazyFrame[S]:
+        """Rows of self with at least one match in ``other`` (keeps S)."""
+        return LazyFrame(
+            self._semi_anti_data(other, on, anti=False), self._schema, self._backend
+        )
+
+    def anti_join(self, other: LazyFrame[Any], on: JoinCondition) -> LazyFrame[S]:
+        """Rows of self with no match in ``other`` (keeps S)."""
+        return LazyFrame(
+            self._semi_anti_data(other, on, anti=True), self._schema, self._backend
+        )
 
     def cast_schema(
         self,
@@ -490,19 +590,27 @@ class LazyFrame(_FrameBase[S]):
 
 
 class _GroupByBase(Generic[S]):
-    """Transitional object from ``group_by()``; only ``.agg()``
-    (reference: dataframe.py:1133-1180)."""
+    """Transitional object from ``group_by()``/``cube()``/``rollup()``;
+    only ``.agg()`` (reference: dataframe.py:1133-1180; cube/rollup are
+    extensions — the reference has no grouping sets, SURVEY.md §2.6)."""
 
-    def __init__(self, frame: _FrameBase[S], keys: list[str]):
+    def __init__(self, frame: _FrameBase[S], keys: list[str], mode: str = "group"):
         self._frame = frame
         self._keys = keys
+        self._mode = mode
 
     def _agg_data(self, aggs: Sequence[AliasedExpr]) -> SparkDF:
         for a in aggs:
             if not isinstance(a, AliasedExpr):
                 raise TypeError("group_by().agg() requires aliased aggregate expressions")
         self._frame._guard(*aggs)
-        return self._frame._backend.group_agg(self._frame._data, self._keys, list(aggs))
+        if self._mode == "group":
+            return self._frame._backend.group_agg(
+                self._frame._data, self._keys, list(aggs)
+            )
+        return self._frame._backend.grouped_sets_agg(
+            self._frame._data, self._keys, list(aggs), self._mode
+        )
 
 
 class GroupBy(_GroupByBase[S]):

@@ -13,6 +13,7 @@
 - ``funnel``: ordered-funnel analysis over event streams
 - ``sessions``: gap-based sessionization (batch + streaming state)
 - ``asof``: as-of joins
+- ``intervals``: bin-blocked point-in-interval (range) joins
 - ``skew``: salted joins
 - ``multimodal``: binary media columns + Arrow-batched decode plumbing
 - ``typed``: typed-frame facades over the above
@@ -25,6 +26,7 @@ from colnade_spark.operators import (
     dedup,
     embeddings,
     funnel,
+    intervals,
     multimodal,
     packing,
     quality,
@@ -44,6 +46,7 @@ __all__ = [
     "dedup",
     "embeddings",
     "funnel",
+    "intervals",
     "multimodal",
     "packing",
     "quality",

@@ -172,3 +172,57 @@ def test_decontaminate_is_broadcast_semi_join(spark, sf_dir):
     plan = _spark_plan(decontaminate.decontaminate(docs, bench, n=13))
     assert "LeftSemi" in plan and "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_melt_is_shuffle_free_expand(spark, sf_dir):
+    """Unpivot must plan as a narrow Expand — no exchange, no Python."""
+    from colnade_spark.tpch import Lineitem
+
+    li = read_parquet(table_path(sf_dir, "lineitem"), Lineitem, spark=spark)
+    plan = _spark_plan(
+        li.melt([Lineitem.l_orderkey], [Lineitem.l_discount, Lineitem.l_tax]).native
+    )
+    assert _n_shuffles(plan) == 0, plan
+    assert "Expand" in plan, plan
+
+
+def test_cube_is_one_expand_one_exchange(spark, sf_dir):
+    """cube() must plan as Expand → partial agg → ONE exchange → final agg —
+    grouping sets may not multiply exchanges."""
+    o = read_parquet(table_path(sf_dir, "orders"), Orders, spark=spark)
+    out = o.cube(Orders.o_orderstatus, Orders.o_orderpriority).agg(
+        Orders.o_totalprice.sum().alias("s")
+    )
+    plan = _spark_plan(out.native)
+    assert "Expand" in plan, plan
+    assert _n_shuffles(plan) == 1, plan
+
+
+def test_semi_join_projects_right_to_key(spark, sf_dir):
+    """Semi/anti joins must not carry right-side payload columns — the
+    right side is reduced to its join key before the join."""
+    c = read_parquet(table_path(sf_dir, "customer"), Customer, spark=spark)
+    o = read_parquet(table_path(sf_dir, "orders"), Orders, spark=spark)
+    semi = c.semi_join(o, Customer.c_custkey == Orders.o_custkey)
+    plan = _spark_plan(semi.native)
+    assert "LeftSemi" in plan, plan
+    # right scan is pruned to the key column only
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln and "o_custkey" in ln]
+    assert rs and all("o_totalprice" not in ln for ln in rs), plan
+
+
+def test_interval_join_is_equi_join(spark, sf_dir):
+    """Range join must bin-block into an equi-join — never a cartesian or
+    broadcast-nested-loop plan."""
+    from colnade_spark.operators.intervals import interval_join
+    from colnade_spark.tpch import Events
+    from pyspark.sql import functions as F
+
+    ev = read_parquet(table_path(sf_dir, "events"), Events, spark=spark).native
+    iv = ev.select(
+        F.col("event_id").alias("iid"),
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+    )
+    plan = _spark_plan(interval_join(ev.select("ts"), iv, "ts", "s", "e"))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan

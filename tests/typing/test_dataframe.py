@@ -462,3 +462,51 @@ def check_neg_sort_rejects_str(df: DataFrame[Users]) -> None:
 def check_neg_with_columns_rejects_unaliased(df: DataFrame[Users]) -> None:
     """with_columns() requires AliasedExpr — a bare Column is rejected."""
     df.with_columns(Users.age)  # type: ignore[arg-type]
+
+
+# --- filtering joins / grouping sets / melt (extension surface) ------------
+
+
+class Orders2(Schema):
+    user_id: Column[Int64]
+    total: Column[Float64]
+
+
+def check_semi_join_preserves_schema(
+    df: DataFrame[Users], other: DataFrame[Orders2]
+) -> None:
+    """semi/anti joins are filtering joins: the result keeps S (not a
+    JoinedDataFrame, not Any)."""
+    result = df.semi_join(other, Users.id == Orders2.user_id)
+    _: DataFrame[Users] = result
+
+
+def check_anti_join_preserves_schema_lazy(
+    lf: LazyFrame[Users], other: LazyFrame[Orders2]
+) -> None:
+    result = lf.anti_join(other, Users.id == Orders2.user_id)
+    _: LazyFrame[Users] = result
+
+
+def check_cube_returns_groupby(df: DataFrame[Users]) -> None:
+    gb: GroupBy[Users] = df.cube(Users.age)
+    result = gb.agg(Users.id.count().alias(AgeStats.count))
+    _: DataFrame[Any] = result
+
+
+def check_rollup_returns_lazy_groupby(lf: LazyFrame[Users]) -> None:
+    gb: LazyGroupBy[Users] = lf.rollup(Users.age)
+    result = gb.agg(Users.id.count().alias(AgeStats.count))
+    _: LazyFrame[Any] = result
+
+
+def check_melt_erases_schema(df: DataFrame[Users]) -> None:
+    result = df.melt([Users.id], [Users.age])
+    _: DataFrame[Any] = result
+
+
+def check_neg_semi_join_result_not_joined(
+    df: DataFrame[Users], other: DataFrame[Orders2]
+) -> None:
+    result = df.semi_join(other, Users.id == Orders2.user_id)
+    _: DataFrame[Orders2] = result  # type: ignore[assignment]
