@@ -1065,6 +1065,80 @@ def interval_click_counts(spark: SparkSession, sf_dir: str) -> SparkDF:
     return j.groupBy("err_id").agg(F.count("*").cast("long").alias("n_clicks"))
 
 
+def pivot_status_revenue(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Typed pivot with DECLARED values — compiled to conditional
+    aggregation (one exchange; Spark's native pivotfirst plan costs two).
+    Decimal-exact sums so the hash is order-independent."""
+    o = _load(spark, sf_dir, "orders", Orders)
+    piv = o.group_by(Orders.o_orderpriority).pivot(
+        Orders.o_orderstatus, ["F", "O", "P"]
+    ).agg(Orders.o_totalprice.cast(Decimal[18, 2]).sum().alias("rev"))
+    return piv.native.select(
+        "o_orderpriority",
+        F.col("F").cast("double").alias("F"),
+        F.col("O").cast("double").alias("O"),
+        F.col("P").cast("double").alias("P"),
+    )
+
+
+def cumulative_acctbal(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Running (cumulative) sum — ROWS UNBOUNDED PRECEDING frame over a
+    unique order key, decimal accumulation for cross-engine bit-exactness.
+    One hash-partition exchange on nationkey + sort + Window."""
+    from colnade_spark import cum_sum
+
+    c = _load(spark, sf_dir, "customer", Customer)
+    out = c.with_columns(
+        cum_sum(
+            Customer.c_acctbal.cast(Decimal[18, 2]),
+            partition_by=Customer.c_nationkey,
+            order_by=Customer.c_custkey,
+        ).alias("run_bal_d")
+    )
+    return out.native.select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("run_bal_d").cast("double").alias("run_bal"),
+    )
+
+
+def ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """ntile(4) by totalprice within each order status (unique composite
+    order key for determinism), then per-(status, quartile) stats."""
+    from colnade_spark import ntile
+
+    o = _load(spark, sf_dir, "orders", Orders)
+    q = o.with_columns(
+        ntile(
+            4,
+            partition_by=Orders.o_orderstatus,
+            order_by=[Orders.o_totalprice.asc(), Orders.o_orderkey.asc()],
+        ).alias("quartile")
+    )
+    return (
+        q.native.groupBy("o_orderstatus", "quartile")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .withColumn("quartile", F.col("quartile").cast("long"))
+    )
+
+
+def custkeys_intersect_except(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """ANSI set ops on the typed surface: custkeys with BOTH an urgent and
+    a finished order (INTERSECT), tagged, unioned with custkeys having
+    urgent but NO finished order (EXCEPT). Each set op is one hash shuffle
+    on the projected key column only."""
+    o = _load(spark, sf_dir, "orders", Orders)
+    urgent = o.filter(Orders.o_orderpriority == "1-URGENT").select(Orders.o_custkey)
+    fin = o.filter(Orders.o_orderstatus == "F").select(Orders.o_custkey)
+    both = urgent.intersect(fin).native.withColumn("tag", F.lit("both"))
+    only = urgent.except_(fin).native.withColumn("tag", F.lit("urgent_only"))
+    return both.unionByName(only)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1142,6 +1216,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "rollup_returnflag_stats": rollup_returnflag_stats,
         "melt_part_measures": melt_part_measures,
         "interval_click_counts": interval_click_counts,
+        "pivot_status_revenue": pivot_status_revenue,
+        "cumulative_acctbal": cumulative_acctbal,
+        "ntile_price_quartiles": ntile_price_quartiles,
+        "custkeys_intersect_except": custkeys_intersect_except,
     }
 
 
@@ -1952,5 +2030,47 @@ def oracle_sql() -> dict[str, str]:
             FROM err JOIN clk
               ON clk.ts >= err.w_start AND clk.ts < err.w_end
             GROUP BY err_id
+        """,
+        "pivot_status_revenue": """
+            SELECT o_orderpriority,
+              CAST(sum(CASE WHEN o_orderstatus = 'F'
+                   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+              CAST(sum(CASE WHEN o_orderstatus = 'O'
+                   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "O",
+              CAST(sum(CASE WHEN o_orderstatus = 'P'
+                   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "P"
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "cumulative_acctbal": """
+            SELECT c_custkey, c_nationkey,
+              CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) OVER (
+                PARTITION BY c_nationkey ORDER BY c_custkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) AS DOUBLE) AS run_bal
+            FROM customer
+        """,
+        "ntile_price_quartiles": """
+            WITH q AS (
+              SELECT o_orderstatus, o_totalprice,
+                NTILE(4) OVER (PARTITION BY o_orderstatus
+                               ORDER BY o_totalprice, o_orderkey) AS quartile
+              FROM orders)
+            SELECT o_orderstatus, CAST(quartile AS BIGINT) AS quartile,
+                   CAST(count(*) AS BIGINT) AS n,
+                   min(o_totalprice) AS lo, max(o_totalprice) AS hi
+            FROM q GROUP BY o_orderstatus, quartile
+        """,
+        "custkeys_intersect_except": """
+            WITH urgent AS (SELECT o_custkey FROM orders
+                            WHERE o_orderpriority = '1-URGENT'),
+                 fin AS (SELECT o_custkey FROM orders
+                         WHERE o_orderstatus = 'F')
+            SELECT o_custkey, 'both' AS tag
+            FROM (SELECT o_custkey FROM urgent INTERSECT
+                  SELECT o_custkey FROM fin)
+            UNION ALL
+            SELECT o_custkey, 'urgent_only' AS tag
+            FROM (SELECT o_custkey FROM urgent EXCEPT
+                  SELECT o_custkey FROM fin)
         """,
     }

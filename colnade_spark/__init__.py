@@ -22,6 +22,8 @@ from colnade_spark.dataframe import (
     JoinedLazyFrame,
     LazyFrame,
     LazyGroupBy,
+    LazyPivotedGroupBy,
+    PivotedGroupBy,
     concat,
 )
 from colnade_spark.dtypes import (
@@ -47,7 +49,21 @@ from colnade_spark.dtypes import (
     Utf8,
 )
 from colnade_spark.errors import ColumnGuardError, SchemaError, ValueViolation
-from colnade_spark.expr import dense_rank, lag, lead, lit, rank, row_number, when
+from colnade_spark.expr import (
+    cum_count,
+    cum_max,
+    cum_mean,
+    cum_min,
+    cum_sum,
+    dense_rank,
+    lag,
+    lead,
+    lit,
+    ntile,
+    rank,
+    row_number,
+    when,
+)
 from colnade_spark.io import (
     read_csv,
     read_json,
@@ -122,12 +138,20 @@ __all__ = [
     "scan_parquet",
     "schema_check",
     "set_validation",
+    "cum_count",
+    "cum_max",
+    "cum_mean",
+    "cum_min",
+    "cum_sum",
     "dense_rank",
     "lag",
     "lead",
+    "ntile",
     "rank",
     "row_number",
     "when",
+    "PivotedGroupBy",
+    "LazyPivotedGroupBy",
     "write_bucketed_table",
     "write_csv",
     "write_json",

@@ -89,6 +89,15 @@ _AGG_FNS: dict[str, Callable[[Any], Any]] = {
     "n_unique": F.countDistinct,
 }
 
+# running-window aggregates (cum_* WindowExpr funcs)
+_CUM_FNS: dict[str, Callable[[Any], Any]] = {
+    "cum_sum": F.sum,
+    "cum_min": F.min,
+    "cum_max": F.max,
+    "cum_count": F.count,
+    "cum_mean": F.avg,
+}
+
 # our dt_truncate unit vocabulary → Spark date_trunc unit
 _TRUNC_UNITS = {
     "year": "year",
@@ -265,6 +274,15 @@ class SparkBackend:
             return F.lag(self.translate_expr(node.operand), node.offset).over(w)
         if node.func == "lead":
             return F.lead(self.translate_expr(node.operand), node.offset).over(w)
+        if node.func == "ntile":
+            return F.ntile(node.offset).over(w)
+        cum = _CUM_FNS.get(node.func)
+        if cum is not None:
+            # running aggregate: ROWS UNBOUNDED PRECEDING .. CURRENT ROW —
+            # a row frame (not RANGE) so ties accumulate one row at a time,
+            # matching ANSI ROWS semantics on both engines.
+            frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            return cum(self.translate_expr(node.operand)).over(frame)
         raise SchemaError(message=f"unknown window function {node.func!r}")
 
     def _translate_agg(self, node: Agg):
@@ -482,6 +500,50 @@ class SparkBackend:
         cols = [self.translate_expr(a.expr).alias(a.out_name) for a in aggs]
         return gb.agg(F.grouping_id().cast("long").alias("gid"), *cols)
 
+    def pivot_agg(
+        self,
+        data: SparkDF,
+        keys: Sequence[str],
+        pivot_col: str,
+        values: Sequence[Any],
+        aggs: Sequence[AliasedExpr],
+    ) -> SparkDF:
+        """Pivot with DECLARED values (extension — reference has no pivot,
+        SURVEY.md §2.6). Compiled to CONDITIONAL AGGREGATION — each declared
+        value becomes ``agg(CASE WHEN pivot=v THEN operand END)`` — rather
+        than Spark's two-stage ``pivotfirst`` plan: ONE partial-agg →
+        exchange → final-agg pass over ``keys`` (native pivot costs two
+        exchanges), fixed output schema, no driver-side distinct scan.
+        One agg → columns named exactly the values; k aggs →
+        ``{value}_{alias}``. ``count`` yields 0 (SQL COUNT semantics) for a
+        value absent from a group, where native pivot would yield null."""
+
+        def wrap(node: Any, cond: Expr) -> Any:
+            # push the pivot condition inside every Agg operand (aggs don't
+            # nest, so recursion stops at the first Agg on each path)
+            if isinstance(node, Agg):
+                return Agg(WhenThenOtherwise(((cond, node.operand),), None), node.agg_type)
+            if isinstance(node, AliasedExpr):
+                return AliasedExpr(wrap(node.expr, cond), node.target)
+            if isinstance(node, BinOp):
+                return BinOp(wrap(node.left, cond), wrap(node.right, cond), node.op)
+            if isinstance(node, FunctionCall):
+                return FunctionCall(
+                    node.name,
+                    wrap(node.operand, cond),
+                    tuple(wrap(a, cond) for a in node.args),
+                    options=node.options,
+                )
+            return node
+
+        cols = []
+        for v in values:
+            cond = BinOp(ColumnRef(pivot_col), Literal(v), "==")
+            for a in aggs:
+                name = str(v) if len(aggs) == 1 else f"{v}_{a.out_name}"
+                cols.append(self.translate_expr(wrap(a.expr, cond)).alias(name))
+        return data.groupBy(*keys).agg(*cols)
+
     def unpivot(
         self,
         data: SparkDF,
@@ -503,6 +565,20 @@ class SparkBackend:
 
     def concat(self, frames: Sequence[SparkDF]) -> SparkDF:
         return reduce(SparkDF.unionByName, frames)
+
+    def set_op(self, left: SparkDF, right: SparkDF, op: str, all_: bool) -> SparkDF:
+        """ANSI set operations (extension — the reference has only concat,
+        SURVEY.md §2.6). Non-``all_`` forms carry SQL DISTINCT semantics.
+        Both plan as one hash shuffle on all columns (Spark rewrites
+        intersect/except to aggregated joins); ALL forms use count-matched
+        semantics identical to DuckDB's INTERSECT ALL / EXCEPT ALL."""
+        # align right columns by name so positional order never matters
+        right = right.select(*left.columns)
+        if op == "intersect":
+            return left.intersectAll(right) if all_ else left.intersect(right)
+        if op == "except":
+            return left.exceptAll(right) if all_ else left.subtract(right)
+        raise SchemaError(message=f"unknown set op {op!r}")
 
     def with_raw(self, data: SparkDF, fn: Callable[[SparkDF], SparkDF]) -> SparkDF:
         return fn(data)

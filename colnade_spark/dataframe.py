@@ -253,6 +253,32 @@ class _FrameBase(Generic[S]):
             self._data, id_names, value_names, var_name, value_name
         )
 
+    def _set_op(self, other: _FrameBase[S], op: str, all_: bool) -> Self:
+        """Shared body of intersect/except_ — ANSI set ops requiring the
+        SAME schema class on both sides (nominal typing, like concat)."""
+        if type(other) is not type(self):
+            raise TypeError(f"{op}() cannot mix DataFrame and LazyFrame")
+        if self._schema is not other._schema:
+            raise SchemaError(
+                message=f"{op}() requires identical schema classes (nominal typing)"
+            )
+        if self._schema is None and set(self._data.columns) != set(other._data.columns):
+            # both schema-erased: fall back to a structural name check
+            raise SchemaError(
+                message=f"{op}() on schema-erased frames requires identical column names"
+            )
+        return self._wrap(self._backend.set_op(self._data, other._data, op, all_))
+
+    def intersect(self, other: _FrameBase[S], *, all: bool = False) -> Self:
+        """Rows present in both frames (SQL INTERSECT; ``all=True`` keeps
+        count-matched duplicates). Extension beyond the reference."""
+        return self._set_op(other, "intersect", all)
+
+    def except_(self, other: _FrameBase[S], *, all: bool = False) -> Self:
+        """Rows of self not present in ``other`` (SQL EXCEPT; ``all=True``
+        subtracts per-occurrence). Extension beyond the reference."""
+        return self._set_op(other, "except", all)
+
     def _join_parts(
         self, other: _FrameBase[Any], on: JoinCondition | None, how: str
     ) -> tuple[SparkDF, dict[str, str]]:
@@ -613,14 +639,74 @@ class _GroupByBase(Generic[S]):
         )
 
 
+    def _pivot_check(self, col: Column | str, values: Sequence[Any]) -> str:
+        if self._mode != "group":
+            raise SchemaError(message="pivot() is not defined on cube()/rollup()")
+        if not values:
+            raise SchemaError(
+                message="pivot() requires explicit values — enumerating distinct "
+                "pivot values server-side would scan the table at the driver; "
+                "declare the categories you want as columns"
+            )
+        (name,) = self._frame._group_keys([col])
+        return name
+
 class GroupBy(_GroupByBase[S]):
     def agg(self, *aggs: AliasedExpr) -> DataFrame[Any]:
         return DataFrame(self._agg_data(aggs), None, self._frame._backend)
+
+    def pivot(self, col: Column | str, values: Sequence[Any]) -> PivotedGroupBy[S]:
+        """Spread ``col``'s declared ``values`` into one output column per
+        value (inverse of melt; extension beyond the reference). Values
+        must be given explicitly — the scale-safe contract."""
+        name = self._pivot_check(col, values)
+        return PivotedGroupBy(self._frame, self._keys, name, list(values))
 
 
 class LazyGroupBy(_GroupByBase[S]):
     def agg(self, *aggs: AliasedExpr) -> LazyFrame[Any]:
         return LazyFrame(self._agg_data(aggs), None, self._frame._backend)
+
+    def pivot(self, col: Column | str, values: Sequence[Any]) -> LazyPivotedGroupBy[S]:
+        """Spread ``col``'s declared ``values`` into output columns."""
+        name = self._pivot_check(col, values)
+        return LazyPivotedGroupBy(self._frame, self._keys, name, list(values))
+
+
+class _PivotedBase(_GroupByBase[S]):
+    """Transitional object from ``group_by().pivot()``. Output columns:
+    group keys, then one column per pivot value (single agg → named
+    exactly the value; k aggs → ``{value}_{alias}``, Spark convention)."""
+
+    def __init__(
+        self,
+        frame: _FrameBase[S],
+        keys: list[str],
+        pivot_name: str,
+        values: list[Any],
+    ):
+        super().__init__(frame, keys)
+        self._pivot_name = pivot_name
+        self._values = values
+
+    def _pivot_data(self, aggs: Sequence[AliasedExpr]) -> SparkDF:
+        for a in aggs:
+            if not isinstance(a, AliasedExpr):
+                raise TypeError("pivot().agg() requires aliased aggregate expressions")
+        self._frame._guard(*aggs)
+        return self._frame._backend.pivot_agg(
+            self._frame._data, self._keys, self._pivot_name, self._values, list(aggs)
+        )
+
+
+class PivotedGroupBy(_PivotedBase[S]):
+    def agg(self, *aggs: AliasedExpr) -> DataFrame[Any]:
+        return DataFrame(self._pivot_data(aggs), None, self._frame._backend)
+
+
+class LazyPivotedGroupBy(_PivotedBase[S]):
+    def agg(self, *aggs: AliasedExpr) -> LazyFrame[Any]:
+        return LazyFrame(self._pivot_data(aggs), None, self._frame._backend)
 
 
 # Backward-compat alias (pre-typing name).

@@ -370,6 +370,40 @@ def lead(
     return _window("lead", _wrap_ref(value), offset, partition_by, order_by)
 
 
+def ntile(n: int, *, partition_by: Any = None, order_by: Any = None) -> WindowExpr:
+    """Bucket index 1..n by ordered position within the partition."""
+    if n < 1:
+        raise ValueError(f"ntile requires n >= 1, got {n}")
+    return _window("ntile", None, n, partition_by, order_by)
+
+
+def _cum(func: str, value: Any, partition_by: Any, order_by: Any) -> WindowExpr:
+    return _window(func, _wrap_ref(value), 0, partition_by, order_by)
+
+
+def cum_sum(value: Any, *, partition_by: Any = None, order_by: Any = None) -> WindowExpr:
+    """Running sum over ROWS UNBOUNDED PRECEDING .. CURRENT ROW. With a
+    non-unique order key the per-row result is order-dependent — pass a
+    unique (composite) order_by for deterministic output."""
+    return _cum("cum_sum", value, partition_by, order_by)
+
+
+def cum_min(value: Any, *, partition_by: Any = None, order_by: Any = None) -> WindowExpr:
+    return _cum("cum_min", value, partition_by, order_by)
+
+
+def cum_max(value: Any, *, partition_by: Any = None, order_by: Any = None) -> WindowExpr:
+    return _cum("cum_max", value, partition_by, order_by)
+
+
+def cum_count(value: Any, *, partition_by: Any = None, order_by: Any = None) -> WindowExpr:
+    return _cum("cum_count", value, partition_by, order_by)
+
+
+def cum_mean(value: Any, *, partition_by: Any = None, order_by: Any = None) -> WindowExpr:
+    return _cum("cum_mean", value, partition_by, order_by)
+
+
 @dataclass(frozen=True, eq=False)
 class JoinCondition:
     """Equi-join condition produced by cross-schema ``Column == Column``

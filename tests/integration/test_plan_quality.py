@@ -226,3 +226,41 @@ def test_interval_join_is_equi_join(spark, sf_dir):
     )
     plan = _spark_plan(interval_join(ev.select("ts"), iv, "ts", "s", "e"))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pivot_is_single_exchange_agg(spark, sf_dir):
+    """pivot with declared values = ordinary partial→final agg over the
+    group keys: ONE exchange, fixed output schema, no extra distinct job."""
+    o = read_parquet(table_path(sf_dir, "orders"), Orders, spark=spark)
+    piv = o.group_by(Orders.o_orderpriority).pivot(
+        Orders.o_orderstatus, ["F", "O", "P"]
+    ).agg(Orders.o_orderkey.count().alias("n"))
+    plan = _spark_plan(piv.native)
+    assert _n_shuffles(plan) == 1, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_cum_sum_is_one_window_exchange(spark, sf_dir):
+    """Running aggregate = one hash-partition exchange on the partition key
+    + sort + Window; no join, no second shuffle."""
+    from colnade_spark import cum_sum
+
+    o = read_parquet(table_path(sf_dir, "orders"), Orders, spark=spark)
+    out = o.with_columns(
+        cum_sum(Orders.o_totalprice, partition_by=Orders.o_orderstatus,
+                order_by=Orders.o_orderkey).alias("run")
+    )
+    plan = _spark_plan(out.native)
+    assert _n_shuffles(plan) == 1, plan
+    assert "Window" in plan, plan
+
+
+def test_except_prunes_columns_at_scan(spark, sf_dir):
+    """Set ops on a projected frame must not scan unused columns."""
+    o = read_parquet(table_path(sf_dir, "orders"), Orders, spark=spark)
+    hi = o.filter(Orders.o_totalprice > 100000.0).select(Orders.o_orderkey)
+    lo = o.filter(Orders.o_totalprice <= 200000.0).select(Orders.o_orderkey)
+    plan = _spark_plan(hi.except_(lo).native)
+    for ln in plan.splitlines():
+        if "ReadSchema" in ln:
+            assert "o_comment" not in ln and "o_orderdate" not in ln, ln

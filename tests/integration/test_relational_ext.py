@@ -157,3 +157,156 @@ def test_melt_requires_values(customer):
 def test_melt_guard_rejects_foreign_columns(customer):
     with pytest.raises(ColumnGuardError):
         customer.melt([Customer.c_custkey], [Orders.o_totalprice])
+
+# -- set operations ----------------------------------------------------------
+
+
+def test_intersect_except_partition_filtered_frame(orders):
+    hi = orders.filter(Orders.o_totalprice > 100000.0)
+    lo = orders.filter(Orders.o_totalprice <= 200000.0)
+    both = hi.intersect(lo)
+    only = hi.except_(lo)
+    # o_orderkey is unique, so distinct set ops partition hi exactly
+    assert both.height + only.height == hi.height
+    mid = {r.o_orderkey for r in both.rows()}
+    assert all(100000.0 < r.o_totalprice <= 200000.0 for r in both.rows())
+    assert not mid & {r.o_orderkey for r in only.rows()}
+
+
+class _Xs(cs.Schema):
+    x: cs.Column[cs.Int64]
+
+
+def test_intersect_all_keeps_count_matched_duplicates(spark):
+    a = cs.DataFrame.from_dict({"x": [1, 1, 1, 2]}, _Xs)
+    b = cs.DataFrame.from_dict({"x": [1, 1, 3]}, _Xs)
+    assert a.intersect(b).height == 1          # distinct semantics
+    assert a.intersect(b, all=True).height == 2  # min(3,2) occurrences
+    assert a.except_(b).height == 1            # {2}
+    assert a.except_(b, all=True).height == 2  # [1, 2] (3-2 ones survive)
+
+
+def test_set_op_requires_same_schema_class(customer, orders):
+    with pytest.raises(SchemaError):
+        customer.intersect(orders)  # type: ignore[arg-type]
+
+
+def test_set_op_rejects_mixed_lazy_eager(spark, sf_dir, customer):
+    lc = cs.scan_parquet(table_path(sf_dir, "customer"), Customer, spark=spark)
+    with pytest.raises(TypeError):
+        customer.except_(lc)  # type: ignore[arg-type]
+
+
+def test_set_op_lazy_parity(spark, sf_dir, orders):
+    lo = cs.scan_parquet(table_path(sf_dir, "orders"), Orders, spark=spark)
+    hi = lo.filter(Orders.o_totalprice > 100000.0)
+    lo2 = lo.filter(Orders.o_totalprice <= 200000.0)
+    lazy = hi.intersect(lo2).collect()
+    eager_hi = orders.filter(Orders.o_totalprice > 100000.0)
+    eager_lo = orders.filter(Orders.o_totalprice <= 200000.0)
+    assert lazy.height == eager_hi.intersect(eager_lo).height
+
+
+# -- pivot -------------------------------------------------------------------
+
+
+def test_pivot_matches_group_by(orders):
+    piv = orders.group_by(Orders.o_orderpriority).pivot(
+        Orders.o_orderstatus, ["F", "O", "P"]
+    ).agg(Orders.o_orderkey.count().alias("n"))
+    plain = {
+        (r.o_orderpriority, r.o_orderstatus): r.n
+        for r in orders.group_by(Orders.o_orderpriority, Orders.o_orderstatus)
+        .agg(Orders.o_orderkey.count().alias("n"))
+        .native.collect()
+    }
+    for r in piv.native.collect():
+        for status in ("F", "O", "P"):
+            assert (r[status] or 0) == plain.get((r.o_orderpriority, status), 0)
+
+
+def test_pivot_undeclared_value_dropped(orders):
+    piv = orders.group_by(Orders.o_orderpriority).pivot(
+        Orders.o_orderstatus, ["F"]
+    ).agg(Orders.o_orderkey.count().alias("n"))
+    assert piv.native.columns == ["o_orderpriority", "F"]
+
+
+def test_pivot_requires_values(orders):
+    with pytest.raises(SchemaError):
+        orders.group_by(Orders.o_orderpriority).pivot(Orders.o_orderstatus, [])
+
+
+def test_pivot_not_on_cube(orders):
+    with pytest.raises(SchemaError):
+        orders.cube(Orders.o_orderpriority).pivot(Orders.o_orderstatus, ["F"])
+
+
+def test_pivot_guard_rejects_foreign_pivot_col(orders):
+    with pytest.raises(ColumnGuardError):
+        orders.group_by(Orders.o_orderpriority).pivot(
+            Customer.c_mktsegment, ["BUILDING"]
+        )
+
+
+# -- cumulative windows ------------------------------------------------------
+
+
+def test_cum_sum_matches_python_model(orders):
+    from colnade_spark import cum_sum
+
+    out = orders.with_columns(
+        cum_sum(
+            Orders.o_totalprice,
+            partition_by=Orders.o_orderstatus,
+            order_by=Orders.o_orderkey,
+        ).alias("run")
+    )
+    rows = sorted(
+        ((r.o_orderstatus, r.o_orderkey, r.o_totalprice, r.run)
+         for r in out.native.collect()),
+        key=lambda t: (t[0], t[1]),
+    )
+    acc: dict = {}
+    for status, _key, price, run in rows:
+        acc[status] = acc.get(status, 0.0) + price
+        assert abs(acc[status] - run) < 1e-6 * max(1.0, abs(run))
+
+
+def test_ntile_bucket_sizes_balanced(orders):
+    from colnade_spark import ntile
+
+    out = orders.with_columns(
+        ntile(4, partition_by=Orders.o_orderstatus,
+              order_by=Orders.o_orderkey).alias("q")
+    )
+    from collections import Counter
+    for status_rows in (
+        Counter((r.o_orderstatus, r.q) for r in out.native.collect()),
+    ):
+        by_status: dict = {}
+        for (status, q), n in status_rows.items():
+            by_status.setdefault(status, {})[q] = n
+        for status, qs in by_status.items():
+            assert set(qs) == {1, 2, 3, 4}
+            assert max(qs.values()) - min(qs.values()) <= 1
+
+
+def test_cum_requires_order_by(orders):
+    from colnade_spark.expr import cum_sum
+
+    with pytest.raises(ValueError):
+        cum_sum(Orders.o_totalprice, partition_by=Orders.o_orderstatus)
+
+
+def test_cum_guard_rejects_foreign_columns(orders):
+    from colnade_spark import cum_sum
+
+    with pytest.raises(ColumnGuardError):
+        orders.with_columns(
+            cum_sum(
+                Customer.c_acctbal,
+                partition_by=Orders.o_orderstatus,
+                order_by=Orders.o_orderkey,
+            ).alias("run")
+        )

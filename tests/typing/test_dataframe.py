@@ -510,3 +510,38 @@ def check_neg_semi_join_result_not_joined(
 ) -> None:
     result = df.semi_join(other, Users.id == Orders2.user_id)
     _: DataFrame[Orders2] = result  # type: ignore[assignment]
+
+
+# --- set ops / pivot / cumulative windows (extension surface) --------------
+
+
+def check_intersect_preserves_schema(
+    a: DataFrame[Users], b: DataFrame[Users]
+) -> None:
+    """Set ops are schema-preserving: DataFrame[S] x DataFrame[S] -> S."""
+    result = a.intersect(b)
+    _: DataFrame[Users] = result
+
+
+def check_except_preserves_schema_lazy(
+    a: LazyFrame[Users], b: LazyFrame[Users]
+) -> None:
+    result = a.except_(b, all=True)
+    _: LazyFrame[Users] = result
+
+
+def check_pivot_returns_pivoted_groupby(df: DataFrame[Users]) -> None:
+    from colnade_spark import PivotedGroupBy
+
+    pgb: PivotedGroupBy[Users] = df.group_by(Users.id).pivot(Users.name, ["a", "b"])
+    result = pgb.agg(Users.age.sum().alias("s"))
+    _: DataFrame[Any] = result
+
+
+def check_cum_sum_is_window_expr(df: DataFrame[Users]) -> None:
+    from colnade_spark import cum_sum
+
+    result = df.with_columns(
+        cum_sum(Users.age, partition_by=Users.name, order_by=Users.id).alias("run")
+    )
+    _: DataFrame[Users] = result
