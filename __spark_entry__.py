@@ -1065,6 +1065,63 @@ def interval_click_counts(spark: SparkSession, sf_dir: str) -> SparkDF:
     return j.groupBy("err_id").agg(F.count("*").cast("long").alias("n_clicks"))
 
 
+class PartSuppTotals(Schema):
+    ps_partkey: Column[Int64]
+    ps_suppkey: Column[Int64]
+    ps_total_qty: Column[Float64]
+
+
+def multikey_join_partsupp(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Composite-key equi-join (extension: the reference joins on exactly
+    one key). Per-(partkey, suppkey) totals join BACK to lineitem on BOTH
+    keys as ONE composite-key hash join — a single shuffle, never
+    join-on-one-key-then-filter. Decimal sums for order-independent
+    hashes."""
+    li = _load(spark, sf_dir, "lineitem", Lineitem)
+    totals = (
+        li.group_by(Lineitem.l_partkey, Lineitem.l_suppkey)
+        .agg(Lineitem.l_quantity.cast(Decimal[18, 2]).sum().alias("ps_total_qty_d"))
+        .native.select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+            # decimal total (2 dp) fits a double exactly — order-independent
+            F.col("ps_total_qty_d").cast("double").alias("ps_total_qty"),
+        )
+    )
+    keyed = cs.DataFrame(totals, PartSuppTotals)
+    j = li.join(
+        keyed,
+        [
+            Lineitem.l_partkey == PartSuppTotals.ps_partkey,
+            Lineitem.l_suppkey == PartSuppTotals.ps_suppkey,
+        ],
+    )
+    out = j.native.groupBy("l_returnflag").agg(
+        F.sum(F.col("ps_total_qty").cast("decimal(18,2)")).alias("sum_ps_d"),
+        F.count("*").cast("long").alias("n"),
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_ps_d").cast("double").alias("sum_ps_qty"),
+        "n",
+    )
+
+
+def exploded_label_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Typed explode (list column → one row per element; Generate node, no
+    shuffle) feeding a per-label aggregate. min/max/count only — float
+    sums would be order-dependent across engines."""
+    from colnade_spark.tpch import Embeddings
+
+    e = _load(spark, sf_dir, "embeddings", Embeddings)
+    flat = e.explode(Embeddings.embedding)
+    return flat.native.groupBy("label").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min(F.col("embedding").cast("double")).alias("lo"),
+        F.max(F.col("embedding").cast("double")).alias("hi"),
+    ).withColumn("label", F.col("label").cast("long"))
+
+
 def pivot_status_revenue(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Typed pivot with DECLARED values — compiled to conditional
     aggregation (one exchange; Spark's native pivotfirst plan costs two).
@@ -1220,6 +1277,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "cumulative_acctbal": cumulative_acctbal,
         "ntile_price_quartiles": ntile_price_quartiles,
         "custkeys_intersect_except": custkeys_intersect_except,
+        "multikey_join_partsupp": multikey_join_partsupp,
+        "exploded_label_stats": exploded_label_stats,
     }
 
 
@@ -2059,6 +2118,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    min(o_totalprice) AS lo, max(o_totalprice) AS hi
             FROM q GROUP BY o_orderstatus, quartile
+        """,
+        "multikey_join_partsupp": """
+            WITH totals AS (
+              SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                  AS ps_total_qty
+              FROM lineitem GROUP BY l_partkey, l_suppkey)
+            SELECT l_returnflag,
+              CAST(sum(CAST(ps_total_qty AS DECIMAL(18,2))) AS DOUBLE) AS sum_ps_qty,
+              CAST(count(*) AS BIGINT) AS n
+            FROM lineitem li
+            JOIN totals t ON li.l_partkey = t.ps_partkey
+                         AND li.l_suppkey = t.ps_suppkey
+            GROUP BY l_returnflag
+        """,
+        "exploded_label_stats": """
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(count(*) AS BIGINT) AS n,
+                   min(CAST(e AS DOUBLE)) AS lo,
+                   max(CAST(e AS DOUBLE)) AS hi
+            FROM (SELECT label, UNNEST(embedding) AS e FROM embeddings)
+            GROUP BY label
         """,
         "custkeys_intersect_except": """
             WITH urgent AS (SELECT o_custkey FROM orders

@@ -435,12 +435,17 @@ class SparkBackend:
         self,
         left: SparkDF,
         right: SparkDF,
-        condition: JoinCondition | None,
+        condition: JoinCondition | Sequence[JoinCondition] | None,
         how: str,
     ) -> tuple[SparkDF, dict[str, str]]:
-        """Equi-join. Right-side columns whose names collide with the left are
-        renamed ``<name>__r`` pre-join; the returned mapping lets the joined
-        frame resolve right-schema column refs (SURVEY.md §7.4 collisions).
+        """Equi-join on one or more key equalities (multi-key is an
+        extension — the reference joins on exactly one key,
+        dataframe.py:609-622). Right-side columns whose names collide with
+        the left are renamed ``<name>__r`` pre-join; the returned mapping
+        lets the joined frame resolve right-schema column refs (SURVEY.md
+        §7.4 collisions). Multiple conditions AND together into ONE
+        composite-key hash join — one shuffle on the composite key, never
+        a join-then-filter.
 
         Broadcast and join-strategy selection stay with Catalyst/AQE — at
         scale the small side is auto-broadcast under the threshold, and AQE
@@ -454,11 +459,15 @@ class SparkBackend:
         right2 = right.withColumnsRenamed(rename) if rename else right
         if how == "cross":
             return left.crossJoin(right2), rename
-        if condition is None:
+        conds = [condition] if isinstance(condition, JoinCondition) else list(condition or ())
+        if not conds:
             raise SchemaError(message=f"{how} join requires a JoinCondition")
-        lname = condition.left.name
-        rname = rename.get(condition.right.name, condition.right.name)
-        return left.join(right2, left[lname] == right2[rname], how_map[how]), rename
+        expr = None
+        for c in conds:
+            rname = rename.get(c.right.name, c.right.name)
+            eq = left[c.left.name] == right2[rname]
+            expr = eq if expr is None else (expr & eq)
+        return left.join(right2, expr, how_map[how]), rename
 
     def semi_anti_join(
         self,
@@ -558,6 +567,15 @@ class SparkBackend:
         no UDF; value columns are cast to their common promoted type by
         Spark, so callers should pre-cast mixed-type measures."""
         return data.unpivot(list(ids), list(values), var_name, value_name)
+
+    def explode(self, data: SparkDF, name: str, outer: bool) -> SparkDF:
+        """Flatten a list column into one row per element, in place
+        (extension — the reference has list_* element functions but no
+        row-multiplying explode). Plans as a Generate node — narrow, no
+        shuffle; ``outer`` keeps rows whose list is null/empty (null
+        element), matching SQL UNNEST vs LEFT JOIN UNNEST."""
+        fn = F.explode_outer if outer else F.explode
+        return data.withColumn(name, fn(F.col(name)))
 
     def rename_project(self, data: SparkDF, mapping: dict[str, str]) -> SparkDF:
         """mapping: target name -> source column name in ``data``."""

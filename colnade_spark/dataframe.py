@@ -253,6 +253,10 @@ class _FrameBase(Generic[S]):
             self._data, id_names, value_names, var_name, value_name
         )
 
+    def _explode_data(self, col: Column | str, outer: bool) -> SparkDF:
+        (name,) = self._group_keys([col])
+        return self._backend.explode(self._data, name, outer)
+
     def _set_op(self, other: _FrameBase[S], op: str, all_: bool) -> Self:
         """Shared body of intersect/except_ — ANSI set ops requiring the
         SAME schema class on both sides (nominal typing, like concat)."""
@@ -280,17 +284,23 @@ class _FrameBase(Generic[S]):
         return self._set_op(other, "except", all)
 
     def _join_parts(
-        self, other: _FrameBase[Any], on: JoinCondition | None, how: str
+        self,
+        other: _FrameBase[Any],
+        on: JoinCondition | Sequence[JoinCondition] | None,
+        how: str,
     ) -> tuple[SparkDF, dict[str, str]]:
         if type(other) is not type(self):
             raise TypeError("cannot mix eager and lazy frames in join()")
         if self._schema is None or other._schema is None:
             raise SchemaError(message="join() requires schema-bound frames")
-        if how != "cross" and not isinstance(on, JoinCondition):
-            raise SchemaError(
-                message="join(on=...) must be a cross-schema equality, e.g. "
-                "Users.id == Orders.user_id"
-            )
+        if how != "cross":
+            conds = [on] if isinstance(on, JoinCondition) else list(on or ())
+            if not conds or not all(isinstance(c, JoinCondition) for c in conds):
+                raise SchemaError(
+                    message="join(on=...) must be a cross-schema equality (or a "
+                    "list of them for composite keys), e.g. "
+                    "Users.id == Orders.user_id"
+                )
         return self._backend.join(self._data, other._data, on, how)
 
     def _cast_data(
@@ -376,12 +386,19 @@ class DataFrame(_FrameBase[S]):
     def join(
         self,
         other: DataFrame[S2],
-        on: JoinCondition | None = None,
+        on: JoinCondition | Sequence[JoinCondition] | None = None,
         how: str = "inner",
     ) -> JoinedDataFrame[S, S2]:
         data, rename = self._join_parts(other, on, how)
         assert self._schema is not None and other._schema is not None
         return JoinedDataFrame(data, self._schema, other._schema, rename, self._backend)
+
+    def explode(self, col: Column | str, *, outer: bool = False) -> DataFrame[Any]:
+        """One row per element of a list column (column keeps its name,
+        now element-typed); schema-erased until ``cast_schema``. ``outer``
+        keeps empty/null lists as a null element row. Extension beyond the
+        reference (which has only list_* element functions)."""
+        return DataFrame(self._explode_data(col, outer), None, self._backend)
 
     def semi_join(self, other: DataFrame[Any], on: JoinCondition) -> DataFrame[S]:
         """Rows of self with at least one match in ``other``; keeps this
@@ -570,12 +587,16 @@ class LazyFrame(_FrameBase[S]):
     def join(
         self,
         other: LazyFrame[S2],
-        on: JoinCondition | None = None,
+        on: JoinCondition | Sequence[JoinCondition] | None = None,
         how: str = "inner",
     ) -> JoinedLazyFrame[S, S2]:
         data, rename = self._join_parts(other, on, how)
         assert self._schema is not None and other._schema is not None
         return JoinedLazyFrame(data, self._schema, other._schema, rename, self._backend)
+
+    def explode(self, col: Column | str, *, outer: bool = False) -> LazyFrame[Any]:
+        """One row per element of a list column (schema-erased)."""
+        return LazyFrame(self._explode_data(col, outer), None, self._backend)
 
     def semi_join(self, other: LazyFrame[Any], on: JoinCondition) -> LazyFrame[S]:
         """Rows of self with at least one match in ``other`` (keeps S)."""

@@ -310,3 +310,135 @@ def test_cum_guard_rejects_foreign_columns(orders):
                 order_by=Orders.o_orderkey,
             ).alias("run")
         )
+
+
+# -- multi-key joins ---------------------------------------------------------
+
+
+class _LiKeys(cs.Schema):
+    k_orderkey: cs.Column[cs.Int64]
+    k_linenumber: cs.Column[cs.Int32]
+    k_qty: cs.Column[cs.Float64]
+
+
+def test_multi_key_join_exact_multiplicity(spark, sf_dir):
+    li = cs.read_parquet(table_path(sf_dir, "lineitem"), Lineitem, spark=spark)
+    keys = (
+        li.select(Lineitem.l_orderkey, Lineitem.l_linenumber, Lineitem.l_quantity)
+        .native.toDF("k_orderkey", "k_linenumber", "k_qty")
+    )
+    keyed = cs.DataFrame(keys, _LiKeys)
+    j = li.join(
+        keyed,
+        [
+            Lineitem.l_orderkey == _LiKeys.k_orderkey,
+            Lineitem.l_linenumber == _LiKeys.k_linenumber,
+        ],
+    )
+    # self-join on the composite key: count must be EXACTLY sum(n_g^2)
+    # over (orderkey, linenumber) groups — join-then-filter or key-dropping
+    # bugs break this equality
+    from pyspark.sql import functions as F
+
+    expected = (
+        li.native.groupBy("l_orderkey", "l_linenumber")
+        .count()
+        .agg(F.sum(F.col("count") * F.col("count")))
+        .collect()[0][0]
+    )
+    assert j.native.count() == expected
+    # every matched pair shares the composite key, so quantities can only
+    # disagree within a genuine duplicate-key group
+    agree = j.native.filter("l_orderkey = k_orderkey AND l_linenumber = k_linenumber")
+    assert agree.count() == expected
+
+
+def test_single_key_join_still_works_and_differs(spark, sf_dir):
+    li = cs.read_parquet(table_path(sf_dir, "lineitem"), Lineitem, spark=spark)
+    keys = (
+        li.select(Lineitem.l_orderkey, Lineitem.l_linenumber, Lineitem.l_quantity)
+        .native.toDF("k_orderkey", "k_linenumber", "k_qty")
+    )
+    keyed = cs.DataFrame(keys, _LiKeys)
+    j1 = li.join(keyed, Lineitem.l_orderkey == _LiKeys.k_orderkey)
+    # single-key join fans out across line numbers -> strictly more rows
+    assert j1.native.count() > li.height
+
+
+def test_multi_key_join_rejects_empty_list(spark, sf_dir):
+    li = cs.read_parquet(table_path(sf_dir, "lineitem"), Lineitem, spark=spark)
+    keys = li.select(
+        Lineitem.l_orderkey, Lineitem.l_linenumber, Lineitem.l_quantity
+    ).native.toDF("k_orderkey", "k_linenumber", "k_qty")
+    keyed = cs.DataFrame(keys, _LiKeys)
+    with pytest.raises(SchemaError):
+        li.join(keyed, [])
+
+
+def test_multi_key_join_is_one_composite_shuffle(spark, sf_dir):
+    """Both equalities must land in ONE join's key list — never
+    join-on-first-key-then-filter."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    li = cs.read_parquet(table_path(sf_dir, "lineitem"), Lineitem, spark=spark)
+    keys = li.select(
+        Lineitem.l_orderkey, Lineitem.l_linenumber, Lineitem.l_quantity
+    ).native.toDF("k_orderkey", "k_linenumber", "k_qty")
+    keyed = cs.DataFrame(keys, _LiKeys)
+    j = li.join(
+        keyed,
+        [
+            Lineitem.l_orderkey == _LiKeys.k_orderkey,
+            Lineitem.l_linenumber == _LiKeys.k_linenumber,
+        ],
+    )
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        j.explain("formatted")
+    plan = buf.getvalue()
+    import re
+    m = re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*keys.*\n", plan)
+    # the join node must carry BOTH keys
+    joins = [ln for ln in plan.splitlines() if "Left keys" in ln]
+    assert joins and all("l_orderkey" in ln and "l_linenumber" in ln for ln in joins), plan
+
+
+# -- typed explode -----------------------------------------------------------
+
+
+class _Bags(cs.Schema):
+    id: cs.Column[cs.Int64]
+    xs: cs.Column[cs.List[cs.Int64]]
+
+
+def test_explode_multiplicity_and_values(spark):
+    df = cs.DataFrame.from_dict(
+        {"id": [1, 2, 3], "xs": [[10, 11], [20], []]}, _Bags
+    )
+    flat = df.explode(_Bags.xs)
+    rows = sorted((r.id, r.xs) for r in flat.native.collect())
+    assert rows == [(1, 10), (1, 11), (2, 20)]  # empty list drops the row
+
+
+def test_explode_outer_keeps_empty(spark):
+    df = cs.DataFrame.from_dict(
+        {"id": [1, 2], "xs": [[7], []]}, _Bags
+    )
+    flat = df.explode(_Bags.xs, outer=True)
+    rows = sorted(
+        (r.id, r.xs) for r in flat.native.collect()
+    )
+    assert rows == [(1, 7), (2, None)]
+
+
+def test_explode_guard_rejects_foreign_column(spark):
+    df = cs.DataFrame.from_dict({"id": [1], "xs": [[1]]}, _Bags)
+    with pytest.raises(ColumnGuardError):
+        df.explode(Orders.o_orderkey)
+
+
+def test_explode_lazy_parity(spark):
+    df = cs.DataFrame.from_dict({"id": [1, 2], "xs": [[1, 2, 3], [4]]}, _Bags)
+    lazy = df.lazy().explode(_Bags.xs).collect()
+    assert lazy.height == 4

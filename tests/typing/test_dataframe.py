@@ -29,6 +29,7 @@ from colnade_spark import (
     Float64,
     GroupBy,
     Int64,
+    JoinedDataFrame,
     LazyFrame,
     LazyGroupBy,
     Schema,
@@ -545,3 +546,18 @@ def check_cum_sum_is_window_expr(df: DataFrame[Users]) -> None:
         cum_sum(Users.age, partition_by=Users.name, order_by=Users.id).alias("run")
     )
     _: DataFrame[Users] = result
+
+
+def check_multi_key_join_accepted(
+    df: DataFrame[Users], other: DataFrame[Orders2]
+) -> None:
+    """join(on=[cond, cond]) type-checks; result is the joined frame."""
+    result = df.join(
+        other, [Users.id == Orders2.user_id, Users.age == Orders2.total]
+    )
+    _: JoinedDataFrame[Users, Orders2] = result
+
+
+def check_explode_erases_schema(df: DataFrame[Users]) -> None:
+    result = df.explode(Users.name)
+    _: DataFrame[Any] = result
