@@ -24,6 +24,7 @@ from colnade_spark.dataframe import (
     LazyGroupBy,
     LazyPivotedGroupBy,
     PivotedGroupBy,
+    broadcast,
     concat,
 )
 from colnade_spark.dtypes import (
@@ -122,6 +123,7 @@ __all__ = [
     "Utf8",
     "ValidationLevel",
     "ValueViolation",
+    "broadcast",
     "concat",
     "get_spark",
     "get_validation",

@@ -568,6 +568,27 @@ class SparkBackend:
         Spark, so callers should pre-cast mixed-type measures."""
         return data.unpivot(list(ids), list(values), var_name, value_name)
 
+    def map_batches(self, data: SparkDF, fn: Callable, target: Any) -> SparkDF:
+        """Arrow-batched partition-wise transform — the sanctioned escape
+        hatch when built-in expressions can't say it (extension; the
+        reference's equivalent escape is per-row ``iter_rows``+rebuild).
+        Executes as ``mapInPandas``: each executor core streams its
+        partition through ``fn`` as pandas batches (Arrow transfer, no
+        driver involvement, no shuffle). ``fn`` takes ONE pandas.DataFrame
+        and returns one with the TARGET schema's columns; output is
+        schema-checked at the boundary by the caller."""
+        from colnade_spark.conversion import to_struct_type
+
+        out_type = to_struct_type(target)
+
+        def _gen(batches):
+            for pdf in batches:
+                out = fn(pdf)
+                if out is not None and len(out):
+                    yield out[[f.name for f in out_type.fields]]
+
+        return data.mapInPandas(_gen, schema=out_type)
+
     def explode(self, data: SparkDF, name: str, outer: bool) -> SparkDF:
         """Flatten a list column into one row per element, in place
         (extension — the reference has list_* element functions but no
@@ -576,6 +597,13 @@ class SparkBackend:
         element), matching SQL UNNEST vs LEFT JOIN UNNEST."""
         fn = F.explode_outer if outer else F.explode
         return data.withColumn(name, fn(F.col(name)))
+
+    def broadcast_hint(self, data: SparkDF) -> SparkDF:
+        """Mark the frame for broadcast in subsequent joins (replicate to
+        every executor instead of shuffling the big side). The typed lever
+        for dimension tables above autoBroadcastJoinThreshold that the
+        user KNOWS fit in executor memory."""
+        return F.broadcast(data)
 
     def rename_project(self, data: SparkDF, mapping: dict[str, str]) -> SparkDF:
         """mapping: target name -> source column name in ``data``."""

@@ -400,6 +400,20 @@ class DataFrame(_FrameBase[S]):
         reference (which has only list_* element functions)."""
         return DataFrame(self._explode_data(col, outer), None, self._backend)
 
+    def map_batches(
+        self, fn: Callable[[Any], Any], target: type[S2]
+    ) -> DataFrame[S2]:
+        """Arrow-batched escape hatch: stream each partition through ``fn``
+        (pandas.DataFrame → pandas.DataFrame with ``target``'s columns) via
+        ``mapInPandas`` — distributed, no shuffle, no driver round-trip.
+        The declared target schema is enforced at this boundary. Extension
+        beyond the reference (whose escape is row-at-a-time iteration)."""
+        out: DataFrame[S2] = DataFrame(
+            self._backend.map_batches(self._data, fn, target), target, self._backend
+        )
+        _boundary_validate(out)
+        return out
+
     def semi_join(self, other: DataFrame[Any], on: JoinCondition) -> DataFrame[S]:
         """Rows of self with at least one match in ``other``; keeps this
         frame's schema (filtering join — extension beyond the reference)."""
@@ -597,6 +611,16 @@ class LazyFrame(_FrameBase[S]):
     def explode(self, col: Column | str, *, outer: bool = False) -> LazyFrame[Any]:
         """One row per element of a list column (schema-erased)."""
         return LazyFrame(self._explode_data(col, outer), None, self._backend)
+
+    def map_batches(
+        self, fn: Callable[[Any], Any], target: type[S2]
+    ) -> LazyFrame[S2]:
+        """Arrow-batched partition-wise transform (see DataFrame.map_batches)."""
+        out: LazyFrame[S2] = LazyFrame(
+            self._backend.map_batches(self._data, fn, target), target, self._backend
+        )
+        _boundary_validate(out)
+        return out
 
     def semi_join(self, other: LazyFrame[Any], on: JoinCondition) -> LazyFrame[S]:
         """Rows of self with at least one match in ``other`` (keeps S)."""
@@ -974,3 +998,18 @@ def concat(frames: Sequence[_FrameBase[S]]) -> _FrameBase[S]:
             )
     data = first._backend.concat([f._data for f in frames])
     return type(first)(data, first._schema, first._backend)
+
+
+@overload
+def broadcast(frame: DataFrame[S]) -> DataFrame[S]: ...
+@overload
+def broadcast(frame: LazyFrame[S]) -> LazyFrame[S]: ...
+
+
+def broadcast(frame: _FrameBase[S]) -> _FrameBase[S]:
+    """Hint that this frame should be BROADCAST in subsequent joins —
+    replicated to every executor so the big side never shuffles. The typed
+    lever for known-small dimension tables above Spark's automatic
+    broadcast threshold. Schema-preserving; extension beyond the
+    reference (whose engines have no distributed join planning)."""
+    return frame._wrap(frame._backend.broadcast_hint(frame._data))

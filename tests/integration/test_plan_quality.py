@@ -264,3 +264,25 @@ def test_except_prunes_columns_at_scan(spark, sf_dir):
     for ln in plan.splitlines():
         if "ReadSchema" in ln:
             assert "o_comment" not in ln and "o_orderdate" not in ln, ln
+
+
+def test_partitioned_write_prunes_partitions_on_read(spark, sf_dir, tmp_path):
+    """Hive-partitioned writes must yield partition ELISION on read: a
+    filter on the partition column appears as PartitionFilters on the scan
+    and non-matching partitions are never listed as input. This is the
+    primary 100 TB data-layout lever (scan 1/N of the lake, not N/N)."""
+    from colnade_spark.io import write_parquet
+
+    o = read_parquet(table_path(sf_dir, "orders"), Orders, spark=spark)
+    dest = str(tmp_path / "orders_by_status")
+    write_parquet(o, dest, partition_by=[Orders.o_orderstatus])
+
+    back = read_parquet(dest, Orders, spark=spark).filter(
+        Orders.o_orderstatus == "F"
+    )
+    plan = _plan(back)
+    part = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part and "o_orderstatus" in part[0], plan
+    # correctness: counts survive the round trip
+    want = o.filter(Orders.o_orderstatus == "F").height
+    assert back.height == want

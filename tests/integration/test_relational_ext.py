@@ -442,3 +442,95 @@ def test_explode_lazy_parity(spark):
     df = cs.DataFrame.from_dict({"id": [1, 2], "xs": [[1, 2, 3], [4]]}, _Bags)
     lazy = df.lazy().explode(_Bags.xs).collect()
     assert lazy.height == 4
+
+
+# -- map_batches / broadcast -------------------------------------------------
+
+
+class _DocLen(cs.Schema):
+    doc_id: cs.Column[cs.Int64]
+    n_upper: cs.Column[cs.Int64]
+
+
+def test_map_batches_arrow_transform(spark, sf_dir):
+    from colnade_spark.tpch import Documents
+
+    docs = cs.read_parquet(table_path(sf_dir, "documents"), Documents, spark=spark)
+
+    def count_upper(pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_upper": pdf["text"].str.count(r"[A-Z]").astype("int64"),
+            }
+        )
+
+    out = docs.map_batches(count_upper, _DocLen)
+    assert out.schema is _DocLen
+    assert out.height == docs.height
+    # spot check one row against the driver-side computation
+    row = out.sort(_DocLen.doc_id).head(1).rows()[0]
+    text = docs.filter(Documents.doc_id == row.doc_id).rows()[0].text
+    assert row.n_upper == sum(1 for ch in text if ch.isupper())
+
+
+def test_map_batches_schema_mismatch_raises(spark, sf_dir):
+    from colnade_spark.tpch import Documents
+
+    docs = cs.read_parquet(table_path(sf_dir, "documents"), Documents, spark=spark)
+
+    def bad(pdf):
+        import pandas as pd
+
+        return pd.DataFrame({"doc_id": pdf["doc_id"]})  # missing n_upper
+
+    out = docs.map_batches(bad, _DocLen)
+    # missing column surfaces as an execution-time error on materialize
+    with pytest.raises(Exception):
+        out.height
+
+
+def test_map_batches_typed_pipeline_continues(spark, sf_dir):
+    from colnade_spark.tpch import Documents
+
+    docs = cs.read_parquet(table_path(sf_dir, "documents"), Documents, spark=spark)
+
+    def ident(pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "n_upper": pdf["n_chars"].astype("int64")}
+        )
+
+    out = docs.map_batches(ident, _DocLen).filter(_DocLen.n_upper > 100)
+    assert 0 < out.height <= docs.height
+
+
+def test_broadcast_hint_forces_broadcast_join(spark, sf_dir):
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from colnade_spark import broadcast
+    from colnade_spark.tpch import Nation
+
+    c = cs.read_parquet(table_path(sf_dir, "customer"), Customer, spark=spark)
+    n = cs.read_parquet(table_path(sf_dir, "nation"), Nation, spark=spark)
+    j = c.join(broadcast(n), Customer.c_nationkey == Nation.n_nationkey)
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        j.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_broadcast_preserves_schema_type(spark, sf_dir):
+    from colnade_spark import broadcast
+    from colnade_spark.tpch import Nation
+
+    n = cs.read_parquet(table_path(sf_dir, "nation"), Nation, spark=spark)
+    b = broadcast(n)
+    assert b.schema is Nation
+    assert b.filter(Nation.n_nationkey >= 0).height == n.height

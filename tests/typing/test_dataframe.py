@@ -561,3 +561,18 @@ def check_multi_key_join_accepted(
 def check_explode_erases_schema(df: DataFrame[Users]) -> None:
     result = df.explode(Users.name)
     _: DataFrame[Any] = result
+
+
+def check_map_batches_returns_target_schema(df: DataFrame[Users]) -> None:
+    """map_batches(fn, Target) -> DataFrame[Target] (boundary-validated)."""
+    result = df.map_batches(lambda pdf: pdf, Orders2)
+    _: DataFrame[Orders2] = result
+
+
+def check_broadcast_preserves_frame_and_schema(
+    df: DataFrame[Users], lf: LazyFrame[Users]
+) -> None:
+    from colnade_spark import broadcast
+
+    _: DataFrame[Users] = broadcast(df)
+    __: LazyFrame[Users] = broadcast(lf)
