@@ -1065,6 +1065,35 @@ def interval_click_counts(spark: SparkSession, sf_dir: str) -> SparkDF:
     return j.groupBy("err_id").agg(F.count("*").cast("long").alias("n_clicks"))
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Duplicate-CLUSTER resolution: near-dup PAIRS → per-doc component ids
+    via iterative min-label propagation (operators.graph, localCheckpoint
+    per round, O(diameter) shuffle-joins). The edge set here is
+    deterministic and SQL-expressible (docs adjacent in the per-lang
+    length ordering with Δn_chars ≤ 2 — chain-structured, non-trivial
+    diameters), so DuckDB window SQL can reproduce the exact component
+    labeling the iterative algorithm must converge to."""
+    from pyspark.sql.window import Window
+
+    from colnade_spark.operators.graph import connected_components
+    from colnade_spark.tpch import Documents
+
+    d = _load(spark, sf_dir, "documents", Documents).native
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    s = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.lag("doc_id").over(w).alias("prev_id"),
+        F.lag("n_chars").over(w).alias("prev_nc"),
+    )
+    edges = s.filter(
+        F.col("prev_nc").isNotNull() & ((F.col("n_chars") - F.col("prev_nc")) <= 2)
+    ).select(F.col("prev_id").alias("src"), F.col("doc_id").alias("dst"))
+    nodes = d.select("doc_id")
+    return connected_components(edges, nodes=nodes)
+
+
 class PartSuppTotals(Schema):
     ps_partkey: Column[Int64]
     ps_suppkey: Column[Int64]
@@ -1279,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "custkeys_intersect_except": custkeys_intersect_except,
         "multikey_join_partsupp": multikey_join_partsupp,
         "exploded_label_stats": exploded_label_stats,
+        "dedup_components": dedup_components,
     }
 
 
@@ -2118,6 +2148,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    min(o_totalprice) AS lo, max(o_totalprice) AS hi
             FROM q GROUP BY o_orderstatus, quartile
+        """,
+        "dedup_components": """
+            WITH s AS (
+              SELECT doc_id, lang, n_chars,
+                     LAG(n_chars) OVER (PARTITION BY lang
+                                        ORDER BY n_chars, doc_id) AS pnc
+              FROM documents
+            ), f AS (
+              SELECT doc_id, lang, n_chars,
+                CASE WHEN pnc IS NULL OR n_chars - pnc > 2
+                     THEN 1 ELSE 0 END AS brk
+              FROM s
+            ), r AS (
+              SELECT doc_id, lang,
+                sum(brk) OVER (PARTITION BY lang ORDER BY n_chars, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS run
+              FROM f
+            )
+            SELECT doc_id AS node,
+                   min(doc_id) OVER (PARTITION BY lang, run) AS component
+            FROM r
         """,
         "multikey_join_partsupp": """
             WITH totals AS (

@@ -11,6 +11,7 @@
 - ``decontaminate``: benchmark decontamination (shared-n-gram rule)
 - ``tfidf``: smoothed TF-IDF weights, top-k terms per document
 - ``funnel``: ordered-funnel analysis over event streams
+- ``graph``: connected components (duplicate-cluster resolution)
 - ``sessions``: gap-based sessionization (batch + streaming state)
 - ``asof``: as-of joins
 - ``intervals``: bin-blocked point-in-interval (range) joins
@@ -26,6 +27,7 @@ from colnade_spark.operators import (
     dedup,
     embeddings,
     funnel,
+    graph,
     intervals,
     multimodal,
     packing,
@@ -46,6 +48,7 @@ __all__ = [
     "dedup",
     "embeddings",
     "funnel",
+    "graph",
     "intervals",
     "multimodal",
     "packing",

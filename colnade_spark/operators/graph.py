@@ -1,0 +1,142 @@
+"""Connected components over an edge list — duplicate-CLUSTER resolution.
+
+Near-dedup operators (``dedup.minhash_candidate_pairs``, simhash/ngram
+pairs) emit PAIRS; production dedup needs per-document cluster ids so one
+canonical doc per cluster survives. Pair→cluster is connected components
+on the duplicate graph.
+
+Algorithm: alternating LARGE-STAR / SMALL-STAR contractions (Kiveris,
+Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+MapReduce and Beyond", SoCC'14 — public paper). Each round rewires edges
+toward per-neighborhood minima:
+
+- large-star: every node links its LARGER neighbors to the minimum of its
+  neighborhood (min(N(u) ∪ {u}));
+- small-star: with edges directed high→low, every node links its smaller
+  neighbors (and itself) to that minimum.
+
+The edge set monotonically contracts to a forest of stars whose centers
+are the per-component minimum ids, in O(log² n) rounds — a million-node
+duplicate chain resolves in ~15 rounds where naive min-label propagation
+needs a million. Naive propagation was the first implementation here and
+did exactly that on sf0.1's long length-run chains.
+
+Scale notes (100 TB):
+- Each star step is one groupBy (neighborhood minima) + one equi-join
+  (rewire) — two shuffles on node ids; AQE coalesces as the edge set
+  contracts.
+- ``localCheckpoint`` per round truncates the lineage — without it the
+  plan tree doubles per iteration (the classic iterative-algorithm trap).
+- Convergence = an EMPTY set-difference between consecutive edge sets
+  (exact, distributed; no label collect).
+- Edges are deduplicated/symmetrized inside each step; inputs may carry
+  duplicates and self-loops.
+
+Reference parity: no counterpart — the reference has no graph operators
+(SURVEY.md §2.6); extension layer, same tier as dedup/similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "largest_component_sizes"]
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """(u,v) ∈ E (undirected): link every neighbor v > u to
+    m(u) = min(N(u) ∪ {u})."""
+    sym = e.union(e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
+    mins = (
+        sym.groupBy("_a")
+        .agg(F.min("_b").alias("_mn"))
+        .select("_a", F.least("_a", "_mn").alias("_m"))
+    )
+    return (
+        sym.filter(F.col("_b") > F.col("_a"))
+        .join(mins, "_a")
+        .select(F.col("_b").alias("_a"), F.col("_m").alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Edges directed high→low: link every smaller neighbor (and u itself)
+    to m(u) = min(N(u) ∪ {u})."""
+    d = e.select(
+        F.greatest("_a", "_b").alias("_a"), F.least("_a", "_b").alias("_b")
+    ).distinct()
+    mins = d.groupBy("_a").agg(F.min("_b").alias("_m"))  # _m < _a by direction
+    rewired = (
+        d.join(mins, "_a")
+        .filter(F.col("_b") != F.col("_m"))
+        .select(F.col("_b").alias("_a"), F.col("_m").alias("_b"))
+    )
+    self_links = mins.select("_a", F.col("_m").alias("_b"))
+    return rewired.union(self_links).filter(F.col("_a") != F.col("_b")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Resolve ``(node, component)`` for every node, where ``component``
+    is the MINIMUM node id in the node's connected component (stable,
+    deterministic labeling — no dependence on iteration order).
+
+    ``edges`` is an undirected edge list (direction ignored, self-loops
+    and duplicates tolerated). ``nodes`` optionally supplies isolated
+    nodes (first column is the id); isolated nodes come back as their own
+    component. Raises ``RuntimeError`` if not converged in ``max_iter``
+    alternating rounds (log²-many suffice for any real graph — 30 covers
+    ~2^30-node components)."""
+    e = (
+        edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = edges.select(F.col(src).alias("_n")).union(
+        edges.select(F.col(dst).alias("_n"))
+    )
+    if nodes is not None:
+        first = nodes.columns[0]
+        all_nodes = all_nodes.union(nodes.select(F.col(first).alias("_n")))
+    all_nodes = all_nodes.distinct().localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        stepped = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # exact distributed convergence check: both are distinct sets, so
+        # two anti-joins decide set equality without collecting anything
+        changed = (
+            stepped.exceptAll(e).limit(1).count() + e.exceptAll(stepped).limit(1).count()
+        )
+        e = stepped
+        if changed == 0:
+            # stars: every non-root points at its component minimum
+            labels = e.select(F.col("_a").alias("node"), F.col("_b").alias("component"))
+            roots = all_nodes.join(
+                e.select("_a").distinct(),
+                all_nodes["_n"] == F.col("_a"),
+                "left_anti",
+            ).select(F.col("_n").alias("node"), F.col("_n").alias("component"))
+            return labels.union(roots)
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def largest_component_sizes(cc: DataFrame, top: int = 20) -> DataFrame:
+    """Component size histogram head — the dedup-audit summary (how big is
+    the worst near-dup cluster?). One aggregate on the cc output."""
+    return (
+        cc.groupBy("component")
+        .agg(F.count("*").alias("size"))
+        .orderBy(F.col("size").desc(), F.col("component").asc())
+        .limit(top)
+    )
