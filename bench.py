@@ -48,6 +48,11 @@ HEADLINE = [
     "stratified_sample_docs",
     "tfidf_top_terms",
     "funnel_summary",
+    "pivot_status_revenue",
+    "cumulative_acctbal",
+    "interval_click_counts",
+    "multikey_join_partsupp",
+    "dedup_components",
     "pack_bins",
 ]
 

@@ -53,12 +53,13 @@ def _large_star(e: DataFrame) -> DataFrame:
         .agg(F.min("_b").alias("_mn"))
         .select("_a", F.least("_a", "_mn").alias("_m"))
     )
+    # no distinct here: small_star's first step re-directs + distincts, so
+    # deduping would buy nothing and cost a shuffle per round
     return (
         sym.filter(F.col("_b") > F.col("_a"))
         .join(mins, "_a")
         .select(F.col("_b").alias("_a"), F.col("_m").alias("_b"))
         .filter(F.col("_a") != F.col("_b"))
-        .distinct()
     )
 
 
@@ -99,7 +100,8 @@ def connected_components(
         edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
         .filter(F.col("_a") != F.col("_b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: the first fingerprint below is the materializing action
+        .localCheckpoint(eager=False)
     )
     all_nodes = edges.select(F.col(src).alias("_n")).union(
         edges.select(F.col(dst).alias("_n"))
@@ -107,16 +109,36 @@ def connected_components(
     if nodes is not None:
         first = nodes.columns[0]
         all_nodes = all_nodes.union(nodes.select(F.col(first).alias("_n")))
-    all_nodes = all_nodes.distinct().localCheckpoint(eager=True)
+    # used exactly once (root labeling at the end): no checkpoint job
+    all_nodes = all_nodes.distinct()
 
+    def _fingerprint(df: DataFrame) -> tuple:
+        # one cheap aggregate: (row count, order-independent hash-sum)
+        row = df.agg(
+            F.count("*").alias("n"),
+            # decimal(38,0) accumulator: immune to ANSI long-overflow
+            F.sum(F.xxhash64("_a", "_b").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    fp = _fingerprint(e)
     for _ in range(max_iter):
-        stepped = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        # exact distributed convergence check: both are distinct sets, so
-        # two anti-joins decide set equality without collecting anything
-        changed = (
-            stepped.exceptAll(e).limit(1).count() + e.exceptAll(stepped).limit(1).count()
-        )
-        e = stepped
+        # lazy checkpoint: the fingerprint aggregate below is the one
+        # action per round and materializes it — eager=True would spend a
+        # second full job per round just to checkpoint
+        stepped = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        # two-tier convergence check: a single-aggregate fingerprint per
+        # round (count + order-independent hash-sum), and only when it
+        # matches, the EXACT distributed set-difference confirms — so the
+        # expensive anti-join pair runs once at the end, not every round.
+        new_fp = _fingerprint(stepped)
+        changed = 1
+        if new_fp == fp:
+            changed = (
+                stepped.exceptAll(e).limit(1).count()
+                + e.exceptAll(stepped).limit(1).count()
+            )
+        e, fp = stepped, new_fp
         if changed == 0:
             # stars: every non-root points at its component minimum
             labels = e.select(F.col("_a").alias("node"), F.col("_b").alias("component"))
