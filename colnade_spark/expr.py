@@ -14,6 +14,7 @@ O(expression-size) build cost (amortized to ~0 against any real job).
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass, field
 from typing import TYPE_CHECKING, Any
 
@@ -315,6 +316,11 @@ class WindowExpr(Expr):
     offset: int
     partition_by: tuple[Any, ...]
     order_by: tuple[Any, ...]
+    # rolling frame: (preceding, following) as non-negative offsets; None =
+    # the func's default frame. range_frame=True → RANGE over a single
+    # numeric order key (event-time windows); False → ROWS.
+    frame: tuple[int, int] | None = None
+    range_frame: bool = False
 
 
 def _window(
@@ -402,6 +408,89 @@ def cum_count(value: Any, *, partition_by: Any = None, order_by: Any = None) -> 
 
 def cum_mean(value: Any, *, partition_by: Any = None, order_by: Any = None) -> WindowExpr:
     return _cum("cum_mean", value, partition_by, order_by)
+
+
+def _rolling(
+    func: str,
+    value: Any,
+    partition_by: Any,
+    order_by: Any,
+    preceding: int,
+    following: int,
+    range_frame: bool,
+) -> WindowExpr:
+    if preceding < 0 or following < 0:
+        raise ValueError("rolling frame offsets must be non-negative")
+    node = _window(func, _wrap_ref(value), 0, partition_by, order_by)
+    if range_frame and len(node.order_by) != 1:
+        raise ValueError("range_frame requires exactly one numeric order key")
+    return dataclasses.replace(node, frame=(preceding, following), range_frame=range_frame)
+
+
+def rolling_sum(
+    value: Any,
+    *,
+    partition_by: Any = None,
+    order_by: Any = None,
+    preceding: int,
+    following: int = 0,
+    range_frame: bool = False,
+) -> WindowExpr:
+    """Windowed sum over a bounded frame. ``range_frame=False`` → ROWS
+    BETWEEN preceding AND following (order-dependent on ties — pass a unique
+    order key); ``range_frame=True`` → RANGE over ONE numeric order key
+    (tie-insensitive: all peers of the current value are in-frame), the
+    event-time rolling-window shape (e.g. order_by=days-since-epoch,
+    preceding=29 for a trailing 30-day window)."""
+    return _rolling("cum_sum", value, partition_by, order_by, preceding, following, range_frame)
+
+
+def rolling_min(
+    value: Any,
+    *,
+    partition_by: Any = None,
+    order_by: Any = None,
+    preceding: int,
+    following: int = 0,
+    range_frame: bool = False,
+) -> WindowExpr:
+    return _rolling("cum_min", value, partition_by, order_by, preceding, following, range_frame)
+
+
+def rolling_max(
+    value: Any,
+    *,
+    partition_by: Any = None,
+    order_by: Any = None,
+    preceding: int,
+    following: int = 0,
+    range_frame: bool = False,
+) -> WindowExpr:
+    return _rolling("cum_max", value, partition_by, order_by, preceding, following, range_frame)
+
+
+def rolling_count(
+    value: Any,
+    *,
+    partition_by: Any = None,
+    order_by: Any = None,
+    preceding: int,
+    following: int = 0,
+    range_frame: bool = False,
+) -> WindowExpr:
+    return _rolling("cum_count", value, partition_by, order_by, preceding, following, range_frame)
+
+
+def rolling_mean(
+    value: Any,
+    *,
+    partition_by: Any = None,
+    order_by: Any = None,
+    preceding: int,
+    following: int = 0,
+    range_frame: bool = False,
+) -> WindowExpr:
+    return _rolling("cum_mean", value, partition_by, order_by, preceding, following, range_frame)
 
 
 @dataclass(frozen=True, eq=False)

@@ -46,7 +46,12 @@ def sessionize_batch(
     w = Window.partitionBy(user_col).orderBy(ts_col)
     # integer microseconds, not seconds: cast-to-long truncation makes
     # gaps off by up to 1s at session boundaries
-    us = F.unix_micros(F.col(ts_col))
+    ts = F.col(ts_col)
+    if isinstance(events.schema[ts_col].dataType, T.TimestampNTZType):
+        # unix_micros only accepts TIMESTAMP; with the session timezone
+        # pinned to UTC the NTZ->TZ cast is an exact reinterpretation
+        ts = ts.cast(T.TimestampType())
+    us = F.unix_micros(ts)
     gap = us - F.lag(us).over(w)
     new_session = F.when(
         gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)
