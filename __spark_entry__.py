@@ -1225,6 +1225,41 @@ def custkeys_intersect_except(spark: SparkSession, sf_dir: str) -> SparkDF:
     return both.unionByName(only)
 
 
+def rolling_window_revenue(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Event-time rolling windows (EXTENSION): per customer, trailing
+    30-day order revenue/count via RANGE BETWEEN 29 PRECEDING AND CURRENT
+    ROW over integer epoch-days — tie-insensitive (same-day orders share
+    one frame), so the result is deterministic without a unique order key.
+    One hash exchange on o_custkey + sort; decimal accumulation for
+    cross-engine bit-exactness."""
+    from colnade_spark import rolling_count, rolling_sum
+
+    o = _load(spark, sf_dir, "orders", Orders)
+    day = Orders.o_orderdate.dt_epoch_day()
+    out = o.with_columns(
+        rolling_sum(
+            Orders.o_totalprice.cast(Decimal[18, 2]),
+            partition_by=Orders.o_custkey,
+            order_by=day,
+            preceding=29,
+            range_frame=True,
+        ).alias("rev_30d_d"),
+        rolling_count(
+            Orders.o_orderkey,
+            partition_by=Orders.o_custkey,
+            order_by=day,
+            preceding=29,
+            range_frame=True,
+        ).alias("n_30d"),
+    )
+    return out.native.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("rev_30d_d").cast("double").alias("rev_30d"),
+        F.col("n_30d").cast("long").alias("n_30d"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1309,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "multikey_join_partsupp": multikey_join_partsupp,
         "exploded_label_stats": exploded_label_stats,
         "dedup_components": dedup_components,
+        "rolling_window_revenue": rolling_window_revenue,
     }
 
 
@@ -2204,5 +2240,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey, 'urgent_only' AS tag
             FROM (SELECT o_custkey FROM urgent EXCEPT
                   SELECT o_custkey FROM fin)
+        """,
+        "rolling_window_revenue": """
+            SELECT o_orderkey, o_custkey,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                PARTITION BY o_custkey
+                ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
+              ) AS DOUBLE) AS rev_30d,
+              CAST(count(o_orderkey) OVER (
+                PARTITION BY o_custkey
+                ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
+              ) AS BIGINT) AS n_30d
+            FROM orders
         """,
     }

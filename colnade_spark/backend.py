@@ -198,6 +198,8 @@ def rewrite_refs(node: Any, mapping: dict[str, str] | Callable[[ColumnRef], str]
             node.offset,
             tuple(rewrite_refs(p, mapping) for p in node.partition_by),
             tuple(rewrite_refs(o, mapping) for o in node.order_by),
+            node.frame,
+            node.range_frame,
         )
     return node
 
@@ -278,10 +280,20 @@ class SparkBackend:
             return F.ntile(node.offset).over(w)
         cum = _CUM_FNS.get(node.func)
         if cum is not None:
-            # running aggregate: ROWS UNBOUNDED PRECEDING .. CURRENT ROW —
-            # a row frame (not RANGE) so ties accumulate one row at a time,
-            # matching ANSI ROWS semantics on both engines.
-            frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            if node.frame is not None:
+                # bounded rolling frame: RANGE over one numeric order key
+                # (tie-insensitive event-time windows) or ROWS (positional)
+                prec, foll = node.frame
+                frame = (
+                    w.rangeBetween(-prec, foll)
+                    if node.range_frame
+                    else w.rowsBetween(-prec, foll)
+                )
+            else:
+                # running aggregate: ROWS UNBOUNDED PRECEDING .. CURRENT ROW —
+                # a row frame (not RANGE) so ties accumulate one row at a
+                # time, matching ANSI ROWS semantics on both engines.
+                frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             return cum(self.translate_expr(node.operand)).over(frame)
         raise SchemaError(message=f"unknown window function {node.func!r}")
 
@@ -326,6 +338,10 @@ class SparkBackend:
             return F.minute(c)
         if name == "dt_second":
             return F.second(c)
+        if name == "dt_epoch_day":
+            # unix_date requires DATE; timestamps truncate to their date.
+            # DuckDB twin: CAST(x AS DATE) - DATE '1970-01-01'.
+            return F.unix_date(c.cast("date"))
         if name == "dt_truncate":
             unit = node.options.get("every")
             if unit not in _TRUNC_UNITS:

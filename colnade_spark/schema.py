@@ -282,6 +282,12 @@ class Column(Generic[DTypeT]):
     def dt_second(self) -> FunctionCall:
         return self._dt_fn("dt_second")
 
+    def dt_epoch_day(self) -> FunctionCall:
+        """Integer days since 1970-01-01 (EXTENSION — the natural numeric
+        order key for event-time RANGE rolling windows; timestamps truncate
+        to their date first)."""
+        return self._dt_fn("dt_epoch_day")
+
     def dt_truncate(self, every: str) -> FunctionCall:
         """Truncate to a unit. Our unit vocabulary: ``year|month|week|day|
         hour|minute|second`` (mapped per-backend; Polars would use "1mo" etc).

@@ -255,6 +255,27 @@ def test_cum_sum_is_one_window_exchange(spark, sf_dir):
     assert "Window" in plan, plan
 
 
+def test_rolling_range_window_is_one_exchange(spark, sf_dir):
+    """Event-time rolling window (RANGE frame over epoch-days) = the same
+    single hash-partition exchange + sort + Window as the running frame —
+    the frame bound changes the Window node, not the exchange count."""
+    from colnade_spark import rolling_sum
+
+    o = read_parquet(table_path(sf_dir, "orders"), Orders, spark=spark)
+    out = o.with_columns(
+        rolling_sum(
+            Orders.o_totalprice,
+            partition_by=Orders.o_custkey,
+            order_by=Orders.o_orderdate.dt_epoch_day(),
+            preceding=29,
+            range_frame=True,
+        ).alias("rev_30d")
+    )
+    plan = _spark_plan(out.native)
+    assert _n_shuffles(plan) == 1, plan
+    assert "Window" in plan, plan
+
+
 def test_except_prunes_columns_at_scan(spark, sf_dir):
     """Set ops on a projected frame must not scan unused columns."""
     o = read_parquet(table_path(sf_dir, "orders"), Orders, spark=spark)

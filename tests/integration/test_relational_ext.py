@@ -273,6 +273,81 @@ def test_cum_sum_matches_python_model(orders):
         assert abs(acc[status] - run) < 1e-6 * max(1.0, abs(run))
 
 
+class _Series(cs.Schema):
+    k: cs.Column[cs.Utf8]
+    day: cs.Column[cs.Int64]
+    val: cs.Column[cs.Int64]
+
+
+def test_rolling_rows_frame_matches_python_model(spark):
+    from colnade_spark import rolling_sum
+
+    df = cs.DataFrame.from_dict(
+        {
+            "k": ["a"] * 5 + ["b"] * 3,
+            "day": [1, 2, 3, 4, 5, 1, 2, 3],
+            "val": [10, 20, 30, 40, 50, 1, 2, 3],
+        },
+        _Series,
+    )
+    out = df.with_columns(
+        rolling_sum(
+            _Series.val, partition_by=_Series.k, order_by=_Series.day, preceding=2
+        ).alias("roll")
+    )
+    got = {(r.k, r.day): r.roll for r in out.native.collect()}
+    assert got[("a", 1)] == 10
+    assert got[("a", 3)] == 60  # 10+20+30
+    assert got[("a", 5)] == 120  # 30+40+50 — frame slides, not cumulative
+    assert got[("b", 3)] == 6
+
+
+def test_rolling_range_frame_is_tie_insensitive(spark):
+    from colnade_spark import rolling_count, rolling_sum
+
+    # two rows share day=2: a RANGE frame includes both peers in BOTH rows
+    df = cs.DataFrame.from_dict(
+        {
+            "k": ["a"] * 4,
+            "day": [1, 2, 2, 5],
+            "val": [1, 10, 100, 1000],
+        },
+        _Series,
+    )
+    res = df.with_columns(
+        rolling_sum(
+            _Series.val, partition_by=_Series.k, order_by=_Series.day,
+            preceding=1, range_frame=True,
+        ).alias("roll"),
+        rolling_count(
+            _Series.val, partition_by=_Series.k, order_by=_Series.day,
+            preceding=1, range_frame=True,
+        ).alias("n"),
+    )
+    rolls = sorted((r.day, r.val, r.roll, r.n) for r in res.native.collect())
+    # day=2 rows both see 1+10+100 (day 1 in range, both day-2 peers)
+    assert rolls == [(1, 1, 1, 1), (2, 10, 111, 3), (2, 100, 111, 3), (5, 1000, 1000, 1)]
+
+
+def test_rolling_validation_errors(spark):
+    from colnade_spark import rolling_mean, rolling_sum
+
+    with pytest.raises(ValueError):
+        rolling_sum(
+            _Series.val, partition_by=_Series.k, order_by=_Series.day, preceding=-1
+        )
+    with pytest.raises(ValueError):
+        rolling_mean(
+            _Series.val,
+            partition_by=_Series.k,
+            order_by=[_Series.day, _Series.val],
+            preceding=1,
+            range_frame=True,
+        )
+    with pytest.raises(ValueError):
+        rolling_sum(_Series.val, partition_by=_Series.k, preceding=1)
+
+
 def test_ntile_bucket_sizes_balanced(orders):
     from colnade_spark import ntile
 
