@@ -1260,6 +1260,37 @@ def rolling_window_revenue(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def math_regex_funcs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Math + regex scalar-function extensions in one projection: decimal
+    half-up rounding, sqrt/ln (rounded to 6 places — the cross-engine
+    float convention), floor, regex extract (no-match → NULL on both
+    engines), regex search, 0-based slice, and is_in membership pushdown.
+    All JVM built-ins inside one codegen stage; the is_in filter reaches
+    the parquet scan."""
+    from colnade_spark.tpch import Part
+
+    p = _load(spark, sf_dir, "part", Part)
+    out = p.filter(Part.p_brand.is_in(["Brand#12", "Brand#17", "Brand#23"])).with_columns(
+        Part.p_retailprice.cast(Decimal[12, 2]).round(0).alias("price_r0_d"),
+        Part.p_retailprice.sqrt().round(6).alias("price_sqrt"),
+        Part.p_retailprice.ln().round(6).alias("price_ln"),
+        Part.p_retailprice.floor().alias("price_floor_l"),
+        Part.p_name.str_extract("^([a-z]+)", 1).alias("first_word"),
+        Part.p_type.str_matches("ECO|SMA").alias("is_eco_small"),
+        Part.p_name.str_slice(0, 5).alias("head5"),
+    )
+    return out.native.select(
+        "p_partkey",
+        F.col("price_r0_d").cast("double").alias("price_r0"),
+        "price_sqrt",
+        "price_ln",
+        F.col("price_floor_l").cast("long").alias("price_floor"),
+        "first_word",
+        "is_eco_small",
+        "head5",
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1345,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "exploded_label_stats": exploded_label_stats,
         "dedup_components": dedup_components,
         "rolling_window_revenue": rolling_window_revenue,
+        "math_regex_funcs": math_regex_funcs,
     }
 
 
@@ -2254,5 +2286,18 @@ def oracle_sql() -> dict[str, str]:
                 RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
               ) AS BIGINT) AS n_30d
             FROM orders
+        """,
+        "math_regex_funcs": """
+            SELECT p_partkey,
+              CAST(ROUND(CAST(p_retailprice AS DECIMAL(12,2)), 0) AS DOUBLE)
+                AS price_r0,
+              ROUND(sqrt(p_retailprice), 6) AS price_sqrt,
+              ROUND(ln(p_retailprice), 6) AS price_ln,
+              CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+              NULLIF(regexp_extract(p_name, '^([a-z]+)', 1), '') AS first_word,
+              regexp_matches(p_type, 'ECO|SMA') AS is_eco_small,
+              substring(p_name, 1, 5) AS head5
+            FROM part
+            WHERE p_brand IN ('Brand#12', 'Brand#17', 'Brand#23')
         """,
     }

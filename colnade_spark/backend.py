@@ -22,6 +22,7 @@ Scale design notes:
 from __future__ import annotations
 
 import operator as _op
+import re
 from collections.abc import Callable, Iterable, Iterator, Sequence
 from functools import reduce
 from typing import Any
@@ -326,6 +327,41 @@ class SparkBackend:
             return F.trim(c)
         if name == "str_replace":
             return F.replace(c, args[0], args[1])  # replace-all
+        if name == "math_abs":
+            return F.abs(c)
+        if name == "math_round":
+            # F.round requires a literal int scale
+            return F.round(c, node.args[0].value)
+        if name == "math_floor":
+            return F.floor(c)
+        if name == "math_ceil":
+            return F.ceil(c)
+        if name == "math_sqrt":
+            return F.sqrt(c)
+        if name == "math_ln":
+            return F.log(c)
+        if name == "math_log10":
+            return F.log10(c)
+        if name == "math_exp":
+            return F.exp(c)
+        if name == "math_pow":
+            return F.pow(c, args[0])
+        if name == "str_extract":
+            pat, group = node.args[0].value, node.args[1].value
+            # Spark's regexp_extract yields '' for a non-matching row;
+            # normalize to NULL (DuckDB semantics) via an explicit match
+            # guard so '' only survives when the group genuinely matched
+            # empty. rlike+regexp_extract collapse into one codegen stage.
+            return F.when(c.rlike(pat), F.regexp_extract(c, pat, group))
+        if name == "str_matches":
+            return c.rlike(node.args[0].value)
+        if name == "str_split":
+            return F.split(c, re.escape(node.args[0].value))
+        if name == "str_slice":
+            offset, length = node.args[0].value, node.args[1].value
+            return F.substring(c, offset + 1, length)
+        if name == "is_in":
+            return c.isin(*[a.value for a in node.args])
         if name == "dt_year":
             return F.year(c)
         if name == "dt_month":

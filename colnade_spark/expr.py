@@ -133,6 +133,35 @@ class Expr:
     def cast(self, dtype: Any) -> FunctionCall:
         return FunctionCall("cast", self, (), options={"dtype": dtype})
 
+    # -- math (EXTENSION; ungated here — computed exprs carry no static
+    # dtype, the Column-level twins gate on the declared dtype) ------------
+    def abs(self) -> FunctionCall:
+        return FunctionCall("math_abs", self, ())
+
+    def round(self, decimals: int = 0) -> FunctionCall:
+        return FunctionCall("math_round", self, (_wrap(decimals),))
+
+    def floor(self) -> FunctionCall:
+        return FunctionCall("math_floor", self, ())
+
+    def ceil(self) -> FunctionCall:
+        return FunctionCall("math_ceil", self, ())
+
+    def sqrt(self) -> FunctionCall:
+        return FunctionCall("math_sqrt", self, ())
+
+    def ln(self) -> FunctionCall:
+        return FunctionCall("math_ln", self, ())
+
+    def log10(self) -> FunctionCall:
+        return FunctionCall("math_log10", self, ())
+
+    def exp(self) -> FunctionCall:
+        return FunctionCall("math_exp", self, ())
+
+    def pow(self, exponent: Any) -> FunctionCall:
+        return FunctionCall("math_pow", self, (_wrap(exponent),))
+
     # -- aggregation -------------------------------------------------------
     def sum(self) -> Agg:
         return Agg(self, "sum")

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import typing
+from collections.abc import Sequence
 from typing import Any, Generic, TypeVar, get_args, get_origin, get_type_hints
 
 from colnade_spark import dtypes as dt
@@ -258,6 +259,81 @@ class Column(Generic[DTypeT]):
         backend replaces only the first occurrence — documented divergence,
         SURVEY.md §2.4)."""
         return self._str_fn("str_replace", pat, repl)
+
+    # -- math functions (EXTENSION — the reference has no math beyond
+    # arithmetic operators, SURVEY.md §2.6) -------------------------------
+    def _math_fn(self, name: str, *args: Any) -> FunctionCall:
+        self._require(self._is_numeric, f"{name}()")
+        return FunctionCall(name, self._ref(), tuple(_wrap(a) for a in args))
+
+    def abs(self) -> FunctionCall:
+        return self._math_fn("math_abs")
+
+    def round(self, decimals: int = 0) -> FunctionCall:
+        """Half-up rounding to ``decimals`` places (Spark ROUND; DuckDB
+        ROUND matches half-up on doubles)."""
+        return self._math_fn("math_round", decimals)
+
+    def floor(self) -> FunctionCall:
+        return self._math_fn("math_floor")
+
+    def ceil(self) -> FunctionCall:
+        return self._math_fn("math_ceil")
+
+    def sqrt(self) -> FunctionCall:
+        return self._math_fn("math_sqrt")
+
+    def ln(self) -> FunctionCall:
+        """Natural log; non-positive input → null (both engines)."""
+        return self._math_fn("math_ln")
+
+    def log10(self) -> FunctionCall:
+        return self._math_fn("math_log10")
+
+    def exp(self) -> FunctionCall:
+        return self._math_fn("math_exp")
+
+    def pow(self, exponent: Any) -> FunctionCall:
+        return self._math_fn("math_pow", exponent)
+
+    # -- regex / extended string functions (EXTENSION) ---------------------
+    def str_extract(self, pattern: str, group: int = 0) -> FunctionCall:
+        """First regex match (capture ``group``); NULL when no match —
+        normalized across engines (Spark returns '' on no-match; the
+        backend maps '' from a non-matching row to NULL via a match guard).
+        """
+        return self._str_fn("str_extract", pattern, group)
+
+    def str_matches(self, pattern: str) -> FunctionCall:
+        """Regex SEARCH (unanchored), boolean — the regex twin of the
+        literal str_contains."""
+        return self._str_fn("str_matches", pattern)
+
+    def str_split(self, delim: str) -> FunctionCall:
+        """Split on a LITERAL delimiter → List[Utf8] (the backend escapes
+        the delimiter; Spark's split() is regex-based)."""
+        if not delim:
+            raise ValueError("str_split delimiter must be non-empty")
+        return self._str_fn("str_split", delim)
+
+    def str_slice(self, offset: int, length: int) -> FunctionCall:
+        """0-based substring of ``length`` chars (Polars-style offsets;
+        translated to 1-based substring on both engines)."""
+        if offset < 0 or length < 0:
+            raise ValueError("str_slice offset/length must be non-negative")
+        return self._str_fn("str_slice", offset, length)
+
+    # -- membership (EXTENSION) -------------------------------------------
+    def is_in(self, values: Sequence[Any]) -> FunctionCall:
+        """SQL IN over a literal list (null input → null, like both
+        engines' IN with a non-null list)."""
+        vals = tuple(values)
+        if not vals:
+            raise ValueError("is_in requires at least one value")
+        if get_validation() is not ValidationLevel.OFF:
+            for v in vals:
+                check_literal_type(v, self.dtype, self.name)
+        return FunctionCall("is_in", self._ref(), tuple(_wrap(v) for v in vals))
 
     # -- temporal functions ------------------------------------------------
     def _dt_fn(self, name: str, *args: Any, **options: Any) -> FunctionCall:

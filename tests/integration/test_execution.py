@@ -238,6 +238,79 @@ def test_str_functions(customer):
     assert row.ln == len(row.c_name)
 
 
+def test_math_functions(customer):
+    import math
+
+    out = customer.with_columns(
+        Customer.c_acctbal.abs().alias("ab"),
+        Customer.c_acctbal.round(1).alias("rd"),
+        Customer.c_acctbal.floor().alias("fl"),
+        Customer.c_acctbal.ceil().alias("ce"),
+        Customer.c_acctbal.abs().sqrt().alias("sq"),
+        Customer.c_acctbal.exp().alias("ex"),
+        Customer.c_acctbal.pow(2).alias("p2"),
+        Customer.c_acctbal.ln().alias("ln_"),
+    )
+    for r in out.native.limit(20).collect():
+        assert r.ab == abs(r.c_acctbal)
+        # Spark rounds half-up, Python half-even: allow one 0.1 tick
+        assert abs(r.rd - round(r.c_acctbal, 1)) <= 0.1 + 1e-9
+        assert r.fl == math.floor(r.c_acctbal)
+        assert r.ce == math.ceil(r.c_acctbal)
+        assert abs(r.sq - math.sqrt(abs(r.c_acctbal))) < 1e-9
+        assert abs(r.p2 - r.c_acctbal**2) < 1e-6 * max(1.0, r.c_acctbal**2)
+        if r.c_acctbal > 0:
+            assert abs(r.ln_ - math.log(r.c_acctbal)) < 1e-9
+        else:
+            assert r.ln_ is None  # non-positive → null
+
+
+def test_math_gate_rejects_string(customer):
+    with pytest.raises(TypeError):
+        Customer.c_name.abs()
+    with pytest.raises(TypeError):
+        Customer.c_name.sqrt()
+
+
+def test_regex_functions(customer):
+    out = customer.with_columns(
+        Customer.c_name.str_extract(r"(\d+)$", 1).alias("num"),
+        Customer.c_name.str_matches(r"\d{3}").alias("has3d"),
+        Customer.c_name.str_split("#").alias("parts"),
+        Customer.c_name.str_slice(0, 8).alias("head8"),
+        Customer.c_name.str_extract(r"ZZZNOMATCHZZZ").alias("nomatch"),
+    )
+    import re as _re
+
+    for r in out.native.limit(20).collect():
+        m = _re.search(r"(\d+)$", r.c_name)
+        assert r.num == (m.group(1) if m else None)
+        assert r.has3d == bool(_re.search(r"\d{3}", r.c_name))
+        assert r.parts == r.c_name.split("#")
+        assert r.head8 == r.c_name[:8]
+        assert r.nomatch is None  # '' from Spark normalized to NULL
+
+
+class _SplitT(Schema):
+    s: Column[Utf8]
+
+
+def test_str_split_literal_not_regex(spark):
+    """The delimiter is literal: '.' must not behave as regex any-char."""
+    df = DataFrame.from_dict({"s": ["a.b.c", "abc"]}, _SplitT)
+    out = df.with_columns(_SplitT.s.str_split(".").alias("parts"))
+    rows = sorted((r.s, tuple(r.parts)) for r in out.native.collect())
+    assert rows == [("a.b.c", ("a", "b", "c")), ("abc", ("abc",))]
+
+
+def test_is_in_membership(customer):
+    out = customer.filter(Customer.c_mktsegment.is_in(["BUILDING", "MACHINERY"]))
+    segs = {r.c_mktsegment for r in out.native.select("c_mktsegment").distinct().collect()}
+    assert segs == {"BUILDING", "MACHINERY"}
+    with pytest.raises(ValueError):
+        Customer.c_mktsegment.is_in([])
+
+
 def test_dt_functions(orders):
     out = orders.with_columns(
         Orders.o_orderdate.dt_year().alias("y"),

@@ -276,6 +276,16 @@ def test_rolling_range_window_is_one_exchange(spark, sf_dir):
     assert "Window" in plan, plan
 
 
+def test_is_in_filter_pushed_to_scan(spark, sf_dir):
+    """is_in membership must reach the parquet scan as an In pushed filter
+    (row groups whose stats exclude all values are skipped)."""
+    o = read_parquet(table_path(sf_dir, "orders"), Orders, spark=spark)
+    out = o.filter(Orders.o_orderstatus.is_in(["F", "P"]))
+    plan = _spark_plan(out.native)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "In(o_orderstatus" in pushed[0], plan
+
+
 def test_except_prunes_columns_at_scan(spark, sf_dir):
     """Set ops on a projected frame must not scan unused columns."""
     o = read_parquet(table_path(sf_dir, "orders"), Orders, spark=spark)
