@@ -1291,6 +1291,18 @@ def math_regex_funcs(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def edit_distance_dups(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Bounded-Levenshtein near-dup pairs: length-band blocked candidate
+    join (ids+lengths only), thresholded banded-DP verify after the text
+    joins back. Exact twin of the LSH pipelines — and the exact VERIFIER
+    for them via the candidates= parameter."""
+    from colnade_spark.operators import dedup
+
+    return dedup.edit_distance_pairs(
+        _docs(spark, sf_dir), max_dist=16, block_cols=("lang",)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1377,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "dedup_components": dedup_components,
         "rolling_window_revenue": rolling_window_revenue,
         "math_regex_funcs": math_regex_funcs,
+        "edit_distance_dups": edit_distance_dups,
     }
 
 
@@ -2299,5 +2312,14 @@ def oracle_sql() -> dict[str, str]:
               substring(p_name, 1, 5) AS head5
             FROM part
             WHERE p_brand IN ('Brand#12', 'Brand#17', 'Brand#23')
+        """,
+        "edit_distance_dups": """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+            FROM documents a
+            JOIN documents b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+             AND abs(length(a.text) - length(b.text)) <= 16
+            WHERE levenshtein(a.text, b.text) <= 16
         """,
     }

@@ -715,3 +715,88 @@ def reduce_and(conds):
     for c in conds[1:]:
         out = out & c
     return out
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 16,
+    block_cols: tuple[str, ...] = ("lang",),
+    bucket_width: int | None = None,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, dist) by bounded Levenshtein
+    distance within ``block_cols`` groups.
+
+    Candidate generation: length-band blocking. ED <= k implies
+    |len(a)-len(b)| <= k, so each doc emits bucket keys floor(len/B) and
+    floor(len/B)+1 with B = max(bucket_width or 16, max_dist); any pair
+    within k length units then shares a key (complete), and the double
+    emit is removed with a pair-level dropDuplicates. Candidates carry
+    (id, length) ONLY — text joins back per id after pair dedup, never
+    rides the candidate shuffle.
+
+    Verification: 3-arg ``levenshtein(a, b, max_dist)`` — O(k*len)
+    banded DP with early exit, not O(len^2); -1 (over threshold) rows are
+    filtered.
+
+    At 100 TB the length-band candidate volume is sum over
+    (block, bucket) of n^2 — fine for corpora where blocks stay bounded,
+    but hot blocks should feed LSH candidates instead: pass
+    ``candidates=`` (id_a, id_b pairs, e.g. from minhash_candidate_pairs
+    or simhash_near_pairs) to use this operator as the exact verifier of
+    an approximate pipeline.
+
+    Null text never matches (length(null) is null -> no bucket key;
+    levenshtein(null, ..) is null), matching SQL semantics.
+    """
+    if candidates is None:
+        bw = max(bucket_width or 16, max_dist)
+        base = docs.select(
+            F.col(id_col).alias("_id"),
+            *[F.col(c) for c in block_cols],
+            F.length(text_col).alias("_len"),
+        )
+        keyed = base.withColumn(
+            "_bkt",
+            F.explode(
+                F.array(
+                    F.floor(F.col("_len") / bw), F.floor(F.col("_len") / bw) + 1
+                )
+            ),
+        )
+        a = keyed.select(
+            F.col("_id").alias("id_a"),
+            F.col("_len").alias("_la"),
+            *[F.col(c).alias(f"_ba_{c}") for c in block_cols],
+            "_bkt",
+        )
+        b = keyed.select(
+            F.col("_id").alias("id_b"),
+            F.col("_len").alias("_lb"),
+            *[F.col(c).alias(f"_bb_{c}") for c in block_cols],
+            "_bkt",
+        )
+        cond = reduce_and(
+            [a["_bkt"] == b["_bkt"]]
+            + [a[f"_ba_{c}"] == b[f"_bb_{c}"] for c in block_cols]
+        )
+        candidates = (
+            a.join(b, cond)
+            .filter(
+                (F.col("id_a") < F.col("id_b"))
+                & (F.abs(F.col("_la") - F.col("_lb")) <= max_dist)
+            )
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    ta = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
+    tb = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
+    return (
+        candidates.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("dist", F.levenshtein(F.col("_ta"), F.col("_tb"), max_dist))
+        .filter(F.col("dist") >= 0)
+        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+    )

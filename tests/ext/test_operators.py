@@ -464,3 +464,67 @@ def test_image_near_dups_and_dedup(spark):
     }
     assert 1 in kept and 100 not in kept
     assert len(kept) >= 12 - 2  # only near-dups removed
+
+
+# -- edit-distance near-dup --------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_pairs_complete_vs_bruteforce(spark):
+    from colnade_spark.operators.dedup import edit_distance_pairs
+
+    # lengths straddle bucket boundaries (B=16): 15/17, 31/33
+    rows = [
+        (1, "a" * 15, "en"),
+        (2, "a" * 17, "en"),          # dist 2, crosses bucket 0/1 boundary
+        (3, "b" * 31, "en"),
+        (4, "b" * 29 + "cc", "en"),   # dist 2, same bucket
+        (5, "a" * 15, "de"),          # same text as 1 but other block
+        (6, "z" * 200, "en"),         # far from everything
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_pairs(df, max_dist=4).collect()
+    }
+    want = set()
+    for i, (ia, ta, la) in enumerate(rows):
+        for ib, tb, lb in rows[i + 1:]:
+            if la == lb and _lev(ta, tb) <= 4:
+                want.add((min(ia, ib), max(ia, ib), _lev(ta, tb)))
+    assert got == want and len(want) == 2
+
+
+def test_edit_distance_pairs_verifier_mode(spark):
+    """candidates= turns the operator into the exact verifier of an
+    approximate candidate generator: only given pairs are checked."""
+    from colnade_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "hello w0rld", "en"), (3, "hello world", "en")],
+        ["doc_id", "text", "lang"],
+    )
+    cand = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])  # omit (1,3)
+    got = [(r.id_a, r.id_b, r.dist)
+           for r in edit_distance_pairs(df, max_dist=4, candidates=cand).collect()]
+    assert got == [(1, 2, 1)]
+
+
+def test_edit_distance_pairs_null_text_never_matches(spark):
+    from colnade_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(1, None, "en"), (2, None, "en"), (3, "abc", "en"), (4, "abd", "en")],
+        ["doc_id", "text", "lang"],
+    )
+    got = {(r.id_a, r.id_b) for r in edit_distance_pairs(df, max_dist=4).collect()}
+    assert got == {(3, 4)}
