@@ -1303,6 +1303,27 @@ def edit_distance_dups(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def sketch_rollup_users(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Mergeable HLL sketch table: one scan builds per-(event_type, day)
+    binary sketches; the per-type distinct-user estimate comes from
+    LOSSLESS sketch union (== direct estimate, pinned by test), never a
+    rescan. No DuckDB oracle by nature (DataSketches HLL binary); the
+    exact twin of the semantics is countDistinct, tested at 5% tolerance
+    in tests/ext/test_sketches.py."""
+    from colnade_spark.operators.sketches import (
+        build_sketch_table,
+        estimate,
+        merge_sketch_table,
+    )
+    from colnade_spark.tpch import table_path as _tp
+
+    ev = spark.read.parquet(_tp(sf_dir, "events")).withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = build_sketch_table(ev, ["event_type", "day"], "user_id")
+    return estimate(merge_sketch_table(daily, ["event_type"]))
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1390,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "rolling_window_revenue": rolling_window_revenue,
         "math_regex_funcs": math_regex_funcs,
         "edit_distance_dups": edit_distance_dups,
+        "sketch_rollup_users": sketch_rollup_users,
     }
 
 

@@ -36,6 +36,7 @@ from colnade_spark.operators import (
     sampling,
     sessions,
     similarity,
+    sketches,
     skew,
     text,
     tfidf,
@@ -57,6 +58,7 @@ __all__ = [
     "sampling",
     "sessions",
     "similarity",
+    "sketches",
     "skew",
     "text",
     "tfidf",

@@ -1,0 +1,69 @@
+"""Mergeable distinct-count sketch tables (Apache DataSketches HLL via
+Spark's ``hll_sketch_agg`` / ``hll_union_agg`` built-ins).
+
+The canonical 100 TB pattern: scan the raw data ONCE, persist per-(key,
+epoch) binary sketches (a few KB per group instead of the raw column),
+then answer any coarser rollup — per key, per month, global — by merging
+sketches, never rescanning. HLL register state depends only on the SET of
+hashed inputs, so merging partial sketches is lossless: the estimate from
+unioned per-day sketches is IDENTICAL to the estimate from one pass over
+the whole data (pinned by test, not just "close").
+
+All JVM built-ins — sketches never surface in Python except as opaque
+binary columns, so the build is a plain one-shuffle hash aggregation and
+the rollup shuffles only (keys, sketch_bytes).
+
+EXTENSION — the reference's only distinct op is the exact ``n_unique``
+(reference: src/colnade/schema.py:314-315); this is its scale path
+alongside ``approx_count_distinct`` (see __spark_entry__.approx_stats).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Sketch precision: 2^lgk registers (lgk=12 → 4096 registers ≈ 2.5 KB,
+# ~1.6% relative standard error). Build and merge must agree on lgk.
+DEFAULT_LGK = 12
+
+
+def build_sketch_table(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    lgk: int = DEFAULT_LGK,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """One hash-agg pass → (keys..., sketch) with a binary HLL sketch of
+    ``value_col``'s distinct values per group. Persist this (parquet keeps
+    the binary column) as the pre-aggregated sketch table."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(value_col, F.lit(lgk)).alias(sketch_col)
+    )
+
+
+def merge_sketch_table(
+    sketches: DataFrame,
+    keys: Sequence[str],
+    lgk: int = DEFAULT_LGK,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Roll a sketch table up to coarser ``keys`` (possibly []) by lossless
+    sketch union; shuffles only (keys, sketch_bytes)."""
+    merged = F.hll_union_agg(sketch_col, allowDifferentLgConfigK=False).alias(
+        sketch_col
+    )
+    if keys:
+        return sketches.groupBy(*keys).agg(merged)
+    return sketches.agg(merged)
+
+
+def estimate(sketches: DataFrame, sketch_col: str = "sketch") -> DataFrame:
+    """Replace the binary sketch column with its distinct-count estimate."""
+    other = [c for c in sketches.columns if c != sketch_col]
+    return sketches.select(
+        *other, F.hll_sketch_estimate(sketch_col).cast("long").alias("n_distinct_est")
+    )
