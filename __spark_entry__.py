@@ -1303,6 +1303,70 @@ def edit_distance_dups(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Distributed Lloyd's k-means (k=4, 2 iterations, lowest-id init) on
+    the embeddings table. Reproducible by construction: integer-scaled
+    vectors make centroid numerators exact order-independent sums, so the
+    DuckDB twin (same unrolled iterations in SQL) matches bit-exact —
+    a cross-engine-verified ITERATIVE algorithm, not just a snapshot."""
+    from colnade_spark.operators.clustering import kmeans
+
+    return kmeans(_embs(spark, sf_dir), "vec_id", "embedding", k=4, iters=2)
+
+
+def _kmeans_oracle_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd iterations in DuckDB SQL, mirroring
+    operators/clustering.py operation-for-operation (same scale, same
+    left-to-right distance fold, same lowest-cid tie-break)."""
+    scale = float(1 << 20)
+    dist = (
+        "list_reduce(list_transform(range(1, {d1}), i -> "
+        "(CAST(p.v[i] AS DOUBLE) - c.c[i]) * (CAST(p.v[i] AS DOUBLE) - c.c[i])"
+        "), (a, b) -> a + b)"
+    ).format(d1=dim + 1)
+    parts = [
+        f"""WITH pts AS (
+          SELECT vec_id AS id,
+                 list_transform(embedding, x ->
+                   CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS v
+          FROM embeddings
+        ), cent0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid,
+                 list_transform(v, x -> CAST(x AS DOUBLE)) AS c
+          FROM (SELECT id, v FROM pts ORDER BY id LIMIT {k})
+        )"""
+    ]
+    for it in range(iters + 1):
+        parts.append(
+            f""", asg{it} AS (
+          SELECT p.id, (min({{'d': {dist}, 'cid': c.cid}})).cid AS cid
+          FROM pts p CROSS JOIN cent{it} c
+          GROUP BY p.id
+        )"""
+        )
+        if it == iters:
+            break
+        parts.append(
+            f""", sums{it} AS (
+          SELECT a.cid, t.i AS pos,
+                 CAST(sum(p.v[t.i]) AS BIGINT) AS s, count(*) AS n
+          FROM asg{it} a JOIN pts p USING (id)
+          CROSS JOIN range(1, {dim + 1}) t(i)
+          GROUP BY a.cid, t.i
+        ), cent{it + 1} AS (
+          SELECT cp.cid, COALESCE(m.c, cp.c) AS c
+          FROM cent{it} cp LEFT JOIN (
+            SELECT cid, list(CAST(s AS DOUBLE) / n ORDER BY pos) AS c
+            FROM sums{it} GROUP BY cid
+          ) m USING (cid)
+        )"""
+        )
+    parts.append(
+        f"\nSELECT id AS vec_id, CAST(cid AS BIGINT) AS cluster FROM asg{iters}"
+    )
+    return "".join(parts)
+
+
 def sketch_rollup_users(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Mergeable HLL sketch table: one scan builds per-(event_type, day)
     binary sketches; the per-type distinct-user estimate comes from
@@ -1412,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "math_regex_funcs": math_regex_funcs,
         "edit_distance_dups": edit_distance_dups,
         "sketch_rollup_users": sketch_rollup_users,
+        "kmeans_clusters": kmeans_clusters,
     }
 
 
@@ -2344,4 +2409,5 @@ def oracle_sql() -> dict[str, str]:
              AND abs(length(a.text) - length(b.text)) <= 16
             WHERE levenshtein(a.text, b.text) <= 16
         """,
+        "kmeans_clusters": _kmeans_oracle_sql(k=4, iters=2, dim=64),
     }

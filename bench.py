@@ -54,6 +54,10 @@ HEADLINE = [
     "multikey_join_partsupp",
     "dedup_components",
     "pack_bins",
+    "rolling_window_revenue",
+    "math_regex_funcs",
+    "edit_distance_dups",
+    "sketch_rollup_users",
 ]
 
 

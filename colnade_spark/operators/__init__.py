@@ -23,6 +23,7 @@
 from colnade_spark.operators import (
     asof,
     chunking,
+    clustering,
     decontaminate,
     dedup,
     embeddings,
@@ -45,6 +46,7 @@ from colnade_spark.operators import (
 __all__ = [
     "asof",
     "chunking",
+    "clustering",
     "decontaminate",
     "dedup",
     "embeddings",

@@ -766,20 +766,24 @@ def edit_distance_pairs(
                 )
             ),
         )
+        # fully distinct column names per side: a self-join on a shared
+        # name ("_bkt" == "_bkt") resolves to a trivially-true predicate,
+        # which would silently turn the banded join into a per-block cross
+        # join (plan gate pins the SortMergeJoin keys)
         a = keyed.select(
             F.col("_id").alias("id_a"),
             F.col("_len").alias("_la"),
             *[F.col(c).alias(f"_ba_{c}") for c in block_cols],
-            "_bkt",
+            F.col("_bkt").alias("_bkt_a"),
         )
         b = keyed.select(
             F.col("_id").alias("id_b"),
             F.col("_len").alias("_lb"),
             *[F.col(c).alias(f"_bb_{c}") for c in block_cols],
-            "_bkt",
+            F.col("_bkt").alias("_bkt_b"),
         )
         cond = reduce_and(
-            [a["_bkt"] == b["_bkt"]]
+            [a["_bkt_a"] == b["_bkt_b"]]
             + [a[f"_ba_{c}"] == b[f"_bb_{c}"] for c in block_cols]
         )
         candidates = (

@@ -276,6 +276,19 @@ def test_rolling_range_window_is_one_exchange(spark, sf_dir):
     assert "Window" in plan, plan
 
 
+def test_edit_distance_candidates_join_on_bucket_keys(spark, sf_dir):
+    """The length-band candidate join must be an equi-join keyed on
+    (block, bucket) — if the bucket key self-join collapses to a
+    trivially-true predicate, candidates degrade to a per-block cross
+    join. Pin that the physical join keys include the bucket column."""
+    from colnade_spark.operators.dedup import edit_distance_pairs
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    plan = _spark_plan(edit_distance_pairs(docs, max_dist=8))
+    assert "_bkt_a" in plan and "_bkt_b" in plan, plan
+    assert "Cross" not in plan, plan
+
+
 def test_is_in_filter_pushed_to_scan(spark, sf_dir):
     """is_in membership must reach the parquet scan as an In pushed filter
     (row groups whose stats exclude all values are skipped)."""

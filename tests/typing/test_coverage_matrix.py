@@ -83,6 +83,20 @@ Legend: STATIC = verified by a type checker on this suite.
                                           (STATIC) and the new column is
                                           runtime-visible only
 
+Extension rows (beyond the reference's matrix):
+
+  Row E1 Rolling/cumulative windows       STATIC (WindowExpr builders) →
+                                          test_expr.check_rolling_helpers*;
+                                          frame validity (order key count,
+                                          non-negative offsets) RUNTIME
+                                          (ValueError at build)
+  Row E2 Math fns numeric-gated           RUNTIME → _require(_is_numeric);
+                                          node types STATIC (test_expr)
+  Row E3 Regex fns str-gated              RUNTIME → _require(_is_str);
+                                          node types STATIC (test_expr)
+  Row E4 is_in literal element types      RUNTIME → check_literal_type per
+                                          element when validation is on
+
 Score: 15 STATIC, 9 RUNTIME (eagerly, pre-job), 5 DESIGN/LANGUAGE —
 every DESIGN row exists because the AST is untyped plan IR, a deliberate
 trade (SURVEY §3): Catalyst re-derives expression types exactly, so the

@@ -219,3 +219,50 @@ def check_window_helpers_return_windowexpr() -> None:
 def check_agg_over_returns_functioncall() -> None:
     _w: FunctionCall = Users.score.mean().over(Users.id)
     _ = _w
+
+
+# --- rolling windows / math / regex / membership (extension surface) -------
+
+
+def check_rolling_helpers_return_windowexpr() -> None:
+    from colnade_spark import rolling_count, rolling_mean, rolling_sum
+
+    _rs: WindowExpr = rolling_sum(
+        Users.score, partition_by=Users.id, order_by=Users.created.dt_epoch_day(),
+        preceding=29, range_frame=True,
+    )
+    _rc: WindowExpr = rolling_count(
+        Users.score, partition_by=Users.id, order_by=Users.id, preceding=4
+    )
+    _rm: WindowExpr = rolling_mean(
+        Users.score, partition_by=Users.id, order_by=Users.id, preceding=4, following=4
+    )
+    _ = (_rs, _rc, _rm)
+
+
+def check_math_functions_numeric_gated() -> None:
+    # numeric column: every math fn returns a FunctionCall, chainable on Expr
+    _a: FunctionCall = Users.score.abs()
+    _r: FunctionCall = Users.score.round(2)
+    _f: FunctionCall = Users.score.floor()
+    _c: FunctionCall = Users.score.ceil()
+    _s: FunctionCall = Users.score.sqrt().round(6)
+    _l: FunctionCall = Users.score.ln()
+    _g: FunctionCall = Users.score.log10()
+    _e: FunctionCall = Users.score.exp()
+    _p: FunctionCall = Users.score.pow(2)
+    _ = (_a, _r, _f, _c, _s, _l, _g, _e, _p)
+
+
+def check_regex_functions_str_gated() -> None:
+    _x: FunctionCall = Users.name.str_extract(r"(\d+)", 1)
+    _m: FunctionCall = Users.name.str_matches(r"\d+")
+    _sp: FunctionCall = Users.name.str_split(",")
+    _sl: FunctionCall = Users.name.str_slice(0, 5)
+    _ = (_x, _m, _sp, _sl)
+
+
+def check_is_in_returns_functioncall() -> None:
+    _i: FunctionCall = Users.name.is_in(["a", "b"])
+    _n: FunctionCall = Users.id.is_in([1, 2, 3])
+    _ = (_i, _n)
