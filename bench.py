@@ -58,6 +58,7 @@ HEADLINE = [
     "math_regex_funcs",
     "edit_distance_dups",
     "sketch_rollup_users",
+    "kmeans_clusters",
 ]
 
 
