@@ -177,6 +177,45 @@ class StreamFrame(Generic[S]):
         wrapped._watermark_col = self._watermark_col
         return wrapped
 
+    def session_window_agg(
+        self,
+        ts_col: Column | str,
+        gap: str,
+        *aggs: AliasedExpr,
+        keys: tuple[Column | str, ...] = (),
+    ) -> StreamFrame[Any]:
+        """Gap-based session windows via Spark's NATIVE session_window —
+        the declarative twin of operators.sessions.sessionize_stream
+        (applyInPandasWithState). Prefer this one: state management,
+        session merging across micro-batches, and watermark eviction are
+        engine-owned. The custom-state variant remains as the pattern for
+        session semantics session_window can't express (e.g. per-session
+        caps or payload-dependent gaps).
+
+        Requires ``with_watermark`` first (state eviction), like
+        window_agg. Output carries session_start/session_end.
+        """
+        if self._watermark_col is None:
+            raise ValueError(
+                "session_window_agg requires with_watermark() first: "
+                "session state does not evict otherwise"
+            )
+        name = ts_col if isinstance(ts_col, str) else ts_col.name
+        win = F.session_window(F.col(name), gap)
+        group_cols = [win] + [F.col(k if isinstance(k, str) else k.name) for k in keys]
+        translated = [
+            _backend.translate_expr(a.expr).alias(a.out_name) for a in aggs
+        ]
+        out = self._data.groupBy(*group_cols).agg(*translated)
+        flat = out.select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *[c for c in out.columns if c != "session_window"],
+        )
+        wrapped = StreamFrame(flat, None)
+        wrapped._watermark_col = self._watermark_col
+        return wrapped
+
     def drop_duplicates(self, *cols: Column | str) -> StreamFrame[S]:
         """Streaming exact dedup on the given key columns (all columns if
         none given). State grows with the number of DISTINCT keys ever

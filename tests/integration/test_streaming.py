@@ -120,6 +120,54 @@ def test_stream_sessionize_matches_batch(spark, sf_dir, events_stream):
     assert len(got) >= len(want) * 0.5
 
 
+def test_native_session_window_matches_custom_state_sessionizer(
+    spark, sf_dir, events_stream
+):
+    """session_window_agg (engine-native) must agree with the
+    applyInPandasWithState sessionizer on (user, n_events) per session —
+    same gap semantics, two implementations. Timestamps differ by design:
+    native session_end = last event + gap, custom = last event."""
+    from pyspark.sql import functions as F
+
+    sf = (
+        events_stream()
+        .with_watermark(Events.ts, "1 hour")
+        .session_window_agg(
+            Events.ts,
+            "30 minutes",
+            Events.event_id.count().alias("n_events"),
+            keys=(Events.user_id,),
+        )
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _await(sf.to_memory_sink(name, output_mode="append"))
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in spark.table(name).collect()
+    }
+
+    from colnade_spark import read_parquet
+
+    events_batch = read_parquet(table_path(sf_dir, "events"), Events, spark=spark)
+    batch = sessions.sessionize_batch(events_batch.native, gap_minutes=30)
+    want = {
+        (r.user_id, r.session_start, r.n_events) for r in batch.collect()
+    }
+    assert got, "no sessions emitted"
+    # append mode withholds sessions still open at the final watermark
+    assert got <= want, list(got - want)[:5]
+    assert len(got) >= len(want) * 0.5
+
+
+def test_session_window_agg_requires_watermark(events_stream):
+    import pytest
+
+    with pytest.raises(ValueError):
+        events_stream().session_window_agg(
+            Events.ts, "30 minutes", Events.event_id.count().alias("n")
+        )
+
+
 def test_stream_drop_duplicates_matches_batch_distinct(spark, sf_dir, events_stream):
     sf = events_stream().drop_duplicates(Events.user_id)
     name = f"t_{uuid.uuid4().hex[:8]}"
