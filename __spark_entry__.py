@@ -1303,6 +1303,26 @@ def edit_distance_dups(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def price_rank_dist(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """percent_rank + cume_dist over a unique composite order key — both
+    are (small-int)/(small-int) divisions, so the doubles are identical
+    across engines with no rounding convention needed."""
+    from colnade_spark import cume_dist, percent_rank
+
+    o = _load(spark, sf_dir, "orders", Orders)
+    out = o.with_columns(
+        percent_rank(
+            partition_by=Orders.o_orderstatus,
+            order_by=[Orders.o_totalprice.asc(), Orders.o_orderkey.asc()],
+        ).alias("pr"),
+        cume_dist(
+            partition_by=Orders.o_orderstatus,
+            order_by=[Orders.o_totalprice.asc(), Orders.o_orderkey.asc()],
+        ).alias("cd"),
+    )
+    return out.native.select("o_orderkey", "o_orderstatus", "pr", "cd")
+
+
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Distributed Lloyd's k-means (k=4, 2 iterations, lowest-id init) on
     the embeddings table. Reproducible by construction: integer-scaled
@@ -1477,6 +1497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "edit_distance_dups": edit_distance_dups,
         "sketch_rollup_users": sketch_rollup_users,
         "kmeans_clusters": kmeans_clusters,
+        "price_rank_dist": price_rank_dist,
     }
 
 
@@ -2410,4 +2431,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE levenshtein(a.text, b.text) <= 16
         """,
         "kmeans_clusters": _kmeans_oracle_sql(k=4, iters=2, dim=64),
+        "price_rank_dist": """
+            SELECT o_orderkey, o_orderstatus,
+              percent_rank() OVER (PARTITION BY o_orderstatus
+                ORDER BY o_totalprice, o_orderkey) AS pr,
+              cume_dist() OVER (PARTITION BY o_orderstatus
+                ORDER BY o_totalprice, o_orderkey) AS cd
+            FROM orders
+        """,
     }

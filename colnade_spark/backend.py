@@ -279,6 +279,10 @@ class SparkBackend:
             return F.lead(self.translate_expr(node.operand), node.offset).over(w)
         if node.func == "ntile":
             return F.ntile(node.offset).over(w)
+        if node.func == "percent_rank":
+            return F.percent_rank().over(w)
+        if node.func == "cume_dist":
+            return F.cume_dist().over(w)
         cum = _CUM_FNS.get(node.func)
         if cum is not None:
             if node.frame is not None:

@@ -405,6 +405,16 @@ def lead(
     return _window("lead", _wrap_ref(value), offset, partition_by, order_by)
 
 
+def percent_rank(*, partition_by: Any = None, order_by: Any = None) -> WindowExpr:
+    """(rank - 1) / (partition rows - 1); 0.0 for a 1-row partition."""
+    return _window("percent_rank", None, 0, partition_by, order_by)
+
+
+def cume_dist(*, partition_by: Any = None, order_by: Any = None) -> WindowExpr:
+    """Fraction of partition rows ordered <= current (ties included)."""
+    return _window("cume_dist", None, 0, partition_by, order_by)
+
+
 def ntile(n: int, *, partition_by: Any = None, order_by: Any = None) -> WindowExpr:
     """Bucket index 1..n by ordered position within the partition."""
     if n < 1:

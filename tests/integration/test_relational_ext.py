@@ -367,6 +367,26 @@ def test_ntile_bucket_sizes_balanced(orders):
             assert max(qs.values()) - min(qs.values()) <= 1
 
 
+def test_percent_rank_and_cume_dist_model(spark):
+    from colnade_spark import cume_dist, percent_rank
+
+    df = cs.DataFrame.from_dict(
+        {"k": ["a"] * 4, "day": [1, 2, 2, 4], "val": [0, 0, 0, 0]}, _Series
+    )
+    out = df.with_columns(
+        percent_rank(partition_by=_Series.k, order_by=_Series.day).alias("pr"),
+        cume_dist(partition_by=_Series.k, order_by=_Series.day).alias("cd"),
+    )
+    rows = sorted((r.day, r.pr, r.cd) for r in out.native.collect())
+    # ties (day=2) share rank 2 -> pr=(2-1)/3; cume_dist counts both peers
+    assert rows == [
+        (1, 0.0, 0.25),
+        (2, 1 / 3, 0.75),
+        (2, 1 / 3, 0.75),
+        (4, 1.0, 1.0),
+    ]
+
+
 def test_cum_requires_order_by(orders):
     from colnade_spark.expr import cum_sum
 

@@ -224,6 +224,14 @@ def check_agg_over_returns_functioncall() -> None:
 # --- rolling windows / math / regex / membership (extension surface) -------
 
 
+def check_rank_dist_helpers_return_windowexpr() -> None:
+    from colnade_spark import cume_dist, percent_rank
+
+    _pr: WindowExpr = percent_rank(partition_by=Users.id, order_by=Users.score)
+    _cd: WindowExpr = cume_dist(partition_by=Users.id, order_by=Users.score.desc())
+    _ = (_pr, _cd)
+
+
 def check_rolling_helpers_return_windowexpr() -> None:
     from colnade_spark import rolling_count, rolling_mean, rolling_sum
 
