@@ -69,3 +69,45 @@ def test_full_corpus_pipeline(spark, docs, tmp_path):
     x = {(r.doc_id, r.chunk_id): (r.shard, r.pack_id) for r in recomputed.collect()}
     y = {(r.doc_id, r.chunk_id): (r.shard, r.pack_id) for r in back.collect()}
     assert x == y
+
+
+def test_dedup_audit_pipeline(spark, docs, tmp_path):
+    """The dedup AUDIT chain: LSH candidates → exact edit-distance verify
+    → connected components → cluster-size report, with the corpus-level
+    distinct sketch table persisted alongside. This is the reporting half
+    of the near-dedup pipeline (what actually got merged, and how big are
+    the clusters?)."""
+    from colnade_spark.operators import graph, sketches
+    from colnade_spark.operators.dedup import (
+        edit_distance_pairs,
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+
+    # 1. approximate candidates (LSH banding), exact verification
+    sigs = minhash_signatures(docs, num_hashes=32)
+    cand = minhash_candidate_pairs(sigs, num_hashes=32).select("id_a", "id_b")
+    verified = edit_distance_pairs(
+        docs, max_dist=64, candidates=cand
+    ).cache()
+    # verified pairs are a subset of the candidates
+    assert verified.join(cand, ["id_a", "id_b"], "left_anti").count() == 0
+
+    # 2. pair → cluster resolution
+    cc = graph.connected_components(
+        verified, src="id_a", dst="id_b", nodes=docs.select("doc_id")
+    )
+    assert cc.count() == docs.count()  # every doc labeled
+    sizes = graph.largest_component_sizes(cc, top=5).collect()
+    if verified.count() > 0:
+        assert sizes[0].size >= 2  # at least one real cluster
+
+    # 3. per-language distinct-doc sketch table, persisted and merged
+    table = sketches.build_sketch_table(docs, ["lang"], "doc_id")
+    dest = str(tmp_path / "lang_sketches")
+    table.write.parquet(dest)
+    est = sketches.estimate(
+        sketches.merge_sketch_table(spark.read.parquet(dest), [])
+    ).first().n_distinct_est
+    exact = docs.select("doc_id").distinct().count()
+    assert abs(est - exact) <= max(2, 0.05 * exact)
