@@ -190,3 +190,80 @@ def test_arithmetic_differential(spark, data, k):
         key=_key,
     )
     _assert_same(got, want, f"arith k={k}")
+
+
+@pytest.mark.usefixtures("spark")
+@common
+@given(data=frames())
+def test_math_functions_differential(spark, data):
+    """abs/floor/ceil/sqrt/ln/pow vs DuckDB on hypothesis-generated data.
+    ln is guarded in the SQL twin (DuckDB errors on ln(<=0), Spark yields
+    null); round() is deliberately absent — half-up vs binary-tie behavior
+    is pinned by example tests with decimal inputs instead."""
+    f = DataFrame.from_dict(data, T)
+    out = f.with_columns(
+        T.i.abs().alias("ai"),
+        T.x.floor().alias("fx"),
+        T.x.ceil().alias("cx"),
+        T.x.abs().sqrt().alias("sx"),
+        T.x.ln().alias("lx"),
+        T.x.pow(2).alias("px"),
+    )
+    got = sorted(
+        (
+            tuple(
+                None if v is None else v
+                for v in (r.ai, r.fx, r.cx, r.sx, r.lx, r.px)
+            )
+            for r in out.native.collect()
+        ),
+        key=_key,
+    )
+    want = sorted(
+        (
+            tuple(None if pd.isna(v) else v for v in r)
+            for r in _duck(data)
+            .execute(
+                "SELECT abs(i) AS ai, floor(x) AS fx, ceil(x) AS cx, "
+                "sqrt(abs(x)) AS sx, "
+                "CASE WHEN x > 0 THEN ln(x) END AS lx, "
+                "pow(x, 2) AS px FROM t"
+            )
+            .fetchall()
+        ),
+        key=_key,
+    )
+    _assert_same(got, want, "math")
+
+
+@pytest.mark.usefixtures("spark")
+@common
+@given(data=frames())
+def test_regex_functions_differential(spark, data):
+    f = DataFrame.from_dict(data, T)
+    out = f.with_columns(
+        T.s.str_extract("(a+)", 1).alias("ex"),
+        T.s.str_matches("[ab]").alias("mt"),
+        T.s.str_slice(1, 2).alias("sl"),
+    )
+    got = sorted(
+        (
+            tuple(None if v is None else v for v in (r.ex, r.mt, r.sl))
+            for r in out.native.collect()
+        ),
+        key=_key,
+    )
+    want = sorted(
+        (
+            tuple(None if pd.isna(v) else v for v in r)
+            for r in _duck(data)
+            .execute(
+                "SELECT NULLIF(regexp_extract(s, '(a+)', 1), '') AS ex, "
+                "regexp_matches(s, '[ab]') AS mt, "
+                "substring(s, 2, 2) AS sl FROM t"
+            )
+            .fetchall()
+        ),
+        key=_key,
+    )
+    _assert_same(got, want, "regex")
