@@ -29,6 +29,9 @@ S = TypeVar("S", bound=Schema)
 __all__ = [
     "Chunks",
     "PackedChunks",
+    "DupPairs",
+    "Clusters",
+    "ClusterAssignments",
     "gopher_filter",
     "hash_sample",
     "stratified_sample",
@@ -36,6 +39,9 @@ __all__ = [
     "dedup_minhash",
     "chunk_by_tokens",
     "pack_chunks",
+    "edit_distance_pairs",
+    "duplicate_clusters",
+    "kmeans",
 ]
 
 
@@ -139,4 +145,65 @@ def pack_chunks(
             "doc_id", "chunk_id", "chunk_tokens", "shard", "pack_offset", "pack_id"
         ),
         PackedChunks,
+    )
+
+
+class DupPairs(Schema):
+    id_a: Column[Int64]
+    id_b: Column[Int64]
+    dist: Column[Int64]
+
+
+class Clusters(Schema):
+    node: Column[Int64]
+    component: Column[Int64]
+
+
+class ClusterAssignments(Schema):
+    vec_id: Column[Int64]
+    cluster: Column[Int64]
+
+
+def edit_distance_pairs(
+    frame: DataFrame[S],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame[DupPairs]:
+    """Typed bounded-Levenshtein near-dup pairs (operators.dedup)."""
+    out = _dedup.edit_distance_pairs(
+        frame.native, id_col=id_col, text_col=text_col, **kwargs
+    )
+    return _typed(out, DupPairs)
+
+
+def duplicate_clusters(
+    pairs: DataFrame[DupPairs], nodes: DataFrame[S] | None = None
+) -> DataFrame[Clusters]:
+    """Typed connected-components resolution of near-dup pairs
+    (operators.graph): every node labeled with its component minimum."""
+    from colnade_spark.operators import graph as _graph
+
+    out = _graph.connected_components(
+        pairs.native,
+        src="id_a",
+        dst="id_b",
+        nodes=None if nodes is None else nodes.native,
+    )
+    return _typed(out, Clusters)
+
+
+def kmeans(
+    frame: DataFrame[S],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame[ClusterAssignments]:
+    """Typed reproducible k-means (operators.clustering)."""
+    from colnade_spark.operators import clustering as _clustering
+
+    out = _clustering.kmeans(frame.native, id_col, vec_col, k=k, iters=iters)
+    return _typed(
+        out.selectExpr(f"{id_col} AS vec_id", "cluster"), ClusterAssignments
     )

@@ -47,3 +47,26 @@ def test_chunk_and_pack_typed_outputs(docs):
     assert packed.height == chunks.height
     p = packed.rows()[0]
     assert 0 <= p.shard < 4 and p.pack_offset >= 0
+
+
+def test_near_dup_audit_typed_chain(docs):
+    """edit_distance_pairs → duplicate_clusters stays typed end to end."""
+    pairs = typed.edit_distance_pairs(docs, max_dist=16)
+    assert pairs.schema is typed.DupPairs
+    clusters = typed.duplicate_clusters(pairs, nodes=docs)
+    assert clusters.schema is typed.Clusters
+    assert clusters.height == docs.height
+    r = clusters.rows()[0]
+    assert isinstance(r.node, int) and isinstance(r.component, int)
+
+
+def test_kmeans_typed_facade(spark, sf_dir):
+    from colnade_spark import read_parquet
+    from colnade_spark.tpch import Embeddings, table_path
+
+    emb = read_parquet(table_path(sf_dir, "embeddings"), Embeddings, spark=spark)
+    out = typed.kmeans(emb, k=3, iters=1)
+    assert out.schema is typed.ClusterAssignments
+    assert out.height == emb.height
+    clusters = {r.cluster for r in out.rows()}
+    assert clusters <= {0, 1, 2}
