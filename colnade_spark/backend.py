@@ -65,8 +65,14 @@ _BINOP_FNS: dict[str, Callable[[Any, Any], Any]] = {
     "+": _op.add,
     "-": _op.sub,
     "*": _op.mul,
-    "/": _op.truediv,
-    "%": _op.mod,
+    # try_divide / try_mod, NOT the raw operators: under Spark 4's ANSI
+    # default a single zero divisor anywhere in the data would fail the
+    # whole job. NULL-on-zero is SQL semantics (and the DuckDB oracle's);
+    # documented divergence from the reference's float engines, which
+    # yield inf/nan. Division is double, modulo keeps sign-of-dividend —
+    # both unchanged from the plain operators on non-zero divisors.
+    "/": F.try_divide,
+    "%": F.try_mod,
     ">": _op.gt,
     "<": _op.lt,
     ">=": _op.ge,

@@ -73,6 +73,22 @@ def test_modulo_sign_of_dividend(spark):
     assert got[3] == (0, 0)
 
 
+def test_division_and_modulo_by_zero_yield_null(spark):
+    """Zero divisors give NULL (SQL / DuckDB-oracle semantics via
+    try_divide/try_mod), NOT an ANSI job failure and NOT the float
+    engines' inf/nan — a documented divergence from the reference's
+    Polars/Pandas backends. A single bad row must never kill a 100 TB
+    job."""
+    f = _frame(spark).with_columns(
+        (Mixed.id / (Mixed.id - Mixed.id)).alias("dz"),
+        (Mixed.id % (Mixed.id - Mixed.id)).alias("mz"),
+        (Mixed.id / Mixed.id).alias("ok"),
+    )
+    got = {r.id: (r.dz, r.mz, r.ok) for r in f.native.collect()}
+    assert got[1] == (None, None, 1.0)
+    assert got[2] == (None, None, 1.0)
+
+
 def test_list_len_null_array_is_null(spark):
     f = _frame(spark).with_columns(Mixed.xs.list.len().alias("n"))
     got = {r.id: r.n for r in f.native.collect()}
