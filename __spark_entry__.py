@@ -1323,6 +1323,29 @@ def price_rank_dist(spark: SparkSession, sf_dir: str) -> SparkDF:
     return out.native.select("o_orderkey", "o_orderstatus", "pr", "cd")
 
 
+def list_ops_ext(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Extension list ops chained on a computed expression: split the doc
+    text into tokens, then unique/sort/slice/join — all JVM array
+    built-ins in one projection, no shuffle, no Python."""
+    from colnade_spark.tpch import Documents
+
+    d = _load(spark, sf_dir, "documents", Documents)
+    toks = Documents.text.str_split(" ")
+    out = d.with_columns(
+        toks.list.len().alias("n_toks"),
+        toks.list.unique().list.len().alias("n_uniq"),
+        toks.list.slice(0, 3).list.join(" ").alias("head3"),
+        toks.list.sort().list.get(0).alias("first_alpha"),
+    )
+    return out.native.select(
+        "doc_id",
+        F.col("n_toks").cast("long").alias("n_toks"),
+        F.col("n_uniq").cast("long").alias("n_uniq"),
+        "head3",
+        "first_alpha",
+    )
+
+
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Distributed Lloyd's k-means (k=4, 2 iterations, lowest-id init) on
     the embeddings table. Reproducible by construction: integer-scaled
@@ -1498,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "sketch_rollup_users": sketch_rollup_users,
         "kmeans_clusters": kmeans_clusters,
         "price_rank_dist": price_rank_dist,
+        "list_ops_ext": list_ops_ext,
     }
 
 
@@ -2438,5 +2462,15 @@ def oracle_sql() -> dict[str, str]:
               cume_dist() OVER (PARTITION BY o_orderstatus
                 ORDER BY o_totalprice, o_orderkey) AS cd
             FROM orders
+        """,
+        "list_ops_ext": """
+            SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+              CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                AS n_uniq,
+              array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ')
+                AS head3,
+              list_sort(string_split(text, ' '))[1] AS first_alpha
+            FROM documents
         """,
     }

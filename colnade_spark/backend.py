@@ -439,6 +439,16 @@ class SparkBackend:
                 c, F.lit(0.0).cast("double"), lambda acc, x: acc + x.cast("double")
             )
             return F.when(F.size(c) > 0, total / F.size(c))  # empty → null
+        if node.op == "unique":
+            return F.array_distinct(c)
+        if node.op == "sort":
+            return F.array_sort(c)  # ascending, nulls last
+        if node.op == "slice":
+            offset = node.args[0].value
+            length = node.args[1].value
+            return F.slice(c, offset + 1, length)  # F.slice is 1-based
+        if node.op == "join":
+            return F.array_join(c, node.args[0].value)
         raise SchemaError(message=f"unknown list op {node.op!r}")
 
     # ------------------------------------------------------------------

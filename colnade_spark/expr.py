@@ -162,6 +162,16 @@ class Expr:
     def pow(self, exponent: Any) -> FunctionCall:
         return FunctionCall("math_pow", self, (_wrap(exponent),))
 
+    @property
+    def list(self):
+        """List-op namespace on a COMPUTED expression (EXTENSION; ungated
+        here like the math fns — the Column-level accessor gates on the
+        declared List dtype). Enables chains like
+        ``col.str_split(" ").list.slice(0, 3).list.join(" ")``."""
+        from colnade_spark.schema import ListAccessor
+
+        return ListAccessor(self)
+
     # -- aggregation -------------------------------------------------------
     def sum(self) -> Agg:
         return Agg(self, "sum")

@@ -427,31 +427,55 @@ class ListAccessor:
     """Namespace for list-typed column operations (reference:
     src/colnade/schema.py:555-603)."""
 
-    def __init__(self, column: Column):
+    def __init__(self, column: "Column | Expr"):
         self._col = column
 
+    def _operand(self):
+        ref = getattr(self._col, "_ref", None)
+        return ref() if callable(ref) else self._col
+
     def len(self) -> ListOp:
-        return ListOp(self._col._ref(), "len")
+        return ListOp(self._operand(), "len")
 
     def get(self, index: int) -> ListOp:
         """0-based element access; out-of-range yields null."""
-        return ListOp(self._col._ref(), "get", (_wrap(index),))
+        return ListOp(self._operand(), "get", (_wrap(index),))
 
     def contains(self, value: Any) -> ListOp:
-        return ListOp(self._col._ref(), "contains", (_wrap(value),))
+        return ListOp(self._operand(), "contains", (_wrap(value),))
 
     def sum(self) -> ListOp:
-        return ListOp(self._col._ref(), "sum")
+        return ListOp(self._operand(), "sum")
 
     def mean(self) -> ListOp:
         """Mean of elements; empty list → null."""
-        return ListOp(self._col._ref(), "mean")
+        return ListOp(self._operand(), "mean")
 
     def min(self) -> ListOp:
-        return ListOp(self._col._ref(), "min")
+        return ListOp(self._operand(), "min")
 
     def max(self) -> ListOp:
-        return ListOp(self._col._ref(), "max")
+        return ListOp(self._operand(), "max")
+
+    # -- EXTENSION list ops (beyond the reference's 7) ---------------------
+    def unique(self) -> ListOp:
+        """Distinct elements, first-occurrence order preserved."""
+        return ListOp(self._operand(), "unique")
+
+    def sort(self) -> ListOp:
+        """Ascending sort, nulls last."""
+        return ListOp(self._operand(), "sort")
+
+    def slice(self, offset: int, length: int) -> ListOp:
+        """0-based sub-list of up to ``length`` elements."""
+        if offset < 0 or length < 0:
+            raise ValueError("list.slice offset/length must be non-negative")
+        return ListOp(self._operand(), "slice", (_wrap(offset), _wrap(length)))
+
+    def join(self, sep: str) -> ListOp:
+        """Concatenate string elements with ``sep``; null elements are
+        skipped (Spark array_join / DuckDB array_to_string semantics)."""
+        return ListOp(self._operand(), "join", (_wrap(sep),))
 
 
 def _parse_column_annotation(ann: Any) -> Any | None:

@@ -70,7 +70,10 @@ def _key(row):
         elif isinstance(v, bool):
             out.append((1, str(int(v))))
         elif isinstance(v, (int, float)):
-            out.append((2, f"{float(v):.9e}"))
+            # + 0.0 normalizes signed zero: engines may disagree on -0.0
+            # vs 0.0 (numerically equal) and the string key must not
+            # misalign otherwise-matching rows
+            out.append((2, f"{float(v) + 0.0:.9e}"))
         else:
             out.append((3, str(v)))
     return tuple(out)

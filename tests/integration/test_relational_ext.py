@@ -539,6 +539,45 @@ def test_explode_lazy_parity(spark):
     assert lazy.height == 4
 
 
+class _SBags(cs.Schema):
+    id: cs.Column[cs.Int64]
+    ws: cs.Column[cs.List[cs.Utf8 | None]]
+
+
+def test_list_ext_ops_unique_sort_slice_join(spark):
+    df = cs.DataFrame.from_dict(
+        {"id": [1, 2], "ws": [["b", "a", "b", None, "c"], []]}, _SBags
+    )
+    out = df.with_columns(
+        _SBags.ws.list.unique().list.len().alias("nu"),
+        _SBags.ws.list.sort().list.get(0).alias("lo"),
+        _SBags.ws.list.slice(1, 2).list.join("|").alias("mid"),
+    )
+    got = {r.id: (r.nu, r.lo, r.mid) for r in out.native.collect()}
+    # unique keeps null as a distinct element; sort is asc nulls-last;
+    # join skips nulls
+    assert got[1] == (4, "a", "a|b")
+    assert got[2] == (0, None, "")
+
+
+def test_list_ext_chained_on_computed_expr(spark):
+    class _Txt(cs.Schema):
+        s: cs.Column[cs.Utf8]
+
+    df = cs.DataFrame.from_dict({"s": ["c b a d", "x"]}, _Txt)
+    out = df.with_columns(
+        _Txt.s.str_split(" ").list.sort().list.slice(0, 2).list.join(" ").alias("lo2")
+    )
+    assert sorted(r.lo2 for r in out.native.collect()) == ["a b", "x"]
+
+
+def test_list_slice_validates_args(spark):
+    with pytest.raises(ValueError):
+        _SBags.ws.list.slice(-1, 2)
+    with pytest.raises(ValueError):
+        _SBags.ws.list.slice(0, -2)
+
+
 # -- map_batches / broadcast -------------------------------------------------
 
 
