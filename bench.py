@@ -59,6 +59,8 @@ HEADLINE = [
     "edit_distance_dups",
     "sketch_rollup_users",
     "kmeans_clusters",
+    "price_rank_dist",
+    "list_ops_ext",
 ]
 
 
