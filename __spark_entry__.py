@@ -1323,6 +1323,37 @@ def price_rank_dist(spark: SparkSession, sf_dir: str) -> SparkDF:
     return out.native.select("o_orderkey", "o_orderstatus", "pr", "cd")
 
 
+def dt_arith_funcs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Temporal arithmetic + row-wise extremes + separator concat +
+    regex match counting, one projection. dt_diff counts COMPLETE units
+    (== DuckDB's boundary counting here because both operands are
+    midnight timestamps)."""
+    from colnade_spark import concat_str, greatest, least
+
+    o = _load(spark, sf_dir, "orders", Orders)
+    out = o.with_columns(
+        Orders.o_orderdate.dt_add("day", 30).alias("due"),
+        Orders.o_orderdate.dt_diff(
+            "day", Orders.o_orderdate.dt_truncate("month")
+        ).alias("mday"),
+        concat_str(Orders.o_orderstatus, Orders.o_orderpriority, sep="-").alias(
+            "tag"
+        ),
+        Orders.o_orderpriority.str_count_matches("[0-9]").alias("ndig"),
+        greatest(Orders.o_totalprice, 100000.0).alias("hi"),
+        least(Orders.o_totalprice, 100000.0).alias("lo"),
+    )
+    return out.native.select(
+        "o_orderkey",
+        "due",
+        F.col("mday").cast("long").alias("mday"),
+        "tag",
+        F.col("ndig").cast("long").alias("ndig"),
+        "hi",
+        "lo",
+    )
+
+
 def list_ops_ext(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Extension list ops chained on a computed expression: split the doc
     text into tokens, then unique/sort/slice/join — all JVM array
@@ -1522,6 +1553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "kmeans_clusters": kmeans_clusters,
         "price_rank_dist": price_rank_dist,
         "list_ops_ext": list_ops_ext,
+        "dt_arith_funcs": dt_arith_funcs,
     }
 
 
@@ -2472,5 +2504,17 @@ def oracle_sql() -> dict[str, str]:
                 AS head3,
               list_sort(string_split(text, ' '))[1] AS first_alpha
             FROM documents
+        """,
+        "dt_arith_funcs": """
+            SELECT o_orderkey,
+              o_orderdate + INTERVAL 30 DAY AS due,
+              CAST(date_diff('day', date_trunc('month', o_orderdate),
+                             o_orderdate) AS BIGINT) AS mday,
+              concat_ws('-', o_orderstatus, o_orderpriority) AS tag,
+              CAST(len(regexp_extract_all(o_orderpriority, '[0-9]'))
+                AS BIGINT) AS ndig,
+              greatest(o_totalprice, 100000.0) AS hi,
+              least(o_totalprice, 100000.0) AS lo
+            FROM orders
         """,
     }

@@ -61,6 +61,7 @@ HEADLINE = [
     "kmeans_clusters",
     "price_rank_dist",
     "list_ops_ext",
+    "dt_arith_funcs",
 ]
 
 

@@ -395,6 +395,24 @@ class SparkBackend:
                     message=f"dt_truncate unit {unit!r} not in {sorted(_TRUNC_UNITS)}"
                 )
             return F.date_trunc(_TRUNC_UNITS[unit], c)
+        if name in ("dt_add", "dt_diff"):
+            unit = node.options.get("every")
+            if unit not in _TRUNC_UNITS:
+                raise SchemaError(
+                    message=f"{name} unit {unit!r} not in {sorted(_TRUNC_UNITS)}"
+                )
+            if name == "dt_add":
+                return F.timestamp_add(_TRUNC_UNITS[unit].upper(), args[0], c)
+            # complete units from other -> self (start=other, end=self)
+            return F.timestamp_diff(_TRUNC_UNITS[unit].upper(), args[0], c)
+        if name == "greatest":
+            return F.greatest(c, *args)
+        if name == "least":
+            return F.least(c, *args)
+        if name == "concat_str":
+            return F.concat_ws(node.options.get("sep", ""), c, *args)
+        if name == "str_count_matches":
+            return F.regexp_count(c, args[0])
         if name == "fill_null":
             return F.coalesce(c, args[0])
         if name == "fill_nan":

@@ -556,6 +556,32 @@ def lit(value: Any) -> Literal:
     return Literal(value)
 
 
+def greatest(*values: Any) -> FunctionCall:
+    """Row-wise maximum of >= 2 expressions (EXTENSION). Both engines
+    skip nulls — null only when every operand is null."""
+    if len(values) < 2:
+        raise ValueError("greatest requires at least two values")
+    vs = [_wrap_ref(v) for v in values]
+    return FunctionCall("greatest", vs[0], tuple(vs[1:]))
+
+
+def least(*values: Any) -> FunctionCall:
+    """Row-wise minimum of >= 2 expressions (EXTENSION)."""
+    if len(values) < 2:
+        raise ValueError("least requires at least two values")
+    vs = [_wrap_ref(v) for v in values]
+    return FunctionCall("least", vs[0], tuple(vs[1:]))
+
+
+def concat_str(*values: Any, sep: str = "") -> FunctionCall:
+    """Concatenate string expressions with ``sep`` (EXTENSION); null
+    operands are skipped (concat_ws semantics on both engines)."""
+    if not values:
+        raise ValueError("concat_str requires at least one value")
+    vs = [_wrap_ref(v) for v in values]
+    return FunctionCall("concat_str", vs[0], tuple(vs[1:]), options={"sep": sep})
+
+
 def _wrap(value: Any) -> Expr:
     """Auto-lift Columns and raw Python values into Expr nodes."""
     from colnade_spark.schema import Column

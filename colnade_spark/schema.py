@@ -309,6 +309,10 @@ class Column(Generic[DTypeT]):
         literal str_contains."""
         return self._str_fn("str_matches", pattern)
 
+    def str_count_matches(self, pattern: str) -> FunctionCall:
+        """Number of non-overlapping regex matches."""
+        return self._str_fn("str_count_matches", pattern)
+
     def str_split(self, delim: str) -> FunctionCall:
         """Split on a LITERAL delimiter → List[Utf8] (the backend escapes
         the delimiter; Spark's split() is regex-based)."""
@@ -369,6 +373,17 @@ class Column(Generic[DTypeT]):
         hour|minute|second`` (mapped per-backend; Polars would use "1mo" etc).
         """
         return self._dt_fn("dt_truncate", every=every)
+
+    def dt_add(self, every: str, n: int) -> FunctionCall:
+        """Shift by ``n`` whole units (EXTENSION; same unit vocabulary as
+        dt_truncate). Negative ``n`` shifts backward."""
+        return self._dt_fn("dt_add", n, every=every)
+
+    def dt_diff(self, every: str, other: Any) -> FunctionCall:
+        """COMPLETE units from ``other`` to this column (self - other;
+        EXTENSION). Truncates toward zero — 25 hours is 1 day, -25 hours
+        is -1 day; not calendar-boundary counting."""
+        return self._dt_fn("dt_diff", other, every=every)
 
     # -- null / nan / cast / window ---------------------------------------
     def is_null(self):

@@ -14,7 +14,7 @@ from colnade_spark import (
     scan_parquet,
     when,
 )
-from colnade_spark.dtypes import Float64, Int32, Int64, Utf8
+from colnade_spark.dtypes import Datetime, Float64, Int32, Int64, Utf8
 from colnade_spark.errors import ColumnGuardError, SchemaError
 from colnade_spark.schema import Column, Schema, mapped_from
 from colnade_spark.tpch import Customer, Lineitem, Nation, Orders, Region, table_path
@@ -320,6 +320,57 @@ def test_dt_functions(orders):
     row = out.native.first()
     assert row.y == row.o_orderdate.year
     assert row.mstart.day == 1
+
+
+def test_dt_add_and_diff(orders):
+    out = orders.with_columns(
+        Orders.o_orderdate.dt_add("day", 30).alias("due"),
+        Orders.o_orderdate.dt_add("hour", -1).alias("before"),
+        Orders.o_orderdate.dt_diff(
+            "day", Orders.o_orderdate.dt_truncate("year")
+        ).alias("yday"),
+    )
+    r = out.native.first()
+    assert (r.due - r.o_orderdate).days == 30
+    assert (r.o_orderdate - r.before).total_seconds() == 3600
+    assert 0 <= r.yday <= 366
+
+
+class _Tm(Schema):
+    a: Column[Datetime]
+    b: Column[Datetime]
+
+
+def test_dt_diff_counts_complete_units(spark):
+    """25 hours apart = 1 complete day (truncation toward zero), unlike
+    calendar-boundary counting."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 23, 0)
+    df = DataFrame.from_dict(
+        {"a": [t0], "b": [t0 + dt.timedelta(hours=25)]}, _Tm
+    )
+    out = df.with_columns(_Tm.b.dt_diff("day", _Tm.a).alias("d"))
+    assert out.native.first().d == 1  # boundary counting would say 2
+
+
+def test_greatest_least_concat_count(customer):
+    from colnade_spark import concat_str, greatest, least
+
+    out = customer.with_columns(
+        greatest(Customer.c_acctbal, 0.0).alias("g"),
+        least(Customer.c_acctbal, 0.0).alias("l"),
+        concat_str(Customer.c_name, Customer.c_mktsegment, sep="/").alias("t"),
+        Customer.c_name.str_count_matches("0").alias("zeros"),
+    )
+    for r in out.native.limit(20).collect():
+        assert r.g == max(r.c_acctbal, 0.0) and r.l == min(r.c_acctbal, 0.0)
+        assert r.t == f"{r.c_name}/{r.c_mktsegment}"
+        assert r.zeros == r.c_name.count("0")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        greatest(Customer.c_acctbal)
 
 
 def test_window_over(customer):
