@@ -73,6 +73,8 @@ _BINOP_FNS: dict[str, Callable[[Any, Any], Any]] = {
     # both unchanged from the plain operators on non-zero divisors.
     "/": F.try_divide,
     "%": F.try_mod,
+    # null-safe equality (IS NOT DISTINCT FROM): null <=> null is TRUE
+    "<=>": lambda a, b: a.eqNullSafe(b),
     ">": _op.gt,
     "<": _op.lt,
     ">=": _op.ge,

@@ -91,6 +91,10 @@ class Expr:
     def __ne__(self, other: Any) -> BinOp:  # type: ignore[override]
         return self._bin(other, "!=")
 
+    def eq_missing(self, other: Any) -> BinOp:
+        """Null-safe equality: null <=> null is TRUE, never null."""
+        return self._bin(other, "<=>")
+
     __hash__ = None  # type: ignore[assignment]  # == builds an AST node
 
     def __and__(self, other: Any) -> BinOp:

@@ -177,6 +177,12 @@ class Column(Generic[DTypeT]):
     def __ne__(self, other: Any) -> BinOp:  # type: ignore[override]
         return self._binop(other, "!=")
 
+    def eq_missing(self, other: Any) -> BinOp:
+        """Null-safe equality (EXTENSION; Polars eq_missing / SQL IS NOT
+        DISTINCT FROM): null == null is TRUE, null == value is FALSE —
+        never null. Unlike ``==``, never produces a JoinCondition."""
+        return self._binop(other, "<=>")
+
     __hash__ = None  # type: ignore[assignment]
 
     def __and__(self, other: Any) -> BinOp:

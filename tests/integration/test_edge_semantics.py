@@ -73,6 +73,18 @@ def test_modulo_sign_of_dividend(spark):
     assert got[3] == (0, 0)
 
 
+def test_eq_missing_null_safe(spark):
+    """eq_missing: null <=> null TRUE, null <=> value FALSE, never null —
+    vs == which propagates null."""
+    f = _frame(spark).with_columns(
+        Mixed.x.eq_missing(5.0).alias("em5"),
+        (Mixed.x == 5.0).alias("eq5"),
+    )
+    got = {r.id: (r.em5, r.eq5) for r in f.native.collect()}
+    assert got[1] == (True, True)  # x=5.0
+    assert got[2] == (False, None)  # x=null: eq_missing False, == null
+
+
 def test_division_and_modulo_by_zero_yield_null(spark):
     """Zero divisors give NULL (SQL / DuckDB-oracle semantics via
     try_divide/try_mod), NOT an ANSI job failure and NOT the float

@@ -274,3 +274,24 @@ def check_is_in_returns_functioncall() -> None:
     _i: FunctionCall = Users.name.is_in(["a", "b"])
     _n: FunctionCall = Users.id.is_in([1, 2, 3])
     _ = (_i, _n)
+
+
+def check_dt_arith_and_variadic_fns() -> None:
+    from colnade_spark import concat_str, greatest, least
+
+    _ad: FunctionCall = Users.created.dt_add("day", 30)
+    _df: FunctionCall = Users.created.dt_diff("hour", Users.created.dt_truncate("day"))
+    _ed: FunctionCall = Users.created.dt_epoch_day()
+    _g: FunctionCall = greatest(Users.score, 0.0)
+    _l: FunctionCall = least(Users.score, Users.id)
+    _c: FunctionCall = concat_str(Users.name, Users.name, sep="-")
+    _cm: FunctionCall = Users.name.str_count_matches(r"\d")
+    _em: BinOp = Users.score.eq_missing(1.0)
+    _ = (_ad, _df, _ed, _g, _l, _c, _cm, _em)
+
+
+def check_list_ext_ops_chainable() -> None:
+    _u: ListOp = Users.name.str_split(",").list.unique()
+    _s: ListOp = Users.name.str_split(",").list.sort().list.slice(0, 2)
+    _j: ListOp = Users.name.str_split(",").list.join("|")
+    _ = (_u, _s, _j)
