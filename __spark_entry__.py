@@ -1323,6 +1323,22 @@ def price_rank_dist(spark: SparkSession, sf_dir: str) -> SparkDF:
     return out.native.select("o_orderkey", "o_orderstatus", "pr", "cd")
 
 
+def describe_orders(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """describe(): one aggregation job summarizing every numeric column
+    (count/mean/std/min/max), reshaped long. Float stats rounded to 6
+    places on both engines (the cross-engine float-agg convention)."""
+    o = _load(spark, sf_dir, "orders", Orders)
+    d = o.describe(Orders.o_orderkey, Orders.o_custkey, Orders.o_totalprice)
+    return d.native.select(
+        "col_name",
+        F.col("n_non_null").cast("long").alias("n_non_null"),
+        F.round("mean", 6).alias("mean"),
+        F.round("std", 6).alias("std"),
+        "lo",
+        "hi",
+    )
+
+
 def dt_arith_funcs(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Temporal arithmetic + row-wise extremes + separator concat +
     regex match counting, one projection. dt_diff counts COMPLETE units
@@ -1554,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "price_rank_dist": price_rank_dist,
         "list_ops_ext": list_ops_ext,
         "dt_arith_funcs": dt_arith_funcs,
+        "describe_orders": describe_orders,
     }
 
 
@@ -2516,5 +2533,30 @@ def oracle_sql() -> dict[str, str]:
               greatest(o_totalprice, 100000.0) AS hi,
               least(o_totalprice, 100000.0) AS lo
             FROM orders
+        """,
+        "describe_orders": """
+            SELECT * FROM (
+              SELECT 'o_orderkey' AS col_name,
+                CAST(count(o_orderkey) AS BIGINT) AS n_non_null,
+                round(avg(o_orderkey), 6) AS mean,
+                round(stddev_samp(o_orderkey), 6) AS std,
+                CAST(min(o_orderkey) AS DOUBLE) AS lo,
+                CAST(max(o_orderkey) AS DOUBLE) AS hi
+              FROM orders
+              UNION ALL
+              SELECT 'o_custkey',
+                CAST(count(o_custkey) AS BIGINT),
+                round(avg(o_custkey), 6), round(stddev_samp(o_custkey), 6),
+                CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+              FROM orders
+              UNION ALL
+              SELECT 'o_totalprice',
+                CAST(count(o_totalprice) AS BIGINT),
+                round(avg(o_totalprice), 6),
+                round(stddev_samp(o_totalprice), 6),
+                CAST(min(o_totalprice) AS DOUBLE),
+                CAST(max(o_totalprice) AS DOUBLE)
+              FROM orders
+            )
         """,
     }

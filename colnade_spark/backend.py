@@ -497,6 +497,29 @@ class SparkBackend:
         # the reference's sample semantics — not a silent fixed seed.
         return data.orderBy(F.rand() if seed is None else F.rand(seed)).limit(n)
 
+    def describe(self, data: SparkDF, names: Sequence[str]) -> SparkDF:
+        """Long-format summary stats: ONE aggregation computes 5 stats per
+        column (partial agg before the single-row exchange), then a stack()
+        reshapes the one row to one row per column — no per-column jobs."""
+        aggs = []
+        for n in names:
+            c = F.col(n)
+            aggs += [
+                F.count(c).alias(f"{n}__n"),
+                F.avg(c).alias(f"{n}__mean"),
+                F.stddev_samp(c).alias(f"{n}__std"),
+                F.min(c).cast("double").alias(f"{n}__lo"),
+                F.max(c).cast("double").alias(f"{n}__hi"),
+            ]
+        row = data.agg(*aggs)
+        parts = ", ".join(
+            f"'{n}', `{n}__n`, `{n}__mean`, `{n}__std`, `{n}__lo`, `{n}__hi`"
+            for n in names
+        )
+        return row.selectExpr(
+            f"stack({len(names)}, {parts}) AS (col_name, n_non_null, mean, std, lo, hi)"
+        )
+
     def unique(self, data: SparkDF, subset: Sequence[str] | None) -> SparkDF:
         return data.dropDuplicates(list(subset) if subset else None)
 

@@ -203,6 +203,40 @@ class _FrameBase(Generic[S]):
         self._guard(*exprs)
         return self._wrap(self._backend.with_columns(self._data, list(exprs)))
 
+    def _describe_data(self, cols: Sequence[Column | str]) -> SparkDF:
+        """Resolve describe() targets: given columns (numeric-gated when
+        the schema is known) or every numeric schema column."""
+        from colnade_spark import dtypes as _dt
+
+        if cols:
+            names = _names(cols)
+            if self._schema is not None:
+                for n in names:
+                    col = self._schema._columns.get(n)
+                    if col is None:
+                        raise ColumnGuardError(
+                            message="describe() columns not in schema",
+                            missing_columns=[n],
+                        )
+                    if not _dt.is_numeric(col.dtype):
+                        raise TypeError(
+                            f"describe() requires numeric columns; {n!r} is "
+                            f"{_dt.dtype_name(col.dtype)}"
+                        )
+        else:
+            if self._schema is None:
+                raise SchemaError(
+                    message="describe() without columns requires a schema-bound frame"
+                )
+            names = [
+                n
+                for n, c in self._schema._columns.items()
+                if _dt.is_numeric(c.dtype)
+            ]
+            if not names:
+                raise TypeError("describe(): schema has no numeric columns")
+        return self._backend.describe(self._data, names)
+
     # -- schema-transforming op internals (typed wrappers in subclasses) ---
     def _select_data(self, cols: Sequence[Column | str]) -> SparkDF:
         names = _names(cols)
@@ -356,6 +390,12 @@ class DataFrame(_FrameBase[S]):
 
     def agg(self, *aggs: AliasedExpr) -> DataFrame[Any]:
         return DataFrame(self._agg_data(aggs), None, self._backend)
+
+    def describe(self, *cols: Column | str) -> DataFrame[Any]:
+        """Per-column summary stats (EXTENSION): one row per numeric
+        column with (col_name, n_non_null, mean, std, lo, hi) — ONE
+        aggregation job for all columns, not one per column."""
+        return DataFrame(self._describe_data(cols), None, self._backend)
 
     def group_by(self, *keys: Column | str) -> GroupBy[S]:
         return GroupBy(self, self._group_keys(keys))
@@ -571,6 +611,10 @@ class LazyFrame(_FrameBase[S]):
     def select(self, *cols: Column | str) -> LazyFrame[Any]:
         """Projection; schema-erased until ``cast_schema`` re-binds."""
         return LazyFrame(self._select_data(cols), None, self._backend)
+
+    def describe(self, *cols: Column | str) -> LazyFrame[Any]:
+        """Lazy twin of DataFrame.describe (one aggregation, deferred)."""
+        return LazyFrame(self._describe_data(cols), None, self._backend)
 
     def agg(self, *aggs: AliasedExpr) -> LazyFrame[Any]:
         return LazyFrame(self._agg_data(aggs), None, self._backend)

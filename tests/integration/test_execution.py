@@ -373,6 +373,29 @@ def test_greatest_least_concat_count(customer):
         greatest(Customer.c_acctbal)
 
 
+def test_describe_one_row_per_numeric_column(customer):
+    import statistics
+
+    d = customer.describe()  # all numeric columns by default
+    rows = {r.col_name: r for r in d.native.collect()}
+    assert set(rows) == {"c_custkey", "c_nationkey", "c_acctbal"}
+    vals = [r.c_acctbal for r in customer.native.select("c_acctbal").collect()]
+    got = rows["c_acctbal"]
+    assert got.n_non_null == len(vals)
+    assert abs(got.mean - statistics.fmean(vals)) < 1e-6
+    assert abs(got.std - statistics.stdev(vals)) < 1e-6
+    assert got.lo == min(vals) and got.hi == max(vals)
+
+
+def test_describe_guards(customer):
+    with pytest.raises(TypeError):
+        customer.describe(Customer.c_name)  # non-numeric
+    with pytest.raises(ColumnGuardError):
+        customer.describe("o_totalprice")  # foreign column
+    lazy = customer.lazy().describe(Customer.c_acctbal).collect()
+    assert lazy.height == 1
+
+
 def test_window_over(customer):
     out = customer.with_columns(
         Customer.c_acctbal.mean().over(Customer.c_mktsegment).alias("seg_avg"),
