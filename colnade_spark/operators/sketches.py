@@ -67,3 +67,40 @@ def estimate(sketches: DataFrame, sketch_col: str = "sketch") -> DataFrame:
     return sketches.select(
         *other, F.hll_sketch_estimate(sketch_col).cast("long").alias("n_distinct_est")
     )
+
+
+def maintain_sketch_table(
+    stream: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    table_path: str,
+    checkpoint: str,
+    lgk: int = DEFAULT_LGK,
+    sketch_col: str = "sketch",
+    available_now: bool = True,
+):
+    """STREAMING maintenance of a persisted sketch table: each micro-batch
+    aggregates its own per-key sketches and OVERWRITES its
+    ``batch_id=<n>`` partition (idempotent under foreachBatch redelivery —
+    a replayed batch replaces itself). Reading the table is
+    ``merge_sketch_table(spark.read.parquet(table_path), keys)``: sketch
+    union is lossless and associative, so the merged estimate equals a
+    single batch pass over all the data ever streamed — pinned by test.
+
+    At scale this is the streaming half of the build-once/merge-anywhere
+    contract: the raw stream is never re-scanned; per-batch state is the
+    per-key sketch set (KBs), and the ever-growing history lives as
+    small parquet partitions that compact like any other table.
+    Returns the started StreamingQuery.
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        sk = build_sketch_table(batch_df, keys, value_col, lgk, sketch_col)
+        sk.write.mode("overwrite").parquet(f"{table_path}/batch_id={batch_id}")
+
+    w = stream.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -73,3 +73,56 @@ def test_incremental_day_arrives(spark, sf_dir):
     merged = estimate(merge_sketch_table(old.unionByName(new), []))
     direct = estimate(build_sketch_table(ev, [], "user_id"))
     assert merged.first().n_distinct_est == direct.first().n_distinct_est
+
+
+def test_streaming_sketch_maintenance_matches_batch(spark, sf_dir, tmp_path):
+    """Stream the events backlog through maintain_sketch_table; merging
+    the persisted per-batch sketches must estimate EXACTLY what one batch
+    pass over all data estimates (lossless union), and a redelivered
+    batch must not change the table (overwrite-by-batch_id)."""
+    from colnade_spark.operators.sketches import maintain_sketch_table
+    from colnade_spark.streaming import scan_stream_parquet
+    from colnade_spark.tpch import Events
+
+    dest = str(tmp_path / "sketch_table")
+    ck = str(tmp_path / "ck")
+    sf = scan_stream_parquet(table_path(sf_dir, "events"), Events, spark=spark)
+    q = maintain_sketch_table(
+        sf.native, ["event_type"], "user_id", dest, ck
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    back = spark.read.parquet(dest)
+    streamed = {
+        r.event_type: r.n_distinct_est
+        for r in estimate(merge_sketch_table(back, ["event_type"])).collect()
+    }
+    ev = _events(spark, sf_dir)
+    direct = {
+        r.event_type: r.n_distinct_est
+        for r in estimate(build_sketch_table(ev, ["event_type"], "user_id")).collect()
+    }
+    assert streamed == direct
+
+    # redelivery: rewriting an existing batch partition with the same data
+    # leaves the merged estimates unchanged
+    import os
+
+    parts = [p for p in os.listdir(dest) if p.startswith("batch_id=")]
+    assert parts, "no batch partitions written"
+    bid = parts[0].split("=", 1)[1]
+    from colnade_spark.operators.sketches import build_sketch_table as _b
+
+    _b(ev, ["event_type"], "user_id").write.mode("overwrite").parquet(
+        f"{dest}/batch_id={bid}"
+    )
+    again = {
+        r.event_type: r.n_distinct_est
+        for r in estimate(
+            merge_sketch_table(spark.read.parquet(dest), ["event_type"])
+        ).collect()
+    }
+    assert again == direct
