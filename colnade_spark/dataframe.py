@@ -159,6 +159,17 @@ class _FrameBase(Generic[S]):
     def explain(self, mode: str = "formatted") -> None:
         self._data.explain(mode)
 
+    def explain_plan(self, mode: str = "formatted") -> str:
+        """The physical plan as a STRING (explain() only prints) — for
+        plan assertions and logging without stdout capture."""
+        import contextlib
+        import io as _io
+
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            self._data.explain(mode)
+        return buf.getvalue()
+
     # -- row-level ops (schema-preserving: return Self) --------------------
     def filter(self, predicate: Expr) -> Self:
         self._guard(predicate)

@@ -18,13 +18,41 @@ def _half_up(y: float) -> float:
     return math.floor(y + 0.5) if y >= 0 else -math.floor(-y + 0.5)
 
 
-def _python_kmeans(rows, k, iters):
+def _python_kpp_init(pts, k):
+    """Twin of clustering._kpp_init: md5-uniform weighted draws."""
+    import hashlib
+    import math
+
+    by_id = sorted(pts)
+    cents = [list(by_id[0][1])]
+    for rnd in range(1, k):
+        best = None
+        for rid, v in pts:
+            dmin = min(
+                sum((a - b) * (a - b) for a, b in zip(v, c)) for c in cents
+            )
+            h = hashlib.md5(f"{rid}:kpp:{rnd}".encode()).hexdigest()
+            u = int(h[:15], 16) / float(1 << 60)
+            key = (
+                math.log(u) / dmin if dmin > 0 and u > 0 else float("-inf")
+            )
+            cand = (-key, rid)  # max key, ties to lowest id
+            if best is None or cand < best[0]:
+                best = (cand, v)
+        cents.append(list(best[1]))
+    return cents
+
+
+def _python_kmeans(rows, k, iters, init="lowest_ids"):
     """Same algorithm, same operation order, pure python floats."""
     pts = [
         (rid, [_half_up(float(x) * DEFAULT_SCALE) for x in vec])
         for rid, vec in rows
     ]
-    cents = [list(v) for _, v in sorted(pts)[:k]]
+    if init == "kpp":
+        cents = _python_kpp_init(pts, k)
+    else:
+        cents = [list(v) for _, v in sorted(pts)[:k]]
 
     def assign(v):
         best = None
@@ -62,6 +90,34 @@ def test_kmeans_matches_python_model_exactly(spark, sf_dir):
         for r in kmeans(emb, "vec_id", "embedding", k=4, iters=2).collect()
     }
     assert got == want
+
+
+def test_kmeans_kpp_init_matches_python_model(spark, sf_dir):
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    rows = [(r.vec_id, r.embedding) for r in emb.collect()]
+    want = _python_kmeans(rows, k=4, iters=1, init="kpp")
+    got = {
+        r.vec_id: r.cluster
+        for r in kmeans(emb, "vec_id", "embedding", k=4, iters=1, init="kpp").collect()
+    }
+    assert got == want
+
+
+def test_kmeans_kpp_spreads_centroids(spark, sf_dir):
+    """k-means++ must not pick duplicate starting points on distinct data
+    and rejects unknown init names."""
+    import pytest
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    rows = [(r.vec_id, r.embedding) for r in emb.collect()]
+    pts = [
+        (rid, tuple(_half_up(float(x) * DEFAULT_SCALE) for x in vec))
+        for rid, vec in rows
+    ]
+    cents = _python_kpp_init([(r, list(v)) for r, v in pts], 6)
+    assert len({tuple(c) for c in cents}) == 6
+    with pytest.raises(ValueError):
+        kmeans(emb, k=2, init="random")
 
 
 def test_kmeans_reruns_are_identical(spark, sf_dir):
