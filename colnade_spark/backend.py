@@ -415,6 +415,8 @@ class SparkBackend:
             return F.concat_ws(node.options.get("sep", ""), c, *args)
         if name == "str_count_matches":
             return F.regexp_count(c, args[0])
+        if name == "json_extract":
+            return F.get_json_object(c, node.args[0].value)
         if name == "fill_null":
             return F.coalesce(c, args[0])
         if name == "fill_nan":

@@ -319,6 +319,15 @@ class Column(Generic[DTypeT]):
         """Number of non-overlapping regex matches."""
         return self._str_fn("str_count_matches", pattern)
 
+    def json_extract(self, path: str) -> FunctionCall:
+        """Extract a JSON path (``$.field`` / ``$.a[0].b``) from a JSON
+        string column as a STRING (null on missing path or invalid JSON;
+        cast downstream for typed values). EXTENSION — the reference has
+        no JSON functions (SURVEY.md §2.6)."""
+        if not path.startswith("$"):
+            raise ValueError(f"json_extract path must start with '$': {path!r}")
+        return self._str_fn("json_extract", path)
+
     def str_split(self, delim: str) -> FunctionCall:
         """Split on a LITERAL delimiter → List[Utf8] (the backend escapes
         the delimiter; Spark's split() is regex-based)."""

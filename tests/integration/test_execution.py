@@ -303,6 +303,29 @@ def test_str_split_literal_not_regex(spark):
     assert rows == [("a.b.c", ("a", "b", "c")), ("abc", ("abc",))]
 
 
+def test_json_extract(spark):
+    df = DataFrame.from_dict(
+        {
+            "s": [
+                '{"k": 7, "tags": ["a", "b"]}',
+                '{"other": 1}',
+                "not json",
+            ]
+        },
+        _SplitT,
+    )
+    out = df.with_columns(
+        _SplitT.s.json_extract("$.k").alias("k"),
+        _SplitT.s.json_extract("$.tags[0]").alias("t0"),
+    )
+    rows = [(r.k, r.t0) for r in out.native.collect()]
+    assert sorted(rows, key=str) == sorted(
+        [("7", "a"), (None, None), (None, None)], key=str
+    )
+    with pytest.raises(ValueError):
+        _SplitT.s.json_extract("k")  # path must start with $
+
+
 def test_is_in_membership(customer):
     out = customer.filter(Customer.c_mktsegment.is_in(["BUILDING", "MACHINERY"]))
     segs = {r.c_mktsegment for r in out.native.select("c_mktsegment").distinct().collect()}

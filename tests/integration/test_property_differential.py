@@ -270,3 +270,71 @@ def test_regex_functions_differential(spark, data):
         key=_key,
     )
     _assert_same(got, want, "regex")
+
+
+@pytest.mark.usefixtures("spark")
+@common
+@given(data=frames(), w=st.integers(min_value=0, max_value=5))
+def test_window_frames_differential(spark, data, w):
+    """cum_sum (ROWS unbounded) and rolling_sum (ROWS bounded) over a
+    unique composite order key, on INTEGER data — sums are exact, so the
+    comparison needs no float tolerance. Rows with null group keys and
+    null values are exercised by construction."""
+    from colnade_spark import cum_sum, rolling_sum
+
+    # unique order key: (i is not unique) -> order by (i, x, s) would still
+    # tie on duplicate full rows; add an explicit index instead
+    data = dict(data)
+    n = len(data["i"])
+    data["idx"] = list(range(n))
+
+    class _TI(Schema):
+        i: Column[Int64 | None]
+        x: Column[Float64 | None]
+        s: Column[Utf8]
+        idx: Column[Int64]
+
+    f = DataFrame.from_dict(data, _TI)
+    out = f.with_columns(
+        cum_sum(_TI.i, partition_by=_TI.s, order_by=_TI.idx).alias("cs"),
+        rolling_sum(
+            _TI.i, partition_by=_TI.s, order_by=_TI.idx, preceding=w
+        ).alias("rs"),
+    )
+    got = sorted(
+        ((r.idx, r.cs, r.rs) for r in out.native.collect()), key=_key
+    )
+    want = sorted(
+        (
+            tuple(None if pd.isna(v) else int(v) if v is not None and j > 0 else v
+                  for j, v in enumerate(r))
+            for r in _duck_with_idx(data)
+            .execute(
+                f"""SELECT idx,
+                  sum(i) OVER (PARTITION BY s ORDER BY idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+                  sum(i) OVER (PARTITION BY s ORDER BY idx
+                    ROWS BETWEEN {w} PRECEDING AND CURRENT ROW) AS rs
+                FROM t"""
+            )
+            .fetchall()
+        ),
+        key=_key,
+    )
+    _assert_same(got, want, f"window w={w}")
+
+
+def _duck_with_idx(data):
+    con = duckdb.connect()
+    con.register(
+        "t",
+        pd.DataFrame(
+            {
+                "i": pd.array(data["i"], dtype="Int64"),
+                "x": pd.array(data["x"], dtype="Float64"),
+                "s": pd.array(data["s"], dtype="string"),
+                "idx": pd.array(data["idx"], dtype="Int64"),
+            }
+        ),
+    )
+    return con
