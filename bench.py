@@ -62,6 +62,7 @@ HEADLINE = [
     "price_rank_dist",
     "list_ops_ext",
     "dt_arith_funcs",
+    "describe_orders",
 ]
 
 
