@@ -1323,6 +1323,21 @@ def price_rank_dist(spark: SparkSession, sf_dir: str) -> SparkDF:
     return out.native.select("o_orderkey", "o_orderstatus", "pr", "cd")
 
 
+def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Domain-mixture resampling: subsample sources src0/src1/src2 to a
+    50/30/20 output mixture (downsampling only; the binding source keeps
+    every row). Per-source md5 hash gates — deterministic membership,
+    no data shuffle; rates derive from one counting aggregate. The
+    DuckDB twin recomputes the same rates with the same float operation
+    order, so the surviving ROW SET matches bit-exact."""
+    return sampling.mixture_sample(
+        _docs(spark, sf_dir),
+        "source",
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        salt="mix1",
+    ).select("doc_id", "source")
+
+
 def describe_orders(spark: SparkSession, sf_dir: str) -> SparkDF:
     """describe(): one aggregation job summarizing every numeric column
     (count/mean/std/min/max), reshaped long. Float stats rounded to 6
@@ -1571,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "list_ops_ext": list_ops_ext,
         "dt_arith_funcs": dt_arith_funcs,
         "describe_orders": describe_orders,
+        "mixture_sample_docs": mixture_sample_docs,
     }
 
 
@@ -2558,5 +2574,24 @@ def oracle_sql() -> dict[str, str]:
                 CAST(max(o_totalprice) AS DOUBLE)
               FROM orders
             )
+        """,
+        "mixture_sample_docs": f"""
+            WITH tw(source, t) AS (
+              VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)
+            ), c AS (
+              SELECT tw.source, tw.t, count(*) AS n
+              FROM tw JOIN documents d ON d.source = tw.source
+              GROUP BY tw.source, tw.t
+            ), m AS (
+              SELECT min(n / t) AS mm FROM c
+            ), thr AS (
+              SELECT c.source,
+                CAST(trunc(((c.t * m.mm) / c.n)
+                  * 1152921504606846976.0) AS BIGINT) AS th
+              FROM c, m
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN thr ON d.source = thr.source
+            WHERE {_md5h("CAST(d.doc_id AS VARCHAR) || 'mix1'")} < thr.th
         """,
     }

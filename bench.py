@@ -63,6 +63,7 @@ HEADLINE = [
     "list_ops_ext",
     "dt_arith_funcs",
     "describe_orders",
+    "mixture_sample_docs",
 ]
 
 

@@ -127,3 +127,48 @@ def stratified_sample(
         .filter(F.col("_ss_rn") <= k)
         .drop("_ss_rn")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    targets: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministically subsample each source so the OUTPUT approximates
+    the ``targets`` mixture (domain reweighting for training corpora) —
+    downsampling only, never duplication: output size is the largest M
+    with t_s*M <= n_s for every source (the binding source is kept
+    whole).
+
+    One counting aggregate fixes per-source keep rates (a handful of
+    rows to the driver — bounded by the number of SOURCES, not data);
+    membership is then the same content-addressed md5 gate as
+    hash_sample, evaluated at scan speed with no data shuffle.
+    Reproducible across runs, partitionings, and engines. Sources not
+    in ``targets`` are dropped; a target source absent from the data
+    raises (its rate would silently be unachievable).
+    """
+    if not targets:
+        raise ValueError("mixture_sample requires at least one target")
+    if any(w <= 0 for w in targets.values()):
+        raise ValueError("target weights must be positive")
+    tot = sum(targets.values())
+    t = {s: w / tot for s, w in targets.items()}
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col).count().collect()
+        if r[0] in t
+    }
+    missing = sorted(set(t) - set(counts))
+    if missing:
+        raise ValueError(f"mixture_sample: sources absent from data: {missing}")
+    m = min(counts[s] / t[s] for s in t)
+    thresholds = {s: int(((t[s] * m) / counts[s]) * _HASH_SPACE) for s in t}
+    thr = None
+    for s, th in thresholds.items():
+        cond = F.col(source_col) == s
+        thr = F.when(cond, th) if thr is None else thr.when(cond, th)
+    thr = thr.otherwise(F.lit(-1))  # unknown source -> always dropped
+    return df.filter(sample_hash(F.col(key_col), salt) < thr)

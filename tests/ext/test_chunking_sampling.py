@@ -134,3 +134,54 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     assert out == {1, 5}
     with pytest.raises(ValueError):
         sampling.weighted_sample(df, 0, "w")
+
+
+def test_mixture_sample_hits_target_proportions(docs):
+    out = sampling.mixture_sample(
+        docs, "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}, salt="t"
+    )
+    by_src = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert set(by_src) == {"src0", "src1", "src2"}  # others dropped
+    n0 = docs.filter(F.col("source") == "src0").count()
+    # binding source (highest target/actual ratio) is kept whole
+    assert by_src["src0"] == n0
+    total = sum(by_src.values())
+    # output mixture approximates 50/30/20 (hash-gate binomial noise)
+    assert abs(by_src["src0"] / total - 0.5) < 0.15
+    assert abs(by_src["src1"] / total - 0.3) < 0.15
+    assert abs(by_src["src2"] / total - 0.2) < 0.15
+    # deterministic: same call, same row set
+    a = {r.doc_id for r in out.select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in sampling.mixture_sample(
+            docs, "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}, salt="t"
+        ).select("doc_id").collect()
+    }
+    assert a == b
+
+
+def test_mixture_sample_validates(docs):
+    with pytest.raises(ValueError):
+        sampling.mixture_sample(docs, "source", {})
+    with pytest.raises(ValueError):
+        sampling.mixture_sample(docs, "source", {"src0": -0.1, "src1": 1.1})
+    with pytest.raises(ValueError):
+        sampling.mixture_sample(docs, "source", {"src0": 0.5, "nope": 0.5})
+
+
+def test_mixture_sample_unnormalized_targets_equivalent(docs):
+    """Weights are normalized: {1, 2} == {1/3, 2/3}."""
+    a = {
+        r.doc_id
+        for r in sampling.mixture_sample(
+            docs, "source", {"src3": 1.0, "src4": 2.0}, salt="u"
+        ).select("doc_id").collect()
+    }
+    b = {
+        r.doc_id
+        for r in sampling.mixture_sample(
+            docs, "source", {"src3": 1 / 3, "src4": 2 / 3}, salt="u"
+        ).select("doc_id").collect()
+    }
+    assert a == b and a
