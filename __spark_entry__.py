@@ -1323,6 +1323,19 @@ def price_rank_dist(spark: SparkSession, sf_dir: str) -> SparkDF:
     return out.native.select("o_orderkey", "o_orderstatus", "pr", "cd")
 
 
+def semantic_decontaminated_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Semantic decontamination: corpus embeddings with cosine >= 0.4 to
+    any held-out 'benchmark' embedding (vec_id % 50 == 0). The benchmark
+    side broadcasts (eval sets are small); the corpus streams through one
+    narrow BroadcastNestedLoopJoin — no shuffle."""
+    from colnade_spark.operators.decontaminate import semantic_contaminated_ids
+
+    emb = _embs(spark, sf_dir)
+    bench = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    return semantic_contaminated_ids(corpus, bench, threshold=0.4)
+
+
 def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Domain-mixture resampling: subsample sources src0/src1/src2 to a
     50/30/20 output mixture (downsampling only; the binding source keeps
@@ -1587,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "dt_arith_funcs": dt_arith_funcs,
         "describe_orders": describe_orders,
         "mixture_sample_docs": mixture_sample_docs,
+        "semantic_decontaminated_ids": semantic_decontaminated_ids,
     }
 
 
@@ -2593,5 +2607,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source
             FROM documents d JOIN thr ON d.source = thr.source
             WHERE {_md5h("CAST(d.doc_id AS VARCHAR) || 'mix1'")} < thr.th
+        """,
+        "semantic_decontaminated_ids": """
+            WITH bench AS (
+              SELECT embedding FROM embeddings WHERE vec_id % 50 = 0
+            ), corp AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0
+            )
+            SELECT DISTINCT c.vec_id
+            FROM corp c CROSS JOIN bench b
+            WHERE list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
         """,
     }

@@ -64,6 +64,7 @@ HEADLINE = [
     "dt_arith_funcs",
     "describe_orders",
     "mixture_sample_docs",
+    "semantic_decontaminated_ids",
 ]
 
 

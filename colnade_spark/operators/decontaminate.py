@@ -79,3 +79,52 @@ def decontaminate(
     """The corpus minus contaminated documents (full rows preserved)."""
     bad = contaminated_ids(df, benchmark, n, id_col, text_col, benchmark_text_col)
     return df.join(bad, id_col, "left_anti")
+
+
+def semantic_contaminated_ids(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    benchmark_vec_col: str | None = None,
+) -> DataFrame:
+    """SEMANTIC decontamination: corpus ids whose embedding has cosine
+    similarity >= ``threshold`` with ANY benchmark embedding — catches
+    paraphrased eval leakage the exact n-gram rule misses.
+
+    Scale shape: eval sets are small (10^2-10^5 vectors), so the
+    benchmark side is BROADCAST and the corpus streams through one
+    narrow map — no shuffle, no candidate generation needed. For a
+    benchmark too large to broadcast, generate candidates with
+    similarity.rp_candidates first and use this as the verifier.
+
+    The cosine folds left-to-right over the broadcast array (same IEEE
+    order in any engine); norms guard against zero vectors (null
+    cosine -> never contaminated).
+
+    Output: (id) distinct — feed to a left_anti join like decontaminate.
+    """
+    bcol = benchmark_vec_col or vec_col
+    bench = benchmark.select(
+        F.col(bcol).cast("array<double>").alias("_bv")
+    )
+    v = F.col(vec_col).cast("array<double>")
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    vnorm = F.sqrt(_dot(v, v))
+    bnorm = F.sqrt(_dot(F.col("_bv"), F.col("_bv")))
+    cos = F.when(
+        (vnorm > 0) & (bnorm > 0), _dot(v, F.col("_bv")) / (vnorm * bnorm)
+    )
+    return (
+        corpus.select(F.col(id_col), v.alias(vec_col))
+        .crossJoin(F.broadcast(bench))
+        .filter(cos >= threshold)
+        .select(id_col)
+        .distinct()
+    )

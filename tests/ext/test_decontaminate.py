@@ -64,3 +64,52 @@ def test_no_overlap_below_n(spark, bench_set):
 def test_short_benchmark_rows_are_harmless(spark, corpus):
     tiny = spark.createDataFrame([(1, "too short")], ["doc_id", "text"])
     assert decontaminate.contaminated_ids(corpus, tiny, n=13).count() == 0
+
+
+# -- semantic (embedding) decontamination ------------------------------------
+
+
+def test_semantic_contaminated_ids_finds_planted_dup(spark):
+    from colnade_spark.operators.decontaminate import semantic_contaminated_ids
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [0.99, 0.01, 0.0]),   # ~ bench 100
+            (2, [0.0, 0.0, 1.0]),     # orthogonal to both
+            (3, [0.0, -1.0, 0.0]),    # anti-parallel: cos -1
+            (4, [0.0, 0.0, 0.0]),     # zero vector: null cosine, never hits
+        ],
+        ["vec_id", "embedding"],
+    )
+    got = {
+        r.vec_id
+        for r in semantic_contaminated_ids(corpus, bench, threshold=0.9).collect()
+    }
+    assert got == {1}
+
+
+def test_semantic_contamination_is_broadcast_no_shuffle(spark, sf_dir):
+    """The benchmark side must broadcast: BroadcastNestedLoopJoin with no
+    exchange of the corpus."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from colnade_spark.operators.decontaminate import semantic_contaminated_ids
+    from colnade_spark.tpch import table_path
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    out = semantic_contaminated_ids(
+        emb.filter("vec_id % 50 != 0"), emb.filter("vec_id % 50 = 0"), 0.4
+    )
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # the only exchange is the final distinct on the (tiny) id set
+    pre_distinct = plan.split("HashAggregate")[0]
+    assert "Exchange" not in pre_distinct.split("BroadcastExchange")[0], plan
