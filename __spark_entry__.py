@@ -1323,6 +1323,19 @@ def price_rank_dist(spark: SparkSession, sf_dir: str) -> SparkDF:
     return out.native.select("o_orderkey", "o_orderstatus", "pr", "cd")
 
 
+def unigram_quality(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Corpus-unigram negative log-likelihood per doc (the cheap
+    perplexity proxy): two map-side-combined explode aggregations and a
+    token-keyed join — the same shuffle shape as TF-IDF. Scores rounded
+    to 6 places on both engines (float log sums)."""
+    from colnade_spark.operators.quality import unigram_logprob
+
+    out = unigram_logprob(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_toks", F.round("neg_logprob", 6).alias("neg_logprob")
+    )
+
+
 def semantic_decontaminated_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Semantic decontamination: corpus embeddings with cosine >= 0.4 to
     any held-out 'benchmark' embedding (vec_id % 50 == 0). The benchmark
@@ -1601,6 +1614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "describe_orders": describe_orders,
         "mixture_sample_docs": mixture_sample_docs,
         "semantic_decontaminated_ids": semantic_decontaminated_ids,
+        "unigram_quality": unigram_quality,
     }
 
 
@@ -2618,5 +2632,28 @@ def oracle_sql() -> dict[str, str]:
             FROM corp c CROSS JOIN bench b
             WHERE list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        "unigram_quality": f"""
+            WITH nt AS (SELECT doc_id, {_NORM_TEXT} AS t FROM documents),
+            toks AS (
+              SELECT doc_id, UNNEST(
+                list_filter({_TOKENS.format(col="t")}, x -> x <> '')
+              ) AS tok
+              FROM nt
+            ),
+            freq AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+            sc AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                          count(*) AS v FROM freq),
+            scored AS (
+              SELECT t.doc_id, count(*) AS n_toks,
+                -avg(ln((f.n + 0.5) / (sc.total + 0.5 * (sc.v + 1))))
+                  AS nlp
+              FROM toks t JOIN freq f USING (tok) CROSS JOIN sc
+              GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+              CAST(COALESCE(s.n_toks, 0) AS BIGINT) AS n_toks,
+              round(s.nlp, 6) AS neg_logprob
+            FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
     }

@@ -65,6 +65,7 @@ HEADLINE = [
     "describe_orders",
     "mixture_sample_docs",
     "semantic_decontaminated_ids",
+    "unigram_quality",
 ]
 
 

@@ -300,3 +300,64 @@ def gopher_filter(df: DataFrame, **kwargs) -> DataFrame:
     flagged = gopher_flags(df, **kwargs)
     extra = [c for c in flagged.columns if c.startswith("g_") or c == "gopher_keep"]
     return flagged.filter(F.col("gopher_keep")).drop(*extra)
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Corpus-unigram negative log-likelihood per document — the cheap
+    perplexity proxy (docs full of corpus-rare tokens score HIGH = more
+    surprising; boilerplate scores low). Additive smoothing:
+    p(t) = (count(t) + s) / (total + s*(V+1)); unseen tokens share the
+    +1 vocabulary slot.
+
+    Two aggregation passes over the exploded tokens, both map-side
+    combined: (1) the corpus frequency table (token -> count) and the
+    (total, V) scalars; (2) the per-doc average of -ln p(token) via a
+    token-keyed join (AQE skew-splits the inevitable hot stopword keys).
+    Docs with no tokens (empty/null text) come back with n_toks=0 and a
+    null score — kept, not dropped.
+
+    Output: (id, n_toks, neg_logprob) — callers usually round before
+    cross-engine comparison (float log sums).
+    """
+    from colnade_spark.operators.text import normalized_text
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                tokens(normalized_text(F.coalesce(F.col(text_col), F.lit("")))),
+                lambda t: t != "",
+            )
+        ).alias("_tok"),
+    )
+    freq = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_n"))
+    scalars = freq.agg(
+        F.sum("_n").alias("_total"), F.count(F.lit(1)).alias("_v")
+    )
+    logp = F.log(
+        (F.col("_n") + F.lit(float(smoothing)))
+        / (F.col("_total") + F.lit(float(smoothing)) * (F.col("_v") + 1))
+    )
+    scored = (
+        toks.join(freq, "_tok")
+        .crossJoin(F.broadcast(scalars))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            (-F.avg(logp)).alias("neg_logprob"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_toks", F.lit(0)).cast("long").alias("n_toks"),
+            "neg_logprob",
+        )
+    )

@@ -136,3 +136,18 @@ def test_null_text_treated_as_empty(spark):
     assert top[1].n_tokens == 0
     flags = {r.doc_id: r for r in quality.gopher_flags(df).collect()}
     assert flags[1].gopher_keep is False  # not null
+
+
+def test_unigram_logprob_surprise_ordering_and_empty_docs(spark):
+    from colnade_spark.operators.quality import unigram_logprob
+
+    rows = [(i, "the cat sat on the mat") for i in range(10)]
+    rows += [(100, "zyzzyva qwerty xylophone"), (101, ""), (102, None)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: (r.n_toks, r.neg_logprob) for r in unigram_logprob(df).collect()}
+    assert len(out) == 13  # every doc labeled, even empty/null
+    assert out[101] == (0, None) and out[102] == (0, None)
+    # a doc of corpus-rare tokens is more "surprising" than boilerplate
+    assert out[100][1] > out[0][1]
+    # identical docs get identical scores
+    assert len({out[i] for i in range(10)}) == 1
