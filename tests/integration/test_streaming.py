@@ -168,6 +168,30 @@ def test_session_window_agg_requires_watermark(events_stream):
         )
 
 
+def test_hash_sample_is_stateless_on_streams(spark, sf_dir, events_stream):
+    """Content-addressed sampling is a stateless filter: applied to a
+    STREAM it selects exactly the rows the batch gate selects — no state
+    store, no watermark, deterministic membership at ingest time."""
+    from colnade_spark.operators import sampling
+
+    sf = events_stream()
+    sampled = sf.with_raw(
+        lambda d: sampling.hash_sample(d, 0.25, key_col="event_id", salt="st")
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _await(sampled.to_memory_sink(name, output_mode="append"))
+    got = {r.event_id for r in spark.table(name).collect()}
+
+    batch = spark.read.parquet(table_path(sf_dir, "events"))
+    want = {
+        r.event_id
+        for r in sampling.hash_sample(
+            batch, 0.25, key_col="event_id", salt="st"
+        ).collect()
+    }
+    assert got == want and 0 < len(got) < batch.count()
+
+
 def test_stream_drop_duplicates_matches_batch_distinct(spark, sf_dir, events_stream):
     sf = events_stream().drop_duplicates(Events.user_id)
     name = f"t_{uuid.uuid4().hex[:8]}"
