@@ -1530,7 +1530,50 @@ def entry(spark: SparkSession) -> SparkDF:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
+    # Ordered so the driver's bounded correctness sweep (~50 entries per
+    # round) reaches the least-recently-verified queries first: round-2's
+    # driver run covered the first 50 of the old order (through
+    # winnow_sketch), so the 34 entries it did not reach lead here, followed
+    # by round-3 additions, then the already-driver-green backlog.
     return {
+        # --- driver-unchecked in round 2 (CORRECTNESS_r02 stopped before
+        # these); all verified locally via scripts/check_oracle.py ---
+        "funnel_stages": funnel_stages,
+        "funnel_summary": funnel_summary,
+        "pack_bins": pack_bins,
+        "grouped_quantiles": grouped_quantiles,
+        "tfidf_top_terms": tfidf_top_terms,
+        "vocab_top_terms": vocab_top_terms,
+        "doc_length_histogram": doc_length_histogram,
+        "decontaminated_ids": decontaminated_ids,
+        "weighted_sample_docs": weighted_sample_docs,
+        "semi_join_urgent_customers": semi_join_urgent_customers,
+        "anti_join_quiet_customers": anti_join_quiet_customers,
+        "cube_order_stats": cube_order_stats,
+        "rollup_returnflag_stats": rollup_returnflag_stats,
+        "melt_part_measures": melt_part_measures,
+        "interval_click_counts": interval_click_counts,
+        "pivot_status_revenue": pivot_status_revenue,
+        "cumulative_acctbal": cumulative_acctbal,
+        "ntile_price_quartiles": ntile_price_quartiles,
+        "custkeys_intersect_except": custkeys_intersect_except,
+        "multikey_join_partsupp": multikey_join_partsupp,
+        "exploded_label_stats": exploded_label_stats,
+        "dedup_components": dedup_components,
+        "rolling_window_revenue": rolling_window_revenue,
+        "math_regex_funcs": math_regex_funcs,
+        "edit_distance_dups": edit_distance_dups,
+        "sketch_rollup_users": sketch_rollup_users,
+        "kmeans_clusters": kmeans_clusters,
+        "price_rank_dist": price_rank_dist,
+        "list_ops_ext": list_ops_ext,
+        "dt_arith_funcs": dt_arith_funcs,
+        "describe_orders": describe_orders,
+        "mixture_sample_docs": mixture_sample_docs,
+        "semantic_decontaminated_ids": semantic_decontaminated_ids,
+        "unigram_quality": unigram_quality,
+        # --- round-3 additions (new this round) ---
+        # --- driver-green in round 2 (CORRECTNESS_r02 rows exist) ---
         "q1_pricing_summary": q1_pricing_summary,
         "filter_sort_limit": filter_sort_limit,
         "join_agg": join_agg,
@@ -1581,40 +1624,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "sorted_tail": sorted_tail,
         "sessionize": sessionize,
         "winnow_sketch": winnow_sketch,
-        "funnel_stages": funnel_stages,
-        "funnel_summary": funnel_summary,
-        "pack_bins": pack_bins,
-        "grouped_quantiles": grouped_quantiles,
-        "tfidf_top_terms": tfidf_top_terms,
-        "vocab_top_terms": vocab_top_terms,
-        "doc_length_histogram": doc_length_histogram,
-        "decontaminated_ids": decontaminated_ids,
-        "weighted_sample_docs": weighted_sample_docs,
-        "semi_join_urgent_customers": semi_join_urgent_customers,
-        "anti_join_quiet_customers": anti_join_quiet_customers,
-        "cube_order_stats": cube_order_stats,
-        "rollup_returnflag_stats": rollup_returnflag_stats,
-        "melt_part_measures": melt_part_measures,
-        "interval_click_counts": interval_click_counts,
-        "pivot_status_revenue": pivot_status_revenue,
-        "cumulative_acctbal": cumulative_acctbal,
-        "ntile_price_quartiles": ntile_price_quartiles,
-        "custkeys_intersect_except": custkeys_intersect_except,
-        "multikey_join_partsupp": multikey_join_partsupp,
-        "exploded_label_stats": exploded_label_stats,
-        "dedup_components": dedup_components,
-        "rolling_window_revenue": rolling_window_revenue,
-        "math_regex_funcs": math_regex_funcs,
-        "edit_distance_dups": edit_distance_dups,
-        "sketch_rollup_users": sketch_rollup_users,
-        "kmeans_clusters": kmeans_clusters,
-        "price_rank_dist": price_rank_dist,
-        "list_ops_ext": list_ops_ext,
-        "dt_arith_funcs": dt_arith_funcs,
-        "describe_orders": describe_orders,
-        "mixture_sample_docs": mixture_sample_docs,
-        "semantic_decontaminated_ids": semantic_decontaminated_ids,
-        "unigram_quality": unigram_quality,
     }
 
 
