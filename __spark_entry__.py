@@ -1349,17 +1349,28 @@ def semantic_decontaminated_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
     return semantic_contaminated_ids(corpus, bench, threshold=0.4)
 
 
+_MIX_TARGETS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+# Normalized exactly as operators.sampling.mixture_sample normalizes (one
+# float sum, then one divide per weight); the oracle embeds THESE values so
+# Python-vs-SQL normalization order can never diverge in the last bits,
+# even for target dicts whose raw sum is not IEEE-exactly 1.0.
+_MIX_T = {
+    s: w / sum(_MIX_TARGETS.values()) for s, w in _MIX_TARGETS.items()
+}
+
+
 def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Domain-mixture resampling: subsample sources src0/src1/src2 to a
     50/30/20 output mixture (downsampling only; the binding source keeps
     every row). Per-source md5 hash gates — deterministic membership,
     no data shuffle; rates derive from one counting aggregate. The
-    DuckDB twin recomputes the same rates with the same float operation
+    DuckDB twin starts from the SAME Python-normalized weights
+    (``_MIX_T``) and recomputes the rates with the same float operation
     order, so the surviving ROW SET matches bit-exact."""
     return sampling.mixture_sample(
         _docs(spark, sf_dir),
         "source",
-        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        _MIX_TARGETS,
         salt="mix1",
     ).select("doc_id", "source")
 
@@ -2572,7 +2583,8 @@ def oracle_sql() -> dict[str, str]:
                 AS n_uniq,
               array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ')
                 AS head3,
-              list_sort(string_split(text, ' '))[1] AS first_alpha
+              list_sort(string_split(text, ' '), 'ASC', 'NULLS LAST')[1]
+                AS first_alpha
             FROM documents
         """,
         "dt_arith_funcs": """
@@ -2614,7 +2626,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mixture_sample_docs": f"""
             WITH tw(source, t) AS (
-              VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)
+              VALUES {", ".join(f"('{s}', {t!r})" for s, t in _MIX_T.items())}
             ), c AS (
               SELECT tw.source, tw.t, count(*) AS n
               FROM tw JOIN documents d ON d.source = tw.source
@@ -2639,7 +2651,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT c.vec_id
             FROM corp c CROSS JOIN bench b
-            WHERE list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+            -- norm>0 guards mirror the Spark operator's zero-vector
+            -- handling (cosine undefined -> never contaminated); without
+            -- them DuckDB's NaN cosine would order >= 0.4 under total
+            -- ordering and flag rows Spark never flags
+            WHERE list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                   CAST(c.embedding AS DOUBLE[])) > 0
+              AND list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) > 0
+              AND list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4
         """,
         "unigram_quality": f"""

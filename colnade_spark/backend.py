@@ -361,10 +361,11 @@ class SparkBackend:
         if name == "str_extract":
             pat, group = node.args[0].value, node.args[1].value
             # Spark's regexp_extract yields '' for a non-matching row;
-            # normalize to NULL (DuckDB semantics) via an explicit match
-            # guard so '' only survives when the group genuinely matched
-            # empty. rlike+regexp_extract collapse into one codegen stage.
-            return F.when(c.rlike(pat), F.regexp_extract(c, pat, group))
+            # collapse every '' to NULL — the exact twin of the DuckDB
+            # convention NULLIF(regexp_extract(..), ''). This means a
+            # pattern that matches with an EMPTY capture (e.g. '(a*)')
+            # also yields NULL, identically on both engines.
+            return F.nullif(F.regexp_extract(c, pat, group), F.lit(""))
         if name == "str_matches":
             return c.rlike(node.args[0].value)
         if name == "str_split":
@@ -501,26 +502,36 @@ class SparkBackend:
 
     def describe(self, data: SparkDF, names: Sequence[str]) -> SparkDF:
         """Long-format summary stats: ONE aggregation computes 5 stats per
-        column (partial agg before the single-row exchange), then a stack()
-        reshapes the one row to one row per column — no per-column jobs."""
+        column (partial agg before the single-row exchange), then inline()
+        reshapes the one row to one row per column — no per-column jobs.
+        Built entirely from typed Column expressions (positional _c{i}
+        aliases, names only as literals), so column names containing
+        quotes/backticks can never produce malformed SQL."""
         aggs = []
-        for n in names:
-            c = F.col(n)
+        for i, n in enumerate(names):
+            c = data[n]
             aggs += [
-                F.count(c).alias(f"{n}__n"),
-                F.avg(c).alias(f"{n}__mean"),
-                F.stddev_samp(c).alias(f"{n}__std"),
-                F.min(c).cast("double").alias(f"{n}__lo"),
-                F.max(c).cast("double").alias(f"{n}__hi"),
+                F.count(c).alias(f"_c{i}_n"),
+                F.avg(c).alias(f"_c{i}_mean"),
+                F.stddev_samp(c).alias(f"_c{i}_std"),
+                F.min(c).cast("double").alias(f"_c{i}_lo"),
+                F.max(c).cast("double").alias(f"_c{i}_hi"),
             ]
         row = data.agg(*aggs)
-        parts = ", ".join(
-            f"'{n}', `{n}__n`, `{n}__mean`, `{n}__std`, `{n}__lo`, `{n}__hi`"
-            for n in names
+        structs = F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("col_name"),
+                    F.col(f"_c{i}_n").alias("n_non_null"),
+                    F.col(f"_c{i}_mean").alias("mean"),
+                    F.col(f"_c{i}_std").alias("std"),
+                    F.col(f"_c{i}_lo").alias("lo"),
+                    F.col(f"_c{i}_hi").alias("hi"),
+                )
+                for i, n in enumerate(names)
+            ]
         )
-        return row.selectExpr(
-            f"stack({len(names)}, {parts}) AS (col_name, n_non_null, mean, std, lo, hi)"
-        )
+        return row.select(F.inline(structs))
 
     def unique(self, data: SparkDF, subset: Sequence[str] | None) -> SparkDF:
         return data.dropDuplicates(list(subset) if subset else None)

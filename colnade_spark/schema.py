@@ -304,9 +304,11 @@ class Column(Generic[DTypeT]):
 
     # -- regex / extended string functions (EXTENSION) ---------------------
     def str_extract(self, pattern: str, group: int = 0) -> FunctionCall:
-        """First regex match (capture ``group``); NULL when no match —
-        normalized across engines (Spark returns '' on no-match; the
-        backend maps '' from a non-matching row to NULL via a match guard).
+        """First regex match (capture ``group``); NULL when no match OR when
+        the capture is empty — i.e. '' always collapses to NULL, the exact
+        twin of DuckDB's ``NULLIF(regexp_extract(..), '')`` convention, so a
+        pattern like ``'(a*)'`` that matches with an empty group yields NULL
+        identically on both engines.
         """
         return self._str_fn("str_extract", pattern, group)
 
@@ -493,7 +495,10 @@ class ListAccessor:
         return ListOp(self._operand(), "unique")
 
     def sort(self) -> ListOp:
-        """Ascending sort, nulls last."""
+        """Ascending sort, nulls last (Spark ``array_sort``). Cross-engine
+        note: DuckDB's ``list_sort`` default null order differs — oracle SQL
+        comparing sorted lists that can contain null elements must pin
+        ``list_sort(l, 'ASC', 'NULLS LAST')``."""
         return ListOp(self._operand(), "sort")
 
     def slice(self, offset: int, length: int) -> ListOp:

@@ -116,3 +116,24 @@ def test_fill_nan_only_touches_nan(spark):
     assert got[2] is None  # null untouched (fill_nan ≠ fill_null)
     assert got[3] == 0.0  # NaN filled
     assert got[4] == -1.5
+
+
+def test_str_extract_empty_capture_is_null(spark):
+    """str_extract collapses '' to NULL symmetrically with the DuckDB
+    NULLIF(regexp_extract(..), '') oracle convention: no-match -> NULL,
+    and a MATCH whose capture group is empty (e.g. '(a*)' on 'xbc', or an
+    alternation where the group doesn't participate) -> NULL too."""
+    f = _frame(spark).with_columns(
+        Mixed.s.str_extract("(X*)", 1).alias("star"),  # matches, may be empty
+        Mixed.s.str_extract("(q+)", 1).alias("none"),  # never matches
+    )
+    rows = f.native.collect()
+    star = {r.id: r.star for r in rows}
+    none = {r.id: r.none for r in rows}
+    # 'aXbXc' -> '(X*)' first match at pos 0 is empty -> NULL (was '')
+    assert star[1] is None
+    # 'X' -> first match is 'X' (non-empty) -> kept
+    assert star[3] == "X"
+    # '' -> empty match -> NULL
+    assert star[4] is None
+    assert set(none.values()) == {None}
