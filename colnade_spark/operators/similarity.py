@@ -241,12 +241,17 @@ def train_ivf_centroids(
     assignment (the full-data pass) stays distributed."""
     import numpy as np
 
-    rows = (
-        corpus.select(vec_col)
-        .orderBy(F.rand(seed))
-        .limit(sample_n)
-        .collect()
-    )
+    # Bounded sample WITHOUT a global rand() sort: a count (metadata-cheap,
+    # column-pruned) picks a Bernoulli fraction, sample() filters at scan
+    # speed, limit() bounds the driver transfer. Ordering 100 TB by rand()
+    # just to take 2048 rows would pay a full sample-sort; this plan never
+    # sorts. Deterministic per (seed, data layout) like the previous form.
+    n = corpus.count()
+    vecs = corpus.select(vec_col)
+    if n > sample_n:
+        frac = min(1.0, 2.0 * sample_n / n)  # 2× oversample vs binomial dip
+        vecs = vecs.sample(fraction=frac, seed=seed).limit(sample_n)
+    rows = vecs.collect()
     X = np.asarray([r[0] for r in rows], dtype=np.float64)
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

@@ -33,21 +33,28 @@ S = TypeVar("S", bound=Schema)
 _backend = SparkBackend()
 
 
-def _stream_reader(spark: SparkSession):
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:  # pragma: no cover
-        pass
-    return spark.readStream
-
-
 def scan_stream_parquet(
     path: str, schema: type[S], *, spark: SparkSession
 ) -> StreamFrame[S]:
-    """Incremental parquet file source with the declared schema."""
-    from colnade_spark.io import _normalize_scan
+    """Incremental parquet file source with the declared schema.
 
-    reader = _stream_reader(spark)  # sets nanosAsLong BEFORE the probe below
+    Nanos handling mirrors batch io exactly: the parquet LOGICAL-type
+    metadata decides which columns are TIMESTAMP(NANOS); only those set the
+    legacy ``nanosAsLong`` conf, are declared Long at the source, and are
+    integer-divided back to microsecond timestamps. A plain-INT64 column (or
+    a non-nanos file) never triggers the conf or the division — it streams
+    through unchanged."""
+    from colnade_spark.io import _nanos_columns, _normalize_scan
+
+    nanos = _nanos_columns(path)
+    if nanos is None or nanos:
+        # Metadata-confirmed nanos (or uninspectable metadata): the conf
+        # must be set BEFORE the probe/scan so nanos columns arrive as long
+        # instead of erroring the read. Same gate as io._reader.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:  # pragma: no cover
+            pass
     struct = to_struct_type(schema)
     # nanos timestamps arrive as long under nanosAsLong; declare long at the
     # source and let _normalize_scan convert (same policy as batch io)
@@ -62,26 +69,31 @@ def scan_stream_parquet(
             and actual is not None
             and isinstance(actual.dataType, T.LongType)
         ):
+            # declare Long whenever the PHYSICAL type is Long (a stream
+            # schema must match the file); whether it is then divided back
+            # to a timestamp is decided by the metadata gate below — a
+            # plain-INT64 column stays Long, exactly like batch io
             fields.append(T.StructField(f.name, T.LongType(), f.nullable))
         else:
             fields.append(f)
     import os
 
-    reader = reader.schema(T.StructType(fields))
+    reader = spark.readStream.schema(T.StructType(fields))
     if os.path.isfile(path):
         # file-source streams monitor directories; for a single-file path
         # watch the parent directory with a glob filter selecting the file
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     data = reader.parquet(path)
-    return StreamFrame(_normalize_scan(data, schema), schema)
+    return StreamFrame(_normalize_scan(data, schema, nanos), schema)
 
 
 def scan_stream_csv(
     path: str, schema: type[S], *, spark: SparkSession, header: bool = True
 ) -> StreamFrame[S]:
+    # CSV has no parquet nanos quirk — no legacy conf involved.
     data = (
-        _stream_reader(spark)
+        spark.readStream
         .schema(to_struct_type(schema))
         .csv(path, header=header)
     )

@@ -103,3 +103,74 @@ def test_nanos_metadata_detected_and_normalized(spark, tmp_path):
     field = dict((f.name, f.dataType) for f in e.native.schema.fields)["ts"]
     assert isinstance(field, (T.TimestampType, T.TimestampNTZType)), field
     assert e.native.orderBy("event_id").first().ts.microsecond == 123456
+
+
+def test_stream_plain_int64_not_mistaken_for_nanos(spark, tmp_path):
+    """Streaming twin of the batch regression: a streamed column whose
+    parquet type is PLAIN INT64 (not TIMESTAMP(NANOS)) must round-trip
+    unchanged — the stream reader's nanos conf/division is gated on parquet
+    logical-type metadata exactly like batch io, not blanket-applied."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from colnade_spark.streaming import scan_stream_parquet
+
+    d = tmp_path / "stream_plain"
+    d.mkdir()
+    vals = [1_700_000_000_000_000, 1_700_000_000_000_001]
+    pq.write_table(
+        pa.table({"event_id": pa.array([1, 2], pa.int64()),
+                  "ts": pa.array(vals, pa.int64())}),
+        str(d / "part-0.parquet"),
+    )
+    sf = scan_stream_parquet(str(d), PlainTs, spark=spark)
+    # declared Datetime but metadata says plain INT64: stays Long, no div
+    assert isinstance(sf.native.schema["ts"].dataType, T.LongType)
+    q = (
+        sf.native.writeStream.format("memory")
+        .queryName("plain_int64_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.event_id: r.ts for r in spark.table("plain_int64_stream").collect()}
+    assert got == {1: vals[0], 2: vals[1]}  # bit-identical round-trip
+
+
+def test_stream_nanos_metadata_normalized(spark, tmp_path):
+    """A streamed TIMESTAMP(NANOS) file still converts to microsecond
+    timestamps (the gate engages when metadata confirms nanos)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from colnade_spark.streaming import scan_stream_parquet
+
+    d = tmp_path / "stream_nanos"
+    d.mkdir()
+    base_ns = 1_700_000_000_123_456_789
+    pq.write_table(
+        pa.table({"event_id": pa.array([1, 2], pa.int64()),
+                  "ts": pa.array([base_ns, base_ns + 1_000],
+                                 pa.timestamp("ns"))}),
+        str(d / "part-0.parquet"),
+        store_schema=False,
+    )
+    sf = scan_stream_parquet(str(d), PlainTs, spark=spark)
+    assert isinstance(
+        sf.native.schema["ts"].dataType, (T.TimestampType, T.TimestampNTZType)
+    )
+    q = (
+        sf.native.writeStream.format("memory")
+        .queryName("nanos_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("nanos_stream").orderBy("event_id").collect()
+    assert rows[0].ts.microsecond == 123456
