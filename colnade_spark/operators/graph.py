@@ -79,12 +79,40 @@ def _small_star(e: DataFrame) -> DataFrame:
     return rewired.union(self_links).filter(F.col("_a") != F.col("_b")).distinct()
 
 
+def _driver_union_find(pairs: list) -> dict:
+    """Union-find with path compression + union-by-min: labels every
+    endpoint with its component MINIMUM (same labeling as the distributed
+    star rounds). Pure Python, runs in O(alpha) per edge."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    seen = set()
+    for a, b in pairs:
+        seen.add(a)
+        seen.add(b)
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra  # larger root under smaller: roots stay minima
+    return {x: find(x) for x in seen}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     nodes: DataFrame | None = None,
     max_iter: int = 30,
+    driver_finish_edges: int = 1_000_000,
 ) -> DataFrame:
     """Resolve ``(node, component)`` for every node, where ``component``
     is the MINIMUM node id in the node's connected component (stable,
@@ -95,7 +123,18 @@ def connected_components(
     nodes (first column is the id); isolated nodes come back as their own
     component. Raises ``RuntimeError`` if not converged in ``max_iter``
     alternating rounds (log²-many suffice for any real graph — 30 covers
-    ~2^30-node components)."""
+    ~2^30-node components).
+
+    ``driver_finish_edges``: once the (monotonically contracting) edge set
+    fits under this bound, the remaining rounds collapse into one bounded
+    driver-side union-find pass (1M edges ≈ 16 MB — the same
+    bounded-driver-materialization tier as the IVF training sample).
+    Blocked dedup graphs start tiny and star rounds contract big ones
+    geometrically, so this replaces the long tail of near-empty shuffle
+    stages (~2·log² n stages of pure scheduling latency) with
+    milliseconds of driver CPU; the distributed rounds remain the scale
+    path for edge sets above the bound. Set to 0 to force fully
+    distributed execution."""
     e = (
         edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
         .filter(F.col("_a") != F.col("_b"))
@@ -121,36 +160,84 @@ def connected_components(
         ).collect()[0]
         return (row["n"], row["h"])
 
+    # Per-round shuffle sizing: the loop runs ~2·log² n tiny shuffle stages
+    # on a monotonically CONTRACTING edge set; with the session's global
+    # shuffle-partition count each stage schedules dozens of near-empty
+    # tasks and pure stage latency dominates (measured 6.5-13 s at sf0.1
+    # for ~5k edges). The fingerprint already reports the exact edge count
+    # every round for free, so shuffles are sized to it: ~100k edges per
+    # partition, never above the session setting (big graphs keep full
+    # parallelism; AQE still coalesces within a round). Conf is restored
+    # on exit.
+    spark = edges.sparkSession
+    base_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        base_p = int(base_shuffle)
+    except (TypeError, ValueError):  # pragma: no cover - e.g. "auto"
+        base_p = None
+
+    def _finish_on_driver(edge_df: DataFrame) -> DataFrame:
+        from pyspark.sql import types as T
+
+        sp = edge_df.sparkSession
+        lab = _driver_union_find(
+            [(r["_a"], r["_b"]) for r in edge_df.collect()]
+        )
+        id_type = edge_df.schema["_a"].dataType
+        lbl_schema = T.StructType(
+            [
+                T.StructField("node", id_type),
+                T.StructField("component", id_type),
+            ]
+        )
+        labels = sp.createDataFrame(sorted(lab.items()), lbl_schema)
+        roots = all_nodes.join(
+            labels.select(F.col("node").alias("_a")),
+            all_nodes["_n"] == F.col("_a"),
+            "left_anti",
+        ).select(F.col("_n").alias("node"), F.col("_n").alias("component"))
+        return labels.union(roots)
+
     fp = _fingerprint(e)
-    for _ in range(max_iter):
-        # lazy checkpoint: the fingerprint aggregate below is the one
-        # action per round and materializes it — eager=True would spend a
-        # second full job per round just to checkpoint. (Measured: fusing
-        # TWO star rounds per checkpoint is ~40% SLOWER at sf0.1 — the
-        # doubled lineage per checkpoint costs more than the saved
-        # fingerprint actions; one round per checkpoint is the optimum.)
-        stepped = _small_star(_large_star(e)).localCheckpoint(eager=False)
-        # two-tier convergence check: a single-aggregate fingerprint per
-        # round (count + order-independent hash-sum), and only when it
-        # matches, the EXACT distributed set-difference confirms — so the
-        # expensive anti-join pair runs once at the end, not every round.
-        new_fp = _fingerprint(stepped)
-        changed = 1
-        if new_fp == fp:
-            changed = (
-                stepped.exceptAll(e).limit(1).count()
-                + e.exceptAll(stepped).limit(1).count()
-            )
-        e, fp = stepped, new_fp
-        if changed == 0:
-            # stars: every non-root points at its component minimum
-            labels = e.select(F.col("_a").alias("node"), F.col("_b").alias("component"))
-            roots = all_nodes.join(
-                e.select("_a").distinct(),
-                all_nodes["_n"] == F.col("_a"),
-                "left_anti",
-            ).select(F.col("_n").alias("node"), F.col("_n").alias("component"))
-            return labels.union(roots)
+    try:
+        for _ in range(max_iter):
+            if fp[0] <= driver_finish_edges:
+                return _finish_on_driver(e)
+            if base_p is not None:
+                p = max(1, min(base_p, fp[0] // 100_000 + 1))
+                spark.conf.set("spark.sql.shuffle.partitions", str(p))
+            # lazy checkpoint: the fingerprint aggregate below is the one
+            # action per round and materializes it — eager=True would spend a
+            # second full job per round just to checkpoint. (Measured: fusing
+            # TWO star rounds per checkpoint is ~40% SLOWER at sf0.1 — the
+            # doubled lineage per checkpoint costs more than the saved
+            # fingerprint actions; one round per checkpoint is the optimum.)
+            stepped = _small_star(_large_star(e)).localCheckpoint(eager=False)
+            # two-tier convergence check: a single-aggregate fingerprint per
+            # round (count + order-independent hash-sum), and only when it
+            # matches, the EXACT distributed set-difference confirms — so the
+            # expensive anti-join pair runs once at the end, not every round.
+            new_fp = _fingerprint(stepped)
+            changed = 1
+            if new_fp == fp:
+                changed = (
+                    stepped.exceptAll(e).limit(1).count()
+                    + e.exceptAll(stepped).limit(1).count()
+                )
+            e, fp = stepped, new_fp
+            if changed == 0:
+                # stars: every non-root points at its component minimum
+                labels = e.select(
+                    F.col("_a").alias("node"), F.col("_b").alias("component")
+                )
+                roots = all_nodes.join(
+                    e.select("_a").distinct(),
+                    all_nodes["_n"] == F.col("_a"),
+                    "left_anti",
+                ).select(F.col("_n").alias("node"), F.col("_n").alias("component"))
+                return labels.union(roots)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base_shuffle)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )

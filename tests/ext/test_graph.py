@@ -16,16 +16,20 @@ def _cc_map(cc):
     return {r.node: r.component for r in cc.collect()}
 
 
-def test_chain_collapses_to_min(spark):
-    # 1-2-3-4-5 chain: everything labels to 1
-    cc = connected_components(_edges(spark, [(i, i + 1) for i in range(1, 5)]))
+@pytest.mark.parametrize("dfe", [0, 10**6], ids=["distributed", "driver"])
+def test_chain_collapses_to_min(spark, dfe):
+    # 1-2-3-4-5 chain: everything labels to 1 (both execution paths)
+    cc = connected_components(
+        _edges(spark, [(i, i + 1) for i in range(1, 5)]), driver_finish_edges=dfe
+    )
     assert _cc_map(cc) == {i: 1 for i in range(1, 6)}
 
 
-def test_two_components_and_isolated_node(spark):
+@pytest.mark.parametrize("dfe", [0, 10**6], ids=["distributed", "driver"])
+def test_two_components_and_isolated_node(spark, dfe):
     edges = _edges(spark, [(1, 2), (2, 3), (10, 11)])
     nodes = spark.createDataFrame([(1,), (2,), (3,), (10,), (11,), (99,)], "id long")
-    cc = connected_components(edges, nodes=nodes)
+    cc = connected_components(edges, nodes=nodes, driver_finish_edges=dfe)
     got = _cc_map(cc)
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
 
@@ -55,7 +59,7 @@ def test_max_iter_exceeded_raises(spark):
     # a 6-chain needs ~3 doubling rounds; max_iter=1 must fail loudly
     edges = _edges(spark, [(i, i + 1) for i in range(1, 6)])
     with pytest.raises(RuntimeError, match="converge"):
-        connected_components(edges, max_iter=1)
+        connected_components(edges, max_iter=1, driver_finish_edges=0)
 
 
 def test_component_sizes_summary(spark):
@@ -71,7 +75,12 @@ def test_matches_python_union_find_on_random_graph(spark):
     rng = random.Random(7)
     pairs = [(rng.randrange(60), rng.randrange(60)) for _ in range(45)]
     nodes = spark.createDataFrame([(i,) for i in range(60)], "id long")
+    # both paths must produce the identical min-labeling
     cc = connected_components(_edges(spark, pairs), nodes=nodes)
+    cc_dist = connected_components(
+        _edges(spark, pairs), nodes=nodes, driver_finish_edges=0
+    )
+    assert _cc_map(cc) == _cc_map(cc_dist)
 
     # driver-side union-find model
     parent = list(range(60))
