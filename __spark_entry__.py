@@ -615,9 +615,20 @@ def ann_bruteforce(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 def ann_lsh(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """RP-LSH top-1 with PLANTED exact-duplicate queries — a deterministic
+    recall check against an independently computed DuckDB ground truth.
+    Each query is an exact copy of a corpus vector (vec_id < 8) under id
+    +1_000_000: identical vectors produce identical sign sketches in EVERY
+    hash table, so the bucket join is guaranteed to surface the planted
+    source, and it is the unique rank-1 neighbor (cosine 1.0; the fixture's
+    max non-identical cosine is ~0.6, so no tie is possible). The oracle
+    recomputes the same argmax by brute force — LSH recall on planted
+    neighbors is thereby bit-checked, not just row-counted."""
     e = _embs(spark, sf_dir)
-    q = e.filter(F.col("vec_id") < 8)
-    return similarity.lsh_topk(e, q, dim=64, k=5, bits=10, tables=6)
+    planted = e.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
+    return similarity.lsh_topk(e, planted, dim=64, k=1, bits=10, tables=6)
 
 
 def ann_ivf(spark: SparkSession, sf_dir: str) -> SparkDF:
@@ -631,8 +642,21 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Embedding near-duplicate pairs over the corpus with PLANTED exact
+    duplicates (copies of every vec_id % 50 == 0 under id +1_000_000).
+    At threshold 0.95 the TRUE pair set is exactly the planted
+    (source, copy) pairs — the fixture's max non-identical cosine is ~0.6,
+    so no other pair qualifies and no boundary case exists — and identical
+    vectors collide in every LSH table, so the approximate pipeline must
+    recover that set exactly. The oracle recomputes it brute-force in
+    DuckDB: a full recall+precision bit-check of the LSH near-dup path."""
+    e = _embs(spark, sf_dir).select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
+    allv = e.unionByName(planted)
     return similarity.embedding_near_dups(
-        _embs(spark, sf_dir), dim=64, threshold=0.4, bits=8, tables=4
+        allv, dim=64, threshold=0.95, bits=8, tables=4
     ).select("id_a", "id_b", F.round(F.col("cos_sim"), 6).alias("cos_sim"))
 
 
@@ -2383,6 +2407,32 @@ def oracle_sql() -> dict[str, str]:
                                    ORDER BY sim DESC, neighbor_id) AS rank
               FROM s)
             WHERE rank <= 5
+        """,
+        "ann_lsh": """
+            WITH q AS (SELECT vec_id + 1000000 AS qid, embedding AS qv
+                       FROM embeddings WHERE vec_id < 8),
+            s AS (SELECT qid AS query_id, vec_id AS neighbor_id,
+                    list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                           CAST(qv AS DOUBLE[])) AS sim
+                  FROM embeddings CROSS JOIN q)
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+              FROM s)
+            WHERE rank <= 1
+        """,
+        "emb_near_dup_pairs": """
+            WITH allv AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+              FROM embeddings WHERE vec_id % 50 = 0
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+            FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.95
         """,
         "ann_ivf": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
