@@ -717,6 +717,46 @@ class SparkBackend:
 
         return data.mapInPandas(_gen, schema=out_type)
 
+    def cogroup_map(
+        self,
+        left: SparkDF,
+        right: SparkDF,
+        left_keys: Sequence[str],
+        right_keys: Sequence[str],
+        fn: Callable,
+        target: Any,
+    ) -> SparkDF:
+        """Cogrouped TWO-table Arrow escape hatch — the one custom-op shape
+        ``map_batches`` can't express: per-key logic that needs both
+        tables' rows together (custom as-of merges, per-entity
+        reconciliation, trajectory stitching). Executes as
+        ``groupBy(keys).cogroup(other.groupBy(keys)).applyInPandas``:
+        exactly one key-hash exchange per side (same shuffle bill as the
+        equivalent join), then ``fn(left_pdf, right_pdf)`` runs
+        executor-side per key group over Arrow batches — no driver
+        involvement, no replicated data. Keys absent from one side arrive
+        as an empty pandas frame (full-outer cogroup semantics). Extension:
+        the reference has no two-table escape hatch at all (its escape is
+        single-frame row iteration)."""
+        import pandas as pd
+
+        from colnade_spark.conversion import to_struct_type
+
+        out_type = to_struct_type(target)
+        names = [f.name for f in out_type.fields]
+
+        def _apply(l_pdf, r_pdf):
+            out = fn(l_pdf, r_pdf)
+            if out is None or not len(out):
+                return pd.DataFrame(columns=names)
+            return out[names]
+
+        return (
+            left.groupBy(*[F.col(k) for k in left_keys])
+            .cogroup(right.groupBy(*[F.col(k) for k in right_keys]))
+            .applyInPandas(_apply, schema=out_type)
+        )
+
     def explode(self, data: SparkDF, name: str, outer: bool) -> SparkDF:
         """Flatten a list column into one row per element, in place
         (extension — the reference has list_* element functions but no

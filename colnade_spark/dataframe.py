@@ -348,6 +348,51 @@ class _FrameBase(Generic[S]):
                 )
         return self._backend.join(self._data, other._data, on, how)
 
+    def _cogroup_keys(
+        self,
+        other: _FrameBase[Any],
+        on: JoinCondition | Sequence[JoinCondition],
+    ) -> tuple[list[str], list[str]]:
+        """Resolve cogroup key columns per side from cross-schema equality
+        conditions; guards ownership like join does (either orientation of
+        each equality is accepted)."""
+        if type(other) is not type(self):
+            raise TypeError("cannot mix eager and lazy frames in cogroup_map()")
+        if self._schema is None or other._schema is None:
+            raise SchemaError(message="cogroup_map() requires schema-bound frames")
+        if isinstance(on, JoinCondition):
+            conds = [on]
+        elif isinstance(on, (list, tuple)):
+            conds = list(on)
+        else:
+            conds = []  # None / same-schema BinOp / anything else: reject
+        if not conds or not all(isinstance(c, JoinCondition) for c in conds):
+            raise SchemaError(
+                message="cogroup_map(on=...) must be a cross-schema equality "
+                "(or a list of them for composite keys), e.g. "
+                "Users.id == Orders.user_id"
+            )
+        lsch, rsch = self._schema, other._schema
+        lk: list[str] = []
+        rk: list[str] = []
+        for c in conds:
+            for a, b in [(c.left, c.right), (c.right, c.left)]:
+                if (
+                    a.schema_name == lsch.__name__
+                    and a.name in lsch._columns
+                    and b.schema_name == rsch.__name__
+                    and b.name in rsch._columns
+                ):
+                    lk.append(a.name)
+                    rk.append(b.name)
+                    break
+            else:
+                raise ColumnGuardError(
+                    f"cogroup_map key {c.left.name!r} == {c.right.name!r} does "
+                    f"not pair columns of {lsch.__name__} and {rsch.__name__}"
+                )
+        return lk, rk
+
     def _cast_data(
         self,
         target: type[Schema],
@@ -461,6 +506,33 @@ class DataFrame(_FrameBase[S]):
         beyond the reference (whose escape is row-at-a-time iteration)."""
         out: DataFrame[S2] = DataFrame(
             self._backend.map_batches(self._data, fn, target), target, self._backend
+        )
+        _boundary_validate(out)
+        return out
+
+    def cogroup_map(
+        self,
+        other: DataFrame[Any],
+        on: JoinCondition | Sequence[JoinCondition],
+        fn: Callable[[Any, Any], Any],
+        target: type[S2],
+    ) -> DataFrame[S2]:
+        """Cogrouped two-table escape hatch: group BOTH frames by the key
+        equalities in ``on``, then run ``fn(left_pdf, right_pdf)`` per key
+        group executor-side (``applyInPandas`` over a cogroup — Arrow
+        batches, one key exchange per side, no driver round-trip). Keys
+        present on only one side arrive with an empty frame for the other
+        (full-outer semantics). ``fn`` returns rows with ``target``'s
+        columns; the declared schema is enforced at this boundary, same as
+        ``map_batches``. Extension beyond the reference, which has no
+        two-table custom-op shape."""
+        lk, rk = self._cogroup_keys(other, on)
+        out: DataFrame[S2] = DataFrame(
+            self._backend.cogroup_map(
+                self._data, other._data, lk, rk, fn, target
+            ),
+            target,
+            self._backend,
         )
         _boundary_validate(out)
         return out
@@ -673,6 +745,25 @@ class LazyFrame(_FrameBase[S]):
         """Arrow-batched partition-wise transform (see DataFrame.map_batches)."""
         out: LazyFrame[S2] = LazyFrame(
             self._backend.map_batches(self._data, fn, target), target, self._backend
+        )
+        _boundary_validate(out)
+        return out
+
+    def cogroup_map(
+        self,
+        other: LazyFrame[Any],
+        on: JoinCondition | Sequence[JoinCondition],
+        fn: Callable[[Any, Any], Any],
+        target: type[S2],
+    ) -> LazyFrame[S2]:
+        """Cogrouped two-table escape hatch (see DataFrame.cogroup_map)."""
+        lk, rk = self._cogroup_keys(other, on)
+        out: LazyFrame[S2] = LazyFrame(
+            self._backend.cogroup_map(
+                self._data, other._data, lk, rk, fn, target
+            ),
+            target,
+            self._backend,
         )
         _boundary_validate(out)
         return out
