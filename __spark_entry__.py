@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 import colnade_spark as cs
 from colnade_spark.dtypes import Bool, Datetime, Decimal, Float64, Int32, Int64, Utf8
+from colnade_spark.dtypes import Map as MapD
 from colnade_spark.expr import when
 from colnade_spark.operators import (
     chunking,
@@ -1559,6 +1560,54 @@ def sketch_rollup_users(spark: SparkSession, sf_dir: str) -> SparkDF:
 # ---------------------------------------------------------------------------
 
 
+class OrderFlagMap(Schema):
+    l_orderkey: Column[Int64]
+    fm: Column[MapD[Utf8, Float64]]
+
+
+def map_flag_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Map-dtype end-to-end (EXTENSION — the reference has no Map dtype):
+    a per-order map of returnflag → total quantity is built in-query
+    (map_from_entries over per-flag partial sums — two map-side-combined
+    aggregations, one exchange each), then the TYPED Map accessors extract
+    deterministic scalars: try-get ('N'), contains ('R'), size, and the
+    SORTED key list joined to a string. Maps never cross the comparison
+    boundary — only these deterministic projections do — so the DuckDB
+    twin expresses the same semantics relationally (CASE max / bool_or /
+    count / ordered string_agg)."""
+    from colnade_spark.dataframe import DataFrame as TypedDF
+
+    li = _load(spark, sf_dir, "lineitem", Lineitem)
+    per = li.native.groupBy("l_orderkey", "l_returnflag").agg(
+        F.sum("l_quantity").alias("q")
+    )
+    m = per.groupBy("l_orderkey").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_returnflag").alias("k"), F.col("q").alias("v")
+                    )
+                )
+            )
+        ).alias("fm")
+    )
+    f = TypedDF(m, OrderFlagMap)
+    out = f.with_columns(
+        OrderFlagMap.fm.map.get("N").alias("qty_n"),
+        OrderFlagMap.fm.map.contains("R").alias("has_r"),
+        OrderFlagMap.fm.map.len().alias("n_flags"),
+        OrderFlagMap.fm.map.keys().list.join("|").alias("flags"),
+    )
+    return out.native.select(
+        "l_orderkey",
+        "qty_n",
+        "has_r",
+        F.col("n_flags").cast("long").alias("n_flags"),
+        "flags",
+    )
+
+
 def entry(spark: SparkSession) -> SparkDF:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1608,6 +1657,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "semantic_decontaminated_ids": semantic_decontaminated_ids,
         "unigram_quality": unigram_quality,
         # --- round-3 additions (new this round) ---
+        # re-oracled with planted-duplicate ground truth — driver must
+        # re-check them, so they ride the front block
+        "ann_lsh": ann_lsh,
+        "emb_near_dup_pairs": emb_near_dup_pairs,
+        "map_flag_stats": map_flag_stats,
         # --- driver-green in round 2 (CORRECTNESS_r02 rows exist) ---
         "q1_pricing_summary": q1_pricing_summary,
         "filter_sort_limit": filter_sort_limit,
@@ -1643,9 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "cluster_assignments": cluster_assignments,
         "cluster_profile": cluster_profile,
         "ann_bruteforce": ann_bruteforce,
-        "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
-        "emb_near_dup_pairs": emb_near_dup_pairs,
         "image_features_stub": image_features_stub,
         "q3_shipping_priority": q3_shipping_priority,
         "approx_stats": approx_stats,
@@ -2407,6 +2459,18 @@ def oracle_sql() -> dict[str, str]:
                                    ORDER BY sim DESC, neighbor_id) AS rank
               FROM s)
             WHERE rank <= 5
+        """,
+        "map_flag_stats": """
+            WITH per AS (
+              SELECT l_orderkey, l_returnflag, sum(l_quantity) AS q
+              FROM lineitem GROUP BY l_orderkey, l_returnflag
+            )
+            SELECT l_orderkey,
+              max(CASE WHEN l_returnflag = 'N' THEN q END) AS qty_n,
+              bool_or(l_returnflag = 'R') AS has_r,
+              CAST(count(*) AS BIGINT) AS n_flags,
+              string_agg(l_returnflag, '|' ORDER BY l_returnflag) AS flags
+            FROM per GROUP BY l_orderkey
         """,
         "ann_lsh": """
             WITH q AS (SELECT vec_id + 1000000 AS qid, embedding AS qv

@@ -54,6 +54,7 @@ from colnade_spark.expr import (
     JoinCondition,
     Literal,
     ListOp,
+    MapOp,
     SortExpr,
     StructFieldAccess,
     UnaryOp,
@@ -141,7 +142,7 @@ def collect_assertions(node: Any, out: list[Expr] | None = None) -> list[Expr]:
         collect_assertions(node.expr, out)
     elif isinstance(node, SortExpr):
         collect_assertions(node.expr, out)
-    elif isinstance(node, ListOp):
+    elif isinstance(node, (ListOp, MapOp)):
         collect_assertions(node.operand, out)
     elif isinstance(node, WhenThenOtherwise):
         for c, v in node.cases:
@@ -189,6 +190,12 @@ def rewrite_refs(node: Any, mapping: dict[str, str] | Callable[[ColumnRef], str]
         return StructFieldAccess(rewrite_refs(node.operand, mapping), node.field_name)
     if isinstance(node, ListOp):
         return ListOp(
+            rewrite_refs(node.operand, mapping),
+            node.op,
+            tuple(rewrite_refs(a, mapping) for a in node.args),
+        )
+    if isinstance(node, MapOp):
+        return MapOp(
             rewrite_refs(node.operand, mapping),
             node.op,
             tuple(rewrite_refs(a, mapping) for a in node.args),
@@ -252,6 +259,8 @@ class SparkBackend:
             return self.translate_expr(node.operand).getField(node.field_name)
         if isinstance(node, ListOp):
             return self._translate_list_op(node)
+        if isinstance(node, MapOp):
+            return self._translate_map_op(node)
         if isinstance(node, WhenThenOtherwise):
             out = None
             for cond, val in node.cases:
@@ -473,6 +482,22 @@ class SparkBackend:
         if node.op == "join":
             return F.array_join(c, node.args[0].value)
         raise SchemaError(message=f"unknown list op {node.op!r}")
+
+    def _translate_map_op(self, node: MapOp):
+        c = self.translate_expr(node.operand)
+        if node.op == "len":
+            return F.size(c)
+        if node.op == "get":
+            # try_element_at: null on missing key (plain element_at raises
+            # under Spark 4 ANSI); null map propagates null
+            return F.try_element_at(c, self.translate_expr(node.args[0]))
+        if node.op == "contains":
+            return F.map_contains_key(c, self.translate_expr(node.args[0]))
+        if node.op == "keys":
+            # map entry order is engine-defined; sorted keys are the only
+            # deterministic, cross-engine-comparable form
+            return F.array_sort(F.map_keys(c))
+        raise SchemaError(message=f"unknown map op {node.op!r}")
 
     # ------------------------------------------------------------------
     # frame ops (all lazy)

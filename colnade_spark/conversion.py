@@ -55,6 +55,17 @@ def to_spark_type(dtype: Any) -> T.DataType:
             inner = dt.strip_nullable(elem)
             contains_null = inner[1] if inner is not None else True
             return T.ArrayType(to_spark_type(elem), containsNull=contains_null)
+        if issubclass(dtype, dt.Map):
+            if dtype.key is None or dtype.value is None:
+                raise SchemaError(message="bare Map without key/value parameters")
+            val = dtype.value
+            inner = dt.strip_nullable(val)
+            value_contains_null = inner[1] if inner is not None else True
+            return T.MapType(
+                to_spark_type(dtype.key),
+                to_spark_type(val),
+                valueContainsNull=value_contains_null,
+            )
         if issubclass(dtype, dt.Struct):
             if dtype.schema is None:
                 raise SchemaError(message="bare Struct without schema parameter")

@@ -193,6 +193,32 @@ class List(DType, metaclass=_ListMeta):
     element: Any = None
 
 
+class _MapMeta(type):
+    _cache: dict[Any, type] = {}
+
+    def __getitem__(cls, args: tuple[Any, Any]) -> type[Map]:
+        key_dt, val_dt = args
+        key = (cls, _dtype_key(key_dt), _dtype_key(val_dt))
+        if key not in _MapMeta._cache:
+            kn = getattr(key_dt, "__name__", repr(key_dt))
+            vn = getattr(val_dt, "__name__", repr(val_dt))
+            sub = type(
+                f"Map[{kn},{vn}]", (Map,), {"key": key_dt, "value": val_dt}
+            )
+            _MapMeta._cache[key] = sub
+        return _MapMeta._cache[key]  # type: ignore[return-value]
+
+
+class Map(DType, metaclass=_MapMeta):
+    """Map dtype parameterized ``Map[KeyDType, ValueDType]``, e.g.
+    ``Map[Utf8, Int64]``; nullable values via ``Map[Utf8, Int64 | None]``
+    (map KEYS are never null in Spark). EXTENSION beyond the reference
+    dtype set (SURVEY.md §1.2 — the reference has no Map dtype)."""
+
+    key: Any = None
+    value: Any = None
+
+
 def _dtype_key(dt: Any) -> Any:
     """Hashable cache key for possibly-union dtype arguments."""
     args = strip_nullable(dt)

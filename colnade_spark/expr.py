@@ -298,6 +298,17 @@ class ListOp(Expr):
 
 
 @dataclass(frozen=True, eq=False)
+class MapOp(Expr):
+    """Map-typed column operation (EXTENSION — the reference has no Map
+    dtype). Deterministic surface only: ``keys`` returns the key array
+    SORTED so cross-engine comparisons never depend on map entry order."""
+
+    operand: Expr
+    op: str  # len | get | contains | keys
+    args: tuple[Expr, ...] = ()
+
+
+@dataclass(frozen=True, eq=False)
 class WhenThenOtherwise(Expr):
     """Ordered (condition, value) cases + default; a missing ``.otherwise``
     yields a null default (reference: src/colnade/expr.py:305-366)."""
@@ -629,7 +640,7 @@ def _collect(node: Any, out: set[str]) -> None:
         _collect(node.expr, out)
     elif isinstance(node, StructFieldAccess):
         _collect(node.operand, out)
-    elif isinstance(node, ListOp):
+    elif isinstance(node, (ListOp, MapOp)):
         _collect(node.operand, out)
         for a in node.args:
             _collect(a, out)

@@ -29,6 +29,7 @@ from colnade_spark.expr import (
     FunctionCall,
     JoinCondition,
     ListOp,
+    MapOp,
     SortExpr,
     StructFieldAccess,
     _wrap,
@@ -115,6 +116,10 @@ class Column(Generic[DTypeT]):
     @property
     def _is_struct(self) -> bool:
         return isinstance(self.dtype, type) and issubclass(self.dtype, dt.Struct)
+
+    @property
+    def _is_map(self) -> bool:
+        return isinstance(self.dtype, type) and issubclass(self.dtype, dt.Map)
 
     # -- binary operators --------------------------------------------------
     def _binop(self, other: Any, op: str, reflected: bool = False) -> BinOp:
@@ -453,6 +458,41 @@ class Column(Generic[DTypeT]):
     def list(self) -> ListAccessor:
         self._require(self._is_list, ".list")
         return ListAccessor(self)
+
+    @property
+    def map(self) -> MapAccessor:
+        self._require(self._is_map, ".map")
+        return MapAccessor(self)
+
+
+class MapAccessor:
+    """Namespace for map-typed column operations (EXTENSION — no reference
+    counterpart; the reference dtype set has no Map). Deterministic
+    surface: ``keys()`` sorts, value iteration order is never exposed."""
+
+    def __init__(self, column: "Column | Expr"):
+        self._col = column
+
+    def _operand(self):
+        ref = getattr(self._col, "_ref", None)
+        return ref() if callable(ref) else self._col
+
+    def len(self) -> MapOp:
+        """Number of entries; null map → null."""
+        return MapOp(self._operand(), "len")
+
+    def get(self, key: Any) -> MapOp:
+        """Value at ``key``; missing key or null map → null (ANSI-safe
+        ``try_element_at`` — plain element_at raises under Spark 4 ANSI)."""
+        return MapOp(self._operand(), "get", (_wrap(key),))
+
+    def contains(self, key: Any) -> MapOp:
+        return MapOp(self._operand(), "contains", (_wrap(key),))
+
+    def keys(self) -> MapOp:
+        """Key array, SORTED ascending (map entry order is engine-defined;
+        sorting makes the result comparable cross-engine)."""
+        return MapOp(self._operand(), "keys")
 
 
 class ListAccessor:
