@@ -66,6 +66,8 @@ HEADLINE = [
     "mixture_sample_docs",
     "semantic_decontaminated_ids",
     "unigram_quality",
+    "map_flag_stats",
+    "emb_near_dup_pairs",
 ]
 
 

@@ -330,3 +330,75 @@ def test_partitioned_write_prunes_partitions_on_read(spark, sf_dir, tmp_path):
     # correctness: counts survive the round trip
     want = o.filter(Orders.o_orderstatus == "F").height
     assert back.height == want
+
+
+from colnade_spark.dtypes import Float64 as _F64
+from colnade_spark.dtypes import Int64 as _I64
+from colnade_spark.dtypes import Map as _Map
+from colnade_spark.dtypes import Utf8 as _Utf8
+from colnade_spark.schema import Column as _Col
+from colnade_spark.schema import Schema as _Schema
+
+
+class _Spend(_Schema):
+    c_custkey: _Col[_I64]
+    total: _Col[_F64]
+
+
+class _FlagMap(_Schema):
+    l_orderkey: _Col[_I64]
+    fm: _Col[_Map[_Utf8, _F64]]
+
+
+def test_cogroup_map_one_exchange_per_side(spark, sf_dir):
+    """cogroup_map must plan as exactly one key-hash exchange per input
+    (same shuffle bill as the equivalent join) feeding one
+    FlatMapCoGroupsInPandas — no extra repartitions, no broadcast of
+    either side."""
+    import pandas as pd
+
+    from colnade_spark.tpch import Orders
+
+    def fn(c_pdf, o_pdf):
+        if not len(c_pdf):
+            return None
+        return pd.DataFrame(
+            {
+                "c_custkey": [int(c_pdf["c_custkey"].iloc[0])],
+                "total": [float(o_pdf["o_totalprice"].sum())],
+            }
+        )
+
+    c = read_parquet(table_path(sf_dir, "customer"), Customer, spark=spark)
+    o = read_parquet(table_path(sf_dir, "orders"), Orders, spark=spark)
+    out = c.cogroup_map(o, Customer.c_custkey == Orders.o_custkey, fn, _Spend)
+    plan = _plan(out)
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert _n_shuffles(plan) == 2, plan
+
+
+def test_map_ops_are_codegen_expressions(spark, sf_dir):
+    """Typed Map accessors must translate to plain Catalyst expressions
+    (no UDF, no extra exchange beyond the aggregations building the map)."""
+    from pyspark.sql import functions as F
+
+    from colnade_spark.dataframe import DataFrame as TypedDF
+    from colnade_spark.tpch import Lineitem
+
+    li = read_parquet(table_path(sf_dir, "lineitem"), Lineitem, spark=spark)
+    per = li.native.groupBy("l_orderkey", "l_returnflag").agg(
+        F.sum("l_quantity").alias("q")
+    )
+    m = per.groupBy("l_orderkey").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("l_returnflag"), F.col("q")))
+        ).alias("fm")
+    )
+    out = TypedDF(m, _FlagMap).with_columns(
+        _FlagMap.fm.map.get("N").alias("qn"),
+        _FlagMap.fm.map.keys().alias("ks"),
+    )
+    plan = _plan(out.native)
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan, plan
+    # two aggregation exchanges only (per-flag sums, per-order map build)
+    assert _n_shuffles(plan) == 2, plan

@@ -246,12 +246,15 @@ def test_regex_functions_differential(spark, data):
     f = DataFrame.from_dict(data, T)
     out = f.with_columns(
         T.s.str_extract("(a+)", 1).alias("ex"),
+        # '(a*)' can match with an EMPTY capture — both engines collapse ''
+        # to NULL, so this previously-divergent class is now exercised
+        T.s.str_extract("(a*)", 1).alias("exe"),
         T.s.str_matches("[ab]").alias("mt"),
         T.s.str_slice(1, 2).alias("sl"),
     )
     got = sorted(
         (
-            tuple(None if v is None else v for v in (r.ex, r.mt, r.sl))
+            tuple(None if v is None else v for v in (r.ex, r.exe, r.mt, r.sl))
             for r in out.native.collect()
         ),
         key=_key,
@@ -262,6 +265,7 @@ def test_regex_functions_differential(spark, data):
             for r in _duck(data)
             .execute(
                 "SELECT NULLIF(regexp_extract(s, '(a+)', 1), '') AS ex, "
+                "NULLIF(regexp_extract(s, '(a*)', 1), '') AS exe, "
                 "regexp_matches(s, '[ab]') AS mt, "
                 "substring(s, 2, 2) AS sl FROM t"
             )

@@ -321,3 +321,31 @@ def test_idempotent_parquet_sink_survives_redelivery(spark, sf_dir, events_strea
     redelivered = spark.createDataFrame(rows)
     redelivered.write.mode("overwrite").parquet(f"{out}/batch_id=0")
     assert spark.read.parquet(out).count() == want
+
+
+def test_quality_gate_is_stateless_on_streams(spark, sf_dir):
+    """Quality filtering (scan-side feature projections + threshold gate)
+    is stateless: applied to a streamed documents source it keeps exactly
+    the doc_ids the batch gate keeps — no state store, no watermark, so a
+    100 TB/day ingest can apply Gopher-style gates at the ingest boundary
+    with zero streaming-state cost."""
+    from colnade_spark.operators import text
+    from colnade_spark.streaming import scan_stream_parquet
+    from colnade_spark.tpch import Documents
+    from pyspark.sql import functions as F
+
+    def gate(d):
+        scored = text.quality_features(d)
+        return scored.filter(
+            (F.col("q_words") >= 10) & (F.col("q_stopword_ratio") > 0.0)
+        ).select("doc_id")
+
+    sf = scan_stream_parquet(table_path(sf_dir, "documents"), Documents, spark=spark)
+    gated = sf.with_raw(gate)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _await(gated.to_memory_sink(name, output_mode="append"))
+    got = {r.doc_id for r in spark.table(name).collect()}
+
+    batch = spark.read.parquet(table_path(sf_dir, "documents"))
+    want = {r.doc_id for r in gate(batch).collect()}
+    assert got == want and 0 < len(got) <= batch.count()
