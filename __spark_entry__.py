@@ -28,6 +28,7 @@ from colnade_spark.dtypes import Map as MapD
 from colnade_spark.expr import when
 from colnade_spark.operators import (
     chunking,
+    classifier,
     decontaminate,
     dedup,
     embeddings,
@@ -38,6 +39,7 @@ from colnade_spark.operators import (
     redact,
     sampling,
     similarity,
+    spans,
     text,
     tfidf,
 )
@@ -1608,6 +1610,94 @@ def map_flag_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+# epoch weights for the domain-upsampling query; the fractional-epoch hash
+# gates are computed ONCE here with the operator's own arithmetic
+# (int(frac * 2^60) on IEEE floats) and embedded into BOTH engines
+_UPSAMPLE_EPOCHS = {"en": 1.0, "de": 2.5, "fr": 2.0, "es": 1.4, "zh": 3.2}
+_UPSAMPLE_GATES = {
+    lang: int((e - int(e)) * (1 << 60)) for lang, e in _UPSAMPLE_EPOCHS.items()
+}
+
+
+def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Corpus-internal duplicated-span profile (Lee et al. 2022): per doc,
+    the number of maximal duplicated >=8-token spans and the token count
+    they cover. Only docs with at least one duplicated span appear."""
+    sp = spans.duplicate_spans(_docs(spark, sf_dir), k=8, min_count=2)
+    return sp.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .cast("long")
+        .alias("dup_tokens"),
+    )
+
+
+def span_removal_clean(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """End-to-end duplicated-span REMOVAL: every doc's normalized text
+    with corpus-duplicated >=8-token spans excised (string-compared
+    against the oracle's reconstruction)."""
+    out = spans.remove_duplicate_spans(_docs(spark, sf_dir), k=8, min_count=2)
+    return out.select("doc_id", F.col("text_dedup").alias("text_clean"))
+
+
+def _lined_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """documents plus ``lined``: normalized tokens grouped into 8-token
+    lines joined with newlines — a deterministic multi-line derivation
+    both engines express identically (the fixture has no raw newlines,
+    so line-level dedup needs a derived line structure)."""
+    d = _docs(spark, sf_dir)
+    staged = d.withColumn("_lt", spans.clean_tokens(F.col("text")))
+    n_lines = F.ceil(F.size("_lt") / F.lit(8)).cast("int")
+    # filter-guard, not F.when: F.sequence(0, -1) descends (see
+    # operators/text.char_ngrams)
+    positions = F.filter(
+        F.sequence(F.lit(0), F.greatest(n_lines - 1, F.lit(-1))),
+        lambda i: (i >= 0) & (i <= n_lines - 1),
+    )
+    lines = F.transform(
+        positions, lambda i: F.array_join(F.slice(F.col("_lt"), i * 8 + 1, 8), " ")
+    )
+    return staged.withColumn("lined", F.array_join(lines, "\n")).drop("_lt")
+
+
+def line_dedup_clean(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Corpus-wide boilerplate LINE removal (CCNet/RefinedWeb stage): any
+    8-token line occurring in >=2 distinct docs is dropped everywhere;
+    surviving lines rejoin in order."""
+    lined = _lined_docs(spark, sf_dir)
+    out = spans.remove_duplicate_lines(lined, text_col="lined", min_docs=2)
+    return out.select("doc_id", F.col("text_dedup").alias("text_clean"))
+
+
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Hashed-feature linear quality classifier (fastText-style): exact
+    integer weight sum (bit-exact anchor) plus derived score/logistic
+    probability, rounded to 6 places on both engines."""
+    out = classifier.hashed_linear_score(
+        _docs(spark, sf_dir), dim=4096, seed=7
+    )
+    return out.select(
+        "doc_id",
+        "clf_int",
+        F.round("clf_score", 6).alias("clf_score"),
+        F.round("clf_prob", 6).alias("clf_prob"),
+    )
+
+
+def upsample_epoch_counts(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Materialized domain upsampling (LLaMA-style epoch mixing): per
+    language, the replicated row count, distinct docs, and max epoch
+    number after content-addressed fractional-epoch replication."""
+    up = sampling.upsample_epochs(
+        _docs(spark, sf_dir), _UPSAMPLE_EPOCHS, domain_col="lang", salt="up1"
+    )
+    return up.groupBy("lang").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.max("epoch").cast("long").alias("max_epoch"),
+    )
+
+
 def entry(spark: SparkSession) -> SparkDF:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1657,6 +1747,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "semantic_decontaminated_ids": semantic_decontaminated_ids,
         "unigram_quality": unigram_quality,
         # --- round-3 additions (new this round) ---
+        "duplicate_span_stats": duplicate_span_stats,
+        "span_removal_clean": span_removal_clean,
+        "line_dedup_clean": line_dedup_clean,
+        "quality_classifier_scores": quality_classifier_scores,
+        "upsample_epoch_counts": upsample_epoch_counts,
         # re-oracled with planted-duplicate ground truth — driver must
         # re-check them, so they ride the front block
         "ann_lsh": ann_lsh,
@@ -2798,5 +2893,184 @@ def oracle_sql() -> dict[str, str]:
               CAST(COALESCE(s.n_toks, 0) AS BIGINT) AS n_toks,
               round(s.nlp, 6) AS neg_logprob
             FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        "duplicate_span_stats": f"""
+            WITH nt AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array({_NORM_TEXT}, '\\s+'),
+                            x -> x <> '') AS tk
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, tk,
+                unnest(list_filter(range(0, greatest(len(tk) - 7, 1), 1),
+                                   p -> p < len(tk) - 7)) AS p
+              FROM nt
+            ),
+            hits AS (
+              SELECT doc_id, p,
+                {_md5h("array_to_string(list_slice(tk, p + 1, p + 8), ' ')")}
+                  AS h
+              FROM pos
+            ),
+            dup AS (SELECT h FROM hits GROUP BY h HAVING count(*) >= 2),
+            fl AS (SELECT doc_id, p FROM hits JOIN dup USING (h)),
+            isl AS (
+              SELECT doc_id, p,
+                SUM(CASE WHEN prev IS NULL OR p > prev + 7 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY p) AS island
+              FROM (SELECT doc_id, p,
+                      lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+                    FROM fl)
+            ),
+            sp AS (
+              SELECT doc_id, island, min(p) AS s, max(p) + 7 AS e
+              FROM isl GROUP BY doc_id, island
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+            FROM sp GROUP BY doc_id
+        """,
+        "span_removal_clean": f"""
+            WITH nt AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array({_NORM_TEXT}, '\\s+'),
+                            x -> x <> '') AS tk
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, tk,
+                unnest(list_filter(range(0, greatest(len(tk) - 7, 1), 1),
+                                   p -> p < len(tk) - 7)) AS p
+              FROM nt
+            ),
+            hits AS (
+              SELECT doc_id, p,
+                {_md5h("array_to_string(list_slice(tk, p + 1, p + 8), ' ')")}
+                  AS h
+              FROM pos
+            ),
+            dup AS (SELECT h FROM hits GROUP BY h HAVING count(*) >= 2),
+            fl AS (SELECT doc_id, p FROM hits JOIN dup USING (h)),
+            isl AS (
+              SELECT doc_id, p,
+                SUM(CASE WHEN prev IS NULL OR p > prev + 7 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY p) AS island
+              FROM (SELECT doc_id, p,
+                      lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+                    FROM fl)
+            ),
+            sp AS (
+              SELECT doc_id, island, min(p) AS s, max(p) + 7 AS e
+              FROM isl GROUP BY doc_id, island
+            ),
+            tokpos AS (
+              SELECT doc_id, tk, unnest(range(0, len(tk))) AS i FROM nt
+            ),
+            bad AS (
+              SELECT DISTINCT t.doc_id, t.i
+              FROM tokpos t JOIN sp s
+                ON t.doc_id = s.doc_id AND t.i BETWEEN s.s AND s.e
+            ),
+            kept AS (
+              SELECT t.doc_id,
+                array_to_string(list(tk[i + 1] ORDER BY i), ' ') AS text_clean
+              FROM tokpos t ANTI JOIN bad b
+                ON t.doc_id = b.doc_id AND t.i = b.i
+              GROUP BY t.doc_id
+            )
+            SELECT d.doc_id, coalesce(k.text_clean, '') AS text_clean
+            FROM documents d LEFT JOIN kept k USING (doc_id)
+        """,
+        "line_dedup_clean": f"""
+            WITH nt AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array({_NORM_TEXT}, '\\s+'),
+                            x -> x <> '') AS tk
+              FROM documents
+            ),
+            lined AS (
+              SELECT doc_id,
+                list_transform(
+                  range(0, CAST(ceil(len(tk) / 8.0) AS BIGINT)),
+                  i -> array_to_string(
+                    list_slice(tk, i * 8 + 1, i * 8 + 8), ' ')) AS lines
+              FROM nt
+            ),
+            lh AS (
+              SELECT doc_id, pos - 1 AS pos, line FROM (
+                SELECT doc_id, unnest(lines) AS line,
+                       generate_subscripts(lines, 1) AS pos
+                FROM lined
+              ) WHERE line <> ''
+            ),
+            boiler AS (
+              SELECT h FROM (
+                SELECT {_md5h('line')} AS h,
+                       count(DISTINCT doc_id) AS nd
+                FROM lh GROUP BY 1
+              ) WHERE nd >= 2
+            ),
+            kept AS (
+              SELECT doc_id,
+                array_to_string(list(line ORDER BY pos), chr(10)) AS text_clean
+              FROM lh WHERE {_md5h('line')} NOT IN (SELECT h FROM boiler)
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(k.text_clean, '') AS text_clean
+            FROM documents d LEFT JOIN kept k USING (doc_id)
+        """,
+        "quality_classifier_scores": f"""
+            WITH nt AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array({_NORM_TEXT}, '\\s+'),
+                            x -> x <> '') AS tk
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id,
+                CAST(coalesce(list_sum(list_transform(tk, t ->
+                  ({_md5h(f"CAST(({_md5h('t')}) % 4096 AS VARCHAR) || '#7'")})
+                    % 2001 - 1000
+                )), 0) AS BIGINT) AS clf_int,
+                len(tk) AS n
+              FROM nt
+            )
+            SELECT doc_id, clf_int,
+              round(clf_int / (1000.0 * greatest(n, 1)), 6) AS clf_score,
+              round(1.0 / (1.0 + exp(-4.0 *
+                (clf_int / (1000.0 * greatest(n, 1))))), 6) AS clf_prob
+            FROM s
+        """,
+        "upsample_epoch_counts": f"""
+            WITH c AS (
+              SELECT doc_id, lang,
+                (CASE lang
+                   WHEN 'en' THEN {int(_UPSAMPLE_EPOCHS['en'])}
+                   WHEN 'de' THEN {int(_UPSAMPLE_EPOCHS['de'])}
+                   WHEN 'fr' THEN {int(_UPSAMPLE_EPOCHS['fr'])}
+                   WHEN 'es' THEN {int(_UPSAMPLE_EPOCHS['es'])}
+                   WHEN 'zh' THEN {int(_UPSAMPLE_EPOCHS['zh'])}
+                   ELSE 1 END)
+                + (CASE WHEN
+                     {_md5h("CAST(doc_id AS VARCHAR) || 'up1'")} <
+                     (CASE lang
+                        WHEN 'en' THEN {_UPSAMPLE_GATES['en']}
+                        WHEN 'de' THEN {_UPSAMPLE_GATES['de']}
+                        WHEN 'fr' THEN {_UPSAMPLE_GATES['fr']}
+                        WHEN 'es' THEN {_UPSAMPLE_GATES['es']}
+                        WHEN 'zh' THEN {_UPSAMPLE_GATES['zh']}
+                        ELSE 0 END)
+                   THEN 1 ELSE 0 END) AS copies
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id, lang, unnest(range(1, copies + 1)) AS epoch
+              FROM c WHERE copies >= 1
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(max(epoch) AS BIGINT) AS max_epoch
+            FROM r GROUP BY lang
         """,
     }

@@ -20,6 +20,9 @@
 - ``asof``: as-of joins
 - ``intervals``: bin-blocked point-in-interval (range) joins
 - ``skew``: salted joins
+- ``spans``: exact sub-document dedup — duplicated token spans (Lee et
+  al. 2022) and corpus-wide boilerplate line removal
+- ``classifier``: hashed-feature linear quality scoring (fastText-style)
 - ``multimodal``: binary media columns + Arrow-batched decode plumbing
 - ``sketches``: mergeable HLL sketch tables (batch build + streaming
   foreachBatch maintenance, lossless union rollups)
@@ -31,6 +34,7 @@
 from colnade_spark.operators import (
     asof,
     chunking,
+    classifier,
     clustering,
     decontaminate,
     dedup,
@@ -47,6 +51,7 @@ from colnade_spark.operators import (
     similarity,
     sketches,
     skew,
+    spans,
     text,
     tfidf,
 )
@@ -54,6 +59,7 @@ from colnade_spark.operators import (
 __all__ = [
     "asof",
     "chunking",
+    "classifier",
     "clustering",
     "decontaminate",
     "dedup",
@@ -70,6 +76,7 @@ __all__ = [
     "similarity",
     "sketches",
     "skew",
+    "spans",
     "text",
     "tfidf",
 ]

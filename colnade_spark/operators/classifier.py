@@ -1,0 +1,134 @@
+"""Hashed-feature linear quality classifier (fastText-style scoring).
+
+Production corpus pipelines (GPT-3, LLaMA, RefinedWeb) gate documents on
+a cheap linear classifier over hashed bag-of-words features: each token
+hashes into a fixed-size bucket space, each bucket carries a learned
+weight, and the document score is the (length-normalized) weight sum
+pushed through a logistic. This module implements that scoring pass
+Spark-first:
+
+- Feature hashing, weight lookup, and the sum run entirely in built-in
+  HOFs inside one projection — scan-speed, zero shuffle, zero UDF, fully
+  whole-stage-codegen.
+- Weights are INTEGERS (scaled by 1000): the per-document weight sum is
+  an exact integer fold, so scores are order-independent and bit-exact
+  across engines (a float fold would be association-sensitive).
+- Two weight sources:
+  * ``hashed_linear_score`` derives the weight of each bucket from a
+    seeded hash — a deterministic stand-in for trained weights with the
+    exact production dataflow (hash → bucket → weight → sum). Real
+    trained weights drop in by replacing one expression.
+  * ``linear_score_with_weights`` joins an explicit (bucket, weight)
+    table — the trained-model path. The weight table is tiny (``dim``
+    rows) and broadcast; the corpus explodes to (doc, bucket) pairs only
+    long enough to aggregate back, with map-side partial sums.
+
+Scale notes (100 TB): the hashed path touches each row once with no
+exchange at all. The weight-table path shuffles (doc_id, partial-sum)
+pairs — 16 bytes/doc after map-side combine — and broadcasts the
+``dim``-row weight table; raw text never leaves the scan.
+
+Reference parity: no counterpart in the reference repo — extension
+layer (LLM-data-pipeline quality scoring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from colnade_spark.operators.spans import clean_tokens
+from colnade_spark.operators.text import md5_hash60
+
+__all__ = [
+    "token_bucket",
+    "seeded_bucket_weight",
+    "hashed_linear_score",
+    "linear_score_with_weights",
+]
+
+# weights live in [-1000, 1000] (i.e. [-1, 1] scaled by 1000); the
+# logistic gain stretches the length-normalized score before squashing
+_WEIGHT_SCALE = 1000
+_LOGISTIC_GAIN = 4.0
+
+
+def token_bucket(tok: Column, dim: int) -> Column:
+    """Feature-hash a token into [0, dim). md5_hash60 is non-negative, so
+    plain ``%`` is a uniform bucket (no pmod needed)."""
+    return md5_hash60(tok) % F.lit(dim)
+
+
+def seeded_bucket_weight(bucket: Column, seed: int) -> Column:
+    """Deterministic integer weight in [-1000, 1000] for a bucket id —
+    hash of (bucket ∥ '#' ∥ seed), reproducible in any engine."""
+    h = md5_hash60(F.concat(bucket.cast("string"), F.lit(f"#{seed}")))
+    return (h % F.lit(2 * _WEIGHT_SCALE + 1)) - F.lit(_WEIGHT_SCALE)
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 1 << 16,
+    seed: int = 7,
+    prefix: str = "clf",
+) -> DataFrame:
+    """Append ``{prefix}_int`` (exact integer weight sum), ``{prefix}_score``
+    (length-normalized, in [-1, 1]) and ``{prefix}_prob`` (logistic).
+
+    One projection, no shuffle: tokens → buckets → seeded weights →
+    integer fold, all in array HOFs. The integer sum is the bit-exact
+    cross-engine anchor; score/prob are derived doubles.
+    """
+    staged = df.withColumn("_clf_toks", clean_tokens(F.col(text_col)))
+    weights = F.transform(
+        F.col("_clf_toks"),
+        lambda t: seeded_bucket_weight(token_bucket(t, dim), seed),
+    )
+    int_sum = F.aggregate(
+        weights, F.lit(0).cast("long"), lambda acc, w: acc + w
+    )
+    n = F.size(F.col("_clf_toks"))
+    score = int_sum / (F.lit(float(_WEIGHT_SCALE)) * F.greatest(n, F.lit(1)))
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.lit(_LOGISTIC_GAIN) * score))
+    return (
+        staged.withColumn(f"{prefix}_int", int_sum)
+        .withColumn(f"{prefix}_score", score)
+        .withColumn(f"{prefix}_prob", prob)
+        .drop("_clf_toks")
+    )
+
+
+def linear_score_with_weights(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 1 << 16,
+    out_col: str = "clf_int",
+) -> DataFrame:
+    """(id_col, out_col): exact integer weight sum per document using an
+    explicit weight table (columns ``bucket``, ``weight``; integer
+    weights) — the trained-classifier path.
+
+    The corpus side explodes to (doc, bucket), joins the BROADCAST
+    weight table, and aggregates back with map-side partial sums.
+    Documents with no tokens (or only unknown buckets) score 0.
+    """
+    buckets = df.withColumn("_clf_toks", clean_tokens(F.col(text_col))).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(F.col("_clf_toks"), lambda t: token_bucket(t, dim))
+        ).alias("bucket"),
+    )
+    sums = (
+        buckets.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("weight").cast("long").alias(out_col))
+    )
+    return (
+        df.select(id_col)
+        .join(sums, id_col, "left")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0).cast("long")))
+    )

@@ -31,6 +31,7 @@ __all__ = [
     "hash_split",
     "weighted_sample",
     "stratified_sample",
+    "upsample_epochs",
 ]
 
 _HASH_SPACE = 1 << 60
@@ -172,3 +173,60 @@ def mixture_sample(
         thr = F.when(cond, th) if thr is None else thr.when(cond, th)
     thr = thr.otherwise(F.lit(-1))  # unknown source -> always dropped
     return df.filter(sample_hash(F.col(key_col), salt) < thr)
+
+
+def upsample_epochs(
+    df: DataFrame,
+    epochs: dict[str, float],
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+    copy_col: str = "epoch",
+) -> DataFrame:
+    """Materialized domain upsampling: each row is replicated
+    ``epochs[domain]`` times (DoReMi / LLaMA-style data mixing, where
+    high-value domains see multiple training epochs).
+
+    Fractional epochs are content-addressed: a domain weighted 2.5 gives
+    every row 2 copies, plus a 3rd for the deterministic hash-gated half
+    of its keys — so the realized mix is exact in expectation AND
+    reproducible row-for-row across runs and engines (same
+    ``sample_hash`` gate as ``hash_sample``, independent per salt).
+
+    Output: input rows replicated, with ``copy_col`` numbering each
+    copy from 1 — downstream shuffles (e.g. pack/shard) spread the
+    copies apart; identical copies are distinguishable for debugging.
+    Domains absent from ``epochs`` get 1 copy (epoch weights default to
+    1.0, matching "no upsampling" semantics).
+
+    Scale notes: one projection + explode — no shuffle, no UDF, no
+    driver state; the count expression is a literal CASE over domains.
+    Replication multiplies downstream volume by design; run it AFTER
+    filtering/dedup, immediately before shard/pack.
+    """
+    if any(e < 0 for e in epochs.values()):
+        raise ValueError("epoch weights must be non-negative")
+    whole_expr = None
+    frac_expr = None
+    for dom, e in epochs.items():
+        whole, frac = int(e), e - int(e)
+        cond = F.col(domain_col) == dom
+        gate = F.lit(int(frac * _HASH_SPACE))
+        if whole_expr is None:
+            whole_expr = F.when(cond, whole)
+            frac_expr = F.when(cond, gate)
+        else:
+            whole_expr = whole_expr.when(cond, whole)
+            frac_expr = frac_expr.when(cond, gate)
+    whole_expr = whole_expr.otherwise(F.lit(1))
+    frac_expr = frac_expr.otherwise(F.lit(0))
+    copies = whole_expr + (
+        sample_hash(F.col(key_col), salt) < frac_expr
+    ).cast("int")
+    staged = df.withColumn("_n_copies", copies).filter(F.col("_n_copies") >= 1)
+    return (
+        staged.withColumn(
+            copy_col, F.explode(F.sequence(F.lit(1), F.col("_n_copies")))
+        )
+        .drop("_n_copies")
+    )

@@ -1,0 +1,233 @@
+"""Exact sub-document deduplication: duplicated token SPANS (Lee et al.
+2022, "Deduplicating Training Data Makes Language Models Better") and
+duplicated LINES (CCNet / RefinedWeb line-level boilerplate removal).
+
+Whole-document dedup (operators/dedup.py) misses the common failure mode
+of web corpora: distinct documents sharing long verbatim passages
+(licenses, navigation chrome, quoted posts). The published remedy works
+at sub-document granularity:
+
+- ``duplicate_spans`` finds every k-token window whose content occurs
+  >= ``min_count`` times corpus-wide and merges overlapping hits into
+  maximal per-document spans — the Spark-native equivalent of the
+  suffix-array pass in Lee et al. (a suffix array is a single-machine
+  structure; the distributed formulation is the standard rolling
+  k-gram-hash inversion, which finds the same >=k-token duplicates).
+- ``remove_duplicate_spans`` drops the flagged token ranges and
+  reassembles the text.
+- ``duplicate_lines`` / ``remove_duplicate_lines`` are the line-level
+  variant: a line (any delimiter) appearing in >= ``min_docs`` distinct
+  documents is boilerplate and is removed everywhere, preserving the
+  order of surviving lines.
+
+Scale notes (100 TB):
+- The only wide operations are keyed on 8-byte gram/line hashes: one
+  map-side-combined count per hash and one shuffle join of (doc, pos,
+  hash) hits against the (small, post-filter) duplicated-hash set. Raw
+  text never shuffles; span merging exchanges once on doc_id.
+- Span merging is gaps-and-islands over per-doc hit positions — window
+  state is one row (running lag), never the document.
+- ``min_count``/``min_docs`` filtering happens BEFORE the join back, so
+  the join's build side is only the duplicated hashes (power-law corpus:
+  a tiny fraction of all grams), not the full gram inventory.
+- Detection and removal operate on the NORMALIZED token stream
+  (operators/text.normalized_text) — duplicate detection must be
+  formatting-insensitive; production pipelines that must preserve raw
+  bytes would map span offsets back through an alignment, which is
+  row-local and out of scope here.
+
+Reference parity: no counterpart in the reference repo — extension
+layer (the build brief's dedup family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from colnade_spark.operators.quality import word_ngrams
+from colnade_spark.operators.text import md5_hash60, normalized_text, tokens
+
+__all__ = [
+    "clean_tokens",
+    "duplicate_spans",
+    "remove_duplicate_spans",
+    "duplicate_lines",
+    "remove_duplicate_lines",
+]
+
+
+def clean_tokens(text: Column) -> Column:
+    """Normalized, empty-stripped token array — the token stream all span
+    operations index into."""
+    return F.filter(
+        tokens(normalized_text(F.coalesce(text, F.lit("")))), lambda t: t != ""
+    )
+
+
+def _gram_hits(
+    df: DataFrame, id_col: str, text_col: str, k: int, hash_fn
+) -> DataFrame:
+    """(id, pos, _h): one row per k-token window, pos = 0-based start
+    token index, _h = hash of the space-joined window content. Hashing
+    happens in the projection BEFORE any exchange — only (id, pos, 8-byte
+    hash) ever shuffles."""
+    h = md5_hash60 if hash_fn is None else hash_fn
+    staged = df.withColumn("_toks", clean_tokens(F.col(text_col)))
+    return staged.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(F.col("_toks"), k)).alias("pos", "_g"),
+    ).select(id_col, "pos", h(F.col("_g")).alias("_h"))
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+    hash_fn=None,
+) -> DataFrame:
+    """Maximal duplicated token spans per document.
+
+    Output: (id_col, span_start, span_end) — 0-based inclusive token
+    indices into ``clean_tokens(text)``; every k-token window inside a
+    span occurs >= ``min_count`` times corpus-wide (counting repeats
+    within one document), and overlapping windows are merged.
+
+    ``hash_fn`` defaults to the portable ``md5_hash60`` (DuckDB-oracle
+    checkable); pass ``F.xxhash64`` for the cheaper production hash.
+    """
+    hits = _gram_hits(df, id_col, text_col, k, hash_fn)
+    dup_hashes = (
+        hits.groupBy("_h")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("_h")
+    )
+    # shuffle join on the 8-byte hash; dup_hashes is the post-filter
+    # minority side. (AQE turns this into a broadcast join when the
+    # duplicated set is small enough.)
+    flagged = hits.join(dup_hashes, "_h").select(id_col, "pos")
+
+    # gaps-and-islands: window ends (pos + k - 1) increase with pos, so
+    # a hit starts a new island iff it begins after the previous hit's
+    # window ends. Window state = one lag row.
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(w)
+    island_start = F.when(prev.isNull() | (F.col("pos") > prev + (k - 1)), 1).otherwise(0)
+    islands = flagged.withColumn(
+        "_island",
+        F.sum(island_start).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return islands.groupBy(id_col, "_island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (k - 1)).alias("span_end"),
+    ).drop("_island")
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+    hash_fn=None,
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """Input rows plus ``out_col``: the normalized text with every
+    duplicated span's tokens removed (surviving tokens re-joined with
+    single spaces, original order preserved). Documents with no
+    duplicated span get their full normalized text."""
+    spans = duplicate_spans(df, id_col, text_col, k, min_count, hash_fn)
+    per_doc = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_spans")
+    )
+    joined = df.join(per_doc, id_col, "left").withColumn(
+        "_spans", F.coalesce(F.col("_spans"), F.array())
+    )
+    staged = joined.withColumn("_toks", clean_tokens(F.col(text_col)))
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.exists(
+            F.col("_spans"),
+            lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+        ),
+    )
+    return staged.withColumn(out_col, F.concat_ws(" ", kept)).drop(
+        "_toks", "_spans"
+    )
+
+
+def _line_hits(
+    df: DataFrame, id_col: str, line_col: Column, hash_fn
+) -> DataFrame:
+    """(id, pos, _h, _line): one row per line with its 0-based position."""
+    h = (md5_hash60 if hash_fn is None else hash_fn)(F.col("_line"))
+    return (
+        df.select(F.col(id_col), F.posexplode(line_col).alias("pos", "_line"))
+        .filter(F.col("_line") != "")
+        .withColumn("_h", h)
+    )
+
+
+def duplicate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+    min_docs: int = 2,
+    hash_fn=None,
+) -> DataFrame:
+    """Line hashes occurring in >= ``min_docs`` DISTINCT documents
+    (corpus-wide boilerplate). Output: (_h, n_docs, n_total).
+
+    Distinct-doc counting shuffles (line-hash, doc) pairs once and
+    aggregates twice — never countDistinct over raw lines."""
+    lines = _line_hits(df, id_col, F.split(F.col(text_col), delimiter), hash_fn)
+    per_doc = lines.select("_h", id_col).distinct()
+    n_docs = per_doc.groupBy("_h").agg(F.count("*").alias("n_docs"))
+    n_total = lines.groupBy("_h").agg(F.count("*").alias("n_total"))
+    return (
+        n_docs.filter(F.col("n_docs") >= min_docs)
+        .join(n_total, "_h")
+        .select("_h", "n_docs", "n_total")
+    )
+
+
+def remove_duplicate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+    min_docs: int = 2,
+    hash_fn=None,
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """Input rows plus ``out_col``: the text with boilerplate lines (those
+    in >= ``min_docs`` distinct documents) removed, surviving lines
+    re-joined with ``delimiter`` in original order. Empty lines are
+    dropped (they carry no content and would otherwise all count as
+    duplicates of each other)."""
+    boiler = duplicate_lines(df, id_col, text_col, delimiter, min_docs, hash_fn)
+    lines = _line_hits(df, id_col, F.split(F.col(text_col), delimiter), hash_fn)
+    kept = (
+        lines.join(F.broadcast(boiler.select("_h")), "_h", "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "_line"))),
+                    lambda s: s["_line"],
+                ),
+                delimiter,
+            ).alias(out_col)
+        )
+    )
+    return df.join(kept, id_col, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(""))
+    )

@@ -185,3 +185,52 @@ def test_mixture_sample_unnormalized_targets_equivalent(docs):
         ).select("doc_id").collect()
     }
     assert a == b and a
+
+
+def test_upsample_epochs_whole_and_fractional(docs):
+    """2.0 epochs -> exactly 2 copies of every row; fractional part is a
+    deterministic hash gate (~frac of keys get one extra copy)."""
+    up = sampling.upsample_epochs(
+        docs, {"en": 2.0, "de": 3.5}, domain_col="lang", salt="t1"
+    )
+    base = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r.lang: r.n for r in up.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got["en"] == 2 * base["en"]
+    assert 3 * base["de"] <= got["de"] <= 4 * base["de"]
+    # unlisted domains pass through with exactly 1 copy
+    for lang, n in base.items():
+        if lang not in ("en", "de"):
+            assert got[lang] == n
+    # deterministic: a re-run replicates the identical row multiset
+    again = sampling.upsample_epochs(
+        docs, {"en": 2.0, "de": 3.5}, domain_col="lang", salt="t1"
+    )
+    a = sorted((r.doc_id, r.epoch) for r in up.select("doc_id", "epoch").collect())
+    b = sorted((r.doc_id, r.epoch) for r in again.select("doc_id", "epoch").collect())
+    assert a == b
+
+
+def test_upsample_epochs_downsamples_below_one(docs):
+    """Epochs < 1 act as a content-addressed keep-gate (0 whole copies +
+    fractional extra), consistent with hash_sample's membership."""
+    up = sampling.upsample_epochs(docs, {"en": 0.4}, domain_col="lang", salt="s")
+    kept = {r.doc_id for r in up.filter(F.col("lang") == "en").collect()}
+    direct = {
+        r.doc_id
+        for r in sampling.hash_sample(
+            docs.filter(F.col("lang") == "en"), 0.4, salt="s"
+        ).collect()
+    }
+    assert kept == direct
+
+
+def test_upsample_epochs_epoch_numbering(spark):
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "lang"])
+    up = sampling.upsample_epochs(df, {"a": 3.0}, domain_col="lang")
+    assert sorted(r.epoch for r in up.collect()) == [1, 2, 3]
+
+
+def test_upsample_epochs_rejects_negative(spark):
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "lang"])
+    with pytest.raises(ValueError):
+        sampling.upsample_epochs(df, {"a": -1.0}, domain_col="lang")

@@ -1,0 +1,151 @@
+"""Sub-document dedup: duplicated token spans (Lee et al. 2022 style)
+and corpus-wide boilerplate line removal — hand-checked on synthetic
+corpora plus pure-python model comparisons on real testdata."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from colnade_spark.operators import spans
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # docs 1 & 2 share the verbatim 10-token passage "p0 ... p9" (one
+    # maximal duplicated span each at k=8); doc 3 repeats its own 8-token
+    # run twice (intra-doc duplication also counts); doc 4 is clean; doc 5
+    # is empty.
+    shared = " ".join(f"p{i}" for i in range(10))
+    selfrep = " ".join(f"s{i}" for i in range(8))
+    return spark.createDataFrame(
+        [
+            (1, f"intro one two {shared} outro alpha"),
+            (2, f"{shared} totally different tail here"),
+            (3, f"{selfrep} filler {selfrep}"),
+            (4, "completely unique text with no duplication at all ok"),
+            (5, ""),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_duplicate_spans_hand_checked(corpus):
+    out = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in spans.duplicate_spans(corpus, k=8).collect()
+    }
+    # doc 1: shared block occupies tokens 3..12 -> windows 3,4,5 merge to
+    # span [3, 12]; doc 2: tokens 0..9 -> span [0, 9]
+    assert (1, 3, 12) in out
+    assert (2, 0, 9) in out
+    # doc 3: both copies of the 8-token run are duplicated windows;
+    # positions 0 and 9, non-overlapping -> two spans
+    assert (3, 0, 7) in out and (3, 9, 16) in out
+    assert not any(d == 4 or d == 5 for d, *_ in out)
+
+
+def test_remove_duplicate_spans_reassembles(corpus):
+    out = {
+        r.doc_id: r.text_dedup
+        for r in spans.remove_duplicate_spans(corpus, k=8).collect()
+    }
+    assert out[1] == "intro one two outro alpha"
+    assert out[2] == "totally different tail here"
+    assert out[3] == "filler"
+    # untouched docs keep their full normalized text
+    assert out[4] == "completely unique text with no duplication at all ok"
+    assert out[5] == ""
+
+
+def test_duplicate_spans_min_count(corpus):
+    # min_count=3: the cross-doc pair (2 occurrences) no longer qualifies,
+    # but doc 3's intra-doc repeat contributes 2 of the needed... also only
+    # 2 -> empty result
+    assert spans.duplicate_spans(corpus, k=8, min_count=3).count() == 0
+
+
+def test_duplicate_spans_matches_python_model(spark, sf_dir):
+    """Span starts/ends at k=8 equal a brute-force python recomputation
+    on the real documents fixture."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = docs.select("doc_id", "text").collect()
+    import re
+    from collections import Counter
+
+    def toks(t):
+        t = re.sub(r"[^a-z0-9 ]", " ", (t or "").lower())
+        return [x for x in re.split(r"\s+", t.strip()) if x]
+
+    k = 8
+    grams: Counter = Counter()
+    per_doc = {}
+    for r in rows:
+        tk = toks(r.text)
+        per_doc[r.doc_id] = tk
+        for i in range(len(tk) - k + 1):
+            grams[" ".join(tk[i : i + k])] += 1
+    expect = set()
+    for did, tk in per_doc.items():
+        hits = [
+            i
+            for i in range(len(tk) - k + 1)
+            if grams[" ".join(tk[i : i + k])] >= 2
+        ]
+        cur = None
+        for i in hits:
+            if cur is None or i > cur[1]:
+                if cur:
+                    expect.add((did, cur[0], cur[1]))
+                cur = [i, i + k - 1]
+            else:
+                cur[1] = i + k - 1
+        if cur:
+            expect.add((did, cur[0], cur[1]))
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in spans.duplicate_spans(docs, k=8).collect()
+    }
+    assert got == expect
+
+
+@pytest.fixture(scope="module")
+def lined(spark):
+    # "boiler plate" appears in docs 1 and 2 (removed); "doc one only"
+    # repeats WITHIN doc 1 but is unique to it (kept: min_docs counts
+    # distinct docs); empty lines always drop.
+    return spark.createDataFrame(
+        [
+            (1, "boiler plate\ndoc one only\n\ndoc one only\nunique a"),
+            (2, "unique b\nboiler plate"),
+            (3, "unique c"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_duplicate_lines_counts(lined):
+    out = spans.duplicate_lines(lined).collect()
+    assert len(out) == 1
+    assert out[0].n_docs == 2 and out[0].n_total == 2
+
+
+def test_remove_duplicate_lines_order_preserved(lined):
+    out = {
+        r.doc_id: r.text_dedup
+        for r in spans.remove_duplicate_lines(lined).collect()
+    }
+    assert out[1] == "doc one only\ndoc one only\nunique a"
+    assert out[2] == "unique b"
+    assert out[3] == "unique c"
+
+
+def test_remove_all_lines_yields_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "same line"), (2, "same line")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r.text_dedup
+        for r in spans.remove_duplicate_lines(df).collect()
+    }
+    assert out == {1: "", 2: ""}

@@ -402,3 +402,83 @@ def test_map_ops_are_codegen_expressions(spark, sf_dir):
     assert "InPandas" not in plan and "BatchEvalPython" not in plan, plan
     # two aggregation exchanges only (per-flag sums, per-order map build)
     assert _n_shuffles(plan) == 2, plan
+
+
+def test_duplicate_spans_shuffles_hashes_not_text(spark, sf_dir):
+    """Span dedup: exactly 2 hash exchanges (map-side-combined gram-hash
+    count; doc-keyed island window) — the post-filter duplicated-hash set
+    comes back as a BROADCAST join build side, and no Python evaluation;
+    the exchanged gram rows carry (id, pos, 8-byte hash) — raw text must
+    not appear in any exchange's output schema."""
+    from colnade_spark.operators import spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = spans.duplicate_spans(docs, k=8)
+    plan = _plan(out)
+    assert "BatchEvalPython" not in plan, plan
+    assert _n_shuffles(plan) == 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    for ln in plan.splitlines():
+        if "Exchange" in ln and "Arguments" in ln:
+            assert "text" not in ln, ln
+
+
+def test_remove_duplicate_lines_anti_join_broadcasts(spark, sf_dir):
+    """Boilerplate-line removal: the duplicated-line set joins back as a
+    BROADCAST anti-join (it is the tiny side), and no Python eval."""
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators import spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "lined", F.regexp_replace("text", " (?=(\\w+ ){3})", "\n")
+    )
+    out = spans.remove_duplicate_lines(docs, text_col="lined")
+    plan = _plan(out)
+    assert "BatchEvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_hashed_classifier_is_scan_speed(spark, sf_dir):
+    """Hashed linear scoring: one projection — zero exchanges, zero
+    Python; the whole score pipeline stays JVM-side."""
+    from colnade_spark.operators import classifier
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = classifier.hashed_linear_score(docs, dim=4096, seed=7)
+    plan = _plan(out)
+    assert "BatchEvalPython" not in plan, plan
+    assert _n_shuffles(plan) == 0, plan
+
+
+def test_weight_table_classifier_broadcasts_weights(spark, sf_dir):
+    """Trained-weight path: the dim-row weight table must broadcast and
+    the doc aggregation must partial-aggregate before its exchange."""
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators import classifier
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = spark.range(512).select(
+        F.col("id").alias("bucket"),
+        classifier.seeded_bucket_weight(F.col("id"), 3).alias("weight"),
+    )
+    out = classifier.linear_score_with_weights(docs, w, dim=512)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_upsample_epochs_no_shuffle(spark, sf_dir):
+    """Epoch upsampling is a scan-speed projection + generate — no
+    exchange, no Python."""
+    from colnade_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sampling.upsample_epochs(
+        docs, {"en": 2.5, "de": 1.2}, domain_col="lang"
+    )
+    plan = _plan(out)
+    assert "BatchEvalPython" not in plan, plan
+    assert _n_shuffles(plan) == 0, plan
+    assert "Generate" in plan, plan
