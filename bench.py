@@ -68,6 +68,11 @@ HEADLINE = [
     "unigram_quality",
     "map_flag_stats",
     "emb_near_dup_pairs",
+    "duplicate_span_stats",
+    "span_removal_clean",
+    "line_dedup_clean",
+    "quality_classifier_scores",
+    "upsample_epoch_counts",
 ]
 
 

@@ -131,3 +131,91 @@ def test_funnel_model(spark, events):
         reached = sum(1 for s in stages if s is not None)
         want[u] = (stages[0], stages[1], stages[2], reached)
     assert got == want
+
+
+def _span_model(texts: list[str], k: int) -> set[tuple[int, int, int]]:
+    """Pure-python duplicated-span model: k-gram counts -> per-doc hit
+    positions -> merged maximal spans."""
+    import re
+    from collections import Counter
+
+    def toks(t):
+        t = re.sub(r"[^a-z0-9 ]", " ", (t or "").lower())
+        return [x for x in re.split(r"\s+", t.strip()) if x]
+
+    per = {i: toks(t) for i, t in enumerate(texts)}
+    grams: Counter = Counter()
+    for tk in per.values():
+        for i in range(len(tk) - k + 1):
+            grams[" ".join(tk[i : i + k])] += 1
+    out = set()
+    for did, tk in per.items():
+        hits = [
+            i for i in range(len(tk) - k + 1)
+            if grams[" ".join(tk[i : i + k])] >= 2
+        ]
+        cur = None
+        for i in hits:
+            if cur is None or i > cur[1]:
+                if cur:
+                    out.add((did, cur[0], cur[1]))
+                cur = [i, i + k - 1]
+            else:
+                cur[1] = i + k - 1
+        if cur:
+            out.add((did, cur[0], cur[1]))
+    return out
+
+
+# tiny alphabet so random docs actually collide: self-repeats, cross-doc
+# shares, and overlapping islands all occur within 10 examples
+span_words = st.lists(
+    st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=12
+).map(" ".join)
+
+
+@pytest.mark.usefixtures("spark")
+@common
+@given(texts=st.lists(span_words, min_size=1, max_size=6), k=st.integers(2, 4))
+def test_duplicate_spans_model(spark, texts, k):
+    from colnade_spark.operators import spans
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in spans.duplicate_spans(df, k=k).collect()
+    }
+    assert got == _span_model(texts, k)
+
+
+@pytest.mark.usefixtures("spark")
+@common
+@given(texts=st.lists(span_words, min_size=1, max_size=6), k=st.integers(2, 4))
+def test_remove_spans_matches_model(spark, texts, k):
+    """Removal drops exactly the model's span tokens, order preserved."""
+    import re
+
+    from colnade_spark.operators import spans
+
+    def toks(t):
+        t = re.sub(r"[^a-z0-9 ]", " ", (t or "").lower())
+        return [x for x in re.split(r"\s+", t.strip()) if x]
+
+    model = _span_model(texts, k)
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r.doc_id: r.text_dedup
+        for r in spans.remove_duplicate_spans(df, k=k).collect()
+    }
+    for did, t in enumerate(texts):
+        tk = toks(t)
+        bad = {
+            i
+            for (d, s, e) in model
+            if d == did
+            for i in range(s, e + 1)
+        }
+        expect = " ".join(x for i, x in enumerate(tk) if i not in bad)
+        assert got[did] == expect, (did, texts, k)

@@ -349,3 +349,51 @@ def test_quality_gate_is_stateless_on_streams(spark, sf_dir):
     batch = spark.read.parquet(table_path(sf_dir, "documents"))
     want = {r.doc_id for r in gate(batch).collect()}
     assert got == want and 0 < len(got) <= batch.count()
+
+
+def test_classifier_gate_is_stateless_on_streams(spark, sf_dir):
+    """Hashed linear classifier scoring is a stateless projection: a
+    streamed documents source gates on clf_prob identically to batch —
+    model-based quality gating drops in at the ingest boundary with no
+    state store."""
+    from colnade_spark.operators import classifier
+    from colnade_spark.streaming import scan_stream_parquet
+    from colnade_spark.tpch import Documents
+    from pyspark.sql import functions as F
+
+    def gate(d):
+        scored = classifier.hashed_linear_score(d, dim=4096, seed=7)
+        return scored.filter(F.col("clf_prob") >= 0.5).select("doc_id")
+
+    sf = scan_stream_parquet(table_path(sf_dir, "documents"), Documents, spark=spark)
+    gated = sf.with_raw(gate)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _await(gated.to_memory_sink(name, output_mode="append"))
+    got = {r.doc_id for r in spark.table(name).collect()}
+
+    batch = spark.read.parquet(table_path(sf_dir, "documents"))
+    want = {r.doc_id for r in gate(batch).collect()}
+    assert got == want and 0 < len(got) < batch.count()
+
+
+def test_upsample_epochs_is_stateless_on_streams(spark, sf_dir):
+    """Epoch upsampling (projection + generate) is stateless: a streamed
+    source replicates exactly the (doc_id, epoch) multiset the batch
+    operator produces — domain mixing can run inline on ingest."""
+    from colnade_spark.operators import sampling
+    from colnade_spark.streaming import scan_stream_parquet
+    from colnade_spark.tpch import Documents
+
+    def up(d):
+        return sampling.upsample_epochs(
+            d, {"en": 2.0, "zh": 1.5}, domain_col="lang", salt="st"
+        ).select("doc_id", "epoch")
+
+    sf = scan_stream_parquet(table_path(sf_dir, "documents"), Documents, spark=spark)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _await(sf.with_raw(up).to_memory_sink(name, output_mode="append"))
+    got = sorted((r.doc_id, r.epoch) for r in spark.table(name).collect())
+
+    batch = spark.read.parquet(table_path(sf_dir, "documents"))
+    want = sorted((r.doc_id, r.epoch) for r in up(batch).collect())
+    assert got == want and len(got) > batch.count()
