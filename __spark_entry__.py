@@ -29,6 +29,7 @@ from colnade_spark.expr import when
 from colnade_spark.operators import (
     chunking,
     classifier,
+    cooccur,
     decontaminate,
     dedup,
     embeddings,
@@ -1698,6 +1699,34 @@ def upsample_epoch_counts(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def bloom_decontaminated_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Bloom-filter decontamination: contaminated ids flagged by probing
+    a 2^16-bit Bloom of the benchmark's 13-gram set (every-50th doc).
+    The bitmap broadcast is constant-size regardless of benchmark scale;
+    false positives are deterministic given (m, k) so the oracle
+    reproduces them bit-for-bit."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    words = decontaminate.build_bloom(bench, n=13, m_bits=1 << 16, n_hashes=4)
+    return decontaminate.bloom_contaminated_ids(
+        docs, words, n=13, m_bits=1 << 16, n_hashes=4
+    )
+
+
+def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Top-30 adjacent-bigram collocations by PMI (min support 20):
+    exact integer counts, one ln, rounded before the cross-engine
+    compare; (tok_a, tok_b) uniqueness makes the order total."""
+    out = cooccur.bigram_pmi(_docs(spark, sf_dir), min_count=20)
+    return (
+        out.select(
+            "tok_a", "tok_b", "n_ab", F.round("pmi", 6).alias("pmi")
+        )
+        .orderBy(F.desc("pmi"), "tok_a", "tok_b")
+        .limit(30)
+    )
+
+
 def entry(spark: SparkSession) -> SparkDF:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1752,6 +1781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "line_dedup_clean": line_dedup_clean,
         "quality_classifier_scores": quality_classifier_scores,
         "upsample_epoch_counts": upsample_epoch_counts,
+        "bloom_decontaminated_ids": bloom_decontaminated_ids,
+        "bigram_pmi_top": bigram_pmi_top,
         # re-oracled with planted-duplicate ground truth — driver must
         # re-check them, so they ride the front block
         "ann_lsh": ann_lsh,
@@ -3072,5 +3103,93 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
                    CAST(max(epoch) AS BIGINT) AS max_epoch
             FROM r GROUP BY lang
+        """,
+        # Bloom mask: DuckDB raises on BIGINT 1<<63, so bit 63 is the
+        # literal min-long (Spark's shiftleft wraps to the same value)
+        "bloom_decontaminated_ids": f"""
+            WITH norm AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array({_NORM_TEXT}, '\\s+'),
+                            x -> x != '') AS tk
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                unnest(list_distinct(list_transform(
+                  list_filter(range(0, greatest(len(tk) - 12, 1), 1),
+                              p -> p < len(tk) - 12),
+                  p -> array_to_string(list_slice(tk, p + 1, p + 13), ' '))))
+                  AS g
+              FROM norm
+            ),
+            bpos AS (
+              SELECT DISTINCT unnest([
+                {_md5h("g || '#0'")} % 65536,
+                {_md5h("g || '#1'")} % 65536,
+                {_md5h("g || '#2'")} % 65536,
+                {_md5h("g || '#3'")} % 65536
+              ]) AS p
+              FROM grams WHERE doc_id % 50 = 0
+            ),
+            words AS (
+              SELECT p // 64 AS w,
+                bit_or(CASE WHEN p % 64 = 63
+                            THEN (-9223372036854775807 - 1)
+                            ELSE 1::BIGINT << CAST(p % 64 AS INTEGER)
+                       END) AS bits
+              FROM bpos GROUP BY 1
+            ),
+            probe AS (
+              SELECT doc_id, g, unnest([
+                {_md5h("g || '#0'")} % 65536,
+                {_md5h("g || '#1'")} % 65536,
+                {_md5h("g || '#2'")} % 65536,
+                {_md5h("g || '#3'")} % 65536
+              ]) AS p
+              FROM grams
+            ),
+            chk AS (
+              SELECT probe.doc_id, probe.g,
+                bool_and((coalesce(words.bits, 0) &
+                  (CASE WHEN probe.p % 64 = 63
+                        THEN (-9223372036854775807 - 1)
+                        ELSE 1::BIGINT << CAST(probe.p % 64 AS INTEGER)
+                   END)) <> 0) AS allset
+              FROM probe LEFT JOIN words ON words.w = probe.p // 64
+              GROUP BY probe.doc_id, probe.g
+            )
+            SELECT DISTINCT doc_id FROM chk WHERE allset
+        """,
+        "bigram_pmi_top": f"""
+            WITH nt AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array({_NORM_TEXT}, '\\s+'),
+                            x -> x <> '') AS tk
+              FROM documents
+            ),
+            t AS (SELECT unnest(tk) AS tok FROM nt),
+            uni AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
+            tot AS (
+              SELECT CAST(sum(len(tk)) AS BIGINT) AS t_toks,
+                     CAST(sum(greatest(len(tk) - 1, 0)) AS BIGINT) AS t_bi
+              FROM nt
+            ),
+            p AS (
+              SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM nt
+            ),
+            bic AS (
+              SELECT tk[i] AS tok_a, tk[i + 1] AS tok_b,
+                     CAST(count(*) AS BIGINT) AS n_ab
+              FROM p GROUP BY 1, 2 HAVING count(*) >= 20
+            )
+            SELECT tok_a, tok_b, n_ab,
+              round(ln((n_ab / CAST(t_bi AS DOUBLE))
+                / ((a.n / CAST(t_toks AS DOUBLE))
+                   * (b.n / CAST(t_toks AS DOUBLE)))), 6) AS pmi
+            FROM bic
+            JOIN uni a ON a.tok = bic.tok_a
+            JOIN uni b ON b.tok = bic.tok_b
+            CROSS JOIN tot
+            ORDER BY pmi DESC, tok_a, tok_b LIMIT 30
         """,
     }

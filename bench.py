@@ -73,6 +73,8 @@ HEADLINE = [
     "line_dedup_clean",
     "quality_classifier_scores",
     "upsample_epoch_counts",
+    "bloom_decontaminated_ids",
+    "bigram_pmi_top",
 ]
 
 

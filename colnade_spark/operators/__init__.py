@@ -23,6 +23,7 @@
 - ``spans``: exact sub-document dedup — duplicated token spans (Lee et
   al. 2022) and corpus-wide boilerplate line removal
 - ``classifier``: hashed-feature linear quality scoring (fastText-style)
+- ``cooccur``: adjacent-bigram counts + PMI collocation statistics
 - ``multimodal``: binary media columns + Arrow-batched decode plumbing
 - ``sketches``: mergeable HLL sketch tables (batch build + streaming
   foreachBatch maintenance, lossless union rollups)
@@ -36,6 +37,7 @@ from colnade_spark.operators import (
     chunking,
     classifier,
     clustering,
+    cooccur,
     decontaminate,
     dedup,
     embeddings,
@@ -61,6 +63,7 @@ __all__ = [
     "chunking",
     "classifier",
     "clustering",
+    "cooccur",
     "decontaminate",
     "dedup",
     "embeddings",

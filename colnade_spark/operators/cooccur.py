@@ -1,0 +1,90 @@
+"""Corpus co-occurrence statistics: adjacent-bigram counts and PMI
+(pointwise mutual information) — the standard collocation signal used to
+build tokenizer merge candidates, phrase lists, and corpus-drift probes.
+
+PMI(a,b) = ln( (c(a,b)/B) / ((c(a)/T)·(c(b)/T)) ) where c(·) are corpus
+counts, T total tokens, B total bigrams. All counts are exact integers
+(order-independent aggregation); the single ``ln`` at the end is the only
+float op, so cross-engine agreement is a round(…, 6) away.
+
+Scale notes (100 TB):
+- Two explode→count aggregations (tokens, bigrams), both map-side
+  combined — the shuffle carries (gram, partial count), never documents.
+- The unigram count table is vocab-sized (≪ corpus) and joins back to
+  the bigram table twice as a BROADCAST; the totals ride along as a
+  1-row cross join (literal-sized).
+- ``min_count`` filters the bigram table BEFORE the joins, so the join
+  input is the (power-law) head, not the raw bigram inventory.
+
+Reference parity: no counterpart in the reference repo — extension
+layer (corpus statistics for LLM-data pipelines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from colnade_spark.operators.spans import clean_tokens
+
+__all__ = ["bigram_counts", "bigram_pmi"]
+
+
+def bigram_counts(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """(tok_a, tok_b, n_ab): corpus-wide adjacent-pair counts over the
+    normalized token stream. Map-side combined; one shuffle on the pair."""
+    staged = df.withColumn("_toks", clean_tokens(F.col(text_col)))
+    pairs = staged.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_toks"), 1, F.greatest(F.size("_toks") - 1, F.lit(0))),
+                F.slice(
+                    F.col("_toks"),
+                    2,
+                    F.greatest(F.size("_toks") - 1, F.lit(0)),
+                ),
+                lambda a, b: F.struct(a.alias("tok_a"), b.alias("tok_b")),
+            )
+        ).alias("_p")
+    ).select("_p.tok_a", "_p.tok_b")
+    return (
+        pairs.groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+
+
+def bigram_pmi(
+    df: DataFrame, text_col: str = "text", min_count: int = 5
+) -> DataFrame:
+    """(tok_a, tok_b, n_ab, pmi): PMI over adjacent bigrams with
+    ``min_count`` support. Exact integer counts; ``pmi`` is the single
+    ln at the end (round before cross-engine comparison)."""
+    staged = df.withColumn("_toks", clean_tokens(F.col(text_col)))
+    toks = staged.select(F.explode(F.col("_toks")).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("n_tok"))
+    # totals come from per-doc sizes in ONE scan-speed aggregation — not
+    # a second pass over the exploded grams
+    totals = staged.select(F.size("_toks").alias("_n")).agg(
+        F.sum("_n").cast("long").alias("t_toks"),
+        F.sum(F.greatest(F.col("_n") - 1, F.lit(0))).cast("long").alias("t_bi"),
+    )
+    bi = bigram_counts(df, text_col, min_count)
+    joined = (
+        bi.join(
+            F.broadcast(uni.select(F.col("tok").alias("tok_a"), F.col("n_tok").alias("n_a"))),
+            "tok_a",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("tok_b"), F.col("n_tok").alias("n_b"))),
+            "tok_b",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = F.log(
+        (F.col("n_ab") / F.col("t_bi"))
+        / ((F.col("n_a") / F.col("t_toks")) * (F.col("n_b") / F.col("t_toks")))
+    )
+    return joined.select("tok_a", "tok_b", "n_ab", pmi.alias("pmi"))

@@ -24,7 +24,14 @@ from pyspark.sql import functions as F
 from colnade_spark.operators.quality import word_ngrams
 from colnade_spark.operators.text import normalized_text, tokens
 
-__all__ = ["ngram_hashes", "contaminated_ids", "decontaminate"]
+__all__ = [
+    "ngram_hashes",
+    "contaminated_ids",
+    "decontaminate",
+    "bloom_positions",
+    "build_bloom",
+    "bloom_contaminated_ids",
+]
 
 
 def ngram_hashes(text: Column, n: int) -> Column:
@@ -128,3 +135,109 @@ def semantic_contaminated_ids(
         .select(id_col)
         .distinct()
     )
+
+
+def _word_ngram_texts(text: Column, n: int) -> Column:
+    """Distinct normalized word n-grams as STRINGS (the portable form both
+    engines hash identically — xxhash64 is Spark-only)."""
+    toks = F.filter(
+        tokens(normalized_text(F.coalesce(text, F.lit("")))), lambda t: t != ""
+    )
+    return F.array_distinct(word_ngrams(toks, n))
+
+
+def bloom_positions(gram: Column, m_bits: int, n_hashes: int) -> Column:
+    """The ``n_hashes`` Bloom bit positions of a gram: independent
+    md5-derived hashes (gram ∥ '#j') mod ``m_bits`` — reproducible in any
+    engine (same construction as sampling.sample_hash salting)."""
+    from colnade_spark.operators.text import md5_hash60
+
+    return F.array(
+        *[
+            md5_hash60(F.concat(gram, F.lit(f"#{j}"))) % F.lit(m_bits)
+            for j in range(n_hashes)
+        ]
+    )
+
+
+def build_bloom(
+    benchmark: DataFrame,
+    n: int = 13,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 4,
+    text_col: str = "text",
+) -> list[int]:
+    """Bloom filter of the benchmark's word-n-gram set, as a bounded
+    ``m_bits/64``-long list of 64-bit words (driver-side, like an IVF
+    codebook: the MODEL is small by construction — 2^20 bits = 16 K words
+    = 128 KB — only the corpus stays distributed).
+
+    Why Bloom instead of the exact hash set in ``contaminated_ids``: the
+    broadcast is ``m_bits/8`` bytes REGARDLESS of benchmark size (an
+    exact 8-byte-hash set for a 10 M-gram benchmark broadcasts 80 MB;
+    the same benchmark Blooms into 8 MB at m=2^26 with FP ≈ 1e-5), and
+    membership checks become pure scan-side bit probes. False positives
+    flag extra docs — acceptable for decontamination (errs toward
+    removal) and deterministic given (m_bits, n_hashes).
+    """
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    words_df = (
+        benchmark.select(
+            F.explode(_word_ngram_texts(F.col(text_col), n)).alias("_g")
+        )
+        .select(
+            F.explode(bloom_positions(F.col("_g"), m_bits, n_hashes)).alias("_p")
+        )
+        .distinct()
+        .select(
+            F.shiftright(F.col("_p"), 6).cast("int").alias("_w"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"),
+                F.col("_p").bitwiseAND(63).cast("int"),
+            ).alias("_m"),
+        )
+        .groupBy("_w")
+        .agg(F.bit_or("_m").alias("_bits"))
+    )
+    words = [0] * (m_bits // 64)
+    for r in words_df.collect():
+        words[r._w] = r._bits
+    return words
+
+
+def bloom_contaminated_ids(
+    df: DataFrame,
+    bloom_words: list[int],
+    n: int = 13,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ids of documents with at least one word n-gram whose ``n_hashes``
+    Bloom bits are ALL set (contains every truly-contaminated doc from
+    ``contaminated_ids``; may add deterministic false positives).
+
+    Scale shape: the bitmap rides the plan as a 16 K-long array literal —
+    the corpus pass is one scan-speed projection (explode grams → probe
+    bits with get/shift/and) + a distinct on the surviving ids. No join,
+    no shuffle of gram data at all — strictly cheaper than the broadcast
+    semi-join in ``contaminated_ids``.
+    """
+    if len(bloom_words) * 64 != m_bits:
+        raise ValueError("bloom_words length must equal m_bits/64")
+    lit_words = F.lit(bloom_words)
+    grams = df.select(
+        F.col(id_col), F.explode(_word_ngram_texts(F.col(text_col), n)).alias("_g")
+    )
+    probe = F.forall(
+        bloom_positions(F.col("_g"), m_bits, n_hashes),
+        lambda p: F.get(lit_words, F.shiftright(p, 6).cast("int")).bitwiseAND(
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), p.bitwiseAND(63).cast("int")
+            )
+        )
+        != 0,
+    )
+    return grams.filter(probe).select(id_col).distinct()

@@ -113,3 +113,56 @@ def test_semantic_contamination_is_broadcast_no_shuffle(spark, sf_dir):
     # the only exchange is the final distinct on the (tiny) id set
     pre_distinct = plan.split("HashAggregate")[0]
     assert "Exchange" not in pre_distinct.split("BroadcastExchange")[0], plan
+
+
+def test_bloom_contains_every_exact_contamination(spark, sf_dir):
+    """Bloom screening can only ADD (deterministic false positives) —
+    it must never miss a truly contaminated doc."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    words = decontaminate.build_bloom(bench, n=13, m_bits=1 << 16, n_hashes=4)
+    bloom = {
+        r.doc_id
+        for r in decontaminate.bloom_contaminated_ids(
+            docs, words, n=13, m_bits=1 << 16, n_hashes=4
+        ).collect()
+    }
+    exact = {
+        r.doc_id
+        for r in decontaminate.contaminated_ids(docs, bench, n=13).collect()
+    }
+    assert exact and exact <= bloom
+
+
+def test_bloom_tiny_filter_floods_deterministically(spark, sf_dir):
+    """At m=64 bits the filter saturates: every doc with >=1 gram flags.
+    Pins that false positives are a deterministic function of (m, k),
+    not an artifact of partitioning."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    words = decontaminate.build_bloom(bench, n=13, m_bits=64, n_hashes=2)
+    a = sorted(
+        r.doc_id
+        for r in decontaminate.bloom_contaminated_ids(
+            docs, words, n=13, m_bits=64, n_hashes=2
+        ).collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in decontaminate.bloom_contaminated_ids(
+            docs.repartition(7), words, n=13, m_bits=64, n_hashes=2
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_bloom_validates_shapes(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        decontaminate.build_bloom(df, m_bits=100)
+    with pytest.raises(ValueError):
+        decontaminate.bloom_contaminated_ids(df, [0] * 10, m_bits=1 << 16)

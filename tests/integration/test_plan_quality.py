@@ -482,3 +482,35 @@ def test_upsample_epochs_no_shuffle(spark, sf_dir):
     assert "BatchEvalPython" not in plan, plan
     assert _n_shuffles(plan) == 0, plan
     assert "Generate" in plan, plan
+
+
+def test_bloom_probe_is_scan_side(spark, sf_dir):
+    """Bloom decontamination probing: the bitmap rides as an array
+    literal — no join at all; the only exchange is the distinct on the
+    surviving ids. No Python eval."""
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = decontaminate.bloom_contaminated_ids(
+        docs, [0] * 1024, n=13, m_bits=1 << 16, n_hashes=4
+    )
+    plan = _plan(out)
+    assert "BatchEvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+    assert _n_shuffles(plan) == 1, plan  # ids distinct only
+
+
+def test_pmi_broadcasts_vocab_and_combines_map_side(spark, sf_dir):
+    """PMI: bigram/unigram counts partial-aggregate before their
+    exchanges; the vocab-sized count tables join back as broadcasts."""
+    from colnade_spark.operators import cooccur
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = cooccur.bigram_pmi(docs, min_count=20)
+    plan = _plan(out)
+    assert "BatchEvalPython" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # totals ride as a broadcast nested loop (1-row), never a shuffle join
+    assert "SortMergeJoin" not in plan, plan
