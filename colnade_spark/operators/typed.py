@@ -16,7 +16,7 @@ from __future__ import annotations
 from typing import TypeVar
 
 from colnade_spark.dataframe import DataFrame, _boundary_validate
-from colnade_spark.dtypes import Int64, Utf8
+from colnade_spark.dtypes import Float64, Int64, Utf8
 from colnade_spark.operators import chunking as _chunking
 from colnade_spark.operators import dedup as _dedup
 from colnade_spark.operators import packing as _packing
@@ -42,6 +42,13 @@ __all__ = [
     "edit_distance_pairs",
     "duplicate_clusters",
     "kmeans",
+    "SpanRows",
+    "PmiRows",
+    "duplicate_spans",
+    "remove_duplicate_spans",
+    "classifier_gate",
+    "upsample_epochs",
+    "bigram_pmi",
 ]
 
 
@@ -207,3 +214,118 @@ def kmeans(
     return _typed(
         out.selectExpr(f"{id_col} AS vec_id", "cluster"), ClusterAssignments
     )
+
+
+class SpanRows(Schema):
+    doc_id: Column[Int64]
+    span_start: Column[Int64]
+    span_end: Column[Int64]
+
+
+class PmiRows(Schema):
+    tok_a: Column[Utf8]
+    tok_b: Column[Utf8]
+    n_ab: Column[Int64]
+    pmi: Column[Float64]
+
+
+def duplicate_spans(
+    frame: DataFrame[S],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame[SpanRows]:
+    """Typed duplicated-span detection (operators.spans)."""
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators import spans as _spans
+
+    out = _spans.duplicate_spans(
+        frame.native, id_col=id_col, text_col=text_col, **kwargs
+    )
+    return _typed(
+        out.select(
+            F.col(id_col).alias("doc_id"),
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+        ),
+        SpanRows,
+    )
+
+
+def remove_duplicate_spans(
+    frame: DataFrame[S],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame[S]:
+    """Schema-preserving span removal: the cleaned text REPLACES the text
+    column (note: span removal normalizes the text — see
+    operators/spans.py for the contract)."""
+
+    def _apply(d):
+        out = _spans_mod().remove_duplicate_spans(
+            d, id_col=id_col, text_col=text_col, out_col="_clean", **kwargs
+        )
+        return out.withColumn(text_col, out["_clean"]).drop("_clean")
+
+    return frame.with_raw(_apply)
+
+
+def _spans_mod():
+    from colnade_spark.operators import spans as _spans
+
+    return _spans
+
+
+def classifier_gate(
+    frame: DataFrame[S],
+    threshold: float = 0.5,
+    text_col: str = "text",
+    dim: int = 1 << 16,
+    seed: int = 7,
+) -> DataFrame[S]:
+    """Schema-preserving quality gate on the hashed linear classifier's
+    logistic probability (operators.classifier)."""
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators import classifier as _classifier
+
+    def _apply(d):
+        scored = _classifier.hashed_linear_score(
+            d, text_col=text_col, dim=dim, seed=seed, prefix="_cg"
+        )
+        return scored.filter(F.col("_cg_prob") >= threshold).drop(
+            "_cg_int", "_cg_score", "_cg_prob"
+        )
+
+    return frame.with_raw(_apply)
+
+
+def upsample_epochs(
+    frame: DataFrame[S],
+    epochs: dict[str, float],
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame[S]:
+    """Schema-preserving epoch upsampling: rows replicate per domain; the
+    epoch counter column stays internal so the schema is unchanged."""
+
+    def _apply(d):
+        out = _sampling.upsample_epochs(
+            d, epochs, domain_col, key_col, salt, copy_col="_epoch"
+        )
+        return out.drop("_epoch")
+
+    return frame.with_raw(_apply)
+
+
+def bigram_pmi(
+    frame: DataFrame[S], text_col: str = "text", min_count: int = 5
+) -> DataFrame[PmiRows]:
+    """Typed PMI collocation table (operators.cooccur)."""
+    from colnade_spark.operators import cooccur as _cooccur
+
+    out = _cooccur.bigram_pmi(frame.native, text_col=text_col, min_count=min_count)
+    return _typed(out, PmiRows)

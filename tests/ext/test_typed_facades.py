@@ -70,3 +70,28 @@ def test_kmeans_typed_facade(spark, sf_dir):
     assert out.height == emb.height
     clusters = {r.cluster for r in out.rows()}
     assert clusters <= {0, 1, 2}
+
+
+def test_span_facades(docs):
+    sp = typed.duplicate_spans(docs, k=8)
+    assert sp.schema is typed.SpanRows and sp.height > 0
+    r = sp.rows()[0]
+    assert 0 <= r.span_start <= r.span_end
+    cleaned = typed.remove_duplicate_spans(docs, k=8)
+    assert cleaned.schema is Documents and cleaned.height == docs.height
+    # text column was replaced with the cleaned (normalized) text
+    assert all(isinstance(x.text, str) for x in cleaned.rows()[:3])
+
+
+def test_classifier_gate_and_upsample(docs):
+    gated = typed.classifier_gate(docs, threshold=0.5, dim=4096, seed=7)
+    assert gated.schema is Documents and 0 < gated.height < docs.height
+    up = typed.upsample_epochs(docs, {"en": 2.0}, domain_col="lang")
+    assert up.schema is Documents and up.height > docs.height
+
+
+def test_bigram_pmi_typed(docs):
+    pm = typed.bigram_pmi(docs, min_count=20)
+    assert pm.schema is typed.PmiRows and pm.height > 0
+    r = pm.rows()[0]
+    assert isinstance(r.tok_a, str) and isinstance(r.pmi, float)
