@@ -30,6 +30,9 @@ __all__ = [
     "decontaminate",
     "bloom_positions",
     "build_bloom",
+    "bloom_words_df",
+    "maintain_bloom_table",
+    "load_bloom",
     "bloom_contaminated_ids",
 ]
 
@@ -180,9 +183,27 @@ def build_bloom(
     flag extra docs — acceptable for decontamination (errs toward
     removal) and deterministic given (m_bits, n_hashes).
     """
+    words = [0] * (m_bits // 64)
+    for r in bloom_words_df(benchmark, n, m_bits, n_hashes, text_col).collect():
+        words[r._w] = r._bits
+    return words
+
+
+def bloom_words_df(
+    benchmark: DataFrame,
+    n: int = 13,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """(_w, _bits): the Bloom filter as a sparse 64-bit-word table — the
+    distributed/persistable form. Bloom words merge LOSSLESSLY with
+    bit_or (associative, idempotent), so per-shard / per-batch word
+    tables union into exactly the filter a single pass would build —
+    the same build-once/merge-anywhere contract as sketches.py."""
     if m_bits % 64:
         raise ValueError("m_bits must be a multiple of 64")
-    words_df = (
+    return (
         benchmark.select(
             F.explode(_word_ngram_texts(F.col(text_col), n)).alias("_g")
         )
@@ -200,8 +221,53 @@ def build_bloom(
         .groupBy("_w")
         .agg(F.bit_or("_m").alias("_bits"))
     )
+
+
+def maintain_bloom_table(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    n: int = 13,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 4,
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """STREAMING maintenance of a persisted Bloom word table: each
+    micro-batch builds its own sparse word table and OVERWRITES its
+    ``batch_id=<n>`` partition (idempotent under foreachBatch
+    redelivery). ``load_bloom(spark, table_path, m_bits)`` bit_or-merges
+    the history into the dense bitmap — identical to a single batch
+    build over everything ever streamed (pinned by test). A benchmark
+    set that grows over time (new eval suites) thus keeps its
+    decontamination filter current without rescanning old benchmarks.
+    Returns the started StreamingQuery."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        w = bloom_words_df(batch_df, n, m_bits, n_hashes, text_col)
+        w.write.mode("overwrite").parquet(f"{table_path}/batch_id={batch_id}")
+
+    w = stream.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def load_bloom(spark, table_path: str, m_bits: int) -> list[int]:
+    """Merge a persisted Bloom word-table history into the dense word
+    list ``bloom_contaminated_ids`` consumes."""
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    merged = (
+        spark.read.parquet(table_path)
+        .groupBy("_w")
+        .agg(F.bit_or("_bits").alias("_bits"))
+        .collect()
+    )
     words = [0] * (m_bits // 64)
-    for r in words_df.collect():
+    for r in merged:
         words[r._w] = r._bits
     return words
 

@@ -166,3 +166,33 @@ def test_bloom_validates_shapes(spark):
         decontaminate.build_bloom(df, m_bits=100)
     with pytest.raises(ValueError):
         decontaminate.bloom_contaminated_ids(df, [0] * 10, m_bits=1 << 16)
+
+
+def test_streaming_bloom_maintenance_matches_batch(spark, sf_dir, tmp_path):
+    """Stream the benchmark docs through maintain_bloom_table; the merged
+    persisted word table must equal the single-pass batch bitmap WORD FOR
+    WORD (bit_or merge is lossless), so streamed and batch filters flag
+    identical doc sets."""
+    from pyspark.sql import functions as F
+
+    from colnade_spark.streaming import scan_stream_parquet
+    from colnade_spark.tpch import Documents, table_path
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench_pred = "doc_id % 50 = 0"
+    dest = str(tmp_path / "bloom_table")
+    ck = str(tmp_path / "ck")
+    sf = scan_stream_parquet(table_path(sf_dir, "documents"), Documents, spark=spark)
+    q = decontaminate.maintain_bloom_table(
+        sf.native.filter(bench_pred), dest, ck, n=13, m_bits=1 << 16, n_hashes=4
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = decontaminate.load_bloom(spark, dest, 1 << 16)
+    batch = decontaminate.build_bloom(
+        docs.filter(bench_pred), n=13, m_bits=1 << 16, n_hashes=4
+    )
+    assert streamed == batch
