@@ -1727,6 +1727,28 @@ def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def cms_token_estimates(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Count-min-sketch frequency estimates for the exact top-30 corpus
+    tokens (d=4, w=2^12): estimates are >= the exact counts by
+    construction and deterministic given the md5 hash family, so the
+    oracle reproduces them exactly."""
+    from colnade_spark.operators import cms
+    from colnade_spark.operators.spans import clean_tokens
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(clean_tokens(F.col("text"))).alias("term")
+    )
+    exact = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "term")
+        .limit(30)
+    )
+    table = cms.cms_build(toks, "term", depth=4, width=1 << 12)
+    est = cms.cms_estimate(table, exact, "term", depth=4, width=1 << 12)
+    return exact.join(est, "term").select("term", "n_exact", "n_est")
+
+
 def entry(spark: SparkSession) -> SparkDF:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1783,6 +1805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "upsample_epoch_counts": upsample_epoch_counts,
         "bloom_decontaminated_ids": bloom_decontaminated_ids,
         "bigram_pmi_top": bigram_pmi_top,
+        "cms_token_estimates": cms_token_estimates,
         # re-oracled with planted-duplicate ground truth — driver must
         # re-check them, so they ride the front block
         "ann_lsh": ann_lsh,
@@ -3191,5 +3214,48 @@ def oracle_sql() -> dict[str, str]:
             JOIN uni b ON b.tok = bic.tok_b
             CROSS JOIN tot
             ORDER BY pmi DESC, tok_a, tok_b LIMIT 30
+        """,
+        "cms_token_estimates": f"""
+            WITH nt AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array({_NORM_TEXT}, '\\s+'),
+                            x -> x <> '') AS tk
+              FROM documents
+            ),
+            t AS (SELECT unnest(tk) AS term FROM nt),
+            exact AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS n_exact
+              FROM t GROUP BY term
+              ORDER BY n_exact DESC, term LIMIT 30
+            ),
+            cells AS (
+              SELECT row, bucket, count(*) AS cnt FROM (
+                SELECT unnest([0, 1, 2, 3]) AS row,
+                       unnest([
+                         {_md5h("term || '#0'")} % 4096,
+                         {_md5h("term || '#1'")} % 4096,
+                         {_md5h("term || '#2'")} % 4096,
+                         {_md5h("term || '#3'")} % 4096
+                       ]) AS bucket
+                FROM t
+              ) GROUP BY row, bucket
+            ),
+            probes AS (
+              SELECT term, unnest([0, 1, 2, 3]) AS row,
+                     unnest([
+                       {_md5h("term || '#0'")} % 4096,
+                       {_md5h("term || '#1'")} % 4096,
+                       {_md5h("term || '#2'")} % 4096,
+                       {_md5h("term || '#3'")} % 4096
+                     ]) AS bucket
+              FROM exact
+            ),
+            est AS (
+              SELECT term, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS n_est
+              FROM probes LEFT JOIN cells USING (row, bucket)
+              GROUP BY term
+            )
+            SELECT e.term, e.n_exact, est.n_est
+            FROM exact e JOIN est USING (term)
         """,
     }

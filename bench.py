@@ -75,6 +75,7 @@ HEADLINE = [
     "upsample_epoch_counts",
     "bloom_decontaminated_ids",
     "bigram_pmi_top",
+    "cms_token_estimates",
 ]
 
 

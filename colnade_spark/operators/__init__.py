@@ -24,6 +24,7 @@
   al. 2022) and corpus-wide boilerplate line removal
 - ``classifier``: hashed-feature linear quality scoring (fastText-style)
 - ``cooccur``: adjacent-bigram counts + PMI collocation statistics
+- ``cms``: mergeable count-min sketch frequency tables
 - ``multimodal``: binary media columns + Arrow-batched decode plumbing
 - ``sketches``: mergeable HLL sketch tables (batch build + streaming
   foreachBatch maintenance, lossless union rollups)
@@ -37,6 +38,7 @@ from colnade_spark.operators import (
     chunking,
     classifier,
     clustering,
+    cms,
     cooccur,
     decontaminate,
     dedup,
@@ -63,6 +65,7 @@ __all__ = [
     "chunking",
     "classifier",
     "clustering",
+    "cms",
     "cooccur",
     "decontaminate",
     "dedup",

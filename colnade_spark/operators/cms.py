@@ -1,0 +1,127 @@
+"""Count-min sketch tables: mergeable frequency estimation.
+
+Completes the mergeable-sketch family (sketches.py: HLL for distinct
+counts; decontaminate.py: Bloom for membership): a CMS answers "how often
+does item x occur?" from a bounded ``depth × width`` counter grid instead
+of a full frequency table — the 100 TB pattern for tracking token/URL/
+domain frequencies where the exact table would itself be huge, and for
+cheap cross-epoch frequency drift monitoring.
+
+Estimates are the classic min-over-rows upper bound: est(x) >= true(x)
+always, and over-counts only via hash collisions (bounded by e·N/w with
+probability 1-(1/2)^d for the standard construction). The hash family is
+md5-derived (item ∥ '#row'), so every estimate is DETERMINISTIC and
+bit-reproducible in any engine — approximate with respect to truth,
+exact as computed (DuckDB-oracled).
+
+CMS counters ADD: merging per-shard/per-batch sparse tables by summing
+(row, bucket) cells is lossless and associative — the same
+build-once/merge-anywhere contract as the HLL and Bloom tables, pinned
+by the merge-equals-direct test.
+
+Scale notes (100 TB):
+- The build is one explode → (row, bucket) hash-aggregation with
+  map-side combine: the shuffle carries d·w bounded cells, not items.
+- The sparse table is at most d·w rows (d=4, w=2^14 → 64 K cells ≈
+  1 MB); estimation BROADCASTS it and probes with a d-way explode +
+  min aggregation per candidate.
+
+Reference parity: no counterpart in the reference repo — extension
+layer (sketch family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from colnade_spark.operators.text import md5_hash60
+
+__all__ = ["cms_bucket", "cms_build", "cms_merge", "cms_estimate"]
+
+
+def cms_bucket(item: Column, row: int, width: int) -> Column:
+    """Bucket of ``item`` in CMS row ``row``: md5-derived (item ∥ '#row')
+    mod width — reproducible in any engine."""
+    return md5_hash60(F.concat(item.cast("string"), F.lit(f"#{row}"))) % F.lit(
+        width
+    )
+
+
+def cms_build(
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1 << 14,
+) -> DataFrame:
+    """Sparse CMS counter table (row, bucket, cnt) over the item stream
+    (one input row = one occurrence). One explode to ``depth`` cells per
+    item, then a map-side-combined count — the exchange carries at most
+    depth·width cells."""
+    cells = items.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        cms_bucket(F.col(item_col), r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("_c")
+    ).select("_c.row", "_c.bucket")
+    return cells.groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def cms_merge(*tables: DataFrame) -> DataFrame:
+    """Sum sparse CMS tables cell-wise — lossless, associative merge of
+    independently built sketches (shards, micro-batches, epochs)."""
+    if not tables:
+        raise ValueError("cms_merge requires at least one table")
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("row", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    candidates: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1 << 14,
+    out_col: str = "n_est",
+) -> DataFrame:
+    """(item_col, out_col): the CMS frequency estimate for every DISTINCT
+    candidate item — min over the ``depth`` row counters (absent cell =
+    0). The bounded counter table broadcasts; candidates probe with a
+    d-way explode + min aggregation."""
+    probes = (
+        candidates.select(item_col)
+        .distinct()
+        .select(
+            item_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("row"),
+                            cms_bucket(F.col(item_col), r, width).alias(
+                                "bucket"
+                            ),
+                        )
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("_c"),
+        )
+        .select(item_col, "_c.row", "_c.bucket")
+    )
+    return (
+        probes.join(F.broadcast(cms), ["row", "bucket"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias(out_col))
+    )

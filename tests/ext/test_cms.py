@@ -1,0 +1,101 @@
+"""Count-min sketch: python-model equality of the counter grid, the
+estimate-dominates-truth invariant, lossless merge, and partitioning
+invariance."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from colnade_spark.operators import cms
+from colnade_spark.operators.spans import clean_tokens
+
+D, W = 4, 1 << 10
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_cells(tokens: list[str]) -> Counter:
+    cells: Counter = Counter()
+    for t in tokens:
+        for r in range(D):
+            cells[(r, _h60(f"{t}#{r}") % W)] += 1
+    return cells
+
+
+@pytest.fixture(scope="module")
+def toks(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(F.explode(clean_tokens(F.col("text"))).alias("tok")).cache()
+
+
+def test_cells_match_python_model(toks):
+    token_list = [r.tok for r in toks.collect()]
+    want = _py_cells(token_list)
+    got = {
+        (r.row, r.bucket): r.cnt
+        for r in cms.cms_build(toks, "tok", D, W).collect()
+    }
+    assert got == dict(want)
+
+
+def test_estimate_dominates_truth_everywhere(toks):
+    table = cms.cms_build(toks, "tok", D, W)
+    exact = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    est = cms.cms_estimate(table, exact, "tok", D, W)
+    rows = exact.join(est, "tok").collect()
+    assert rows and all(r.n_est >= r.n for r in rows)
+    # a deliberately tiny width FORCES full-depth collisions, making the
+    # dominance invariant non-vacuous (over-counts appear, never unders)
+    tiny = cms.cms_build(toks, "tok", D, 8)
+    trows = exact.join(
+        cms.cms_estimate(tiny, exact, "tok", D, 8), "tok"
+    ).collect()
+    assert all(r.n_est >= r.n for r in trows)
+    assert any(r.n_est > r.n for r in trows)
+
+
+def test_merge_equals_direct_build(spark, sf_dir, toks):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    parts = [
+        docs.filter(f"doc_id % 3 = {i}").select(
+            F.explode(clean_tokens(F.col("text"))).alias("tok")
+        )
+        for i in range(3)
+    ]
+    merged = cms.cms_merge(*[cms.cms_build(p, "tok", D, W) for p in parts])
+    direct = cms.cms_build(toks, "tok", D, W)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_estimates_invariant_under_partitioning(toks):
+    a = cms.cms_build(toks, "tok", D, W)
+    b = cms.cms_build(toks.repartition(13), "tok", D, W)
+    cand = toks.limit(50)
+    ea = sorted(map(tuple, cms.cms_estimate(a, cand, "tok", D, W).collect()))
+    eb = sorted(map(tuple, cms.cms_estimate(b, cand, "tok", D, W).collect()))
+    assert ea == eb
+
+
+def test_merge_requires_input():
+    with pytest.raises(ValueError):
+        cms.cms_merge()
+
+
+def test_unseen_item_estimates_bounded(spark, toks):
+    """An item never inserted estimates as the min of whatever collided
+    into its cells — possibly 0 (empty cells), never negative."""
+    table = cms.cms_build(toks, "tok", D, W)
+    cand = spark.createDataFrame(
+        [("zzz-never-seen-1",), ("zzz-never-seen-2",)], ["tok"]
+    )
+    rows = cms.cms_estimate(table, cand, "tok", D, W).collect()
+    assert all(r.n_est >= 0 for r in rows)

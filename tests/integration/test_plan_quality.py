@@ -514,3 +514,25 @@ def test_pmi_broadcasts_vocab_and_combines_map_side(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     # totals ride as a broadcast nested loop (1-row), never a shuffle join
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_cms_build_single_combined_exchange(spark, sf_dir):
+    """CMS build: one map-side-combined exchange carrying at most
+    depth×width cells; estimation joins the bounded table as a
+    BROADCAST. No Python eval anywhere."""
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators import cms
+    from colnade_spark.operators.spans import clean_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(clean_tokens(F.col("text"))).alias("tok"))
+    table = cms.cms_build(toks, "tok", depth=4, width=1 << 12)
+    plan = _plan(table)
+    assert "BatchEvalPython" not in plan, plan
+    assert _n_shuffles(plan) == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+    est = cms.cms_estimate(table, toks.limit(10), "tok", depth=4, width=1 << 12)
+    eplan = _plan(est)
+    assert "BroadcastHashJoin" in eplan, eplan
