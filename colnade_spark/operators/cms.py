@@ -37,7 +37,14 @@ from pyspark.sql import functions as F
 
 from colnade_spark.operators.text import md5_hash60
 
-__all__ = ["cms_bucket", "cms_build", "cms_merge", "cms_estimate"]
+__all__ = [
+    "cms_bucket",
+    "cms_build",
+    "cms_merge",
+    "cms_estimate",
+    "maintain_cms_table",
+    "load_cms",
+]
 
 
 def cms_bucket(item: Column, row: int, width: int) -> Column:
@@ -124,4 +131,43 @@ def cms_estimate(
         probes.join(F.broadcast(cms), ["row", "bucket"], "left")
         .groupBy(item_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias(out_col))
+    )
+
+
+def maintain_cms_table(
+    stream: DataFrame,
+    item_col: str,
+    table_path: str,
+    checkpoint: str,
+    depth: int = 4,
+    width: int = 1 << 14,
+    available_now: bool = True,
+):
+    """STREAMING maintenance of a persisted CMS: each micro-batch builds
+    its own sparse cell table and OVERWRITES its ``batch_id=<n>``
+    partition (idempotent under foreachBatch redelivery).
+    ``load_cms(spark, table_path)`` sums the history cell-wise — CMS
+    counters add, so the merged sketch equals a single batch build over
+    everything ever streamed (pinned by test). Returns the started
+    StreamingQuery."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        t = cms_build(batch_df, item_col, depth, width)
+        t.write.mode("overwrite").parquet(f"{table_path}/batch_id={batch_id}")
+
+    w = stream.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def load_cms(spark, table_path: str) -> DataFrame:
+    """Merge a persisted CMS history into one sparse table (cell-wise
+    sum) ready for ``cms_estimate``."""
+    return (
+        spark.read.parquet(table_path)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
     )

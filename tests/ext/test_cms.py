@@ -99,3 +99,26 @@ def test_unseen_item_estimates_bounded(spark, toks):
     )
     rows = cms.cms_estimate(table, cand, "tok", D, W).collect()
     assert all(r.n_est >= 0 for r in rows)
+
+
+def test_streaming_cms_maintenance_matches_batch(spark, sf_dir, toks, tmp_path):
+    """Stream documents through maintain_cms_table; the cell-wise-summed
+    history must equal the single-pass batch sketch exactly."""
+    from colnade_spark.streaming import scan_stream_parquet
+    from colnade_spark.tpch import Documents, table_path
+
+    dest = str(tmp_path / "cms_table")
+    ck = str(tmp_path / "ck")
+    sf = scan_stream_parquet(table_path(sf_dir, "documents"), Documents, spark=spark)
+    tok_stream = sf.native.select(
+        F.explode(clean_tokens(F.col("text"))).alias("tok")
+    )
+    q = cms.maintain_cms_table(tok_stream, "tok", dest, ck, D, W)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = sorted(map(tuple, cms.load_cms(spark, dest).select("row", "bucket", "cnt").collect()))
+    direct = sorted(map(tuple, cms.cms_build(toks, "tok", D, W).select("row", "bucket", F.col("cnt").cast("long")).collect()))
+    assert streamed == direct
