@@ -664,6 +664,25 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> SparkDF:
     ).select("id_a", "id_b", F.round(F.col("cos_sim"), 6).alias("cos_sim"))
 
 
+def semdedup_survivors(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """SemDeDup cluster-then-prune semantic dedup with PLANTED exact
+    duplicates (copies of every vec_id % 25 == 0 under id +1_000_000).
+    Identical vectors always share a cluster (identical rounded dots),
+    so at threshold 0.95 — above the fixture's ~0.6 max non-identical
+    cosine — the drop set is exactly the planted copies, with no
+    boundary case. The oracle replays the full rule in DuckDB: same
+    argmax cluster assignment, same within-cluster EXISTS prune."""
+    from colnade_spark.operators.semdedup import semantic_dedup
+
+    e = _embs(spark, sf_dir).select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
+    allv = e.unionByName(planted)
+    out = semantic_dedup(allv, _CENTROIDS, threshold=0.95)
+    return out.select("vec_id")
+
+
 def image_features_stub(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Multimodal plumbing over mapInPandas with the deterministic fake
     decoder (media payload synthesized from document text bytes)."""
@@ -1811,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "ann_lsh": ann_lsh,
         "emb_near_dup_pairs": emb_near_dup_pairs,
         "map_flag_stats": map_flag_stats,
+        "semdedup_survivors": semdedup_survivors,
         # --- driver-green in round 2 (CORRECTNESS_r02 rows exist) ---
         "q1_pricing_summary": q1_pricing_summary,
         "filter_sort_limit": filter_sort_limit,
@@ -1918,6 +1938,12 @@ def oracle_sql() -> dict[str, str]:
     cluster_structs = ", ".join(
         "{'sim': round(list_inner_product(CAST(embedding AS DOUBLE[]), %s), 6),"
         " 'cid': %d}" % (_centroid_sql(c), i)
+        for i, c in enumerate(_CENTROIDS)
+    )
+    # same argmax, parameterized on a plain DOUBLE[] column named v
+    cluster_structs_v = ", ".join(
+        "{'sim': round(list_inner_product(v, %s), 6), 'cid': %d}"
+        % (_centroid_sql(c), i)
         for i, c in enumerate(_CENTROIDS)
     )
     lang_structs = ", ".join(
@@ -2646,6 +2672,24 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
             FROM allv a JOIN allv b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+        """,
+        "semdedup_survivors": f"""
+            WITH allv AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+              FROM embeddings WHERE vec_id % 25 = 0
+            ),
+            a AS (
+              SELECT vec_id, v, list_max([{cluster_structs_v}]).cid AS cid
+              FROM allv
+            )
+            SELECT x.vec_id FROM a x
+            WHERE NOT EXISTS (
+              SELECT 1 FROM a y
+              WHERE y.cid = x.cid AND y.vec_id < x.vec_id
+                AND round(list_cosine_similarity(x.v, y.v), 6) >= 0.95
+            )
         """,
         "ann_ivf": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings

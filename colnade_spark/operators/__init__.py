@@ -30,6 +30,8 @@
   foreachBatch maintenance, lossless union rollups)
 - ``clustering``: reproducible Lloyd's k-means (exact integer centroid
   sums; deterministic k-means++ init)
+- ``semdedup``: cluster-then-prune semantic dedup (SemDeDup, Abbas et
+  al. 2023) — within-cluster cosine pruning, deterministic keep rule
 - ``typed``: typed-frame facades over the above
 """
 
@@ -51,6 +53,7 @@ from colnade_spark.operators import (
     quality,
     redact,
     sampling,
+    semdedup,
     sessions,
     similarity,
     sketches,
@@ -78,6 +81,7 @@ __all__ = [
     "quality",
     "redact",
     "sampling",
+    "semdedup",
     "sessions",
     "similarity",
     "sketches",

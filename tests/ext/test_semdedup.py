@@ -1,0 +1,111 @@
+"""SemDeDup: within-cluster pruning vs a pure-python model, planted
+duplicate recovery, and the cluster-blocked join shape."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from colnade_spark.operators.semdedup import semantic_dedup, semantic_dup_pairs
+
+# two well-separated clusters on the unit circle, quarter-step exact floats
+CENTROIDS = [[1.0, 0.0], [0.0, 1.0]]
+
+
+def _vecs():
+    # ids 1-4 near centroid 0, ids 5-7 near centroid 1; 2 is a paraphrase
+    # of 1 (cos ~ .9998), 6 an exact copy of 5; 4 and 7 are lone members
+    return [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.02]),
+        (3, [0.9, -0.5]),
+        (4, [0.7, 0.25]),
+        (5, [0.0, 1.0]),
+        (6, [0.0, 1.0]),
+        (7, [-0.4, 0.9]),
+    ]
+
+
+def _model_survivors(rows, threshold):
+    """Pure-python twin: round(dot,6) argmax (ties -> highest cid), drop iff
+    a lower-id same-cluster member has round(cos,6) >= threshold."""
+
+    def assign(v):
+        sims = [
+            round(sum(a * b for a, b in zip(v, c)), 6) for c in CENTROIDS
+        ]
+        return max(range(len(CENTROIDS)), key=lambda i: (sims[i], i))
+
+    def cos(u, v):
+        d = sum(a * b for a, b in zip(u, v))
+        nu = math.sqrt(sum(a * a for a in u))
+        nv = math.sqrt(sum(a * a for a in v))
+        return round(d / (nu * nv), 6)
+
+    cid = {i: assign(v) for i, v in rows}
+    keep = []
+    for i, v in rows:
+        dropped = any(
+            j < i and cid[j] == cid[i] and cos(u, v) >= threshold
+            for j, u in rows
+        )
+        if not dropped:
+            keep.append(i)
+    return sorted(keep)
+
+
+@pytest.mark.parametrize("threshold", [0.99, 0.9, 0.5])
+def test_semantic_dedup_matches_model(spark, threshold):
+    df = spark.createDataFrame(_vecs(), ["vec_id", "embedding"])
+    got = sorted(
+        r.vec_id
+        for r in semantic_dedup(df, CENTROIDS, threshold=threshold).collect()
+    )
+    assert got == _model_survivors(_vecs(), threshold)
+
+
+def test_pairs_are_within_cluster_only(spark):
+    df = spark.createDataFrame(_vecs(), ["vec_id", "embedding"])
+    pairs = semantic_dup_pairs(df, CENTROIDS, threshold=-1.0).collect()
+    # threshold -1 admits every within-cluster pair; cluster 0 = {1,2,3,4}
+    # (6 pairs), cluster 1 = {5,6,7} (3 pairs) — never a cross-cluster pair
+    assert len(pairs) == 9
+    c0 = {1, 2, 3, 4}
+    for r in pairs:
+        assert r.id_a < r.id_b
+        assert (r.id_a in c0) == (r.id_b in c0)
+
+
+def test_planted_duplicates_dropped_sources_kept(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    planted = e.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
+    n_planted = planted.count()
+    centroids = [
+        [((((j * 31) + (d * 17)) % 7) - 3) / 4.0 for d in range(64)]
+        for j in range(4)
+    ]
+    out = semantic_dedup(
+        e.unionByName(planted), centroids, threshold=0.95
+    ).select("vec_id")
+    ids = {r.vec_id for r in out.collect()}
+    # every planted copy (higher id) dropped, every source kept
+    assert all(i < 1_000_000 for i in ids)
+    assert out.count() == e.count()
+    assert n_planted > 0
+
+
+def test_pairwise_join_is_cluster_keyed(spark):
+    """The candidate join must be an equi-join on cluster_id — never a
+    cross join (the quadratic blow-up SemDeDup exists to avoid)."""
+    df = spark.createDataFrame(_vecs(), ["vec_id", "embedding"])
+    plan = semantic_dup_pairs(
+        df, CENTROIDS, threshold=0.9
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
