@@ -683,6 +683,34 @@ def semdedup_survivors(spark: SparkSession, sf_dir: str) -> SparkDF:
     return out.select("vec_id")
 
 
+def dsir_doc_weights(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """DSIR importance weights (hashed unigram+bigram features, 256
+    buckets; target = the English subset, raw = the whole corpus).
+    Per-bucket log-ratios are integer-micro-scaled before the per-doc
+    sum, so the weight is exact integer arithmetic — order-independent
+    and bit-comparable after the final /1e6."""
+    from colnade_spark.operators.importance import dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("lang") == "en")
+    w = dsir_weights(docs, target, buckets=256)
+    return w.select(
+        "doc_id", "n_feats", F.round("weight", 6).alias("weight")
+    )
+
+
+def dsir_sample_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Deterministic Gumbel-top-k importance resampling over the DSIR
+    weights: content-addressed uniforms (md5 of salted id), keys rounded
+    before ranking, ties on id — the draw replays identically in SQL."""
+    from colnade_spark.operators.importance import dsir_weights, gumbel_topk
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("lang") == "en")
+    w = dsir_weights(docs, target, buckets=256)
+    return gumbel_topk(w, k=100).select("doc_id", "rk")
+
+
 def image_features_stub(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Multimodal plumbing over mapInPandas with the deterministic fake
     decoder (media payload synthesized from document text bytes)."""
@@ -1831,6 +1859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "emb_near_dup_pairs": emb_near_dup_pairs,
         "map_flag_stats": map_flag_stats,
         "semdedup_survivors": semdedup_survivors,
+        "dsir_doc_weights": dsir_doc_weights,
+        "dsir_sample_ids": dsir_sample_ids,
         # --- driver-green in round 2 (CORRECTNESS_r02 rows exist) ---
         "q1_pricing_summary": q1_pricing_summary,
         "filter_sort_limit": filter_sort_limit,
@@ -1914,6 +1944,65 @@ def _split_bounds(weights: list[float]) -> list[int]:
 
 
 _SPLIT_BOUNDS = _split_bounds([0.8, 0.1, 0.1])
+
+
+# DuckDB twin of operators/importance.dsir_weights with buckets=256,
+# unigram+bigram features, smoothing 1.0, target = lang='en' — per-bucket
+# log-ratios integer-micro-scaled so the per-doc sum is exact.
+_DSIR_CTE = f"""
+            WITH nt AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array({_NORM_TEXT}, '\\s+'),
+                            x -> x <> '') AS tk
+              FROM documents
+            ),
+            feats AS (
+              SELECT doc_id, h % 256 AS bucket FROM (
+                SELECT doc_id,
+                  unnest(list_transform(tk, t -> {{H_TOK}})) AS h
+                FROM nt
+                UNION ALL
+                SELECT doc_id,
+                  unnest(list_transform(
+                    list_filter(range(0, greatest(len(tk) - 1, 1), 1),
+                                p -> p < len(tk) - 1),
+                    p -> {{H_BI}})) AS h
+                FROM nt
+              )
+            ),
+            raw AS (SELECT bucket, count(*) AS rn FROM feats GROUP BY bucket),
+            tgt AS (
+              SELECT bucket, count(*) AS tn
+              FROM feats JOIN documents USING (doc_id)
+              WHERE lang = 'en' GROUP BY bucket
+            ),
+            tot AS (
+              SELECT (SELECT CAST(sum(rn) AS DOUBLE) FROM raw) AS rt,
+                     (SELECT CAST(sum(tn) AS DOUBLE) FROM tgt) AS tt
+            ),
+            lr AS (
+              SELECT b.bucket,
+                CAST(round((ln((coalesce(tn, 0) + 1.0) / (tt + 256.0))
+                          - ln((coalesce(rn, 0) + 1.0) / (rt + 256.0)))
+                         * 1000000) AS BIGINT) AS lr_micro
+              FROM (SELECT unnest(range(0, 256)) AS bucket) b
+              LEFT JOIN tgt ON b.bucket = tgt.bucket
+              LEFT JOIN raw ON b.bucket = raw.bucket
+              CROSS JOIN tot
+            ),
+            w AS (
+              SELECT d.doc_id,
+                CAST(count(f.bucket) AS BIGINT) AS n_feats,
+                coalesce(sum(lr.lr_micro), 0) / 1000000.0 AS weight
+              FROM documents d
+              LEFT JOIN feats f USING (doc_id)
+              LEFT JOIN lr ON f.bucket = lr.bucket
+              GROUP BY d.doc_id
+            )
+""".format(
+    H_TOK=_md5h("t"),
+    H_BI=_md5h("array_to_string(list_slice(tk, p + 1, p + 2), ' ')"),
+)
 
 
 def _simhash_vote_sql(hs: str, n: str, bits: int = 60) -> str:
@@ -2968,6 +3057,25 @@ def oracle_sql() -> dict[str, str]:
                                    CAST(b.embedding AS DOUBLE[])) > 0
               AND list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        "dsir_doc_weights": f"""
+            {_DSIR_CTE}
+            SELECT doc_id, n_feats, round(weight, 6) AS weight FROM w
+        """,
+        "dsir_sample_ids": f"""
+            {_DSIR_CTE},
+            keyed AS (
+              SELECT doc_id,
+                round(weight + (-ln(-ln(
+                  ({_md5h("'dsir:' || CAST(doc_id AS VARCHAR)")} + 0.5)
+                    / 1152921504606846976.0))), 6) AS gkey
+              FROM w
+            )
+            SELECT doc_id, rk FROM (
+              SELECT doc_id,
+                row_number() OVER (ORDER BY gkey DESC, doc_id) AS rk
+              FROM keyed)
+            WHERE rk <= 100
         """,
         "unigram_quality": f"""
             WITH nt AS (SELECT doc_id, {_NORM_TEXT} AS t FROM documents),

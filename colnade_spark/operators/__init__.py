@@ -32,6 +32,8 @@
   sums; deterministic k-means++ init)
 - ``semdedup``: cluster-then-prune semantic dedup (SemDeDup, Abbas et
   al. 2023) — within-cluster cosine pruning, deterministic keep rule
+- ``importance``: DSIR importance weighting over hashed n-gram features
+  (Xie et al. 2023) + deterministic Gumbel-top-k resampling
 - ``typed``: typed-frame facades over the above
 """
 
@@ -47,6 +49,7 @@ from colnade_spark.operators import (
     embeddings,
     funnel,
     graph,
+    importance,
     intervals,
     multimodal,
     packing,
@@ -75,6 +78,7 @@ __all__ = [
     "embeddings",
     "funnel",
     "graph",
+    "importance",
     "intervals",
     "multimodal",
     "packing",

@@ -1,0 +1,195 @@
+"""DSIR-style importance weighting and resampling (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling").
+
+Quality classifiers (operators/classifier.py) need labels; DSIR needs
+only a TARGET corpus (e.g. curated wiki/books): score every raw document
+by how much more likely its hashed n-gram features are under the target
+distribution than under the raw distribution, then resample with
+probability proportional to the importance weight. Features are hashed
+into a fixed number of buckets, so both distributions are bounded-size
+tables regardless of corpus scale.
+
+Determinism (what makes this oracle-checkable bit-exactly):
+- bucket ids come from the portable 60-bit md5 hash (text.md5_hash60),
+  identical in DuckDB;
+- per-bucket log-ratios are rounded and SCALED TO INTEGER MICROS once
+  (round(lr * 1e6) as long); a document's weight is then an exact
+  integer sum — order-independent, unlike a float sum;
+- resampling uses the Gumbel-top-k trick with a content-addressed
+  uniform (md5 of id + salt), not an RNG: keys are reproducible and
+  rank ties break on id.
+
+Scale shape (100 TB):
+- feature extraction is a narrow projection (tokens -> hashed buckets,
+  no explode until counting);
+- each distribution is one map-side-combined explode/count with at most
+  ``buckets`` result rows — KB-scale however large the corpus;
+- the log-ratio table (``buckets`` rows) broadcast-joins against the
+  exploded features; per-doc weights are one doc_id-keyed aggregation
+  with partial combine. Raw text never shuffles;
+- Gumbel top-k is a rank over (weight + noise) — one exchange. For a
+  fixed global k at extreme scale, pre-filter with an approximate
+  threshold (quantile sketch) before the sort.
+
+Reference parity: no counterpart in the reference repo — extension
+layer (the build brief's sampling/quality family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from colnade_spark.operators.quality import word_ngrams
+from colnade_spark.operators.spans import clean_tokens
+from colnade_spark.operators.text import md5_hash60
+
+__all__ = [
+    "hashed_feature_buckets",
+    "bucket_distribution",
+    "logratio_table",
+    "dsir_weights",
+    "gumbel_topk",
+]
+
+MICRO = 1_000_000
+
+
+def hashed_feature_buckets(
+    toks: Column, buckets: int = 1024, bigrams: bool = True
+) -> Column:
+    """Array of hashed feature bucket ids (longs in [0, buckets)) for a
+    token array: one per token, plus one per adjacent token bigram when
+    ``bigrams`` — the DSIR feature map. Empty token array -> empty
+    feature array (word_ngrams position-guards sub-n docs)."""
+    uni = F.transform(toks, lambda t: F.pmod(md5_hash60(t), F.lit(buckets)))
+    if not bigrams:
+        return uni
+    bi = F.transform(
+        word_ngrams(toks, 2),
+        lambda g: F.pmod(md5_hash60(g), F.lit(buckets)),
+    )
+    return F.concat(uni, bi)
+
+
+def bucket_distribution(
+    df: DataFrame,
+    text_col: str = "text",
+    buckets: int = 1024,
+    bigrams: bool = True,
+) -> DataFrame:
+    """(bucket, n) feature counts over a corpus — at most ``buckets``
+    rows, one map-side-combined aggregation."""
+    staged = df.withColumn("_tk", clean_tokens(F.col(text_col)))
+    return (
+        staged.select(
+            F.explode(
+                hashed_feature_buckets(F.col("_tk"), buckets, bigrams)
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def logratio_table(
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    buckets: int = 1024,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """(bucket, lr_micro) per-bucket importance log-ratio, integer-scaled:
+    lr = ln p_target(b) - ln p_raw(b) with additive smoothing
+    p(b) = (n_b + s) / (total + s*buckets), rounded to micros so document
+    sums are exact integer arithmetic."""
+    s = float(smoothing)
+    all_b = F.broadcast(
+        target_counts.sparkSession.range(buckets).select(
+            F.col("id").alias("bucket")
+        )
+    )
+    t = target_counts.select("bucket", F.col("n").alias("_tn"))
+    r = raw_counts.select("bucket", F.col("n").alias("_rn"))
+    joined = (
+        all_b.join(F.broadcast(t), "bucket", "left")
+        .join(F.broadcast(r), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("_tn", F.lit(0)).alias("_tn"),
+            F.coalesce("_rn", F.lit(0)).alias("_rn"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("_tn").alias("_tt"), F.sum("_rn").alias("_rt")
+    )
+    lr = F.log(
+        (F.col("_tn") + F.lit(s)) / (F.col("_tt") + F.lit(s * buckets))
+    ) - F.log((F.col("_rn") + F.lit(s)) / (F.col("_rt") + F.lit(s * buckets)))
+    return joined.crossJoin(F.broadcast(tot)).select(
+        "bucket", F.round(lr * MICRO).cast("long").alias("lr_micro")
+    )
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+    bigrams: bool = True,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Per-document DSIR importance: (id, n_feats, weight) where weight is
+    the exact integer-micro sum of per-bucket log-ratios over the
+    document's hashed features, divided back to a double. Featureless
+    (empty/null text) documents keep weight 0.0."""
+    raw_counts = bucket_distribution(corpus, text_col, buckets, bigrams)
+    tgt_counts = bucket_distribution(target, text_col, buckets, bigrams)
+    lr = logratio_table(tgt_counts, raw_counts, buckets, smoothing)
+    feats = corpus.withColumn("_tk", clean_tokens(F.col(text_col))).select(
+        F.col(id_col),
+        F.explode_outer(
+            hashed_feature_buckets(F.col("_tk"), buckets, bigrams)
+        ).alias("bucket"),
+    )
+    scored = (
+        feats.join(F.broadcast(lr), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("bucket").cast("long").alias("n_feats"),
+            (
+                F.coalesce(F.sum("lr_micro"), F.lit(0)) / F.lit(float(MICRO))
+            ).alias("weight"),
+        )
+    )
+    return scored
+
+
+def gumbel_topk(
+    df: DataFrame,
+    k: int,
+    weight_col: str = "weight",
+    id_col: str = "doc_id",
+    salt: str = "dsir",
+    decimals: int = 6,
+) -> DataFrame:
+    """Deterministic importance resampling WITHOUT replacement: the
+    Gumbel-top-k trick over log-weights. The uniform is content-addressed
+    (md5 of salt+id -> (0,1)), so the draw is reproducible and
+    engine-portable; keys are rounded before ranking and ties break on
+    id. Returns the k selected rows plus their rank ``rk``."""
+    # +0.5 keeps u strictly inside (0,1): no ln(0) at either end
+    u = (
+        md5_hash60(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 60))
+    gumbel = -F.log(-F.log(u))
+    key = F.round(F.col(weight_col) + gumbel, decimals)
+    w = Window.orderBy(F.desc("_gkey"), F.col(id_col))
+    return (
+        df.withColumn("_gkey", key)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .drop("_gkey")
+    )

@@ -1,0 +1,142 @@
+"""DSIR importance weighting: pure-python model parity, degenerate
+distributions, deterministic Gumbel resampling, and the broadcast join
+shape of the scoring pass."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from colnade_spark.operators.importance import (
+    MICRO,
+    bucket_distribution,
+    dsir_weights,
+    gumbel_topk,
+)
+
+B = 64
+DOCS = [
+    (1, "the quick brown fox", "en"),
+    (2, "the the the the", "en"),
+    (3, "un deux trois", "fr"),
+    (4, "quick brown dogs run", "en"),
+    (5, "", "en"),
+    (6, None, "fr"),
+    (7, "fox and dogs", "fr"),
+]
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _toks(text):
+    t = re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", (text or "").lower())).strip()
+    return [w for w in t.split(" ") if w]
+
+
+def _feats(text):
+    tk = _toks(text)
+    grams = tk + [" ".join(tk[i : i + 2]) for i in range(len(tk) - 1)]
+    return [_h60(g) % B for g in grams]
+
+
+def _model_weights(rows, target_langs=("en",), s=1.0):
+    raw, tgt = {}, {}
+    for _, text, lang in rows:
+        for b in _feats(text):
+            raw[b] = raw.get(b, 0) + 1
+            if lang in target_langs:
+                tgt[b] = tgt.get(b, 0) + 1
+    rt, tt = sum(raw.values()), sum(tgt.values())
+    lr = {
+        b: round(
+            (
+                math.log((tgt.get(b, 0) + s) / (tt + s * B))
+                - math.log((raw.get(b, 0) + s) / (rt + s * B))
+            )
+            * MICRO
+        )
+        for b in range(B)
+    }
+    out = {}
+    for i, text, _ in rows:
+        fs = _feats(text)
+        out[i] = (len(fs), sum(lr[b] for b in fs) / float(MICRO))
+    return out
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text", "lang"])
+
+
+def test_weights_match_python_model(spark):
+    df = _df(spark)
+    got = {
+        r.doc_id: (r.n_feats, r.weight)
+        for r in dsir_weights(
+            df, df.filter(F.col("lang") == "en"), buckets=B
+        ).collect()
+    }
+    want = _model_weights(DOCS)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert got[k][1] == pytest.approx(want[k][1], abs=1e-9), k
+
+
+def test_empty_and_null_docs_score_zero_feats(spark):
+    df = _df(spark)
+    got = {
+        r.doc_id: (r.n_feats, r.weight)
+        for r in dsir_weights(df, df, buckets=B).collect()
+    }
+    assert got[5] == (0, 0.0)
+    assert got[6] == (0, 0.0)
+
+
+def test_target_equals_raw_gives_zero_weights(spark):
+    df = _df(spark)
+    for r in dsir_weights(df, df, buckets=B).collect():
+        assert r.weight == 0.0
+
+
+def test_bucket_distribution_total(spark):
+    df = _df(spark)
+    total = (
+        bucket_distribution(df, buckets=B)
+        .agg(F.sum("n").alias("t"))
+        .first()
+        .t
+    )
+    assert total == sum(len(_feats(t)) for _, t, _ in DOCS)
+
+
+def test_gumbel_topk_deterministic_and_bounded(spark):
+    df = _df(spark)
+    w = dsir_weights(df, df.filter(F.col("lang") == "en"), buckets=B)
+    a = [(r.doc_id, r.rk) for r in gumbel_topk(w, 3).orderBy("rk").collect()]
+    b = [(r.doc_id, r.rk) for r in gumbel_topk(w, 3).orderBy("rk").collect()]
+    assert a == b
+    assert len(a) == 3
+    assert [rk for _, rk in a] == [1, 2, 3]
+    # a different salt is a different (but still deterministic) draw
+    c = [(r.doc_id, r.rk) for r in gumbel_topk(w, 3, salt="other").collect()]
+    assert all(rk in (1, 2, 3) for _, rk in c)
+
+
+def test_scoring_join_is_broadcast(spark):
+    """The bucket->log-ratio table must broadcast — a shuffled join on
+    the exploded feature stream would shuffle the whole corpus."""
+    df = _df(spark)
+    plan = (
+        dsir_weights(df, df, buckets=B)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
