@@ -664,6 +664,16 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> SparkDF:
     ).select("id_a", "id_b", F.round(F.col("cos_sim"), 6).alias("cos_sim"))
 
 
+# 16 centroids for SemDeDup: cluster count is the knob that bounds the
+# within-cluster quadratic pass — k=16 cuts candidate pairs 4x vs k=4
+# and gives the pairwise join 16-way key parallelism. Quarter-step
+# values embed exactly in both engines' SQL literals.
+_SEM_CENTROIDS = [
+    [((((j * 29) + (d * 13)) % 9) - 4) / 4.0 for d in range(64)]
+    for j in range(16)
+]
+
+
 def semdedup_survivors(spark: SparkSession, sf_dir: str) -> SparkDF:
     """SemDeDup cluster-then-prune semantic dedup with PLANTED exact
     duplicates (copies of every vec_id % 25 == 0 under id +1_000_000).
@@ -679,7 +689,7 @@ def semdedup_survivors(spark: SparkSession, sf_dir: str) -> SparkDF:
         (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
     )
     allv = e.unionByName(planted)
-    out = semantic_dedup(allv, _CENTROIDS, threshold=0.95)
+    out = semantic_dedup(allv, _SEM_CENTROIDS, threshold=0.95)
     return out.select("vec_id")
 
 
@@ -1755,8 +1765,11 @@ def bloom_decontaminated_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     words = decontaminate.build_bloom(bench, n=13, m_bits=1 << 16, n_hashes=4)
+    # the fixture is ONE parquet file -> one input split; spread the
+    # probe scan (at real scale the reader's own splits already do this)
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
     return decontaminate.bloom_contaminated_ids(
-        docs, words, n=13, m_bits=1 << 16, n_hashes=4
+        spread, words, n=13, m_bits=1 << 16, n_hashes=4
     )
 
 
@@ -2029,11 +2042,12 @@ def oracle_sql() -> dict[str, str]:
         " 'cid': %d}" % (_centroid_sql(c), i)
         for i, c in enumerate(_CENTROIDS)
     )
-    # same argmax, parameterized on a plain DOUBLE[] column named v
+    # same argmax, parameterized on a plain DOUBLE[] column named v,
+    # over the 16 SemDeDup centroids
     cluster_structs_v = ", ".join(
         "{'sim': round(list_inner_product(v, %s), 6), 'cid': %d}"
         % (_centroid_sql(c), i)
-        for i, c in enumerate(_CENTROIDS)
+        for i, c in enumerate(_SEM_CENTROIDS)
     )
     lang_structs = ", ".join(
         f"{{'score': {_stop_hits(lang, toks_lower)}, 'lang': '{lang}'}}"
@@ -3297,14 +3311,18 @@ def oracle_sql() -> dict[str, str]:
                   AS g
               FROM norm
             ),
+            bh AS (
+              SELECT doc_id, g,
+                {_md5h("g")} & 1073741823 AS h1,
+                (({_md5h("g")} >> 30) & 1073741823) | 1 AS h2
+              FROM grams
+            ),
             bpos AS (
               SELECT DISTINCT unnest([
-                {_md5h("g || '#0'")} % 65536,
-                {_md5h("g || '#1'")} % 65536,
-                {_md5h("g || '#2'")} % 65536,
-                {_md5h("g || '#3'")} % 65536
+                (h1 + 0 * h2) % 65536, (h1 + 1 * h2) % 65536,
+                (h1 + 2 * h2) % 65536, (h1 + 3 * h2) % 65536
               ]) AS p
-              FROM grams WHERE doc_id % 50 = 0
+              FROM bh WHERE doc_id % 50 = 0
             ),
             words AS (
               SELECT p // 64 AS w,
@@ -3316,12 +3334,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             probe AS (
               SELECT doc_id, g, unnest([
-                {_md5h("g || '#0'")} % 65536,
-                {_md5h("g || '#1'")} % 65536,
-                {_md5h("g || '#2'")} % 65536,
-                {_md5h("g || '#3'")} % 65536
+                (h1 + 0 * h2) % 65536, (h1 + 1 * h2) % 65536,
+                (h1 + 2 * h2) % 65536, (h1 + 3 * h2) % 65536
               ]) AS p
-              FROM grams
+              FROM bh
             ),
             chk AS (
               SELECT probe.doc_id, probe.g,

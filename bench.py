@@ -76,6 +76,9 @@ HEADLINE = [
     "bloom_decontaminated_ids",
     "bigram_pmi_top",
     "cms_token_estimates",
+    "semdedup_survivors",
+    "dsir_doc_weights",
+    "dsir_sample_ids",
 ]
 
 

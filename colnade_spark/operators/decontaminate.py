@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from colnade_spark.operators.quality import word_ngrams
-from colnade_spark.operators.text import normalized_text, tokens
+from colnade_spark.operators.spans import clean_tokens
 
 __all__ = [
     "ngram_hashes",
@@ -37,13 +37,16 @@ __all__ = [
 ]
 
 
-def ngram_hashes(text: Column, n: int) -> Column:
+def ngram_hashes(toks: Column, n: int) -> Column:
     """Distinct xxhash64 hashes of the normalized word n-grams of a
     document (normalization: lowercase, strip punctuation, collapse
-    whitespace — matching on content, not formatting)."""
-    toks = F.filter(
-        tokens(normalized_text(F.coalesce(text, F.lit("")))), lambda t: t != ""
-    )
+    whitespace — matching on content, not formatting).
+
+    ``toks`` MUST be a staged token-array COLUMN (spans.clean_tokens via
+    withColumn), not an inline expression: word_ngrams references it
+    inside HOF lambdas, which re-evaluate outer expressions per element
+    — an inline tokenizer would re-run its regexes once per gram
+    position (measured 20x slowdown at sf0.1)."""
     return F.array_distinct(
         F.transform(word_ngrams(toks, n), lambda g: F.xxhash64(g))
     )
@@ -61,15 +64,14 @@ def contaminated_ids(
     benchmark set. The benchmark's gram-hash set is distinct-ed and
     broadcast; corpus grams stream through a semi-join against it."""
     bench_grams = (
-        benchmark.select(
-            F.explode(
-                ngram_hashes(F.col(benchmark_text_col or text_col), n)
-            ).alias("_g")
+        benchmark.withColumn(
+            "_tk", clean_tokens(F.col(benchmark_text_col or text_col))
         )
+        .select(F.explode(ngram_hashes(F.col("_tk"), n)).alias("_g"))
         .distinct()
     )
-    doc_grams = df.select(
-        F.col(id_col), F.explode(ngram_hashes(F.col(text_col), n)).alias("_g")
+    doc_grams = df.withColumn("_tk", clean_tokens(F.col(text_col))).select(
+        F.col(id_col), F.explode(ngram_hashes(F.col("_tk"), n)).alias("_g")
     )
     return (
         doc_grams.join(F.broadcast(bench_grams), "_g", "left_semi")
@@ -140,26 +142,30 @@ def semantic_contaminated_ids(
     )
 
 
-def _word_ngram_texts(text: Column, n: int) -> Column:
+def _word_ngram_texts(toks: Column, n: int) -> Column:
     """Distinct normalized word n-grams as STRINGS (the portable form both
-    engines hash identically — xxhash64 is Spark-only)."""
-    toks = F.filter(
-        tokens(normalized_text(F.coalesce(text, F.lit("")))), lambda t: t != ""
-    )
+    engines hash identically — xxhash64 is Spark-only). ``toks`` must be
+    a STAGED token-array column — see ngram_hashes."""
     return F.array_distinct(word_ngrams(toks, n))
 
 
 def bloom_positions(gram: Column, m_bits: int, n_hashes: int) -> Column:
-    """The ``n_hashes`` Bloom bit positions of a gram: independent
-    md5-derived hashes (gram ∥ '#j') mod ``m_bits`` — reproducible in any
-    engine (same construction as sampling.sample_hash salting)."""
+    """The ``n_hashes`` Bloom bit positions of a gram via
+    Kirsch-Mitzenmacher double hashing: ONE md5 per gram, positions
+    (h1 + j*h2) mod m with h1 = low 30 bits, h2 = (high 30 bits | 1).
+    Within-ulp of independent hashes for FP rate (K-M 2006), 1/k the
+    hash cost — hashing dominates both build and probe — and pure
+    integer arithmetic, so any engine reproduces the positions from the
+    same md5."""
     from colnade_spark.operators.text import md5_hash60
 
+    h = md5_hash60(gram)
+    h1 = h.bitwiseAND(F.lit((1 << 30) - 1))
+    h2 = F.shiftright(h, 30).bitwiseAND(F.lit((1 << 30) - 1)).bitwiseOR(
+        F.lit(1)
+    )
     return F.array(
-        *[
-            md5_hash60(F.concat(gram, F.lit(f"#{j}"))) % F.lit(m_bits)
-            for j in range(n_hashes)
-        ]
+        *[(h1 + F.lit(j) * h2) % F.lit(m_bits) for j in range(n_hashes)]
     )
 
 
@@ -204,13 +210,12 @@ def bloom_words_df(
     if m_bits % 64:
         raise ValueError("m_bits must be a multiple of 64")
     return (
-        benchmark.select(
-            F.explode(_word_ngram_texts(F.col(text_col), n)).alias("_g")
-        )
+        benchmark.withColumn("_tk", clean_tokens(F.col(text_col)))
+        .select(F.explode(_word_ngram_texts(F.col("_tk"), n)).alias("_g"))
         .select(
             F.explode(bloom_positions(F.col("_g"), m_bits, n_hashes)).alias("_p")
         )
-        .distinct()
+        # no distinct: bit_or is idempotent, a pre-dedup shuffle buys nothing
         .select(
             F.shiftright(F.col("_p"), 6).cast("int").alias("_w"),
             F.call_function(
@@ -294,8 +299,8 @@ def bloom_contaminated_ids(
     if len(bloom_words) * 64 != m_bits:
         raise ValueError("bloom_words length must equal m_bits/64")
     lit_words = F.lit(bloom_words)
-    grams = df.select(
-        F.col(id_col), F.explode(_word_ngram_texts(F.col(text_col), n)).alias("_g")
+    grams = df.withColumn("_tk", clean_tokens(F.col(text_col))).select(
+        F.col(id_col), F.explode(_word_ngram_texts(F.col("_tk"), n)).alias("_g")
     )
     probe = F.forall(
         bloom_positions(F.col("_g"), m_bits, n_hashes),

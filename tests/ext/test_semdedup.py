@@ -1,4 +1,5 @@
-"""SemDeDup: within-cluster pruning vs a pure-python model, planted
+"""SemDeDup: within-cluster pruning vs a pure-python model (both
+execution paths), Arrow-vs-expression path equivalence, planted
 duplicate recovery, and the cluster-blocked join shape."""
 
 from __future__ import annotations
@@ -56,19 +57,25 @@ def _model_survivors(rows, threshold):
     return sorted(keep)
 
 
+@pytest.mark.parametrize("use_arrow", [True, False])
 @pytest.mark.parametrize("threshold", [0.99, 0.9, 0.5])
-def test_semantic_dedup_matches_model(spark, threshold):
+def test_semantic_dedup_matches_model(spark, threshold, use_arrow):
     df = spark.createDataFrame(_vecs(), ["vec_id", "embedding"])
     got = sorted(
         r.vec_id
-        for r in semantic_dedup(df, CENTROIDS, threshold=threshold).collect()
+        for r in semantic_dedup(
+            df, CENTROIDS, threshold=threshold, use_arrow=use_arrow
+        ).collect()
     )
     assert got == _model_survivors(_vecs(), threshold)
 
 
-def test_pairs_are_within_cluster_only(spark):
+@pytest.mark.parametrize("use_arrow", [True, False])
+def test_pairs_are_within_cluster_only(spark, use_arrow):
     df = spark.createDataFrame(_vecs(), ["vec_id", "embedding"])
-    pairs = semantic_dup_pairs(df, CENTROIDS, threshold=-1.0).collect()
+    pairs = semantic_dup_pairs(
+        df, CENTROIDS, threshold=-1.0, use_arrow=use_arrow
+    ).collect()
     # threshold -1 admits every within-cluster pair; cluster 0 = {1,2,3,4}
     # (6 pairs), cluster 1 = {5,6,7} (3 pairs) — never a cross-cluster pair
     assert len(pairs) == 9
@@ -76,6 +83,35 @@ def test_pairs_are_within_cluster_only(spark):
     for r in pairs:
         assert r.id_a < r.id_b
         assert (r.id_a in c0) == (r.id_b in c0)
+
+
+def test_arrow_and_expr_paths_agree_on_fixture(spark, sf_dir):
+    """Same pair set, cosines within one rounding ulp, identical
+    survivor ids — the matmul path is a drop-in for the oracle-exact
+    expression path."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    centroids = [
+        [((((j * 29) + (d * 13)) % 9) - 4) / 4.0 for d in range(64)]
+        for j in range(16)
+    ]
+    a = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in semantic_dup_pairs(
+            e, centroids, threshold=0.3, use_arrow=True
+        ).collect()
+    }
+    b = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in semantic_dup_pairs(
+            e, centroids, threshold=0.3, use_arrow=False
+        ).collect()
+    }
+    assert set(a) == set(b)
+    assert len(a) > 0
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=2e-6)
 
 
 def test_planted_duplicates_dropped_sources_kept(spark, sf_dir):
@@ -100,12 +136,28 @@ def test_planted_duplicates_dropped_sources_kept(spark, sf_dir):
     assert n_planted > 0
 
 
+def test_zero_vectors_never_duplicate(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    for use_arrow in (True, False):
+        kept = sorted(
+            r.vec_id
+            for r in semantic_dedup(
+                df, CENTROIDS, threshold=0.5, use_arrow=use_arrow
+            ).collect()
+        )
+        assert kept == [1, 2, 3], use_arrow
+
+
 def test_pairwise_join_is_cluster_keyed(spark):
-    """The candidate join must be an equi-join on cluster_id — never a
-    cross join (the quadratic blow-up SemDeDup exists to avoid)."""
+    """The expression path's candidate join must be an equi-join on
+    cluster_id — never a cross join (the quadratic blow-up SemDeDup
+    exists to avoid)."""
     df = spark.createDataFrame(_vecs(), ["vec_id", "embedding"])
     plan = semantic_dup_pairs(
-        df, CENTROIDS, threshold=0.9
+        df, CENTROIDS, threshold=0.9, use_arrow=False
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
