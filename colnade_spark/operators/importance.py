@@ -177,7 +177,12 @@ def gumbel_topk(
     Gumbel-top-k trick over log-weights. The uniform is content-addressed
     (md5 of salt+id -> (0,1)), so the draw is reproducible and
     engine-portable; keys are rounded before ranking and ties break on
-    id. Returns the k selected rows plus their rank ``rk``."""
+    id. Returns the k selected rows plus their rank ``rk``.
+
+    Scale shape: orderBy().limit(k) plans TakeOrderedAndProject — a
+    per-partition k-heap merged at the driver — NOT a global sort; the
+    rank window then runs over only the k survivors (a global
+    row_number over the corpus would single-partition everything)."""
     # +0.5 keeps u strictly inside (0,1): no ln(0) at either end
     u = (
         md5_hash60(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
@@ -186,10 +191,13 @@ def gumbel_topk(
     ) / F.lit(float(1 << 60))
     gumbel = -F.log(-F.log(u))
     key = F.round(F.col(weight_col) + gumbel, decimals)
+    topk = (
+        df.withColumn("_gkey", key)
+        .orderBy(F.desc("_gkey"), F.col(id_col))
+        .limit(k)
+    )
     w = Window.orderBy(F.desc("_gkey"), F.col(id_col))
     return (
-        df.withColumn("_gkey", key)
-        .withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= k)
+        topk.withColumn("rk", F.row_number().over(w).cast("long"))
         .drop("_gkey")
     )
