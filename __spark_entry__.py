@@ -693,6 +693,32 @@ def semdedup_survivors(spark: SparkSession, sf_dir: str) -> SparkDF:
     return out.select("vec_id")
 
 
+# fixed literal PQ codebooks for the contract query: m=8 subspaces of 8
+# dims, ksub=8 codewords, quarter-step values (exact in both engines'
+# SQL literals). Untrained — the contract checks the encode+ADC
+# machinery, not recall; tests cover trained-codebook recall.
+_PQ_CODEBOOKS = [
+    [
+        [((((j * 37) + (c * 11) + (d * 5)) % 9) - 4) / 4.0 for d in range(8)]
+        for c in range(8)
+    ]
+    for j in range(8)
+]
+
+
+def ann_pq(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Product-quantization ADC top-k: corpus encoded to 8 nearest-
+    codeword ids (integer-space distances — exact argmin, ties to lowest
+    code), queries scored by codebook lookup tables. Deterministic end
+    to end, so the oracle replays encode AND search bit-for-bit."""
+    from colnade_spark.operators.pq import pq_encode, pq_topk
+
+    e = _embs(spark, sf_dir)
+    codes = pq_encode(e, _PQ_CODEBOOKS)
+    q = e.filter(F.col("vec_id") < 8)
+    return pq_topk(codes, q, _PQ_CODEBOOKS, k=5)
+
+
 def dsir_doc_weights(spark: SparkSession, sf_dir: str) -> SparkDF:
     """DSIR importance weights (hashed unigram+bigram features, 256
     buckets; target = the English subset, raw = the whole corpus).
@@ -1874,6 +1900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "semdedup_survivors": semdedup_survivors,
         "dsir_doc_weights": dsir_doc_weights,
         "dsir_sample_ids": dsir_sample_ids,
+        "ann_pq": ann_pq,
         # --- driver-green in round 2 (CORRECTNESS_r02 rows exist) ---
         "q1_pricing_summary": q1_pricing_summary,
         "filter_sort_limit": filter_sort_limit,
@@ -1957,6 +1984,61 @@ def _split_bounds(weights: list[float]) -> list[int]:
 
 
 _SPLIT_BOUNDS = _split_bounds([0.8, 0.1, 0.1])
+
+
+def _pq_oracle_sql() -> str:
+    """DuckDB twin of operators/pq: integer-space per-subspace argmin
+    encode (ties to lowest code via struct list_min), then ADC scoring
+    through literal codebook lookup — bit-identical to the Spark path."""
+    m, ksub, ds = 8, 8, 8
+    s = 1 << 20
+    cb_int = [
+        [[int(round(x * s)) for x in cw] for cw in book]
+        for book in _PQ_CODEBOOKS
+    ]
+    code_exprs = []
+    for j in range(m):
+        structs = []
+        for c in range(ksub):
+            dist = " + ".join(
+                f"(xi[{j * ds + d + 1}] - ({cb_int[j][c][d]}))"
+                f" * (xi[{j * ds + d + 1}] - ({cb_int[j][c][d]}))"
+                for d in range(ds)
+            )
+            structs.append(f"{{'d': {dist}, 'c': {c}}}")
+        code_exprs.append(f"list_min([{', '.join(structs)}]).c")
+    codes = ", ".join(code_exprs)
+    books_sql = [
+        "[" + ", ".join(_centroid_sql(cw) for cw in book) + "]"
+        for book in _PQ_CODEBOOKS
+    ]
+    score = " + ".join(
+        f"list_inner_product(list_slice(q.qv, {j * ds + 1}, {j * ds + ds}),"
+        f" ({books_sql[j]})[e.codes[{j + 1}] + 1])"
+        for j in range(m)
+    )
+    return f"""
+        WITH vi AS (
+          SELECT vec_id,
+            list_transform(CAST(embedding AS DOUBLE[]),
+                           x -> CAST(round(x * {s}) AS BIGINT)) AS xi
+          FROM embeddings
+        ),
+        enc AS (SELECT vec_id, [{codes}] AS codes FROM vi),
+        q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 8),
+        scored AS (
+          SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                 round({score}, 6) AS adc
+          FROM enc e CROSS JOIN q WHERE e.vec_id <> q.qid
+        )
+        SELECT query_id, neighbor_id, rank, adc FROM (
+          SELECT query_id, neighbor_id, adc,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc DESC, neighbor_id) AS rank
+          FROM scored)
+        WHERE rank <= 5
+    """
 
 
 # DuckDB twin of operators/importance.dsir_weights with buckets=256,
@@ -3072,6 +3154,7 @@ def oracle_sql() -> dict[str, str]:
               AND list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4
         """,
+        "ann_pq": _pq_oracle_sql(),
         "dsir_doc_weights": f"""
             {_DSIR_CTE}
             SELECT doc_id, n_feats, round(weight, 6) AS weight FROM w

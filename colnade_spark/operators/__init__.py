@@ -34,6 +34,8 @@
   al. 2023) — within-cluster cosine pruning, deterministic keep rule
 - ``importance``: DSIR importance weighting over hashed n-gram features
   (Xie et al. 2023) + deterministic Gumbel-top-k resampling
+- ``pq``: product quantization (Jegou et al. 2011) — integer-space
+  encode, ADC top-k over compact codes (the memory half of IVF-PQ)
 - ``typed``: typed-frame facades over the above
 """
 
@@ -53,6 +55,7 @@ from colnade_spark.operators import (
     intervals,
     multimodal,
     packing,
+    pq,
     quality,
     redact,
     sampling,
@@ -82,6 +85,7 @@ __all__ = [
     "intervals",
     "multimodal",
     "packing",
+    "pq",
     "quality",
     "redact",
     "sampling",

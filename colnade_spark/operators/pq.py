@@ -1,0 +1,241 @@
+"""Product quantization (PQ) for embedding columns: compact codes +
+asymmetric-distance (ADC) top-k search (Jegou et al. 2011, "Product
+Quantization for Nearest Neighbor Search"; the memory half of IVF-PQ /
+FAISS).
+
+Brute-force and IVF search (operators/similarity.py) keep full vectors:
+256 bytes/vector at dim=64 float32. PQ splits each vector into ``m``
+subvectors and replaces each with the id of its nearest codeword from a
+per-subspace codebook — 8 small ints per vector (32x memory cut), and
+query scoring becomes table lookups instead of vector arithmetic.
+
+Determinism (what makes encode/search oracle-checkable bit-exactly):
+- encode works in INTEGER space: vectors and codewords are scaled to
+  longs once (round(x * 2^20), half-away-from-zero in every engine),
+  so squared distances are exact integer sums — argmin has no float
+  summation-order ambiguity, and ties break to the LOWEST code id;
+- ADC lookup tables are built with the same sequential dot fold the
+  DuckDB oracle uses (list_inner_product), so scores agree bitwise
+  before the final rounding.
+
+Scale shape (100 TB):
+- training fits per-subspace codebooks on a bounded driver-side sample
+  (same contract as similarity.train_ivf_centroids);
+- encoding is one Arrow-batched numpy pass — codes shuffle instead of
+  vectors from then on (the point of PQ);
+- search broadcasts each query's m x ksub lookup table (KB-scale) and
+  scores the code table at scan speed: per row, m integer array gets
+  and m-1 adds — no join, no per-row Python. Top-k per query is a
+  rank window over candidates; compose with similarity.ivf_topk's
+  bucketing to prune candidates first (IVF-PQ) when |corpus| x
+  |queries| is too big to scan.
+
+Reference parity: no counterpart in the reference repo — extension
+layer (the build brief's similarity-search family).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["train_pq_codebooks", "pq_encode", "pq_topk", "pq_reconstruct_dot"]
+
+SCALE = 1 << 20
+
+
+def _scale_int(x):
+    """Half-away-from-zero integer scaling — matches Spark/DuckDB round
+    semantics (numpy's np.round is banker's rounding; don't use it)."""
+    import numpy as np
+
+    v = x * SCALE
+    return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 10,
+    sample_n: int = 2048,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Per-subspace k-means codebooks fit on a bounded driver sample
+    (scan-speed Bernoulli sample, no global sort — see
+    train_ivf_centroids). Returns m codebooks of ksub codewords each."""
+    import numpy as np
+
+    n = corpus.count()
+    vecs = corpus.select(vec_col)
+    if n > sample_n:
+        frac = min(1.0, 2.0 * sample_n / n)
+        vecs = vecs.sample(fraction=frac, seed=seed).limit(sample_n)
+    X = np.asarray([r[0] for r in vecs.collect()], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    ds = dim // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m):
+        S = X[:, j * ds : (j + 1) * ds]
+        C = S[rng.choice(len(S), size=min(ksub, len(S)), replace=False)]
+        for _ in range(iters):
+            d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for c in range(len(C)):
+                mem = S[a == c]
+                if len(mem):
+                    C[c] = mem.mean(axis=0)
+        books.append(C.tolist())
+    return books
+
+
+def _encode_udf(codebooks):
+    """pandas UDF: integer-space nearest-codeword ids per subspace,
+    one vectorized pass per Arrow batch; ties to the lowest code."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    CB = [_scale_int(np.asarray(b, dtype=np.float64)) for b in codebooks]
+    ds = CB[0].shape[1]
+
+    def f(s):
+        X = np.vstack(s.to_numpy()).astype(np.float64)
+        Xi = _scale_int(X)
+        codes = np.empty((len(Xi), len(CB)), dtype=np.int32)
+        for j, C in enumerate(CB):
+            S = Xi[:, j * ds : (j + 1) * ds]
+            # exact int64 squared distances; argmin returns the FIRST
+            # (lowest) code on ties
+            d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    f.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(f, "array<int>")
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """(id, pq_codes array<int>): each vector replaced by its m nearest
+    per-subspace codeword ids. This is the table you persist — codes
+    shuffle and store at m bytes-ish per vector instead of dim*4."""
+    enc = _encode_udf(codebooks)
+    return df.select(F.col(id_col), enc(F.col(vec_col)).alias(code_col))
+
+
+def _lut_col(qv: Column, codebooks: list[list[list[float]]]) -> Column:
+    """m x ksub ADC lookup table for one query vector: dot(q_subvector,
+    codeword) via the sequential fold (identical op order to DuckDB's
+    list_inner_product — bit-reproducible)."""
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    luts = []
+    for j, book in enumerate(codebooks):
+        sub = F.slice(qv, j * ds + 1, ds)
+        entries = []
+        for cw in book:
+            carr = F.array(*[F.lit(float(x)) for x in cw])
+            entries.append(
+                F.aggregate(
+                    F.zip_with(
+                        sub, carr, lambda x, y: x.cast("double") * y
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            )
+        luts.append(F.array(*entries))
+    return F.array(*luts)
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+    adc_decimals: int = 6,
+) -> DataFrame:
+    """ADC top-k: (query_id, neighbor_id, rank, adc). Scores every code
+    row per query as sum_j lut[j][code_j] — the dot product of the query
+    with the RECONSTRUCTED neighbor — at scan speed over the code table.
+    Self-matches are excluded; ties break on neighbor id.
+
+    ADC approximates the raw DOT product; for cosine ordering, unit-
+    normalize vectors (embeddings.normalize_embeddings) before training
+    and encoding, as FAISS does for inner-product indexes."""
+    m = len(codebooks)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _lut_col(F.col(vec_col).cast("array<double>"), codebooks).alias(
+            "_lut"
+        ),
+    )
+    c = codes.select(
+        F.col(id_col).alias("neighbor_id"), F.col(code_col).alias("_codes")
+    )
+    terms = [
+        F.get(F.get(F.col("_lut"), j), F.get(F.col("_codes"), j))
+        for j in range(m)
+    ]
+    adc = F.round(reduce(lambda a, b: a + b, terms), adc_decimals)
+    cand = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc", adc)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc")
+    )
+
+
+def pq_reconstruct_dot(
+    codes: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """(id, adc): the ADC score of ONE literal query against every code
+    row — the building block for filter-style screening (e.g. semantic
+    decontamination over PQ codes instead of raw vectors)."""
+    import numpy as np  # noqa: F401
+
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    lut = []
+    for j, book in enumerate(codebooks):
+        sub = query_vec[j * ds : (j + 1) * ds]
+        row = []
+        for cw in book:
+            acc = 0.0
+            for x, y in zip(sub, cw):
+                acc = acc + float(x) * float(y)
+            row.append(acc)
+        lut.append(row)
+    terms = [
+        F.get(F.lit(lut[j]), F.get(F.col(code_col), j)) for j in range(m)
+    ]
+    return codes.select(
+        F.col(id_col),
+        F.round(reduce(lambda a, b: a + b, terms), 6).alias("adc"),
+    )
