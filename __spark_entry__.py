@@ -1205,6 +1205,34 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> SparkDF:
     return connected_components(edges, nodes=nodes)
 
 
+def canonical_docs_map(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Duplicate-cluster RESOLUTION end-to-end: the dedup_components edge
+    set resolved into (doc_id, canonical_id) where the canonical member
+    is the cluster's highest-n_chars doc (ties -> lowest id) — the
+    "which copy do we keep" step after pair generation + components.
+    Singleton docs map to themselves."""
+    from pyspark.sql.window import Window
+
+    from colnade_spark.operators.canonical import resolve_canonical
+    from colnade_spark.tpch import Documents
+
+    d = _load(spark, sf_dir, "documents", Documents).native
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    s = d.select(
+        "doc_id",
+        "n_chars",
+        F.lag("doc_id").over(w).alias("prev_id"),
+        F.lag("n_chars").over(w).alias("prev_nc"),
+    )
+    edges = s.filter(
+        F.col("prev_nc").isNotNull() & ((F.col("n_chars") - F.col("prev_nc")) <= 2)
+    ).select(F.col("prev_id").alias("src"), F.col("doc_id").alias("dst"))
+    out = resolve_canonical(
+        d.select("doc_id", "n_chars"), edges, score_col="n_chars", src="src", dst="dst"
+    )
+    return out.select("doc_id", "canonical_id")
+
+
 class PartSuppTotals(Schema):
     ps_partkey: Column[Int64]
     ps_suppkey: Column[Int64]
@@ -1901,6 +1929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "dsir_doc_weights": dsir_doc_weights,
         "dsir_sample_ids": dsir_sample_ids,
         "ann_pq": ann_pq,
+        "canonical_docs_map": canonical_docs_map,
         # --- driver-green in round 2 (CORRECTNESS_r02 rows exist) ---
         "q1_pricing_summary": q1_pricing_summary,
         "filter_sort_limit": filter_sort_limit,
@@ -2986,6 +3015,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id AS node,
                    min(doc_id) OVER (PARTITION BY lang, run) AS component
+            FROM r
+        """,
+        "canonical_docs_map": """
+            WITH s AS (
+              SELECT doc_id, lang, n_chars,
+                     LAG(n_chars) OVER (PARTITION BY lang
+                                        ORDER BY n_chars, doc_id) AS pnc
+              FROM documents
+            ), f AS (
+              SELECT doc_id, lang, n_chars,
+                CASE WHEN pnc IS NULL OR n_chars - pnc > 2
+                     THEN 1 ELSE 0 END AS brk
+              FROM s
+            ), r AS (
+              SELECT doc_id, lang, n_chars,
+                sum(brk) OVER (PARTITION BY lang ORDER BY n_chars, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS run
+              FROM f
+            )
+            SELECT doc_id,
+              first_value(doc_id) OVER (PARTITION BY lang, run
+                                        ORDER BY n_chars DESC, doc_id) AS canonical_id
             FROM r
         """,
         "multikey_join_partsupp": """

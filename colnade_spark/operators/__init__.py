@@ -16,6 +16,8 @@
 - ``tfidf``: smoothed TF-IDF weights, top-k terms per document
 - ``funnel``: ordered-funnel analysis over event streams
 - ``graph``: connected components (duplicate-cluster resolution)
+- ``canonical``: per-cluster canonical selection (keep the highest-
+  quality member of each duplicate family, map the rest to it)
 - ``sessions``: gap-based sessionization (batch + streaming state)
 - ``asof``: as-of joins
 - ``intervals``: bin-blocked point-in-interval (range) joins
@@ -41,6 +43,7 @@
 
 from colnade_spark.operators import (
     asof,
+    canonical,
     chunking,
     classifier,
     clustering,
@@ -71,6 +74,7 @@ from colnade_spark.operators import (
 
 __all__ = [
     "asof",
+    "canonical",
     "chunking",
     "classifier",
     "clustering",
