@@ -79,6 +79,8 @@ HEADLINE = [
     "semdedup_survivors",
     "dsir_doc_weights",
     "dsir_sample_ids",
+    "ann_pq",
+    "canonical_docs_map",
 ]
 
 
