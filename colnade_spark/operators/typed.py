@@ -49,6 +49,14 @@ __all__ = [
     "classifier_gate",
     "upsample_epochs",
     "bigram_pmi",
+    "SemDupPairs",
+    "DsirWeights",
+    "CanonicalMap",
+    "semantic_dup_pairs",
+    "semantic_dedup",
+    "dsir_weights",
+    "dsir_sample",
+    "canonical_map",
 ]
 
 
@@ -329,3 +337,107 @@ def bigram_pmi(
 
     out = _cooccur.bigram_pmi(frame.native, text_col=text_col, min_count=min_count)
     return _typed(out, PmiRows)
+
+
+class SemDupPairs(Schema):
+    id_a: Column[Int64]
+    id_b: Column[Int64]
+    cluster_id: Column[Int64]
+    cos_sim: Column[Float64]
+
+
+class DsirWeights(Schema):
+    doc_id: Column[Int64]
+    n_feats: Column[Int64]
+    weight: Column[Float64]
+
+
+class CanonicalMap(Schema):
+    doc_id: Column[Int64]
+    canonical_id: Column[Int64]
+
+
+def semantic_dup_pairs(
+    frame: DataFrame[S],
+    centroids: list[list[float]],
+    threshold: float,
+    **kwargs,
+) -> DataFrame[SemDupPairs]:
+    """Typed SemDeDup audit pairs (operators.semdedup)."""
+    from colnade_spark.operators import semdedup as _semdedup
+
+    out = _semdedup.semantic_dup_pairs(frame.native, centroids, threshold, **kwargs)
+    return _typed(out, SemDupPairs)
+
+
+def semantic_dedup(
+    frame: DataFrame[S],
+    centroids: list[list[float]],
+    threshold: float,
+    **kwargs,
+) -> DataFrame[S]:
+    """Schema-preserving SemDeDup: rows whose cluster has no
+    lower-id near-duplicate survive (operators.semdedup)."""
+    from colnade_spark.operators import semdedup as _semdedup
+
+    return frame.with_raw(
+        lambda d: _semdedup.semantic_dedup(d, centroids, threshold, **kwargs)
+    )
+
+
+def dsir_weights(
+    frame: DataFrame[S], target: DataFrame, **kwargs
+) -> DataFrame[DsirWeights]:
+    """Typed DSIR importance weights vs a target frame
+    (operators.importance)."""
+    from colnade_spark.operators import importance as _importance
+
+    out = _importance.dsir_weights(
+        frame.native, target.native if isinstance(target, DataFrame) else target,
+        **kwargs,
+    )
+    return _typed(out, DsirWeights)
+
+
+def dsir_sample(
+    frame: DataFrame[S],
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame[S]:
+    """Schema-preserving DSIR resample: the Gumbel-top-k selected rows,
+    full payloads joined back by id (operators.importance)."""
+    from colnade_spark.operators import importance as _importance
+
+    tgt = target.native if isinstance(target, DataFrame) else target
+
+    def _apply(d):
+        w = _importance.dsir_weights(d, tgt, id_col=id_col, **kwargs)
+        picked = _importance.gumbel_topk(w, k, id_col=id_col).select(id_col)
+        return d.join(picked, id_col)
+
+    return frame.with_raw(_apply)
+
+
+def canonical_map(
+    frame: DataFrame[S],
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    **kwargs,
+) -> DataFrame[CanonicalMap]:
+    """Typed duplicate-cluster resolution: every paired doc mapped to its
+    kept representative (operators.canonical). ``frame`` supplies the
+    quality scores (``id_col`` + ``score_col``)."""
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators import canonical as _canonical
+
+    p = pairs.native if isinstance(pairs, DataFrame) else pairs
+    out = _canonical.canonical_map(
+        p, frame.native, id_col=id_col, score_col=score_col, **kwargs
+    )
+    return _typed(
+        out.select(F.col(id_col).alias("doc_id"), "canonical_id"), CanonicalMap
+    )

@@ -95,3 +95,51 @@ def test_bigram_pmi_typed(docs):
     assert pm.schema is typed.PmiRows and pm.height > 0
     r = pm.rows()[0]
     assert isinstance(r.tok_a, str) and isinstance(r.pmi, float)
+
+
+def test_semdedup_facades(spark, sf_dir):
+    from colnade_spark import read_parquet
+    from colnade_spark.tpch import Embeddings, table_path
+
+    emb = read_parquet(table_path(sf_dir, "embeddings"), Embeddings, spark=spark)
+    cents = [
+        [((((j * 29) + (d * 13)) % 9) - 4) / 4.0 for d in range(64)]
+        for j in range(8)
+    ]
+    pairs = typed.semantic_dup_pairs(emb, cents, threshold=0.3)
+    assert pairs.schema is typed.SemDupPairs and pairs.height > 0
+    r = pairs.rows()[0]
+    assert r.id_a < r.id_b and isinstance(r.cos_sim, float)
+    kept = typed.semantic_dedup(emb, cents, threshold=0.99)
+    assert kept.schema is Embeddings and 0 < kept.height <= emb.height
+
+
+def test_dsir_facades(docs):
+    target = docs.filter(Documents.lang == "en")
+    w = typed.dsir_weights(docs, target, buckets=128)
+    assert w.schema is typed.DsirWeights and w.height == docs.height
+    picked = typed.dsir_sample(docs, target, k=25, buckets=128)
+    assert picked.schema is Documents and picked.height == 25
+    # full payload survived the join-back
+    assert isinstance(picked.rows()[0].text, str)
+
+
+def test_canonical_map_facade(spark, docs):
+    import pyspark.sql.functions as F
+
+    d = docs.native
+    pairs = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1).alias("id_b"),
+        )
+    )
+    scored = docs.with_raw(lambda x: x)  # Documents has n_chars as score
+    cmap = typed.canonical_map(scored, pairs, score_col="n_chars")
+    assert cmap.schema is typed.CanonicalMap
+    rows = {r.doc_id: r.canonical_id for r in cmap.rows()}
+    assert rows  # every paired doc mapped
+    # canonical is always a member of the same pair (doc, doc+1)
+    for doc, canon in rows.items():
+        assert canon in (doc, doc - 1, doc + 1)
