@@ -48,3 +48,30 @@ def check_typed_rows(chunks: DataFrame[Chunks]) -> list[str]:
         n: int = r.chunk_tokens
         out.append(t if n > 0 else "")
     return out
+
+
+def check_round3_facades(frame: DataFrame[Corpus]) -> DataFrame[Corpus]:
+    # schema-preserving: SemDeDup and DSIR resampling keep the frame type
+    target: DataFrame[Corpus] = frame.filter(Corpus.lang == "en")
+    picked: DataFrame[Corpus] = typed.dsir_sample(frame, target, k=10)
+    deduped: DataFrame[Corpus] = typed.semantic_dedup(
+        picked, [[1.0, 0.0], [0.0, 1.0]], threshold=0.9
+    )
+    return deduped.filter(Corpus.doc_id > 0)
+
+
+def check_round3_tables(frame: DataFrame[Corpus]) -> list[float]:
+    # table-shaped outputs carry pinned schemas with typed rows
+    w: DataFrame[typed.DsirWeights] = typed.dsir_weights(
+        frame, frame.filter(Corpus.lang == "en")
+    )
+    out: list[float] = []
+    for r in w.rows():
+        x: float = r.weight
+        n: int = r.n_feats
+        out.append(x if n > 0 else 0.0)
+    pairs: DataFrame[typed.SemDupPairs] = typed.semantic_dup_pairs(
+        frame, [[1.0, 0.0]], threshold=0.5
+    )
+    _ = pairs.filter(typed.SemDupPairs.cos_sim >= 0.5)
+    return out
