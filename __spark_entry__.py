@@ -719,6 +719,20 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> SparkDF:
     return pq_topk(codes, q, _PQ_CODEBOOKS, k=5)
 
 
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """IVF-PQ with nprobe == nlist (probes every inverted list): result
+    is exactly pq_topk, so the same ADC oracle applies — validating the
+    bucket→probe→lookup composition end to end. Production uses
+    nprobe < nlist for the |corpus|·nprobe/nlist candidate cut."""
+    from colnade_spark.operators.pq import ivfpq_topk
+
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 8)
+    return ivfpq_topk(
+        e, q, _PQ_CODEBOOKS, _CENTROIDS, k=5, nprobe=len(_CENTROIDS)
+    )
+
+
 def dsir_doc_weights(spark: SparkSession, sf_dir: str) -> SparkDF:
     """DSIR importance weights (hashed unigram+bigram features, 256
     buckets; target = the English subset, raw = the whole corpus).
@@ -1929,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "dsir_doc_weights": dsir_doc_weights,
         "dsir_sample_ids": dsir_sample_ids,
         "ann_pq": ann_pq,
+        "ann_ivfpq": ann_ivfpq,
         "canonical_docs_map": canonical_docs_map,
         # --- driver-green in round 2 (CORRECTNESS_r02 rows exist) ---
         "q1_pricing_summary": q1_pricing_summary,
@@ -3206,6 +3221,8 @@ def oracle_sql() -> dict[str, str]:
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4
         """,
         "ann_pq": _pq_oracle_sql(),
+        # full probe ≡ pq_topk — same deterministic ADC pipeline
+        "ann_ivfpq": _pq_oracle_sql(),
         "dsir_doc_weights": f"""
             {_DSIR_CTE}
             SELECT doc_id, n_feats, round(weight, 6) AS weight FROM w

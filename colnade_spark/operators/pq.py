@@ -41,7 +41,13 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["train_pq_codebooks", "pq_encode", "pq_topk", "pq_reconstruct_dot"]
+__all__ = [
+    "train_pq_codebooks",
+    "pq_encode",
+    "pq_topk",
+    "ivfpq_topk",
+    "pq_reconstruct_dot",
+]
 
 SCALE = 1 << 20
 
@@ -195,6 +201,66 @@ def pq_topk(
     adc = F.round(reduce(lambda a, b: a + b, terms), adc_decimals)
     cand = (
         c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc", adc)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    adc_decimals: int = 6,
+) -> DataFrame:
+    """IVF-PQ: the standard billion-scale index — IVF's coarse quantizer
+    prunes candidates to ``nprobe``/nlist of the corpus, PQ codes make
+    each candidate check a table lookup. Corpus rows carry (id, list,
+    codes) — 3 small values — so the probe join moves no vectors at all;
+    with ``nprobe == len(centroids)`` (probe everything) the result is
+    exactly ``pq_topk``, which is what the oracle checks (the ann_ivf
+    full-probe precedent); production uses nprobe << nlist.
+
+    Vanilla composition (codes quantize raw vectors, not IVF residuals);
+    residual encoding would couple the codebooks to the coarse quantizer
+    — out of scope here, noted for parity with FAISS IVFPQ."""
+    from colnade_spark.operators.similarity import _assign_udf, _probe_udf
+
+    assign = _assign_udf(centroids)
+    enc = _encode_udf(codebooks)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        assign(F.col(vec_col)).alias("_list"),
+        enc(F.col(vec_col)).alias("_codes"),
+    )
+    probe = _probe_udf(centroids, nprobe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _lut_col(F.col(vec_col).cast("array<double>"), codebooks).alias(
+            "_lut"
+        ),
+        F.explode(probe(F.col(vec_col))).alias("_list"),
+    )
+    m = len(codebooks)
+    terms = [
+        F.get(F.get(F.col("_lut"), j), F.get(F.col("_codes"), j))
+        for j in range(m)
+    ]
+    adc = F.round(reduce(lambda a, b: a + b, terms), adc_decimals)
+    cand = (
+        c.join(F.broadcast(q), "_list")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("adc", adc)
     )

@@ -115,3 +115,60 @@ def test_scale_constant_halfaway():
 
     x = np.array([0.5 / SCALE, -0.5 / SCALE, 1.49 / SCALE])
     assert list(_scale_int(x)) == [1, -1, 1]
+
+
+def test_ivfpq_full_probe_equals_pq_topk(spark, sf_dir):
+    from colnade_spark.operators.pq import ivfpq_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    books = train_pq_codebooks(e, m=8, ksub=8, sample_n=256, seed=5)
+    cents = [
+        [((((j * 31) + (d * 17)) % 7) - 3) / 4.0 for d in range(64)]
+        for j in range(4)
+    ]
+    q = e.filter(F.col("vec_id") < 4)
+    full = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivfpq_topk(e, q, books, cents, k=5, nprobe=4).collect()
+    }
+    ref = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in pq_topk(pq_encode(e, books), q, books, k=5).collect()
+    }
+    assert full == ref
+
+
+def test_ivfpq_pruned_probe_is_subset_of_candidates(spark, sf_dir):
+    """With nprobe < nlist every returned neighbor must come from a
+    probed list — checked by recomputing each neighbor's list."""
+    from colnade_spark.operators.pq import ivfpq_topk
+    from colnade_spark.operators.similarity import _assign_udf, _probe_udf
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    books = train_pq_codebooks(e, m=8, ksub=8, sample_n=256, seed=5)
+    cents = [
+        [((((j * 31) + (d * 17)) % 7) - 3) / 4.0 for d in range(64)]
+        for j in range(4)
+    ]
+    q = e.filter(F.col("vec_id") < 4)
+    out = ivfpq_topk(e, q, books, cents, k=5, nprobe=1)
+    lists = {
+        r.vec_id: r.l
+        for r in e.select(
+            "vec_id", _assign_udf(cents)(F.col("embedding")).alias("l")
+        ).collect()
+    }
+    probes = {
+        r.vec_id: r.p
+        for r in q.select(
+            "vec_id", _probe_udf(cents, 1)(F.col("embedding")).alias("p")
+        ).collect()
+    }
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert lists[r.neighbor_id] in probes[r.query_id]
