@@ -165,6 +165,69 @@ def dsir_weights(
     return scored
 
 
+def fit_logratio(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    buckets: int = 1024,
+    bigrams: bool = True,
+    smoothing: float = 1.0,
+) -> list[int]:
+    """The frozen DSIR model: the per-bucket integer-micro log-ratio
+    table as a plain list indexed by bucket id. Bounded at ``buckets``
+    entries regardless of corpus size (the same bounded-driver-
+    materialization tier as build_bloom / the IVF training sample) —
+    fit once offline, then score batches or streams with
+    ``dsir_score_frozen``."""
+    lr = logratio_table(
+        bucket_distribution(target, text_col, buckets, bigrams),
+        bucket_distribution(corpus, text_col, buckets, bigrams),
+        buckets,
+        smoothing,
+    )
+    out = [0] * buckets
+    for r in lr.collect():
+        out[r["bucket"]] = r["lr_micro"]
+    return out
+
+
+def dsir_score_frozen(
+    df: DataFrame,
+    lr_micro: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bigrams: bool = True,
+) -> DataFrame:
+    """(id, n_feats, weight) against a FROZEN log-ratio table — a pure
+    scan-side projection: feature hashing + an array fold over the
+    staged table column. NO shuffle, no state, so it drops into a
+    streaming ingest as a stateless gate (pinned by test) — the
+    production shape: fit offline on a snapshot, score everything
+    after at wire speed. Identical weights to dsir_weights when the
+    table came from the same corpus/target (integer sums are
+    order-independent)."""
+    buckets = len(lr_micro)
+    staged = df.withColumns(
+        {
+            "_tk": clean_tokens(F.col(text_col)),
+            "_lr": F.lit([int(x) for x in lr_micro]),
+        }
+    ).withColumn("_fs", hashed_feature_buckets(F.col("_tk"), buckets, bigrams))
+    weight = (
+        F.aggregate(
+            F.col("_fs"),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc + F.get(F.col("_lr"), b.cast("int")),
+        )
+        / F.lit(float(MICRO))
+    )
+    return staged.select(
+        F.col(id_col),
+        F.size("_fs").cast("long").alias("n_feats"),
+        weight.alias("weight"),
+    )
+
+
 def gumbel_topk(
     df: DataFrame,
     k: int,

@@ -140,3 +140,34 @@ def test_scoring_join_is_broadcast(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_frozen_scoring_matches_join_path(spark):
+    from colnade_spark.operators.importance import dsir_score_frozen, fit_logratio
+
+    df = _df(spark)
+    target = df.filter(F.col("lang") == "en")
+    lr = fit_logratio(df, target, buckets=B)
+    assert len(lr) == B
+    frozen = {
+        r.doc_id: (r.n_feats, r.weight)
+        for r in dsir_score_frozen(df, lr).collect()
+    }
+    joined = {
+        r.doc_id: (r.n_feats, r.weight)
+        for r in dsir_weights(df, target, buckets=B).collect()
+    }
+    assert frozen == joined
+
+
+def test_frozen_scoring_plan_has_no_shuffle(spark):
+    from colnade_spark.operators.importance import dsir_score_frozen
+
+    df = _df(spark)
+    plan = (
+        dsir_score_frozen(df, [0] * B)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

@@ -397,3 +397,32 @@ def test_upsample_epochs_is_stateless_on_streams(spark, sf_dir):
     batch = spark.read.parquet(table_path(sf_dir, "documents"))
     want = sorted((r.doc_id, r.epoch) for r in up(batch).collect())
     assert got == want and len(got) > batch.count()
+
+
+def test_dsir_frozen_gate_is_stateless_on_streams(spark, sf_dir):
+    """DSIR scoring against a frozen log-ratio table is a pure scan-side
+    projection (array fold over a staged literal table): a streamed
+    documents source scores and gates identically to batch — fit the
+    table offline on a snapshot, then importance-gate the ingest with
+    zero streaming state."""
+    from colnade_spark.operators.importance import dsir_score_frozen, fit_logratio
+    from colnade_spark.streaming import scan_stream_parquet
+    from colnade_spark.tpch import Documents
+    from pyspark.sql import functions as F
+
+    batch = spark.read.parquet(table_path(sf_dir, "documents"))
+    lr = fit_logratio(batch, batch.filter(F.col("lang") == "en"), buckets=256)
+
+    def gate(d):
+        return (
+            dsir_score_frozen(d, lr)
+            .filter(F.col("weight") > 0.0)
+            .select("doc_id")
+        )
+
+    sf = scan_stream_parquet(table_path(sf_dir, "documents"), Documents, spark=spark)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _await(sf.with_raw(gate).to_memory_sink(name, output_mode="append"))
+    got = {r.doc_id for r in spark.table(name).collect()}
+    want = {r.doc_id for r in gate(batch).collect()}
+    assert got == want and 0 < len(got) < batch.count()
