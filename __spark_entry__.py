@@ -706,6 +706,31 @@ _PQ_CODEBOOKS = [
 ]
 
 
+def blocked_url_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """URL-blocklist gate (C4/RefinedWeb stage) over INJECTED urls:
+    every doc gets a synthetic link on host h<id%5>.site<id%3>.com; the
+    blocklist blocks one apex domain (subdomain suffix match) and one
+    exact host. The suffix-chain explode keeps the join a broadcast
+    hash semi-join — the oracle recomputes extraction, chaining, and
+    matching from the same injected text."""
+    from colnade_spark.operators.redact import blocked_doc_ids
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" link http://h"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".site"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".com/x"),
+        ),
+    )
+    return blocked_doc_ids(
+        docs, ["site0.com", "h2.site1.com"], subdomains=True
+    )
+
+
 def ann_pq(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Product-quantization ADC top-k: corpus encoded to 8 nearest-
     codeword ids (integer-space distances — exact argmin, ties to lowest
@@ -1945,6 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "ann_pq": ann_pq,
         "ann_ivfpq": ann_ivfpq,
         "canonical_docs_map": canonical_docs_map,
+        "blocked_url_ids": blocked_url_ids,
         # --- driver-green in round 2 (CORRECTNESS_r02 rows exist) ---
         "q1_pricing_summary": q1_pricing_summary,
         "filter_sort_limit": filter_sort_limit,
@@ -3219,6 +3245,33 @@ def oracle_sql() -> dict[str, str]:
                                    CAST(b.embedding AS DOUBLE[])) > 0
               AND list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        "blocked_url_ids": """
+            WITH inj AS (
+              SELECT doc_id,
+                text || ' link http://h' || CAST(doc_id % 5 AS VARCHAR)
+                     || '.site' || CAST(doc_id % 3 AS VARCHAR) || '.com/x'
+                  AS text
+              FROM documents
+            ),
+            doms AS (
+              SELECT doc_id,
+                lower(unnest(regexp_extract_all(
+                  text, 'https?://([A-Za-z0-9.-]+)', 1))) AS dom
+              FROM inj
+            ),
+            sfx AS (
+              SELECT doc_id,
+                unnest(list_transform(
+                  range(1, len(string_split(dom, '.')) + 1),
+                  i -> array_to_string(
+                    list_slice(string_split(dom, '.'), i,
+                               len(string_split(dom, '.'))), '.')
+                )) AS s
+              FROM doms
+            )
+            SELECT DISTINCT doc_id FROM sfx
+            WHERE s IN ('site0.com', 'h2.site1.com')
         """,
         "ann_pq": _pq_oracle_sql(),
         # full probe ≡ pq_topk — same deterministic ADC pipeline

@@ -30,6 +30,9 @@ __all__ = [
     "extract_urls",
     "extract_domains",
     "domain_counts",
+    "domain_suffixes",
+    "blocked_doc_ids",
+    "domain_blocklist_gate",
 ]
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -86,3 +89,66 @@ def domain_counts(
         .groupBy(out_col)
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+def domain_suffixes(dom: Column) -> Column:
+    """Dot-boundary suffix chain of a host: ``a.b.c`` ->
+    ``[a.b.c, b.c, c]`` — turns "block this domain and its subdomains"
+    into plain string EQUALITY (hash-joinable; an endswith predicate
+    against a big blocklist would force a nested-loop join)."""
+    parts = F.split(dom, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: F.concat_ws(".", F.slice(parts, i, n)),
+    )
+
+
+def blocked_doc_ids(
+    df: DataFrame,
+    blocked: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    subdomains: bool = True,
+) -> DataFrame:
+    """Ids of documents containing a URL on a blocked domain (the C4 /
+    RefinedWeb URL-blocklist stage); ``subdomains=True`` also catches
+    ``*.domain`` hosts via the suffix chain.
+
+    Scale shape: blocklists are 10^4-10^6 entries — tiny next to the
+    corpus — so the exploded (id, host-suffix) stream LEFT-SEMI joins the
+    BROADCAST blocklist on equality; text never shuffles and the output
+    is ids only (feed to a left_anti join like decontaminate)."""
+    spark = df.sparkSession
+    bl = F.broadcast(
+        spark.createDataFrame([(d.lower(),) for d in blocked], ["_sfx"])
+    )
+    staged = df.withColumn("_doms", extract_domains(F.col(text_col)))
+    key = (
+        F.explode(
+            F.array_distinct(
+                F.flatten(F.transform(F.col("_doms"), domain_suffixes))
+            )
+        )
+        if subdomains
+        else F.explode(F.array_distinct(F.col("_doms")))
+    )
+    return (
+        staged.select(F.col(id_col), key.alias("_sfx"))
+        .join(bl, "_sfx", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def domain_blocklist_gate(
+    df: DataFrame,
+    blocked: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    subdomains: bool = True,
+) -> DataFrame:
+    """The corpus minus documents with blocked-domain URLs (full rows
+    preserved; ids ride the joins, not text)."""
+    bad = blocked_doc_ids(df, blocked, id_col, text_col, subdomains)
+    return df.join(bad, id_col, "left_anti")

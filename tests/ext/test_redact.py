@@ -63,3 +63,50 @@ def test_urls_redacted_before_phone_rule(spark):
     )
     out = redact.redact_pii(df).first().text
     assert out == "go to <URL> now"
+
+
+def test_domain_suffixes_hand_checked(spark):
+    from colnade_spark.operators.redact import domain_suffixes
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("a.b.c",), ("com",)], ["d"])
+    got = {r.d: r.s for r in df.select("d", domain_suffixes(F.col("d")).alias("s")).collect()}
+    assert got["a.b.c"] == ["a.b.c", "b.c", "c"]
+    assert got["com"] == ["com"]
+
+
+def test_blocklist_gate_subdomains_and_exact(spark):
+    from colnade_spark.operators.redact import blocked_doc_ids, domain_blocklist_gate
+
+    df = spark.createDataFrame(
+        [
+            (1, "see http://ads.bad.com/x"),      # subdomain of blocked apex
+            (2, "see http://bad.com/x"),          # blocked apex exactly
+            (3, "see http://notbad.com/x"),       # NOT a dot-boundary match
+            (4, "see http://good.org/x"),
+            (5, "no links here"),
+            (6, "see https://Exact.Host.net/y"),  # exact host, case-folded
+        ],
+        ["doc_id", "text"],
+    )
+    bad = {r.doc_id for r in blocked_doc_ids(df, ["bad.com", "exact.host.net"]).collect()}
+    assert bad == {1, 2, 6}
+    kept = {r.doc_id for r in domain_blocklist_gate(df, ["bad.com", "exact.host.net"]).collect()}
+    assert kept == {3, 4, 5}
+    # subdomains=False: only exact host matches
+    strict = {r.doc_id for r in blocked_doc_ids(df, ["bad.com"], subdomains=False).collect()}
+    assert strict == {2}
+
+
+def test_blocklist_join_is_broadcast(spark):
+    from colnade_spark.operators.redact import blocked_doc_ids
+
+    df = spark.createDataFrame([(1, "x http://a.b.com/p")], ["doc_id", "text"])
+    plan = (
+        blocked_doc_ids(df, ["b.com"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
