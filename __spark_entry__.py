@@ -1822,17 +1822,17 @@ def line_dedup_clean(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Hashed-feature linear quality classifier (fastText-style): exact
-    integer weight sum (bit-exact anchor) plus derived score/logistic
-    probability, rounded to 6 places on both engines."""
+    integer weight sum (bit-exact anchor) plus derived score/softsign
+    probability. score and prob are emitted UNROUNDED: both derive from
+    the integer anchor through correctly-rounded IEEE ops only
+    (division, softsign), so the doubles are bit-identical across
+    engines — whereas round(x, 6) is engine-implemented (BigDecimal
+    ties vs float-multiply ties) and flipped a last digit on a real
+    sf0.1 decimal-tie score (-4039/16000)."""
     out = classifier.hashed_linear_score(
         _docs(spark, sf_dir), dim=4096, seed=7
     )
-    return out.select(
-        "doc_id",
-        "clf_int",
-        F.round("clf_score", 6).alias("clf_score"),
-        F.round("clf_prob", 6).alias("clf_prob"),
-    )
+    return out.select("doc_id", "clf_int", "clf_score", "clf_prob")
 
 
 def upsample_epoch_counts(spark: SparkSession, sf_dir: str) -> SparkDF:
@@ -2366,13 +2366,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
               regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
-                'https?://[^\s]+', '<URL>', 'g'),
+                '(?i)https?://[^\s]+', '<URL>', 'g'),
                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                 '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
                 '\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS red_text,
-              CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS BIGINT)
+              CAST(len(regexp_extract_all(t, '(?i)https?://[^\s]+')) AS BIGINT)
                 AS n_urls,
-              lower(regexp_extract(t, 'https?://([A-Za-z0-9.-]+)', 1))
+              lower(regexp_extract(t,
+                '(?i)https?://(?:[^/@\s]*@)?([A-Za-z0-9.-]+)', 1))
                 AS first_domain
             FROM inj
         """,
@@ -3257,7 +3258,8 @@ def oracle_sql() -> dict[str, str]:
             doms AS (
               SELECT doc_id,
                 lower(unnest(regexp_extract_all(
-                  text, 'https?://([A-Za-z0-9.-]+)', 1))) AS dom
+                  text, '(?i)https?://(?:[^/@\\s]*@)?([A-Za-z0-9.-]+)', 1)))
+                  AS dom
               FROM inj
             ),
             sfx AS (
@@ -3461,9 +3463,10 @@ def oracle_sql() -> dict[str, str]:
               FROM nt
             )
             SELECT doc_id, clf_int,
-              round(clf_int / (1000.0 * greatest(n, 1)), 6) AS clf_score,
-              round(1.0 / (1.0 + exp(-4.0 *
-                (clf_int / (1000.0 * greatest(n, 1))))), 6) AS clf_prob
+              clf_int / (1000.0 * greatest(n, 1)) AS clf_score,
+              0.5 + 0.5 * (4.0 * (clf_int / (1000.0 * greatest(n, 1))))
+                / (1.0 + abs(4.0 * (clf_int / (1000.0 * greatest(n, 1)))))
+                AS clf_prob
             FROM s
         """,
         "upsample_epoch_counts": f"""

@@ -48,13 +48,17 @@ def canonical_map(
     absent from ``pairs`` are their own canonical and are NOT returned
     — see resolve_canonical for the corpus-wide map."""
     cc = connected_components(pairs, src=src, dst=dst)
-    scored = cc.join(
+    # collapse duplicate quality rows (max score per id) BEFORE the join:
+    # a multi-row score table would otherwise fan the cluster member out
+    # and duplicate the map (and the corpus through resolve_canonical)
+    q = (
         quality.select(
             F.col(id_col).alias("node"), F.col(score_col).alias("_q")
-        ),
-        "node",
-        "left",
+        )
+        .groupBy("node")
+        .agg(F.max("_q").alias("_q"))
     )
+    scored = cc.join(q, "node", "left")
     w = Window.partitionBy("component").orderBy(
         F.desc_nulls_last("_q"), F.asc("node")
     )

@@ -75,11 +75,20 @@ def hashed_linear_score(
     prefix: str = "clf",
 ) -> DataFrame:
     """Append ``{prefix}_int`` (exact integer weight sum), ``{prefix}_score``
-    (length-normalized, in [-1, 1]) and ``{prefix}_prob`` (logistic).
+    (length-normalized, in [-1, 1]) and ``{prefix}_prob`` (a sigmoid
+    squash of the score).
 
     One projection, no shuffle: tokens → buckets → seeded weights →
     integer fold, all in array HOFs. The integer sum is the bit-exact
     cross-engine anchor; score/prob are derived doubles.
+
+    The probability squash is the SOFTSIGN sigmoid
+    0.5 + 0.5*g*s / (1 + |g*s|), not exp-based logistic: +,*,/ and abs
+    are correctly-rounded IEEE ops, so the value is bit-identical in
+    every engine, while ``exp`` differs by an ulp between libm
+    implementations — a real sf0.1 doc landed that ulp on a round-to-6
+    boundary and flipped the last digit vs the DuckDB oracle. Same
+    shape and gating semantics (monotone, 0.5 exactly at score 0).
     """
     staged = df.withColumn("_clf_toks", clean_tokens(F.col(text_col)))
     weights = F.transform(
@@ -91,7 +100,8 @@ def hashed_linear_score(
     )
     n = F.size(F.col("_clf_toks"))
     score = int_sum / (F.lit(float(_WEIGHT_SCALE)) * F.greatest(n, F.lit(1)))
-    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.lit(_LOGISTIC_GAIN) * score))
+    g = F.lit(_LOGISTIC_GAIN) * score
+    prob = F.lit(0.5) + F.lit(0.5) * g / (F.lit(1.0) + F.abs(g))
     return (
         staged.withColumn(f"{prefix}_int", int_sum)
         .withColumn(f"{prefix}_score", score)

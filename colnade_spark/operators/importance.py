@@ -49,6 +49,8 @@ __all__ = [
     "bucket_distribution",
     "logratio_table",
     "dsir_weights",
+    "fit_logratio",
+    "dsir_score_frozen",
     "gumbel_topk",
 ]
 

@@ -26,6 +26,7 @@ __all__ = [
     "PHONE_RE",
     "IPV4_RE",
     "URL_RE",
+    "DOMAIN_RE",
     "redact_pii",
     "extract_urls",
     "extract_domains",
@@ -36,9 +37,19 @@ __all__ = [
 ]
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# KNOWN OVER-MATCH: ISO dates / numeric ranges ('2026-08-14') satisfy the
+# digit-run shape; separating them needs lookaround, which the Java/RE2
+# common subset lacks. Redaction errs toward scrubbing — acceptable for
+# PII (same bias as the Bloom decontaminator), documented for callers
+# who keep dates.
 PHONE_RE = r"\+?[0-9][0-9() -]{6,}[0-9]"
 IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
-URL_RE = r"https?://[^\s]+"
+# (?i): schemes are case-insensitive ('HTTP://...' is a URL too)
+URL_RE = r"(?i)https?://[^\s]+"
+# optional userinfo ('http://user@host/...') must not be mistaken for the
+# host — groups after a non-capturing skip keep index 1 = host in both
+# Java regex and RE2
+DOMAIN_RE = r"(?i)https?://(?:[^/@\s]*@)?([A-Za-z0-9.-]+)"
 
 # Order matters: URLs first (they may contain digit runs a phone pattern
 # would mangle), then emails, then IPs, then phones.
@@ -72,9 +83,10 @@ def extract_urls(text: Column) -> Column:
 
 def extract_domains(text: Column) -> Column:
     """Array of lowercased registrable-host strings for each URL in the
-    document (scheme and path stripped, port kept out by the host class)."""
+    document (scheme, optional userinfo, and path stripped; port kept
+    out by the host class)."""
     return F.transform(
-        F.regexp_extract_all(text, F.lit(r"https?://([A-Za-z0-9.-]+)"), 1),
+        F.regexp_extract_all(text, F.lit(DOMAIN_RE), 1),
         lambda h: F.lower(h),
     )
 
@@ -82,10 +94,16 @@ def extract_domains(text: Column) -> Column:
 def domain_counts(
     df: DataFrame, text_col: str = "text", out_col: str = "domain"
 ) -> DataFrame:
-    """Documents-per-domain table: explode extracted domains, count per
-    domain (one shuffle, map-side combined)."""
+    """Documents-per-domain table: distinct domains per doc exploded and
+    counted (one shuffle, map-side combined). array_distinct keeps the
+    count a DOCUMENT count — a page linking example.com three times
+    contributes 1, matching the column name."""
     return (
-        df.select(F.explode(extract_domains(F.col(text_col))).alias(out_col))
+        df.select(
+            F.explode(
+                F.array_distinct(extract_domains(F.col(text_col)))
+            ).alias(out_col)
+        )
         .groupBy(out_col)
         .agg(F.count("*").alias("n_docs"))
     )
@@ -120,8 +138,12 @@ def blocked_doc_ids(
     BROADCAST blocklist on equality; text never shuffles and the output
     is ids only (feed to a left_anti join like decontaminate)."""
     spark = df.sparkSession
+    # explicit schema: an EMPTY blocklist must mean "block nothing",
+    # not an infer-schema crash
     bl = F.broadcast(
-        spark.createDataFrame([(d.lower(),) for d in blocked], ["_sfx"])
+        spark.createDataFrame(
+            [(d.lower(),) for d in blocked], "_sfx string"
+        )
     )
     staged = df.withColumn("_doms", extract_domains(F.col(text_col)))
     key = (

@@ -91,17 +91,28 @@ def _pairs_arrow(
         ids = pdf[id_col].to_numpy()
         V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         n = np.linalg.norm(V, axis=1)
-        n[n == 0.0] = 1.0  # zero vectors: cos stays 0, never a dup
+        zero = n == 0.0
+        n[zero] = 1.0
         Vn = V / n[:, None]
         cid = int(pdf["cluster_id"].iloc[0])
         m = len(ids)
+        scale = 10.0**dec
         out_a, out_b, out_s = [], [], []
         for lo in range(0, m, _BLOCK):
             hi = min(lo + _BLOCK, m)
-            S = np.round(Vn[lo:hi] @ Vn.T, dec)
+            R = Vn[lo:hi] @ Vn.T
+            # HALF-AWAY-FROM-ZERO like Spark/DuckDB round — np.round is
+            # banker's and can flip pair membership at 5e-7 boundaries
+            S = np.sign(R) * np.floor(np.abs(R) * scale + 0.5) / scale
             for r in range(lo, hi):
                 row = S[r - lo, r + 1 :]
                 hit = np.nonzero(row >= thr)[0]
+                if hit.size:
+                    # zero-vector parity with the expression path: its
+                    # norm>0 guard nulls the cosine, so such pairs never
+                    # qualify regardless of threshold sign
+                    zrow = zero[r + 1 :][hit] | zero[r]
+                    hit = hit[~zrow]
                 if hit.size:
                     out_a.append(np.full(hit.size, ids[r]))
                     out_b.append(ids[r + 1 + hit])

@@ -68,3 +68,18 @@ def test_transitive_cluster_one_canonical(spark):
         r.doc_id: r.canonical_id for r in canonical_map(pairs, docs).collect()
     }
     assert set(got.values()) == {5}  # highest score wins across the chain
+
+
+def test_duplicate_quality_rows_do_not_fan_out(spark):
+    from colnade_spark.operators.canonical import resolve_canonical
+
+    docs = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    # doubled score table: same id twice with different scores
+    quality = spark.createDataFrame(
+        [(1, 5), (1, 9), (2, 7)], ["doc_id", "score"]
+    )
+    out = resolve_canonical(docs, pairs, quality)
+    rows = sorted((r.doc_id, r.canonical_id) for r in out.collect())
+    # one row per doc; max score (9) makes doc 1 canonical
+    assert rows == [(1, 1), (2, 1)]

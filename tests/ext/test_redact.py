@@ -110,3 +110,46 @@ def test_blocklist_join_is_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan
+
+
+def test_domain_extraction_userinfo_and_scheme_case(spark):
+    from colnade_spark.operators.redact import blocked_doc_ids, extract_domains
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "x http://evil@bad.com/p"),   # userinfo must not hide the host
+            (2, "x HTTP://bad.com/p"),        # scheme case-insensitive
+            (3, "x HtTpS://sub.bad.com/p"),
+        ],
+        ["doc_id", "text"],
+    )
+    doms = {
+        r.doc_id: r.d
+        for r in df.select(
+            "doc_id", extract_domains(F.col("text")).alias("d")
+        ).collect()
+    }
+    assert doms[1] == ["bad.com"]
+    assert doms[2] == ["bad.com"]
+    assert doms[3] == ["sub.bad.com"]
+    bad = {r.doc_id for r in blocked_doc_ids(df, ["bad.com"]).collect()}
+    assert bad == {1, 2, 3}
+
+
+def test_empty_blocklist_blocks_nothing(spark):
+    from colnade_spark.operators.redact import domain_blocklist_gate
+
+    df = spark.createDataFrame([(1, "x http://a.com/p")], ["doc_id", "text"])
+    assert domain_blocklist_gate(df, []).count() == 1
+
+
+def test_domain_counts_are_per_document(spark):
+    from colnade_spark.operators.redact import domain_counts
+
+    df = spark.createDataFrame(
+        [(1, "http://a.com/1 http://a.com/2 http://b.com/x")],
+        ["doc_id", "text"],
+    )
+    got = {r.domain: r.n_docs for r in domain_counts(df).collect()}
+    assert got == {"a.com": 1, "b.com": 1}

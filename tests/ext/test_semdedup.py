@@ -161,3 +161,21 @@ def test_pairwise_join_is_cluster_keyed(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_paths_agree_on_zero_vectors_at_negative_threshold(spark):
+    """Parity pin for the expression path's norm>0 guard: pairs touching
+    a zero vector never qualify in EITHER path, even when the threshold
+    would admit cos=0."""
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.9, 0.1])],
+        ["vec_id", "embedding"],
+    )
+    for use_arrow in (True, False):
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in semantic_dup_pairs(
+                df, CENTROIDS, threshold=-1.0, use_arrow=use_arrow
+            ).collect()
+        }
+        assert pairs == {(2, 3)}, use_arrow
