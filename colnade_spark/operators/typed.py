@@ -57,6 +57,7 @@ __all__ = [
     "dsir_weights",
     "dsir_sample",
     "canonical_map",
+    "domain_blocklist_gate",
 ]
 
 
@@ -418,6 +419,23 @@ def dsir_sample(
         return d.join(picked, id_col)
 
     return frame.with_raw(_apply)
+
+
+def domain_blocklist_gate(
+    frame: DataFrame[S],
+    blocked: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    subdomains: bool = True,
+) -> DataFrame[S]:
+    """Schema-preserving URL/domain blocklist gate (operators.redact)."""
+    from colnade_spark.operators import redact as _redact
+
+    return frame.with_raw(
+        lambda d: _redact.domain_blocklist_gate(
+            d, blocked, id_col, text_col, subdomains
+        )
+    )
 
 
 def canonical_map(

@@ -143,3 +143,22 @@ def test_canonical_map_facade(spark, docs):
     # canonical is always a member of the same pair (doc, doc+1)
     for doc, canon in rows.items():
         assert canon in (doc, doc - 1, doc + 1)
+
+
+def test_blocklist_gate_facade(spark, docs):
+    import pyspark.sql.functions as F
+
+    injected = docs.with_raw(
+        lambda d: d.withColumn(
+            "text",
+            F.concat(
+                "text",
+                F.lit(" via http://ads.spam"),
+                (F.col("doc_id") % 2).cast("string"),
+                F.lit(".example/x"),
+            ),
+        )
+    )
+    kept = typed.domain_blocklist_gate(injected, ["spam0.example"])
+    assert kept.schema is Documents
+    assert kept.height == docs.height - (docs.height + 1) // 2
