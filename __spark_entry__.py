@@ -731,6 +731,20 @@ def blocked_url_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def hard_negative_pairs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Contrastive hard-negative mining: per anchor (vec_id < 8), the 5
+    most-similar vectors carrying a DIFFERENT synthetic source label
+    (vec_id % 4). Broadcast anchors, one corpus scan; rounded cosines,
+    id tie-breaks — the oracle replays ranking and the label rule."""
+    from colnade_spark.operators.mining import hard_negative_topk
+
+    e = _embs(spark, sf_dir).select(
+        "vec_id", "embedding", (F.col("vec_id") % 4).alias("label")
+    )
+    anchors = e.filter(F.col("vec_id") < 8)
+    return hard_negative_topk(e, anchors, k=5)
+
+
 def ann_pq(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Product-quantization ADC top-k: corpus encoded to 8 nearest-
     codeword ids (integer-space distances — exact argmin, ties to lowest
@@ -1971,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "ann_ivfpq": ann_ivfpq,
         "canonical_docs_map": canonical_docs_map,
         "blocked_url_ids": blocked_url_ids,
+        "hard_negative_pairs": hard_negative_pairs,
         # --- driver-green in round 2 (CORRECTNESS_r02 rows exist) ---
         "q1_pricing_summary": q1_pricing_summary,
         "filter_sort_limit": filter_sort_limit,
@@ -3246,6 +3261,27 @@ def oracle_sql() -> dict[str, str]:
                                    CAST(b.embedding AS DOUBLE[])) > 0
               AND list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        "hard_negative_pairs": """
+            WITH lab AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     vec_id % 4 AS label
+              FROM embeddings
+            ),
+            a AS (SELECT vec_id AS anchor_id, v AS av, label AS al
+                  FROM lab WHERE vec_id < 8),
+            s AS (
+              SELECT a.anchor_id, c.vec_id AS neighbor_id,
+                round(list_cosine_similarity(a.av, c.v), 6) AS cos_sim
+              FROM lab c CROSS JOIN a
+              WHERE c.vec_id <> a.anchor_id AND c.label <> a.al
+            )
+            SELECT anchor_id, neighbor_id, rank, cos_sim FROM (
+              SELECT anchor_id, neighbor_id, cos_sim,
+                row_number() OVER (PARTITION BY anchor_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+              FROM s)
+            WHERE rank <= 5
         """,
         "blocked_url_ids": """
             WITH inj AS (

@@ -80,7 +80,10 @@ HEADLINE = [
     "dsir_doc_weights",
     "dsir_sample_ids",
     "ann_pq",
+    "ann_ivfpq",
     "canonical_docs_map",
+    "blocked_url_ids",
+    "hard_negative_pairs",
 ]
 
 

@@ -37,7 +37,9 @@
 - ``importance``: DSIR importance weighting over hashed n-gram features
   (Xie et al. 2023) + deterministic Gumbel-top-k resampling
 - ``pq``: product quantization (Jegou et al. 2011) — integer-space
-  encode, ADC top-k over compact codes (the memory half of IVF-PQ)
+  encode, ADC top-k over compact codes, IVF-PQ composition
+- ``mining``: contrastive-pair mining — hard negatives (most-similar
+  cross-label) and hard positives (least-similar in-label)
 - ``typed``: typed-frame facades over the above
 """
 
@@ -56,6 +58,7 @@ from colnade_spark.operators import (
     graph,
     importance,
     intervals,
+    mining,
     multimodal,
     packing,
     pq,
@@ -87,6 +90,7 @@ __all__ = [
     "graph",
     "importance",
     "intervals",
+    "mining",
     "multimodal",
     "packing",
     "pq",

@@ -1,0 +1,101 @@
+"""Contrastive mining: hand-checked label rules, python-model parity,
+and the broadcast scan shape."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from colnade_spark.operators.mining import hard_negative_topk, hard_positive_topk
+
+
+def _vecs():
+    # label 0: ids 1,2,3 near +x; label 1: ids 4,5 near +y, 6 near +x
+    return [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.1], 0),
+        (3, [0.8, -0.2], 0),
+        (4, [0.0, 1.0], 1),
+        (5, [0.1, 0.9], 1),
+        (6, [0.95, 0.05], 1),  # label-1 item embedded among label 0s
+    ]
+
+
+def _cos(u, v):
+    d = sum(a * b for a, b in zip(u, v))
+    return round(
+        d
+        / (
+            math.sqrt(sum(a * a for a in u))
+            * math.sqrt(sum(a * a for a in v))
+        ),
+        6,
+    )
+
+
+def _model(rows, anchor, k, same_label, descending):
+    aid, av, al = anchor
+    cands = [
+        (i, _cos(av, v))
+        for i, v, l in rows
+        if i != aid and ((l == al) == same_label)
+    ]
+    cands.sort(key=lambda t: (-t[1] if descending else t[1], t[0]))
+    return [i for i, _ in cands[:k]]
+
+
+def _df(spark):
+    return spark.createDataFrame(_vecs(), ["vec_id", "embedding", "label"])
+
+
+def test_hard_negatives_match_model(spark):
+    df = _df(spark)
+    anchors = df.filter(F.col("vec_id") == 1)
+    got = [
+        r.neighbor_id
+        for r in hard_negative_topk(df, anchors, k=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == _model(_vecs(), (1, [1.0, 0.0], 0), 3, False, True)
+    # the cross-label item sitting in anchor 1's neighborhood must lead
+    assert got[0] == 6
+
+
+def test_hard_positives_are_least_similar_same_label(spark):
+    df = _df(spark)
+    anchors = df.filter(F.col("vec_id") == 4)
+    got = [
+        r.neighbor_id
+        for r in hard_positive_topk(df, anchors, k=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    # same label as 4 -> {5, 6}; 6 is far (near +x), 5 is close
+    assert got == [6, 5]
+
+
+def test_no_self_and_label_rule_holds(spark):
+    df = _df(spark)
+    anchors = df
+    neg = hard_negative_topk(df, anchors, k=10).collect()
+    lab = {i: l for i, _, l in _vecs()}
+    for r in neg:
+        assert r.neighbor_id != r.anchor_id
+        assert lab[r.neighbor_id] != lab[r.anchor_id]
+    pos = hard_positive_topk(df, anchors, k=10).collect()
+    for r in pos:
+        assert r.neighbor_id != r.anchor_id
+        assert lab[r.neighbor_id] == lab[r.anchor_id]
+
+
+def test_mining_is_broadcast_scan(spark):
+    df = _df(spark)
+    plan = (
+        hard_negative_topk(df, df.limit(2), k=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
