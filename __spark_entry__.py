@@ -407,6 +407,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     return spark.read.parquet(table_path(sf_dir, "documents"))
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Documents with the scan spread across the executor threads: the
+    fixture is ONE parquet file -> one input split, which serializes
+    compute-dense per-doc pipelines (gram inversion, feature hashing) on
+    a single core. At real scale the reader's own splits provide this
+    parallelism; the repartition moves only ~KB/doc of text once."""
+    return _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _embs(spark: SparkSession, sf_dir: str) -> SparkDF:
     return spark.read.parquet(table_path(sf_dir, "embeddings"))
 
@@ -780,7 +791,7 @@ def dsir_doc_weights(spark: SparkSession, sf_dir: str) -> SparkDF:
     and bit-comparable after the final /1e6."""
     from colnade_spark.operators.importance import dsir_weights
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_spread(spark, sf_dir)
     target = docs.filter(F.col("lang") == "en")
     w = dsir_weights(docs, target, buckets=256)
     return w.select(
@@ -794,7 +805,7 @@ def dsir_sample_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
     before ranking, ties on id — the draw replays identically in SQL."""
     from colnade_spark.operators.importance import dsir_weights, gumbel_topk
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_spread(spark, sf_dir)
     target = docs.filter(F.col("lang") == "en")
     w = dsir_weights(docs, target, buckets=256)
     return gumbel_topk(w, k=100).select("doc_id", "rk")
@@ -1788,7 +1799,7 @@ def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Corpus-internal duplicated-span profile (Lee et al. 2022): per doc,
     the number of maximal duplicated >=8-token spans and the token count
     they cover. Only docs with at least one duplicated span appear."""
-    sp = spans.duplicate_spans(_docs(spark, sf_dir), k=8, min_count=2)
+    sp = spans.duplicate_spans(_docs_spread(spark, sf_dir), k=8, min_count=2)
     return sp.groupBy("doc_id").agg(
         F.count("*").alias("n_spans"),
         F.sum(F.col("span_end") - F.col("span_start") + 1)
@@ -1801,7 +1812,7 @@ def span_removal_clean(spark: SparkSession, sf_dir: str) -> SparkDF:
     """End-to-end duplicated-span REMOVAL: every doc's normalized text
     with corpus-duplicated >=8-token spans excised (string-compared
     against the oracle's reconstruction)."""
-    out = spans.remove_duplicate_spans(_docs(spark, sf_dir), k=8, min_count=2)
+    out = spans.remove_duplicate_spans(_docs_spread(spark, sf_dir), k=8, min_count=2)
     return out.select("doc_id", F.col("text_dedup").alias("text_clean"))
 
 
