@@ -10,7 +10,11 @@ e.g. a different source/topic/dup-cluster id). The symmetric
 borderline members for label auditing.
 
 Determinism: cosine ties break on neighbor id; rounding happens before
-ranking so the order is total and replayable in SQL.
+ranking so the order is total and replayable in SQL. Rows with a NULL
+label or a zero-norm/NULL embedding are EXCLUDED on both sides — an
+unknown label is neither a safe negative nor a safe positive, and an
+undefined cosine can't be ranked (it would also abort the job under
+Spark 4 ANSI division).
 
 Scale shape (100 TB):
 - anchors broadcast with their vectors (mining batches are bounded —
@@ -32,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from colnade_spark.operators.similarity import cosine
+from colnade_spark.operators.similarity import dot, norm
 
 __all__ = ["hard_negative_topk", "hard_positive_topk"]
 
@@ -48,26 +52,46 @@ def _labeled_rank(
     label_col: str,
     sim_decimals: int,
 ) -> DataFrame:
-    a = anchors.select(
-        F.col(id_col).alias("anchor_id"),
-        F.col(vec_col).alias("_av"),
-        F.col(label_col).alias("_al"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        F.col(label_col).alias("_cl"),
-    )
+    # Unlike similarity.brute_force_topk's scaffold, both sides here are
+    # pre-filtered and pre-normed:
+    # - zero-norm / null embeddings are DROPPED (an undefined cosine
+    #   can't be ranked; under Spark 4 ANSI the division would otherwise
+    #   abort the job, and a null sim would sort FIRST in the ascending
+    #   hard-positive order);
+    # - null-LABEL rows are dropped on both sides — "label unknown" is
+    #   neither a safe negative nor a safe positive, and the SQL
+    #   label <> rule the oracle replays excludes nulls anyway;
+    # - norms are staged once per row, so each pair costs one dot fold,
+    #   not three.
+    def side(df, id_out, vec_out, norm_out, lab_out):
+        return (
+            df.filter(F.col(label_col).isNotNull())
+            .select(
+                F.col(id_col).alias(id_out),
+                F.col(vec_col).alias(vec_out),
+                norm(F.col(vec_col)).alias(norm_out),
+                F.col(label_col).alias(lab_out),
+            )
+            .filter(F.col(norm_out) > 0)
+        )
+
+    a = side(anchors, "anchor_id", "_av", "_an", "_al")
+    c = side(corpus, "neighbor_id", "_cv", "_cn", "_cl")
     label_ok = (
-        F.col("_cl").eqNullSafe(F.col("_al"))
+        F.col("_cl") == F.col("_al")
         if same_label
-        else ~F.col("_cl").eqNullSafe(F.col("_al"))
+        else F.col("_cl") != F.col("_al")
     )
     scored = (
         c.crossJoin(F.broadcast(a))
         .filter((F.col("neighbor_id") != F.col("anchor_id")) & label_ok)
         .withColumn(
-            "cos_sim", F.round(cosine(F.col("_av"), F.col("_cv")), sim_decimals)
+            "cos_sim",
+            F.round(
+                dot(F.col("_av"), F.col("_cv"))
+                / (F.col("_an") * F.col("_cn")),
+                sim_decimals,
+            ),
         )
     )
     order = F.col("cos_sim").desc() if descending else F.col("cos_sim").asc()

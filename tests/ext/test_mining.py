@@ -99,3 +99,26 @@ def test_mining_is_broadcast_scan(spark):
         .toString()
     )
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_degenerate_rows_are_excluded_not_fatal(spark):
+    """Zero-norm embeddings must not abort the job (ANSI divide), null
+    sims must not occupy top ranks, and null-label rows are neither
+    negatives nor positives."""
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.9, 0.1], 0),
+            (3, None, 0),           # null embedding
+            (4, [0.0, 0.0], 0),     # zero norm
+            (5, [0.95, 0.05], None),  # null label
+            (6, [0.1, 0.9], 1),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    anchors = df.filter(F.col("vec_id") == 1)
+    pos = hard_positive_topk(df, anchors, k=10).collect()
+    assert [r.neighbor_id for r in pos] == [2]
+    assert all(r.cos_sim is not None for r in pos)
+    neg = hard_negative_topk(df, anchors, k=10).collect()
+    assert [r.neighbor_id for r in neg] == [6]
