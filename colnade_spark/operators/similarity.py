@@ -362,3 +362,44 @@ def embedding_near_dups(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Per-query recall of an approximate top-k result against the exact
+    one: |approx ∩ exact| / |exact| — the standard ANN quality audit
+    (run it on a sampled query set whenever index parameters change).
+
+    Inputs are any two (query, neighbor) tables, e.g. lsh/ivf/pq_topk vs
+    brute_force_topk. Queries absent from ``approx`` (an index that
+    returned nothing) count as recall 0.0, not missing rows.
+
+    Scale shape: both sides are top-k outputs — k rows per query, tiny
+    next to the corpus — so the intersection is one query-keyed join of
+    id pairs and one aggregation; nothing here touches vectors."""
+    ex = exact.select(
+        F.col(query_col).alias("_q"), F.col(neighbor_col).alias("_n")
+    )
+    ap = approx.select(
+        F.col(query_col).alias("_q"),
+        F.col(neighbor_col).alias("_n"),
+        F.lit(1).alias("_hit"),
+    )
+    joined = ex.join(ap, ["_q", "_n"], "left")
+    return (
+        joined.groupBy("_q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("_hit").cast("long").alias("n_hit"),
+        )
+        .select(
+            F.col("_q").alias(query_col),
+            "n_exact",
+            "n_hit",
+            (F.col("n_hit") / F.col("n_exact")).alias("recall"),
+        )
+    )

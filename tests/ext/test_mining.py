@@ -122,3 +122,55 @@ def test_degenerate_rows_are_excluded_not_fatal(spark):
     assert all(r.cos_sim is not None for r in pos)
     neg = hard_negative_topk(df, anchors, k=10).collect()
     assert [r.neighbor_id for r in neg] == [6]
+
+
+def test_recall_at_k_audit(spark, sf_dir):
+    """recall_at_k: exact self-comparison is 1.0; a truncated approx
+    result shows the right fraction; empty approx for a query is 0.0."""
+    from colnade_spark.operators.similarity import (
+        brute_force_topk,
+        recall_at_k,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    q = e.filter(F.col("vec_id") < 4)
+    exact = brute_force_topk(e, q, k=5).cache()
+    perfect = recall_at_k(exact, exact).collect()
+    assert len(perfect) == 4
+    assert all(r.recall == 1.0 and r.n_exact == 5 for r in perfect)
+
+    # keep only rank<=2 of one query, drop another query entirely
+    partial = exact.filter(
+        ((F.col("query_id") == 0) & (F.col("rank") <= 2))
+        | (F.col("query_id") == 1)
+    )
+    got = {r.query_id: r.recall for r in recall_at_k(partial, exact).collect()}
+    assert got[0] == 0.4 and got[1] == 1.0 and got[2] == 0.0 and got[3] == 0.0
+
+
+def test_pq_recall_beats_random_and_ivf_is_perfect(spark, sf_dir):
+    """Property tie-in: full-probe IVF recall is exactly 1.0 vs brute
+    force; trained-PQ recall is measurable and nonzero."""
+    from colnade_spark.operators.pq import pq_encode, pq_topk, train_pq_codebooks
+    from colnade_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        recall_at_k,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    q = e.filter(F.col("vec_id") < 4)
+    exact = brute_force_topk(e, q, k=5).cache()
+    ivf = ivf_topk(e, q, k=5, nlist=4, nprobe=4)
+    assert all(r.recall == 1.0 for r in recall_at_k(ivf, exact).collect())
+
+    books = train_pq_codebooks(e, m=8, ksub=16, sample_n=512, seed=3)
+    pq = pq_topk(pq_encode(e, books), q, books, k=5)
+    mean_recall = (
+        recall_at_k(pq, exact).agg(F.avg("recall").alias("m")).first().m
+    )
+    assert mean_recall > 0.0
