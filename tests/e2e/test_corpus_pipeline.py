@@ -111,3 +111,103 @@ def test_dedup_audit_pipeline(spark, docs, tmp_path):
     ).first().n_distinct_est
     exact = docs.select("doc_id").distinct().count()
     assert abs(est - exact) <= max(2, 0.05 * exact)
+
+
+def test_round3_curation_pipeline(spark, docs, sf_dir, tmp_path):
+    """The full modern curation chain added this round, end to end:
+
+      blocklist gate → span dedup → canonical resolution of minhash
+      clusters → semantic dedup (embeddings) → benchmark decontamination
+      → DSIR importance resample → write → read back
+
+    Each stage only ever shrinks (or for spans, rewrites) the corpus;
+    invariants assert the composition, not just the stages."""
+    from colnade_spark.operators import decontaminate, importance, redact, spans
+    from colnade_spark.operators.canonical import resolve_canonical
+    from colnade_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+    from colnade_spark.operators.semdedup import semantic_dedup
+
+    n0 = docs.count()
+
+    # 0. URL blocklist (inject a known-bad link into every 10th doc)
+    injected = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat("text", F.lit(" via http://tracker.banned.example/x")),
+        ).otherwise(F.col("text")),
+    )
+    gated = redact.domain_blocklist_gate(injected, ["banned.example"])
+    n1 = gated.count()
+    assert n1 == n0 - (n0 + 9) // 10
+
+    # 1. sub-document span dedup rewrites text in place
+    cleaned = spans.remove_duplicate_spans(gated, k=8, min_count=2)
+    clean = cleaned.select(
+        "doc_id", F.col("text_dedup").alias("text"), "lang", "source", "n_chars"
+    )
+    assert clean.count() == n1
+
+    # 2. minhash pairs → canonical resolution (keep longest per cluster)
+    sigs = minhash_signatures(clean)
+    pairs = minhash_candidate_pairs(sigs, "doc_id").filter(
+        F.col("est_jaccard") >= 0.8
+    )
+    quality_tbl = clean.select("doc_id", F.length("text").alias("score"))
+    resolved = resolve_canonical(clean, pairs, quality_tbl)
+    # materialization barrier: downstream stages consume this output many
+    # times (the anti-join shapes evaluate their input twice); a real job
+    # writes each stage to parquet — localCheckpoint is the in-test twin
+    canon = (
+        resolved.filter(F.col("canonical_id") == F.col("doc_id"))
+        .drop("canonical_id")
+        .localCheckpoint()
+    )
+    n2 = canon.count()
+    assert 0 < n2 <= n1
+
+    # 3. semantic dedup over the survivors' embeddings (fixture vec_id
+    #    aligns with doc_id); docs whose vector is pruned drop out
+    sem_centroids = [
+        [((((j * 29) + (d * 13)) % 9) - 4) / 4.0 for d in range(64)]
+        for j in range(8)
+    ]
+    vecs = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumnRenamed("vec_id", "doc_id")
+        .join(canon.select("doc_id"), "doc_id")
+    )
+    sem_kept = semantic_dedup(
+        vecs, sem_centroids, threshold=0.99, id_col="doc_id"
+    ).select("doc_id")
+    semed = canon.join(sem_kept, "doc_id").localCheckpoint()
+    n2b = semed.count()
+    assert 0 < n2b <= n2
+
+    # 4. benchmark decontamination (13-gram rule vs every-100th doc)
+    bench = clean.filter(F.col("doc_id") % 100 == 0)
+    decon = decontaminate.decontaminate(semed, bench).localCheckpoint()
+    n3 = decon.count()
+    assert 0 < n3 <= n2b
+    # every benchmark doc that survived canonicalization is gone
+    leaked = decon.join(bench.select("doc_id"), "doc_id", "left_semi")
+    assert leaked.count() == 0
+
+    # 5. DSIR importance resample toward the English subset
+    target = decon.filter(F.col("lang") == "en")
+    w = importance.dsir_weights(decon, target, buckets=256)
+    k = max(10, n3 // 2)
+    picked = importance.gumbel_topk(w, k=k).select("doc_id")
+    final = decon.join(picked, "doc_id")
+    n4 = final.count()
+    assert n4 == k
+
+    # 6. write → read back, every final doc traceable to the source
+    out = str(tmp_path / "curated")
+    final.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    assert back.count() == n4
+    assert back.join(docs.select("doc_id"), "doc_id", "left_semi").count() == n4
