@@ -783,6 +783,21 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Residual IVF-PQ (FAISS IVFPQ proper) with nprobe == nlist: codes
+    quantize v - centroid[list]; ADC adds the per-(query, list) q·c
+    scalar to the residual lookup sum. Full probe makes every corpus row
+    a candidate, so the oracle scores each row directly from its
+    deterministic (list, residual codes)."""
+    from colnade_spark.operators.pq import ivfpq_residual_topk
+
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 8)
+    return ivfpq_residual_topk(
+        e, q, _PQ_CODEBOOKS, _CENTROIDS, k=5, nprobe=len(_CENTROIDS)
+    )
+
+
 def dsir_doc_weights(spark: SparkSession, sf_dir: str) -> SparkDF:
     """DSIR importance weights (hashed unigram+bigram features, 256
     buckets; target = the English subset, raw = the whole corpus).
@@ -1994,6 +2009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "dsir_sample_ids": dsir_sample_ids,
         "ann_pq": ann_pq,
         "ann_ivfpq": ann_ivfpq,
+        "ann_ivfpq_residual": ann_ivfpq_residual,
         "canonical_docs_map": canonical_docs_map,
         "blocked_url_ids": blocked_url_ids,
         "hard_negative_pairs": hard_negative_pairs,
@@ -2126,6 +2142,76 @@ def _pq_oracle_sql() -> str:
         scored AS (
           SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
                  round({score}, 6) AS adc
+          FROM enc e CROSS JOIN q WHERE e.vec_id <> q.qid
+        )
+        SELECT query_id, neighbor_id, rank, adc FROM (
+          SELECT query_id, neighbor_id, adc,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc DESC, neighbor_id) AS rank
+          FROM scored)
+        WHERE rank <= 5
+    """
+
+
+def _ivfpq_residual_oracle_sql() -> str:
+    """DuckDB twin of ivfpq_residual_topk at full probe: deterministic
+    coarse assignment (rounded-dot argmax, ties->highest cid), residual
+    integer-space encode, ADC = q·c + residual lookup sum."""
+    m, ksub, ds = 8, 8, 8
+    s = 1 << 20
+    cb_int = [
+        [[int(round(x * s)) for x in cw] for cw in book]
+        for book in _PQ_CODEBOOKS
+    ]
+    coarse_structs = ", ".join(
+        "{'sim': round(list_inner_product(v, %s), 6), 'cid': %d}"
+        % (_centroid_sql(c), i)
+        for i, c in enumerate(_CENTROIDS)
+    )
+    cents_lit = (
+        "[" + ", ".join(_centroid_sql(c) for c in _CENTROIDS) + "]"
+    )
+    code_exprs = []
+    for j in range(m):
+        structs = []
+        for c in range(ksub):
+            dist = " + ".join(
+                f"(xi[{j * ds + d + 1}] - ({cb_int[j][c][d]}))"
+                f" * (xi[{j * ds + d + 1}] - ({cb_int[j][c][d]}))"
+                for d in range(ds)
+            )
+            structs.append(f"{{'d': {dist}, 'c': {c}}}")
+        code_exprs.append(f"list_min([{', '.join(structs)}]).c")
+    codes = ", ".join(code_exprs)
+    books_sql = [
+        "[" + ", ".join(_centroid_sql(cw) for cw in book) + "]"
+        for book in _PQ_CODEBOOKS
+    ]
+    lut_terms = " + ".join(
+        f"list_inner_product(list_slice(q.qv, {j * ds + 1}, {j * ds + ds}),"
+        f" ({books_sql[j]})[e.codes[{j + 1}] + 1])"
+        for j in range(m)
+    )
+    return f"""
+        WITH base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 list_max([{coarse_structs}]).cid AS cid
+          FROM embeddings
+        ),
+        res AS (
+          SELECT vec_id, cid,
+            list_transform(range(1, 65),
+              i -> CAST(round((v[i] - ({cents_lit})[cid + 1][i])
+                              * {s}) AS BIGINT)) AS xi
+          FROM base
+        ),
+        enc AS (SELECT vec_id, cid, [{codes}] AS codes FROM res),
+        q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 8),
+        scored AS (
+          SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+            round(list_inner_product(q.qv, ({cents_lit})[e.cid + 1])
+                  + {lut_terms}, 6) AS adc
           FROM enc e CROSS JOIN q WHERE e.vec_id <> q.qid
         )
         SELECT query_id, neighbor_id, rank, adc FROM (
@@ -3325,6 +3411,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq": _pq_oracle_sql(),
         # full probe ≡ pq_topk — same deterministic ADC pipeline
         "ann_ivfpq": _pq_oracle_sql(),
+        "ann_ivfpq_residual": _ivfpq_residual_oracle_sql(),
         "dsir_doc_weights": f"""
             {_DSIR_CTE}
             SELECT doc_id, n_feats, round(weight, 6) AS weight FROM w

@@ -81,6 +81,7 @@ HEADLINE = [
     "dsir_sample_ids",
     "ann_pq",
     "ann_ivfpq",
+    "ann_ivfpq_residual",
     "canonical_docs_map",
     "blocked_url_ids",
     "hard_negative_pairs",

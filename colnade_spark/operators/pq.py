@@ -46,6 +46,8 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "ivfpq_topk",
+    "train_residual_codebooks",
+    "ivfpq_residual_topk",
     "pq_reconstruct_dot",
 ]
 
@@ -259,6 +261,175 @@ def ivfpq_topk(
         for j in range(m)
     ]
     adc = F.round(reduce(lambda a, b: a + b, terms), adc_decimals)
+    cand = (
+        c.join(F.broadcast(q), "_list")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc", adc)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc")
+    )
+
+
+def train_residual_codebooks(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 10,
+    sample_n: int = 2048,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Codebooks for ``ivfpq_residual_topk``: fit on v - centroid[list]
+    over a bounded driver sample, using the SAME deterministic coarse
+    assignment the encoder applies (rounded-dot argmax, ties->highest).
+    Residual-trained codewords capture the residual's variance — the
+    reason FAISS IVFPQ beats flat PQ at equal code budget."""
+    import numpy as np
+
+    n = corpus.count()
+    vecs = corpus.select(vec_col)
+    if n > sample_n:
+        frac = min(1.0, 2.0 * sample_n / n)
+        vecs = vecs.sample(fraction=frac, seed=seed).limit(sample_n)
+    X = np.asarray([r[0] for r in vecs.collect()], dtype=np.float64)
+    C = np.asarray(centroids, dtype=np.float64)
+    dots = X @ C.T
+    dots = np.sign(dots) * np.floor(np.abs(dots) * 1e6 + 0.5) / 1e6
+    lists = (C.shape[0] - 1) - np.argmax(dots[:, ::-1], axis=1)
+    R = X - C[lists]
+    dim = R.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    ds = dim // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m):
+        S = R[:, j * ds : (j + 1) * ds]
+        B = S[rng.choice(len(S), size=min(ksub, len(S)), replace=False)]
+        for _ in range(iters):
+            d = ((S[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for c in range(len(B)):
+                mem = S[a == c]
+                if len(mem):
+                    B[c] = mem.mean(axis=0)
+        books.append(B.tolist())
+    return books
+
+
+def _residual_encode_udf(codebooks, centroids):
+    """pandas UDF: (coarse list, residual codes) per vector as an
+    array<int> [list, code_0..code_{m-1}] — FAISS IVFPQ semantics, where
+    codes quantize v - centroid[list]. Coarse assignment uses the SAME
+    deterministic rule as embeddings.cluster_assign (dot rounded to 6,
+    ties to the HIGHEST centroid id) so the oracle can replay it."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    CB = [_scale_int(np.asarray(b, dtype=np.float64)) for b in codebooks]
+    ds = CB[0].shape[1]
+
+    def f(s):
+        X = np.vstack(s.to_numpy()).astype(np.float64)
+        scale = 1e6
+        dots = X @ C.T
+        dots = np.sign(dots) * np.floor(np.abs(dots) * scale + 0.5) / scale
+        # argmax with ties to the HIGHEST id: flip, argmax on reversed
+        lists = (C.shape[0] - 1) - np.argmax(dots[:, ::-1], axis=1)
+        R = X - C[lists]
+        Ri = _scale_int(R)
+        out = np.empty((len(X), 1 + len(CB)), dtype=np.int32)
+        out[:, 0] = lists
+        for j, B in enumerate(CB):
+            S = Ri[:, j * ds : (j + 1) * ds]
+            d = ((S[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
+            out[:, 1 + j] = d.argmin(axis=1)
+        return pd.Series(list(out))
+
+    f.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(f, "array<int>")
+
+
+def ivfpq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    adc_decimals: int = 6,
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding (FAISS IVFPQ proper): codes
+    quantize v - centroid[list], so the per-subspace variance the codes
+    must capture is the residual's, not the corpus's — better recall at
+    the same code budget when the coarse clusters are tight (on
+    near-uniform data, residual ≈ raw and the gain vanishes — measured
+    on the synthetic fixture). The ADC identity
+    q·(c + r̂) = q·c + q·r̂ means the query-side lookup table is UNCHANGED
+    from plain PQ; each candidate adds one per-(query, list) scalar q·c
+    that rides the broadcast probe rows.
+
+    Residual codebooks should be trained on residuals (pass a corpus of
+    v - centroid[assign(v)] to train_pq_codebooks); the coarse
+    assignment here is the deterministic rounded-dot argmax
+    (ties -> highest id), replayable in SQL."""
+    from colnade_spark.operators.similarity import dot
+
+    enc = _residual_encode_udf(codebooks, centroids)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        enc(F.col(vec_col)).alias("_lc"),
+    ).select(
+        "neighbor_id",
+        F.get(F.col("_lc"), 0).alias("_list"),
+        F.slice(F.col("_lc"), 2, len(codebooks)).alias("_codes"),
+    )
+    # query side: probe EVERY list deterministically ranked by the same
+    # rounded dot (ties -> highest id), keep nprobe; q·c per probed list
+    # rides the row
+    qv = F.col(vec_col).cast("array<double>")
+    cand_structs = [
+        F.struct(
+            F.round(dot(qv, F.array(*[F.lit(float(x)) for x in cw])), 6).alias(
+                "sim"
+            ),
+            F.lit(i).alias("cid"),
+            dot(qv, F.array(*[F.lit(float(x)) for x in cw])).alias("qc"),
+        )
+        for i, cw in enumerate(centroids)
+    ]
+    probes = F.slice(
+        F.reverse(F.array_sort(F.array(*cand_structs))), 1, nprobe
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _lut_col(qv, codebooks).alias("_lut"),
+        F.explode(probes).alias("_p"),
+    ).select(
+        "query_id",
+        "_lut",
+        F.col("_p.cid").alias("_list"),
+        F.col("_p.qc").alias("_qc"),
+    )
+    m = len(codebooks)
+    terms = [
+        F.get(F.get(F.col("_lut"), j), F.get(F.col("_codes"), j))
+        for j in range(m)
+    ]
+    adc = F.round(
+        F.col("_qc") + reduce(lambda a, b: a + b, terms), adc_decimals
+    )
     cand = (
         c.join(F.broadcast(q), "_list")
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -172,3 +172,62 @@ def test_ivfpq_pruned_probe_is_subset_of_candidates(spark, sf_dir):
     assert rows
     for r in rows:
         assert lists[r.neighbor_id] in probes[r.query_id]
+
+
+def test_ivfpq_residual_planted_recall_and_determinism(spark, sf_dir):
+    from colnade_spark.operators.pq import (
+        ivfpq_residual_topk,
+        train_residual_codebooks,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = [
+        [((((j * 31) + (d * 17)) % 7) - 3) / 4.0 for d in range(64)]
+        for j in range(4)
+    ]
+    books = train_residual_codebooks(e, cents, m=8, ksub=16, sample_n=512, seed=11)
+    planted = e.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
+    allv = e.unionByName(planted)
+    out = ivfpq_residual_topk(allv, planted, books, cents, k=1, nprobe=4)
+    top1 = {r.query_id: r.neighbor_id for r in out.collect()}
+    n_ok = sum(1 for qid, nid in top1.items() if nid == qid - 1_000_000)
+    assert n_ok >= len(top1) - 1 and len(top1) == planted.count()
+    # deterministic across runs
+    again = {
+        r.query_id: r.neighbor_id
+        for r in ivfpq_residual_topk(
+            allv, planted, books, cents, k=1, nprobe=4
+        ).collect()
+    }
+    assert again == top1
+
+
+def test_ivfpq_residual_pruned_probe_containment(spark, sf_dir):
+    """nprobe=1 results must come from the query's own best coarse list
+    (same rounded-argmax rule on both sides)."""
+    from colnade_spark.operators.embeddings import cluster_assign
+    from colnade_spark.operators.pq import ivfpq_residual_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    books = train_pq_codebooks(e, m=8, ksub=8, sample_n=256, seed=11)
+    cents = [
+        [((((j * 31) + (d * 17)) % 7) - 3) / 4.0 for d in range(64)]
+        for j in range(4)
+    ]
+    q = e.filter(F.col("vec_id") < 4)
+    out = ivfpq_residual_topk(e, q, books, cents, k=5, nprobe=1).collect()
+    lists = {
+        r.vec_id: r.cluster_id
+        for r in cluster_assign(e, cents).select(
+            "vec_id", "cluster_id"
+        ).collect()
+    }
+    assert out
+    for r in out:
+        assert lists[r.neighbor_id] == lists[r.query_id]
