@@ -1949,11 +1949,34 @@ def entry(spark: SparkSession) -> SparkDF:
 
 def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
     # Ordered so the driver's bounded correctness sweep (~50 entries per
-    # round) reaches the least-recently-verified queries first: round-2's
-    # driver run covered the first 50 of the old order (through
-    # winnow_sketch), so the 34 entries it did not reach lead here, followed
-    # by round-3 additions, then the already-driver-green backlog.
+    # round) reaches the least-verified queries first: the 20 round-3
+    # additions (never had ANY driver row) lead, then the 34 entries
+    # round-2's capped sweep did not reach (locally verified via
+    # scripts/check_oracle.py), then the driver-green backlog.
     return {
+        # --- round-3 additions (new this round) ---
+        "duplicate_span_stats": duplicate_span_stats,
+        "span_removal_clean": span_removal_clean,
+        "line_dedup_clean": line_dedup_clean,
+        "quality_classifier_scores": quality_classifier_scores,
+        "upsample_epoch_counts": upsample_epoch_counts,
+        "bloom_decontaminated_ids": bloom_decontaminated_ids,
+        "bigram_pmi_top": bigram_pmi_top,
+        "cms_token_estimates": cms_token_estimates,
+        # re-oracled with planted-duplicate ground truth — driver must
+        # re-check them, so they ride the front block
+        "ann_lsh": ann_lsh,
+        "emb_near_dup_pairs": emb_near_dup_pairs,
+        "map_flag_stats": map_flag_stats,
+        "semdedup_survivors": semdedup_survivors,
+        "dsir_doc_weights": dsir_doc_weights,
+        "dsir_sample_ids": dsir_sample_ids,
+        "ann_pq": ann_pq,
+        "ann_ivfpq": ann_ivfpq,
+        "ann_ivfpq_residual": ann_ivfpq_residual,
+        "canonical_docs_map": canonical_docs_map,
+        "blocked_url_ids": blocked_url_ids,
+        "hard_negative_pairs": hard_negative_pairs,
         # --- driver-unchecked in round 2 (CORRECTNESS_r02 stopped before
         # these); all verified locally via scripts/check_oracle.py ---
         "funnel_stages": funnel_stages,
@@ -1990,29 +2013,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "mixture_sample_docs": mixture_sample_docs,
         "semantic_decontaminated_ids": semantic_decontaminated_ids,
         "unigram_quality": unigram_quality,
-        # --- round-3 additions (new this round) ---
-        "duplicate_span_stats": duplicate_span_stats,
-        "span_removal_clean": span_removal_clean,
-        "line_dedup_clean": line_dedup_clean,
-        "quality_classifier_scores": quality_classifier_scores,
-        "upsample_epoch_counts": upsample_epoch_counts,
-        "bloom_decontaminated_ids": bloom_decontaminated_ids,
-        "bigram_pmi_top": bigram_pmi_top,
-        "cms_token_estimates": cms_token_estimates,
-        # re-oracled with planted-duplicate ground truth — driver must
-        # re-check them, so they ride the front block
-        "ann_lsh": ann_lsh,
-        "emb_near_dup_pairs": emb_near_dup_pairs,
-        "map_flag_stats": map_flag_stats,
-        "semdedup_survivors": semdedup_survivors,
-        "dsir_doc_weights": dsir_doc_weights,
-        "dsir_sample_ids": dsir_sample_ids,
-        "ann_pq": ann_pq,
-        "ann_ivfpq": ann_ivfpq,
-        "ann_ivfpq_residual": ann_ivfpq_residual,
-        "canonical_docs_map": canonical_docs_map,
-        "blocked_url_ids": blocked_url_ids,
-        "hard_negative_pairs": hard_negative_pairs,
         # --- driver-green in round 2 (CORRECTNESS_r02 rows exist) ---
         "q1_pricing_summary": q1_pricing_summary,
         "filter_sort_limit": filter_sort_limit,
