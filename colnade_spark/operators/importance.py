@@ -144,27 +144,18 @@ def dsir_weights(
     """Per-document DSIR importance: (id, n_feats, weight) where weight is
     the exact integer-micro sum of per-bucket log-ratios over the
     document's hashed features, divided back to a double. Featureless
-    (empty/null text) documents keep weight 0.0."""
-    raw_counts = bucket_distribution(corpus, text_col, buckets, bigrams)
-    tgt_counts = bucket_distribution(target, text_col, buckets, bigrams)
-    lr = logratio_table(tgt_counts, raw_counts, buckets, smoothing)
-    feats = corpus.withColumn("_tk", clean_tokens(F.col(text_col))).select(
-        F.col(id_col),
-        F.explode_outer(
-            hashed_feature_buckets(F.col("_tk"), buckets, bigrams)
-        ).alias("bucket"),
-    )
-    scored = (
-        feats.join(F.broadcast(lr), "bucket", "left")
-        .groupBy(id_col)
-        .agg(
-            F.count("bucket").cast("long").alias("n_feats"),
-            (
-                F.coalesce(F.sum("lr_micro"), F.lit(0)) / F.lit(float(MICRO))
-            ).alias("weight"),
-        )
-    )
-    return scored
+    (empty/null text) documents keep weight 0.0.
+
+    Implemented as fit + frozen scoring: the two bucket distributions
+    collapse to a driver-side ``buckets``-length table (bounded whatever
+    the corpus size), and scoring is then a shuffle-free scan-side array
+    fold — no explode/join/doc-keyed aggregation at all. Identical
+    values to the join formulation (integer sums are order-independent;
+    pinned by test against the explicit-join python model). NOTE the fit
+    runs two Spark jobs eagerly at call time (same bounded-driver
+    contract as build_bloom / the IVF training sample)."""
+    lr = fit_logratio(corpus, target, text_col, buckets, bigrams, smoothing)
+    return dsir_score_frozen(corpus, lr, id_col, text_col, bigrams)
 
 
 def fit_logratio(

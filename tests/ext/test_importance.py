@@ -129,9 +129,9 @@ def test_gumbel_topk_deterministic_and_bounded(spark):
     assert all(rk in (1, 2, 3) for _, rk in c)
 
 
-def test_scoring_join_is_broadcast(spark):
-    """The bucket->log-ratio table must broadcast — a shuffled join on
-    the exploded feature stream would shuffle the whole corpus."""
+def test_scoring_is_shuffle_free(spark):
+    """dsir_weights scores via the frozen table: the scoring plan must
+    contain NO exchange at all — the corpus never shuffles."""
     df = _df(spark)
     plan = (
         dsir_weights(df, df, buckets=B)
@@ -139,7 +139,7 @@ def test_scoring_join_is_broadcast(spark):
         .executedPlan()
         .toString()
     )
-    assert "BroadcastHashJoin" in plan
+    assert "Exchange" not in plan
 
 
 def test_frozen_scoring_matches_join_path(spark):
