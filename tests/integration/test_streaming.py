@@ -426,3 +426,30 @@ def test_dsir_frozen_gate_is_stateless_on_streams(spark, sf_dir):
     got = {r.doc_id for r in spark.table(name).collect()}
     want = {r.doc_id for r in gate(batch).collect()}
     assert got == want and 0 < len(got) < batch.count()
+
+
+def test_semantic_decontamination_is_stateless_on_streams(spark, sf_dir):
+    """Semantic decontamination (cosine screen vs a BROADCAST benchmark
+    embedding set) is a stateless stream-static join + filter: a
+    streamed embeddings source flags exactly the ids the batch operator
+    flags — paraphrase-leakage screening drops in at ingest with no
+    streaming state."""
+    from colnade_spark.operators.decontaminate import semantic_contaminated_ids
+    from colnade_spark.streaming import scan_stream_parquet
+    from colnade_spark.tpch import Embeddings
+    from pyspark.sql import functions as F
+
+    batch = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    bench = batch.filter(F.col("vec_id") % 50 == 0)
+
+    def gate(d):
+        return semantic_contaminated_ids(
+            d.filter(F.col("vec_id") % 50 != 0), bench, threshold=0.4
+        )
+
+    sf = scan_stream_parquet(table_path(sf_dir, "embeddings"), Embeddings, spark=spark)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _await(sf.with_raw(gate).to_memory_sink(name, output_mode="append"))
+    got = {r.vec_id for r in spark.table(name).collect()}
+    want = {r.vec_id for r in gate(batch).collect()}
+    assert got == want and 0 < len(got) < batch.count()
