@@ -55,6 +55,21 @@ def cms_bucket(item: Column, row: int, width: int) -> Column:
     )
 
 
+def _cells(item_col: str, depth: int, width: int) -> Column:
+    """Array of the ``depth`` (row, bucket) cell structs for one item —
+    the ONE definition both build and probe use, so the sketch layout
+    cannot drift between them."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                cms_bucket(F.col(item_col), r, width).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+
+
 def cms_build(
     items: DataFrame,
     item_col: str,
@@ -65,19 +80,9 @@ def cms_build(
     (one input row = one occurrence). One explode to ``depth`` cells per
     item, then a map-side-combined count — the exchange carries at most
     depth·width cells."""
-    cells = items.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("row"),
-                        cms_bucket(F.col(item_col), r, width).alias("bucket"),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("_c")
-    ).select("_c.row", "_c.bucket")
+    cells = items.select(F.explode(_cells(item_col, depth, width)).alias("_c")).select(
+        "_c.row", "_c.bucket"
+    )
     return cells.groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
 
 
@@ -109,22 +114,7 @@ def cms_estimate(
     probes = (
         candidates.select(item_col)
         .distinct()
-        .select(
-            item_col,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(r).alias("row"),
-                            cms_bucket(F.col(item_col), r, width).alias(
-                                "bucket"
-                            ),
-                        )
-                        for r in range(depth)
-                    ]
-                )
-            ).alias("_c"),
-        )
+        .select(item_col, F.explode(_cells(item_col, depth, width)).alias("_c"))
         .select(item_col, "_c.row", "_c.bucket")
     )
     return (
@@ -151,16 +141,15 @@ def maintain_cms_table(
     everything ever streamed (pinned by test). Returns the started
     StreamingQuery."""
 
-    def _write(batch_df: DataFrame, batch_id: int) -> None:
-        t = cms_build(batch_df, item_col, depth, width)
-        t.write.mode("overwrite").parquet(f"{table_path}/batch_id={batch_id}")
+    from colnade_spark.streaming.stream import maintain_partitioned_table
 
-    w = stream.writeStream.foreachBatch(_write).option(
-        "checkpointLocation", checkpoint
+    return maintain_partitioned_table(
+        stream,
+        lambda b: cms_build(b, item_col, depth, width),
+        table_path,
+        checkpoint,
+        available_now,
     )
-    if available_now:
-        w = w.trigger(availableNow=True)
-    return w.start()
 
 
 def load_cms(spark, table_path: str) -> DataFrame:

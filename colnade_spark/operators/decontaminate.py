@@ -248,16 +248,15 @@ def maintain_bloom_table(
     decontamination filter current without rescanning old benchmarks.
     Returns the started StreamingQuery."""
 
-    def _write(batch_df: DataFrame, batch_id: int) -> None:
-        w = bloom_words_df(batch_df, n, m_bits, n_hashes, text_col)
-        w.write.mode("overwrite").parquet(f"{table_path}/batch_id={batch_id}")
+    from colnade_spark.streaming.stream import maintain_partitioned_table
 
-    w = stream.writeStream.foreachBatch(_write).option(
-        "checkpointLocation", checkpoint
+    return maintain_partitioned_table(
+        stream,
+        lambda b: bloom_words_df(b, n, m_bits, n_hashes, text_col),
+        table_path,
+        checkpoint,
+        available_now,
     )
-    if available_now:
-        w = w.trigger(availableNow=True)
-    return w.start()
 
 
 def load_bloom(spark, table_path: str, m_bits: int) -> list[int]:

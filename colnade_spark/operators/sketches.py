@@ -94,13 +94,12 @@ def maintain_sketch_table(
     Returns the started StreamingQuery.
     """
 
-    def _write(batch_df: DataFrame, batch_id: int) -> None:
-        sk = build_sketch_table(batch_df, keys, value_col, lgk, sketch_col)
-        sk.write.mode("overwrite").parquet(f"{table_path}/batch_id={batch_id}")
+    from colnade_spark.streaming.stream import maintain_partitioned_table
 
-    w = stream.writeStream.foreachBatch(_write).option(
-        "checkpointLocation", checkpoint
+    return maintain_partitioned_table(
+        stream,
+        lambda b: build_sketch_table(b, keys, value_col, lgk, sketch_col),
+        table_path,
+        checkpoint,
+        available_now,
     )
-    if available_now:
-        w = w.trigger(availableNow=True)
-    return w.start()

@@ -163,6 +163,16 @@ def remove_duplicate_spans(
     )
 
 
+def _split_literal(text: Column, delimiter: str) -> Column:
+    """Split on the delimiter as a LITERAL string: F.split takes a Java
+    regex, so a raw '|' or '.' delimiter would split on every character
+    (and the docstrings promise 'any delimiter'). re.escape's output is
+    valid Java-regex quoting for every ASCII delimiter."""
+    import re as _re
+
+    return F.split(text, _re.escape(delimiter))
+
+
 def _line_hits(
     df: DataFrame, id_col: str, line_col: Column, hash_fn
 ) -> DataFrame:
@@ -188,7 +198,9 @@ def duplicate_lines(
 
     Distinct-doc counting shuffles (line-hash, doc) pairs once and
     aggregates twice — never countDistinct over raw lines."""
-    lines = _line_hits(df, id_col, F.split(F.col(text_col), delimiter), hash_fn)
+    lines = _line_hits(
+        df, id_col, _split_literal(F.col(text_col), delimiter), hash_fn
+    )
     per_doc = lines.select("_h", id_col).distinct()
     n_docs = per_doc.groupBy("_h").agg(F.count("*").alias("n_docs"))
     n_total = lines.groupBy("_h").agg(F.count("*").alias("n_total"))
@@ -214,7 +226,9 @@ def remove_duplicate_lines(
     dropped (they carry no content and would otherwise all count as
     duplicates of each other)."""
     boiler = duplicate_lines(df, id_col, text_col, delimiter, min_docs, hash_fn)
-    lines = _line_hits(df, id_col, F.split(F.col(text_col), delimiter), hash_fn)
+    lines = _line_hits(
+        df, id_col, _split_literal(F.col(text_col), delimiter), hash_fn
+    )
     kept = (
         lines.join(F.broadcast(boiler.select("_h")), "_h", "left_anti")
         .groupBy(id_col)

@@ -33,6 +33,35 @@ S = TypeVar("S", bound=Schema)
 _backend = SparkBackend()
 
 
+def maintain_partitioned_table(
+    stream: SparkDF,
+    build_fn,
+    table_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """The foreachBatch overwrite-batch_id-partition maintenance pattern
+    shared by every mergeable-model maintainer (HLL sketch tables, Bloom
+    word tables, CMS cell tables): per micro-batch, ``build_fn(batch_df)``
+    produces that batch's model rows, which OVERWRITE the batch's own
+    ``batch_id=<n>`` partition — idempotent under redelivery (a replayed
+    batch replaces itself), and the model's associative merge makes the
+    partition history equal a single batch build over everything ever
+    streamed. Returns the started StreamingQuery."""
+
+    def _write(batch_df: SparkDF, batch_id: int) -> None:
+        build_fn(batch_df).write.mode("overwrite").parquet(
+            f"{table_path}/batch_id={batch_id}"
+        )
+
+    w = stream.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def scan_stream_parquet(
     path: str, schema: type[S], *, spark: SparkSession
 ) -> StreamFrame[S]:
@@ -44,23 +73,24 @@ def scan_stream_parquet(
     integer-divided back to microsecond timestamps. A plain-INT64 column (or
     a non-nanos file) never triggers the conf or the division — it streams
     through unchanged."""
-    from colnade_spark.io import _nanos_columns, _normalize_scan
+    from colnade_spark.io import _nanos_columns, _normalize_scan, _reader as _io_reader
 
     nanos = _nanos_columns(path)
-    if nanos is None or nanos:
-        # Metadata-confirmed nanos (or uninspectable metadata): the conf
-        # must be set BEFORE the probe/scan so nanos columns arrive as long
-        # instead of erroring the read. Same gate as io._reader.
-        try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:  # pragma: no cover
-            pass
+    # same metadata-gated nanosAsLong policy as batch io (set BEFORE the
+    # probe/scan so nanos columns arrive as long instead of erroring)
+    spark = _io_reader(spark, nanos)
     struct = to_struct_type(schema)
     # nanos timestamps arrive as long under nanosAsLong; declare long at the
     # source and let _normalize_scan convert (same policy as batch io)
     import pyspark.sql.types as T
 
-    probe = spark.read.parquet(path).schema
+    try:
+        probe = spark.read.parquet(path).schema
+    except Exception:
+        # empty / not-yet-populated source directory — THE streaming setup
+        # (the schema is declared precisely because no data exists yet);
+        # use the declared struct unchanged, the nanos fixup is moot
+        probe = T.StructType([])
     fields = []
     for f in struct.fields:
         actual = next((a for a in probe.fields if a.name == f.name), None)
@@ -82,8 +112,13 @@ def scan_stream_parquet(
     if os.path.isfile(path):
         # file-source streams monitor directories; for a single-file path
         # watch the parent directory with a glob filter selecting the file
-        reader = reader.option("pathGlobFilter", os.path.basename(path))
-        path = os.path.dirname(path)
+        # (glob metacharacters in the basename escaped to match literally)
+        base = "".join(
+            "[" + c + "]" if c in "\\*?[]{}" else c
+            for c in os.path.basename(path)
+        )
+        reader = reader.option("pathGlobFilter", base)
+        path = os.path.dirname(os.path.abspath(path))
     data = reader.parquet(path)
     return StreamFrame(_normalize_scan(data, schema, nanos), schema)
 

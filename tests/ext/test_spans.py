@@ -149,3 +149,26 @@ def test_remove_all_lines_yields_empty(spark):
         for r in spans.remove_duplicate_lines(df).collect()
     }
     assert out == {1: "", 2: ""}
+
+
+def test_line_dedup_delimiter_is_literal(spark):
+    """The delimiter is a LITERAL string, not a Java regex: '|' must
+    split on pipes (a raw regex '|' splits on every character and then
+    removes the pipes themselves as corpus-wide boilerplate)."""
+    from colnade_spark.operators.spans import remove_duplicate_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "keep one|shared boiler|keep two"),
+            (2, "other text|shared boiler|more text"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r.text_dedup
+        for r in remove_duplicate_lines(
+            df, delimiter="|", min_docs=2
+        ).collect()
+    }
+    assert out[1] == "keep one|keep two"
+    assert out[2] == "other text|more text"

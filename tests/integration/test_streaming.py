@@ -453,3 +453,18 @@ def test_semantic_decontamination_is_stateless_on_streams(spark, sf_dir):
     got = {r.vec_id for r in spark.table(name).collect()}
     want = {r.vec_id for r in gate(batch).collect()}
     assert got == want and 0 < len(got) < batch.count()
+
+
+def test_scan_stream_parquet_accepts_empty_source_dir(spark, tmp_path):
+    """THE streaming setup: the source directory exists but no files have
+    landed yet — the declared schema must carry the stream (the batch
+    schema probe used for the nanos fixup must not abort it)."""
+    from colnade_spark.streaming import scan_stream_parquet
+    from colnade_spark.tpch import Documents
+
+    empty = tmp_path / "landing"
+    empty.mkdir()
+    sf = scan_stream_parquet(str(empty), Documents, spark=spark)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _await(sf.to_memory_sink(name, output_mode="append"))
+    assert spark.table(name).count() == 0
