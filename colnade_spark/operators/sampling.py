@@ -230,3 +230,41 @@ def upsample_epochs(
         )
         .drop("_n_copies")
     )
+
+
+def solve_epochs(
+    token_counts: dict[str, float],
+    target_weights: dict[str, float],
+    max_epochs: float = 8.0,
+) -> dict[str, float]:
+    """Epoch multipliers that realize a target domain TOKEN mixture with
+    no downsampling (the LLaMA/DoReMi recipe computation): the scarcest
+    domain relative to its target anchors at 1 epoch, every other
+    domain replicates proportionally, capped at ``max_epochs`` (the
+    published recipes cap repetition; repeated data loses value fast).
+
+    Pure driver arithmetic over per-domain aggregate counts (a
+    ``groupBy(domain).sum(tokens)`` away at any scale) — feed the result
+    to ``upsample_epochs``. Deterministic; domains missing a target
+    weight default to weight 0 (one epoch, no upsampling).
+
+    Derivation: realized tokens are e_d * n_d; forcing
+    e_d * n_d ∝ w_d with min_d e_d = 1 gives
+    e_d = (w_d / n_d) / min_k(w_k / n_k).
+    """
+    if not token_counts:
+        return {}
+    if min(token_counts.values()) <= 0:
+        raise ValueError("token counts must be positive")
+    ratios = {
+        d: (float(target_weights.get(d, 0.0)) / float(n))
+        for d, n in token_counts.items()
+    }
+    positive = [r for r in ratios.values() if r > 0]
+    if not positive:
+        return {d: 1.0 for d in token_counts}
+    base = min(positive)
+    return {
+        d: 1.0 if r <= 0 else min(float(max_epochs), r / base)
+        for d, r in ratios.items()
+    }

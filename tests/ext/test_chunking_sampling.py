@@ -234,3 +234,55 @@ def test_upsample_epochs_rejects_negative(spark):
     df = spark.createDataFrame([(1, "a")], ["doc_id", "lang"])
     with pytest.raises(ValueError):
         sampling.upsample_epochs(df, {"a": -1.0}, domain_col="lang")
+
+
+def test_solve_epochs_realizes_target_mixture():
+    from colnade_spark.operators.sampling import solve_epochs
+
+    counts = {"web": 1000, "code": 100, "books": 50}
+    targets = {"web": 0.5, "code": 0.3, "books": 0.2}
+    e = solve_epochs(counts, targets)
+    # scarcest-relative domain anchors at 1 epoch
+    assert min(e.values()) == 1.0
+    # realized token mixture matches the target proportions
+    realized = {d: e[d] * counts[d] for d in counts}
+    tot = sum(realized.values())
+    for d in counts:
+        assert abs(realized[d] / tot - targets[d]) < 1e-9
+
+
+def test_solve_epochs_cap_and_defaults():
+    from colnade_spark.operators.sampling import solve_epochs
+
+    e = solve_epochs({"a": 1000, "b": 1}, {"a": 0.5, "b": 0.5}, max_epochs=8)
+    assert e["b"] == 8.0 and e["a"] == 1.0  # cap binds the scarce domain
+    # domains without a target stay at one epoch
+    e2 = solve_epochs({"a": 10, "b": 10}, {"a": 1.0})
+    assert e2 == {"a": 1.0, "b": 1.0}
+    import pytest
+    with pytest.raises(ValueError):
+        solve_epochs({"a": 0}, {"a": 1.0})
+
+
+def test_solve_epochs_feeds_upsample(spark, sf_dir):
+    """counts -> epochs -> upsample: the realized per-lang row mixture
+    moves toward the target."""
+    import pyspark.sql.functions as F
+    from colnade_spark.operators.sampling import solve_epochs, upsample_epochs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    targets = {lang: 1.0 / len(counts) for lang in counts}  # uniform target
+    epochs = solve_epochs(counts, targets)
+    up = upsample_epochs(docs, epochs, domain_col="lang", salt="mix")
+    got = {
+        r.lang: r.n
+        for r in up.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # uniformity improves: max/min ratio shrinks vs the raw corpus
+    raw_ratio = max(counts.values()) / min(counts.values())
+    new_ratio = max(got.values()) / min(got.values())
+    assert new_ratio < raw_ratio
