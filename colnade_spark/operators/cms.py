@@ -75,15 +75,23 @@ def cms_build(
     item_col: str,
     depth: int = 4,
     width: int = 1 << 14,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Sparse CMS counter table (row, bucket, cnt) over the item stream
-    (one input row = one occurrence). One explode to ``depth`` cells per
-    item, then a map-side-combined count — the exchange carries at most
-    depth·width cells."""
-    cells = items.select(F.explode(_cells(item_col, depth, width)).alias("_c")).select(
-        "_c.row", "_c.bucket"
-    )
-    return cells.groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
+    (one input row = one occurrence, or ``weight_col`` occurrences when a
+    pre-aggregated (item, count) table is supplied). One explode to
+    ``depth`` cells per item, then a map-side-combined count/sum — the
+    exchange carries at most depth·width cells. Feeding a pre-aggregated
+    count table hashes each distinct item ONCE instead of per occurrence
+    — the preferred path when a frequency table already exists upstream."""
+    cols = [item_col] + ([weight_col] if weight_col else [])
+    cells = items.select(
+        *cols, F.explode(_cells(item_col, depth, width)).alias("_c")
+    ).select(*cols, "_c.row", "_c.bucket")
+    agg = (
+        F.sum(weight_col).cast("long") if weight_col else F.count("*")
+    ).alias("cnt")
+    return cells.groupBy("row", "bucket").agg(agg)
 
 
 def cms_merge(*tables: DataFrame) -> DataFrame:

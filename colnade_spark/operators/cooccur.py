@@ -8,8 +8,12 @@ counts, T total tokens, B total bigrams. All counts are exact integers
 float op, so cross-engine agreement is a round(…, 6) away.
 
 Scale notes (100 TB):
-- Two explode→count aggregations (tokens, bigrams), both map-side
-  combined — the shuffle carries (gram, partial count), never documents.
+- ONE tokenize + ONE explode over the corpus: each token zips with its
+  successor (NULL for doc-final tokens), so the single map-side-combined
+  pair aggregation also carries the unigram and total information —
+  unigram counts, totals, and the bigram table all derive from the
+  compact pair-count table (distinct-bigram-sized, ≪ corpus), which is
+  lazily localCheckpoint'ed so the three derivations materialize it once.
 - The unigram count table is vocab-sized (≪ corpus) and joins back to
   the bigram table twice as a BROADCAST; the totals ride along as a
   1-row cross join (literal-sized).
@@ -61,17 +65,49 @@ def bigram_pmi(
 ) -> DataFrame:
     """(tok_a, tok_b, n_ab, pmi): PMI over adjacent bigrams with
     ``min_count`` support. Exact integer counts; ``pmi`` is the single
-    ln at the end (round before cross-engine comparison)."""
+    ln at the end (round before cross-engine comparison).
+
+    The corpus is tokenized ONCE: each token is zipped with its
+    successor (``zip_with`` pads the shorter slice with NULL, so the
+    last token of every doc pairs with NULL and every token appears
+    exactly once as ``tok_a``). One explode + one map-side-combined
+    aggregation yields the (tok_a, tok_b|NULL, n_ab) pair-count table;
+    unigram counts (sum over successors), token/bigram totals, and the
+    bigram table itself are all derived from that COMPACT table — no
+    second or third pass over the corpus. The pair-count table is
+    localCheckpoint'ed (lazily) so the three derivations share one
+    materialization."""
     staged = df.withColumn("_toks", clean_tokens(F.col(text_col)))
-    toks = staged.select(F.explode(F.col("_toks")).alias("tok"))
-    uni = toks.groupBy("tok").agg(F.count("*").alias("n_tok"))
-    # totals come from per-doc sizes in ONE scan-speed aggregation — not
-    # a second pass over the exploded grams
-    totals = staged.select(F.size("_toks").alias("_n")).agg(
-        F.sum("_n").cast("long").alias("t_toks"),
-        F.sum(F.greatest(F.col("_n") - 1, F.lit(0))).cast("long").alias("t_bi"),
+    pairs = staged.select(
+        F.explode(
+            F.zip_with(
+                F.col("_toks"),
+                F.slice(
+                    F.col("_toks"),
+                    2,
+                    F.greatest(F.size("_toks") - 1, F.lit(0)),
+                ),
+                lambda a, b: F.struct(a.alias("tok_a"), b.alias("tok_b")),
+            )
+        ).alias("_p")
+    ).select("_p.tok_a", "_p.tok_b")
+    pc = (
+        pairs.groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("n_ab"))
+        .localCheckpoint(eager=False)
     )
-    bi = bigram_counts(df, text_col, min_count)
+    uni = pc.groupBy("tok_a").agg(F.sum("n_ab").cast("long").alias("n_tok")).select(
+        F.col("tok_a").alias("tok"), "n_tok"
+    )
+    totals = pc.agg(
+        F.sum("n_ab").cast("long").alias("t_toks"),
+        F.sum(F.when(F.col("tok_b").isNotNull(), F.col("n_ab")))
+        .cast("long")
+        .alias("t_bi"),
+    )
+    bi = pc.filter(
+        F.col("tok_b").isNotNull() & (F.col("n_ab") >= min_count)
+    )
     joined = (
         bi.join(
             F.broadcast(uni.select(F.col("tok").alias("tok_a"), F.col("n_tok").alias("n_a"))),
