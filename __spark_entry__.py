@@ -3393,10 +3393,12 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ),
             doms AS (
+              -- same host normalization as extract_domains: lowercase +
+              -- trailing-dot strip (FQDN bypass)
               SELECT doc_id,
-                lower(unnest(regexp_extract_all(
-                  text, '(?i)https?://(?:[^/@\\s]*@)?([A-Za-z0-9.-]+)', 1)))
-                  AS dom
+                regexp_replace(lower(unnest(regexp_extract_all(
+                  text, '(?i)https?://(?:[^/@\\s]*@)?([A-Za-z0-9.-]+)', 1))),
+                  '\\.+$', '') AS dom
               FROM inj
             ),
             sfx AS (

@@ -34,7 +34,78 @@ __all__ = [
     "maintain_bloom_table",
     "load_bloom",
     "bloom_contaminated_ids",
+    "BLOOM_SCHEME",
+    "read_bloom_manifest",
+    "write_bloom_manifest",
 ]
+
+# Hash-scheme tag persisted with every Bloom table. A table's bit layout
+# is a function of (scheme, n, m_bits, n_hashes): probing old bits with
+# different parameters returns near-all-negatives — contamination
+# silently leaks through — so the layout parameters are written as a
+# manifest next to the table and VERIFIED on load. Bump this tag whenever
+# bloom_positions changes (it moved from k independent md5s to
+# Kirsch-Mitzenmacher double hashing once already).
+BLOOM_SCHEME = "km-md5-v1"
+
+_BLOOM_MANIFEST = "_bloom_params.json"
+
+
+def _hadoop_path(spark, path_str: str):
+    """(fs, path, jvm) for a path string via the Hadoop FileSystem API —
+    works on any filesystem the cluster can reach (local, HDFS, object
+    stores), unlike driver-local ``open()``."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+
+def read_bloom_manifest(spark, table_path: str) -> dict | None:
+    """The params manifest persisted next to a Bloom word table, or None
+    for a pre-manifest table (which cannot be verified)."""
+    import json
+
+    fs, p, jvm = _hadoop_path(spark, f"{table_path}/{_BLOOM_MANIFEST}")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, False)
+        return json.loads(bytes(baos.toByteArray()).decode("utf-8"))
+    finally:
+        stream.close()
+
+
+def write_bloom_manifest(
+    spark, table_path: str, n: int, m_bits: int, n_hashes: int
+) -> dict:
+    """Write the (scheme, n, m_bits, n_hashes) manifest for a Bloom table,
+    or verify it against an existing one — ERRORING on mismatch rather
+    than letting a maintainer append bits in a different layout."""
+    import json
+
+    params = {
+        "scheme": BLOOM_SCHEME,
+        "n": n,
+        "m_bits": m_bits,
+        "n_hashes": n_hashes,
+    }
+    existing = read_bloom_manifest(spark, table_path)
+    if existing is not None:
+        if existing != params:
+            raise ValueError(
+                f"bloom table at {table_path} was built with {existing}; "
+                f"refusing to continue it with {params}"
+            )
+        return params
+    fs, p, _ = _hadoop_path(spark, f"{table_path}/{_BLOOM_MANIFEST}")
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(params, sort_keys=True).encode("utf-8")))
+    finally:
+        out.close()
+    return params
 
 
 def ngram_hashes(toks: Column, n: int) -> Column:
@@ -246,10 +317,16 @@ def maintain_bloom_table(
     build over everything ever streamed (pinned by test). A benchmark
     set that grows over time (new eval suites) thus keeps its
     decontamination filter current without rescanning old benchmarks.
-    Returns the started StreamingQuery."""
+    Writes (or verifies) the params manifest BEFORE starting the stream —
+    a maintainer pointed at a table built with different (scheme, n,
+    m_bits, n_hashes) fails fast instead of appending bits in an
+    incompatible layout. Returns the started StreamingQuery."""
 
     from colnade_spark.streaming.stream import maintain_partitioned_table
 
+    write_bloom_manifest(
+        stream.sparkSession, table_path, n, m_bits, n_hashes
+    )
     return maintain_partitioned_table(
         stream,
         lambda b: bloom_words_df(b, n, m_bits, n_hashes, text_col),
@@ -259,11 +336,37 @@ def maintain_bloom_table(
     )
 
 
-def load_bloom(spark, table_path: str, m_bits: int) -> list[int]:
+def load_bloom(
+    spark,
+    table_path: str,
+    m_bits: int,
+    n: int | None = None,
+    n_hashes: int | None = None,
+) -> list[int]:
     """Merge a persisted Bloom word-table history into the dense word
-    list ``bloom_contaminated_ids`` consumes."""
+    list ``bloom_contaminated_ids`` consumes. If the table carries a
+    params manifest (every ``maintain_bloom_table`` write does), the
+    caller's parameters are VERIFIED against it — probing a table built
+    under a different hash scheme / m_bits / n_hashes silently returns
+    near-all-negatives, so a mismatch is an error, not a warning. Pass
+    ``n`` / ``n_hashes`` to also pin the gram length and hash count you
+    intend to probe with; pre-manifest tables skip the check."""
     if m_bits % 64:
         raise ValueError("m_bits must be a multiple of 64")
+    mf = read_bloom_manifest(spark, table_path)
+    if mf is not None:
+        expect = {"scheme": BLOOM_SCHEME, "m_bits": m_bits}
+        if n is not None:
+            expect["n"] = n
+        if n_hashes is not None:
+            expect["n_hashes"] = n_hashes
+        diff = {k: v for k, v in expect.items() if mf.get(k) != v}
+        if diff:
+            raise ValueError(
+                f"bloom table at {table_path} was built with "
+                f"{ {k: mf.get(k) for k in diff} }; caller expected {diff} "
+                "— probing with mismatched parameters yields false negatives"
+            )
     merged = (
         spark.read.parquet(table_path)
         .groupBy("_w")

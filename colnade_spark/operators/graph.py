@@ -134,7 +134,16 @@ def connected_components(
     stages (~2·log² n stages of pure scheduling latency) with
     milliseconds of driver CPU; the distributed rounds remain the scale
     path for edge sets above the bound. Set to 0 to force fully
-    distributed execution."""
+    distributed execution.
+
+    SHARED-SESSION caveat: the per-round shuffle sizing temporarily sets
+    ``spark.sql.shuffle.partitions`` on the SESSION conf (restored in a
+    ``finally``) — runtime SQL confs have no narrower scope to set them
+    on. While an iteration is in flight, other queries planned on the
+    same SparkSession pick up the reduced partition count. Fine on a
+    dedicated job (the normal deployment); on a session shared with
+    concurrent planners, either accept the transient sizing or run this
+    on its own session."""
     e = (
         edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
         .filter(F.col("_a") != F.col("_b"))

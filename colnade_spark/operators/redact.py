@@ -84,10 +84,14 @@ def extract_urls(text: Column) -> Column:
 def extract_domains(text: Column) -> Column:
     """Array of lowercased registrable-host strings for each URL in the
     document (scheme, optional userinfo, and path stripped; port kept
-    out by the host class)."""
+    out by the host class). Hosts are normalized by stripping trailing
+    dots: a fully-qualified ``banned.example.`` resolves identically to
+    ``banned.example``, and left unstripped its dot-boundary suffixes
+    (``banned.example.``, ``example.``, ``''``) would all miss the
+    blocklist — a trivial gate bypass."""
     return F.transform(
         F.regexp_extract_all(text, F.lit(DOMAIN_RE), 1),
-        lambda h: F.lower(h),
+        lambda h: F.regexp_replace(F.lower(h), r"\.+$", ""),
     )
 
 
@@ -140,9 +144,12 @@ def blocked_doc_ids(
     spark = df.sparkSession
     # explicit schema: an EMPTY blocklist must mean "block nothing",
     # not an infer-schema crash
+    # blocklist entries get the same normalization as extracted hosts
+    # (lowercase, trailing dots stripped) so 'banned.example.' in either
+    # position still matches
     bl = F.broadcast(
         spark.createDataFrame(
-            [(d.lower(),) for d in blocked], "_sfx string"
+            [(d.lower().rstrip("."),) for d in blocked], "_sfx string"
         )
     )
     staged = df.withColumn("_doms", extract_domains(F.col(text_col)))

@@ -238,10 +238,15 @@ def solve_epochs(
     max_epochs: float = 8.0,
 ) -> dict[str, float]:
     """Epoch multipliers that realize a target domain TOKEN mixture with
-    no downsampling (the LLaMA/DoReMi recipe computation): the scarcest
-    domain relative to its target anchors at 1 epoch, every other
-    domain replicates proportionally, capped at ``max_epochs`` (the
-    published recipes cap repetition; repeated data loses value fast).
+    no downsampling (the LLaMA/DoReMi recipe computation): the domain
+    MOST ABUNDANT relative to its target — minimum w_d/n_d — anchors at
+    1 epoch, and scarcer domains (larger w_d/n_d) replicate
+    proportionally, capped at ``max_epochs`` (the published recipes cap
+    repetition; repeated data loses value fast). A domain that hits the
+    cap UNDER-REALIZES its target weight — the realized mixture shifts
+    toward the uncapped domains — so callers who must hit the target
+    exactly should either raise ``max_epochs`` or downsample the
+    abundant domains instead (``mixture_sample``).
 
     Pure driver arithmetic over per-domain aggregate counts (a
     ``groupBy(domain).sum(tokens)`` away at any scale) — feed the result

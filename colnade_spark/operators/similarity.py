@@ -381,13 +381,19 @@ def recall_at_k(
     Scale shape: both sides are top-k outputs — k rows per query, tiny
     next to the corpus — so the intersection is one query-keyed join of
     id pairs and one aggregation; nothing here touches vectors."""
+    # recall is a SET metric: distinct both sides so duplicate (query,
+    # neighbor) rows in either input can neither fan out the join nor
+    # double-count (the contract is "any two (query, neighbor) tables",
+    # not just well-formed top-k outputs)
     ex = exact.select(
         F.col(query_col).alias("_q"), F.col(neighbor_col).alias("_n")
-    )
-    ap = approx.select(
-        F.col(query_col).alias("_q"),
-        F.col(neighbor_col).alias("_n"),
-        F.lit(1).alias("_hit"),
+    ).distinct()
+    ap = (
+        approx.select(
+            F.col(query_col).alias("_q"), F.col(neighbor_col).alias("_n")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
     )
     joined = ex.join(ap, ["_q", "_n"], "left")
     return (

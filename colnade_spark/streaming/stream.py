@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Any, Generic, TypeVar
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame as SparkDF
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -86,10 +87,14 @@ def scan_stream_parquet(
 
     try:
         probe = spark.read.parquet(path).schema
-    except Exception:
+    except (AnalysisException, FileNotFoundError):
         # empty / not-yet-populated source directory — THE streaming setup
         # (the schema is declared precisely because no data exists yet);
-        # use the declared struct unchanged, the nanos fixup is moot
+        # use the declared struct unchanged, the nanos fixup is moot.
+        # ONLY the missing/empty-source analysis errors are swallowed:
+        # corrupt footers, permission faults, and transient FS errors
+        # propagate now instead of surfacing later (or silently skipping
+        # the nanos fixup) once the stream starts.
         probe = T.StructType([])
     fields = []
     for f in struct.fields:

@@ -196,3 +196,58 @@ def test_streaming_bloom_maintenance_matches_batch(spark, sf_dir, tmp_path):
         docs.filter(bench_pred), n=13, m_bits=1 << 16, n_hashes=4
     )
     assert streamed == batch
+
+
+def test_bloom_manifest_written_and_verified(spark, sf_dir, tmp_path):
+    """maintain_bloom_table persists a (scheme, n, m_bits, n_hashes)
+    manifest; load_bloom errors on mismatched parameters instead of
+    silently probing old bits with a new layout (ADVICE round 3)."""
+    from colnade_spark.streaming import scan_stream_parquet
+    from colnade_spark.tpch import Documents, table_path
+
+    dest = str(tmp_path / "bloom_table")
+    sf = scan_stream_parquet(table_path(sf_dir, "documents"), Documents, spark=spark)
+    q = decontaminate.maintain_bloom_table(
+        sf.native.filter("doc_id % 50 = 0"),
+        dest,
+        str(tmp_path / "ck"),
+        n=13,
+        m_bits=1 << 16,
+        n_hashes=4,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    mf = decontaminate.read_bloom_manifest(spark, dest)
+    assert mf == {
+        "scheme": decontaminate.BLOOM_SCHEME,
+        "n": 13,
+        "m_bits": 1 << 16,
+        "n_hashes": 4,
+    }
+    # matching load passes (with and without the optional pins)
+    assert len(decontaminate.load_bloom(spark, dest, 1 << 16, n=13, n_hashes=4)) == (1 << 16) // 64
+    # wrong m_bits / n / n_hashes all refuse
+    with pytest.raises(ValueError, match="false negatives"):
+        decontaminate.load_bloom(spark, dest, 1 << 20)
+    with pytest.raises(ValueError, match="false negatives"):
+        decontaminate.load_bloom(spark, dest, 1 << 16, n=5)
+    with pytest.raises(ValueError, match="false negatives"):
+        decontaminate.load_bloom(spark, dest, 1 << 16, n_hashes=8)
+    # a maintainer restarted with different params refuses before streaming
+    sf2 = scan_stream_parquet(table_path(sf_dir, "documents"), Documents, spark=spark)
+    with pytest.raises(ValueError, match="refusing"):
+        decontaminate.maintain_bloom_table(
+            sf2.native, dest, str(tmp_path / "ck2"), n=13, m_bits=1 << 18, n_hashes=4
+        )
+    # pre-manifest tables (no json next to the parquet) skip the check
+    import shutil, os
+
+    legacy = str(tmp_path / "legacy")
+    shutil.copytree(dest, legacy)
+    os.remove(f"{legacy}/_bloom_params.json")
+    assert decontaminate.load_bloom(spark, legacy, 1 << 16) == decontaminate.load_bloom(
+        spark, dest, 1 << 16
+    )

@@ -174,3 +174,23 @@ def test_pq_recall_beats_random_and_ivf_is_perfect(spark, sf_dir):
         recall_at_k(pq, exact).agg(F.avg("recall").alias("m")).first().m
     )
     assert mean_recall > 0.0
+
+
+def test_recall_at_k_is_duplicate_safe(spark):
+    """recall is a SET metric: duplicate (query, neighbor) rows in either
+    input must neither fan out the join nor double-count (ADVICE round 3).
+    Exact {1,2,3} vs approx {2,3,9} is recall 2/3 regardless of row
+    multiplicity on either side."""
+    from colnade_spark.operators.similarity import recall_at_k
+
+    exact = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 2)], ["query_id", "neighbor_id"]
+    )
+    approx = spark.createDataFrame(
+        [(0, 2), (0, 2), (0, 3), (0, 9)], ["query_id", "neighbor_id"]
+    )
+    r = recall_at_k(approx, exact).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row.n_exact == 3 and row.n_hit == 2
+    assert abs(row.recall - 2 / 3) < 1e-12

@@ -153,3 +153,30 @@ def test_domain_counts_are_per_document(spark):
     )
     got = {r.domain: r.n_docs for r in domain_counts(df).collect()}
     assert got == {"a.com": 1, "b.com": 1}
+
+
+def test_trailing_dot_fqdn_cannot_bypass_blocklist(spark):
+    """A fully-qualified trailing-dot host (http://banned.example./x)
+    resolves identically to banned.example; unnormalized it splits to
+    ['banned','example',''] and every suffix misses the blocklist."""
+    from colnade_spark.operators.redact import blocked_doc_ids, extract_domains
+
+    df = spark.createDataFrame(
+        [
+            (1, "see http://banned.example./x"),     # trailing-dot FQDN
+            (2, "see http://ads.banned.example./x"), # subdomain + trailing dot
+            (3, "see http://banned.example/x"),      # plain form
+            (4, "see http://fine.example/x"),
+        ],
+        ["doc_id", "text"],
+    )
+    bad = {r.doc_id for r in blocked_doc_ids(df, ["banned.example"]).collect()}
+    assert bad == {1, 2, 3}
+    # blocklist entries written with a trailing dot normalize too
+    bad2 = {r.doc_id for r in blocked_doc_ids(df, ["banned.example."]).collect()}
+    assert bad2 == {1, 2, 3}
+    # extract_domains itself emits the normalized host
+    doms = df.filter(F.col("doc_id") == 1).select(
+        extract_domains(F.col("text")).alias("d")
+    ).head().d
+    assert doms == ["banned.example"]

@@ -468,3 +468,20 @@ def test_scan_stream_parquet_accepts_empty_source_dir(spark, tmp_path):
     name = f"t_{uuid.uuid4().hex[:8]}"
     _await(sf.to_memory_sink(name, output_mode="append"))
     assert spark.table(name).count() == 0
+
+
+def test_scan_stream_parquet_propagates_corrupt_footer(spark, tmp_path):
+    """A real read failure (corrupt parquet footer) must PROPAGATE from
+    the schema probe, not be silently treated as an empty source dir
+    (ADVICE round 3: the bare except masked corrupt/permission faults)."""
+    import pytest
+
+    from colnade_spark.streaming import scan_stream_parquet
+    from colnade_spark.tpch import Documents
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "part-000.parquet").write_bytes(b"PAR1 this is not parquet")
+    with pytest.raises(Exception) as ei:
+        scan_stream_parquet(str(landing), Documents, spark=spark)
+    assert "parquet" in str(ei.value).lower() or "footer" in str(ei.value).lower()
