@@ -769,6 +769,49 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> SparkDF:
     return pq_topk(codes, q, _PQ_CODEBOOKS, k=5)
 
 
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """ANN quality audit: per-query recall@5 of PQ ADC top-k against the
+    exact brute-force top-5 (recall_at_k — the audit every index
+    parameter change should run). PQ is genuinely lossy, so recall
+    fractions are meaningful (not all 1.0); both sides are
+    deterministic, so the oracle recomputes approx AND exact
+    independently in SQL and replays the set-intersection recall
+    bit-for-bit."""
+    from colnade_spark.operators.pq import pq_encode, pq_topk
+    from colnade_spark.operators.similarity import (
+        brute_force_topk,
+        recall_at_k,
+    )
+
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 8)
+    exact = brute_force_topk(e, q, k=5)
+    approx = pq_topk(pq_encode(e, _PQ_CODEBOOKS), q, _PQ_CODEBOOKS, k=5)
+    return recall_at_k(approx, exact)
+
+
+def pq_screen_survivors(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Stateless semantic-decontamination screen over PQ codes: the 4
+    benchmark vectors (vec_id < 4) fold into literal ADC lookup tables,
+    every corpus row is encoded and scored at scan speed, and rows whose
+    max reconstructed dot reaches 1.7 (ADC units of the synthetic
+    literal codebooks) are dropped — including the benchmark members
+    themselves. Shuffle-free end to end, so the identical gate runs on
+    a stream (pinned by test_pq_screen_gate_is_stateless_on_streams);
+    the oracle replays encode, per-query ADC, and the max/threshold
+    compare bit-for-bit."""
+    from colnade_spark.operators.pq import pq_screen_gate
+
+    e = _embs(spark, sf_dir).select("vec_id", "embedding")
+    bench = [
+        r.embedding
+        for r in e.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    return pq_screen_gate(e, bench, _PQ_CODEBOOKS, threshold=1.7).select(
+        "vec_id"
+    )
+
+
 def ann_ivfpq(spark: SparkSession, sf_dir: str) -> SparkDF:
     """IVF-PQ with nprobe == nlist (probes every inverted list): result
     is exactly pq_topk, so the same ADC oracle applies — validating the
@@ -1964,6 +2007,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "mixture_sample_docs": mixture_sample_docs,
         "semantic_decontaminated_ids": semantic_decontaminated_ids,
         "unigram_quality": unigram_quality,
+        # --- round-4 additions ---
+        "ann_recall_audit": ann_recall_audit,
+        "pq_screen_survivors": pq_screen_survivors,
         # --- modified this round (single-pass tokenize rewrites) ---
         "bigram_pmi_top": bigram_pmi_top,
         "cms_token_estimates": cms_token_estimates,
@@ -2102,10 +2148,17 @@ def _split_bounds(weights: list[float]) -> list[int]:
 _SPLIT_BOUNDS = _split_bounds([0.8, 0.1, 0.1])
 
 
-def _pq_oracle_sql() -> str:
-    """DuckDB twin of operators/pq: integer-space per-subspace argmin
-    encode (ties to lowest code via struct list_min), then ADC scoring
-    through literal codebook lookup — bit-identical to the Spark path."""
+def _pq_scored_cte(
+    q_where: str = "vec_id < 8", exclude_self: bool = True
+) -> str:
+    """Shared DuckDB WITH-body for the PQ family: integer-space
+    per-subspace argmin encode (ties to lowest code via struct
+    list_min) and ADC scoring through literal codebook lookups —
+    bit-identical to the Spark path. Yields CTEs vi/enc/q/scored;
+    callers append their own final SELECT (top-k, recall, screen, ...).
+    ``exclude_self=False`` scores every (query, row) pair including a
+    row against itself — the decontamination-screen shape, where the
+    benchmark rows themselves must flag."""
     m, ksub, ds = 8, 8, 8
     s = 1 << 20
     cb_int = [
@@ -2142,18 +2195,66 @@ def _pq_oracle_sql() -> str:
         ),
         enc AS (SELECT vec_id, [{codes}] AS codes FROM vi),
         q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-              FROM embeddings WHERE vec_id < 8),
+              FROM embeddings WHERE {q_where}),
         scored AS (
           SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
                  round({score}, 6) AS adc
-          FROM enc e CROSS JOIN q WHERE e.vec_id <> q.qid
+          FROM enc e CROSS JOIN q
+          {"WHERE e.vec_id <> q.qid" if exclude_self else ""}
         )
+    """
+
+
+def _pq_oracle_sql() -> str:
+    """DuckDB twin of pq_topk / full-probe ivfpq_topk: the shared ADC
+    CTEs plus the per-query top-5."""
+    return f"""
+        {_pq_scored_cte()}
         SELECT query_id, neighbor_id, rank, adc FROM (
           SELECT query_id, neighbor_id, adc,
             row_number() OVER (PARTITION BY query_id
                                ORDER BY adc DESC, neighbor_id) AS rank
           FROM scored)
         WHERE rank <= 5
+    """
+
+
+def _recall_audit_oracle_sql() -> str:
+    """DuckDB twin of ann_recall_audit: PQ ADC top-5 (shared CTEs) vs an
+    independently computed brute-force exact top-5, then the per-query
+    set-intersection recall — replaying recall_at_k's left join +
+    count(hit)/count(*) exactly."""
+    return f"""
+        {_pq_scored_cte()},
+        approx AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc DESC, neighbor_id) AS rank
+            FROM scored)
+          WHERE rank <= 5
+        ),
+        sims AS (
+          SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        q.qv) AS sim
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid
+        ),
+        exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id) AS rank
+            FROM sims)
+          WHERE rank <= 5
+        )
+        SELECT ex.query_id,
+               CAST(count(*) AS BIGINT) AS n_exact,
+               CAST(count(ap.neighbor_id) AS BIGINT) AS n_hit,
+               CAST(count(ap.neighbor_id) AS DOUBLE) / count(*) AS recall
+        FROM exact ex LEFT JOIN approx ap
+          ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+        GROUP BY ex.query_id
     """
 
 
@@ -3417,6 +3518,15 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq": _pq_oracle_sql(),
         # full probe ≡ pq_topk — same deterministic ADC pipeline
         "ann_ivfpq": _pq_oracle_sql(),
+        "ann_recall_audit": _recall_audit_oracle_sql(),
+        "pq_screen_survivors": f"""
+            {_pq_scored_cte(q_where="vec_id < 4", exclude_self=False)},
+            mx AS (
+              SELECT neighbor_id AS vec_id, max(adc) AS max_adc
+              FROM scored GROUP BY neighbor_id
+            )
+            SELECT vec_id FROM mx WHERE max_adc < 1.7
+        """,
         "ann_ivfpq_residual": _ivfpq_residual_oracle_sql(),
         "dsir_doc_weights": f"""
             {_DSIR_CTE}

@@ -81,6 +81,8 @@ HEADLINE = [
     "dsir_sample_ids",
     "ann_pq",
     "ann_ivfpq",
+    "ann_recall_audit",
+    "pq_screen_survivors",
     "ann_ivfpq_residual",
     "canonical_docs_map",
     "blocked_url_ids",

@@ -49,6 +49,8 @@ __all__ = [
     "train_residual_codebooks",
     "ivfpq_residual_topk",
     "pq_reconstruct_dot",
+    "pq_screen_flags",
+    "pq_screen_gate",
 ]
 
 SCALE = 1 << 20
@@ -445,19 +447,12 @@ def ivfpq_residual_topk(
     )
 
 
-def pq_reconstruct_dot(
-    codes: DataFrame,
-    query_vec: list[float],
-    codebooks: list[list[list[float]]],
-    id_col: str = "vec_id",
-    code_col: str = "pq_codes",
-) -> DataFrame:
-    """(id, adc): the ADC score of ONE literal query against every code
-    row — the building block for filter-style screening (e.g. semantic
-    decontamination over PQ codes instead of raw vectors)."""
-    import numpy as np  # noqa: F401
-
-    m = len(codebooks)
+def _adc_lut_py(
+    query_vec: list[float], codebooks: list[list[list[float]]]
+) -> list[list[float]]:
+    """Driver-side m x ksub ADC lookup table for one FROZEN query vector
+    (sequential dot fold — the same op order as _lut_col / DuckDB's
+    list_inner_product, so scores replay bitwise in any engine)."""
     ds = len(codebooks[0][0])
     lut = []
     for j, book in enumerate(codebooks):
@@ -469,10 +464,100 @@ def pq_reconstruct_dot(
                 acc = acc + float(x) * float(y)
             row.append(acc)
         lut.append(row)
+    return lut
+
+
+def _adc_expr(
+    lut: list[list[float]], code_col: str
+) -> Column:
+    """Rounded ADC score of one frozen LUT against a code column: m
+    integer array gets + m-1 adds — scan-speed, codegen-friendly."""
     terms = [
-        F.get(F.lit(lut[j]), F.get(F.col(code_col), j)) for j in range(m)
+        F.get(F.lit(lut[j]), F.get(F.col(code_col), j))
+        for j in range(len(lut))
     ]
+    return F.round(reduce(lambda a, b: a + b, terms), 6)
+
+
+def pq_reconstruct_dot(
+    codes: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """(id, adc): the ADC score of ONE literal query against every code
+    row — the building block for filter-style screening (e.g. semantic
+    decontamination over PQ codes instead of raw vectors)."""
     return codes.select(
         F.col(id_col),
-        F.round(reduce(lambda a, b: a + b, terms), 6).alias("adc"),
+        _adc_expr(_adc_lut_py(query_vec, codebooks), code_col).alias("adc"),
     )
+
+
+def pq_screen_flags(
+    codes: DataFrame,
+    query_vecs: list[list[float]],
+    codebooks: list[list[list[float]]],
+    threshold: float,
+    code_col: str = "pq_codes",
+    score_col: str = "max_adc",
+    flag_col: str = "flagged",
+) -> DataFrame:
+    """Adds (``score_col``, ``flag_col``): the max ADC dot product of
+    each code row against a FROZEN set of query vectors, and whether it
+    reaches ``threshold`` — the semantic-decontamination test evaluated
+    over compact codes instead of raw vectors.
+
+    STATELESS by construction: every query vector folds into a literal
+    m x ksub lookup table at plan-build time, so a row's verdict is m
+    array gets + adds per query — no join, no shuffle, no state. The
+    projection therefore drops unchanged into a Structured Streaming
+    pipeline (the same frozen-model gate shape as
+    importance.dsir_score_frozen; pinned by the streaming test).
+
+    Scale shape: the screen embeds |queries| x m lookups per row as
+    expanded expressions — right for the frozen benchmark sets semantic
+    decontamination uses (10^1-10^3 vectors; chunk a larger set into
+    several screen passes to stay inside codegen method limits, or
+    IVF-prune candidates first and verify with raw vectors). ADC error
+    is bounded by quantization: pick ``threshold`` below the target
+    cosine margin (PQ under/over-estimates by at most the per-subspace
+    reconstruction error)."""
+    if not query_vecs:
+        raise ValueError("pq_screen_flags requires at least one query vector")
+    scores = [
+        _adc_expr(_adc_lut_py(qv, codebooks), code_col) for qv in query_vecs
+    ]
+    mx = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    staged = codes.withColumn(score_col, mx)
+    return staged.withColumn(
+        flag_col, F.col(score_col) >= F.lit(float(threshold))
+    )
+
+
+def pq_screen_gate(
+    df: DataFrame,
+    query_vecs: list[list[float]],
+    codebooks: list[list[list[float]]],
+    threshold: float,
+    vec_col: str = "embedding",
+    code_col: str | None = None,
+) -> DataFrame:
+    """The rows of ``df`` that do NOT screen against the frozen query
+    set — end-to-end stateless semantic decontamination over PQ codes:
+    encode (one Arrow-batched pandas pass over ``vec_col``; skipped when
+    ``code_col`` names an existing code column) then drop every row
+    whose max ADC reaches ``threshold``. Full rows pass through
+    unchanged; works identically on batch and streaming frames (no
+    shuffle anywhere — pinned by the streaming test)."""
+    if code_col is not None and code_col in df.columns:
+        staged = df
+    else:
+        code_col = "_pq_screen_codes"
+        staged = df.withColumn(code_col, _encode_udf(codebooks)(F.col(vec_col)))
+    flagged = pq_screen_flags(
+        staged, query_vecs, codebooks, threshold, code_col,
+        score_col="_pq_screen_adc", flag_col="_pq_screen_flag",
+    )
+    return flagged.filter(~F.col("_pq_screen_flag")).select(*df.columns)

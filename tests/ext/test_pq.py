@@ -231,3 +231,66 @@ def test_ivfpq_residual_pruned_probe_containment(spark, sf_dir):
     assert out
     for r in out:
         assert lists[r.neighbor_id] == lists[r.query_id]
+
+
+def test_screen_flags_match_reconstruct_dot(spark):
+    """pq_screen_flags.max_adc is exactly the max over per-query
+    pq_reconstruct_dot scores, and the flag is the threshold compare."""
+    from colnade_spark.operators.pq import pq_screen_flags
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.1, 0.1, 0.9, 0.1]),
+            (2, [0.9, 0.8, 0.2, 0.9]),
+            (3, [0.5, 0.5, 0.5, 0.5]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    codes = pq_encode(df, BOOKS)
+    qs = [[1.0, 1.0, 0.0, 1.0], [0.0, 0.0, 1.0, 0.0]]
+    per_q = [
+        {r.vec_id: r.adc for r in pq_reconstruct_dot(codes, q, BOOKS).collect()}
+        for q in qs
+    ]
+    want = {v: max(per_q[0][v], per_q[1][v]) for v in per_q[0]}
+    # threshold strictly between the min and max row score: both flag
+    # outcomes must occur
+    thr = (min(want.values()) + max(want.values())) / 2
+    got = {
+        r.vec_id: (r.max_adc, r.flagged)
+        for r in pq_screen_flags(codes, qs, BOOKS, threshold=thr).collect()
+    }
+    for v, (adc, flag) in got.items():
+        assert adc == want[v]
+        assert flag == (adc >= thr)
+    assert any(f for _, f in got.values()) and not all(f for _, f in got.values())
+
+
+def test_screen_gate_is_stateless_scan_shape(spark, sf_dir):
+    """pq_screen_gate end-to-end: encodes in-line, drops every row whose
+    reconstructed dot with a frozen benchmark vector reaches the
+    threshold (the benchmark members themselves — unit-norm fixture,
+    max non-identical cosine ~0.6), keeps everything else, and the whole
+    plan is shuffle-free (no Exchange) — the stateless streaming-gate
+    contract."""
+    from colnade_spark.operators.pq import pq_screen_gate, train_pq_codebooks
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    # m=16/ksub=32: reconstruction good enough that self-matches
+    # (~0.70-0.85) separate cleanly from the fixture's max non-identical
+    # cosine (<~0.41 after quantization) — threshold sits in the gap
+    books = train_pq_codebooks(e, m=16, ksub=32)
+    bench = [
+        r.embedding
+        for r in e.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    out = pq_screen_gate(e, bench, books, threshold=0.55)
+    assert out.columns == ["vec_id", "embedding"]
+    kept = {r.vec_id for r in out.collect()}
+    total = {r.vec_id for r in e.collect()}
+    assert {0, 1, 2, 3}.isdisjoint(kept)          # benchmark rows screened out
+    assert kept == total - {0, 1, 2, 3}           # nothing else near the bench set
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

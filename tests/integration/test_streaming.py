@@ -485,3 +485,35 @@ def test_scan_stream_parquet_propagates_corrupt_footer(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         scan_stream_parquet(str(landing), Documents, spark=spark)
     assert "parquet" in str(ei.value).lower() or "footer" in str(ei.value).lower()
+
+
+def test_pq_screen_gate_is_stateless_on_streams(spark, sf_dir):
+    """Semantic screening over PQ codes is a pure scan-side projection
+    (Arrow-batched encode + literal-LUT ADC max + filter): a streamed
+    embeddings source keeps exactly the ids the batch gate keeps — the
+    compact-code analog of the frozen-DSIR gate, for decontaminating an
+    ingest against a frozen benchmark set without carrying raw vectors."""
+    from colnade_spark.operators.pq import pq_screen_gate, train_pq_codebooks
+    from colnade_spark.streaming import scan_stream_parquet
+    from colnade_spark.tpch import Embeddings
+    from pyspark.sql import functions as F
+
+    batch = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    books = train_pq_codebooks(batch, m=16, ksub=32)
+    bench = [
+        r.embedding
+        for r in batch.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+
+    def gate(d):
+        return pq_screen_gate(
+            d.select("vec_id", "embedding"), bench, books, threshold=0.55
+        ).select("vec_id")
+
+    sf = scan_stream_parquet(table_path(sf_dir, "embeddings"), Embeddings, spark=spark)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _await(sf.with_raw(gate).to_memory_sink(name, output_mode="append"))
+    got = {r.vec_id for r in spark.table(name).collect()}
+    want = {r.vec_id for r in gate(batch).collect()}
+    assert got == want and 0 < len(got) < batch.count()
+    assert {0, 1, 2, 3}.isdisjoint(got)
