@@ -58,6 +58,9 @@ __all__ = [
     "dsir_sample",
     "canonical_map",
     "domain_blocklist_gate",
+    "RecallRows",
+    "recall_at_k",
+    "pq_screen_gate",
 ]
 
 
@@ -458,4 +461,43 @@ def canonical_map(
     )
     return _typed(
         out.select(F.col(id_col).alias("doc_id"), "canonical_id"), CanonicalMap
+    )
+
+
+class RecallRows(Schema):
+    query_id: Column[Int64]
+    n_exact: Column[Int64]
+    n_hit: Column[Int64]
+    recall: Column[Float64]
+
+
+def recall_at_k(
+    approx: DataFrame, exact: DataFrame, **kwargs
+) -> DataFrame[RecallRows]:
+    """Typed ANN recall audit: per-query |approx ∩ exact| / |exact| over
+    two top-k tables (operators.similarity.recall_at_k — duplicate-safe
+    set semantics)."""
+    from colnade_spark.operators import similarity as _similarity
+
+    a = approx.native if isinstance(approx, DataFrame) else approx
+    e = exact.native if isinstance(exact, DataFrame) else exact
+    return _typed(_similarity.recall_at_k(a, e, **kwargs), RecallRows)
+
+
+def pq_screen_gate(
+    frame: DataFrame[S],
+    query_vecs: list[list[float]],
+    codebooks: list[list[list[float]]],
+    threshold: float,
+    **kwargs,
+) -> DataFrame[S]:
+    """Schema-preserving semantic screen over PQ codes: drops rows whose
+    max reconstructed dot against the frozen query set reaches
+    ``threshold`` (operators.pq.pq_screen_gate — stateless, streams)."""
+    from colnade_spark.operators import pq as _pq
+
+    return frame.with_raw(
+        lambda d: _pq.pq_screen_gate(
+            d, query_vecs, codebooks, threshold, **kwargs
+        )
     )

@@ -162,3 +162,31 @@ def test_blocklist_gate_facade(spark, docs):
     kept = typed.domain_blocklist_gate(injected, ["spam0.example"])
     assert kept.schema is Documents
     assert kept.height == docs.height - (docs.height + 1) // 2
+
+
+def test_recall_and_pq_screen_facades(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from colnade_spark.tpch import Embeddings, table_path
+
+    emb = read_parquet(table_path(sf_dir, "embeddings"), Embeddings, spark=spark)
+    from colnade_spark.operators.pq import train_pq_codebooks
+    from colnade_spark.operators.similarity import brute_force_topk
+
+    books = train_pq_codebooks(emb.native, m=16, ksub=32)
+    bench = [
+        r.embedding
+        for r in emb.native.filter(F.col("vec_id") < 4).collect()
+    ]
+    kept = typed.pq_screen_gate(emb, bench, books, threshold=0.55)
+    assert kept.schema is Embeddings
+    assert 0 < kept.height <= emb.height - 4  # benchmark members dropped
+
+    q = emb.native.filter(F.col("vec_id") < 4)
+    exact = brute_force_topk(emb.native, q, k=3)
+    audit = typed.recall_at_k(exact, exact)
+    assert audit.schema is typed.RecallRows
+    rows = audit.rows()
+    assert len(rows) == 4 and all(r.recall == 1.0 for r in rows)
+    # typed refs guard downstream
+    assert audit.filter(typed.RecallRows.recall >= 0.5).height == 4

@@ -75,3 +75,18 @@ def check_round3_tables(frame: DataFrame[Corpus]) -> list[float]:
     )
     _ = pairs.filter(typed.SemDupPairs.cos_sim >= 0.5)
     return out
+
+
+def check_round4_facades(frame: DataFrame[Corpus]) -> list[float]:
+    # pq_screen_gate is schema-preserving; recall_at_k pins RecallRows
+    screened: DataFrame[Corpus] = typed.pq_screen_gate(
+        frame, [[1.0, 0.0]], [[[0.0, 0.0], [1.0, 1.0]]], threshold=0.9
+    )
+    _ = screened.filter(Corpus.doc_id > 0)
+    audit: DataFrame[typed.RecallRows] = typed.recall_at_k(frame, frame)
+    out: list[float] = []
+    for r in audit.rows():
+        x: float = r.recall
+        n: int = r.n_exact
+        out.append(x if n > 0 else 0.0)
+    return out
