@@ -1355,6 +1355,50 @@ def canonical_docs_map(spark: SparkSession, sf_dir: str) -> SparkDF:
     return out.select("doc_id", "canonical_id")
 
 
+def leakage_safe_split_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """LEAKAGE-SAFE train/val/test split audit: near-dup components (the
+    dedup_components length-chain graph) hash to splits as WHOLE groups
+    (sampling.group_split), so no cluster straddles the train/eval
+    boundary. Output: per-split doc and group counts. The oracle
+    replays components via window SQL and the same md5 gate on the
+    component id — any split-purity violation would change the group
+    counts and break the bit-compare."""
+    from pyspark.sql.window import Window
+
+    from colnade_spark.operators.graph import connected_components
+    from colnade_spark.operators.sampling import group_split
+    from colnade_spark.tpch import Documents
+
+    d = _load(spark, sf_dir, "documents", Documents).native
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    s = d.select(
+        "doc_id",
+        "n_chars",
+        F.lag("doc_id").over(w).alias("prev_id"),
+        F.lag("n_chars").over(w).alias("prev_nc"),
+    )
+    edges = s.filter(
+        F.col("prev_nc").isNotNull() & ((F.col("n_chars") - F.col("prev_nc")) <= 2)
+    ).select(F.col("prev_id").alias("src"), F.col("doc_id").alias("dst"))
+    cc = connected_components(edges, nodes=d.select("doc_id"))
+    labeled = group_split(
+        d.select("doc_id"),
+        cc.select(F.col("node").alias("doc_id"), "component"),
+        _SPLIT_WEIGHTS,
+        salt="split4",
+    )
+    return (
+        labeled.join(
+            cc.select(F.col("node").alias("doc_id"), "component"), "doc_id"
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("component").cast("long").alias("n_groups"),
+        )
+    )
+
+
 class PartSuppTotals(Schema):
     ps_partkey: Column[Int64]
     ps_suppkey: Column[Int64]
@@ -2010,6 +2054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         # --- round-4 additions ---
         "ann_recall_audit": ann_recall_audit,
         "pq_screen_survivors": pq_screen_survivors,
+        "leakage_safe_split_stats": leakage_safe_split_stats,
         # --- modified this round (single-pass tokenize rewrites) ---
         "bigram_pmi_top": bigram_pmi_top,
         "cms_token_estimates": cms_token_estimates,
@@ -2146,6 +2191,7 @@ def _split_bounds(weights: list[float]) -> list[int]:
 
 
 _SPLIT_BOUNDS = _split_bounds([0.8, 0.1, 0.1])
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
 def _pq_scored_cte(
@@ -3526,6 +3572,40 @@ def oracle_sql() -> dict[str, str]:
               FROM scored GROUP BY neighbor_id
             )
             SELECT vec_id FROM mx WHERE max_adc < 1.7
+        """,
+        "leakage_safe_split_stats": f"""
+            WITH s AS (
+              SELECT doc_id, lang, n_chars,
+                     LAG(n_chars) OVER (PARTITION BY lang
+                                        ORDER BY n_chars, doc_id) AS pnc
+              FROM documents
+            ), f AS (
+              SELECT doc_id, lang, n_chars,
+                CASE WHEN pnc IS NULL OR n_chars - pnc > 2
+                     THEN 1 ELSE 0 END AS brk
+              FROM s
+            ), r AS (
+              SELECT doc_id, lang,
+                sum(brk) OVER (PARTITION BY lang ORDER BY n_chars, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS run
+              FROM f
+            ), comp AS (
+              SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY lang, run) AS component
+              FROM r
+            ), lab AS (
+              SELECT doc_id, component,
+                CASE
+                  WHEN {_md5h("CAST(component AS VARCHAR) || 'split4'")}
+                       < {_SPLIT_BOUNDS[0]} THEN 'train'
+                  WHEN {_md5h("CAST(component AS VARCHAR) || 'split4'")}
+                       < {_SPLIT_BOUNDS[1]} THEN 'val'
+                  ELSE 'test' END AS split
+              FROM comp
+            )
+            SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT component) AS BIGINT) AS n_groups
+            FROM lab GROUP BY split
         """,
         "ann_ivfpq_residual": _ivfpq_residual_oracle_sql(),
         "dsir_doc_weights": f"""

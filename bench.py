@@ -83,6 +83,7 @@ HEADLINE = [
     "ann_ivfpq",
     "ann_recall_audit",
     "pq_screen_survivors",
+    "leakage_safe_split_stats",
     "ann_ivfpq_residual",
     "canonical_docs_map",
     "blocked_url_ids",

@@ -29,9 +29,12 @@ __all__ = [
     "sample_hash",
     "hash_sample",
     "hash_split",
+    "group_split",
+    "mixture_sample",
     "weighted_sample",
     "stratified_sample",
     "upsample_epochs",
+    "solve_epochs",
 ]
 
 _HASH_SPACE = 1 << 60
@@ -82,6 +85,46 @@ def hash_split(
         expr = branch if expr is None else expr.when(h < F.lit(bound), F.lit(label))
     expr = F.lit(last_label) if expr is None else expr.otherwise(F.lit(last_label))
     return df.withColumn(out_col, expr)
+
+
+def group_split(
+    df: DataFrame,
+    groups: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    group_col: str = "component",
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: the split label is hashed from
+    the GROUP id, not the row key, so every member of a group — a
+    near-duplicate cluster (connected_components output), a canonical
+    mapping, a domain, an author — lands in the SAME split. Splitting
+    i.i.d. by row puts one near-duplicate in train and its twin in
+    test, silently inflating eval; grouping by duplicate cluster is the
+    standard fix.
+
+    ``groups`` is a (``key_col``, ``group_col``) mapping; rows of ``df``
+    absent from it form singleton groups keyed by their own key (so a
+    partial mapping — e.g. only the duplicate-bearing docs — is fine).
+    Same deterministic hash gate as ``hash_split``: stable across runs,
+    partitionings, and engines.
+
+    Scale shape: one equi-join against an ids-only mapping (broadcast it
+    when only the duplicate-bearing subset is mapped — the common case —
+    else a key-partitioned shuffle), then the scan-side hash CASE. The
+    realized fractions converge on GROUP counts, not row counts: a few
+    giant clusters skew row proportions by design (they must stay
+    whole)."""
+    g = groups.select(
+        F.col(key_col), F.col(group_col).cast("string").alias("_grp")
+    )
+    joined = df.join(g, key_col, "left").withColumn(
+        "_grp", F.coalesce(F.col("_grp"), F.col(key_col).cast("string"))
+    )
+    return hash_split(joined, weights, key_col="_grp", salt=salt, out_col=out_col).drop(
+        "_grp"
+    )
 
 
 def weighted_sample(

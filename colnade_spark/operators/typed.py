@@ -61,6 +61,7 @@ __all__ = [
     "RecallRows",
     "recall_at_k",
     "pq_screen_gate",
+    "group_split_select",
 ]
 
 
@@ -501,3 +502,28 @@ def pq_screen_gate(
             d, query_vecs, codebooks, threshold, **kwargs
         )
     )
+
+
+def group_split_select(
+    frame: DataFrame[S],
+    groups,
+    weights: dict[str, float],
+    keep: str,
+    **kwargs,
+) -> DataFrame[S]:
+    """Schema-preserving leakage-safe split selection: label rows by the
+    hash of their GROUP (near-dup cluster / domain / author — members
+    never straddle splits, operators.sampling.group_split), keep the
+    ``keep`` split, drop the internal label. ``keep`` must be one of
+    ``weights``' labels."""
+    if keep not in weights:
+        raise ValueError(f"keep={keep!r} is not a split label in {sorted(weights)}")
+    from pyspark.sql import functions as F
+
+    g = groups.native if isinstance(groups, DataFrame) else groups
+
+    def _apply(d):
+        out = _sampling.group_split(d, g, weights, out_col="_split", **kwargs)
+        return out.filter(F.col("_split") == keep).drop("_split")
+
+    return frame.with_raw(_apply)

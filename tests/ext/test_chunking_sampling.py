@@ -286,3 +286,44 @@ def test_solve_epochs_feeds_upsample(spark, sf_dir):
     raw_ratio = max(counts.values()) / min(counts.values())
     new_ratio = max(got.values()) / min(got.values())
     assert new_ratio < raw_ratio
+
+
+def test_group_split_is_leakage_safe(spark, docs):
+    """Every member of a group gets the SAME split label (near-dup
+    clusters cannot straddle train/test); unmapped rows fall back to
+    singleton groups; full coverage and determinism like hash_split."""
+    groups = docs.select(
+        "doc_id", (F.col("doc_id") % 37).alias("component")
+    ).filter(F.col("doc_id") % 2 == 0)  # PARTIAL mapping: odd ids unmapped
+    out = sampling.group_split(
+        docs, groups, {"train": 0.8, "val": 0.1, "test": 0.1},
+        group_col="component", salt="gs",
+    )
+    assert out.count() == docs.count()          # left join loses nothing
+    assert set(out.columns) == set(docs.columns) | {"split"}
+    # purity: each mapped group carries exactly one split label
+    purity = (
+        out.join(groups, "doc_id")
+        .groupBy("component")
+        .agg(F.countDistinct("split").alias("k"))
+        .agg(F.max("k").alias("mx"))
+        .head()
+        .mx
+    )
+    assert purity == 1
+    # unmapped rows behave exactly like hash_split on their own key
+    odd = out.filter(F.col("doc_id") % 2 == 1).select("doc_id", "split")
+    want = sampling.hash_split(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="gs",
+    ).select("doc_id", "split")
+    assert sorted(map(tuple, odd.collect())) == sorted(map(tuple, want.collect()))
+    # deterministic
+    again = sampling.group_split(
+        docs, groups, {"train": 0.8, "val": 0.1, "test": 0.1},
+        group_col="component", salt="gs",
+    )
+    assert sorted(map(tuple, out.select("doc_id", "split").collect())) == sorted(
+        map(tuple, again.select("doc_id", "split").collect())
+    )

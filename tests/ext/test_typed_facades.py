@@ -190,3 +190,29 @@ def test_recall_and_pq_screen_facades(spark, sf_dir):
     assert len(rows) == 4 and all(r.recall == 1.0 for r in rows)
     # typed refs guard downstream
     assert audit.filter(typed.RecallRows.recall >= 0.5).height == 4
+
+
+def test_group_split_select_facade(spark, docs):
+    import pyspark.sql.functions as F
+
+    groups = docs.native.select(
+        "doc_id", (F.col("doc_id") % 11).alias("component")
+    )
+    parts = {
+        k: typed.group_split_select(
+            docs, groups, {"train": 0.8, "val": 0.1, "test": 0.1}, keep=k
+        )
+        for k in ("train", "val", "test")
+    }
+    assert all(p.schema is Documents for p in parts.values())
+    assert sum(p.height for p in parts.values()) == docs.height
+    # leakage safety: a group's docs are all in the same part
+    for k, p in parts.items():
+        comp = {r.doc_id % 11 for r in p.rows()}
+        for k2, p2 in parts.items():
+            if k2 != k and p2.height and p.height:
+                assert comp.isdisjoint({r.doc_id % 11 for r in p2.rows()})
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        typed.group_split_select(docs, groups, {"a": 1.0}, keep="b")
