@@ -1680,6 +1680,27 @@ def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     ).select("doc_id", "source")
 
 
+def temperature_mixture_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Temperature-flattened source mixture at alpha=0.5 (the XLM-R
+    exponentiated-sampling recipe): output ∝ sqrt(n_s), downsampling
+    only. The fixture's sources are uniform (flattening would be a
+    no-op), so a skewed 60/30/10 domain label is derived in-query —
+    sqrt-flattening then MUST downsample the big domains while the
+    smallest keeps every row. alpha=0.5 keeps every threshold inside
+    correctly-rounded IEEE ops (sqrt, *, /), so the DuckDB twin
+    recomputes the identical integer thresholds from the same
+    per-domain counts and the surviving ROW SET matches bit-exact."""
+    d = _docs(spark, sf_dir).withColumn(
+        "domain",
+        F.when(F.col("doc_id") % 10 < 6, "head")
+        .when(F.col("doc_id") % 10 < 9, "torso")
+        .otherwise("tail"),
+    )
+    return sampling.temperature_mixture(
+        d, alpha=0.5, source_col="domain", salt="temp4"
+    ).select("doc_id", "domain")
+
+
 def describe_orders(spark: SparkSession, sf_dir: str) -> SparkDF:
     """describe(): one aggregation job summarizing every numeric column
     (count/mean/std/min/max), reshaped long. Float stats rounded to 6
@@ -2055,6 +2076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "ann_recall_audit": ann_recall_audit,
         "pq_screen_survivors": pq_screen_survivors,
         "leakage_safe_split_stats": leakage_safe_split_stats,
+        "temperature_mixture_docs": temperature_mixture_docs,
         # --- modified this round (single-pass tokenize rewrites) ---
         "bigram_pmi_top": bigram_pmi_top,
         "cms_token_estimates": cms_token_estimates,
@@ -3490,6 +3512,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source
             FROM documents d JOIN thr ON d.source = thr.source
             WHERE {_md5h("CAST(d.doc_id AS VARCHAR) || 'mix1'")} < thr.th
+        """,
+        "temperature_mixture_docs": f"""
+            WITH dom AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 10 < 6 THEN 'head'
+                     WHEN doc_id % 10 < 9 THEN 'torso'
+                     ELSE 'tail' END AS domain
+              FROM documents
+            ), c AS (
+              SELECT domain, CAST(count(*) AS BIGINT) AS n
+              FROM dom GROUP BY domain
+            ), m AS (
+              SELECT min(n / sqrt(n)) AS mm FROM c
+            ), thr AS (
+              -- same op order as sampling.temperature_mixture:
+              -- ((sqrt(n) * m) / n) * 2^60, truncated
+              SELECT c.domain,
+                CAST(trunc(((sqrt(c.n) * m.mm) / c.n)
+                  * 1152921504606846976.0) AS BIGINT) AS th
+              FROM c, m
+            )
+            SELECT d.doc_id, d.domain
+            FROM dom d JOIN thr ON d.domain = thr.domain
+            WHERE {_md5h("CAST(d.doc_id AS VARCHAR) || 'temp4'")} < thr.th
         """,
         "semantic_decontaminated_ids": """
             WITH bench AS (

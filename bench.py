@@ -84,6 +84,7 @@ HEADLINE = [
     "ann_recall_audit",
     "pq_screen_survivors",
     "leakage_safe_split_stats",
+    "temperature_mixture_docs",
     "ann_ivfpq_residual",
     "canonical_docs_map",
     "blocked_url_ids",

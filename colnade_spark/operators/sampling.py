@@ -31,6 +31,7 @@ __all__ = [
     "hash_split",
     "group_split",
     "mixture_sample",
+    "temperature_mixture",
     "weighted_sample",
     "stratified_sample",
     "upsample_epochs",
@@ -210,12 +211,74 @@ def mixture_sample(
         raise ValueError(f"mixture_sample: sources absent from data: {missing}")
     m = min(counts[s] / t[s] for s in t)
     thresholds = {s: int(((t[s] * m) / counts[s]) * _HASH_SPACE) for s in t}
+    return _threshold_gate(df, thresholds, source_col, key_col, salt)
+
+
+def _threshold_gate(
+    df: DataFrame,
+    thresholds: dict[str, int],
+    source_col: str,
+    key_col: str,
+    salt: str,
+) -> DataFrame:
+    """Filter to rows whose sampling hash clears their source's
+    threshold (scan-side CASE; unknown sources always dropped) — the
+    shared realization step of the mixture samplers."""
     thr = None
     for s, th in thresholds.items():
         cond = F.col(source_col) == s
         thr = F.when(cond, th) if thr is None else thr.when(cond, th)
     thr = thr.otherwise(F.lit(-1))  # unknown source -> always dropped
     return df.filter(sample_hash(F.col(key_col), salt) < thr)
+
+
+def temperature_mixture(
+    df: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-flattened mixture (the multilingual alpha-sampling
+    recipe — XLM-R / mBERT exponentiated sampling): the output mixture
+    is proportional to ``n_s**alpha``, so abundant sources flatten and
+    rare sources keep relatively more — realized by DOWNSAMPLING only
+    (the source scarcest relative to its flattened target keeps every
+    row). ``alpha=1`` keeps the natural mixture; ``alpha -> 0``
+    approaches uniform.
+
+    Same machinery as ``mixture_sample`` but with the UNNORMALIZED
+    weights ``w_s = n_s**alpha``: every keep rate is then a pure
+    per-source scalar expression of the counts —
+    ``rate_s = (w_s * m) / n_s`` with ``m = min_k n_k / w_k`` — with no
+    cross-source float sum and no iteration-order ambiguity. With the
+    default ``alpha=0.5`` the weight is ``sqrt`` (correctly-rounded
+    IEEE), so thresholds are bit-reproducible in any engine; other
+    alphas go through ``pow``, which libms don't guarantee correctly
+    rounded — fine for sampling, but pin 0.5 when an oracle must replay
+    the thresholds.
+
+    One counting aggregate to the driver (bounded by source count);
+    membership is the scan-side content-addressed hash gate — no data
+    shuffle, deterministic across runs, partitionings, and engines."""
+    import math
+
+    if alpha <= 0:
+        raise ValueError("alpha must be positive")
+    counts = {
+        r[0]: r[1] for r in df.groupBy(source_col).count().collect()
+    }
+    if not counts:
+        return df
+    w = {
+        s: (math.sqrt(float(n)) if alpha == 0.5 else float(n) ** alpha)
+        for s, n in counts.items()
+    }
+    m = min(counts[s] / w[s] for s in w)
+    thresholds = {
+        s: int(((w[s] * m) / counts[s]) * _HASH_SPACE) for s in w
+    }
+    return _threshold_gate(df, thresholds, source_col, key_col, salt)
 
 
 def upsample_epochs(

@@ -62,6 +62,7 @@ __all__ = [
     "recall_at_k",
     "pq_screen_gate",
     "group_split_select",
+    "temperature_mixture",
 ]
 
 
@@ -527,3 +528,14 @@ def group_split_select(
         return out.filter(F.col("_split") == keep).drop("_split")
 
     return frame.with_raw(_apply)
+
+
+def temperature_mixture(
+    frame: DataFrame[S], alpha: float = 0.5, **kwargs
+) -> DataFrame[S]:
+    """Schema-preserving temperature-flattened mixture (multilingual
+    alpha-sampling — operators.sampling.temperature_mixture): output
+    mixture ∝ n_s**alpha, downsampling only."""
+    return frame.with_raw(
+        lambda d: _sampling.temperature_mixture(d, alpha, **kwargs)
+    )

@@ -327,3 +327,29 @@ def test_group_split_is_leakage_safe(spark, docs):
     assert sorted(map(tuple, out.select("doc_id", "split").collect())) == sorted(
         map(tuple, again.select("doc_id", "split").collect())
     )
+
+
+def test_temperature_mixture_flattens_toward_sqrt(spark):
+    """alpha=0.5: realized counts approach sqrt proportions, the
+    relatively-scarcest source keeps EVERY row, alpha=1 is identity,
+    and membership is deterministic; invalid alpha raises."""
+    rows = [(i, "big" if i % 10 < 8 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = sampling.temperature_mixture(df, alpha=0.5, salt="t")
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    assert counts["small"] == 200                   # binding source kept whole
+    # big's target rate is sqrt(800)/sqrt(200)-scaled: 800 * (sqrt(800)*m/800)
+    # with m = 200/sqrt(200) -> 800 rows * 0.5 = 400 expected; hash gate
+    # realizes a binomial around it
+    assert 320 < counts["big"] < 480
+    # alpha=1 keeps the natural mixture: every row survives
+    ident = sampling.temperature_mixture(df, alpha=1.0, salt="t")
+    assert ident.count() == 1000
+    # deterministic
+    again = sampling.temperature_mixture(df, alpha=0.5, salt="t")
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+    with pytest.raises(ValueError):
+        sampling.temperature_mixture(df, alpha=0.0)
