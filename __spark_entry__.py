@@ -1701,6 +1701,20 @@ def temperature_mixture_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     ).select("doc_id", "domain")
 
 
+def quality_pruned_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Per-domain quality pruning: keep the top 40% of documents by
+    n_chars WITHIN each lang (ceil(0.4·n) rows per lang, ties to lowest
+    doc_id) — pruning per bucket instead of globally so no language is
+    crowded out. The oracle replays the rank window, the per-domain
+    count, and the ceil cutoff."""
+    from colnade_spark.operators.quality import quality_prune
+
+    out = quality_prune(
+        _docs(spark, sf_dir), frac=0.4, score_col="n_chars", domain_col="lang"
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
 def describe_orders(spark: SparkSession, sf_dir: str) -> SparkDF:
     """describe(): one aggregation job summarizing every numeric column
     (count/mean/std/min/max), reshaped long. Float stats rounded to 6
@@ -2077,6 +2091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "pq_screen_survivors": pq_screen_survivors,
         "leakage_safe_split_stats": leakage_safe_split_stats,
         "temperature_mixture_docs": temperature_mixture_docs,
+        "quality_pruned_ids": quality_pruned_ids,
         # --- modified this round (single-pass tokenize rewrites) ---
         "bigram_pmi_top": bigram_pmi_top,
         "cms_token_estimates": cms_token_estimates,
@@ -3536,6 +3551,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.domain
             FROM dom d JOIN thr ON d.domain = thr.domain
             WHERE {_md5h("CAST(d.doc_id AS VARCHAR) || 'temp4'")} < thr.th
+        """,
+        "quality_pruned_ids": """
+            SELECT doc_id, lang, n_chars FROM (
+              SELECT doc_id, lang, n_chars,
+                row_number() OVER (PARTITION BY lang
+                                   ORDER BY n_chars DESC, doc_id) AS rn,
+                count(*) OVER (PARTITION BY lang) AS nd
+              FROM documents
+            )
+            WHERE rn <= CEIL(nd * 0.4)
         """,
         "semantic_decontaminated_ids": """
             WITH bench AS (

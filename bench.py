@@ -85,6 +85,7 @@ HEADLINE = [
     "pq_screen_survivors",
     "leakage_safe_split_stats",
     "temperature_mixture_docs",
+    "quality_pruned_ids",
     "ann_ivfpq_residual",
     "canonical_docs_map",
     "blocked_url_ids",

@@ -41,6 +41,8 @@ __all__ = [
     "top_ngram_stats",
     "gopher_flags",
     "gopher_filter",
+    "unigram_logprob",
+    "quality_prune",
 ]
 
 
@@ -361,3 +363,40 @@ def unigram_logprob(
             "neg_logprob",
         )
     )
+
+
+def quality_prune(
+    df: DataFrame,
+    frac: float,
+    score_col: str,
+    domain_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top ``frac`` of rows by ``score_col`` — PER DOMAIN when
+    ``domain_col`` is given (the curation shape that avoids domain
+    collapse: pruning a mixed corpus globally lets one high-scoring
+    domain crowd out the rest; FineWeb-style pipelines prune within
+    buckets). Exactly ``ceil(frac * n_domain)`` rows survive per domain
+    (every non-empty domain keeps at least one row); ties break to the
+    LOWEST id, so the surviving set is deterministic in any engine.
+
+    Scale notes: one rank window per domain — a within-domain sort, the
+    same cost tier as any per-key ranking. For domains too large to
+    sort (a single web domain spanning TBs), derive an approximate
+    score threshold first (percentile_approx or a CMS/histogram over
+    scores) and reduce this to a scan-side filter; the exact window
+    then only ranks the boundary bucket."""
+    from pyspark.sql.window import Window
+
+    if not (0.0 < frac <= 1.0):
+        raise ValueError("frac must be in (0, 1]")
+    part = [domain_col] if domain_col else [F.lit(1)]
+    w = Window.partitionBy(*part).orderBy(F.desc(score_col), F.col(id_col))
+    wc = Window.partitionBy(*part)
+    staged = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_nd", F.count(F.lit(1)).over(wc)
+    )
+    kept = staged.filter(
+        F.col("_rn") <= F.ceil(F.col("_nd") * F.lit(float(frac)))
+    )
+    return kept.drop("_rn", "_nd")

@@ -63,6 +63,7 @@ __all__ = [
     "pq_screen_gate",
     "group_split_select",
     "temperature_mixture",
+    "quality_prune",
 ]
 
 
@@ -538,4 +539,18 @@ def temperature_mixture(
     mixture ∝ n_s**alpha, downsampling only."""
     return frame.with_raw(
         lambda d: _sampling.temperature_mixture(d, alpha, **kwargs)
+    )
+
+
+def quality_prune(
+    frame: DataFrame[S],
+    frac: float,
+    score_col: str,
+    domain_col: str | None = None,
+    **kwargs,
+) -> DataFrame[S]:
+    """Schema-preserving per-domain quality pruning: keep the top
+    ``frac`` by score within each domain (operators.quality)."""
+    return frame.with_raw(
+        lambda d: _quality.quality_prune(d, frac, score_col, domain_col, **kwargs)
     )

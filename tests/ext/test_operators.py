@@ -528,3 +528,32 @@ def test_edit_distance_pairs_null_text_never_matches(spark):
     )
     got = {(r.id_a, r.id_b) for r in edit_distance_pairs(df, max_dist=4).collect()}
     assert got == {(3, 4)}
+
+
+def test_quality_prune_per_domain(spark):
+    """Exactly ceil(frac*n) rows survive per domain, chosen by score
+    with ties to lowest id; global mode when domain_col is None; every
+    non-empty domain keeps at least one row; frac validated."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators.quality import quality_prune
+
+    rows = [(i, "a" if i < 10 else "b", i % 7) for i in range(13)]
+    df = spark.createDataFrame(rows, ["doc_id", "dom", "score"])
+    out = quality_prune(df, 0.3, "score", domain_col="dom")
+    got = {(r.dom, r.doc_id) for r in out.collect()}
+    # dom a: 10 rows -> ceil(3.0)=3 survivors: scores 6(id 6), 5(id 5), 4(id 4)
+    # dom b: 3 rows (ids 10,11,12; scores 3,4,5) -> ceil(0.9)=1: id 12
+    assert got == {("a", 6), ("a", 5), ("a", 4), ("b", 12)}
+    # tie-break: equal scores keep the LOWEST ids
+    ties = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 5), (4, 5)], ["doc_id", "score"]
+    )
+    kept = sorted(r.doc_id for r in quality_prune(ties, 0.5, "score").collect())
+    assert kept == [1, 2]
+    # tiny domain never empties
+    tiny = spark.createDataFrame([(1, "x", 9)], ["doc_id", "dom", "score"])
+    assert quality_prune(tiny, 0.01, "score", domain_col="dom").count() == 1
+    with pytest.raises(ValueError):
+        quality_prune(df, 0.0, "score")
