@@ -1701,6 +1701,19 @@ def temperature_mixture_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     ).select("doc_id", "domain")
 
 
+def contamination_report_bench(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Graded decontamination audit at n=8: per benchmark doc (doc_id %
+    50 == 0), the fraction of its distinct 8-gram set found anywhere in
+    the rest of the corpus. Exact integer counts; the fraction is one
+    long/long division (identical doubles both engines)."""
+    from colnade_spark.operators.decontaminate import contamination_report
+
+    docs = _docs_spread(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return contamination_report(corpus, bench, n=8)
+
+
 def quality_pruned_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Per-domain quality pruning: keep the top 40% of documents by
     n_chars WITHIN each lang (ceil(0.4·n) rows per lang, ties to lowest
@@ -2092,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "leakage_safe_split_stats": leakage_safe_split_stats,
         "temperature_mixture_docs": temperature_mixture_docs,
         "quality_pruned_ids": quality_pruned_ids,
+        "contamination_report_bench": contamination_report_bench,
         # --- modified this round (single-pass tokenize rewrites) ---
         "bigram_pmi_top": bigram_pmi_top,
         "cms_token_estimates": cms_token_estimates,
@@ -3551,6 +3565,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.domain
             FROM dom d JOIN thr ON d.domain = thr.domain
             WHERE {_md5h("CAST(d.doc_id AS VARCHAR) || 'temp4'")} < thr.th
+        """,
+        "contamination_report_bench": f"""
+            WITH norm AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array({_NORM_TEXT}, '\\s+'),
+                            x -> x != '') AS tk
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                unnest(list_distinct(list_transform(
+                  list_filter(range(0, greatest(len(tk) - 7, 1), 1),
+                              p -> p < len(tk) - 7),
+                  p -> array_to_string(list_slice(tk, p + 1, p + 8), ' '))))
+                  AS g
+              FROM norm
+            ),
+            corpus_g AS (
+              SELECT DISTINCT g FROM grams WHERE doc_id % 50 <> 0
+            ),
+            bench_g AS (
+              SELECT doc_id, g FROM grams WHERE doc_id % 50 = 0
+            )
+            SELECT b.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(count(c.g) AS BIGINT) AS n_hit,
+                   CAST(count(c.g) AS DOUBLE) / count(*) AS overlap_frac
+            FROM bench_g b LEFT JOIN corpus_g c USING (g)
+            GROUP BY b.doc_id
         """,
         "quality_pruned_ids": """
             SELECT doc_id, lang, n_chars FROM (

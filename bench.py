@@ -86,6 +86,7 @@ HEADLINE = [
     "leakage_safe_split_stats",
     "temperature_mixture_docs",
     "quality_pruned_ids",
+    "contamination_report_bench",
     "ann_ivfpq_residual",
     "canonical_docs_map",
     "blocked_url_ids",

@@ -27,6 +27,7 @@ from colnade_spark.operators.spans import clean_tokens
 __all__ = [
     "ngram_hashes",
     "contaminated_ids",
+    "contamination_report",
     "decontaminate",
     "bloom_positions",
     "build_bloom",
@@ -162,6 +163,60 @@ def decontaminate(
     """The corpus minus contaminated documents (full rows preserved)."""
     bad = contaminated_ids(df, benchmark, n, id_col, text_col, benchmark_text_col)
     return df.join(bad, id_col, "left_anti")
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    benchmark_id_col: str | None = None,
+    benchmark_text_col: str | None = None,
+) -> DataFrame:
+    """GRADED decontamination audit: for every benchmark document, the
+    fraction of its distinct word n-grams that appear anywhere in the
+    corpus — (id, n_grams, n_hit, overlap_frac). The boolean
+    ``contaminated_ids`` rule (any shared gram) is ``overlap_frac > 0``;
+    the graded fraction is what eval maintainers actually triage (a
+    benchmark item 95% contained in the corpus is a different problem
+    from one sharing a single idiom).
+
+    Scale shape: the BENCHMARK gram set is eval-sized and broadcasts;
+    corpus grams stream through one semi-join against it, so the only
+    aggregated data is the (bounded) set of bench grams that were hit —
+    the corpus contributes a scan, never a corpus-sized shuffle. Bench
+    documents shorter than ``n`` tokens have no grams and are omitted.
+    """
+    bid = benchmark_id_col or id_col
+    btext = benchmark_text_col or text_col
+    bg = benchmark.withColumn("_tk", clean_tokens(F.col(btext))).select(
+        F.col(bid).alias("_bid"),
+        F.explode(ngram_hashes(F.col("_tk"), n)).alias("_g"),
+    )
+    cg = corpus.withColumn("_tk", clean_tokens(F.col(text_col))).select(
+        F.explode(ngram_hashes(F.col("_tk"), n)).alias("_g")
+    )
+    # bench grams that occur in the corpus: bounded by the bench set
+    hits = (
+        cg.join(F.broadcast(bg.select("_g").distinct()), "_g", "left_semi")
+        .distinct()
+        .withColumn("_h", F.lit(1))
+    )
+    per = (
+        bg.join(F.broadcast(hits), "_g", "left")
+        .groupBy("_bid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.count("_h").cast("long").alias("n_hit"),
+        )
+    )
+    return per.select(
+        F.col("_bid").alias(bid),
+        "n_grams",
+        "n_hit",
+        (F.col("n_hit") / F.col("n_grams")).alias("overlap_frac"),
+    )
 
 
 def semantic_contaminated_ids(

@@ -251,3 +251,44 @@ def test_bloom_manifest_written_and_verified(spark, sf_dir, tmp_path):
     assert decontaminate.load_bloom(spark, legacy, 1 << 16) == decontaminate.load_bloom(
         spark, dest, 1 << 16
     )
+
+
+def test_contamination_report_hand_checked(spark):
+    """Graded overlap: a bench doc fully inside the corpus reports 1.0;
+    a partially-shared doc reports the exact gram fraction; a disjoint
+    doc 0.0; a doc shorter than n is omitted; overlap_frac>0 coincides
+    with the boolean contaminated rule."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "one two three four five six"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon"),   # fully contained
+            (101, "zero one two three nine eight"),    # partial overlap
+            (102, "totally different words here now"), # disjoint
+            (103, "too short"),                        # < n tokens: omitted
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.n_grams, r.n_hit, r.overlap_frac)
+        for r in decontaminate.contamination_report(corpus, bench, n=3).collect()
+    }
+    assert set(out) == {100, 101, 102}
+    assert out[100] == (3, 3, 1.0)
+    # 101's 3-grams: [zero one two][one two three][two three nine][three nine eight]
+    # -> 4 grams, 1 hit ('one two three')
+    assert out[101] == (4, 1, 0.25)
+    assert out[102] == (3, 0, 0.0)
+    # boolean rule equivalence
+    bad = {
+        r.doc_id
+        for r in decontaminate.contaminated_ids(
+            bench, corpus, n=3
+        ).collect()
+    }
+    assert bad == {d for d, (_, h, _f) in out.items() if h > 0}
