@@ -1714,6 +1714,18 @@ def contamination_report_bench(spark: SparkSession, sf_dir: str) -> SparkDF:
     return contamination_report(corpus, bench, n=8)
 
 
+def training_order_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Deterministic training order: every doc assigned (shard, pos) —
+    shard = md5 order-key mod 8, pos = rank within shard by (key, id).
+    Reading shards in index order replays one stable pseudo-random
+    permutation; the oracle recomputes the identical coordinates."""
+    from colnade_spark.operators.shards import training_order
+
+    return training_order(
+        _docs(spark, sf_dir), n_shards=8, salt="ord4"
+    ).select("doc_id", "shard", "pos")
+
+
 def quality_pruned_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Per-domain quality pruning: keep the top 40% of documents by
     n_chars WITHIN each lang (ceil(0.4·n) rows per lang, ties to lowest
@@ -2106,6 +2118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "temperature_mixture_docs": temperature_mixture_docs,
         "quality_pruned_ids": quality_pruned_ids,
         "contamination_report_bench": contamination_report_bench,
+        "training_order_docs": training_order_docs,
         # --- modified this round (single-pass tokenize rewrites) ---
         "bigram_pmi_top": bigram_pmi_top,
         "cms_token_estimates": cms_token_estimates,
@@ -3565,6 +3578,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.domain
             FROM dom d JOIN thr ON d.domain = thr.domain
             WHERE {_md5h("CAST(d.doc_id AS VARCHAR) || 'temp4'")} < thr.th
+        """,
+        "training_order_docs": f"""
+            WITH keyed AS (
+              SELECT doc_id,
+                {_md5h("CAST(doc_id AS VARCHAR) || 'ord4'")} AS ok
+              FROM documents
+            )
+            SELECT doc_id,
+              CAST(ok % 8 AS INTEGER) AS shard,
+              CAST(row_number() OVER (PARTITION BY ok % 8
+                                      ORDER BY ok, doc_id) AS BIGINT) AS pos
+            FROM keyed
         """,
         "contamination_report_bench": f"""
             WITH norm AS (

@@ -87,6 +87,7 @@ HEADLINE = [
     "temperature_mixture_docs",
     "quality_pruned_ids",
     "contamination_report_bench",
+    "training_order_docs",
     "ann_ivfpq_residual",
     "canonical_docs_map",
     "blocked_url_ids",

@@ -1,0 +1,68 @@
+"""Deterministic training order: (shard, pos) is a stable total order —
+a permutation of the corpus, uniform across shards, identical across
+runs/partitionings — and write_training_shards materializes each shard
+pos-ordered in its own directory."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from colnade_spark.operators.shards import training_order, write_training_shards
+
+
+def test_training_order_is_a_stable_permutation(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], ["doc_id"])
+    out = training_order(df, n_shards=8, salt="s")
+    rows = out.collect()
+    assert len(rows) == 1000
+    # a permutation: (shard, pos) pairs are unique, pos is 1..n_shard
+    coords = {(r.shard, r.pos) for r in rows}
+    assert len(coords) == 1000
+    per_shard = {}
+    for r in rows:
+        per_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(per_shard) == set(range(8))
+    for poss in per_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # roughly uniform (1000 rows over 8 shards)
+    sizes = [len(v) for v in per_shard.values()]
+    assert min(sizes) > 80 and max(sizes) < 170
+    # stable across a different input partitioning
+    again = training_order(df.repartition(13), n_shards=8, salt="s")
+    assert {(r.doc_id, r.shard, r.pos) for r in again.collect()} == {
+        (r.doc_id, r.shard, r.pos) for r in rows
+    }
+    # the order is not the input order (it IS a shuffle)
+    first_shard = sorted(
+        (r.pos, r.doc_id) for r in rows if r.shard == 0
+    )
+    assert [d for _, d in first_shard] != sorted(d for _, d in first_shard)
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(200)], ["doc_id", "text"])
+    dest = str(tmp_path / "shards")
+    write_training_shards(df, dest, n_shards=4, salt="w")
+    import os
+
+    dirs = sorted(d for d in os.listdir(dest) if d.startswith("shard="))
+    assert dirs == [f"shard={i}" for i in range(4)]
+    back = spark.read.parquet(dest)
+    assert back.count() == 200
+    # each shard directory holds ONE file, stored in pos order
+    for i in range(4):
+        files = [
+            f for f in os.listdir(f"{dest}/shard={i}") if f.endswith(".parquet")
+        ]
+        assert len(files) == 1
+        got = [
+            r.pos
+            for r in spark.read.parquet(f"{dest}/shard={i}/{files[0]}").collect()
+        ]
+        assert got == sorted(got)
+    # content equals the logical training_order
+    want = {
+        (r.doc_id, r.shard, r.pos)
+        for r in training_order(df, 4, salt="w").collect()
+    }
+    assert {(r.doc_id, r.shard, r.pos) for r in back.collect()} == want
