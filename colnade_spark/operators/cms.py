@@ -44,7 +44,17 @@ __all__ = [
     "cms_estimate",
     "maintain_cms_table",
     "load_cms",
+    "CMS_SCHEME",
 ]
+
+# Hash-scheme tag persisted with every maintained CMS table: estimates
+# from a table probed with different (depth, width) — or a changed
+# bucket hash — are silently wrong (cells land elsewhere), so the
+# layout params are written as a manifest next to the table and
+# verified on load. Bump when cms_bucket changes.
+CMS_SCHEME = "cms-md5-v1"
+
+_CMS_MANIFEST = "_cms_params.json"
 
 
 def cms_bucket(item: Column, row: int, width: int) -> Column:
@@ -146,11 +156,23 @@ def maintain_cms_table(
     partition (idempotent under foreachBatch redelivery).
     ``load_cms(spark, table_path)`` sums the history cell-wise — CMS
     counters add, so the merged sketch equals a single batch build over
-    everything ever streamed (pinned by test). Returns the started
+    everything ever streamed (pinned by test). Writes (or verifies) the
+    (scheme, depth, width) manifest BEFORE starting the stream — a
+    maintainer pointed at a table built with a different layout fails
+    fast instead of appending incompatible cells. Returns the started
     StreamingQuery."""
 
-    from colnade_spark.streaming.stream import maintain_partitioned_table
+    from colnade_spark.streaming.stream import (
+        maintain_partitioned_table,
+        write_table_manifest,
+    )
 
+    write_table_manifest(
+        stream.sparkSession,
+        table_path,
+        {"scheme": CMS_SCHEME, "depth": depth, "width": width},
+        _CMS_MANIFEST,
+    )
     return maintain_partitioned_table(
         stream,
         lambda b: cms_build(b, item_col, depth, width),
@@ -160,9 +182,25 @@ def maintain_cms_table(
     )
 
 
-def load_cms(spark, table_path: str) -> DataFrame:
+def load_cms(
+    spark,
+    table_path: str,
+    depth: int | None = None,
+    width: int | None = None,
+) -> DataFrame:
     """Merge a persisted CMS history into one sparse table (cell-wise
-    sum) ready for ``cms_estimate``."""
+    sum) ready for ``cms_estimate``. Pass the ``depth``/``width`` you
+    intend to probe with to VERIFY them against the table's manifest —
+    estimating through mismatched parameters silently under-counts, so
+    a mismatch errors; pre-manifest tables skip the check."""
+    from colnade_spark.streaming.stream import verify_table_manifest
+
+    expect: dict = {"scheme": CMS_SCHEME}
+    if depth is not None:
+        expect["depth"] = depth
+    if width is not None:
+        expect["width"] = width
+    verify_table_manifest(spark, table_path, expect, _CMS_MANIFEST)
     return (
         spark.read.parquet(table_path)
         .groupBy("row", "bucket")

@@ -52,30 +52,13 @@ BLOOM_SCHEME = "km-md5-v1"
 _BLOOM_MANIFEST = "_bloom_params.json"
 
 
-def _hadoop_path(spark, path_str: str):
-    """(fs, path, jvm) for a path string via the Hadoop FileSystem API —
-    works on any filesystem the cluster can reach (local, HDFS, object
-    stores), unlike driver-local ``open()``."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path_str)
-    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
-
-
 def read_bloom_manifest(spark, table_path: str) -> dict | None:
     """The params manifest persisted next to a Bloom word table, or None
-    for a pre-manifest table (which cannot be verified)."""
-    import json
+    for a pre-manifest table (which cannot be verified). Delegates to the
+    generic maintained-table manifest (streaming.stream)."""
+    from colnade_spark.streaming.stream import read_table_manifest
 
-    fs, p, jvm = _hadoop_path(spark, f"{table_path}/{_BLOOM_MANIFEST}")
-    if not fs.exists(p):
-        return None
-    stream = fs.open(p)
-    try:
-        baos = jvm.java.io.ByteArrayOutputStream()
-        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, False)
-        return json.loads(bytes(baos.toByteArray()).decode("utf-8"))
-    finally:
-        stream.close()
+    return read_table_manifest(spark, table_path, _BLOOM_MANIFEST)
 
 
 def write_bloom_manifest(
@@ -84,29 +67,19 @@ def write_bloom_manifest(
     """Write the (scheme, n, m_bits, n_hashes) manifest for a Bloom table,
     or verify it against an existing one — ERRORING on mismatch rather
     than letting a maintainer append bits in a different layout."""
-    import json
+    from colnade_spark.streaming.stream import write_table_manifest
 
-    params = {
-        "scheme": BLOOM_SCHEME,
-        "n": n,
-        "m_bits": m_bits,
-        "n_hashes": n_hashes,
-    }
-    existing = read_bloom_manifest(spark, table_path)
-    if existing is not None:
-        if existing != params:
-            raise ValueError(
-                f"bloom table at {table_path} was built with {existing}; "
-                f"refusing to continue it with {params}"
-            )
-        return params
-    fs, p, _ = _hadoop_path(spark, f"{table_path}/{_BLOOM_MANIFEST}")
-    out = fs.create(p, True)
-    try:
-        out.write(bytearray(json.dumps(params, sort_keys=True).encode("utf-8")))
-    finally:
-        out.close()
-    return params
+    return write_table_manifest(
+        spark,
+        table_path,
+        {
+            "scheme": BLOOM_SCHEME,
+            "n": n,
+            "m_bits": m_bits,
+            "n_hashes": n_hashes,
+        },
+        _BLOOM_MANIFEST,
+    )
 
 
 def ngram_hashes(toks: Column, n: int) -> Column:

@@ -91,11 +91,29 @@ def maintain_sketch_table(
     contract: the raw stream is never re-scanned; per-batch state is the
     per-key sketch set (KBs), and the ever-growing history lives as
     small parquet partitions that compact like any other table.
+    Writes (or verifies) a (scheme, keys, value_col, lgk) manifest
+    before starting: HLL union tolerates mixed lgk by silently
+    downsampling to the coarsest sketch, so continuing a table at a
+    different lgk degrades every future estimate — fail fast instead.
     Returns the started StreamingQuery.
     """
 
-    from colnade_spark.streaming.stream import maintain_partitioned_table
+    from colnade_spark.streaming.stream import (
+        maintain_partitioned_table,
+        write_table_manifest,
+    )
 
+    write_table_manifest(
+        stream.sparkSession,
+        table_path,
+        {
+            "scheme": "hll-datasketches-v1",
+            "keys": list(keys),
+            "value_col": value_col,
+            "lgk": lgk,
+        },
+        "_sketch_params.json",
+    )
     return maintain_partitioned_table(
         stream,
         lambda b: build_sketch_table(b, keys, value_col, lgk, sketch_col),

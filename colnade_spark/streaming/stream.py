@@ -63,6 +63,81 @@ def maintain_partitioned_table(
     return w.start()
 
 
+_MANIFEST_NAME = "_table_params.json"
+
+
+def _hadoop_path(spark, path_str: str):
+    """(fs, path, jvm) via the Hadoop FileSystem API — works on any
+    filesystem the cluster can reach (local, HDFS, object stores),
+    unlike driver-local ``open()``."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+
+def read_table_manifest(
+    spark, table_path: str, name: str = _MANIFEST_NAME
+) -> dict | None:
+    """The params manifest persisted next to a maintained model table
+    (Bloom/CMS/HLL layouts are functions of their build parameters —
+    probing old rows with new parameters silently mis-answers), or None
+    for a pre-manifest table."""
+    import json
+
+    fs, p, jvm = _hadoop_path(spark, f"{table_path}/{name}")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, False)
+        return json.loads(bytes(baos.toByteArray()).decode("utf-8"))
+    finally:
+        stream.close()
+
+
+def write_table_manifest(
+    spark, table_path: str, params: dict, name: str = _MANIFEST_NAME
+) -> dict:
+    """Write a params manifest for a maintained table, or verify it
+    against an existing one — ERRORING on mismatch rather than letting a
+    maintainer append rows in an incompatible layout."""
+    import json
+
+    existing = read_table_manifest(spark, table_path, name)
+    if existing is not None:
+        if existing != params:
+            raise ValueError(
+                f"table at {table_path} was built with {existing}; "
+                f"refusing to continue it with {params}"
+            )
+        return params
+    fs, p, _ = _hadoop_path(spark, f"{table_path}/{name}")
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(params, sort_keys=True).encode("utf-8")))
+    finally:
+        out.close()
+    return params
+
+
+def verify_table_manifest(
+    spark, table_path: str, expect: dict, name: str = _MANIFEST_NAME
+) -> None:
+    """Error when a persisted manifest disagrees with the caller's
+    expected parameters (pre-manifest tables skip the check)."""
+    mf = read_table_manifest(spark, table_path, name)
+    if mf is None:
+        return
+    diff = {k: v for k, v in expect.items() if mf.get(k) != v}
+    if diff:
+        raise ValueError(
+            f"table at {table_path} was built with "
+            f"{ {k: mf.get(k) for k in diff} }; caller expected {diff} "
+            "— probing with mismatched parameters yields wrong answers"
+        )
+
+
 def scan_stream_parquet(
     path: str, schema: type[S], *, spark: SparkSession
 ) -> StreamFrame[S]:

@@ -122,3 +122,45 @@ def test_streaming_cms_maintenance_matches_batch(spark, sf_dir, toks, tmp_path):
     streamed = sorted(map(tuple, cms.load_cms(spark, dest).select("row", "bucket", "cnt").collect()))
     direct = sorted(map(tuple, cms.cms_build(toks, "tok", D, W).select("row", "bucket", F.col("cnt").cast("long")).collect()))
     assert streamed == direct
+
+
+def test_cms_manifest_written_and_verified(spark, sf_dir, tmp_path):
+    """maintain_cms_table persists a (scheme, depth, width) manifest;
+    load_cms errors on mismatched probe parameters instead of silently
+    mis-estimating; restarting the maintainer with a different layout
+    refuses before streaming."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators import cms
+    from colnade_spark.streaming import scan_stream_parquet
+    from colnade_spark.streaming.stream import read_table_manifest
+    from colnade_spark.tpch import Documents, table_path
+
+    dest = str(tmp_path / "cms_table")
+    sf = scan_stream_parquet(table_path(sf_dir, "documents"), Documents, spark=spark)
+    items = sf.native.select(F.explode(F.split("text", " ")).alias("term"))
+    q = cms.maintain_cms_table(
+        items, "term", dest, str(tmp_path / "ck"), depth=4, width=1 << 10
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert read_table_manifest(spark, dest, "_cms_params.json") == {
+        "scheme": cms.CMS_SCHEME,
+        "depth": 4,
+        "width": 1 << 10,
+    }
+    assert cms.load_cms(spark, dest, depth=4, width=1 << 10).count() > 0
+    with pytest.raises(ValueError, match="wrong answers"):
+        cms.load_cms(spark, dest, depth=8, width=1 << 10)
+    with pytest.raises(ValueError, match="wrong answers"):
+        cms.load_cms(spark, dest, width=1 << 14)
+    sf2 = scan_stream_parquet(table_path(sf_dir, "documents"), Documents, spark=spark)
+    items2 = sf2.native.select(F.explode(F.split("text", " ")).alias("term"))
+    with pytest.raises(ValueError, match="refusing"):
+        cms.maintain_cms_table(
+            items2, "term", dest, str(tmp_path / "ck2"), depth=4, width=1 << 12
+        )
