@@ -1714,6 +1714,23 @@ def contamination_report_bench(spark: SparkSession, sf_dir: str) -> SparkDF:
     return contamination_report(corpus, bench, n=8)
 
 
+def token_budget_pruned_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Per-lang token-budget pruning: docs taken longest-first (ties to
+    lowest id) until each lang's cumulative n_chars reaches 20000 — the
+    boundary-crossing doc excluded. Exact integer cumulative sums; the
+    oracle replays the running-sum window and the budget cut."""
+    from colnade_spark.operators.quality import token_budget_prune
+
+    out = token_budget_prune(
+        _docs(spark, sf_dir),
+        budget=20_000,
+        token_col="n_chars",
+        domain_col="lang",
+        score_col="n_chars",
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
 def training_order_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Deterministic training order: every doc assigned (shard, pos) —
     shard = md5 order-key mod 8, pos = rank within shard by (key, id).
@@ -2119,6 +2136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "quality_pruned_ids": quality_pruned_ids,
         "contamination_report_bench": contamination_report_bench,
         "training_order_docs": training_order_docs,
+        "token_budget_pruned_ids": token_budget_pruned_ids,
         # --- modified this round (single-pass tokenize rewrites) ---
         "bigram_pmi_top": bigram_pmi_top,
         "cms_token_estimates": cms_token_estimates,
@@ -3578,6 +3596,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.domain
             FROM dom d JOIN thr ON d.domain = thr.domain
             WHERE {_md5h("CAST(d.doc_id AS VARCHAR) || 'temp4'")} < thr.th
+        """,
+        "token_budget_pruned_ids": """
+            SELECT doc_id, lang, n_chars FROM (
+              SELECT doc_id, lang, n_chars,
+                sum(n_chars) OVER (PARTITION BY lang
+                                   ORDER BY n_chars DESC, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+              FROM documents
+            )
+            WHERE cum <= 20000
         """,
         "training_order_docs": f"""
             WITH keyed AS (

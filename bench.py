@@ -88,6 +88,7 @@ HEADLINE = [
     "quality_pruned_ids",
     "contamination_report_bench",
     "training_order_docs",
+    "token_budget_pruned_ids",
     "ann_ivfpq_residual",
     "canonical_docs_map",
     "blocked_url_ids",

@@ -43,6 +43,7 @@ __all__ = [
     "gopher_filter",
     "unigram_logprob",
     "quality_prune",
+    "token_budget_prune",
 ]
 
 
@@ -400,3 +401,47 @@ def quality_prune(
         F.col("_rn") <= F.ceil(F.col("_nd") * F.lit(float(frac)))
     )
     return kept.drop("_rn", "_nd")
+
+
+def token_budget_prune(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    domain_col: str | None = None,
+    score_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Trim to a TOKEN budget — per domain when ``domain_col`` is given:
+    rows are taken in quality order (``score_col`` desc, ties to lowest
+    id) until the cumulative ``token_col`` reaches ``budget``; the row
+    that would cross the budget is excluded (realized total <= budget,
+    so a domain whose best row alone exceeds it comes back empty). With
+    no ``score_col``, rows are taken in content-addressed hash order —
+    an unbiased deterministic sample under the budget. This is the
+    budgeted companion to ``quality_prune`` (fraction-based): mixture
+    planning (``solve_epochs``) hands each domain a token allowance,
+    and this realizes it.
+
+    Scale notes: one cumulative-sum window per domain (running
+    aggregation, not a rank-materializing sort of the whole corpus —
+    same tier as any per-key cumsum). Budgets are exact integer sums,
+    so the surviving set is deterministic in any engine."""
+    from pyspark.sql.window import Window
+
+    from colnade_spark.operators.sampling import sample_hash
+
+    if budget < 0:
+        raise ValueError("budget must be non-negative")
+    part = [domain_col] if domain_col else [F.lit(1)]
+    order = (
+        [F.desc(score_col), F.col(id_col)]
+        if score_col
+        else [sample_hash(F.col(id_col), "budget"), F.col(id_col)]
+    )
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = df.withColumn("_cum", F.sum(F.col(token_col)).over(w))
+    return staged.filter(F.col("_cum") <= budget).drop("_cum")

@@ -64,6 +64,7 @@ __all__ = [
     "group_split_select",
     "temperature_mixture",
     "quality_prune",
+    "token_budget_prune",
 ]
 
 
@@ -553,4 +554,22 @@ def quality_prune(
     ``frac`` by score within each domain (operators.quality)."""
     return frame.with_raw(
         lambda d: _quality.quality_prune(d, frac, score_col, domain_col, **kwargs)
+    )
+
+
+def token_budget_prune(
+    frame: DataFrame[S],
+    budget: int,
+    token_col: str,
+    domain_col: str | None = None,
+    score_col: str | None = None,
+    **kwargs,
+) -> DataFrame[S]:
+    """Schema-preserving token-budget pruning: greedy-by-score (or hash
+    order) until each domain's cumulative token count reaches the
+    budget (operators.quality.token_budget_prune)."""
+    return frame.with_raw(
+        lambda d: _quality.token_budget_prune(
+            d, budget, token_col, domain_col, score_col, **kwargs
+        )
     )

@@ -557,3 +557,39 @@ def test_quality_prune_per_domain(spark):
     assert quality_prune(tiny, 0.01, "score", domain_col="dom").count() == 1
     with pytest.raises(ValueError):
         quality_prune(df, 0.0, "score")
+
+
+def test_token_budget_prune(spark):
+    """Budget realized exactly: greedy-by-score until the cumulative
+    token count reaches the budget, boundary-crossing row excluded;
+    hash order when unscored; empty domain when the best row alone
+    exceeds the budget."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators.quality import token_budget_prune
+
+    rows = [
+        (1, "a", 50, 9),
+        (2, "a", 40, 8),
+        (3, "a", 30, 7),   # cum 120 > 100 -> excluded, and so is 4
+        (4, "a", 5, 6),
+        (5, "b", 200, 9),  # alone exceeds budget -> domain empty
+        (6, "c", 100, 9),  # exactly the budget -> kept
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "dom", "toks", "score"])
+    out = token_budget_prune(
+        df, 100, "toks", domain_col="dom", score_col="score"
+    )
+    assert {r.doc_id for r in out.collect()} == {1, 2, 6}
+    # unscored: hash order, still within budget and deterministic
+    u1 = token_budget_prune(df, 100, "toks", domain_col="dom")
+    u2 = token_budget_prune(df, 100, "toks", domain_col="dom")
+    got1 = sorted(r.doc_id for r in u1.collect())
+    assert got1 == sorted(r.doc_id for r in u2.collect())
+    per_dom = (
+        u1.groupBy("dom").agg(F.sum("toks").alias("t")).collect()
+    )
+    assert all(r.t <= 100 for r in per_dom)
+    with pytest.raises(ValueError):
+        token_budget_prune(df, -1, "toks")
