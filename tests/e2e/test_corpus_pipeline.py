@@ -211,3 +211,82 @@ def test_round3_curation_pipeline(spark, docs, sf_dir, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == n4
     assert back.join(docs.select("doc_id"), "doc_id", "left_semi").count() == n4
+
+
+def test_round4_budget_split_shard_pipeline(spark, docs, tmp_path):
+    """The round-4 tail of the curation chain, end to end:
+
+      per-domain quality prune → token budget → near-dup components →
+      leakage-safe split → deterministic training order → sharded write
+
+    Invariants assert the COMPOSITION: budgets hold after pruning, no
+    near-dup cluster straddles splits, and the written shards replay
+    the same deterministic permutation of exactly the train split."""
+    import math
+    import os
+
+    from colnade_spark.operators.graph import connected_components
+    from colnade_spark.operators.quality import quality_prune, token_budget_prune
+    from colnade_spark.operators.sampling import group_split
+    from colnade_spark.operators.shards import training_order, write_training_shards
+    from pyspark.sql.window import Window
+
+    n0 = docs.count()
+
+    # 1. keep the top 60% by length within each lang, then a 30k
+    #    char-budget per lang on what's left
+    pruned = quality_prune(docs, 0.6, "n_chars", domain_col="lang")
+    budgeted = token_budget_prune(
+        pruned, 30_000, "n_chars", domain_col="lang", score_col="n_chars"
+    ).localCheckpoint()
+    per_lang = {
+        r.lang: r.t
+        for r in budgeted.groupBy("lang").agg(F.sum("n_chars").alias("t")).collect()
+    }
+    assert per_lang and all(t <= 30_000 for t in per_lang.values())
+
+    # 2. near-dup components (length-chain fixture graph) -> leakage-safe split
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    s = budgeted.select(
+        "doc_id",
+        F.lag("doc_id").over(w).alias("p"),
+        (F.col("n_chars") - F.lag("n_chars").over(w)).alias("gap"),
+    )
+    edges = s.filter(F.col("gap") <= 2).select(
+        F.col("p").alias("src"), F.col("doc_id").alias("dst")
+    )
+    cc = connected_components(edges, nodes=budgeted.select("doc_id"))
+    groups = cc.select(F.col("node").alias("doc_id"), "component")
+    labeled = group_split(
+        budgeted, groups, {"train": 0.8, "val": 0.1, "test": 0.1}, salt="e2e"
+    ).localCheckpoint()
+    assert labeled.count() == budgeted.count()
+    purity = (
+        labeled.join(groups, "doc_id")
+        .groupBy("component")
+        .agg(F.countDistinct("split").alias("k"))
+        .agg(F.max("k").alias("m"))
+        .head()
+        .m
+    )
+    assert purity == 1
+
+    # 3. train split -> deterministic training order -> sharded write
+    train = labeled.filter(F.col("split") == "train").drop("split")
+    dest = str(tmp_path / "train_shards")
+    write_training_shards(train.select("doc_id", "text"), dest, n_shards=4, salt="e2e")
+    back = spark.read.parquet(dest)
+    assert back.count() == train.count()
+    want = {
+        (r.doc_id, r.shard, r.pos)
+        for r in training_order(
+            train.select("doc_id", "text"), 4, salt="e2e"
+        ).collect()
+    }
+    assert {(r.doc_id, r.shard, r.pos) for r in back.collect()} == want
+    # shards on disk: one pos-ordered file each
+    for i in range(4):
+        files = [
+            f for f in os.listdir(f"{dest}/shard={i}") if f.endswith(".parquet")
+        ]
+        assert len(files) == 1
