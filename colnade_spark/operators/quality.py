@@ -43,6 +43,7 @@ __all__ = [
     "gopher_filter",
     "unigram_logprob",
     "quality_prune",
+    "quality_prune_threshold",
     "token_budget_prune",
 ]
 
@@ -445,3 +446,40 @@ def token_budget_prune(
     )
     staged = df.withColumn("_cum", F.sum(F.col(token_col)).over(w))
     return staged.filter(F.col("_cum") <= budget).drop("_cum")
+
+
+def quality_prune_threshold(
+    df: DataFrame,
+    frac: float,
+    score_col: str,
+    domain_col: str | None = None,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The 100 TB path for ``quality_prune``: instead of ranking every
+    row (a per-domain sort), derive each domain's approximate
+    (1-frac)-quantile score threshold with ``percentile_approx`` (one
+    aggregation; the threshold table is domain-count-sized and
+    broadcasts) and keep rows at or above it — a pure scan-side filter.
+
+    Trade-offs vs the exact operator, by construction: the kept
+    fraction is approximate (within the sketch's rank error, ~1/
+    ``accuracy``), ties at the threshold all survive (no id tie-break),
+    and the sketch merge is partitioning-dependent, so results are
+    deterministic for a fixed layout but not bit-portable across
+    engines — use ``quality_prune`` when exactness matters and this
+    when the domain is too large to sort. The exact window can then be
+    reserved for the boundary bucket if an exact count is required."""
+    if not (0.0 < frac < 1.0):
+        raise ValueError("frac must be in (0, 1)")
+    q = 1.0 - frac
+    if domain_col:
+        thr = df.groupBy(domain_col).agg(
+            F.percentile_approx(score_col, q, accuracy).alias("_thr")
+        )
+        joined = df.join(F.broadcast(thr), domain_col)
+    else:
+        thr = df.agg(
+            F.percentile_approx(score_col, q, accuracy).alias("_thr")
+        )
+        joined = df.crossJoin(F.broadcast(thr))
+    return joined.filter(F.col(score_col) >= F.col("_thr")).drop("_thr")

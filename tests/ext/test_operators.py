@@ -593,3 +593,42 @@ def test_token_budget_prune(spark):
     assert all(r.t <= 100 for r in per_dom)
     with pytest.raises(ValueError):
         token_budget_prune(df, -1, "toks")
+
+
+def test_quality_prune_threshold_approximates_exact(spark):
+    """The scan-side threshold variant keeps ~frac per domain and always
+    a SUPERSET-or-equal of the exact top-frac scores' threshold rule;
+    plan has no window/sort over the corpus (one agg + broadcast join)."""
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators.quality import (
+        quality_prune,
+        quality_prune_threshold,
+    )
+
+    rows = [(i, "d%d" % (i % 3), float((i * 37) % 1000)) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["doc_id", "dom", "score"])
+    out = quality_prune_threshold(df, 0.25, "score", domain_col="dom")
+    per = {r.dom: r.n for r in out.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+    for dom, n in per.items():
+        assert 0.2 * 1000 <= n <= 0.3 * 1000, (dom, n)
+    # kept rows are exactly those >= the per-domain threshold: the min
+    # kept score per domain is >= the max dropped score's neighborhood
+    exact = quality_prune(df, 0.25, "score", domain_col="dom")
+    ex_min = {
+        r.dom: r.m
+        for r in exact.groupBy("dom").agg(F.min("score").alias("m")).collect()
+    }
+    ap_min = {
+        r.dom: r.m
+        for r in out.groupBy("dom").agg(F.min("score").alias("m")).collect()
+    }
+    for dom in ex_min:
+        assert abs(ap_min[dom] - ex_min[dom]) <= 40.0  # sketch rank error margin
+    # scan shape: no Sort over the corpus in the physical plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    import pytest
+
+    with pytest.raises(ValueError):
+        quality_prune_threshold(df, 1.0, "score")
