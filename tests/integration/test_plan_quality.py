@@ -536,3 +536,51 @@ def test_cms_build_single_combined_exchange(spark, sf_dir):
     est = cms.cms_estimate(table, toks.limit(10), "tok", depth=4, width=1 << 12)
     eplan = _plan(est)
     assert "BroadcastHashJoin" in eplan, eplan
+
+
+def test_round4_ops_plan_shapes(spark, sf_dir):
+    """Round-4 operators keep their scale contracts: the temperature
+    gate and PQ screen are shuffle-free scans; training_order has
+    exactly ONE exchange (the shard window); the contamination report
+    broadcasts the benchmark gram set; group_split never nested-loops."""
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators import sampling
+    from colnade_spark.operators.decontaminate import contamination_report
+    from colnade_spark.operators.pq import pq_screen_gate
+    from colnade_spark.operators.shards import training_order
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    # temperature gate: after the (driver-side) count, pure scan filter
+    tm = sampling.temperature_mixture(docs, alpha=0.5)
+    assert _n_shuffles(_spark_plan(tm)) == 0
+
+    # PQ screen: encode + literal-LUT max + filter, zero exchanges
+    bench = [r.embedding for r in embs.limit(2).collect()]
+    books = [[[0.0] * 8 for _ in range(8)] for _ in range(8)]
+    scr = pq_screen_gate(
+        embs.select("vec_id", "embedding"), bench, books, threshold=0.9
+    )
+    assert _n_shuffles(_spark_plan(scr)) == 0
+
+    # training order: ONE exchange (the per-shard rank window)
+    to = training_order(docs.select("doc_id"), n_shards=8)
+    assert _n_shuffles(_spark_plan(to)) == 1
+
+    # contamination report: bench grams ride broadcast joins; the corpus
+    # side is never nested-looped
+    rep = contamination_report(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        n=8,
+    )
+    plan = _spark_plan(rep)
+    assert "BroadcastHashJoin" in plan and "NestedLoop" not in plan, plan
+
+    # group_split: equi-join only (hash/merge), no nested loop
+    groups = docs.select("doc_id", (F.col("doc_id") % 7).alias("component"))
+    gs = sampling.group_split(docs, groups, {"a": 0.5, "b": 0.5})
+    plan = _spark_plan(gs)
+    assert "NestedLoop" not in plan, plan
