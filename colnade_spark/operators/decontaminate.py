@@ -33,6 +33,8 @@ __all__ = [
     "build_bloom",
     "bloom_words_df",
     "maintain_bloom_table",
+    "maintain_fingerprint_bloom",
+    "bloom_duplicate_gate",
     "load_bloom",
     "bloom_contaminated_ids",
     "BLOOM_SCHEME",
@@ -308,10 +310,19 @@ def bloom_words_df(
     the same build-once/merge-anywhere contract as sketches.py."""
     if m_bits % 64:
         raise ValueError("m_bits must be a multiple of 64")
+    grams = benchmark.withColumn(
+        "_tk", clean_tokens(F.col(text_col))
+    ).select(F.explode(_word_ngram_texts(F.col("_tk"), n)).alias("_g"))
+    return _words_from_grams(grams, m_bits, n_hashes)
+
+
+def _words_from_grams(
+    grams: DataFrame, m_bits: int, n_hashes: int
+) -> DataFrame:
+    """(_w, _bits) sparse Bloom word table from a ``_g`` gram column —
+    the one positions→words chain every Bloom builder shares."""
     return (
-        benchmark.withColumn("_tk", clean_tokens(F.col(text_col)))
-        .select(F.explode(_word_ngram_texts(F.col("_tk"), n)).alias("_g"))
-        .select(
+        grams.select(
             F.explode(bloom_positions(F.col("_g"), m_bits, n_hashes)).alias("_p")
         )
         # no distinct: bit_or is idempotent, a pre-dedup shuffle buys nothing
@@ -362,6 +373,76 @@ def maintain_bloom_table(
         checkpoint,
         available_now,
     )
+
+
+def maintain_fingerprint_bloom(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    m_bits: int = 1 << 22,
+    n_hashes: int = 4,
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """STREAMING cross-batch dedup state with BOUNDED memory: maintain a
+    Bloom filter over normalized-text FINGERPRINTS (one "gram" per doc —
+    ``text.fingerprint``) instead of Structured Streaming's
+    ``dropDuplicates``, whose exact state grows with every distinct key
+    ever seen. The bitmap is ``m_bits/8`` bytes forever; false positives
+    drop a few NON-duplicates (the safe direction for corpus work, same
+    bias as Bloom decontamination) and false negatives are impossible —
+    a true duplicate of anything ever streamed always probes positive.
+
+    Gate each incoming batch with ``bloom_duplicate_gate`` against
+    ``load_bloom(..., n=0)`` of the history, then append the batch here.
+    Manifest ``n=0`` marks the fingerprint (non-n-gram) layout so a
+    gram-Bloom and a fingerprint-Bloom can never be cross-probed.
+    Returns the started StreamingQuery."""
+    from colnade_spark.streaming.stream import maintain_partitioned_table
+
+    write_bloom_manifest(
+        stream.sparkSession, table_path, 0, m_bits, n_hashes
+    )
+    from colnade_spark.operators.text import fingerprint
+
+    def _build(b: DataFrame) -> DataFrame:
+        grams = b.select(fingerprint(F.col(text_col)).alias("_g"))
+        return _words_from_grams(grams, m_bits, n_hashes)
+
+    return maintain_partitioned_table(
+        stream, _build, table_path, checkpoint, available_now
+    )
+
+
+def bloom_duplicate_gate(
+    df: DataFrame,
+    bloom_words: list[int],
+    m_bits: int = 1 << 22,
+    n_hashes: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Rows whose normalized-text fingerprint is NOT in the history
+    Bloom — the probe half of ``maintain_fingerprint_bloom``'s
+    cross-batch dedup (full rows preserved; scan-side bit probes, no
+    join, no shuffle). Duplicates WITHIN ``df`` itself all pass (the
+    history doesn't contain them yet); compose with ``dedup_exact`` /
+    ``dedup_fingerprint`` for in-batch uniqueness."""
+    if len(bloom_words) * 64 != m_bits:
+        raise ValueError("bloom_words length must equal m_bits/64")
+    from colnade_spark.operators.text import fingerprint
+
+    lit_words = F.lit(bloom_words)
+    fp = fingerprint(F.col(text_col))
+    probe = F.forall(
+        bloom_positions(fp, m_bits, n_hashes),
+        lambda p: F.get(lit_words, F.shiftright(p, 6).cast("int")).bitwiseAND(
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), p.bitwiseAND(63).cast("int")
+            )
+        )
+        != 0,
+    )
+    return df.filter(~probe)
 
 
 def load_bloom(

@@ -517,3 +517,59 @@ def test_pq_screen_gate_is_stateless_on_streams(spark, sf_dir):
     want = {r.vec_id for r in gate(batch).collect()}
     assert got == want and 0 < len(got) < batch.count()
     assert {0, 1, 2, 3}.isdisjoint(got)
+
+
+def test_fingerprint_bloom_cross_batch_dedup(spark, sf_dir, tmp_path):
+    """Bounded-state streaming dedup: maintain a fingerprint Bloom over a
+    first corpus slice, then gate a second slice that shares some texts —
+    every true duplicate of history is dropped (no false negatives, by
+    construction), survivors are (almost) exactly the fresh texts, and
+    the n=0 manifest prevents cross-probing a gram Bloom."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators import decontaminate as dc
+    from colnade_spark.streaming import scan_stream_parquet
+    from colnade_spark.tpch import Documents, table_path
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    hist_src = str(tmp_path / "hist")
+    docs.filter("doc_id % 2 = 0").write.parquet(hist_src)
+
+    dest = str(tmp_path / "fp_bloom")
+    sf = scan_stream_parquet(hist_src, Documents, spark=spark)
+    q = dc.maintain_fingerprint_bloom(
+        sf.native, dest, str(tmp_path / "ck"), m_bits=1 << 18, n_hashes=4
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert dc.read_bloom_manifest(spark, dest)["n"] == 0
+    words = dc.load_bloom(spark, dest, 1 << 18, n=0, n_hashes=4)
+    # a gram-Bloom loader pinned to n=13 must refuse this table
+    with pytest.raises(ValueError, match="false negatives"):
+        dc.load_bloom(spark, dest, 1 << 18, n=13)
+
+    # incoming batch: half replays history texts, half is fresh
+    incoming = docs.filter("doc_id % 2 = 0").limit(50).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    ).unionByName(
+        docs.filter("doc_id % 2 = 1").limit(50).select("doc_id", "text")
+    )
+    kept = dc.bloom_duplicate_gate(incoming, words, m_bits=1 << 18, n_hashes=4)
+    ids = {r.doc_id for r in kept.collect()}
+    # NO false negatives: every replayed history text is gone
+    assert not any(i >= 1_000_000 for i in ids)
+    # fresh texts survive modulo Bloom false positives (small at this fill)
+    fresh = {r.doc_id for r in incoming.filter("doc_id < 1000000").collect()}
+    assert len(ids) >= 0.9 * len(fresh)
+    assert ids <= fresh
+    # scan shape: over a plain source the gate is a pure filter — no
+    # exchange, no join (the union/limits above are test scaffolding)
+    plain = dc.bloom_duplicate_gate(
+        docs.select("doc_id", "text"), words, m_bits=1 << 18, n_hashes=4
+    )
+    plan = plain._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
