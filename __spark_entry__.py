@@ -1743,6 +1743,19 @@ def training_order_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     ).select("doc_id", "shard", "pos")
 
 
+def semantic_contamination_scores(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Graded semantic audit: every corpus embedding's cosine to its
+    nearest benchmark vector (vec_id < 4), rounded to 6. The fold, the
+    norm guards, and the division replay bitwise in DuckDB
+    (list_inner_product == the sequential Spark fold)."""
+    from colnade_spark.operators.decontaminate import (
+        semantic_contamination_report,
+    )
+
+    e = _embs(spark, sf_dir)
+    return semantic_contamination_report(e, e.filter(F.col("vec_id") < 4))
+
+
 def quality_pruned_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Per-domain quality pruning: keep the top 40% of documents by
     n_chars WITHIN each lang (ceil(0.4·n) rows per lang, ties to lowest
@@ -2137,6 +2150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "contamination_report_bench": contamination_report_bench,
         "training_order_docs": training_order_docs,
         "token_budget_pruned_ids": token_budget_pruned_ids,
+        "semantic_contamination_scores": semantic_contamination_scores,
         # --- modified this round (single-pass tokenize rewrites) ---
         "bigram_pmi_top": bigram_pmi_top,
         "cms_token_estimates": cms_token_estimates,
@@ -3596,6 +3610,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.domain
             FROM dom d JOIN thr ON d.domain = thr.domain
             WHERE {_md5h("CAST(d.doc_id AS VARCHAR) || 'temp4'")} < thr.th
+        """,
+        "semantic_contamination_scores": """
+            WITH bench AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS bv
+              FROM embeddings WHERE vec_id < 4
+            ), corp AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings
+            ), pairs AS (
+              SELECT c.vec_id,
+                CASE WHEN list_inner_product(cv, cv) > 0
+                      AND list_inner_product(bv, bv) > 0
+                  THEN list_inner_product(cv, bv)
+                       / (sqrt(list_inner_product(cv, cv))
+                          * sqrt(list_inner_product(bv, bv)))
+                END AS cos
+              FROM corp c CROSS JOIN bench b
+            )
+            SELECT vec_id, round(max(cos), 6) AS max_cos
+            FROM pairs GROUP BY vec_id
         """,
         "token_budget_pruned_ids": """
             SELECT doc_id, lang, n_chars FROM (

@@ -89,6 +89,7 @@ HEADLINE = [
     "contamination_report_bench",
     "training_order_docs",
     "token_budget_pruned_ids",
+    "semantic_contamination_scores",
     "ann_ivfpq_residual",
     "canonical_docs_map",
     "blocked_url_ids",

@@ -28,6 +28,7 @@ __all__ = [
     "ngram_hashes",
     "contaminated_ids",
     "contamination_report",
+    "semantic_contamination_report",
     "decontaminate",
     "bloom_positions",
     "build_bloom",
@@ -240,6 +241,45 @@ def semantic_contaminated_ids(
         .filter(cos >= threshold)
         .select(id_col)
         .distinct()
+    )
+
+
+def semantic_contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    benchmark_vec_col: str | None = None,
+) -> DataFrame:
+    """GRADED semantic audit: (id, max_cos) — each corpus row's cosine
+    to its NEAREST benchmark embedding, rounded to 6 places. The boolean
+    ``semantic_contaminated_ids`` rule is ``max_cos >= threshold``; the
+    graded value is what triage actually ranks by (how close is the
+    paraphrase?). Zero-norm corpus rows report NULL (cosine undefined —
+    same guard as the boolean operator). Same scale shape: benchmark
+    broadcasts, the corpus streams through one narrow map + a per-id
+    max — no shuffle of vectors beyond the id-keyed aggregation."""
+    bcol = benchmark_vec_col or vec_col
+    bench = benchmark.select(
+        F.col(bcol).cast("array<double>").alias("_bv")
+    )
+    v = F.col(vec_col).cast("array<double>")
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    vnorm = F.sqrt(_dot(v, v))
+    bnorm = F.sqrt(_dot(F.col("_bv"), F.col("_bv")))
+    cos = F.when(
+        (vnorm > 0) & (bnorm > 0), _dot(v, F.col("_bv")) / (vnorm * bnorm)
+    )
+    return (
+        corpus.select(F.col(id_col), v.alias(vec_col))
+        .crossJoin(F.broadcast(bench))
+        .groupBy(id_col)
+        .agg(F.round(F.max(cos), 6).alias("max_cos"))
     )
 
 

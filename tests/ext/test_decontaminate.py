@@ -292,3 +292,41 @@ def test_contamination_report_hand_checked(spark):
         ).collect()
     }
     assert bad == {d for d, (_, h, _f) in out.items() if h > 0}
+
+
+def test_semantic_contamination_report_hand_checked(spark):
+    """max_cos is the nearest-benchmark cosine; self rows report 1.0;
+    zero-norm corpus rows NULL; max_cos >= t coincides with the boolean
+    semantic rule."""
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 2.0]),
+            (3, [-1.0, 0.0]),
+            (4, [0.0, 0.0]),   # zero norm -> NULL
+        ],
+        ["vec_id", "embedding"],
+    )
+    bench = spark.createDataFrame(
+        [(10, [2.0, 0.0]), (11, [1.0, 1.0])], ["vec_id", "embedding"]
+    )
+    out = {
+        r.vec_id: r.max_cos
+        for r in decontaminate.semantic_contamination_report(
+            corpus, bench
+        ).collect()
+    }
+    import math
+
+    assert out[1] == 1.0
+    assert abs(out[2] - round(1 / math.sqrt(2), 6)) < 1e-9
+    # [-1,0]: cos vs [2,0] is -1, vs [1,1] is -1/sqrt(2) — the max
+    assert abs(out[3] - round(-1 / math.sqrt(2), 6)) < 1e-9
+    assert out[4] is None
+    flagged = {
+        r.vec_id
+        for r in decontaminate.semantic_contaminated_ids(
+            corpus, bench, threshold=0.9
+        ).collect()
+    }
+    assert flagged == {v for v, c in out.items() if c is not None and c >= 0.9}
