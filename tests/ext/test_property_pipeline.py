@@ -219,3 +219,108 @@ def test_remove_spans_matches_model(spark, texts, k):
         }
         expect = " ".join(x for i, x in enumerate(tk) if i not in bad)
         assert got[did] == expect, (did, texts, k)
+
+
+@pytest.mark.usefixtures("spark")
+@common
+@given(
+    n=st.integers(20, 120),
+    ngroups=st.integers(1, 10),
+    salt=st.sampled_from(["", "s1", "s2"]),
+)
+def test_group_split_purity_model(spark, n, ngroups, salt):
+    """Purity and coverage hold for ANY group map: every row labeled,
+    labels constant within a group, and the label equals the pure-python
+    hash-gate of the group key."""
+    import hashlib
+
+    from colnade_spark.operators.sampling import group_split
+
+    from pyspark.sql import functions as F
+
+    rows = [(i, i % ngroups) for i in range(n)]
+    df = spark.createDataFrame(rows, ["doc_id", "g"])
+    groups = df.select("doc_id", F.col("g").alias("component"))
+    out = group_split(
+        df, groups, {"train": 0.8, "val": 0.1, "test": 0.1},
+        group_col="component", salt=salt,
+    )
+    got = {r.doc_id: r.split for r in out.collect()}
+    assert len(got) == n
+
+    def model_label(key: str) -> str:
+        h = int(hashlib.md5((key + salt).encode()).hexdigest()[:15], 16)
+        b1, b2 = int(0.8 * (1 << 60)), int((0.8 + 0.1) * (1 << 60))
+        return "train" if h < b1 else ("val" if h < b2 else "test")
+
+    for i in range(n):
+        assert got[i] == model_label(str(i % ngroups))
+
+
+@pytest.mark.usefixtures("spark")
+@common
+@given(
+    counts=st.lists(st.integers(1, 500), min_size=1, max_size=6),
+)
+def test_temperature_mixture_rate_model(spark, counts):
+    """The per-source keep thresholds equal the pure-python sqrt-flatten
+    computation for ANY source-count profile, and the binding source
+    keeps every row."""
+    import hashlib
+    import math
+
+    from colnade_spark.operators.sampling import temperature_mixture
+
+    rows = [
+        (f"{s}_{i}", f"src{s}")
+        for s, c in enumerate(counts)
+        for i in range(c)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = temperature_mixture(df, alpha=0.5, key_col="doc_id", salt="p")
+    got = {r.doc_id for r in out.collect()}
+
+    w = {f"src{s}": math.sqrt(float(c)) for s, c in enumerate(counts)}
+    n = {f"src{s}": c for s, c in enumerate(counts)}
+    m = min(n[s] / w[s] for s in w)
+    thr = {s: int(((w[s] * m) / n[s]) * (1 << 60)) for s in w}
+    want = {
+        did
+        for did, src in rows
+        if int(hashlib.md5((did + "p").encode()).hexdigest()[:15], 16) < thr[src]
+    }
+    assert got == want
+    # the binding source — MINIMUM n/w, i.e. scarcest relative to its
+    # flattened target — keeps every row (rate = 1 by construction)
+    binding = min(w, key=lambda s: n[s] / w[s])
+    assert {d for d, s in rows if s == binding} <= got
+
+
+@pytest.mark.usefixtures("spark")
+@common
+@given(
+    scores=st.lists(st.integers(0, 50), min_size=1, max_size=40),
+    budget=st.integers(0, 300),
+)
+def test_token_budget_model(spark, scores, budget):
+    """Budget pruning equals the greedy pure-python model for any score/
+    token profile (tokens == scores here; ties resolved by id)."""
+    from colnade_spark.operators.quality import token_budget_prune
+
+    rows = [(i, int(s)) for i, s in enumerate(scores)]
+    df = spark.createDataFrame(rows, ["doc_id", "toks"])
+    got = {
+        r.doc_id
+        for r in token_budget_prune(
+            df, budget, "toks", score_col="toks"
+        ).collect()
+    }
+    order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    want, cum = set(), 0
+    for i, t in order:
+        cum += t
+        if cum <= budget:
+            want.add(i)
+        else:
+            break
+    assert got == want
