@@ -2097,6 +2097,14 @@ def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def bigram_nll_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Per-doc mean NLL under an add-1 bigram LM fit on the same corpus
+    (the CCNet-style perplexity signal). Each bigram's ln is rounded to
+    1e-4 and integer-summed (order-independent), so the oracle replays
+    the exact value from the same counts."""
+    return cooccur.bigram_logprob(_docs_spread(spark, sf_dir))
+
+
 def cms_token_estimates(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Count-min-sketch frequency estimates for the exact top-30 corpus
     tokens (d=4, w=2^12): estimates are >= the exact counts by
@@ -2151,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "training_order_docs": training_order_docs,
         "token_budget_pruned_ids": token_budget_pruned_ids,
         "semantic_contamination_scores": semantic_contamination_scores,
+        "bigram_nll_docs": bigram_nll_docs,
         # --- modified this round (single-pass tokenize rewrites) ---
         "bigram_pmi_top": bigram_pmi_top,
         "cms_token_estimates": cms_token_estimates,
@@ -3610,6 +3619,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.domain
             FROM dom d JOIN thr ON d.domain = thr.domain
             WHERE {_md5h("CAST(d.doc_id AS VARCHAR) || 'temp4'")} < thr.th
+        """,
+        "bigram_nll_docs": f"""
+            WITH norm AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array({_NORM_TEXT}, '\\s+'),
+                            x -> x != '') AS tk
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id, unnest(tk) AS t FROM norm
+            ),
+            uni AS (
+              SELECT t AS tok_a, CAST(count(*) AS BIGINT) AS n_a
+              FROM toks GROUP BY t
+            ),
+            voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+            opairs AS (
+              SELECT doc_id,
+                unnest(list_transform(
+                  range(1, greatest(len(tk), 1)),
+                  i -> {{'a': tk[i], 'b': tk[i + 1]}})) AS p
+              FROM norm
+            ),
+            occ AS (SELECT doc_id, p.a AS tok_a, p.b AS tok_b FROM opairs),
+            pc AS (
+              SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS n_ab
+              FROM occ GROUP BY tok_a, tok_b
+            ),
+            scored AS (
+              SELECT o.doc_id,
+                CAST(round(ln((pc.n_ab + 1.0) / (u.n_a + 1.0 * voc.v))
+                           * 10000) AS BIGINT) AS lp
+              FROM occ o
+              JOIN pc ON o.tok_a = pc.tok_a AND o.tok_b = pc.tok_b
+              JOIN uni u ON o.tok_a = u.tok_a
+              CROSS JOIN voc
+            ),
+            per AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                     sum(lp) AS sum_lp
+              FROM scored GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+              CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+              round((-(CAST(per.sum_lp AS DOUBLE) / 10000.0))
+                    / per.n_bigrams, 6) AS nll
+            FROM documents d LEFT JOIN per USING (doc_id)
         """,
         "semantic_contamination_scores": """
             WITH bench AS (

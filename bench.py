@@ -90,6 +90,7 @@ HEADLINE = [
     "training_order_docs",
     "token_budget_pruned_ids",
     "semantic_contamination_scores",
+    "bigram_nll_docs",
     "ann_ivfpq_residual",
     "canonical_docs_map",
     "blocked_url_ids",

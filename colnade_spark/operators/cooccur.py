@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from colnade_spark.operators.spans import clean_tokens
 
-__all__ = ["bigram_counts", "bigram_pmi"]
+__all__ = ["bigram_counts", "bigram_pmi", "bigram_logprob"]
 
 
 def bigram_counts(
@@ -124,3 +124,87 @@ def bigram_pmi(
         / ((F.col("n_a") / F.col("t_toks")) * (F.col("n_b") / F.col("t_toks")))
     )
     return joined.select("tok_a", "tok_b", "n_ab", pmi.alias("pmi"))
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 1.0,
+    scale: int = 10_000,
+) -> DataFrame:
+    """(id, n_bigrams, nll): per-document mean negative log-likelihood
+    under an add-k-smoothed bigram LM fit on the SAME corpus — the
+    in-engine stand-in for CCNet's KenLM perplexity filter (docs with
+    high nll are "surprising" relative to the corpus: boilerplate-free
+    gibberish, wrong-language fragments, OCR noise). Lower = more
+    corpus-typical.
+
+    P(b|a) = (c(ab)+k) / (c(a)+k·V); a document's nll is the mean of
+    -ln P over its adjacent bigrams (docs with <2 tokens report NULL).
+
+    Determinism: each bigram's ln is rounded to ``1/scale`` precision
+    and summed as INTEGERS (order-independent — the DSIR trick), so the
+    per-doc value is reproducible under any partitioning and replayable
+    in SQL; the lone cross-engine float op is ln itself, evaluated once
+    per distinct (a,b) context, not per occurrence.
+
+    Scale shape: counts come from the single-pass successor-pair
+    aggregation (see bigram_pmi); scoring explodes (doc, pair) and
+    equi-joins the pair-count table keyed on the pair — the tf-idf cost
+    tier. The unigram table and the two scalars (V, k) broadcast."""
+    staged = df.withColumn("_toks", clean_tokens(F.col(text_col)))
+    pairs = staged.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.col("_toks"),
+                F.slice(
+                    F.col("_toks"), 2, F.greatest(F.size("_toks") - 1, F.lit(0))
+                ),
+                lambda a, b: F.struct(a.alias("tok_a"), b.alias("tok_b")),
+            )
+        ).alias("_p"),
+    ).select(id_col, "_p.tok_a", "_p.tok_b")
+    pc = (
+        pairs.groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("n_ab"))
+        .localCheckpoint(eager=False)
+    )
+    uni = pc.groupBy("tok_a").agg(F.sum("n_ab").cast("long").alias("n_a"))
+    vocab = uni.agg(F.count("*").cast("long").alias("_v"))
+    scoring_pairs = pairs.filter(F.col("tok_b").isNotNull())
+    bi = pc.filter(F.col("tok_b").isNotNull())
+    scored = (
+        scoring_pairs.join(bi, ["tok_a", "tok_b"], "left")
+        .join(F.broadcast(uni), "tok_a")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "_lp",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("n_ab"), F.lit(0)) + F.lit(float(k)))
+                    / (F.col("n_a") + F.lit(float(k)) * F.col("_v"))
+                )
+                * scale
+            ).cast("long"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("_lp").alias("_sum_lp"),
+    )
+    nll = -(F.col("_sum_lp") / F.lit(float(scale))) / F.col("n_bigrams")
+    out = per_doc.select(
+        id_col, "n_bigrams", F.round(nll, 6).alias("nll")
+    )
+    # docs with <2 tokens have no bigrams: report them with NULL nll
+    return (
+        df.select(id_col)
+        .join(out, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            "nll",
+        )
+    )

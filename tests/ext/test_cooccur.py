@@ -69,3 +69,39 @@ def test_pmi_min_count_filters_before_join(spark):
     )
     out = cooccur.bigram_pmi(df, min_count=3).collect()
     assert {(r.tok_a, r.tok_b) for r in out} == {("x", "y")}
+
+
+def test_bigram_logprob_hand_checked(spark):
+    """Hand-check the smoothed bigram LM on a tiny corpus: repeated
+    bigrams score better (lower nll) than one-off bigrams; <2-token
+    docs report 0 bigrams / NULL; determinism across partitionings."""
+    import math
+
+    from colnade_spark.operators.cooccur import bigram_logprob
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b"),
+            (2, "a b a b"),
+            (3, "x y"),
+            (4, "a"),        # no bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: (r.n_bigrams, r.nll) for r in bigram_logprob(df).collect()}
+    assert out[4] == (0, None)
+    assert out[1][0] == 3 and out[2][0] == 3 and out[3][0] == 1
+    # corpus counts: tokens a:5 b:4 x:1 y:1 (V=4)
+    # c(ab)=4, c(ba)=2, c(xy)=1
+    def lp(nab, na):
+        return round(math.log((nab + 1.0) / (na + 4.0)) * 10_000)
+
+    nll1 = round(-((lp(4, 5) + lp(2, 4) + lp(4, 5)) / 10_000.0) / 3, 6)
+    nll3 = round(-(lp(1, 1) / 10_000.0) / 1, 6)
+    assert out[1][1] == nll1 == out[2][1]
+    assert out[3][1] == nll3
+    # repeated bigrams are less surprising
+    assert out[1][1] < out[3][1]
+    # stable under a different partitioning (integer sums)
+    again = {r.doc_id: (r.n_bigrams, r.nll) for r in bigram_logprob(df.repartition(7)).collect()}
+    assert again == out
