@@ -466,7 +466,8 @@ def bloom_duplicate_gate(
     cross-batch dedup (full rows preserved; scan-side bit probes, no
     join, no shuffle). Duplicates WITHIN ``df`` itself all pass (the
     history doesn't contain them yet); compose with ``dedup_exact`` /
-    ``dedup_fingerprint`` for in-batch uniqueness."""
+    ``dedup_fingerprint`` for in-batch uniqueness. NULL-text rows pass
+    through (no fingerprint — they can't duplicate anything)."""
     if len(bloom_words) * 64 != m_bits:
         raise ValueError("bloom_words length must equal m_bits/64")
     from colnade_spark.operators.text import fingerprint
@@ -482,7 +483,9 @@ def bloom_duplicate_gate(
         )
         != 0,
     )
-    return df.filter(~probe)
+    # probe is NULL for NULL text: keep those rows instead of letting
+    # the filter's three-valued logic silently drop them
+    return df.filter(~F.coalesce(probe, F.lit(False)))
 
 
 def load_bloom(

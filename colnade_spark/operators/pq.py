@@ -551,7 +551,14 @@ def pq_screen_gate(
     whose max ADC reaches ``threshold``. Full rows pass through
     unchanged; works identically on batch and streaming frames (no
     shuffle anywhere — pinned by the streaming test)."""
-    if code_col is not None and code_col in df.columns:
+    if code_col is not None:
+        # an explicit code column must exist — silently re-encoding on a
+        # typo would hide that the compact-code path was never used
+        if code_col not in df.columns:
+            raise ValueError(
+                f"code_col {code_col!r} not in {df.columns}; omit it to"
+                " encode in-line from {vec_col!r}"
+            )
         staged = df
     else:
         code_col = "_pq_screen_codes"

@@ -117,8 +117,14 @@ def group_split(
     realized fractions converge on GROUP counts, not row counts: a few
     giant clusters skew row proportions by design (they must stay
     whole)."""
-    g = groups.select(
-        F.col(key_col), F.col(group_col).cast("string").alias("_grp")
+    # a key mapped twice would fan out the join: collapse to one group
+    # per key deterministically (min group id)
+    g = (
+        groups.select(
+            F.col(key_col), F.col(group_col).cast("string").alias("_grp")
+        )
+        .groupBy(key_col)
+        .agg(F.min("_grp").alias("_grp"))
     )
     joined = df.join(g, key_col, "left").withColumn(
         "_grp", F.coalesce(F.col("_grp"), F.col(key_col).cast("string"))

@@ -45,13 +45,14 @@ def training_order(
     h = sample_hash(F.col(key_col), salt)
     from pyspark.sql.window import Window
 
-    staged = df.withColumn("_ok", h).withColumn(
-        shard_col, (F.col("_ok") % n_shards).cast("int")
+    okey = "_training_order_key"
+    staged = df.withColumn(okey, h).withColumn(
+        shard_col, (F.col(okey) % n_shards).cast("int")
     )
-    w = Window.partitionBy(shard_col).orderBy("_ok", key_col)
+    w = Window.partitionBy(shard_col).orderBy(okey, key_col)
     return (
         staged.withColumn(pos_col, F.row_number().over(w).cast("long"))
-        .drop("_ok")
+        .drop(okey)
     )
 
 

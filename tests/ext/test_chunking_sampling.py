@@ -353,3 +353,19 @@ def test_temperature_mixture_flattens_toward_sqrt(spark):
     )
     with pytest.raises(ValueError):
         sampling.temperature_mixture(df, alpha=0.0)
+
+
+def test_group_split_collapses_duplicate_mappings(spark):
+    """A key mapped to two groups must not fan out: the mapping
+    collapses deterministically (min group id) and output row count is
+    preserved."""
+    df = spark.createDataFrame([(i,) for i in range(20)], ["doc_id"])
+    groups = spark.createDataFrame(
+        [(i, "g1") for i in range(20)] + [(i, "g0") for i in range(20)],
+        ["doc_id", "component"],
+    )
+    out = sampling.group_split(df, groups, {"a": 0.5, "b": 0.5})
+    rows = out.collect()
+    assert len(rows) == 20
+    # all keys collapsed to 'g0' (min) -> one label for everyone
+    assert len({r.split for r in rows}) == 1

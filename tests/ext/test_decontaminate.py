@@ -330,3 +330,33 @@ def test_semantic_contamination_report_hand_checked(spark):
         ).collect()
     }
     assert flagged == {v for v, c in out.items() if c is not None and c >= 0.9}
+
+
+def test_bloom_duplicate_gate_null_text_passes(spark):
+    """NULL-text rows have no fingerprint and must pass the gate, not be
+    silently dropped by three-valued filter logic."""
+    df = spark.createDataFrame(
+        [(1, "some history text"), (2, None), (3, "fresh text")],
+        ["doc_id", "text"],
+    )
+    words = decontaminate.build_bloom(
+        spark.createDataFrame([(1, "some history text")], ["doc_id", "text"]),
+        n=1,
+        m_bits=1 << 10,
+    )
+    # fingerprint bloom over the history doc's fingerprint
+    from colnade_spark.operators.text import fingerprint
+    from pyspark.sql import functions as F
+
+    hist = spark.createDataFrame([("some history text",)], ["text"])
+    grams = hist.select(fingerprint(F.col("text")).alias("_g"))
+    fp_words = [0] * ((1 << 10) // 64)
+    for r in decontaminate._words_from_grams(grams, 1 << 10, 4).collect():
+        fp_words[r._w] = r._bits
+    kept = {
+        r.doc_id
+        for r in decontaminate.bloom_duplicate_gate(
+            df, fp_words, m_bits=1 << 10, n_hashes=4
+        ).collect()
+    }
+    assert kept == {2, 3}
