@@ -1327,6 +1327,33 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> SparkDF:
     return connected_components(edges, nodes=nodes)
 
 
+def winnow_overlap_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """MOSS-style span-overlap audit: doc pairs sharing >= 10 of their 16
+    winnowing fingerprints (md5 rolling hash, window 8; fingerprints
+    shared by >20 docs excluded as boilerplate — true near-dup
+    fingerprints have document frequency 2-3, and the pair join's cost
+    is sum(df²)). The fixture's shared-count
+    distribution is bimodal — random-text noise dies at 8 shared, true
+    near-dups sit at 14-16 — so 10 sits in the gap. The oracle
+    recomputes sketches, the df filter, and the pair counts."""
+    from colnade_spark.operators.dedup import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(
+        _docs_spread(spark, sf_dir), min_shared=10, max_df=20
+    )
+
+
+def dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Dedup-audit histogram head: the 20 largest near-dup components of
+    the length-chain graph (size desc, ties to lowest component id) —
+    the "how bad is the worst cluster" summary every dedup run should
+    print. Oracle replays components + the ordered head."""
+    from colnade_spark.operators.graph import largest_component_sizes
+
+    cc = dedup_components(spark, sf_dir)
+    return largest_component_sizes(cc, top=20)
+
+
 def canonical_docs_map(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Duplicate-cluster RESOLUTION end-to-end: the dedup_components edge
     set resolved into (doc_id, canonical_id) where the canonical member
@@ -2160,6 +2187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "token_budget_pruned_ids": token_budget_pruned_ids,
         "semantic_contamination_scores": semantic_contamination_scores,
         "bigram_nll_docs": bigram_nll_docs,
+        "dup_cluster_sizes": dup_cluster_sizes,
+        "winnow_overlap_docs": winnow_overlap_docs,
         # --- modified this round (single-pass tokenize rewrites) ---
         "bigram_pmi_top": bigram_pmi_top,
         "cms_token_estimates": cms_token_estimates,
@@ -3619,6 +3648,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.domain
             FROM dom d JOIN thr ON d.domain = thr.domain
             WHERE {_md5h("CAST(d.doc_id AS VARCHAR) || 'temp4'")} < thr.th
+        """,
+        "winnow_overlap_docs": f"""
+            WITH n AS (SELECT doc_id, {_NORM_TEXT} AS nt FROM documents),
+            h AS (
+              SELECT doc_id,
+                CASE WHEN length(nt) >= 8 THEN
+                  list_sort(list_distinct(list_transform(
+                    range(1, length(nt) - 6),
+                    i -> {_md5h("substr(nt, i, 8)")})))
+                ELSE [] END AS hs
+              FROM n
+            ),
+            s AS (SELECT doc_id, hs[1:16] AS sk FROM h),
+            fp AS (SELECT doc_id, unnest(sk) AS f FROM s),
+            freq AS (SELECT f, count(*) AS dfq FROM fp GROUP BY f),
+            rare AS (
+              SELECT fp.doc_id, fp.f
+              FROM fp JOIN freq USING (f) WHERE dfq <= 20
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM rare a JOIN rare b
+              ON a.f = b.f AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 10
+        """,
+        "dup_cluster_sizes": """
+            WITH s AS (
+              SELECT doc_id, lang, n_chars,
+                     LAG(n_chars) OVER (PARTITION BY lang
+                                        ORDER BY n_chars, doc_id) AS pnc
+              FROM documents
+            ), f AS (
+              SELECT doc_id, lang, n_chars,
+                CASE WHEN pnc IS NULL OR n_chars - pnc > 2
+                     THEN 1 ELSE 0 END AS brk
+              FROM s
+            ), r AS (
+              SELECT doc_id, lang,
+                sum(brk) OVER (PARTITION BY lang ORDER BY n_chars, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS run
+              FROM f
+            ), comp AS (
+              SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY lang, run) AS component
+              FROM r
+            )
+            SELECT component, CAST(count(*) AS BIGINT) AS size
+            FROM comp GROUP BY component
+            ORDER BY size DESC, component ASC
+            LIMIT 20
         """,
         "bigram_nll_docs": f"""
             WITH norm AS (

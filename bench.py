@@ -91,6 +91,8 @@ HEADLINE = [
     "token_budget_pruned_ids",
     "semantic_contamination_scores",
     "bigram_nll_docs",
+    "dup_cluster_sizes",
+    "winnow_overlap_docs",
     "ann_ivfpq_residual",
     "canonical_docs_map",
     "blocked_url_ids",

@@ -804,3 +804,60 @@ def edit_distance_pairs(
         .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
     )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    min_shared: int = 8,
+    window: int = 8,
+    keep: int = 16,
+    max_df: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_a, id_b, n_shared): document pairs sharing at least
+    ``min_shared`` winnowing fingerprints — the MOSS-style span-overlap
+    audit (shared fingerprints witness shared character runs, so this
+    surfaces partial/plagiaristic overlap that whole-document sketches
+    dilute). Deterministic: the md5-derived rolling hash makes each
+    doc's bottom-``keep`` sketch and hence every pair engine-portable.
+
+    Scale shape: the bounded per-doc sketch (``keep`` longs) explodes to
+    (id, fingerprint) and pairs form by EQUI-join on the fingerprint
+    value — a banded join like MinHash LSH, never all-pairs. Boilerplate
+    fingerprints shared by more than ``max_df`` docs are dropped first
+    (the power-law head would otherwise contribute df² pair blowup and
+    no dedup signal — the same head-exclusion as span dedup)."""
+    from colnade_spark.operators.text import md5_hash60, winnowing_fingerprint
+
+    staged = df.withColumn("_wn_norm", normalized_text(F.col(text_col)))
+    sk = winnowing_fingerprint(
+        F.col("_wn_norm"), window, keep, normalized=True, hash_fn=md5_hash60
+    )
+    # one lazy checkpoint BEFORE the explode, for two reasons: (a) the
+    # (id, sketch) table is consumed three ways below (df counts + both
+    # join sides) and would otherwise recompute the rolling-hash sketch
+    # per branch; (b) MEASURED: exploding an expensive inlined
+    # expression re-evaluates it per OUTPUT ELEMENT (Catalyst collapses
+    # the staged projection into the Generate) — 1.6s -> 102s at sf0.1
+    # for this sketch. The barrier makes the explode consume a
+    # materialized array column instead.
+    staged_sk = (
+        staged.withColumn("_wn_sk", sk)
+        .select(F.col(id_col), "_wn_sk")
+        .localCheckpoint(eager=False)
+    )
+    fps = staged_sk.select(F.col(id_col), F.explode("_wn_sk").alias("_fp"))
+    dfreq = fps.groupBy("_fp").agg(F.count("*").alias("_df"))
+    rare = fps.join(dfreq.filter(F.col("_df") <= max_df), "_fp").select(
+        id_col, "_fp"
+    )
+    a = rare.select(F.col(id_col).alias("id_a"), "_fp")
+    b = rare.select(F.col(id_col).alias("id_b"), "_fp")
+    return (
+        a.join(b, "_fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -632,3 +632,30 @@ def test_quality_prune_threshold_approximates_exact(spark):
 
     with pytest.raises(ValueError):
         quality_prune_threshold(df, 1.0, "score")
+
+
+def test_winnow_overlap_pairs_planted(spark):
+    """Planted overlap: a doc sharing a long character run with another
+    shares winnow fingerprints; unrelated docs share none; boilerplate
+    fingerprints above max_df are excluded."""
+    from colnade_spark.operators.dedup import winnow_overlap_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, shared + " alpha ending one"),
+        (2, shared + " totally different tail text"),
+        (3, "completely unrelated content about cooking pasta tonight ok"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r.id_a, r.id_b): r.n_shared for r in winnow_overlap_pairs(
+        df, min_shared=3, max_df=10
+    ).collect()}
+    assert set(out) == {(1, 2)}
+    assert out[(1, 2)] >= 3
+    # determinism across partitionings
+    again = {(r.id_a, r.id_b): r.n_shared for r in winnow_overlap_pairs(
+        df.repartition(5), min_shared=3, max_df=10
+    ).collect()}
+    assert again == out
+    # a max_df of 1 excludes every shared fingerprint -> no pairs
+    assert winnow_overlap_pairs(df, min_shared=1, max_df=1).count() == 0
