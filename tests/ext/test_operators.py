@@ -659,3 +659,72 @@ def test_winnow_overlap_pairs_planted(spark):
     assert again == out
     # a max_df of 1 excludes every shared fingerprint -> no pairs
     assert winnow_overlap_pairs(df, min_shared=1, max_df=1).count() == 0
+
+
+def test_media_format_sniffing_and_byte_stats(spark):
+    """REAL magic-byte sniffing (no decoders): true signatures detect,
+    mislabeled rows surface, unknown bytes sniff NULL; byte entropy is 0
+    for constant payloads and ~8 for uniform bytes."""
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators.multimodal import (
+        byte_stats,
+        media_format_mismatches,
+        sniff_media_format,
+    )
+
+    payloads = [
+        (1, "png", b"\x89PNG\r\n\x1a\n" + b"\x00" * 16),
+        (2, "jpeg", b"\xff\xd8\xff\xe0" + b"\x00" * 16),
+        (3, "wav", b"RIFF\x24\x00\x00\x00WAVEfmt " + b"\x00" * 8),
+        (4, "webp", b"RIFF\x10\x00\x00\x00WEBPVP8 " + b"\x00" * 8),
+        (5, "mp4", b"\x00\x00\x00\x18ftypisom" + b"\x00" * 8),
+        (6, "mp3", b"ID3\x03\x00" + b"\x00" * 16),
+        (7, "png", b"\xff\xd8\xff\xe1" + b"\x00" * 16),   # MISLABELED (jpeg bytes)
+        (8, "gif", b"GIF89a" + b"\x00" * 16),
+        (9, "flac", b"not a real signature here"),        # unknown bytes
+    ]
+    rows = [
+        (i, bytearray(b), {"media_type": "image", "format": f,
+                           "width": None, "height": None,
+                           "duration_ms": None, "sample_rate": None})
+        for i, f, b in payloads
+    ]
+    import pyspark.sql.types as T
+
+    from colnade_spark.operators.multimodal import MEDIA_META_TYPE
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", MEDIA_META_TYPE),
+        ]
+    )
+    media = spark.createDataFrame(rows, schema)
+    sniffed = {
+        r.media_id: r.s
+        for r in media.select(
+            "media_id", sniff_media_format(F.col("payload")).alias("s")
+        ).collect()
+    }
+    assert sniffed == {
+        1: "png", 2: "jpeg", 3: "wav", 4: "webp", 5: "mp4",
+        6: "mp3", 7: "jpeg", 8: "gif", 9: None,
+    }
+    bad = {r.media_id: (r.declared, r.sniffed)
+           for r in media_format_mismatches(media).collect()}
+    assert bad == {7: ("png", "jpeg"), 9: ("flac", None)}
+
+    # byte stats: constant payload entropy 0; all-256-bytes payload = 8.0
+    bs_rows = [
+        (1, bytearray(b"\x00" * 100)),
+        (2, bytearray(bytes(range(256)) * 4)),
+        (3, bytearray(b"")),
+    ]
+    bdf = spark.createDataFrame(bs_rows, ["media_id", "payload"])
+    stats = {r.media_id: (r.n_bytes, r.n_distinct_bytes, r.entropy_bits)
+             for r in byte_stats(bdf).collect()}
+    assert stats[1] == (100, 1, 0.0)
+    assert stats[2] == (1024, 256, 8.0)
+    assert stats[3] == (0, 0, 0.0)
