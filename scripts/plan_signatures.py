@@ -64,6 +64,7 @@ def main() -> int:
     from colnade_spark.session import get_spark
 
     spark = get_spark("plan-signatures")
+    spark.catalog.clearCache()  # compare uncached plans
     qs = queries()
     got: dict[str, dict[str, int]] = {}
     for name in bench.HEADLINE:

@@ -23,6 +23,10 @@ def test_plan_signatures_unchanged(spark):
     import bench
     from __spark_entry__ import queries
 
+    # cached plan fragments from earlier tests (e.g. a .cache()'d top-k
+    # over the same fixture) would substitute InMemoryTableScan into
+    # matching subtrees and shift signatures — compare uncached plans
+    spark.catalog.clearCache()
     qs = queries()
     want = json.load(open(os.path.join(REPO, "PLANS.json")))
     drift = {}
