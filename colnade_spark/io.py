@@ -367,3 +367,64 @@ def write_csv(
     header: bool = True,
 ) -> None:
     frame.native.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def _read_quarantine(path, schema, fmt, spark, **fmt_opts):
+    """Shared PERMISSIVE-with-quarantine reader: parse once (lazily
+    checkpointed — Spark disallows filtering on only the internal
+    corrupt-record column of an un-materialized file query), then split
+    into the typed clean frame and the raw quarantined records."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    sp = _reader(spark, set())
+    struct = to_struct_type(schema).add("_corrupt_record", T.StringType())
+    reader = (
+        sp.read.schema(struct)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    if fmt == "csv":
+        raw = reader.csv(path, **fmt_opts)
+    else:
+        raw = reader.json(path, **fmt_opts)
+    raw = raw.localCheckpoint(eager=False)
+    bad = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_record")
+    )
+    good = DataFrame(
+        raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record"),
+        schema,
+    )
+    _boundary_validate(good)
+    return good, bad
+
+
+def read_csv_quarantine(
+    path: str,
+    schema: type[S],
+    *,
+    header: bool = True,
+    spark: SparkSession | None = None,
+):
+    """(clean, quarantine): CSV ingest that neither dies on the first
+    malformed row (FAILFAST) nor silently nulls it into the typed frame
+    (plain PERMISSIVE — poisoned aggregates with no audit trail). Rows
+    that fully parse under the declared schema become the typed
+    ``DataFrame[S]``; malformed rows (bad quoting, type mismatches)
+    come back as their RAW text for repair/audit — the at-scale ingest
+    contract, where some fraction of a 100 TB drop is always broken.
+    One parse pass (lazily checkpointed), two filters."""
+    return _read_quarantine(path, schema, "csv", spark, header=header)
+
+
+def read_json_quarantine(
+    path: str,
+    schema: type[S],
+    *,
+    spark: SparkSession | None = None,
+):
+    """(clean, quarantine): JSON-lines twin of ``read_csv_quarantine`` —
+    unparseable lines and schema-violating documents return as raw
+    text instead of null-filled typed rows."""
+    return _read_quarantine(path, schema, "json", spark)

@@ -277,3 +277,45 @@ def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
     assert len(files) == n == 1
     a = spark.read.parquet(frag).count()
     assert spark.read.parquet(out).count() == a
+
+
+def test_csv_and_json_quarantine(spark, tmp_path):
+    """Malformed-row quarantine: clean rows come back typed, broken rows
+    come back as raw text (not silently null-filled); the split is
+    exhaustive."""
+    import colnade_spark as cs
+    from colnade_spark import Column, Int64, Schema, Utf8
+
+    class Rec(Schema):
+        rid: Column[Int64]
+        name: Column[Utf8]
+
+    csv = tmp_path / "in.csv"
+    csv.write_text(
+        "rid,name\n"
+        "1,alice\n"
+        "not_a_number,bob\n"      # type mismatch -> quarantined
+        "3,carol\n"
+        "5,dave,extra,columns\n"  # token-count mismatch -> quarantined
+    )
+    good, bad = cs.read_csv_quarantine(str(csv), Rec, spark=spark)
+    assert sorted((r.rid, r.name) for r in good.rows()) == [(1, "alice"), (3, "carol")]
+    bad_raw = sorted(r.raw_record for r in bad.collect())
+    assert len(bad_raw) == 2
+    assert any("not_a_number" in b for b in bad_raw)
+    assert any("extra,columns" in b for b in bad_raw)
+
+    js = tmp_path / "in.jsonl"
+    js.write_text(
+        '{"rid": 1, "name": "alice"}\n'
+        'this is not json\n'
+        '{"rid": "NaNo", "name": "bob"}\n'
+        '{"rid": 3, "name": "carol"}\n'
+    )
+    good_j, bad_j = cs.read_json_quarantine(str(js), Rec, spark=spark)
+    assert sorted((r.rid, r.name) for r in good_j.rows()) == [
+        (1, "alice"),
+        (3, "carol"),
+    ]
+    raws = [r.raw_record for r in bad_j.collect()]
+    assert len(raws) == 2 and any("not json" in r for r in raws)
