@@ -13,7 +13,8 @@ unbounded state is the way streaming jobs die at scale.
 from colnade_spark.streaming.stream import (
     StreamFrame,
     scan_stream_csv,
+    scan_stream_json,
     scan_stream_parquet,
 )
 
-__all__ = ["StreamFrame", "scan_stream_parquet", "scan_stream_csv"]
+__all__ = ["StreamFrame", "scan_stream_parquet", "scan_stream_csv", "scan_stream_json"]

@@ -203,6 +203,18 @@ def scan_stream_parquet(
     return StreamFrame(_normalize_scan(data, schema, nanos), schema)
 
 
+def scan_stream_json(
+    path: str, schema: type[S], *, spark: SparkSession
+) -> StreamFrame[S]:
+    """JSON-lines streaming source with the declared schema — the
+    log-pipeline ingest shape. No inference pass; under PERMISSIVE a
+    malformed line null-fills its row, so pair with a periodic batch
+    ``read_json_quarantine`` over the same landing directory when the
+    feed needs repair auditing."""
+    data = spark.readStream.schema(to_struct_type(schema)).json(path)
+    return StreamFrame(data, schema)
+
+
 def scan_stream_csv(
     path: str, schema: type[S], *, spark: SparkSession, header: bool = True
 ) -> StreamFrame[S]:

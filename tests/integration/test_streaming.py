@@ -573,3 +573,33 @@ def test_fingerprint_bloom_cross_batch_dedup(spark, sf_dir, tmp_path):
     )
     plan = plain._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_scan_stream_json_matches_batch(spark, tmp_path):
+    """JSON-lines streaming source: a landing directory of jsonl files
+    streams through a transformation and matches the batch read."""
+    import json as _json
+
+    from colnade_spark.streaming import scan_stream_json
+    from colnade_spark.tpch import Documents
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = [r.asDict() for r in docs.limit(40).collect()]
+    (landing / "a.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows[:25])
+    )
+    (landing / "b.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows[25:])
+    )
+    sf = scan_stream_json(str(landing), Documents, spark=spark)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _await(
+        sf.filter(Documents.n_chars > 0).to_memory_sink(
+            name, output_mode="append"
+        )
+    )
+    got = {r.doc_id for r in spark.table(name).collect()}
+    want = {r["doc_id"] for r in rows if r["n_chars"] > 0}
+    assert got == want and len(got) > 0
