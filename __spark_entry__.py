@@ -1327,6 +1327,41 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> SparkDF:
     return connected_components(edges, nodes=nodes)
 
 
+def curation_decisions_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Explainable curation verdicts: every doc's keep/drop decision
+    with the sorted list of gates it failed — URL blocklist (injected
+    links, as in blocked_url_ids), 8-gram benchmark contamination
+    (bench = doc_id % 50 == 0), and a n_chars < 120 length floor. The
+    oracle replays all three gate memberships and the reasons-array
+    construction."""
+    from colnade_spark.operators import report
+    from colnade_spark.operators.decontaminate import contaminated_ids
+    from colnade_spark.operators.redact import blocked_doc_ids
+
+    docs = _docs_spread(spark, sf_dir)
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" link http://h"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".site"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".com/x"),
+        ),
+    )
+    gates = {
+        "blocked": blocked_doc_ids(
+            injected, ["site0.com", "h2.site1.com"], subdomains=True
+        ),
+        "contaminated": contaminated_ids(
+            docs, docs.filter(F.col("doc_id") % 50 == 0), n=8
+        ),
+        "short": docs.filter(F.col("n_chars") < 120).select("doc_id"),
+    }
+    return report.curation_decisions(docs, gates)
+
+
 def winnow_overlap_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     """MOSS-style span-overlap audit: doc pairs sharing >= 10 of their 16
     winnowing fingerprints (md5 rolling hash, window 8; fingerprints
@@ -2189,6 +2224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "bigram_nll_docs": bigram_nll_docs,
         "dup_cluster_sizes": dup_cluster_sizes,
         "winnow_overlap_docs": winnow_overlap_docs,
+        "curation_decisions_docs": curation_decisions_docs,
         # --- modified this round (single-pass tokenize rewrites) ---
         "bigram_pmi_top": bigram_pmi_top,
         "cms_token_estimates": cms_token_estimates,
@@ -3648,6 +3684,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.domain
             FROM dom d JOIN thr ON d.domain = thr.domain
             WHERE {_md5h("CAST(d.doc_id AS VARCHAR) || 'temp4'")} < thr.th
+        """,
+        "curation_decisions_docs": f"""
+            WITH inj AS (
+              SELECT doc_id,
+                text || ' link http://h' || CAST(doc_id % 5 AS VARCHAR)
+                     || '.site' || CAST(doc_id % 3 AS VARCHAR) || '.com/x'
+                  AS text
+              FROM documents
+            ),
+            doms AS (
+              SELECT doc_id,
+                regexp_replace(lower(unnest(regexp_extract_all(
+                  text, '(?i)https?://(?:[^/@\\s]*@)?([A-Za-z0-9.-]+)', 1))),
+                  '\\.+$', '') AS dom
+              FROM inj
+            ),
+            sfx AS (
+              SELECT doc_id,
+                unnest(list_transform(
+                  range(1, len(string_split(dom, '.')) + 1),
+                  i -> array_to_string(
+                    list_slice(string_split(dom, '.'), i,
+                               len(string_split(dom, '.'))), '.')
+                )) AS s
+              FROM doms
+            ),
+            blocked AS (
+              SELECT DISTINCT doc_id FROM sfx
+              WHERE s IN ('site0.com', 'h2.site1.com')
+            ),
+            norm AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array({_NORM_TEXT}, '\\s+'),
+                            x -> x != '') AS tk
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                unnest(list_distinct(list_transform(
+                  list_filter(range(0, greatest(len(tk) - 7, 1), 1),
+                              p -> p < len(tk) - 7),
+                  p -> array_to_string(list_slice(tk, p + 1, p + 8), ' '))))
+                  AS g
+              FROM norm
+            ),
+            contaminated AS (
+              SELECT DISTINCT d.doc_id
+              FROM grams d JOIN (
+                SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+              ) b USING (g)
+            ),
+            verdicts AS (
+              SELECT d.doc_id,
+                list_filter([
+                  CASE WHEN d.doc_id IN (SELECT doc_id FROM blocked)
+                       THEN 'blocked' END,
+                  CASE WHEN d.doc_id IN (SELECT doc_id FROM contaminated)
+                       THEN 'contaminated' END,
+                  CASE WHEN d.n_chars < 120 THEN 'short' END
+                ], x -> x IS NOT NULL) AS reasons
+              FROM documents d
+            )
+            SELECT doc_id,
+              len(reasons) = 0 AS keep,
+              CAST(len(reasons) AS BIGINT) AS n_reasons,
+              reasons
+            FROM verdicts
         """,
         "winnow_overlap_docs": f"""
             WITH n AS (SELECT doc_id, {_NORM_TEXT} AS nt FROM documents),

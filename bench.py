@@ -93,6 +93,7 @@ HEADLINE = [
     "bigram_nll_docs",
     "dup_cluster_sizes",
     "winnow_overlap_docs",
+    "curation_decisions_docs",
     "ann_ivfpq_residual",
     "canonical_docs_map",
     "blocked_url_ids",
