@@ -73,6 +73,21 @@ def main() -> int:
         if k not in q:
             problems.append(f"bench HEADLINE entry {k!r} has no queries() entry")
 
+    # every headline query needs a committed plan-signature snapshot
+    # (scripts/plan_signatures.py --update) — the import-only twin of the
+    # spark-backed signature test, so the omission fails fast
+    import json
+
+    plans_path = os.path.join(REPO, "PLANS.json")
+    if os.path.exists(plans_path):
+        plans = json.load(open(plans_path))
+        for k in bench.HEADLINE:
+            if k not in plans:
+                problems.append(
+                    f"HEADLINE entry {k!r} missing from PLANS.json — run"
+                    " scripts/plan_signatures.py --update"
+                )
+
     # every operator/streaming module with public exports must have a
     # COVERAGE.md family row referencing it
     import colnade_spark.operators as ops_pkg
