@@ -34,12 +34,20 @@ def training_order(
     salt: str = "",
     shard_col: str = "shard",
     pos_col: str = "pos",
+    score_col: str | None = None,
 ) -> DataFrame:
     """Append (``shard_col``, ``pos_col``): shard = order-key mod
     ``n_shards`` (uniform, scan-side), pos = the row's rank within its
     shard by (order key, row key) — ties impossible for distinct keys,
     broken by the key otherwise, so the (shard, pos) total order is
-    deterministic in any engine."""
+    deterministic in any engine.
+
+    CURRICULUM mode: with ``score_col``, rows rank within their shard by
+    (score asc, hash, key) instead of pure hash — every shard serves its
+    easiest (lowest-score) examples first while shard MEMBERSHIP stays a
+    pure hash (each shard is an unbiased corpus sample, so difficulty
+    progresses in parallel across all readers). The hash stays in the
+    order as the within-score shuffle."""
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
     h = sample_hash(F.col(key_col), salt)
@@ -49,7 +57,10 @@ def training_order(
     staged = df.withColumn(okey, h).withColumn(
         shard_col, (F.col(okey) % n_shards).cast("int")
     )
-    w = Window.partitionBy(shard_col).orderBy(okey, key_col)
+    order = [okey, key_col] if score_col is None else [
+        F.col(score_col).asc(), okey, key_col
+    ]
+    w = Window.partitionBy(shard_col).orderBy(*order)
     return (
         staged.withColumn(pos_col, F.row_number().over(w).cast("long"))
         .drop(okey)

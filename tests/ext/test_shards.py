@@ -66,3 +66,32 @@ def test_write_training_shards_layout(spark, tmp_path):
         for r in training_order(df, 4, salt="w").collect()
     }
     assert {(r.doc_id, r.shard, r.pos) for r in back.collect()} == want
+
+
+def test_training_order_curriculum_mode(spark):
+    """With score_col, every shard serves ascending scores (easiest
+    first) while shard membership stays the pure hash (identical to
+    hash mode) — difficulty progresses in parallel across readers."""
+    df = spark.createDataFrame(
+        [(i, float((i * 31) % 97)) for i in range(400)],
+        ["doc_id", "difficulty"],
+    )
+    plain = training_order(df, n_shards=4, salt="c")
+    cur = training_order(df, n_shards=4, salt="c", score_col="difficulty")
+    # same membership
+    assert {(r.doc_id, r.shard) for r in cur.collect()} == {
+        (r.doc_id, r.shard) for r in plain.collect()
+    }
+    # ascending difficulty within each shard
+    rows = cur.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.shard, []).append((r.pos, r.difficulty))
+    for shard, lst in per.items():
+        seq = [d for _, d in sorted(lst)]
+        assert seq == sorted(seq), shard
+    # deterministic
+    again = training_order(df.repartition(7), 4, salt="c", score_col="difficulty")
+    assert {(r.doc_id, r.shard, r.pos) for r in again.collect()} == {
+        (r.doc_id, r.shard, r.pos) for r in rows
+    }
