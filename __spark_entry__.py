@@ -1359,7 +1359,13 @@ def curation_decisions_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
         ),
         "short": docs.filter(F.col("n_chars") < 120).select("doc_id"),
     }
-    return report.curation_decisions(docs, gates)
+    # The operator's native output carries reasons as array<string>
+    # (tested in tests/ext/test_report.py); the registry emits the
+    # driver-safe scalar form — the correctness harness canonicalizes
+    # via pandas sort/factorize, which cannot hash list values.
+    return report.curation_decisions(docs, gates).withColumn(
+        "reasons", F.array_join("reasons", "|")
+    )
 
 
 def winnow_overlap_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
@@ -2451,9 +2457,15 @@ def _recall_audit_oracle_sql() -> str:
           WHERE rank <= 5
         ),
         sims AS (
+          -- explicit dot/(sqrt*sqrt) form: list_inner_product matches
+          -- Spark's sequential fold bitwise, so rank boundaries can't
+          -- flip on a libm-cosine ulp (list_cosine_similarity may
+          -- evaluate the same math in a different association order)
           SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
-                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                        q.qv) AS sim
+                 list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                   / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_inner_product(q.qv, q.qv))) AS sim
           FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid
         ),
         exact AS (
@@ -3749,7 +3761,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
               len(reasons) = 0 AS keep,
               CAST(len(reasons) AS BIGINT) AS n_reasons,
-              reasons
+              coalesce(array_to_string(reasons, '|'), '') AS reasons
             FROM verdicts
         """,
         "winnow_overlap_docs": f"""

@@ -162,6 +162,11 @@ def main() -> None:
         per_query[name] = round(best, 3)
 
     total = round(sum(per_query.values()), 3)
+    # Two JSON lines: the full per-query map first, then a SHORT summary
+    # line LAST. A bounded tail capture (which truncated the head of the
+    # long line in round 4, losing the total) always retains the final
+    # compact line intact, so the headline numbers survive any capture
+    # window; head-first parsers still see the complete map on line 1.
     print(
         json.dumps(
             {
@@ -169,6 +174,17 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(per_query),
                 "sf": sf,
             }
         )

@@ -360,9 +360,13 @@ def _words_from_grams(
     grams: DataFrame, m_bits: int, n_hashes: int
 ) -> DataFrame:
     """(_w, _bits) sparse Bloom word table from a ``_g`` gram column —
-    the one positions→words chain every Bloom builder shares."""
+    the one positions→words chain every Bloom builder shares. NULL
+    grams (e.g. fingerprint(NULL) from a NULL-text row) are dropped:
+    their positions are all-NULL, and a (_w=NULL, _bits=NULL) row in
+    the maintained table would crash every subsequent ``load_bloom``."""
     return (
-        grams.select(
+        grams.filter(F.col("_g").isNotNull())
+        .select(
             F.explode(bloom_positions(F.col("_g"), m_bits, n_hashes)).alias("_p")
         )
         # no distinct: bit_or is idempotent, a pre-dedup shuffle buys nothing

@@ -557,7 +557,7 @@ def pq_screen_gate(
         if code_col not in df.columns:
             raise ValueError(
                 f"code_col {code_col!r} not in {df.columns}; omit it to"
-                " encode in-line from {vec_col!r}"
+                f" encode in-line from {vec_col!r}"
             )
         staged = df
     else:

@@ -271,8 +271,14 @@ def temperature_mixture(
 
     if alpha <= 0:
         raise ValueError("alpha must be positive")
+    # NULL source keys are excluded from the solve: _threshold_gate
+    # drops them unconditionally, so counting them could make a large
+    # NULL group the binding minimum and depress every real source's
+    # keep rate (mixture_sample likewise counts only target sources).
     counts = {
-        r[0]: r[1] for r in df.groupBy(source_col).count().collect()
+        r[0]: r[1]
+        for r in df.groupBy(source_col).count().collect()
+        if r[0] is not None
     }
     if not counts:
         return df

@@ -43,10 +43,36 @@ def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
     return sorted(out, key=lambda r: tuple(key(v) for v in r))
 
 
+def non_scalar_columns(schema) -> list[str]:
+    """Top-level ARRAY/MAP/STRUCT output columns of a Spark schema.
+
+    The driver's canonicalizer sorts result columns via pandas
+    (``sort_values`` → ``factorize``), which raises ``TypeError:
+    unhashable type`` on any list/dict-valued column — the row errors
+    before comparison, so a local pass on such a query means nothing.
+    Registry queries must emit scalars only (``F.array_join`` /
+    ``to_json`` the complex value); the operator's native complex
+    output stays tested in its own test module.
+    """
+    from pyspark.sql import types as T
+
+    return [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def compare(name: str, spark_df, con) -> tuple[bool, str]:
     from __spark_entry__ import oracle_sql
 
     sql = oracle_sql().get(name)
+    bad_cols = non_scalar_columns(spark_df.schema)
+    if bad_cols:
+        return False, (
+            f"NON-SCALAR OUTPUT (driver canonicalizer cannot sort it): "
+            f"{bad_cols} — array_join/to_json the column in the query"
+        )
     t0 = time.time()
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = spark_df.columns

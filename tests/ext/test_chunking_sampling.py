@@ -355,6 +355,26 @@ def test_temperature_mixture_flattens_toward_sqrt(spark):
         sampling.temperature_mixture(df, alpha=0.0)
 
 
+def test_temperature_mixture_ignores_null_sources(spark):
+    """NULL-source rows are dropped by the gate unconditionally, so they
+    must not participate in the count solve either — a huge NULL group
+    would otherwise become the binding minimum and depress every real
+    source's keep rate. Output over a frame WITH nulls equals output
+    over the same frame with nulls pre-filtered."""
+    rows = [(i, "big" if i % 10 < 8 else "small") for i in range(1000)]
+    rows += [(10_000 + i, None) for i in range(5000)]  # dominant NULL group
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    with_nulls = sampling.temperature_mixture(df, alpha=0.5, salt="t")
+    without = sampling.temperature_mixture(
+        df.filter(F.col("source").isNotNull()), alpha=0.5, salt="t"
+    )
+    assert sorted(r.doc_id for r in with_nulls.collect()) == sorted(
+        r.doc_id for r in without.collect()
+    )
+    # and the realized mixture still matches the 2-source solve
+    assert with_nulls.filter("source = 'small'").count() == 200
+
+
 def test_group_split_collapses_duplicate_mappings(spark):
     """A key mapped to two groups must not fan out: the mapping
     collapses deterministically (min group id) and output row count is

@@ -294,3 +294,7 @@ def test_screen_gate_is_stateless_scan_shape(spark, sf_dir):
     assert kept == total - {0, 1, 2, 3}           # nothing else near the bench set
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+    # a typo'd code_col errors with BOTH column names rendered (the
+    # second literal was once missing its f-string prefix)
+    with pytest.raises(ValueError, match=r"'nope'.*'embedding'"):
+        pq_screen_gate(e, bench, books, threshold=0.55, code_col="nope")

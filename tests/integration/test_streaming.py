@@ -575,6 +575,46 @@ def test_fingerprint_bloom_cross_batch_dedup(spark, sf_dir, tmp_path):
     assert "Exchange" not in plan and "Join" not in plan
 
 
+def test_fingerprint_bloom_survives_null_text(spark, sf_dir, tmp_path):
+    """A NULL-text row in the maintained stream must not poison the
+    Bloom table: fingerprint(NULL) is NULL, and before the null-gram
+    filter it wrote a (_w=NULL, _bits=NULL) row that made every
+    subsequent load_bloom crash at words[r._w] — permanently breaking
+    the dedup pipeline. NULL rows contribute no bits (they can't
+    duplicate anything) and the history still gates true duplicates."""
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators import decontaminate as dc
+    from colnade_spark.streaming import scan_stream_parquet
+    from colnade_spark.tpch import Documents, table_path
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    hist = docs.limit(20).select("doc_id", "text").unionByName(
+        spark.createDataFrame(
+            [(999_999,)], ["doc_id"]
+        ).select("doc_id", F.lit(None).cast("string").alias("text"))
+    )
+    src = str(tmp_path / "hist")
+    hist.write.parquet(src)
+
+    dest = str(tmp_path / "fp_bloom")
+    sf = scan_stream_parquet(src, Documents, spark=spark)
+    q = dc.maintain_fingerprint_bloom(
+        sf.native, dest, str(tmp_path / "ck"), m_bits=1 << 18, n_hashes=4
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    words = dc.load_bloom(spark, dest, 1 << 18, n=0, n_hashes=4)  # no crash
+    replay = docs.limit(20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    kept = dc.bloom_duplicate_gate(replay, words, m_bits=1 << 18, n_hashes=4)
+    assert kept.count() == 0  # every history text still probes positive
+
+
 def test_scan_stream_json_matches_batch(spark, tmp_path):
     """JSON-lines streaming source: a landing directory of jsonl files
     streams through a transformation and matches the batch read."""
