@@ -878,6 +878,67 @@ def image_features_stub(spark: SparkSession, sf_dir: str) -> SparkDF:
     return multimodal.image_features(media, decoder=multimodal.fake_decode_image)
 
 
+# Synthetic media fixture: real magic-byte signatures prepended to the
+# document text bytes, with a DECLARED format that deliberately disagrees
+# on a subset — deterministic, so DuckDB rebuilds the identical payloads
+# and replays the hex-prefix sniffing byte for byte.
+_MEDIA_SIGS = [
+    ("png", "89504E470D0A1A0A"),
+    ("jpeg", "FFD8FFE000104A46"),
+    ("gif", "474946383961"),
+    ("wav", "524946460000000057415645"),  # RIFF + size + 'WAVE' tag
+    ("mp3", "494433040000"),  # 'ID3' v2.4 header
+]
+_MEDIA_DECLARED = ["png", "jpg", "gif", "wav", "mp3"]  # 'jpg' → normalization
+
+
+def _media_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """(media_id, payload, meta{format}) synthesized from documents:
+    magic bytes by doc_id % 5, declared format by (doc_id % 7) % 5
+    (mismatched whenever the residues differ), and every 11th payload
+    signature-less (sniffs to NULL — the corrupt-at-ingest case)."""
+    docs = _docs_spread(spark, sf_dir)
+    idx = (F.col("doc_id") % 5).cast("int")
+    sig = None
+    for i, (_, hexsig) in enumerate(_MEDIA_SIGS):
+        branch = F.unhex(F.lit(hexsig))
+        sig = F.when(idx == i, branch) if sig is None else sig.when(idx == i, branch)
+    body = F.encode("text", "utf-8")
+    payload = F.when(F.col("doc_id") % 11 == 0, body).otherwise(
+        F.concat(sig, body)
+    )
+    declared = F.element_at(
+        F.array(*[F.lit(x) for x in _MEDIA_DECLARED]),
+        ((F.col("doc_id") % 7) % 5 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        payload.alias("payload"),
+        F.struct(declared.alias("format")).alias("meta"),
+    )
+
+
+def media_format_mismatch_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Decode-free mislabel audit: rows whose declared meta.format
+    disagrees with the payload's magic bytes (jpg/jpeg normalized),
+    including unrecognized signatures (sniffed NULL). Pure hex/substring
+    built-ins at scan speed — media bytes never leave the scan. The
+    oracle rebuilds the payloads and replays the signature CASE chain."""
+    return multimodal.media_format_mismatches(_media_docs(spark, sf_dir))
+
+
+def media_byte_stats_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Decode-free corruption screen: per-payload byte length and
+    distinct-byte count from byte_stats' one Arrow-batched pandas pass
+    (its entropy output stays unit-tested against numpy — float log2
+    sums are not oracle-replayable bit-exactly; the integer columns
+    are, via DuckDB byte-slicing)."""
+    media = _media_docs(spark, sf_dir)
+    return multimodal.byte_stats(media.select("media_id", "payload")).select(
+        "media_id", "n_bytes", "n_distinct_bytes"
+    )
+
+
 class OrderLine(Schema):
     l_orderkey: Column[Int64]
     l_extendedprice: Column[Float64]
@@ -1327,14 +1388,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> SparkDF:
     return connected_components(edges, nodes=nodes)
 
 
-def curation_decisions_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """Explainable curation verdicts: every doc's keep/drop decision
-    with the sorted list of gates it failed — URL blocklist (injected
-    links, as in blocked_url_ids), 8-gram benchmark contamination
-    (bench = doc_id % 50 == 0), and a n_chars < 120 length floor. The
-    oracle replays all three gate memberships and the reasons-array
-    construction."""
-    from colnade_spark.operators import report
+def _curation_gates(spark: SparkSession, sf_dir: str):
+    """(docs, gates) for the curation report queries: URL blocklist
+    (injected links, as in blocked_url_ids), 8-gram benchmark
+    contamination (bench = doc_id % 50 == 0), and a n_chars < 120
+    length floor."""
     from colnade_spark.operators.decontaminate import contaminated_ids
     from colnade_spark.operators.redact import blocked_doc_ids
 
@@ -1359,6 +1417,17 @@ def curation_decisions_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
         ),
         "short": docs.filter(F.col("n_chars") < 120).select("doc_id"),
     }
+    return docs, gates
+
+
+def curation_decisions_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Explainable curation verdicts: every doc's keep/drop decision
+    with the sorted list of gates it failed (see _curation_gates). The
+    oracle replays all three gate memberships and the reasons-array
+    construction."""
+    from colnade_spark.operators import report
+
+    docs, gates = _curation_gates(spark, sf_dir)
     # The operator's native output carries reasons as array<string>
     # (tested in tests/ext/test_report.py); the registry emits the
     # driver-safe scalar form — the correctness harness canonicalizes
@@ -1366,6 +1435,18 @@ def curation_decisions_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     return report.curation_decisions(docs, gates).withColumn(
         "reasons", F.array_join("reasons", "|")
     )
+
+
+def curation_summary_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """The one-screen pipeline health check over the same three gates:
+    how many documents each gate fired on (a doc failing two gates
+    counts under both) plus the __kept__ row — one explode + count over
+    the corpus-ID-sized decisions table. The oracle replays the gate
+    memberships, the unnest, and the counts."""
+    from colnade_spark.operators import report
+
+    docs, gates = _curation_gates(spark, sf_dir)
+    return report.curation_summary(report.curation_decisions(docs, gates))
 
 
 def winnow_overlap_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
@@ -2212,16 +2293,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
     # round's modified queries, then the driver-green backlog (newest
     # verification last).
     return {
-        # --- never driver-checked (verified locally every round) ---
+        # --- round-5 additions (never driver-checked) ---
+        "curation_summary_docs": curation_summary_docs,
+        "media_format_mismatch_docs": media_format_mismatch_docs,
+        "media_byte_stats_docs": media_byte_stats_docs,
+        # --- modified round 5 (scalar reasons / oracle-ranking fixes) ---
+        "curation_decisions_docs": curation_decisions_docs,
+        "ann_recall_audit": ann_recall_audit,
+        "temperature_mixture_docs": temperature_mixture_docs,
+        # --- round-4 backlog (driver-green in round 4) ---
         "describe_orders": describe_orders,
         "mixture_sample_docs": mixture_sample_docs,
         "semantic_decontaminated_ids": semantic_decontaminated_ids,
         "unigram_quality": unigram_quality,
         # --- round-4 additions ---
-        "ann_recall_audit": ann_recall_audit,
         "pq_screen_survivors": pq_screen_survivors,
         "leakage_safe_split_stats": leakage_safe_split_stats,
-        "temperature_mixture_docs": temperature_mixture_docs,
         "quality_pruned_ids": quality_pruned_ids,
         "contamination_report_bench": contamination_report_bench,
         "training_order_docs": training_order_docs,
@@ -2230,7 +2317,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "bigram_nll_docs": bigram_nll_docs,
         "dup_cluster_sizes": dup_cluster_sizes,
         "winnow_overlap_docs": winnow_overlap_docs,
-        "curation_decisions_docs": curation_decisions_docs,
         # --- modified this round (single-pass tokenize rewrites) ---
         "bigram_pmi_top": bigram_pmi_top,
         "cms_token_estimates": cms_token_estimates,
@@ -2484,6 +2570,97 @@ def _recall_audit_oracle_sql() -> str:
           ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
         GROUP BY ex.query_id
     """
+
+
+def _curation_cte() -> str:
+    """Shared DuckDB CTE chain for the curation report oracles: the
+    three gate memberships (URL blocklist over injected links, 8-gram
+    benchmark contamination, length floor) resolved into a per-doc
+    ``verdicts(doc_id, reasons)`` table — the twin of _curation_gates
+    + report.curation_decisions."""
+    return f"""
+            inj AS (
+              SELECT doc_id,
+                text || ' link http://h' || CAST(doc_id % 5 AS VARCHAR)
+                     || '.site' || CAST(doc_id % 3 AS VARCHAR) || '.com/x'
+                  AS text
+              FROM documents
+            ),
+            doms AS (
+              SELECT doc_id,
+                regexp_replace(lower(unnest(regexp_extract_all(
+                  text, '(?i)https?://(?:[^/@\\s]*@)?([A-Za-z0-9.-]+)', 1))),
+                  '\\.+$', '') AS dom
+              FROM inj
+            ),
+            sfx AS (
+              SELECT doc_id,
+                unnest(list_transform(
+                  range(1, len(string_split(dom, '.')) + 1),
+                  i -> array_to_string(
+                    list_slice(string_split(dom, '.'), i,
+                               len(string_split(dom, '.'))), '.')
+                )) AS s
+              FROM doms
+            ),
+            blocked AS (
+              SELECT DISTINCT doc_id FROM sfx
+              WHERE s IN ('site0.com', 'h2.site1.com')
+            ),
+            norm AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array({_NORM_TEXT}, '\\s+'),
+                            x -> x != '') AS tk
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                unnest(list_distinct(list_transform(
+                  list_filter(range(0, greatest(len(tk) - 7, 1), 1),
+                              p -> p < len(tk) - 7),
+                  p -> array_to_string(list_slice(tk, p + 1, p + 8), ' '))))
+                  AS g
+              FROM norm
+            ),
+            contaminated AS (
+              SELECT DISTINCT d.doc_id
+              FROM grams d JOIN (
+                SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+              ) b USING (g)
+            ),
+            verdicts AS (
+              SELECT d.doc_id,
+                list_filter([
+                  CASE WHEN d.doc_id IN (SELECT doc_id FROM blocked)
+                       THEN 'blocked' END,
+                  CASE WHEN d.doc_id IN (SELECT doc_id FROM contaminated)
+                       THEN 'contaminated' END,
+                  CASE WHEN d.n_chars < 120 THEN 'short' END
+                ], x -> x IS NOT NULL) AS reasons
+              FROM documents d
+            )"""
+
+
+def _media_cte() -> str:
+    """Shared DuckDB CTE rebuilding the _media_docs fixture byte for
+    byte: magic-bytes signature by doc_id % 5 (none on every 11th row),
+    declared format by (doc_id % 7) % 5."""
+    sig_case = " ".join(
+        f"WHEN {i} THEN '{hexsig}'"
+        for i, (_, hexsig) in enumerate(_MEDIA_SIGS)
+    )
+    declared_list = ", ".join(f"'{x}'" for x in _MEDIA_DECLARED)
+    return f"""
+            m AS (
+              SELECT doc_id AS media_id,
+                CASE WHEN doc_id % 11 = 0 THEN encode(text)
+                     ELSE from_hex(CASE doc_id % 5 {sig_case} END)
+                          || encode(text)
+                END AS payload,
+                ([{declared_list}])[CAST((doc_id % 7) % 5 + 1 AS INT)]
+                  AS fmt
+              FROM documents
+            )"""
 
 
 def _ivfpq_residual_oracle_sql() -> str:
@@ -3698,71 +3875,64 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_md5h("CAST(d.doc_id AS VARCHAR) || 'temp4'")} < thr.th
         """,
         "curation_decisions_docs": f"""
-            WITH inj AS (
-              SELECT doc_id,
-                text || ' link http://h' || CAST(doc_id % 5 AS VARCHAR)
-                     || '.site' || CAST(doc_id % 3 AS VARCHAR) || '.com/x'
-                  AS text
-              FROM documents
-            ),
-            doms AS (
-              SELECT doc_id,
-                regexp_replace(lower(unnest(regexp_extract_all(
-                  text, '(?i)https?://(?:[^/@\\s]*@)?([A-Za-z0-9.-]+)', 1))),
-                  '\\.+$', '') AS dom
-              FROM inj
-            ),
-            sfx AS (
-              SELECT doc_id,
-                unnest(list_transform(
-                  range(1, len(string_split(dom, '.')) + 1),
-                  i -> array_to_string(
-                    list_slice(string_split(dom, '.'), i,
-                               len(string_split(dom, '.'))), '.')
-                )) AS s
-              FROM doms
-            ),
-            blocked AS (
-              SELECT DISTINCT doc_id FROM sfx
-              WHERE s IN ('site0.com', 'h2.site1.com')
-            ),
-            norm AS (
-              SELECT doc_id,
-                list_filter(regexp_split_to_array({_NORM_TEXT}, '\\s+'),
-                            x -> x != '') AS tk
-              FROM documents
-            ),
-            grams AS (
-              SELECT doc_id,
-                unnest(list_distinct(list_transform(
-                  list_filter(range(0, greatest(len(tk) - 7, 1), 1),
-                              p -> p < len(tk) - 7),
-                  p -> array_to_string(list_slice(tk, p + 1, p + 8), ' '))))
-                  AS g
-              FROM norm
-            ),
-            contaminated AS (
-              SELECT DISTINCT d.doc_id
-              FROM grams d JOIN (
-                SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
-              ) b USING (g)
-            ),
-            verdicts AS (
-              SELECT d.doc_id,
-                list_filter([
-                  CASE WHEN d.doc_id IN (SELECT doc_id FROM blocked)
-                       THEN 'blocked' END,
-                  CASE WHEN d.doc_id IN (SELECT doc_id FROM contaminated)
-                       THEN 'contaminated' END,
-                  CASE WHEN d.n_chars < 120 THEN 'short' END
-                ], x -> x IS NOT NULL) AS reasons
-              FROM documents d
-            )
+            WITH {_curation_cte()}
             SELECT doc_id,
               len(reasons) = 0 AS keep,
               CAST(len(reasons) AS BIGINT) AS n_reasons,
               coalesce(array_to_string(reasons, '|'), '') AS reasons
             FROM verdicts
+        """,
+        "curation_summary_docs": f"""
+            WITH {_curation_cte()},
+            fired AS (SELECT unnest(reasons) AS reason FROM verdicts)
+            SELECT reason, CAST(count(*) AS BIGINT) AS n_docs
+            FROM fired GROUP BY reason
+            UNION ALL
+            SELECT '__kept__' AS reason, CAST(count(*) AS BIGINT) AS n_docs
+            FROM verdicts WHERE len(reasons) = 0
+        """,
+        "media_format_mismatch_docs": f"""
+            WITH {_media_cte()},
+            s AS (
+              SELECT media_id,
+                CASE WHEN fmt = 'jpg' THEN 'jpeg' ELSE fmt END AS declared,
+                substring(hex(payload), 1, 24) AS h
+              FROM m
+            ),
+            v AS (
+              SELECT media_id, declared,
+                CASE
+                  WHEN h LIKE '89504E470D0A1A0A%' THEN 'png'
+                  WHEN h LIKE 'FFD8FF%' THEN 'jpeg'
+                  WHEN h LIKE '474946383761%' OR h LIKE '474946383961%'
+                    THEN 'gif'
+                  WHEN h LIKE '52494646%'
+                       AND substring(h, 17, 8) = '57454250' THEN 'webp'
+                  WHEN h LIKE '52494646%'
+                       AND substring(h, 17, 8) = '57415645' THEN 'wav'
+                  WHEN h LIKE '52494646%'
+                       AND substring(h, 17, 8) = '41564920' THEN 'avi'
+                  WHEN h LIKE '664C6143%' THEN 'flac'
+                  WHEN h LIKE '4F676753%' THEN 'ogg'
+                  WHEN h LIKE '494433%' OR h LIKE 'FFFB%'
+                       OR h LIKE 'FFF3%' OR h LIKE 'FFF2%' THEN 'mp3'
+                  WHEN substring(h, 9, 8) = '66747970' THEN 'mp4'
+                  WHEN h LIKE '1A45DFA3%' THEN 'webm'
+                END AS sniffed
+              FROM s
+            )
+            SELECT media_id, declared, sniffed FROM v
+            WHERE declared IS NOT NULL AND sniffed IS DISTINCT FROM declared
+        """,
+        "media_byte_stats_docs": f"""
+            WITH {_media_cte()}
+            SELECT media_id,
+              CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+              CAST(len(list_distinct(list_transform(
+                range(1, octet_length(payload) + 1),
+                i -> substring(hex(payload), CAST(2 * i - 1 AS INT), 2)
+              ))) AS BIGINT) AS n_distinct_bytes
+            FROM m
         """,
         "winnow_overlap_docs": f"""
             WITH n AS (SELECT doc_id, {_NORM_TEXT} AS nt FROM documents),

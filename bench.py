@@ -94,6 +94,9 @@ HEADLINE = [
     "dup_cluster_sizes",
     "winnow_overlap_docs",
     "curation_decisions_docs",
+    "curation_summary_docs",
+    "media_format_mismatch_docs",
+    "media_byte_stats_docs",
     "ann_ivfpq_residual",
     "canonical_docs_map",
     "blocked_url_ids",
