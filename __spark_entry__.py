@@ -812,6 +812,26 @@ def pq_screen_survivors(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def pq_contamination_bench(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Graded SEMANTIC contamination over compact codes: per benchmark
+    vector (vec_id < 4), how many corpus rows its reconstructed-dot ADC
+    reaches 1.7 against, the hit fraction, and the max ADC — the
+    {semantic, graded-report} cell of the contamination matrix
+    (pq_screen_survivors is its boolean-gate twin; the oracle replays
+    encode, per-query ADC, and the per-query aggregate)."""
+    from colnade_spark.operators.pq import pq_contamination_report, pq_encode
+
+    e = _embs(spark, sf_dir).select("vec_id", "embedding")
+    bench = [
+        r.embedding
+        for r in e.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    codes = pq_encode(e, _PQ_CODEBOOKS)
+    return pq_contamination_report(
+        codes, bench, _PQ_CODEBOOKS, threshold=1.7
+    ).withColumn("query_id", F.col("query_id").cast("long"))
+
+
 def ann_ivfpq(spark: SparkSession, sf_dir: str) -> SparkDF:
     """IVF-PQ with nprobe == nlist (probes every inverted list): result
     is exactly pq_topk, so the same ADC oracle applies — validating the
@@ -1892,6 +1912,24 @@ def training_order_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     ).select("doc_id", "shard", "pos")
 
 
+def balanced_shards_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Token-balanced training shards: membership cuts the
+    content-addressed hash order into 16 contiguous spans at
+    equal-weight boundaries (weight = n_chars here), so each shard's
+    size sum lands within one max-document of total/16 — the FFD/LPT
+    balance target as a distributed prefix sum (bucketed in Spark, a
+    plain running sum in the oracle; the decompositions are exactly
+    equal)."""
+    from colnade_spark.operators.shards import training_order
+
+    return training_order(
+        _docs_spread(spark, sf_dir),
+        n_shards=16,
+        salt="bal5",
+        balance_col="n_chars",
+    ).select("doc_id", "shard", "pos")
+
+
 def semantic_contamination_scores(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Graded semantic audit: every corpus embedding's cosine to its
     nearest benchmark vector (vec_id < 4), rounded to 6. The fold, the
@@ -2297,6 +2335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "curation_summary_docs": curation_summary_docs,
         "media_format_mismatch_docs": media_format_mismatch_docs,
         "media_byte_stats_docs": media_byte_stats_docs,
+        "balanced_shards_docs": balanced_shards_docs,
+        "pq_contamination_bench": pq_contamination_bench,
         # --- modified round 5 (scalar reasons / oracle-ranking fixes) ---
         "curation_decisions_docs": curation_decisions_docs,
         "ann_recall_audit": ann_recall_audit,
@@ -4074,6 +4114,30 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY ok, doc_id) AS BIGINT) AS pos
             FROM keyed
         """,
+        "balanced_shards_docs": f"""
+            WITH keyed AS (
+              SELECT doc_id, n_chars,
+                {_md5h("CAST(doc_id AS VARCHAR) || 'bal5'")} AS ok
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, ok,
+                sum(n_chars) OVER (ORDER BY ok, doc_id
+                                   ROWS UNBOUNDED PRECEDING)
+                  - n_chars AS strt,
+                sum(n_chars) OVER () AS total
+              FROM keyed
+            ),
+            s AS (
+              SELECT doc_id, ok,
+                CAST(least((strt * 16) // total, 15) AS INTEGER) AS shard
+              FROM c
+            )
+            SELECT doc_id, shard,
+              CAST(row_number() OVER (PARTITION BY shard
+                                      ORDER BY ok, doc_id) AS BIGINT) AS pos
+            FROM s
+        """,
         "contamination_report_bench": f"""
             WITH norm AS (
               SELECT doc_id,
@@ -4187,6 +4251,17 @@ def oracle_sql() -> dict[str, str]:
         # full probe ≡ pq_topk — same deterministic ADC pipeline
         "ann_ivfpq": _pq_oracle_sql(),
         "ann_recall_audit": _recall_audit_oracle_sql(),
+        "pq_contamination_bench": f"""
+            {_pq_scored_cte(q_where="vec_id < 4", exclude_self=False)}
+            SELECT query_id,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CASE WHEN adc >= 1.7 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_hits,
+              CAST(sum(CASE WHEN adc >= 1.7 THEN 1 ELSE 0 END) AS DOUBLE)
+                / count(*) AS frac_hits,
+              max(adc) AS max_adc
+            FROM scored GROUP BY query_id
+        """,
         "pq_screen_survivors": f"""
             {_pq_scored_cte(q_where="vec_id < 4", exclude_self=False)},
             mx AS (

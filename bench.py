@@ -97,6 +97,8 @@ HEADLINE = [
     "curation_summary_docs",
     "media_format_mismatch_docs",
     "media_byte_stats_docs",
+    "balanced_shards_docs",
+    "pq_contamination_bench",
     "ann_ivfpq_residual",
     "canonical_docs_map",
     "blocked_url_ids",

@@ -51,6 +51,7 @@ __all__ = [
     "pq_reconstruct_dot",
     "pq_screen_flags",
     "pq_screen_gate",
+    "pq_contamination_report",
 ]
 
 SCALE = 1 << 20
@@ -533,6 +534,66 @@ def pq_screen_flags(
     staged = codes.withColumn(score_col, mx)
     return staged.withColumn(
         flag_col, F.col(score_col) >= F.lit(float(threshold))
+    )
+
+
+def pq_contamination_report(
+    codes: DataFrame,
+    query_vecs: list[list[float]],
+    codebooks: list[list[list[float]]],
+    threshold: float,
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """(query_id, n_rows, n_hits, frac_hits, max_adc) per frozen query
+    vector: how MUCH of the code corpus screens against each benchmark
+    item — the graded-report companion to ``pq_screen_flags``'s boolean
+    verdict, completing the {exact-gram, semantic} x {gate, report}
+    matrix (``contamination_report`` is the exact-gram report twin,
+    ``decontaminate.py``). A benchmark item with a high hit fraction is
+    systematically leaked into the corpus; ``max_adc`` grades how close
+    the nearest miss came.
+
+    Shape: per row, every query's ADC folds from a literal LUT
+    (m gets + adds each — the pq_screen scan-side compute), one
+    (query_id, adc) pair row per query via posexplode, then ONE
+    partial-aggregating groupBy on query_id — the shuffle carries
+    |queries| rows per task, not data. Works as a streaming
+    aggregation unchanged (update/complete mode; pinned by the
+    streaming test) — the scan side stays stateless, the agg is
+    Spark's standard incremental state, |queries| groups total.
+
+    Scale: |queries| x m lookups per row, like pq_screen_flags — chunk
+    very large benchmark sets into several passes (codegen method
+    limits); pair fan-out before the partial agg is |corpus| x
+    |queries| narrow rows, combined map-side."""
+    if not query_vecs:
+        raise ValueError(
+            "pq_contamination_report requires at least one query vector"
+        )
+    t = float(threshold)
+    adcs = F.array(
+        *[
+            _adc_expr(_adc_lut_py(qv, codebooks), code_col)
+            for qv in query_vecs
+        ]
+    )
+    pairs = codes.select(
+        F.posexplode(adcs).alias("query_id", "_adc")
+    )
+    return (
+        pairs.groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum((F.col("_adc") >= t).cast("long")).alias("n_hits"),
+            F.max("_adc").alias("max_adc"),
+        )
+        .select(
+            "query_id",
+            "n_rows",
+            "n_hits",
+            (F.col("n_hits") / F.col("n_rows")).alias("frac_hits"),
+            "max_adc",
+        )
     )
 
 

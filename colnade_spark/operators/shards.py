@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from colnade_spark.operators.sampling import sample_hash
+from colnade_spark.operators.sampling import _HASH_SPACE, sample_hash
 
 __all__ = ["training_order", "write_training_shards"]
 
@@ -35,6 +35,8 @@ def training_order(
     shard_col: str = "shard",
     pos_col: str = "pos",
     score_col: str | None = None,
+    balance_col: str | None = None,
+    n_buckets: int = 1024,
 ) -> DataFrame:
     """Append (``shard_col``, ``pos_col``): shard = order-key mod
     ``n_shards`` (uniform, scan-side), pos = the row's rank within its
@@ -47,16 +49,80 @@ def training_order(
     easiest (lowest-score) examples first while shard MEMBERSHIP stays a
     pure hash (each shard is an unbiased corpus sample, so difficulty
     progresses in parallel across all readers). The hash stays in the
-    order as the within-score shuffle."""
+    order as the within-score shuffle.
+
+    BALANCED mode: with ``balance_col`` (a non-negative integer weight,
+    e.g. a token count; NULL → 0), shard membership equalizes WEIGHT
+    sums instead of row counts — hash-mod equalizes rows, and a
+    token-skewed corpus then produces token-skewed shards. Rows are cut
+    into ``n_shards`` contiguous spans of the content-addressed hash
+    order at equal-weight boundaries: ``shard = (start * n_shards) div
+    total`` where ``start`` is the running weight sum of all rows
+    strictly before this row in (hash, key) order. Every shard's weight
+    sum is then within one maximum-row-weight of ``total/n_shards`` —
+    the same guarantee the classic FFD/LPT bin-balancing heuristics
+    target, but as a pure prefix-sum formulation: literal
+    first-fit-decreasing is a sequential fold over all rows (it does
+    not distribute and no SQL engine can replay it), while a running
+    sum is one window away in any engine. Because spans follow the hash
+    order, each shard remains an unbiased pseudo-random corpus sample.
+
+    Scale (100 TB): the prefix sum is NOT a global single-partition
+    window — rows are pre-bucketed by the top bits of the hash
+    (``n_buckets`` contiguous hash ranges, power of two), per-bucket
+    sums (one tiny aggregate, ≤ ``n_buckets`` rows to the driver)
+    give exact bucket offsets embedded as a literal array, and the
+    within-bucket running sum is a per-bucket window. Both windows
+    here (per-bucket, per-shard) are key-partitioned."""
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
     h = sample_hash(F.col(key_col), salt)
     from pyspark.sql.window import Window
 
     okey = "_training_order_key"
-    staged = df.withColumn(okey, h).withColumn(
-        shard_col, (F.col(okey) % n_shards).cast("int")
-    )
+    staged = df.withColumn(okey, h)
+    if balance_col is None:
+        staged = staged.withColumn(
+            shard_col, (F.col(okey) % n_shards).cast("int")
+        )
+    else:
+        if n_buckets < 1 or n_buckets & (n_buckets - 1):
+            raise ValueError("n_buckets must be a positive power of two")
+        shift = _HASH_SPACE.bit_length() - 1 - (n_buckets.bit_length() - 1)
+        wcol, bcol, scol = "_to_w", "_to_bucket", "_to_start"
+        staged = staged.withColumn(
+            wcol, F.coalesce(F.col(balance_col).cast("long"), F.lit(0))
+        ).withColumn(bcol, F.shiftright(F.col(okey), shift).cast("int"))
+        # exact per-bucket sums: bounded driver fit (≤ n_buckets rows)
+        sums = {
+            r[0]: r[1]
+            for r in staged.groupBy(bcol).agg(F.sum(wcol)).collect()
+        }
+        total = sum(sums.values())
+        if total <= 0:
+            raise ValueError(
+                f"balance_col {balance_col!r} sums to {total}; balanced"
+                " sharding needs positive weights"
+            )
+        offsets, acc = [], 0
+        for b in range(n_buckets):
+            offsets.append(acc)
+            acc += sums.get(b, 0)
+        wb = Window.partitionBy(bcol).orderBy(okey, key_col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        start = (
+            F.element_at(F.lit(offsets), F.col(bcol) + 1)
+            + F.sum(wcol).over(wb)
+            - F.col(wcol)
+        )
+        staged = staged.withColumn(scol, start).withColumn(
+            shard_col,
+            F.least(
+                F.expr(f"({scol} * {n_shards}) div {total}"),
+                F.lit(n_shards - 1),
+            ).cast("int"),
+        ).drop(wcol, bcol, scol)
     order = [okey, key_col] if score_col is None else [
         F.col(score_col).asc(), okey, key_col
     ]
@@ -73,6 +139,7 @@ def write_training_shards(
     n_shards: int,
     key_col: str = "doc_id",
     salt: str = "",
+    balance_col: str | None = None,
 ) -> None:
     """Materialize the training order: one ``shard=<i>`` parquet
     directory per shard, rows stored in pos order (one output file per
@@ -81,7 +148,7 @@ def write_training_shards(
     without re-sorting). Re-running with the same inputs rewrites
     byte-identical content — shard layout is a pure function of the
     keys."""
-    out = training_order(df, n_shards, key_col, salt)
+    out = training_order(df, n_shards, key_col, salt, balance_col=balance_col)
     (
         out.repartition(n_shards, F.col("shard"))
         .sortWithinPartitions("shard", "pos")

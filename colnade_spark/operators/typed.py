@@ -61,6 +61,8 @@ __all__ = [
     "RecallRows",
     "recall_at_k",
     "pq_screen_gate",
+    "PqContaminationRows",
+    "pq_contamination_report",
     "group_split_select",
     "temperature_mixture",
     "quality_prune",
@@ -573,3 +575,33 @@ def token_budget_prune(
             d, budget, token_col, domain_col, score_col, **kwargs
         )
     )
+
+
+class PqContaminationRows(Schema):
+    query_id: Column[Int64]
+    n_rows: Column[Int64]
+    n_hits: Column[Int64]
+    frac_hits: Column[Float64]
+    max_adc: Column[Float64]
+
+
+def pq_contamination_report(
+    codes,
+    query_vecs: list[list[float]],
+    codebooks: list[list[list[float]]],
+    threshold: float,
+    **kwargs,
+) -> DataFrame[PqContaminationRows]:
+    """Typed graded semantic contamination over PQ codes: per frozen
+    benchmark vector, the hit count/fraction and max reconstructed-dot
+    ADC over the code corpus (operators.pq.pq_contamination_report;
+    query_id widened to Int64 at the typed boundary)."""
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators import pq as _pq
+
+    c = codes.native if isinstance(codes, DataFrame) else codes
+    out = _pq.pq_contamination_report(
+        c, query_vecs, codebooks, threshold, **kwargs
+    ).withColumn("query_id", F.col("query_id").cast("long"))
+    return _typed(out, PqContaminationRows)

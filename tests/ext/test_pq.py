@@ -298,3 +298,42 @@ def test_screen_gate_is_stateless_scan_shape(spark, sf_dir):
     # second literal was once missing its f-string prefix)
     with pytest.raises(ValueError, match=r"'nope'.*'embedding'"):
         pq_screen_gate(e, bench, books, threshold=0.55, code_col="nope")
+
+
+def test_contamination_report_matches_reconstruct_dot(spark):
+    """pq_contamination_report aggregates exactly what the per-row
+    reconstruct-dot scores say: n_hits counts rows at/over threshold,
+    frac is n_hits/n_rows, max_adc is the per-query max; empty query
+    list raises."""
+    from colnade_spark.operators.pq import pq_contamination_report
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.1, 0.1, 0.9, 0.1]),
+            (2, [0.9, 0.8, 0.2, 0.9]),
+            (3, [0.5, 0.5, 0.5, 0.5]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    codes = pq_encode(df, BOOKS)
+    qs = [[1.0, 1.0, 0.0, 1.0], [0.0, 0.0, 1.0, 0.0]]
+    per_q = [
+        {r.vec_id: r.adc for r in pq_reconstruct_dot(codes, q, BOOKS).collect()}
+        for q in qs
+    ]
+    all_scores = [s for d in per_q for s in d.values()]
+    thr = sorted(all_scores)[len(all_scores) // 2]  # both outcomes occur
+    got = {
+        r.query_id: r
+        for r in pq_contamination_report(codes, qs, BOOKS, thr).collect()
+    }
+    assert set(got) == {0, 1}
+    for i, scores in enumerate(per_q):
+        r = got[i]
+        n_hits = sum(1 for s in scores.values() if s >= thr)
+        assert r.n_rows == 3
+        assert r.n_hits == n_hits
+        assert r.frac_hits == n_hits / 3
+        assert r.max_adc == max(scores.values())
+    with pytest.raises(ValueError, match="at least one query"):
+        pq_contamination_report(codes, [], BOOKS, 0.5)

@@ -95,3 +95,59 @@ def test_training_order_curriculum_mode(spark):
     assert {(r.doc_id, r.shard, r.pos) for r in again.collect()} == {
         (r.doc_id, r.shard, r.pos) for r in rows
     }
+
+
+def test_training_order_balanced_mode(spark):
+    """With balance_col on a heavy-tailed weight distribution: per-shard
+    weight sums land within one max-row-weight of total/n (the FFD/LPT
+    balance target), beating hash-mod's row-count balance; output is
+    still a stable permutation, deterministic across partitionings and
+    bucket counts; zero/NULL weights are tolerated; all-zero raises."""
+    import pytest
+
+    # heavy tail: a few huge documents dominate the token mass
+    rows = [(i, (i * 37) % 50 + 1) for i in range(1000)]
+    rows += [(1000 + i, 5000 + 100 * i) for i in range(8)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = training_order(df, n_shards=8, salt="b", balance_col="n_tokens")
+    got = out.collect()
+    assert len(got) == len(rows)
+    coords = {(r.shard, r.pos) for r in got}
+    assert len(coords) == len(rows)  # still a permutation
+    per = {}
+    weights = dict(rows)
+    for r in got:
+        per[r.shard] = per.get(r.shard, 0) + weights[r.doc_id]
+    assert set(per) == set(range(8))
+    total = sum(weights.values())
+    max_w = max(weights.values())
+    for s, w in per.items():
+        assert abs(w - total / 8) <= max_w, (s, w, total / 8)
+    # hash-mod membership cannot make that guarantee here: the 8 huge
+    # docs hash wherever they land, so its spread exceeds balanced's
+    hash_per = {}
+    for r in training_order(df, n_shards=8, salt="b").collect():
+        hash_per[r.shard] = hash_per.get(r.shard, 0) + weights[r.doc_id]
+    spread = max(per.values()) - min(per.values())
+    hash_spread = max(hash_per.values()) - min(hash_per.values())
+    assert spread < hash_spread
+    # deterministic across input partitioning AND bucket granularity
+    again = training_order(
+        df.repartition(13), 8, salt="b", balance_col="n_tokens", n_buckets=64
+    )
+    assert {(r.doc_id, r.shard, r.pos) for r in again.collect()} == {
+        (r.doc_id, r.shard, r.pos) for r in got
+    }
+    # NULL weights count as zero; all-zero weights raise
+    with_null = df.withColumn(
+        "n_tokens",
+        F.when(F.col("doc_id") % 3 == 0, F.col("n_tokens")).otherwise(F.lit(None)),
+    )
+    assert training_order(
+        with_null, 4, salt="b", balance_col="n_tokens"
+    ).count() == len(rows)
+    zero = df.withColumn("n_tokens", F.lit(0))
+    with pytest.raises(ValueError, match="sums to 0"):
+        training_order(zero, 4, salt="b", balance_col="n_tokens")
+    with pytest.raises(ValueError, match="power of two"):
+        training_order(df, 4, salt="b", balance_col="n_tokens", n_buckets=33)

@@ -191,6 +191,17 @@ def test_recall_and_pq_screen_facades(spark, sf_dir):
     # typed refs guard downstream
     assert audit.filter(typed.RecallRows.recall >= 0.5).height == 4
 
+    # graded report facade: pinned schema, query_id widened to Int64,
+    # every benchmark member self-hits
+    from colnade_spark.operators.pq import pq_encode
+
+    codes = pq_encode(emb.native.select("vec_id", "embedding"), books)
+    rep = typed.pq_contamination_report(codes, bench, books, threshold=0.55)
+    assert rep.schema is typed.PqContaminationRows
+    rrows = rep.rows()
+    assert len(rrows) == 4 and all(r.n_hits >= 1 for r in rrows)
+    assert rep.filter(typed.PqContaminationRows.frac_hits > 0.0).height == 4
+
 
 def test_group_split_select_facade(spark, docs):
     import pyspark.sql.functions as F

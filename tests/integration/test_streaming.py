@@ -519,6 +519,51 @@ def test_pq_screen_gate_is_stateless_on_streams(spark, sf_dir):
     assert {0, 1, 2, 3}.isdisjoint(got)
 
 
+def test_pq_contamination_report_streams_as_aggregation(spark, sf_dir):
+    """The graded PQ contamination report runs on a stream unchanged:
+    the scan side (encode + literal-LUT ADCs + posexplode) is stateless
+    and the per-query aggregate is a standard streaming aggregation
+    (complete mode, |queries| groups of state) — a streamed embeddings
+    source reports exactly what the batch report says."""
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators.pq import (
+        pq_contamination_report,
+        pq_encode,
+        train_pq_codebooks,
+    )
+    from colnade_spark.streaming import scan_stream_parquet
+    from colnade_spark.tpch import Embeddings
+
+    batch = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    books = train_pq_codebooks(batch, m=16, ksub=32)
+    bench = [
+        r.embedding
+        for r in batch.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+
+    def rep(d):
+        codes = pq_encode(d.select("vec_id", "embedding"), books)
+        return pq_contamination_report(codes, bench, books, threshold=0.55)
+
+    sf = scan_stream_parquet(
+        table_path(sf_dir, "embeddings"), Embeddings, spark=spark
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _await(sf.with_raw(rep).to_memory_sink(name, output_mode="complete"))
+    got = {
+        r.query_id: (r.n_rows, r.n_hits, r.frac_hits, r.max_adc)
+        for r in spark.table(name).collect()
+    }
+    want = {
+        r.query_id: (r.n_rows, r.n_hits, r.frac_hits, r.max_adc)
+        for r in rep(batch).collect()
+    }
+    assert got == want and len(got) == 4
+    # every benchmark member itself screens, so each query has hits
+    assert all(v[1] > 0 for v in got.values())
+
+
 def test_fingerprint_bloom_cross_batch_dedup(spark, sf_dir, tmp_path):
     """Bounded-state streaming dedup: maintain a fingerprint Bloom over a
     first corpus slice, then gate a second slice that shares some texts —

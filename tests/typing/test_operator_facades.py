@@ -90,3 +90,17 @@ def check_round4_facades(frame: DataFrame[Corpus]) -> list[float]:
         n: int = r.n_exact
         out.append(x if n > 0 else 0.0)
     return out
+
+
+def check_round5_facades(frame: DataFrame[Corpus]) -> list[float]:
+    # pq_contamination_report pins PqContaminationRows (Int64 query_id)
+    rep: DataFrame[typed.PqContaminationRows] = typed.pq_contamination_report(
+        frame, [[1.0, 0.0]], [[[0.0, 0.0], [1.0, 1.0]]], threshold=0.9
+    )
+    _ = rep.filter(typed.PqContaminationRows.frac_hits > 0.0)
+    out: list[float] = []
+    for r in rep.rows():
+        x: float = r.max_adc
+        n: int = r.n_hits
+        out.append(x if n > 0 else 0.0)
+    return out
