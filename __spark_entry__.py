@@ -1457,6 +1457,46 @@ def curation_decisions_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def corpus_diff_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Incremental-ingest verification: diff two corpus snapshots into
+    (doc_id, status ∈ added/removed/changed) by normalized-text
+    fingerprint — here the 'new' snapshot drops every 17th doc, edits
+    every 13th, and adds a copy of every 29th under a fresh id. Only
+    the churn is emitted; the oracle replays the snapshot construction,
+    both fingerprint sides, and the full-outer status resolution."""
+    from colnade_spark.operators import report
+
+    docs = _docs_spread(spark, sf_dir)
+    new = (
+        docs.filter(F.col("doc_id") % 17 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(F.col("text"), F.lit(" EDIT")),
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 29 == 0).withColumn(
+                "doc_id", F.col("doc_id") + 1_000_000
+            )
+        )
+    )
+    return report.corpus_diff(docs, new)
+
+
+def corpus_card_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Per-language dataset datasheet: doc count, total character mass,
+    and EXACT p50/p90 size quantiles at the pinned integer rank
+    (p*n + 99) div 100 — no float rank math, so the per-group window
+    replay is bit-exact in any engine."""
+    from colnade_spark.operators import report
+
+    return report.corpus_card(
+        _docs_spread(spark, sf_dir), group_col="lang", size_col="n_chars"
+    )
+
+
 def curation_summary_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     """The one-screen pipeline health check over the same three gates:
     how many documents each gate fired on (a doc failing two gates
@@ -2337,6 +2377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "media_byte_stats_docs": media_byte_stats_docs,
         "balanced_shards_docs": balanced_shards_docs,
         "pq_contamination_bench": pq_contamination_bench,
+        "corpus_diff_docs": corpus_diff_docs,
+        "corpus_card_docs": corpus_card_docs,
         # --- modified round 5 (scalar reasons / oracle-ranking fixes) ---
         "curation_decisions_docs": curation_decisions_docs,
         "ann_recall_audit": ann_recall_audit,
@@ -3921,6 +3963,48 @@ def oracle_sql() -> dict[str, str]:
               CAST(len(reasons) AS BIGINT) AS n_reasons,
               coalesce(array_to_string(reasons, '|'), '') AS reasons
             FROM verdicts
+        """,
+        "corpus_diff_docs": f"""
+            WITH oldc AS (SELECT doc_id, text FROM documents),
+            newc AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 13 = 0 THEN text || ' EDIT'
+                     ELSE text END AS text
+              FROM documents WHERE doc_id % 17 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text
+              FROM documents WHERE doc_id % 29 = 0
+            ),
+            ofp AS (SELECT doc_id, md5({_NORM_TEXT}) AS fp FROM oldc),
+            nfp AS (SELECT doc_id, md5({_NORM_TEXT}) AS fp FROM newc),
+            j AS (
+              SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                CASE WHEN o.doc_id IS NULL THEN 'added'
+                     WHEN n.doc_id IS NULL THEN 'removed'
+                     WHEN o.fp <> n.fp THEN 'changed' END AS status
+              FROM ofp o FULL OUTER JOIN nfp n ON o.doc_id = n.doc_id
+            )
+            SELECT doc_id, status FROM j WHERE status IS NOT NULL
+        """,
+        "corpus_card_docs": f"""
+            WITH s AS (
+              SELECT coalesce(CAST(lang AS VARCHAR), '__null__') AS lang,
+                CAST(n_chars AS BIGINT) AS sz
+              FROM documents
+            ),
+            r AS (
+              SELECT lang, sz,
+                CAST(row_number() OVER (PARTITION BY lang ORDER BY sz)
+                     AS BIGINT) AS rk,
+                CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+              FROM s
+            )
+            SELECT lang,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(sz) AS BIGINT) AS total_size,
+              max(CASE WHEN rk = (n * 50 + 99) // 100 THEN sz END) AS q_50,
+              max(CASE WHEN rk = (n * 90 + 99) // 100 THEN sz END) AS q_90
+            FROM r GROUP BY lang
         """,
         "curation_summary_docs": f"""
             WITH {_curation_cte()},

@@ -99,6 +99,8 @@ HEADLINE = [
     "media_byte_stats_docs",
     "balanced_shards_docs",
     "pq_contamination_bench",
+    "corpus_diff_docs",
+    "corpus_card_docs",
     "ann_ivfpq_residual",
     "canonical_docs_map",
     "blocked_url_ids",

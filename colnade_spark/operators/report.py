@@ -25,7 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["curation_decisions", "curation_summary"]
+__all__ = [
+    "curation_decisions",
+    "curation_summary",
+    "corpus_diff",
+    "corpus_card",
+]
 
 
 def curation_decisions(
@@ -86,3 +91,103 @@ def curation_summary(decisions: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
     )
     return fired.unionByName(kept)
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    fingerprint_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, status) where status ∈ {added, removed, changed}: what an
+    ingest actually did to the corpus between two snapshots — the
+    verification artifact every incremental pipeline run owes its
+    operators (a re-crawl that silently drops a domain, or rewrites
+    documents it should have left alone, is invisible in row counts).
+    ``changed`` means the id exists in both snapshots with different
+    content fingerprints (``fingerprint_col`` if the snapshots already
+    carry one, else the normalized-text md5 computed here). Unchanged
+    rows — the overwhelming bulk — are never emitted.
+
+    Scale (100 TB): each side reduces to (id, fingerprint) at the scan
+    before the one full-outer join on id — content never shuffles; the
+    output is bounded by the churn, not the corpus. Diffing against a
+    small reference slice broadcasts."""
+    if fingerprint_col is None:
+        from colnade_spark.operators.text import fingerprint
+
+        fp = lambda d: d.select(  # noqa: E731
+            F.col(id_col), fingerprint(F.col(text_col)).alias("_fp")
+        )
+    else:
+        fp = lambda d: d.select(  # noqa: E731
+            F.col(id_col), F.col(fingerprint_col).alias("_fp")
+        )
+    o = fp(old).withColumnRenamed("_fp", "_fp_old")
+    n = fp(new).withColumnRenamed("_fp", "_fp_new")
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("_fp_old").isNull(), "added")
+        .when(F.col("_fp_new").isNull(), "removed")
+        .when(F.col("_fp_old") != F.col("_fp_new"), "changed")
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(id_col, "status")
+    )
+
+
+def corpus_card(
+    df: DataFrame,
+    group_col: str = "lang",
+    size_col: str = "n_chars",
+    quantiles: tuple[int, ...] = (50, 90),
+) -> DataFrame:
+    """Per-group corpus card: (group, n_docs, total_size, q_50, q_90,
+    ...) — the one-table dataset datasheet (docs, mass, and EXACT size
+    quantiles per language/domain). Quantiles are integer PERCENTS and
+    the definition is pinned in pure integer arithmetic so any engine
+    reproduces it bit-for-bit: q_p = the value at ascending rank
+    ``ceil(p * n / 100)`` = ``(p * n + 99) div 100`` (lower empirical
+    quantile, no interpolation, no float rank math — ``ceil(0.9 * n)``
+    in doubles is off-by-one whenever 0.9*n lands an ulp above the
+    integer).
+
+    Scale: one per-group sort window (rank + count) + one aggregate —
+    the same cost tier as any per-key ranking; groups sort
+    independently. For corpora where single groups are too big to
+    sort, use quality.quality_prune_threshold's percentile_approx
+    pattern instead (scan-side, no window) and accept approximate
+    quantiles. NULL group keys report under the literal '__null__'."""
+    if not quantiles:
+        raise ValueError("corpus_card requires at least one quantile")
+    for p in quantiles:
+        if not isinstance(p, int) or not 0 < p <= 100:
+            raise ValueError(f"quantile {p!r} must be an int percent in (0, 100]")
+    from pyspark.sql.window import Window
+
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    staged = df.select(
+        g.alias("_cc_g"), F.col(size_col).cast("long").alias("_cc_s")
+    )
+    w = Window.partitionBy("_cc_g").orderBy("_cc_s")
+    ranked = staged.withColumn(
+        "_cc_r", F.row_number().over(w).cast("long")
+    ).withColumn(
+        "_cc_n", F.count("*").over(Window.partitionBy("_cc_g"))
+    )
+    aggs = [
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_cc_s").cast("long").alias("total_size"),
+    ]
+    for p in quantiles:
+        q = F.max(
+            F.when(
+                F.col("_cc_r") == F.expr(f"(_cc_n * {p} + 99) div 100"),
+                F.col("_cc_s"),
+            )
+        )
+        aggs.append(q.alias(f"q_{p}"))
+    return ranked.groupBy(F.col("_cc_g").alias(group_col)).agg(*aggs)

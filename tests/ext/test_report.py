@@ -39,3 +39,54 @@ def test_curation_decisions_gate_extra_columns_ignored(spark):
     out = {r.doc_id: r.keep
            for r in report.curation_decisions(docs, {"g": gate}).collect()}
     assert out == {1: True, 2: False}
+
+
+def test_corpus_diff_hand_checked(spark):
+    """added/removed/changed partition the churn exactly; unchanged rows
+    (including whitespace-normalization-equal text) are never emitted;
+    a precomputed fingerprint column takes precedence over text."""
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, "delta  x")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(2, "beta"), (3, "GAMMA EDITED"), (4, "delta x"), (5, "new doc")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.status for r in report.corpus_diff(old, new).collect()}
+    # 4 is unchanged under the normalized fingerprint (whitespace fold)
+    assert got == {1: "removed", 3: "changed", 5: "added"}
+    # explicit fingerprint column: raw text compare makes 4 a change
+    o2 = old.withColumn("fp", old.text)
+    n2 = new.withColumn("fp", new.text)
+    got2 = {
+        r.doc_id: r.status
+        for r in report.corpus_diff(o2, n2, fingerprint_col="fp").collect()
+    }
+    assert got2 == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
+
+
+def test_corpus_card_exact_quantiles(spark):
+    """Pinned integer-rank quantiles: q_p = value at rank
+    (p*n + 99) div 100 in ascending size order; NULL groups report as
+    __null__; invalid quantiles raise."""
+    import pytest
+
+    rows = [("en", s) for s in [10, 20, 30, 40, 50, 60, 70, 80, 90, 100]]
+    rows += [("fr", s) for s in [5, 7, 9]]
+    rows += [(None, 42)]
+    df = spark.createDataFrame(rows, ["lang", "n_chars"])
+    got = {
+        r.lang: r for r in report.corpus_card(df, quantiles=(50, 90)).collect()
+    }
+    en = got["en"]
+    assert (en.n_docs, en.total_size) == (10, 550)
+    assert en.q_50 == 50      # rank ceil(5.0) = 5
+    assert en.q_90 == 90      # rank ceil(9.0) = 9 — NOT the float 10
+    fr = got["fr"]
+    assert (fr.q_50, fr.q_90) == (7, 9)  # ranks 2 and 3 of [5,7,9]
+    assert got["__null__"].n_docs == 1 and got["__null__"].q_50 == 42
+    with pytest.raises(ValueError):
+        report.corpus_card(df, quantiles=())
+    with pytest.raises(ValueError):
+        report.corpus_card(df, quantiles=(0,))
