@@ -2332,6 +2332,25 @@ def bigram_nll_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     return cooccur.bigram_logprob(_docs_spread(spark, sf_dir))
 
 
+def ppl_bucketed_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """CCNet head/middle/tail perplexity buckets per language: bigram-LM
+    mean NLL (bigram_nll_docs' exact integer-summed score) ranked
+    ascending within each lang, cut at the 33rd/66th integer-percent
+    ranks. Docs without bigrams are excluded (their NLL is undefined
+    and NULL ordering differs across engines). The oracle replays the
+    LM, the join, and the window cuts."""
+    from colnade_spark.operators.quality import perplexity_buckets
+
+    docs = _docs_spread(spark, sf_dir)
+    nll = cooccur.bigram_logprob(docs).filter(F.col("n_bigrams") > 0)
+    joined = docs.select("doc_id", "lang").join(
+        nll.select("doc_id", "nll"), "doc_id"
+    )
+    return perplexity_buckets(joined, "nll", domain_col="lang").select(
+        "doc_id", "lang", "nll", "ppl_bucket"
+    )
+
+
 def cms_token_estimates(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Count-min-sketch frequency estimates for the exact top-30 corpus
     tokens (d=4, w=2^12): estimates are >= the exact counts by
@@ -2379,6 +2398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "pq_contamination_bench": pq_contamination_bench,
         "corpus_diff_docs": corpus_diff_docs,
         "corpus_card_docs": corpus_card_docs,
+        "ppl_bucketed_docs": ppl_bucketed_docs,
         # --- modified round 5 (scalar reasons / oracle-ranking fixes) ---
         "curation_decisions_docs": curation_decisions_docs,
         "ann_recall_audit": ann_recall_audit,
@@ -2652,6 +2672,54 @@ def _recall_audit_oracle_sql() -> str:
           ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
         GROUP BY ex.query_id
     """
+
+
+def _bigram_nll_cte() -> str:
+    """Shared DuckDB CTE chain for the bigram-LM oracles: add-1 bigram
+    LM fit on the corpus, per-doc micro-rounded integer-summed lns —
+    yields CTEs norm/toks/uni/voc/opairs/occ/pc/scored/per (the twin of
+    cooccur.bigram_logprob)."""
+    return f"""
+            norm AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array({_NORM_TEXT}, '\\s+'),
+                            x -> x != '') AS tk
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id, unnest(tk) AS t FROM norm
+            ),
+            uni AS (
+              SELECT t AS tok_a, CAST(count(*) AS BIGINT) AS n_a
+              FROM toks GROUP BY t
+            ),
+            voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+            opairs AS (
+              SELECT doc_id,
+                unnest(list_transform(
+                  range(1, greatest(len(tk), 1)),
+                  i -> {{'a': tk[i], 'b': tk[i + 1]}})) AS p
+              FROM norm
+            ),
+            occ AS (SELECT doc_id, p.a AS tok_a, p.b AS tok_b FROM opairs),
+            pc AS (
+              SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS n_ab
+              FROM occ GROUP BY tok_a, tok_b
+            ),
+            scored AS (
+              SELECT o.doc_id,
+                CAST(round(ln((pc.n_ab + 1.0) / (u.n_a + 1.0 * voc.v))
+                           * 10000) AS BIGINT) AS lp
+              FROM occ o
+              JOIN pc ON o.tok_a = pc.tok_a AND o.tok_b = pc.tok_b
+              JOIN uni u ON o.tok_a = u.tok_a
+              CROSS JOIN voc
+            ),
+            per AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                     sum(lp) AS sum_lp
+              FROM scored GROUP BY doc_id
+            )"""
 
 
 def _curation_cte() -> str:
@@ -4110,51 +4178,35 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
         "bigram_nll_docs": f"""
-            WITH norm AS (
-              SELECT doc_id,
-                list_filter(regexp_split_to_array({_NORM_TEXT}, '\\s+'),
-                            x -> x != '') AS tk
-              FROM documents
-            ),
-            toks AS (
-              SELECT doc_id, unnest(tk) AS t FROM norm
-            ),
-            uni AS (
-              SELECT t AS tok_a, CAST(count(*) AS BIGINT) AS n_a
-              FROM toks GROUP BY t
-            ),
-            voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
-            opairs AS (
-              SELECT doc_id,
-                unnest(list_transform(
-                  range(1, greatest(len(tk), 1)),
-                  i -> {{'a': tk[i], 'b': tk[i + 1]}})) AS p
-              FROM norm
-            ),
-            occ AS (SELECT doc_id, p.a AS tok_a, p.b AS tok_b FROM opairs),
-            pc AS (
-              SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS n_ab
-              FROM occ GROUP BY tok_a, tok_b
-            ),
-            scored AS (
-              SELECT o.doc_id,
-                CAST(round(ln((pc.n_ab + 1.0) / (u.n_a + 1.0 * voc.v))
-                           * 10000) AS BIGINT) AS lp
-              FROM occ o
-              JOIN pc ON o.tok_a = pc.tok_a AND o.tok_b = pc.tok_b
-              JOIN uni u ON o.tok_a = u.tok_a
-              CROSS JOIN voc
-            ),
-            per AS (
-              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-                     sum(lp) AS sum_lp
-              FROM scored GROUP BY doc_id
-            )
+            WITH {_bigram_nll_cte()}
             SELECT d.doc_id,
               CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
               round((-(CAST(per.sum_lp AS DOUBLE) / 10000.0))
                     / per.n_bigrams, 6) AS nll
             FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "ppl_bucketed_docs": f"""
+            WITH {_bigram_nll_cte()},
+            nll AS (
+              SELECT d.doc_id, d.lang,
+                round((-(CAST(per.sum_lp AS DOUBLE) / 10000.0))
+                      / per.n_bigrams, 6) AS nll
+              FROM documents d JOIN per USING (doc_id)
+              WHERE per.n_bigrams > 0
+            ),
+            r AS (
+              SELECT doc_id, lang, nll,
+                CAST(row_number() OVER (PARTITION BY lang
+                                        ORDER BY nll, doc_id)
+                     AS BIGINT) AS rk,
+                CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+              FROM nll
+            )
+            SELECT doc_id, lang, nll,
+              CASE WHEN rk <= (n * 33 + 99) // 100 THEN 'head'
+                   WHEN rk <= (n * 66 + 99) // 100 THEN 'middle'
+                   ELSE 'tail' END AS ppl_bucket
+            FROM r
         """,
         "semantic_contamination_scores": """
             WITH bench AS (

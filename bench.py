@@ -101,6 +101,7 @@ HEADLINE = [
     "pq_contamination_bench",
     "corpus_diff_docs",
     "corpus_card_docs",
+    "ppl_bucketed_docs",
     "ann_ivfpq_residual",
     "canonical_docs_map",
     "blocked_url_ids",

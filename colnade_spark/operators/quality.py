@@ -43,6 +43,7 @@ __all__ = [
     "gopher_filter",
     "unigram_logprob",
     "quality_prune",
+    "perplexity_buckets",
     "quality_prune_threshold",
     "token_budget_prune",
 ]
@@ -483,3 +484,52 @@ def quality_prune_threshold(
         )
         joined = df.crossJoin(F.broadcast(thr))
     return joined.filter(F.col(score_col) >= F.col("_thr")).drop("_thr")
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    score_col: str,
+    domain_col: str | None = None,
+    bounds: tuple[int, int] = (33, 66),
+    id_col: str = "doc_id",
+    bucket_col: str = "ppl_bucket",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): label each
+    row head / middle / tail by its LM score's rank WITHIN its domain —
+    ascending ``score_col`` (lower perplexity = more fluent = head),
+    ties to the lowest id. The head is the cleanest slice, the middle
+    the usual training pick, the tail the noise candidate; bucketing
+    per domain (language) keeps one easy language from absorbing the
+    whole head. Compose with ``cooccur.bigram_logprob`` for the score.
+
+    Cut points are integer percents with pure-integer rank arithmetic
+    (rank <= (p*n + 99) div 100 — exact in any engine, no float ceil).
+    NULL scores would rank engine-dependently (Spark sorts NULL first,
+    DuckDB last) — they are rejected here; filter or fill upstream.
+
+    Scale: one rank window per domain, same tier as quality_prune; the
+    percentile_approx threshold pattern (quality_prune_threshold) is
+    the scan-side reduction when single domains are too big to sort."""
+    from pyspark.sql.window import Window
+
+    lo, hi = bounds
+    if not (isinstance(lo, int) and isinstance(hi, int) and 0 < lo < hi <= 100):
+        raise ValueError(f"bounds {bounds!r} must be int percents 0 < lo < hi <= 100")
+    part = [domain_col] if domain_col else [F.lit(1)]
+    w = Window.partitionBy(*part).orderBy(F.col(score_col).asc(), F.col(id_col))
+    wc = Window.partitionBy(*part)
+    staged = df.withColumn(
+        "_pb_r", F.row_number().over(w).cast("long")
+    ).withColumn("_pb_n", F.count(F.lit(1)).over(wc))
+    # the NULL guard lives INSIDE the bucket expression — a separate
+    # assert-only column would be pruned away by the optimizer
+    bucket = (
+        F.when(
+            F.col(score_col).isNull(),
+            F.raise_error(F.lit(f"perplexity_buckets: NULL {score_col} row")),
+        )
+        .when(F.expr(f"_pb_r <= (_pb_n * {lo} + 99) div 100"), "head")
+        .when(F.expr(f"_pb_r <= (_pb_n * {hi} + 99) div 100"), "middle")
+        .otherwise("tail")
+    )
+    return staged.withColumn(bucket_col, bucket).drop("_pb_r", "_pb_n")

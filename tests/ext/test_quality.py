@@ -151,3 +151,36 @@ def test_unigram_logprob_surprise_ordering_and_empty_docs(spark):
     assert out[100][1] > out[0][1]
     # identical docs get identical scores
     assert len({out[i] for i in range(10)}) == 1
+
+
+def test_perplexity_buckets_hand_checked(spark):
+    """Exact integer cut points per domain, ascending-score rank, ties
+    to lowest id; NULL scores rejected; invalid bounds raise."""
+    import pytest
+
+    rows = [("en", i, float(100 - i)) for i in range(1, 11)]  # scores 99..90
+    rows += [("fr", 100 + i, 5.0) for i in range(3)]          # all tied
+    df = spark.createDataFrame(rows, ["lang", "doc_id", "nll"])
+    out = {
+        r.doc_id: r.ppl_bucket
+        for r in quality.perplexity_buckets(
+            df, "nll", domain_col="lang"
+        ).collect()
+    }
+    # en: ascending nll = doc_ids 10 (90.0) .. 1 (99.0); n=10 ->
+    # head rank <= ceil(3.3)=4, middle <= ceil(6.6)=7
+    assert [out[d] for d in (10, 9, 8, 7)] == ["head"] * 4
+    assert [out[d] for d in (6, 5, 4)] == ["middle"] * 3
+    assert [out[d] for d in (3, 2, 1)] == ["tail"] * 3
+    # fr ties: rank by id -> 100 head (ceil(0.99)=1), 101 middle, 102 tail
+    assert (out[100], out[101], out[102]) == ("head", "middle", "tail")
+    with pytest.raises(ValueError):
+        quality.perplexity_buckets(df, "nll", bounds=(66, 33))
+    with pytest.raises(Exception, match="NULL nll"):
+        quality.perplexity_buckets(
+            df.withColumn(
+                "nll", F.when(F.col("doc_id") == 1, F.col("nll"))
+            ),
+            "nll",
+            domain_col="lang",
+        ).collect()
