@@ -593,6 +593,28 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def pii_count_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Per-doc PII audit counts over the same injected corpus as
+    pii_redaction (email + URL + IP per doc, phones absent): the
+    observability table behind the scrub. Independent per-pattern
+    counts; the oracle replays every regex count."""
+    d = _docs_spread(spark, sf_dir)
+    injected = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or http://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".org/page or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ),
+    )
+    return redact.pii_counts(injected)
+
+
 # Fixed literal centroids for the cluster-assignment contract queries:
 # quarter-step values are exact in binary, so the literals embed
 # identically in Spark and DuckDB SQL.
@@ -2399,6 +2421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "corpus_diff_docs": corpus_diff_docs,
         "corpus_card_docs": corpus_card_docs,
         "ppl_bucketed_docs": ppl_bucketed_docs,
+        "pii_count_stats": pii_count_stats,
         # --- modified round 5 (scalar reasons / oracle-ranking fixes) ---
         "curation_decisions_docs": curation_decisions_docs,
         "ann_recall_audit": ann_recall_audit,
@@ -3125,6 +3148,29 @@ def oracle_sql() -> dict[str, str]:
               round(min(b.sim), 6) AS min_sim,
               round(max(b.sim), 6) AS max_sim
             FROM a GROUP BY b.cid
+        """,
+        "pii_count_stats": r"""
+            WITH inj AS (
+              SELECT doc_id,
+                text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or http://site'
+                  || CAST(doc_id % 7 AS VARCHAR)
+                  || '.org/page or 10.0.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.1' AS t
+              FROM documents
+            )
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(t, '(?i)https?://[^\s]+'))
+                   AS BIGINT) AS n_urls,
+              CAST(len(regexp_extract_all(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all(t,
+                '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+                   AS BIGINT) AS n_ips,
+              CAST(len(regexp_extract_all(t, '\+?[0-9][0-9() -]{6,}[0-9]'))
+                   AS BIGINT) AS n_phones
+            FROM inj
         """,
         "pii_redaction": r"""
             WITH inj AS (

@@ -102,6 +102,7 @@ HEADLINE = [
     "corpus_diff_docs",
     "corpus_card_docs",
     "ppl_bucketed_docs",
+    "pii_count_stats",
     "ann_ivfpq_residual",
     "canonical_docs_map",
     "blocked_url_ids",

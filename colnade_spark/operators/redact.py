@@ -28,6 +28,7 @@ __all__ = [
     "URL_RE",
     "DOMAIN_RE",
     "redact_pii",
+    "pii_counts",
     "extract_urls",
     "extract_domains",
     "domain_counts",
@@ -74,6 +75,29 @@ def redact_pii(
     for pattern, token in rules:
         col = F.regexp_replace(col, pattern, token)
     return df.withColumn(out_col or text_col, col)
+
+
+def pii_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_urls, n_emails, n_ips, n_phones): per-document PII match
+    counts — the audit table behind a redaction run (which corpus
+    slices carry contact data, how much scrubbing a source needs,
+    whether a crawler is leaking credential-bearing URLs). Counts are
+    INDEPENDENT per pattern over the raw text (a phone-shaped digit
+    run inside a URL counts under both), unlike ``redact_pii`` which
+    applies rules sequentially — this is the observability view, not
+    the scrub. Scan-side regexp_count projections; no shuffle, no UDF,
+    text never leaves the scan."""
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(F.col(text_col), F.lit(URL_RE)).cast("long").alias("n_urls"),
+        F.regexp_count(F.col(text_col), F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col(text_col), F.lit(IPV4_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(F.col(text_col), F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+    )
 
 
 def extract_urls(text: Column) -> Column:

@@ -180,3 +180,21 @@ def test_trailing_dot_fqdn_cannot_bypass_blocklist(spark):
         extract_domains(F.col("text")).alias("d")
     ).head().d
     assert doms == ["banned.example"]
+
+
+def test_pii_counts_hand_checked(spark):
+    """Independent per-pattern counts over raw text; overlapping
+    matches (digit runs inside URLs) count under both patterns by
+    design; clean text counts zero everywhere."""
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c@d.org, call +1 (555) 123-4567"),
+            (2, "see https://x.example/a and http://y.example/b at 10.0.0.1"),
+            (3, "clean prose with no contact data at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in redact.pii_counts(df).collect()}
+    assert (got[1].n_emails, got[1].n_phones, got[1].n_urls, got[1].n_ips) == (2, 1, 0, 0)
+    assert (got[2].n_urls, got[2].n_ips, got[2].n_emails) == (2, 1, 0)
+    assert (got[3].n_urls, got[3].n_emails, got[3].n_ips, got[3].n_phones) == (0, 0, 0, 0)
