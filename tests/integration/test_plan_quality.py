@@ -584,3 +584,62 @@ def test_round4_ops_plan_shapes(spark, sf_dir):
     gs = sampling.group_split(docs, groups, {"a": 0.5, "b": 0.5})
     plan = _spark_plan(gs)
     assert "NestedLoop" not in plan, plan
+
+
+def test_round5_ops_plan_shapes(spark, sf_dir):
+    """Round-5 operators keep their scale contracts: balanced
+    training_order never builds a global single-partition window (one
+    per-bucket cumsum + one per-shard rank exchange, bucket count
+    bounded); corpus_diff joins fingerprints only (text never crosses
+    the join); the PQ contamination report has exactly ONE aggregation
+    shuffle; corpus_card / perplexity_buckets windows are key-
+    partitioned, not global."""
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators import report
+    from colnade_spark.operators.quality import perplexity_buckets
+    from colnade_spark.operators.shards import training_order
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    # balanced shards: no SinglePartition exchange anywhere
+    bal = training_order(
+        docs.select("doc_id", "n_chars"), n_shards=8, balance_col="n_chars"
+    )
+    plan = _spark_plan(bal)
+    assert "SinglePartition" not in plan, plan
+
+    # corpus_diff: the join's input projections carry id+fingerprint
+    # only — the raw text column must not appear above the scans
+    diff = report.corpus_diff(docs, docs.withColumn("doc_id", F.col("doc_id") + 1))
+    fplan = _spark_plan(diff)
+    assert "FullOuter" in fplan, fplan
+    # what crosses the shuffles is (id, fingerprint) only — no raw text:
+    # every Exchange node's Input line must be text-free
+    lines = fplan.splitlines()
+    ex_inputs = [
+        lines[i + 1]
+        for i, ln in enumerate(lines)
+        if ln.startswith("(") and ") Exchange" in ln and i + 1 < len(lines)
+    ]
+    assert ex_inputs and all("text#" not in ln for ln in ex_inputs), fplan
+
+    # pq contamination report: exactly one exchange (the |queries|-group agg)
+    from colnade_spark.operators.pq import pq_contamination_report, pq_encode
+
+    books = [[[0.0] * 8 for _ in range(8)] for _ in range(8)]
+    bench = [r.embedding for r in embs.limit(2).collect()]
+    codes = pq_encode(embs.select("vec_id", "embedding"), books)
+    rep = pq_contamination_report(codes, bench, books, threshold=0.9)
+    assert _n_shuffles(_spark_plan(rep)) == 1
+
+    # corpus_card + perplexity buckets: every window is key-partitioned
+    card = report.corpus_card(docs, group_col="lang", size_col="n_chars")
+    assert "SinglePartition" not in _spark_plan(card)
+    pb = perplexity_buckets(
+        docs.select("doc_id", "lang", F.col("n_chars").cast("double").alias("s")),
+        "s",
+        domain_col="lang",
+    )
+    assert "SinglePartition" not in _spark_plan(pb)
