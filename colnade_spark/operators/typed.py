@@ -63,6 +63,13 @@ __all__ = [
     "pq_screen_gate",
     "PqContaminationRows",
     "pq_contamination_report",
+    "CorpusDiffRows",
+    "CorpusCardRows",
+    "PiiCountRows",
+    "corpus_diff",
+    "corpus_card",
+    "pii_counts",
+    "perplexity_bucket_select",
     "group_split_select",
     "temperature_mixture",
     "quality_prune",
@@ -605,3 +612,87 @@ def pq_contamination_report(
         c, query_vecs, codebooks, threshold, **kwargs
     ).withColumn("query_id", F.col("query_id").cast("long"))
     return _typed(out, PqContaminationRows)
+
+
+class CorpusDiffRows(Schema):
+    doc_id: Column[Int64]
+    status: Column[Utf8]
+
+
+def corpus_diff(old, new, **kwargs) -> DataFrame[CorpusDiffRows]:
+    """Typed corpus snapshot diff: (doc_id, added/removed/changed) by
+    content fingerprint (operators.report.corpus_diff)."""
+    from colnade_spark.operators import report as _report
+
+    o = old.native if isinstance(old, DataFrame) else old
+    n = new.native if isinstance(new, DataFrame) else new
+    return _typed(_report.corpus_diff(o, n, **kwargs), CorpusDiffRows)
+
+
+class CorpusCardRows(Schema):
+    lang: Column[Utf8]
+    n_docs: Column[Int64]
+    total_size: Column[Int64]
+    q_50: Column[Int64]
+    q_90: Column[Int64]
+
+
+def corpus_card(frame, **kwargs) -> DataFrame[CorpusCardRows]:
+    """Typed per-language dataset datasheet at the default (50, 90)
+    quantiles (operators.report.corpus_card; custom group/quantile
+    configurations use the raw operator — their output shape varies)."""
+    if kwargs.get("quantiles") not in (None, (50, 90)):
+        raise ValueError(
+            "the typed corpus_card facade pins quantiles=(50, 90);"
+            " use operators.report.corpus_card for other shapes"
+        )
+    if kwargs.get("group_col") not in (None, "lang"):
+        raise ValueError(
+            "the typed corpus_card facade pins group_col='lang';"
+            " use operators.report.corpus_card for other groups"
+        )
+    from colnade_spark.operators import report as _report
+
+    d = frame.native if isinstance(frame, DataFrame) else frame
+    return _typed(_report.corpus_card(d, **kwargs), CorpusCardRows)
+
+
+class PiiCountRows(Schema):
+    doc_id: Column[Int64]
+    n_urls: Column[Int64]
+    n_emails: Column[Int64]
+    n_ips: Column[Int64]
+    n_phones: Column[Int64]
+
+
+def pii_counts(frame, **kwargs) -> DataFrame[PiiCountRows]:
+    """Typed per-document PII audit counts
+    (operators.redact.pii_counts)."""
+    from colnade_spark.operators import redact as _redact
+
+    d = frame.native if isinstance(frame, DataFrame) else frame
+    return _typed(_redact.pii_counts(d, **kwargs), PiiCountRows)
+
+
+def perplexity_bucket_select(
+    frame: DataFrame[S],
+    score_col: str,
+    keep: str,
+    domain_col: str | None = None,
+    **kwargs,
+) -> DataFrame[S]:
+    """Schema-preserving CCNet bucket selection: bucket rows
+    head/middle/tail by per-domain LM-score rank
+    (operators.quality.perplexity_buckets), keep one bucket, drop the
+    label — the usual 'train on the middle' pick as a typed gate."""
+    if keep not in ("head", "middle", "tail"):
+        raise ValueError(f"keep={keep!r} is not a perplexity bucket")
+    from pyspark.sql import functions as F
+
+    def _apply(d):
+        out = _quality.perplexity_buckets(
+            d, score_col, domain_col, bucket_col="_ppl_b", **kwargs
+        )
+        return out.filter(F.col("_ppl_b") == keep).drop("_ppl_b")
+
+    return frame.with_raw(_apply)

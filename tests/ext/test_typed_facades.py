@@ -227,3 +227,47 @@ def test_group_split_select_facade(spark, docs):
 
     with _pytest.raises(ValueError):
         typed.group_split_select(docs, groups, {"a": 1.0}, keep="b")
+
+
+def test_round5_report_facades(spark, docs):
+    import pyspark.sql.functions as F
+
+    # corpus diff: pinned CorpusDiffRows
+    new = docs.native.filter("doc_id % 10 != 0")
+    diff = typed.corpus_diff(docs.native, new)
+    assert diff.schema is typed.CorpusDiffRows
+    assert {r.status for r in diff.rows()} == {"removed"}
+    assert diff.filter(typed.CorpusDiffRows.status == "removed").height > 0
+
+    # corpus card: pinned default shape; custom shapes rejected
+    card = typed.corpus_card(docs.native)
+    assert card.schema is typed.CorpusCardRows
+    assert all(r.q_50 <= r.q_90 for r in card.rows())
+    import pytest
+
+    with pytest.raises(ValueError):
+        typed.corpus_card(docs.native, quantiles=(25, 75))
+
+    # pii counts: pinned PiiCountRows over injected text
+    injected = docs.native.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" a@b.com"))
+    )
+    pii = typed.pii_counts(injected)
+    assert pii.schema is typed.PiiCountRows
+    assert all(r.n_emails >= 1 for r in pii.rows())
+
+    # perplexity bucket select: schema-preserving, keeps one bucket
+    scored = docs.native.withColumn("s", F.col("n_chars").cast("double"))
+    from colnade_spark.tpch import Documents
+
+    class Scored(Documents):
+        s: typed.Column[typed.Float64]
+
+    import colnade_spark as cs
+
+    frame = cs.DataFrame(scored, Scored)
+    mid = typed.perplexity_bucket_select(frame, "s", keep="middle", domain_col="lang")
+    assert mid.schema is Scored
+    assert 0 < mid.height < frame.height
+    with pytest.raises(ValueError):
+        typed.perplexity_bucket_select(frame, "s", keep="bogus")

@@ -104,3 +104,22 @@ def check_round5_facades(frame: DataFrame[Corpus]) -> list[float]:
         n: int = r.n_hits
         out.append(x if n > 0 else 0.0)
     return out
+
+
+def check_round5_report_facades(frame: DataFrame[Corpus]) -> list[int]:
+    diff: DataFrame[typed.CorpusDiffRows] = typed.corpus_diff(frame, frame)
+    _ = diff.filter(typed.CorpusDiffRows.status == "changed")
+    card: DataFrame[typed.CorpusCardRows] = typed.corpus_card(frame)
+    pii: DataFrame[typed.PiiCountRows] = typed.pii_counts(frame)
+    mid: DataFrame[Corpus] = typed.perplexity_bucket_select(
+        frame, "score", keep="middle"
+    )
+    _ = mid.filter(Corpus.doc_id > 0)
+    out: list[int] = []
+    for r in card.rows():
+        n: int = r.n_docs
+        out.append(n)
+    for p in pii.rows():
+        m: int = p.n_emails
+        out.append(m)
+    return out
