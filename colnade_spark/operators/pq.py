@@ -52,6 +52,8 @@ __all__ = [
     "pq_screen_flags",
     "pq_screen_gate",
     "pq_contamination_report",
+    "write_codebooks",
+    "read_codebooks",
 ]
 
 SCALE = 1 << 20
@@ -629,3 +631,42 @@ def pq_screen_gate(
         score_col="_pq_screen_adc", flag_col="_pq_screen_flag",
     )
     return flagged.filter(~F.col("_pq_screen_flag")).select(*df.columns)
+
+
+def write_codebooks(spark, table_path: str, codebooks) -> None:
+    """Persist PQ codebooks next to their code table (JSON manifest via
+    the same Hadoop-FS machinery as the Bloom/CMS/HLL params manifests,
+    streaming/stream.py): codes are meaningless without the EXACT
+    codebooks that produced them — probing a stored code table with
+    retrained books silently mis-scores every ADC. Floats round-trip
+    exactly (json repr); re-writing verifies against the existing
+    manifest and ERRORS on mismatch rather than letting a maintainer
+    mix encodings in one table."""
+    from colnade_spark.streaming.stream import write_table_manifest
+
+    m = len(codebooks)
+    params = {
+        "kind": "pq_codebooks",
+        "m": m,
+        "ksub": len(codebooks[0]),
+        "ds": len(codebooks[0][0]),
+        "codebooks": [[list(map(float, cw)) for cw in b] for b in codebooks],
+    }
+    write_table_manifest(spark, table_path, params, name="_pq_codebooks.json")
+
+
+def read_codebooks(spark, table_path: str):
+    """The codebooks persisted beside a code table, exactly as written
+    (bit-identical floats — encode/ADC over them replays the original).
+    Raises if the table has no codebook manifest: screening a code
+    table with guessed books is the silent-mis-probe failure mode the
+    manifest family exists to close."""
+    from colnade_spark.streaming.stream import read_table_manifest
+
+    mf = read_table_manifest(spark, table_path, name="_pq_codebooks.json")
+    if mf is None or mf.get("kind") != "pq_codebooks":
+        raise ValueError(
+            f"no PQ codebook manifest at {table_path}; write_codebooks"
+            " must accompany the code table"
+        )
+    return mf["codebooks"]

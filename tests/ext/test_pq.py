@@ -337,3 +337,31 @@ def test_contamination_report_matches_reconstruct_dot(spark):
         assert r.max_adc == max(scores.values())
     with pytest.raises(ValueError, match="at least one query"):
         pq_contamination_report(codes, [], BOOKS, 0.5)
+
+
+def test_codebook_manifest_roundtrip(spark, tmp_path):
+    """Codebooks persist bit-identically beside their code table
+    (encode over the round-tripped books replays the original codes);
+    a mismatched re-write refuses; a missing manifest errors."""
+    from colnade_spark.operators.pq import read_codebooks, write_codebooks
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    books = train_pq_codebooks(e, m=8, ksub=8, sample_n=128, seed=3)
+    dest = str(tmp_path / "codes")
+    pq_encode(e, books).write.parquet(dest)
+    write_codebooks(spark, dest, books)
+    back = read_codebooks(spark, dest)
+    assert back == [[list(map(float, cw)) for cw in b] for b in books]
+    # exact float round-trip -> identical encodes
+    a = {r.vec_id: r.pq_codes for r in pq_encode(e, books).collect()}
+    b = {r.vec_id: r.pq_codes for r in pq_encode(e, back).collect()}
+    assert a == b
+    # idempotent re-write OK; different books refused
+    write_codebooks(spark, dest, books)
+    other = train_pq_codebooks(e, m=8, ksub=8, sample_n=128, seed=4)
+    with pytest.raises(ValueError, match="refusing"):
+        write_codebooks(spark, dest, other)
+    with pytest.raises(ValueError, match="no PQ codebook manifest"):
+        read_codebooks(spark, str(tmp_path / "other"))
