@@ -4095,7 +4095,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
                 CASE WHEN o.doc_id IS NULL THEN 'added'
                      WHEN n.doc_id IS NULL THEN 'removed'
-                     WHEN o.fp <> n.fp THEN 'changed' END AS status
+                     WHEN o.fp IS DISTINCT FROM n.fp THEN 'changed'
+                END AS status
               FROM ofp o FULL OUTER JOIN nfp n ON o.doc_id = n.doc_id
             )
             SELECT doc_id, status FROM j WHERE status IS NOT NULL

@@ -556,47 +556,51 @@ def pq_contamination_report(
     the nearest miss came.
 
     Shape: per row, every query's ADC folds from a literal LUT
-    (m gets + adds each — the pq_screen scan-side compute), one
-    (query_id, adc) pair row per query via posexplode, then ONE
-    partial-aggregating groupBy on query_id — the shuffle carries
-    |queries| rows per task, not data. Works as a streaming
-    aggregation unchanged (update/complete mode; pinned by the
-    streaming test) — the scan side stays stateless, the agg is
-    Spark's standard incremental state, |queries| groups total.
+    (m gets + adds each — the pq_screen scan-side compute) directly
+    into ONE wide aggregate (a hit-sum and a max per query plus one
+    count); the single result row then explodes into |queries| output
+    rows. No per-row fan-out at all: posexploding the ADC array before
+    aggregating — the obvious shape — re-evaluates the whole array
+    once per OUTPUT element (Generate inlines the once-referenced
+    projection), measured 10.6s vs 0.3s for this shape at 64 queries
+    on sf0.1. Works as a streaming aggregation unchanged
+    (update/complete mode; pinned by the streaming test) — the agg is
+    Spark's standard incremental state, one group with 2|queries|+1
+    buffer slots.
 
     Scale: |queries| x m lookups per row, like pq_screen_flags — chunk
-    very large benchmark sets into several passes (codegen method
-    limits); pair fan-out before the partial agg is |corpus| x
-    |queries| narrow rows, combined map-side."""
+    very large benchmark sets into several passes (the wide agg holds
+    2|queries|+1 buffer columns; codegen degrades past ~10^3)."""
     if not query_vecs:
         raise ValueError(
             "pq_contamination_report requires at least one query vector"
         )
     t = float(threshold)
-    adcs = F.array(
+    aggs = [F.count(F.lit(1)).cast("long").alias("_pcr_n")]
+    for i, qv in enumerate(query_vecs):
+        adc = _adc_expr(_adc_lut_py(qv, codebooks), code_col)
+        aggs.append(F.sum((adc >= t).cast("long")).alias(f"_pcr_h{i}"))
+        aggs.append(F.max(adc).alias(f"_pcr_m{i}"))
+    one = codes.agg(*aggs)
+    rows = F.array(
         *[
-            _adc_expr(_adc_lut_py(qv, codebooks), code_col)
-            for qv in query_vecs
+            F.struct(
+                F.lit(i).alias("query_id"),
+                F.col("_pcr_n").alias("n_rows"),
+                F.coalesce(F.col(f"_pcr_h{i}"), F.lit(0)).cast("long").alias(
+                    "n_hits"
+                ),
+                F.when(
+                    F.col("_pcr_n") > 0,
+                    F.coalesce(F.col(f"_pcr_h{i}"), F.lit(0))
+                    / F.col("_pcr_n"),
+                ).alias("frac_hits"),
+                F.col(f"_pcr_m{i}").alias("max_adc"),
+            )
+            for i in range(len(query_vecs))
         ]
     )
-    pairs = codes.select(
-        F.posexplode(adcs).alias("query_id", "_adc")
-    )
-    return (
-        pairs.groupBy("query_id")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.sum((F.col("_adc") >= t).cast("long")).alias("n_hits"),
-            F.max("_adc").alias("max_adc"),
-        )
-        .select(
-            "query_id",
-            "n_rows",
-            "n_hits",
-            (F.col("n_hits") / F.col("n_rows")).alias("frac_hits"),
-            "max_adc",
-        )
-    )
+    return one.select(F.explode(rows).alias("_pcr_r")).select("_pcr_r.*")
 
 
 def pq_screen_gate(
@@ -644,12 +648,25 @@ def write_codebooks(spark, table_path: str, codebooks) -> None:
     mix encodings in one table."""
     from colnade_spark.streaming.stream import write_table_manifest
 
+    if not codebooks or not codebooks[0] or not codebooks[0][0]:
+        raise ValueError("write_codebooks requires non-empty codebooks")
     m = len(codebooks)
+    ksub, ds = len(codebooks[0]), len(codebooks[0][0])
+    # a ragged structure would persist a self-consistent-LOOKING
+    # manifest that mis-scores every later ADC — exactly the failure
+    # mode this manifest exists to close
+    if any(
+        len(b) != ksub or any(len(cw) != ds for cw in b) for b in codebooks
+    ):
+        raise ValueError(
+            "write_codebooks: ragged codebooks (every subspace needs"
+            f" {ksub} codewords of {ds} dims)"
+        )
     params = {
         "kind": "pq_codebooks",
         "m": m,
-        "ksub": len(codebooks[0]),
-        "ds": len(codebooks[0][0]),
+        "ksub": ksub,
+        "ds": ds,
         "codebooks": [[list(map(float, cw)) for cw in b] for b in codebooks],
     }
     write_table_manifest(spark, table_path, params, name="_pq_codebooks.json")

@@ -124,13 +124,22 @@ def corpus_diff(
         fp = lambda d: d.select(  # noqa: E731
             F.col(id_col), F.col(fingerprint_col).alias("_fp")
         )
-    o = fp(old).withColumnRenamed("_fp", "_fp_old")
-    n = fp(new).withColumnRenamed("_fp", "_fp_new")
+    # presence is tracked by explicit markers, NOT by fingerprint
+    # nullness — a NULL-text row fingerprints to NULL, and deriving
+    # status from the fingerprint would misread it as absent
+    o = fp(old).withColumnRenamed("_fp", "_fp_old").withColumn(
+        "_in_old", F.lit(True)
+    )
+    n = fp(new).withColumnRenamed("_fp", "_fp_new").withColumn(
+        "_in_new", F.lit(True)
+    )
     j = o.join(n, id_col, "full_outer")
     status = (
-        F.when(F.col("_fp_old").isNull(), "added")
-        .when(F.col("_fp_new").isNull(), "removed")
-        .when(F.col("_fp_old") != F.col("_fp_new"), "changed")
+        F.when(F.col("_in_old").isNull(), "added")
+        .when(F.col("_in_new").isNull(), "removed")
+        # null-safe: NULL->value and value->NULL are real changes;
+        # NULL->NULL is unchanged
+        .when(~F.col("_fp_old").eqNullSafe(F.col("_fp_new")), "changed")
     )
     return (
         j.withColumn("status", status)
@@ -160,7 +169,10 @@ def corpus_card(
     independently. For corpora where single groups are too big to
     sort, use quality.quality_prune_threshold's percentile_approx
     pattern instead (scan-side, no window) and accept approximate
-    quantiles. NULL group keys report under the literal '__null__'."""
+    quantiles. NULL group keys report under the literal '__null__';
+    NULL sizes are rejected (their rank position is engine-dependent —
+    Spark sorts NULL first, DuckDB last — which would silently corrupt
+    the quantiles); fill or filter upstream."""
     if not quantiles:
         raise ValueError("corpus_card requires at least one quantile")
     for p in quantiles:
@@ -169,9 +181,13 @@ def corpus_card(
     from pyspark.sql.window import Window
 
     g = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
-    staged = df.select(
-        g.alias("_cc_g"), F.col(size_col).cast("long").alias("_cc_s")
-    )
+    # the guard lives inside the size expression itself (every
+    # downstream op consumes it, so the optimizer cannot prune it)
+    size = F.when(
+        F.col(size_col).isNull(),
+        F.raise_error(F.lit(f"corpus_card: NULL {size_col} row")),
+    ).otherwise(F.col(size_col).cast("long"))
+    staged = df.select(g.alias("_cc_g"), size.alias("_cc_s"))
     w = Window.partitionBy("_cc_g").orderBy("_cc_s")
     ranked = staged.withColumn(
         "_cc_r", F.row_number().over(w).cast("long")

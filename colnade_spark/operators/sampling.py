@@ -281,7 +281,10 @@ def temperature_mixture(
         if r[0] is not None
     }
     if not counts:
-        return df
+        # no real sources: an empty frame stays empty, and a frame of
+        # only NULL-source rows still drops them all (the gate contract)
+        # instead of short-circuiting to keep-all
+        return df.filter(F.col(source_col).isNotNull())
     w = {
         s: (math.sqrt(float(n)) if alpha == 0.5 else float(n) ** alpha)
         for s, n in counts.items()

@@ -90,14 +90,33 @@ def training_order(
             raise ValueError("n_buckets must be a positive power of two")
         shift = _HASH_SPACE.bit_length() - 1 - (n_buckets.bit_length() - 1)
         wcol, bcol, scol = "_to_w", "_to_bucket", "_to_start"
-        staged = staged.withColumn(
-            wcol, F.coalesce(F.col(balance_col).cast("long"), F.lit(0))
-        ).withColumn(bcol, F.shiftright(F.col(okey), shift).cast("int"))
+        # negative weights would make the running sum non-monotonic and
+        # drive shard ids below zero — rejected in-expression (the
+        # weight column is consumed by every downstream op, so the
+        # guard cannot be pruned); NULL weights count as zero
+        weight = F.coalesce(F.col(balance_col).cast("long"), F.lit(0))
+        weight = F.when(
+            weight < 0,
+            F.raise_error(
+                F.lit(f"training_order: negative {balance_col} weight")
+            ),
+        ).otherwise(weight)
+        staged = staged.withColumn(wcol, weight).withColumn(
+            bcol, F.shiftright(F.col(okey), shift).cast("int")
+        )
         # exact per-bucket sums: bounded driver fit (≤ n_buckets rows)
         sums = {
             r[0]: r[1]
             for r in staged.groupBy(bcol).agg(F.sum(wcol)).collect()
         }
+        if None in sums:
+            # sample_hash(NULL key) is NULL → bucket NULL: its weight
+            # would inflate `total` while no offset covers it, biasing
+            # every shard boundary low — an identity is required here
+            raise ValueError(
+                f"training_order: NULL {key_col} rows cannot be"
+                " balance-sharded; filter or fill the key upstream"
+            )
         total = sum(sums.values())
         if total <= 0:
             raise ValueError(

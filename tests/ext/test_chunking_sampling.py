@@ -389,3 +389,14 @@ def test_group_split_collapses_duplicate_mappings(spark):
     assert len(rows) == 20
     # all keys collapsed to 'g0' (min) -> one label for everyone
     assert len({r.split for r in rows}) == 1
+
+
+def test_temperature_mixture_all_null_sources_drops_all(spark):
+    """A frame whose every source is NULL gates to EMPTY (the drop
+    contract), not to keep-all via the empty-counts short-circuit; a
+    truly empty frame stays empty."""
+    df = spark.createDataFrame(
+        [(i, None) for i in range(50)], "doc_id: long, source: string"
+    )
+    assert sampling.temperature_mixture(df, alpha=0.5).count() == 0
+    assert sampling.temperature_mixture(df.limit(0), alpha=0.5).count() == 0

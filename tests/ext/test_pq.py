@@ -365,3 +365,18 @@ def test_codebook_manifest_roundtrip(spark, tmp_path):
         write_codebooks(spark, dest, other)
     with pytest.raises(ValueError, match="no PQ codebook manifest"):
         read_codebooks(spark, str(tmp_path / "other"))
+
+
+def test_write_codebooks_validates_shape(spark, tmp_path):
+    """Empty or ragged codebooks are refused before anything persists —
+    a self-inconsistent manifest would mis-score every later ADC."""
+    from colnade_spark.operators.pq import write_codebooks
+
+    with pytest.raises(ValueError, match="non-empty"):
+        write_codebooks(spark, str(tmp_path / "a"), [])
+    ragged = [
+        [[0.0, 0.0], [1.0, 1.0]],
+        [[1.0, 0.0]],  # missing a codeword
+    ]
+    with pytest.raises(ValueError, match="ragged"):
+        write_codebooks(spark, str(tmp_path / "b"), ragged)

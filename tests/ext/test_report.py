@@ -66,6 +66,38 @@ def test_corpus_diff_hand_checked(spark):
     assert got2 == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
 
 
+def test_corpus_diff_null_text_rows(spark):
+    """Presence comes from row membership, not fingerprint nullness: a
+    NULL-text row in both snapshots is unchanged (NOT 'added'); present
+    only in old it is 'removed'; NULL->value and value->NULL are real
+    changes."""
+    from pyspark.sql import functions as F
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, None), (4, "real")],
+        ["doc_id", "text"],
+    ).withColumn("text", F.col("text").cast("string"))
+    new = spark.createDataFrame(
+        [(1, None), (3, "now real"), (4, None)], ["doc_id", "text"]
+    ).withColumn("text", F.col("text").cast("string"))
+    got = {r.doc_id: r.status for r in report.corpus_diff(old, new).collect()}
+    assert got == {2: "removed", 3: "changed", 4: "changed"}
+
+
+def test_corpus_card_rejects_null_sizes(spark):
+    """NULL sizes rank engine-dependently (Spark NULLS FIRST, DuckDB
+    NULLS LAST) — the op raises instead of silently corrupting the
+    quantiles."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("en", 10), ("en", None)], ["lang", "n_chars"]
+    )
+    with pytest.raises(Exception, match="NULL n_chars"):
+        report.corpus_card(df).collect()
+
+
 def test_corpus_card_exact_quantiles(spark):
     """Pinned integer-rank quantiles: q_p = value at rank
     (p*n + 99) div 100 in ascending size order; NULL groups report as

@@ -151,3 +151,21 @@ def test_training_order_balanced_mode(spark):
         training_order(zero, 4, salt="b", balance_col="n_tokens")
     with pytest.raises(ValueError, match="power of two"):
         training_order(df, 4, salt="b", balance_col="n_tokens", n_buckets=33)
+
+
+def test_training_order_balanced_rejects_null_keys_and_negative_weights(spark):
+    """A NULL key cannot be balance-sharded (its weight would inflate
+    the total while no bucket offset covers it); negative weights would
+    drive shard ids below zero — both raise."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 10), (None, 99999), (3, 10)], ["doc_id", "n_tokens"]
+    )
+    with pytest.raises(ValueError, match="NULL doc_id"):
+        training_order(df, 4, balance_col="n_tokens")
+    neg = spark.createDataFrame(
+        [(1, 10), (2, -5), (3, 10)], ["doc_id", "n_tokens"]
+    )
+    with pytest.raises(Exception, match="negative n_tokens"):
+        training_order(neg, 2, balance_col="n_tokens").collect()
