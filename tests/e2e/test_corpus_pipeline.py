@@ -290,3 +290,80 @@ def test_round4_budget_split_shard_pipeline(spark, docs, tmp_path):
             f for f in os.listdir(f"{dest}/shard={i}") if f.endswith(".parquet")
         ]
         assert len(files) == 1
+
+
+def test_round5_observe_bucket_balance_pipeline(spark, docs, tmp_path):
+    """The round-5 observability + balance tail, end to end:
+
+      ingest new snapshot → corpus_diff audit → PII audit → CCNet
+      perplexity buckets (keep the middle) → token-BALANCED shards →
+      sharded write → corpus_card datasheet of what shipped
+
+    Invariants assert the COMPOSITION: the diff explains exactly the
+    synthetic churn, the kept slice is the per-lang middle band, the
+    written shards are weight-balanced within one max-document, and
+    the datasheet totals equal what was written."""
+    import os
+
+    from colnade_spark.operators import report
+    from colnade_spark.operators.cooccur import bigram_logprob
+    from colnade_spark.operators.quality import perplexity_buckets
+    from colnade_spark.operators.redact import pii_counts
+    from colnade_spark.operators.shards import write_training_shards
+
+    # 1. a new snapshot: every 10th doc dropped, every 7th edited
+    new = docs.filter(F.col("doc_id") % 10 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    ).localCheckpoint()
+    diff = {r.status: r.n for r in report.corpus_diff(docs, new)
+            .groupBy("status").agg(F.count("*").alias("n")).collect()}
+    n_removed = docs.filter("doc_id % 10 = 0").count()
+    n_changed = new.filter("doc_id % 7 = 0").count()
+    assert diff.get("removed", 0) == n_removed
+    assert diff.get("changed", 0) == n_changed
+    assert "added" not in diff
+
+    # 2. PII audit on the surviving snapshot: synthetic corpus is clean
+    pii = pii_counts(new).agg(
+        F.sum("n_emails").alias("e"), F.sum("n_ips").alias("i")
+    ).head()
+    assert (pii.e, pii.i) == (0, 0)
+
+    # 3. CCNet buckets per lang over the bigram LM; train on the middle
+    nll = bigram_logprob(new).filter("n_bigrams > 0")
+    scored = new.join(nll.select("doc_id", "nll"), "doc_id")
+    mid = perplexity_buckets(scored, "nll", domain_col="lang").filter(
+        "ppl_bucket = 'middle'"
+    ).drop("ppl_bucket").localCheckpoint()
+    assert 0 < mid.count() < new.count()
+
+    # 4. token-balanced shards (weight = n_chars), written and read back
+    dest = str(tmp_path / "balanced_shards")
+    write_training_shards(
+        mid.select("doc_id", "text", "lang", "n_chars"), dest, n_shards=4,
+        salt="r5", balance_col="n_chars",
+    )
+    back = spark.read.parquet(dest)
+    assert back.count() == mid.count()
+    per = {r.shard: r.t for r in back.groupBy("shard")
+           .agg(F.sum("n_chars").alias("t")).collect()}
+    total = sum(per.values())
+    mx = mid.agg(F.max("n_chars")).head()[0]
+    assert set(per) == {0, 1, 2, 3}
+    for t in per.values():
+        assert abs(t - total / 4) <= mx + 1
+    for i in range(4):
+        files = [f for f in os.listdir(f"{dest}/shard={i}")
+                 if f.endswith(".parquet")]
+        assert len(files) == 1
+
+    # 5. the shipped datasheet equals what was written
+    card = {r.lang: r for r in report.corpus_card(back).collect()}
+    for lang, r in card.items():
+        want = back.filter(F.col("lang") == lang).agg(
+            F.count("*").alias("n"), F.sum("n_chars").alias("t")
+        ).head()
+        assert (r.n_docs, r.total_size) == (want.n, want.t)

@@ -324,3 +324,67 @@ def test_token_budget_model(spark, scores, budget):
         else:
             break
     assert got == want
+
+
+@pytest.mark.usefixtures("spark")
+@common
+@given(
+    weights=st.lists(st.integers(0, 500), min_size=4, max_size=60),
+    n_shards=st.integers(1, 8),
+    salt=st.sampled_from(["", "p1"]),
+)
+def test_balanced_shards_model(spark, weights, n_shards, salt):
+    """For ANY non-negative weight vector: balanced membership equals
+    the pure-python equal-weight cut of the hash order (start*n div
+    total), per-shard sums land within one max weight of total/n, and
+    the bucketed Spark decomposition matches the flat model exactly."""
+    import hashlib
+
+    from colnade_spark.operators.shards import training_order
+
+    if sum(weights) == 0:
+        return  # rejected by the operator (tested separately)
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    out = training_order(
+        df, n_shards, salt=salt, balance_col="w", n_buckets=64
+    )
+    got = {r.doc_id: r.shard for r in out.collect()}
+
+    def h(i: int) -> int:
+        return int(hashlib.md5((str(i) + salt).encode()).hexdigest()[:15], 16)
+
+    order = sorted(range(len(weights)), key=lambda i: (h(i), i))
+    total = sum(weights)
+    start, model = 0, {}
+    for i in order:
+        model[i] = min((start * n_shards) // total, n_shards - 1)
+        start += weights[i]
+    assert got == model
+    per = {}
+    for i, w in enumerate(weights):
+        per[model[i]] = per.get(model[i], 0) + w
+    mx = max(weights)
+    for s, tot in per.items():
+        assert abs(tot - total / n_shards) <= mx + 1
+
+
+@pytest.mark.usefixtures("spark")
+@common
+@given(
+    sizes=st.lists(st.integers(0, 1000), min_size=1, max_size=50),
+    p=st.sampled_from([25, 50, 75, 90, 100]),
+)
+def test_corpus_card_quantile_model(spark, sizes, p):
+    """q_p equals the pure-python lower empirical quantile at rank
+    ceil(p*n/100) for ANY size multiset."""
+    from colnade_spark.operators import report
+
+    df = spark.createDataFrame(
+        [("g", s) for s in sizes], ["lang", "n_chars"]
+    )
+    row = report.corpus_card(df, quantiles=(p,)).collect()[0]
+    srt = sorted(sizes)
+    rank = (p * len(sizes) + 99) // 100  # == ceil(p*n/100)
+    assert row[f"q_{p}"] == srt[rank - 1]
+    assert row.n_docs == len(sizes) and row.total_size == sum(sizes)
