@@ -2406,11 +2406,12 @@ def entry(spark: SparkSession) -> SparkDF:
 
 def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
     # Ordered so the driver's bounded correctness sweep (~50 entries per
-    # round) reaches the least-verified queries first: the ONLY 4 entries
-    # that have never had a driver CORRECTNESS row (rounds 2-3 sweeps
-    # capped before them) lead, then the round-4 additions and this
-    # round's modified queries, then the driver-green backlog (newest
-    # verification last).
+    # round) reaches the least-verified queries first: round-5 additions
+    # (never driver-checked) lead, then this round's modified queries
+    # (curation scalar reshape, recall-oracle ranking fix, temperature
+    # NULL-source fix), then the driver-green backlog (newest
+    # verification last). Every other entry has a green driver row from
+    # some prior round.
     return {
         # --- round-5 additions (never driver-checked) ---
         "curation_summary_docs": curation_summary_docs,
