@@ -1479,17 +1479,11 @@ def curation_decisions_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
-def corpus_diff_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """Incremental-ingest verification: diff two corpus snapshots into
-    (doc_id, status ∈ added/removed/changed) by normalized-text
-    fingerprint — here the 'new' snapshot drops every 17th doc, edits
-    every 13th, and adds a copy of every 29th under a fresh id. Only
-    the churn is emitted; the oracle replays the snapshot construction,
-    both fingerprint sides, and the full-outer status resolution."""
-    from colnade_spark.operators import report
-
-    docs = _docs_spread(spark, sf_dir)
-    new = (
+def _churned_snapshot(docs: SparkDF) -> SparkDF:
+    """The synthetic 'new' corpus snapshot both diff queries share:
+    every 17th doc dropped, every 13th edited, a copy of every 29th
+    added under a fresh id."""
+    return (
         docs.filter(F.col("doc_id") % 17 != 0)
         .withColumn(
             "text",
@@ -1504,7 +1498,33 @@ def corpus_diff_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
             )
         )
     )
-    return report.corpus_diff(docs, new)
+
+
+def corpus_diff_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Incremental-ingest verification: diff two corpus snapshots into
+    (doc_id, status ∈ added/removed/changed) by normalized-text
+    fingerprint over the shared churn fixture (_churned_snapshot). Only
+    the churn is emitted; the oracle replays the snapshot construction,
+    both fingerprint sides, and the full-outer status resolution."""
+    from colnade_spark.operators import report
+
+    docs = _docs_spread(spark, sf_dir)
+    return report.corpus_diff(docs, _churned_snapshot(docs))
+
+
+def changed_docs_gate(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """The ingest-side half of the diff: the churned snapshot's rows
+    worth processing (added / changed vs the old corpus) with payload
+    columns attached — the filter an incremental pipeline puts in
+    front of re-tokenize/re-embed. Append-legal on streams (pinned by
+    test_changed_rows_gate_is_append_legal_on_streams); the oracle
+    replays the fingerprint left join and the status rule."""
+    from colnade_spark.operators import report
+
+    docs = _docs_spread(spark, sf_dir)
+    return report.changed_rows_gate(_churned_snapshot(docs), docs).select(
+        "doc_id", "lang", "n_chars", "status"
+    )
 
 
 def corpus_card_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
@@ -2423,6 +2443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "corpus_card_docs": corpus_card_docs,
         "ppl_bucketed_docs": ppl_bucketed_docs,
         "pii_count_stats": pii_count_stats,
+        "changed_docs_gate": changed_docs_gate,
         # --- modified round 5 (scalar reasons / oracle-ranking fixes) ---
         "curation_decisions_docs": curation_decisions_docs,
         "ann_recall_audit": ann_recall_audit,
@@ -4101,6 +4122,30 @@ def oracle_sql() -> dict[str, str]:
               FROM ofp o FULL OUTER JOIN nfp n ON o.doc_id = n.doc_id
             )
             SELECT doc_id, status FROM j WHERE status IS NOT NULL
+        """,
+        "changed_docs_gate": f"""
+            WITH newc AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 13 = 0 THEN text || ' EDIT'
+                     ELSE text END AS text,
+                lang, n_chars
+              FROM documents WHERE doc_id % 17 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text, lang, n_chars
+              FROM documents WHERE doc_id % 29 = 0
+            ),
+            ofp AS (SELECT doc_id, md5({_NORM_TEXT}) AS fp FROM documents),
+            nfp AS (SELECT doc_id, lang, n_chars, md5({_NORM_TEXT}) AS fp
+                    FROM newc),
+            j AS (
+              SELECT n.doc_id, n.lang, n.n_chars,
+                CASE WHEN o.doc_id IS NULL THEN 'added'
+                     WHEN n.fp IS DISTINCT FROM o.fp THEN 'changed'
+                END AS status
+              FROM nfp n LEFT JOIN ofp o ON n.doc_id = o.doc_id
+            )
+            SELECT doc_id, lang, n_chars, status
+            FROM j WHERE status IS NOT NULL
         """,
         "corpus_card_docs": f"""
             WITH s AS (

@@ -103,6 +103,7 @@ HEADLINE = [
     "corpus_card_docs",
     "ppl_bucketed_docs",
     "pii_count_stats",
+    "changed_docs_gate",
     "ann_ivfpq_residual",
     "canonical_docs_map",
     "blocked_url_ids",

@@ -30,6 +30,7 @@ __all__ = [
     "curation_summary",
     "corpus_diff",
     "corpus_card",
+    "changed_rows_gate",
 ]
 
 
@@ -207,3 +208,55 @@ def corpus_card(
         )
         aggs.append(q.alias(f"q_{p}"))
     return ranked.groupBy(F.col("_cc_g").alias(group_col)).agg(*aggs)
+
+
+def changed_rows_gate(
+    new: DataFrame,
+    old: DataFrame,
+    id_col: str = "doc_id",
+    fingerprint_col: str | None = None,
+    text_col: str = "text",
+    status_col: str = "status",
+) -> DataFrame:
+    """The rows of ``new`` worth processing against a known snapshot:
+    full rows whose id is absent from ``old`` (``added``) or whose
+    content fingerprint differs (``changed``); unchanged rows drop.
+    This is ``corpus_diff``'s INGEST-side half — the filter an
+    incremental pipeline puts in front of expensive downstream ops so
+    re-crawled-but-identical documents don't re-tokenize, re-embed, or
+    re-shard. (Removal detection needs both full snapshots — that's
+    ``corpus_diff``.)
+
+    Works on a STREAMING ``new`` unchanged: ``old`` reduces to an
+    (id, fingerprint) static side and the stream-static left join is
+    append-mode legal (pinned by the streaming test) — each micro-batch
+    gates against the frozen snapshot with no streaming state.
+
+    Scale (100 TB): the old side is ids+fingerprints only (broadcast
+    when the reference slice is small; a key-partitioned shuffle
+    otherwise); new rows carry their payload once, and only churn
+    survives the gate."""
+    if fingerprint_col is None:
+        from colnade_spark.operators.text import fingerprint
+
+        new_fp = fingerprint(F.col(text_col))
+        old_fp = old.select(
+            F.col(id_col), fingerprint(F.col(text_col)).alias("_crg_fp")
+        )
+    else:
+        new_fp = F.col(fingerprint_col)
+        old_fp = old.select(
+            F.col(id_col), F.col(fingerprint_col).alias("_crg_fp")
+        )
+    old_fp = old_fp.withColumn("_crg_in_old", F.lit(True))
+    staged = new.withColumn("_crg_new_fp", new_fp).join(
+        old_fp, id_col, "left"
+    )
+    status = F.when(F.col("_crg_in_old").isNull(), "added").when(
+        ~F.col("_crg_new_fp").eqNullSafe(F.col("_crg_fp")), "changed"
+    )
+    return (
+        staged.withColumn(status_col, status)
+        .filter(F.col(status_col).isNotNull())
+        .select(*new.columns, status_col)
+    )

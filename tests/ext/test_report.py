@@ -122,3 +122,27 @@ def test_corpus_card_exact_quantiles(spark):
         report.corpus_card(df, quantiles=())
     with pytest.raises(ValueError):
         report.corpus_card(df, quantiles=(0,))
+
+
+def test_changed_rows_gate_hand_checked(spark):
+    """Full new-side rows survive with status; unchanged rows drop;
+    NULL fingerprints follow the null-safe change rule."""
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "was this"), (4, None)], "doc_id: long, text: string"
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "now this"), (3, "brand new"), (4, None)],
+        "doc_id: long, text: string",
+    )
+    got = {
+        r.doc_id: (r.status, r.text)
+        for r in report.changed_rows_gate(new, old).collect()
+    }
+    assert got == {2: ("changed", "now this"), 3: ("added", "brand new")}
+    # composes with corpus_diff's add/change half exactly
+    diff = {
+        r.doc_id: r.status
+        for r in report.corpus_diff(old, new).collect()
+        if r.status != "removed"
+    }
+    assert diff == {k: v for k, (v, _) in got.items()}

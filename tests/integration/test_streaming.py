@@ -688,3 +688,44 @@ def test_scan_stream_json_matches_batch(spark, tmp_path):
     got = {r.doc_id for r in spark.table(name).collect()}
     want = {r["doc_id"] for r in rows if r["n_chars"] > 0}
     assert got == want and len(got) > 0
+
+
+def test_changed_rows_gate_is_append_legal_on_streams(spark, sf_dir, tmp_path):
+    """Incremental-ingest gate on a stream: each micro-batch stream-
+    static left-joins the frozen snapshot's (id, fingerprint) side in
+    append mode (no streaming state) and keeps exactly the rows the
+    batch gate keeps."""
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators import report
+    from colnade_spark.streaming import scan_stream_parquet
+    from colnade_spark.tpch import Documents, table_path
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    old = docs.filter("doc_id % 3 != 0")  # every 3rd doc is "new"
+    incoming = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    src = str(tmp_path / "incoming")
+    incoming.write.parquet(src)
+
+    sf = scan_stream_parquet(src, Documents, spark=spark)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _await(
+        sf.with_raw(lambda d: report.changed_rows_gate(d, old)).to_memory_sink(
+            name, output_mode="append"
+        )
+    )
+    got = {(r.doc_id, r.status) for r in spark.table(name).collect()}
+    want = {
+        (r.doc_id, r.status)
+        for r in report.changed_rows_gate(incoming, old).collect()
+    }
+    assert got == want and len(got) > 0
+    # every 3rd doc is added; every 5th (and not 3rd) is changed
+    assert all(
+        (d % 3 == 0) == (s == "added") for d, s in got
+    )
