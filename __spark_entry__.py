@@ -854,6 +854,31 @@ def pq_contamination_bench(spark: SparkSession, sf_dir: str) -> SparkDF:
     ).withColumn("query_id", F.col("query_id").cast("long"))
 
 
+def pq_residual_screen_survivors(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Stateless semantic screen over the RESIDUAL IVF-PQ index: per
+    row, ADC = q·centroid[list] + LUT[residual codes] (the q·(c + r̂)
+    identity), max over the 4 benchmark vectors, rows reaching 0.55
+    dropped — pq_screen_survivors for the persisted-index
+    representation (one int + m codes per vector, vectors never
+    reconstructed). The synthetic literal codebooks are a CORRECTNESS
+    fixture (coarse+residual scoring replayed bit-exactly; 0.55 sits
+    inside the fixture's score spread so the gate genuinely fires);
+    the self-match separation property is pinned with TRAINED residual
+    codebooks in tests/ext/test_pq.py. Shuffle-free; the oracle
+    replays coarse assignment, residual encode, and the q·c +
+    lookup-sum score."""
+    from colnade_spark.operators.pq import pq_residual_screen_gate
+
+    e = _embs(spark, sf_dir).select("vec_id", "embedding")
+    bench = [
+        r.embedding
+        for r in e.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    return pq_residual_screen_gate(
+        e, bench, _PQ_CODEBOOKS, _CENTROIDS, threshold=0.55
+    ).select("vec_id")
+
+
 def ann_ivfpq(spark: SparkSession, sf_dir: str) -> SparkDF:
     """IVF-PQ with nprobe == nlist (probes every inverted list): result
     is exactly pq_topk, so the same ADC oracle applies — validating the
@@ -2444,6 +2469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "ppl_bucketed_docs": ppl_bucketed_docs,
         "pii_count_stats": pii_count_stats,
         "changed_docs_gate": changed_docs_gate,
+        "pq_residual_screen_survivors": pq_residual_screen_survivors,
         # --- modified round 5 (scalar reasons / oracle-ranking fixes) ---
         "curation_decisions_docs": curation_decisions_docs,
         "ann_recall_audit": ann_recall_audit,
@@ -2858,10 +2884,14 @@ def _media_cte() -> str:
             )"""
 
 
-def _ivfpq_residual_oracle_sql() -> str:
-    """DuckDB twin of ivfpq_residual_topk at full probe: deterministic
-    coarse assignment (rounded-dot argmax, ties->highest cid), residual
-    integer-space encode, ADC = q·c + residual lookup sum."""
+def _residual_scored_cte(
+    q_where: str = "vec_id < 8", exclude_self: bool = True
+) -> str:
+    """Shared DuckDB WITH-body for the residual IVF-PQ family:
+    deterministic coarse assignment (rounded-dot argmax, ties->highest
+    cid), residual integer-space encode, ADC = q·c + residual lookup
+    sum. Yields CTEs base/res/enc/q/scored; callers append their final
+    SELECT (top-k, screen, ...)."""
     m, ksub, ds = 8, 8, 8
     s = 1 << 20
     cb_int = [
@@ -2912,13 +2942,22 @@ def _ivfpq_residual_oracle_sql() -> str:
         ),
         enc AS (SELECT vec_id, cid, [{codes}] AS codes FROM res),
         q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-              FROM embeddings WHERE vec_id < 8),
+              FROM embeddings WHERE {q_where}),
         scored AS (
           SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
             round(list_inner_product(q.qv, ({cents_lit})[e.cid + 1])
                   + {lut_terms}, 6) AS adc
-          FROM enc e CROSS JOIN q WHERE e.vec_id <> q.qid
+          FROM enc e CROSS JOIN q
+          {"WHERE e.vec_id <> q.qid" if exclude_self else ""}
         )
+    """
+
+
+def _ivfpq_residual_oracle_sql() -> str:
+    """DuckDB twin of ivfpq_residual_topk at full probe (shared residual
+    CTEs + the per-query top-5)."""
+    return f"""
+        {_residual_scored_cte()}
         SELECT query_id, neighbor_id, rank, adc FROM (
           SELECT query_id, neighbor_id, adc,
             row_number() OVER (PARTITION BY query_id
@@ -4480,6 +4519,13 @@ def oracle_sql() -> dict[str, str]:
         # full probe ≡ pq_topk — same deterministic ADC pipeline
         "ann_ivfpq": _pq_oracle_sql(),
         "ann_recall_audit": _recall_audit_oracle_sql(),
+        "pq_residual_screen_survivors": f"""
+            {_residual_scored_cte(q_where="vec_id < 4", exclude_self=False)}
+            SELECT vec_id FROM (
+              SELECT neighbor_id AS vec_id, max(adc) AS mx
+              FROM scored GROUP BY neighbor_id
+            ) WHERE mx < 0.55
+        """,
         "pq_contamination_bench": f"""
             {_pq_scored_cte(q_where="vec_id < 4", exclude_self=False)}
             SELECT query_id,

@@ -104,6 +104,7 @@ HEADLINE = [
     "ppl_bucketed_docs",
     "pii_count_stats",
     "changed_docs_gate",
+    "pq_residual_screen_survivors",
     "ann_ivfpq_residual",
     "canonical_docs_map",
     "blocked_url_ids",

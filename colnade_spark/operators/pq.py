@@ -54,6 +54,9 @@ __all__ = [
     "pq_contamination_report",
     "write_codebooks",
     "read_codebooks",
+    "pq_residual_encode",
+    "pq_residual_screen_flags",
+    "pq_residual_screen_gate",
 ]
 
 SCALE = 1 << 20
@@ -687,3 +690,128 @@ def read_codebooks(spark, table_path: str):
             " must accompany the code table"
         )
     return mf["codebooks"]
+
+
+def pq_residual_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "ivf_list",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """(id, ivf_list, pq_codes): each vector's deterministic coarse
+    assignment (rounded-dot argmax, ties -> highest cid) plus the
+    residual-space PQ codes — the table an IVF-PQ index persists (one
+    int + m small ints per vector). Arrow-batched numpy pass, same
+    encode as ivfpq_residual_topk's corpus side."""
+    enc = _residual_encode_udf(codebooks, centroids)
+    m = len(codebooks)
+    return df.select(
+        F.col(id_col), enc(F.col(vec_col)).alias("_lc")
+    ).select(
+        id_col,
+        F.get(F.col("_lc"), 0).alias(list_col),
+        F.slice(F.col("_lc"), 2, m).alias(code_col),
+    )
+
+
+def _dot_py(a: list[float], b: list[float]) -> float:
+    """Sequential dot fold — the op order of DuckDB list_inner_product
+    and the Spark fold, so scores replay bitwise."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def pq_residual_screen_flags(
+    codes: DataFrame,
+    query_vecs: list[list[float]],
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    threshold: float,
+    list_col: str = "ivf_list",
+    code_col: str = "pq_codes",
+    score_col: str = "max_adc",
+    flag_col: str = "flagged",
+) -> DataFrame:
+    """Adds (``score_col``, ``flag_col``) over a RESIDUAL code table:
+    per row and frozen query, ADC = q·centroid[list] + LUT_q[codes]
+    (the q·(c + r̂) identity), max'd over the query set and compared to
+    ``threshold`` — pq_screen_flags for the residual-encoded index, so
+    a persisted IVF-PQ table screens without ever reconstructing
+    vectors. Stateless by construction: the per-query q·centroid
+    values fold into one literal |nlist| array (element_at by list id)
+    and the residual LUT into the usual m x ksub literal — per row,
+    |queries| x (m+1) array gets; no join, no shuffle, streams
+    unchanged."""
+    if not query_vecs:
+        raise ValueError(
+            "pq_residual_screen_flags requires at least one query vector"
+        )
+    scores = []
+    for qv in query_vecs:
+        qcs = [_dot_py(qv, c) for c in centroids]
+        lut = _adc_lut_py(qv, codebooks)
+        terms = [
+            F.get(F.lit(lut[j]), F.get(F.col(code_col), j))
+            for j in range(len(lut))
+        ]
+        scores.append(
+            F.round(
+                F.element_at(F.lit(qcs), F.col(list_col) + 1)
+                + reduce(lambda a, b: a + b, terms),
+                6,
+            )
+        )
+    mx = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    staged = codes.withColumn(score_col, mx)
+    return staged.withColumn(
+        flag_col, F.col(score_col) >= F.lit(float(threshold))
+    )
+
+
+def pq_residual_screen_gate(
+    df: DataFrame,
+    query_vecs: list[list[float]],
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    threshold: float,
+    vec_col: str = "embedding",
+    list_col: str | None = None,
+    code_col: str | None = None,
+) -> DataFrame:
+    """The rows of ``df`` that do NOT screen against the frozen query
+    set under residual IVF-PQ scoring — pq_screen_gate over the
+    compacter index representation. Pass ``list_col`` + ``code_col``
+    to screen an already-encoded table; omit both to encode in-line
+    from ``vec_col``. Full rows pass through; shuffle-free (pinned)."""
+    if (list_col is None) != (code_col is None):
+        raise ValueError(
+            "pass both list_col and code_col for pre-encoded input, or"
+            " neither to encode in-line"
+        )
+    if code_col is not None:
+        missing = [c for c in (list_col, code_col) if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"columns {missing} not in {df.columns}; omit list_col/"
+                f"code_col to encode in-line from {vec_col!r}"
+            )
+        staged = df
+    else:
+        list_col, code_col = "_prs_list", "_prs_codes"
+        enc = _residual_encode_udf(codebooks, centroids)
+        staged = df.withColumn("_prs_lc", enc(F.col(vec_col))).withColumn(
+            list_col, F.get(F.col("_prs_lc"), 0)
+        ).withColumn(
+            code_col, F.slice(F.col("_prs_lc"), 2, len(codebooks))
+        )
+    flagged = pq_residual_screen_flags(
+        staged, query_vecs, codebooks, centroids, threshold,
+        list_col, code_col,
+        score_col="_prs_adc", flag_col="_prs_flag",
+    )
+    return flagged.filter(~F.col("_prs_flag")).select(*df.columns)

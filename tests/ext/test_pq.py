@@ -380,3 +380,60 @@ def test_write_codebooks_validates_shape(spark, tmp_path):
     ]
     with pytest.raises(ValueError, match="ragged"):
         write_codebooks(spark, str(tmp_path / "b"), ragged)
+
+
+def test_residual_screen_trained_separation_and_shapes(spark, sf_dir):
+    """With TRAINED residual codebooks the screen separates benchmark
+    self-matches from the corpus (the semantic property the synthetic
+    registry fixture can't show); pre-encoded and inline paths agree;
+    the plan is shuffle-free; argument validation fires."""
+    from colnade_spark.operators.pq import (
+        pq_residual_encode,
+        pq_residual_screen_flags,
+        pq_residual_screen_gate,
+        train_residual_codebooks,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = [
+        [((((j * 31) + (d * 17)) % 7) - 3) / 4.0 for d in range(64)]
+        for j in range(4)
+    ]
+    books = train_residual_codebooks(e, cents, m=16, ksub=32, sample_n=512, seed=11)
+    bench = [
+        r.embedding
+        for r in e.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    codes = pq_residual_encode(e, books, cents)
+    scores = {
+        r.vec_id: r.max_adc
+        for r in pq_residual_screen_flags(
+            codes, bench, books, cents, threshold=0.0
+        ).collect()
+    }
+    self_min = min(scores[v] for v in range(4))
+    other_max = max(s for v, s in scores.items() if v >= 4)
+    assert self_min > other_max, (self_min, other_max)
+    thr = (self_min + other_max) / 2
+    out = pq_residual_screen_gate(e, bench, books, cents, threshold=thr)
+    kept = {r.vec_id for r in out.collect()}
+    assert kept == {r.vec_id for r in e.collect()} - {0, 1, 2, 3}
+    assert out.columns == ["vec_id", "embedding"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # pre-encoded path gates the same ids (ids only — no payload here)
+    pre = pq_residual_screen_gate(
+        codes, bench, books, cents, threshold=thr,
+        list_col="ivf_list", code_col="pq_codes",
+    )
+    assert {r.vec_id for r in pre.collect()} == kept
+    with pytest.raises(ValueError, match="both list_col and code_col"):
+        pq_residual_screen_gate(codes, bench, books, cents, 0.5, list_col="ivf_list")
+    with pytest.raises(ValueError, match="not in"):
+        pq_residual_screen_gate(
+            codes, bench, books, cents, 0.5, list_col="nope", code_col="pq_codes"
+        )
+    with pytest.raises(ValueError, match="at least one query"):
+        pq_residual_screen_flags(codes, [], books, cents, 0.5)

@@ -729,3 +729,46 @@ def test_changed_rows_gate_is_append_legal_on_streams(spark, sf_dir, tmp_path):
     assert all(
         (d % 3 == 0) == (s == "added") for d, s in got
     )
+
+
+def test_pq_residual_screen_gate_is_stateless_on_streams(spark, sf_dir):
+    """The residual-index screen is the same stateless scan shape as
+    the raw-code screen (encode UDF + literal q·c array + literal LUT
+    gets + filter): a streamed embeddings source keeps exactly the ids
+    the batch gate keeps."""
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators.pq import (
+        pq_residual_screen_gate,
+        train_residual_codebooks,
+    )
+    from colnade_spark.streaming import scan_stream_parquet
+    from colnade_spark.tpch import Embeddings
+
+    batch = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    cents = [
+        [((((j * 31) + (d * 17)) % 7) - 3) / 4.0 for d in range(64)]
+        for j in range(4)
+    ]
+    books = train_residual_codebooks(
+        batch, cents, m=16, ksub=32, sample_n=512, seed=11
+    )
+    bench = [
+        r.embedding
+        for r in batch.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+
+    def gate(d):
+        return pq_residual_screen_gate(
+            d.select("vec_id", "embedding"), bench, books, cents,
+            threshold=0.55,
+        ).select("vec_id")
+
+    sf = scan_stream_parquet(
+        table_path(sf_dir, "embeddings"), Embeddings, spark=spark
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _await(sf.with_raw(gate).to_memory_sink(name, output_mode="append"))
+    got = {r.vec_id for r in spark.table(name).collect()}
+    want = {r.vec_id for r in gate(batch).collect()}
+    assert got == want and 0 < len(got) < batch.count()
