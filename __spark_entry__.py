@@ -857,12 +857,13 @@ def pq_contamination_bench(spark: SparkSession, sf_dir: str) -> SparkDF:
 def pq_residual_screen_survivors(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Stateless semantic screen over the RESIDUAL IVF-PQ index: per
     row, ADC = q·centroid[list] + LUT[residual codes] (the q·(c + r̂)
-    identity), max over the 4 benchmark vectors, rows reaching 0.55
+    identity), max over the 4 benchmark vectors, rows reaching 0.5
     dropped — pq_screen_survivors for the persisted-index
     representation (one int + m codes per vector, vectors never
     reconstructed). The synthetic literal codebooks are a CORRECTNESS
-    fixture (coarse+residual scoring replayed bit-exactly; 0.55 sits
-    inside the fixture's score spread so the gate genuinely fires);
+    fixture (coarse+residual scoring replayed bit-exactly; 0.5 sits
+    inside the fixture's score spread at BOTH test SFs so the gate
+    genuinely fires);
     the self-match separation property is pinned with TRAINED residual
     codebooks in tests/ext/test_pq.py. Shuffle-free; the oracle
     replays coarse assignment, residual encode, and the q·c +
@@ -875,7 +876,7 @@ def pq_residual_screen_survivors(spark: SparkSession, sf_dir: str) -> SparkDF:
         for r in e.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
     ]
     return pq_residual_screen_gate(
-        e, bench, _PQ_CODEBOOKS, _CENTROIDS, threshold=0.55
+        e, bench, _PQ_CODEBOOKS, _CENTROIDS, threshold=0.5
     ).select("vec_id")
 
 
@@ -4524,7 +4525,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id FROM (
               SELECT neighbor_id AS vec_id, max(adc) AS mx
               FROM scored GROUP BY neighbor_id
-            ) WHERE mx < 0.55
+            ) WHERE mx < 0.5
         """,
         "pq_contamination_bench": f"""
             {_pq_scored_cte(q_where="vec_id < 4", exclude_self=False)}

@@ -70,6 +70,8 @@ __all__ = [
     "corpus_card",
     "pii_counts",
     "perplexity_bucket_select",
+    "changed_rows_gate",
+    "pq_residual_screen_gate",
     "group_split_select",
     "temperature_mixture",
     "quality_prune",
@@ -696,3 +698,44 @@ def perplexity_bucket_select(
         return out.filter(F.col("_ppl_b") == keep).drop("_ppl_b")
 
     return frame.with_raw(_apply)
+
+
+def changed_rows_gate(
+    frame: DataFrame[S], old, **kwargs
+) -> DataFrame[S]:
+    """Schema-preserving incremental-ingest gate: keep only the rows of
+    ``frame`` that are added or changed vs the known ``old`` snapshot,
+    dropping the internal status label
+    (operators.report.changed_rows_gate; stream-static append-legal)."""
+    o = old.native if isinstance(old, DataFrame) else old
+
+    def _apply(d):
+        from pyspark.sql import functions as F
+
+        from colnade_spark.operators import report as _report
+
+        out = _report.changed_rows_gate(d, o, status_col="_crg_s", **kwargs)
+        return out.drop("_crg_s")
+
+    return frame.with_raw(_apply)
+
+
+def pq_residual_screen_gate(
+    frame: DataFrame[S],
+    query_vecs: list[list[float]],
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    threshold: float,
+    **kwargs,
+) -> DataFrame[S]:
+    """Schema-preserving semantic screen over residual IVF-PQ scoring:
+    drops rows whose max q·centroid[list] + LUT[residual codes]
+    reaches ``threshold`` (operators.pq.pq_residual_screen_gate —
+    stateless, streams)."""
+    from colnade_spark.operators import pq as _pq
+
+    return frame.with_raw(
+        lambda d: _pq.pq_residual_screen_gate(
+            d, query_vecs, codebooks, centroids, threshold, **kwargs
+        )
+    )

@@ -271,3 +271,44 @@ def test_round5_report_facades(spark, docs):
     assert 0 < mid.height < frame.height
     with pytest.raises(ValueError):
         typed.perplexity_bucket_select(frame, "s", keep="bogus")
+
+
+def test_round5_gate_facades(spark, docs, sf_dir):
+    import pyspark.sql.functions as F
+
+    # incremental-ingest gate: schema-preserving, keeps only churn
+    changed = docs.with_raw(
+        lambda d: d.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 4 == 0, F.concat("text", F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+    )
+    gated = typed.changed_rows_gate(changed, docs.native)
+    assert gated.schema is Documents
+    assert gated.height == changed.filter(Documents.doc_id % 4 == 0).height
+
+    # residual screen facade: schema-preserving, drops bench members
+    from colnade_spark import read_parquet
+    from colnade_spark.operators.pq import train_residual_codebooks
+    from colnade_spark.tpch import Embeddings, table_path
+
+    emb = read_parquet(table_path(sf_dir, "embeddings"), Embeddings, spark=spark)
+    cents = [
+        [((((j * 31) + (d * 17)) % 7) - 3) / 4.0 for d in range(64)]
+        for j in range(4)
+    ]
+    books = train_residual_codebooks(
+        emb.native, cents, m=16, ksub=32, sample_n=512, seed=11
+    )
+    bench = [
+        r.embedding
+        for r in emb.native.filter(F.col("vec_id") < 4).collect()
+    ]
+    kept = typed.pq_residual_screen_gate(emb, bench, books, cents, threshold=0.55)
+    assert kept.schema is Embeddings
+    # plumbing check: the gate fired on a nonempty subset (the exact
+    # self-match separation property is pinned with measured thresholds
+    # in test_pq.py::test_residual_screen_trained_separation_and_shapes)
+    assert 0 < kept.height < emb.height
