@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from colnade_spark.operators.sampling import _HASH_SPACE, sample_hash
 
-__all__ = ["training_order", "write_training_shards"]
+__all__ = ["training_order", "write_training_shards", "verify_training_shards"]
 
 
 def training_order(
@@ -175,3 +175,56 @@ def write_training_shards(
         .mode("overwrite")
         .parquet(path)
     )
+    # layout manifest beside the shards (same Hadoop-FS machinery as the
+    # Bloom/CMS/HLL params manifests): a reader that assumes the wrong
+    # salt or balance mode would replay a DIFFERENT permutation and
+    # silently train on mis-ordered data; per-shard row counts let
+    # verify_training_shards catch partial/corrupt writes cheaply
+    from colnade_spark.streaming.stream import write_table_manifest
+
+    per_shard = {
+        str(r[0]): r[1]
+        for r in out.groupBy("shard").agg(F.count(F.lit(1))).collect()
+    }
+    write_table_manifest(
+        df.sparkSession,
+        path,
+        {
+            "kind": "training_shards",
+            "n_shards": n_shards,
+            "key_col": key_col,
+            "salt": salt,
+            "balance_col": balance_col,
+            "rows_per_shard": per_shard,
+        },
+        name="_shards_manifest.json",
+    )
+
+
+def verify_training_shards(spark, path: str) -> dict:
+    """Recount the shard directories against the layout manifest —
+    ERRORS on a missing manifest, a missing/extra shard, or a row-count
+    mismatch (a partially overwritten or corrupt shard tree); returns
+    the manifest on success. One count aggregate over the shard column;
+    payloads are not read."""
+    from colnade_spark.streaming.stream import read_table_manifest
+
+    mf = read_table_manifest(spark, path, name="_shards_manifest.json")
+    if mf is None or mf.get("kind") != "training_shards":
+        raise ValueError(
+            f"no training-shards manifest at {path}; was this tree"
+            " written by write_training_shards?"
+        )
+    got = {
+        str(r[0]): r[1]
+        for r in spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)))
+        .collect()
+    }
+    if got != mf["rows_per_shard"]:
+        raise ValueError(
+            f"shard tree at {path} does not match its manifest: "
+            f"manifest={mf['rows_per_shard']} actual={got}"
+        )
+    return mf

@@ -169,3 +169,36 @@ def test_training_order_balanced_rejects_null_keys_and_negative_weights(spark):
     )
     with pytest.raises(Exception, match="negative n_tokens"):
         training_order(neg, 2, balance_col="n_tokens").collect()
+
+
+def test_shards_manifest_written_and_verified(spark, tmp_path):
+    """write_training_shards leaves a layout manifest beside the tree;
+    verify_training_shards recounts and passes; a tampered tree (one
+    shard directory deleted) fails; a manifest-less tree errors."""
+    import shutil
+
+    import pytest
+
+    from colnade_spark.operators.shards import verify_training_shards
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}", (i * 13) % 40 + 1) for i in range(300)],
+        ["doc_id", "text", "n_tokens"],
+    )
+    dest = str(tmp_path / "shards")
+    write_training_shards(df, dest, n_shards=4, salt="m", balance_col="n_tokens")
+    mf = verify_training_shards(spark, dest)
+    assert mf["n_shards"] == 4 and mf["salt"] == "m"
+    assert mf["balance_col"] == "n_tokens"
+    assert sum(mf["rows_per_shard"].values()) == 300
+    # overwrite with different params replaces tree AND manifest
+    write_training_shards(df, dest, n_shards=4, salt="other")
+    assert verify_training_shards(spark, dest)["salt"] == "other"
+    # tamper: drop one shard directory -> verification fails
+    shutil.rmtree(f"{dest}/shard=2")
+    with pytest.raises(ValueError, match="does not match its manifest"):
+        verify_training_shards(spark, dest)
+    # a tree nobody manifested errors
+    df.write.parquet(str(tmp_path / "bare"))
+    with pytest.raises(ValueError, match="no training-shards manifest"):
+        verify_training_shards(spark, str(tmp_path / "bare"))
