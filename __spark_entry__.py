@@ -854,6 +854,30 @@ def pq_contamination_bench(spark: SparkSession, sf_dir: str) -> SparkDF:
     ).withColumn("query_id", F.col("query_id").cast("long"))
 
 
+def pq_residual_contamination_bench(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Graded semantic contamination over the RESIDUAL IVF-PQ index:
+    per benchmark vector (vec_id < 4), how many corpus rows its
+    q·centroid[list] + LUT[residual codes] score reaches 0.5 against,
+    the hit fraction, and the max — the {residual index, graded-report}
+    cell beside pq_residual_screen_survivors' boolean gate. Oracle
+    replays coarse assignment, residual encode, scoring, and the
+    per-query aggregate."""
+    from colnade_spark.operators.pq import (
+        pq_residual_contamination_report,
+        pq_residual_encode,
+    )
+
+    e = _embs(spark, sf_dir).select("vec_id", "embedding")
+    bench = [
+        r.embedding
+        for r in e.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    codes = pq_residual_encode(e, _PQ_CODEBOOKS, _CENTROIDS)
+    return pq_residual_contamination_report(
+        codes, bench, _PQ_CODEBOOKS, _CENTROIDS, threshold=0.5
+    ).withColumn("query_id", F.col("query_id").cast("long"))
+
+
 def pq_residual_screen_survivors(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Stateless semantic screen over the RESIDUAL IVF-PQ index: per
     row, ADC = q·centroid[list] + LUT[residual codes] (the q·(c + r̂)
@@ -2471,6 +2495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "pii_count_stats": pii_count_stats,
         "changed_docs_gate": changed_docs_gate,
         "pq_residual_screen_survivors": pq_residual_screen_survivors,
+        "pq_residual_contamination_bench": pq_residual_contamination_bench,
         # --- modified round 5 (scalar reasons / oracle-ranking fixes) ---
         "curation_decisions_docs": curation_decisions_docs,
         "ann_recall_audit": ann_recall_audit,
@@ -4520,6 +4545,17 @@ def oracle_sql() -> dict[str, str]:
         # full probe ≡ pq_topk — same deterministic ADC pipeline
         "ann_ivfpq": _pq_oracle_sql(),
         "ann_recall_audit": _recall_audit_oracle_sql(),
+        "pq_residual_contamination_bench": f"""
+            {_residual_scored_cte(q_where="vec_id < 4", exclude_self=False)}
+            SELECT query_id,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CASE WHEN adc >= 0.5 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_hits,
+              CAST(sum(CASE WHEN adc >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+                / count(*) AS frac_hits,
+              max(adc) AS max_adc
+            FROM scored GROUP BY query_id
+        """,
         "pq_residual_screen_survivors": f"""
             {_residual_scored_cte(q_where="vec_id < 4", exclude_self=False)}
             SELECT vec_id FROM (

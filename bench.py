@@ -105,6 +105,7 @@ HEADLINE = [
     "pii_count_stats",
     "changed_docs_gate",
     "pq_residual_screen_survivors",
+    "pq_residual_contamination_bench",
     "ann_ivfpq_residual",
     "canonical_docs_map",
     "blocked_url_ids",

@@ -57,6 +57,7 @@ __all__ = [
     "pq_residual_encode",
     "pq_residual_screen_flags",
     "pq_residual_screen_gate",
+    "pq_residual_contamination_report",
 ]
 
 SCALE = 1 << 20
@@ -578,10 +579,22 @@ def pq_contamination_report(
         raise ValueError(
             "pq_contamination_report requires at least one query vector"
         )
+    scores = [
+        _adc_expr(_adc_lut_py(qv, codebooks), code_col) for qv in query_vecs
+    ]
+    return _contamination_wide_agg(codes, scores, threshold)
+
+
+def _contamination_wide_agg(
+    codes: DataFrame, scores: list[Column], threshold: float
+) -> DataFrame:
+    """The shared report skeleton: ONE wide aggregate (hit-sum + max
+    per query score expression, plus a count), whose single result row
+    explodes into per-query output rows — see pq_contamination_report's
+    docstring for why this beats posexplode-then-groupBy."""
     t = float(threshold)
     aggs = [F.count(F.lit(1)).cast("long").alias("_pcr_n")]
-    for i, qv in enumerate(query_vecs):
-        adc = _adc_expr(_adc_lut_py(qv, codebooks), code_col)
+    for i, adc in enumerate(scores):
         aggs.append(F.sum((adc >= t).cast("long")).alias(f"_pcr_h{i}"))
         aggs.append(F.max(adc).alias(f"_pcr_m{i}"))
     one = codes.agg(*aggs)
@@ -600,10 +613,64 @@ def pq_contamination_report(
                 ).alias("frac_hits"),
                 F.col(f"_pcr_m{i}").alias("max_adc"),
             )
-            for i in range(len(query_vecs))
+            for i in range(len(scores))
         ]
     )
     return one.select(F.explode(rows).alias("_pcr_r")).select("_pcr_r.*")
+
+
+def _residual_score_exprs(
+    query_vecs: list[list[float]],
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    list_col: str,
+    code_col: str,
+) -> list[Column]:
+    """Per-query residual ADC column expressions: round(q·centroid[list]
+    + LUT[codes], 6) — one literal |nlist| array + one literal m x ksub
+    LUT per query (the pq_residual_screen scan-side compute)."""
+    out = []
+    for qv in query_vecs:
+        qcs = [_dot_py(qv, c) for c in centroids]
+        lut = _adc_lut_py(qv, codebooks)
+        terms = [
+            F.get(F.lit(lut[j]), F.get(F.col(code_col), j))
+            for j in range(len(lut))
+        ]
+        out.append(
+            F.round(
+                F.element_at(F.lit(qcs), F.col(list_col) + 1)
+                + reduce(lambda a, b: a + b, terms),
+                6,
+            )
+        )
+    return out
+
+
+def pq_residual_contamination_report(
+    codes: DataFrame,
+    query_vecs: list[list[float]],
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    threshold: float,
+    list_col: str = "ivf_list",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """(query_id, n_rows, n_hits, frac_hits, max_adc) per frozen query
+    over a RESIDUAL code table — pq_contamination_report for the
+    persisted IVF-PQ index, completing the {raw codes, residual index}
+    x {boolean gate, graded report} matrix. Same wide-agg shape and
+    streaming behavior as the raw-code report; scoring is the residual
+    screen's q·centroid[list] + LUT[codes]."""
+    if not query_vecs:
+        raise ValueError(
+            "pq_residual_contamination_report requires at least one"
+            " query vector"
+        )
+    scores = _residual_score_exprs(
+        query_vecs, codebooks, centroids, list_col, code_col
+    )
+    return _contamination_wide_agg(codes, scores, threshold)
 
 
 def pq_screen_gate(
@@ -751,21 +818,9 @@ def pq_residual_screen_flags(
         raise ValueError(
             "pq_residual_screen_flags requires at least one query vector"
         )
-    scores = []
-    for qv in query_vecs:
-        qcs = [_dot_py(qv, c) for c in centroids]
-        lut = _adc_lut_py(qv, codebooks)
-        terms = [
-            F.get(F.lit(lut[j]), F.get(F.col(code_col), j))
-            for j in range(len(lut))
-        ]
-        scores.append(
-            F.round(
-                F.element_at(F.lit(qcs), F.col(list_col) + 1)
-                + reduce(lambda a, b: a + b, terms),
-                6,
-            )
-        )
+    scores = _residual_score_exprs(
+        query_vecs, codebooks, centroids, list_col, code_col
+    )
     mx = F.greatest(*scores) if len(scores) > 1 else scores[0]
     staged = codes.withColumn(score_col, mx)
     return staged.withColumn(

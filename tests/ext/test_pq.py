@@ -437,3 +437,51 @@ def test_residual_screen_trained_separation_and_shapes(spark, sf_dir):
         )
     with pytest.raises(ValueError, match="at least one query"):
         pq_residual_screen_flags(codes, [], books, cents, 0.5)
+
+
+def test_residual_contamination_report_matches_flags(spark, sf_dir):
+    """The residual graded report aggregates exactly what the residual
+    screen's per-row scores say (per-query hit counts, fraction, max);
+    empty query set raises."""
+    from colnade_spark.operators.pq import (
+        pq_residual_contamination_report,
+        pq_residual_encode,
+        pq_residual_screen_flags,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).limit(50)
+    cents = [
+        [((((j * 31) + (d * 17)) % 7) - 3) / 4.0 for d in range(64)]
+        for j in range(4)
+    ]
+    books = train_pq_codebooks(e, m=8, ksub=8, sample_n=64, seed=9)
+    bench = [r.embedding for r in e.orderBy("vec_id").limit(2).collect()]
+    codes = pq_residual_encode(e, books, cents)
+    per_q = []
+    for qv in bench:
+        scores = {
+            r.vec_id: r.max_adc
+            for r in pq_residual_screen_flags(
+                codes, [qv], books, cents, threshold=0.0
+            ).collect()
+        }
+        per_q.append(scores)
+    all_scores = sorted(s for d in per_q for s in d.values())
+    thr = all_scores[len(all_scores) // 2]
+    got = {
+        r.query_id: r
+        for r in pq_residual_contamination_report(
+            codes, bench, books, cents, thr
+        ).collect()
+    }
+    assert set(got) == {0, 1}
+    n = codes.count()
+    for i, scores in enumerate(per_q):
+        r = got[i]
+        hits = sum(1 for s in scores.values() if s >= thr)
+        assert (r.n_rows, r.n_hits) == (n, hits)
+        assert r.frac_hits == hits / n and r.max_adc == max(scores.values())
+    with pytest.raises(ValueError, match="at least one query"):
+        pq_residual_contamination_report(codes, [], books, cents, 0.5)
