@@ -395,15 +395,11 @@ def ivfpq_residual_topk(
     (ties -> highest id), replayable in SQL."""
     from colnade_spark.operators.similarity import dot
 
-    enc = _residual_encode_udf(codebooks, centroids)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        enc(F.col(vec_col)).alias("_lc"),
-    ).select(
-        "neighbor_id",
-        F.get(F.col("_lc"), 0).alias("_list"),
-        F.slice(F.col("_lc"), 2, len(codebooks)).alias("_codes"),
-    )
+    c = pq_residual_encode(
+        corpus, codebooks, centroids,
+        id_col=id_col, vec_col=vec_col,
+        list_col="_list", code_col="_codes",
+    ).withColumnRenamed(id_col, "neighbor_id")
     # query side: probe EVERY list deterministically ranked by the same
     # rounded dot (ties -> highest id), keep nprobe; q·c per probed list
     # rides the row
@@ -774,14 +770,20 @@ def pq_residual_encode(
     int + m small ints per vector). Arrow-batched numpy pass, same
     encode as ivfpq_residual_topk's corpus side."""
     enc = _residual_encode_udf(codebooks, centroids)
-    m = len(codebooks)
-    return df.select(
-        F.col(id_col), enc(F.col(vec_col)).alias("_lc")
-    ).select(
-        id_col,
-        F.get(F.col("_lc"), 0).alias(list_col),
-        F.slice(F.col("_lc"), 2, m).alias(code_col),
-    )
+    staged = df.select(F.col(id_col), enc(F.col(vec_col)).alias("_lc"))
+    return _unpack_residual_lc(
+        staged, "_lc", list_col, code_col, len(codebooks)
+    ).select(id_col, list_col, code_col)
+
+
+def _unpack_residual_lc(
+    df: DataFrame, lc_col: str, list_col: str, code_col: str, m: int
+) -> DataFrame:
+    """Split the encode UDF's packed [list, code_0..code_m-1] array into
+    (list_col, code_col) — the ONE place the packed layout is known."""
+    return df.withColumn(
+        list_col, F.get(F.col(lc_col), 0)
+    ).withColumn(code_col, F.slice(F.col(lc_col), 2, m)).drop(lc_col)
 
 
 def _dot_py(a: list[float], b: list[float]) -> float:
@@ -859,11 +861,8 @@ def pq_residual_screen_gate(
     else:
         list_col, code_col = "_prs_list", "_prs_codes"
         enc = _residual_encode_udf(codebooks, centroids)
-        staged = df.withColumn("_prs_lc", enc(F.col(vec_col))).withColumn(
-            list_col, F.get(F.col("_prs_lc"), 0)
-        ).withColumn(
-            code_col, F.slice(F.col("_prs_lc"), 2, len(codebooks))
-        )
+        staged = df.withColumn("_prs_lc", enc(F.col(vec_col)))
+        staged = _unpack_residual_lc(staged, "_prs_lc", list_col, code_col, len(codebooks))
     flagged = pq_residual_screen_flags(
         staged, query_vecs, codebooks, centroids, threshold,
         list_col, code_col,

@@ -236,6 +236,13 @@ def changed_rows_gate(
     when the reference slice is small; a key-partitioned shuffle
     otherwise); new rows carry their payload once, and only churn
     survives the gate."""
+    if status_col in new.columns:
+        raise ValueError(
+            f"status_col {status_col!r} already exists in the new"
+            " snapshot; pass a different status_col (withColumn would"
+            " clobber the payload and the output would carry two"
+            " identically named columns)"
+        )
     if fingerprint_col is None:
         from colnade_spark.operators.text import fingerprint
 

@@ -179,15 +179,31 @@ def write_training_shards(
     # Bloom/CMS/HLL params manifests): a reader that assumes the wrong
     # salt or balance mode would replay a DIFFERENT permutation and
     # silently train on mis-ordered data; per-shard row counts let
-    # verify_training_shards catch partial/corrupt writes cheaply
-    from colnade_spark.streaming.stream import write_table_manifest
+    # verify_training_shards catch partial/corrupt writes cheaply.
+    # Counts come from the WRITTEN tree (parquet footers only — no
+    # second pass over the input pipeline, and the manifest certifies
+    # what was actually persisted even if the source frame mutated).
+    from colnade_spark.streaming.stream import (
+        _hadoop_path,
+        write_table_manifest,
+    )
 
+    spark = df.sparkSession
+    # under dynamic partitionOverwriteMode the root-level manifest of a
+    # previous write survives the data overwrite — remove it so the
+    # fresh manifest always describes the fresh tree
+    fs, p, _ = _hadoop_path(spark, f"{path}/_shards_manifest.json")
+    if fs.exists(p):
+        fs.delete(p, False)
     per_shard = {
         str(r[0]): r[1]
-        for r in out.groupBy("shard").agg(F.count(F.lit(1))).collect()
+        for r in spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)))
+        .collect()
     }
     write_table_manifest(
-        df.sparkSession,
+        spark,
         path,
         {
             "kind": "training_shards",
@@ -204,8 +220,10 @@ def write_training_shards(
 def verify_training_shards(spark, path: str) -> dict:
     """Recount the shard directories against the layout manifest —
     ERRORS on a missing manifest, a missing/extra shard, or a row-count
-    mismatch (a partially overwritten or corrupt shard tree); returns
-    the manifest on success. One count aggregate over the shard column;
+    mismatch (a partially overwritten or corrupt shard tree; stale
+    shard=i directories left behind by a dynamic-overwrite re-shard to
+    fewer shards also surface here as extra keys). Returns the
+    manifest on success. One count aggregate over the shard column;
     payloads are not read."""
     from colnade_spark.streaming.stream import read_table_manifest
 

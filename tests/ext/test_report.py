@@ -146,3 +146,17 @@ def test_changed_rows_gate_hand_checked(spark):
         if r.status != "removed"
     }
     assert diff == {k: v for k, (v, _) in got.items()}
+
+
+def test_changed_rows_gate_rejects_status_collision(spark):
+    """A payload column named like status_col would be clobbered AND
+    duplicated in the output — rejected instead."""
+    import pytest
+
+    old = spark.createDataFrame([(1, "a", "ok")], ["doc_id", "text", "status"])
+    new = spark.createDataFrame([(1, "b", "ok")], ["doc_id", "text", "status"])
+    with pytest.raises(ValueError, match="already exists"):
+        report.changed_rows_gate(new, old)
+    # a different status_col works and preserves the payload column
+    out = report.changed_rows_gate(new, old, status_col="churn").collect()
+    assert out[0].status == "ok" and out[0].churn == "changed"

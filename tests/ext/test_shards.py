@@ -202,3 +202,27 @@ def test_shards_manifest_written_and_verified(spark, tmp_path):
     df.write.parquet(str(tmp_path / "bare"))
     with pytest.raises(ValueError, match="no training-shards manifest"):
         verify_training_shards(spark, str(tmp_path / "bare"))
+
+
+def test_shards_manifest_survives_dynamic_overwrite_mode(spark, tmp_path):
+    """Under spark.sql.sources.partitionOverwriteMode=dynamic the data
+    overwrite preserves root-level files — the writer must still
+    replace the manifest so it describes the fresh tree."""
+    from colnade_spark.operators.shards import verify_training_shards
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(100)], ["doc_id", "text"]
+    )
+    dest = str(tmp_path / "shards")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        write_training_shards(df, dest, n_shards=4, salt="a")
+        assert verify_training_shards(spark, dest)["salt"] == "a"
+        # re-shard with different params: manifest must follow the data
+        write_training_shards(df, dest, n_shards=4, salt="b")
+        mf = verify_training_shards(spark, dest)
+        assert mf["salt"] == "b"
+        assert sum(mf["rows_per_shard"].values()) == 100
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
