@@ -1559,7 +1559,7 @@ def corpus_diff_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     from colnade_spark.operators import report
 
     docs = _docs_spread(spark, sf_dir)
-    return report.corpus_diff(docs, _churned_snapshot(docs))
+    return report.corpus_diff(docs, new=_churned_snapshot(docs))
 
 
 def changed_docs_gate(spark: SparkSession, sf_dir: str) -> SparkDF:
@@ -1572,7 +1572,7 @@ def changed_docs_gate(spark: SparkSession, sf_dir: str) -> SparkDF:
     from colnade_spark.operators import report
 
     docs = _docs_spread(spark, sf_dir)
-    return report.changed_rows_gate(_churned_snapshot(docs), docs).select(
+    return report.changed_rows_gate(_churned_snapshot(docs), old=docs).select(
         "doc_id", "lang", "n_chars", "status"
     )
 

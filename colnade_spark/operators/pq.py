@@ -684,6 +684,15 @@ def pq_screen_gate(
     whose max ADC reaches ``threshold``. Full rows pass through
     unchanged; works identically on batch and streaming frames (no
     shuffle anywhere — pinned by the streaming test)."""
+    clash = sorted(
+        {"_pq_screen_codes", "_pq_screen_adc", "_pq_screen_flag"}
+        & set(df.columns)
+    )
+    if clash:
+        raise ValueError(
+            f"columns {clash} collide with pq_screen_gate's internal"
+            " staging names; rename them upstream"
+        )
     if code_col is not None:
         # an explicit code column must exist — silently re-encoding on a
         # typo would hide that the compact-code path was never used
@@ -849,6 +858,17 @@ def pq_residual_screen_gate(
         raise ValueError(
             "pass both list_col and code_col for pre-encoded input, or"
             " neither to encode in-line"
+        )
+    # the staging names are fixed; an input that already carries one
+    # would be silently clobbered and then re-selected into the output
+    clash = sorted(
+        {"_prs_lc", "_prs_list", "_prs_codes", "_prs_adc", "_prs_flag"}
+        & set(df.columns)
+    )
+    if clash:
+        raise ValueError(
+            f"columns {clash} collide with pq_residual_screen_gate's"
+            " internal staging names; rename them upstream"
         )
     if code_col is not None:
         missing = [c for c in (list_col, code_col) if c not in df.columns]

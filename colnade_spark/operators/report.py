@@ -96,6 +96,7 @@ def curation_summary(decisions: DataFrame) -> DataFrame:
 
 def corpus_diff(
     old: DataFrame,
+    *,
     new: DataFrame,
     id_col: str = "doc_id",
     fingerprint_col: str | None = None,
@@ -111,10 +112,19 @@ def corpus_diff(
     carry one, else the normalized-text md5 computed here). Unchanged
     rows — the overwhelming bulk — are never emitted.
 
+    Snapshots must be keyed: a duplicate id in either side would fan
+    out through the id-keyed full-outer join (a doc with old
+    fingerprints {A} and new {A, B} would emit both nothing and a
+    ``changed`` row), so duplicate ids RAISE. ``new`` is keyword-only —
+    both snapshot operators here take any two same-shaped frames, and a
+    silently transposed call would invert added/removed.
+
     Scale (100 TB): each side reduces to (id, fingerprint) at the scan
     before the one full-outer join on id — content never shuffles; the
     output is bounded by the churn, not the corpus. Diffing against a
-    small reference slice broadcasts."""
+    small reference slice broadcasts. The per-side duplicate-id check
+    is one aggregate over the already-reduced (id, fingerprint) rows,
+    partitioned on the same key the join shuffles on."""
     if fingerprint_col is None:
         from colnade_spark.operators.text import fingerprint
 
@@ -127,14 +137,34 @@ def corpus_diff(
         )
     # presence is tracked by explicit markers, NOT by fingerprint
     # nullness — a NULL-text row fingerprints to NULL, and deriving
-    # status from the fingerprint would misread it as absent
-    o = fp(old).withColumnRenamed("_fp", "_fp_old").withColumn(
-        "_in_old", F.lit(True)
-    )
-    n = fp(new).withColumnRenamed("_fp", "_fp_new").withColumn(
-        "_in_new", F.lit(True)
-    )
-    j = o.join(n, id_col, "full_outer")
+    # status from the fingerprint would misread it as absent. The
+    # marker doubles as the duplicate-id guard: it lives inside an
+    # expression every status decision consumes, so the optimizer
+    # cannot prune it (a standalone assert column would be).
+    def side(d: DataFrame, name: str) -> DataFrame:
+        marker = F.when(
+            F.col("_dup_n") > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"corpus_diff: duplicate {id_col} in the"
+                        f" {name} snapshot: "
+                    ),
+                    F.col(id_col).cast("string"),
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+        return (
+            fp(d)
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("_dup_n"),
+                F.max("_fp").alias(f"_fp_{name}"),
+            )
+            .select(id_col, f"_fp_{name}", marker.alias(f"_in_{name}"))
+        )
+
+    j = side(old, "old").join(side(new, "new"), id_col, "full_outer")
     status = (
         F.when(F.col("_in_old").isNull(), "added")
         .when(F.col("_in_new").isNull(), "removed")
@@ -212,6 +242,7 @@ def corpus_card(
 
 def changed_rows_gate(
     new: DataFrame,
+    *,
     old: DataFrame,
     id_col: str = "doc_id",
     fingerprint_col: str | None = None,
@@ -232,6 +263,13 @@ def changed_rows_gate(
     append-mode legal (pinned by the streaming test) — each micro-batch
     gates against the frozen snapshot with no streaming state.
 
+    ``old`` is keyword-only (``corpus_diff`` reads (old, new=...);
+    this gate's primary input is the incoming frame — a positional
+    second snapshot could be silently transposed between the two).
+    Duplicate ids in ``old`` RAISE: a new row matching two old rows
+    would duplicate its payload through the left join. Duplicate ids
+    in ``new`` are fine — each incoming row gates independently.
+
     Scale (100 TB): the old side is ids+fingerprints only (broadcast
     when the reference slice is small; a key-partitioned shuffle
     otherwise); new rows carry their payload once, and only churn
@@ -242,6 +280,13 @@ def changed_rows_gate(
             " snapshot; pass a different status_col (withColumn would"
             " clobber the payload and the output would carry two"
             " identically named columns)"
+        )
+    clash = sorted({"_crg_fp", "_crg_in_old", "_crg_new_fp"} & set(new.columns))
+    if clash:
+        raise ValueError(
+            f"columns {clash} in the incoming frame collide with"
+            " changed_rows_gate's internal staging names; rename them"
+            " upstream (withColumn would silently clobber the payload)"
         )
     if fingerprint_col is None:
         from colnade_spark.operators.text import fingerprint
@@ -255,7 +300,34 @@ def changed_rows_gate(
         old_fp = old.select(
             F.col(id_col), F.col(fingerprint_col).alias("_crg_fp")
         )
-    old_fp = old_fp.withColumn("_crg_in_old", F.lit(True))
+    # one aggregate over the ids+fingerprints side: the presence marker
+    # doubles as a duplicate-id guard (consumed by every status
+    # decision, so it cannot be pruned), exactly as in corpus_diff
+    old_fp = (
+        old_fp.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("_dup_n"),
+            F.max("_crg_fp").alias("_crg_fp"),
+        )
+        .select(
+            id_col,
+            "_crg_fp",
+            F.when(
+                F.col("_dup_n") > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"changed_rows_gate: duplicate {id_col} in"
+                            " the old snapshot: "
+                        ),
+                        F.col(id_col).cast("string"),
+                    )
+                ).cast("boolean"),
+            )
+            .otherwise(F.lit(True))
+            .alias("_crg_in_old"),
+        )
+    )
     staged = new.withColumn("_crg_new_fp", new_fp).join(
         old_fp, id_col, "left"
     )

@@ -202,6 +202,22 @@ def write_training_shards(
         .agg(F.count(F.lit(1)))
         .collect()
     }
+    # under spark.sql.sources.partitionOverwriteMode=dynamic only the
+    # shard=i directories present in THIS write are replaced: a
+    # re-shard to fewer shards leaves the old tail directories on disk,
+    # and counting the written tree would fold their stale rows into
+    # the fresh manifest (verify would then bless the stale data).
+    # Refuse instead — the caller must clear the tree (or use static
+    # overwrite) before shrinking n_shards.
+    extra = set(per_shard) - {str(i) for i in range(n_shards)}
+    if extra:
+        raise ValueError(
+            f"stale shard directories {sorted(extra)} at {path} after a"
+            f" write with n_shards={n_shards}; a dynamic-overwrite"
+            " re-shard to fewer shards leaves old shard=i directories"
+            " behind — delete the tree (or use static"
+            " partitionOverwriteMode) before re-sharding"
+        )
     write_table_manifest(
         spark,
         path,

@@ -621,14 +621,15 @@ class CorpusDiffRows(Schema):
     status: Column[Utf8]
 
 
-def corpus_diff(old, new, **kwargs) -> DataFrame[CorpusDiffRows]:
+def corpus_diff(old, *, new, **kwargs) -> DataFrame[CorpusDiffRows]:
     """Typed corpus snapshot diff: (doc_id, added/removed/changed) by
-    content fingerprint (operators.report.corpus_diff)."""
+    content fingerprint (operators.report.corpus_diff; ``new`` is
+    keyword-only so the snapshots can't be silently transposed)."""
     from colnade_spark.operators import report as _report
 
     o = old.native if isinstance(old, DataFrame) else old
     n = new.native if isinstance(new, DataFrame) else new
-    return _typed(_report.corpus_diff(o, n, **kwargs), CorpusDiffRows)
+    return _typed(_report.corpus_diff(o, new=n, **kwargs), CorpusDiffRows)
 
 
 class CorpusCardRows(Schema):
@@ -701,12 +702,13 @@ def perplexity_bucket_select(
 
 
 def changed_rows_gate(
-    frame: DataFrame[S], old, **kwargs
+    frame: DataFrame[S], *, old, **kwargs
 ) -> DataFrame[S]:
     """Schema-preserving incremental-ingest gate: keep only the rows of
     ``frame`` that are added or changed vs the known ``old`` snapshot,
     dropping the internal status label
-    (operators.report.changed_rows_gate; stream-static append-legal)."""
+    (operators.report.changed_rows_gate; stream-static append-legal;
+    ``old`` is keyword-only so the snapshots can't be transposed)."""
     o = old.native if isinstance(old, DataFrame) else old
 
     def _apply(d):
@@ -714,7 +716,9 @@ def changed_rows_gate(
 
         from colnade_spark.operators import report as _report
 
-        out = _report.changed_rows_gate(d, o, status_col="_crg_s", **kwargs)
+        out = _report.changed_rows_gate(
+            d, old=o, status_col="_crg_s", **kwargs
+        )
         return out.drop("_crg_s")
 
     return frame.with_raw(_apply)

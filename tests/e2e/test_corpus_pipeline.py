@@ -318,7 +318,7 @@ def test_round5_observe_bucket_balance_pipeline(spark, docs, tmp_path):
             F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
         ).otherwise(F.col("text")),
     ).localCheckpoint()
-    diff = {r.status: r.n for r in report.corpus_diff(docs, new)
+    diff = {r.status: r.n for r in report.corpus_diff(docs, new=new)
             .groupBy("status").agg(F.count("*").alias("n")).collect()}
     n_removed = docs.filter("doc_id % 10 = 0").count()
     n_changed = new.filter("doc_id % 7 = 0").count()

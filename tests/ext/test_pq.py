@@ -298,6 +298,11 @@ def test_screen_gate_is_stateless_scan_shape(spark, sf_dir):
     # second literal was once missing its f-string prefix)
     with pytest.raises(ValueError, match=r"'nope'.*'embedding'"):
         pq_screen_gate(e, bench, books, threshold=0.55, code_col="nope")
+    with pytest.raises(ValueError, match="staging names"):
+        pq_screen_gate(
+            e.withColumn("_pq_screen_flag", F.lit(True)),
+            bench, books, threshold=0.55,
+        )
 
 
 def test_contamination_report_matches_reconstruct_dot(spark):
@@ -437,6 +442,13 @@ def test_residual_screen_trained_separation_and_shapes(spark, sf_dir):
         )
     with pytest.raises(ValueError, match="at least one query"):
         pq_residual_screen_flags(codes, [], books, cents, 0.5)
+    # a payload column named like an internal staging column would be
+    # clobbered then re-selected into the output — rejected instead
+    with pytest.raises(ValueError, match="staging names"):
+        pq_residual_screen_gate(
+            e.withColumn("_prs_adc", F.lit(1.0)),
+            bench, books, cents, threshold=thr,
+        )
 
 
 def test_residual_contamination_report_matches_flags(spark, sf_dir):

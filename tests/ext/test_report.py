@@ -53,7 +53,7 @@ def test_corpus_diff_hand_checked(spark):
         [(2, "beta"), (3, "GAMMA EDITED"), (4, "delta x"), (5, "new doc")],
         ["doc_id", "text"],
     )
-    got = {r.doc_id: r.status for r in report.corpus_diff(old, new).collect()}
+    got = {r.doc_id: r.status for r in report.corpus_diff(old, new=new).collect()}
     # 4 is unchanged under the normalized fingerprint (whitespace fold)
     assert got == {1: "removed", 3: "changed", 5: "added"}
     # explicit fingerprint column: raw text compare makes 4 a change
@@ -61,7 +61,7 @@ def test_corpus_diff_hand_checked(spark):
     n2 = new.withColumn("fp", new.text)
     got2 = {
         r.doc_id: r.status
-        for r in report.corpus_diff(o2, n2, fingerprint_col="fp").collect()
+        for r in report.corpus_diff(o2, new=n2, fingerprint_col="fp").collect()
     }
     assert got2 == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
 
@@ -80,7 +80,7 @@ def test_corpus_diff_null_text_rows(spark):
     new = spark.createDataFrame(
         [(1, None), (3, "now real"), (4, None)], ["doc_id", "text"]
     ).withColumn("text", F.col("text").cast("string"))
-    got = {r.doc_id: r.status for r in report.corpus_diff(old, new).collect()}
+    got = {r.doc_id: r.status for r in report.corpus_diff(old, new=new).collect()}
     assert got == {2: "removed", 3: "changed", 4: "changed"}
 
 
@@ -136,13 +136,13 @@ def test_changed_rows_gate_hand_checked(spark):
     )
     got = {
         r.doc_id: (r.status, r.text)
-        for r in report.changed_rows_gate(new, old).collect()
+        for r in report.changed_rows_gate(new, old=old).collect()
     }
     assert got == {2: ("changed", "now this"), 3: ("added", "brand new")}
     # composes with corpus_diff's add/change half exactly
     diff = {
         r.doc_id: r.status
-        for r in report.corpus_diff(old, new).collect()
+        for r in report.corpus_diff(old, new=new).collect()
         if r.status != "removed"
     }
     assert diff == {k: v for k, (v, _) in got.items()}
@@ -156,7 +156,71 @@ def test_changed_rows_gate_rejects_status_collision(spark):
     old = spark.createDataFrame([(1, "a", "ok")], ["doc_id", "text", "status"])
     new = spark.createDataFrame([(1, "b", "ok")], ["doc_id", "text", "status"])
     with pytest.raises(ValueError, match="already exists"):
-        report.changed_rows_gate(new, old)
+        report.changed_rows_gate(new, old=old)
     # a different status_col works and preserves the payload column
-    out = report.changed_rows_gate(new, old, status_col="churn").collect()
+    out = report.changed_rows_gate(new, old=old, status_col="churn").collect()
     assert out[0].status == "ok" and out[0].churn == "changed"
+
+
+def test_corpus_diff_raises_on_duplicate_ids(spark):
+    """Snapshots must be keyed: a duplicate id would fan out through
+    the full-outer join (old fps {A} vs new {A, B} emits both nothing
+    and a 'changed' row). Both sides raise instead of fanning out."""
+    from pyspark.errors import SparkRuntimeException
+
+    clean = spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "text"])
+    duped = spark.createDataFrame(
+        [(1, "a"), (1, "a2"), (2, "b")], ["doc_id", "text"]
+    )
+    with pytest.raises(SparkRuntimeException, match="duplicate doc_id.*new"):
+        report.corpus_diff(clean, new=duped).collect()
+    with pytest.raises(SparkRuntimeException, match="duplicate doc_id.*old"):
+        report.corpus_diff(duped, new=clean).collect()
+    # identical duplicate rows are STILL duplicate ids — same error
+    same = spark.createDataFrame([(1, "a"), (1, "a")], ["doc_id", "text"])
+    with pytest.raises(SparkRuntimeException, match="duplicate doc_id"):
+        report.corpus_diff(clean, new=same).collect()
+    # clean snapshots are unaffected
+    assert report.corpus_diff(clean, new=clean).count() == 0
+
+
+def test_changed_rows_gate_raises_on_duplicate_old_ids(spark):
+    """A new row matching two old rows would duplicate its payload
+    through the left join — the old side raises on duplicate ids.
+    Duplicate ids in NEW are legal (each incoming row gates alone)."""
+    from pyspark.errors import SparkRuntimeException
+
+    old = spark.createDataFrame(
+        [(1, "a"), (1, "other"), (2, "b")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame([(1, "a"), (3, "c")], ["doc_id", "text"])
+    with pytest.raises(SparkRuntimeException, match="duplicate doc_id.*old"):
+        report.changed_rows_gate(new, old=old).collect()
+    dup_new = spark.createDataFrame(
+        [(1, "x"), (1, "x")], ["doc_id", "text"]
+    )
+    clean_old = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    out = report.changed_rows_gate(dup_new, old=clean_old).collect()
+    assert [r.status for r in out] == ["changed", "changed"]
+
+
+def test_changed_rows_gate_rejects_staging_name_collision(spark):
+    """A payload column named like an internal staging column would be
+    silently clobbered and re-selected into the output — rejected."""
+    old = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    bad = spark.createDataFrame(
+        [(1, "b", "x")], ["doc_id", "text", "_crg_new_fp"]
+    )
+    with pytest.raises(ValueError, match="staging names"):
+        report.changed_rows_gate(bad, old=old)
+
+
+def test_snapshot_args_are_keyword_only():
+    """corpus_diff(old, new=...) / changed_rows_gate(new, old=...):
+    both operators accept any two same-shaped frames, so a positional
+    second snapshot could be transposed silently — it's a TypeError."""
+    import inspect
+
+    for fn, kw in ((report.corpus_diff, "new"), (report.changed_rows_gate, "old")):
+        p = inspect.signature(fn).parameters[kw]
+        assert p.kind is inspect.Parameter.KEYWORD_ONLY

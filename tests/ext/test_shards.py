@@ -226,3 +226,31 @@ def test_shards_manifest_survives_dynamic_overwrite_mode(spark, tmp_path):
         assert sum(mf["rows_per_shard"].values()) == 100
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def test_shrinking_reshard_under_dynamic_overwrite_refuses(spark, tmp_path):
+    """Dynamic overwrite only replaces the shard=i directories present
+    in the new write: shrinking n_shards leaves the old tail dirs on
+    disk. The writer must refuse (not fold the stale rows into a fresh
+    manifest that verify would then bless)."""
+    import pytest
+
+    from colnade_spark.operators.shards import verify_training_shards
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(100)], ["doc_id", "text"]
+    )
+    dest = str(tmp_path / "shards")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        write_training_shards(df, dest, n_shards=8, salt="a")
+        assert verify_training_shards(spark, dest)["n_shards"] == 8
+        with pytest.raises(ValueError, match="stale shard directories"):
+            write_training_shards(df, dest, n_shards=4, salt="a")
+        # same-width and growing re-shards still work (all old dirs
+        # are overwritten, nothing stale remains)
+        write_training_shards(df, dest, n_shards=8, salt="b")
+        assert verify_training_shards(spark, dest)["salt"] == "b"
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -234,7 +234,7 @@ def test_round5_report_facades(spark, docs):
 
     # corpus diff: pinned CorpusDiffRows
     new = docs.native.filter("doc_id % 10 != 0")
-    diff = typed.corpus_diff(docs.native, new)
+    diff = typed.corpus_diff(docs.native, new=new)
     assert diff.schema is typed.CorpusDiffRows
     assert {r.status for r in diff.rows()} == {"removed"}
     assert diff.filter(typed.CorpusDiffRows.status == "removed").height > 0
@@ -285,7 +285,7 @@ def test_round5_gate_facades(spark, docs, sf_dir):
             ).otherwise(F.col("text")),
         )
     )
-    gated = typed.changed_rows_gate(changed, docs.native)
+    gated = typed.changed_rows_gate(changed, old=docs.native)
     assert gated.schema is Documents
     assert gated.height == changed.filter(Documents.doc_id % 4 == 0).height
 

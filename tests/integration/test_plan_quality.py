@@ -612,7 +612,7 @@ def test_round5_ops_plan_shapes(spark, sf_dir):
 
     # corpus_diff: the join's input projections carry id+fingerprint
     # only — the raw text column must not appear above the scans
-    diff = report.corpus_diff(docs, docs.withColumn("doc_id", F.col("doc_id") + 1))
+    diff = report.corpus_diff(docs, new=docs.withColumn("doc_id", F.col("doc_id") + 1))
     fplan = _spark_plan(diff)
     assert "FullOuter" in fplan, fplan
     # what crosses the shuffles is (id, fingerprint) only — no raw text:

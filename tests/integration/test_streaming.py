@@ -521,10 +521,12 @@ def test_pq_screen_gate_is_stateless_on_streams(spark, sf_dir):
 
 def test_pq_contamination_report_streams_as_aggregation(spark, sf_dir):
     """The graded PQ contamination report runs on a stream unchanged:
-    the scan side (encode + literal-LUT ADCs + posexplode) is stateless
-    and the per-query aggregate is a standard streaming aggregation
-    (complete mode, |queries| groups of state) — a streamed embeddings
-    source reports exactly what the batch report says."""
+    the scan side (encode + literal-LUT ADCs) is stateless and the one
+    wide ungrouped aggregate (hit-count/max per query in a single
+    buffer row, exploded to per-query rows after) is a standard
+    streaming aggregation (complete mode, one row of state) — a
+    streamed embeddings source reports exactly what the batch report
+    says."""
     from pyspark.sql import functions as F
 
     from colnade_spark.operators.pq import (
@@ -715,14 +717,14 @@ def test_changed_rows_gate_is_append_legal_on_streams(spark, sf_dir, tmp_path):
     sf = scan_stream_parquet(src, Documents, spark=spark)
     name = f"t_{uuid.uuid4().hex[:8]}"
     _await(
-        sf.with_raw(lambda d: report.changed_rows_gate(d, old)).to_memory_sink(
+        sf.with_raw(lambda d: report.changed_rows_gate(d, old=old)).to_memory_sink(
             name, output_mode="append"
         )
     )
     got = {(r.doc_id, r.status) for r in spark.table(name).collect()}
     want = {
         (r.doc_id, r.status)
-        for r in report.changed_rows_gate(incoming, old).collect()
+        for r in report.changed_rows_gate(incoming, old=old).collect()
     }
     assert got == want and len(got) > 0
     # every 3rd doc is added; every 5th (and not 3rd) is changed

@@ -107,7 +107,7 @@ def check_round5_facades(frame: DataFrame[Corpus]) -> list[float]:
 
 
 def check_round5_report_facades(frame: DataFrame[Corpus]) -> list[int]:
-    diff: DataFrame[typed.CorpusDiffRows] = typed.corpus_diff(frame, frame)
+    diff: DataFrame[typed.CorpusDiffRows] = typed.corpus_diff(frame, new=frame)
     _ = diff.filter(typed.CorpusDiffRows.status == "changed")
     card: DataFrame[typed.CorpusCardRows] = typed.corpus_card(frame)
     pii: DataFrame[typed.PiiCountRows] = typed.pii_counts(frame)
