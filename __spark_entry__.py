@@ -431,6 +431,12 @@ def dedup_fingerprint_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 def dedup_minhash_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """MinHash-LSH near-dedup survivors. FULLY ORACLED since round 6: the
+    vectorized signature path (polynomial shingle hash → murmur mix →
+    affine rehash → min, all mod 2^64) is replayed exactly in DuckDB with
+    HUGEINT split-multiply arithmetic (see _minhash_oracle_sql), banding
+    replayed as band-slice equality (xxhash64 band keys are injective up
+    to ~2^-64 collisions), survivors bit-equal at both SFs."""
     return dedup.dedup_minhash(_docs(spark, sf_dir), threshold=0.8)
 
 
@@ -963,7 +969,13 @@ def dsir_sample_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 def image_features_stub(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Multimodal plumbing over mapInPandas with the deterministic fake
-    decoder (media payload synthesized from document text bytes)."""
+    decoder (media payload synthesized from document text bytes).
+
+    FULLY ORACLED since round 6: the fake decoder is a sha256 counter-mode
+    expansion with an ASCII counter suffix, and the feature math is the
+    integer-moment / integer-phash formulation (multimodal.py) — so DuckDB
+    rebuilds the 768 image bytes from sha256(text || ':' || i) hex and
+    replays width/height/mean/std/phash bit-for-bit, UDF path included."""
     media = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
     )
@@ -1083,12 +1095,29 @@ class OrdersOfBuilding(Schema):
 
 def approx_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Sketch-based stats for 100 TB interactive profiling: HLL distinct +
-    t-digest-style quantile. No oracle (sketches are engine-specific);
-    the exact twins are global_agg and quantiles_totalprice."""
+    t-digest-style quantile, emitted as a DRIVER-VERIFIABLE projection.
+
+    The sketch estimates themselves are engine-specific (not SQL-
+    expressible), so the query computes them AND their exact twins in one
+    aggregation and emits the exact values plus within-tolerance booleans —
+    bit-exact columns a DuckDB oracle replays as (exact, TRUE, TRUE). A
+    broken sketch path (wrong column, garbage estimate, lost rows) flips a
+    boolean and hash-mismatches. Tolerances: approx_count_distinct's
+    default rsd is 0.05 (observed 6.7% @sf0.01, 5.1% @sf0.1 → bound 0.15);
+    percentile_approx at accuracy 10000 observed ≤ 1.2e-4 → bound 0.005.
+    Raw-estimate surface stays available via the same built-ins
+    (tests/ext/test_sketches.py)."""
     o = _load(spark, sf_dir, "orders", Orders).native
+    exact_med = F.expr("percentile(o_totalprice, 0.5)").cast("double")
+    approx_med = F.percentile_approx("o_totalprice", 0.5, 10000).cast("double")
     return o.agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers"),
-        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        exact_med.alias("exact_median"),
+        (
+            F.abs(F.approx_count_distinct("o_custkey") - F.countDistinct("o_custkey"))
+            <= 0.15 * F.countDistinct("o_custkey")
+        ).alias("customers_ok"),
+        (F.abs(approx_med - exact_med) <= 0.005 * exact_med).alias("median_ok"),
     )
 
 
@@ -2226,10 +2255,16 @@ def _kmeans_oracle_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
 def sketch_rollup_users(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Mergeable HLL sketch table: one scan builds per-(event_type, day)
     binary sketches; the per-type distinct-user estimate comes from
-    LOSSLESS sketch union (== direct estimate, pinned by test), never a
-    rescan. No DuckDB oracle by nature (DataSketches HLL binary); the
-    exact twin of the semantics is countDistinct, tested at 5% tolerance
-    in tests/ext/test_sketches.py."""
+    LOSSLESS sketch union, never a rescan.
+
+    Emitted as a DRIVER-VERIFIABLE projection: the DataSketches binary and
+    its estimate aren't SQL-expressible, so the query joins the rolled-up
+    estimate against the exact per-type countDistinct and emits the exact
+    value plus a within-5%-tolerance boolean (observed union-estimate error
+    0% @sf0.01, 0.8% @sf0.1). The oracle replays (exact, TRUE); a broken
+    build/merge/estimate path flips the boolean. Raw estimate surface +
+    estimate==direct-estimate losslessness stay pinned in
+    tests/ext/test_sketches.py."""
     from colnade_spark.operators.sketches import (
         build_sketch_table,
         estimate,
@@ -2241,7 +2276,18 @@ def sketch_rollup_users(spark: SparkSession, sf_dir: str) -> SparkDF:
         "day", F.to_date("ts")
     )
     daily = build_sketch_table(ev, ["event_type", "day"], "user_id")
-    return estimate(merge_sketch_table(daily, ["event_type"]))
+    est = estimate(merge_sketch_table(daily, ["event_type"]))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("n_distinct_est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_5pct"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2474,16 +2520,57 @@ def entry(spark: SparkSession) -> SparkDF:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+# Entries added or semantically changed in the CURRENT round — they lead
+# the driver's bounded sweep so the newest code gets certified first.
+# Update this tuple each round; everything else rotates automatically.
+_ROUND_CHANGED: tuple[str, ...] = (
+    "dedup_minhash_ids",  # round 6: full mod-2^64 oracle (was rows-only)
+    "image_features_stub",  # round 6: integer-moment/phash reformulation + oracle
+    "approx_stats",  # round 6: reshaped to exact+tolerance projection
+    "sketch_rollup_users",  # round 6: reshaped to exact+tolerance projection
+)
+
+
+def _driver_check_rounds() -> dict[str, int]:
+    """name -> latest driver round whose CORRECTNESS_r*.json row contains
+    the entry (i.e. the round the driver last checked it). Read from the
+    files the driver drops next to this module, so the recertification
+    rotation below needs no hand-maintained history and keeps working in
+    future rounds without edits. Missing/unparsable files mean 'never
+    checked' — those entries sort first."""
+    import json as _json
+    import re as _re
+    from pathlib import Path
+
+    out: dict[str, int] = {}
+    for p in Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json"):
+        m = _re.fullmatch(r"CORRECTNESS_r(\d+)", p.stem)
+        if not m:
+            continue
+        try:
+            data = _json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        rnd = int(m.group(1))
+        for name in data:
+            out[name] = max(out.get(name, 0), rnd)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
-    # Ordered so the driver's bounded correctness sweep (~50 entries per
-    # round) reaches the least-verified queries first: round-5 additions
-    # (never driver-checked) lead, then this round's modified queries
-    # (curation scalar reshape, recall-oracle ranking fix, temperature
-    # NULL-source fix), then the driver-green backlog (newest
-    # verification last). Every other entry has a green driver row from
-    # some prior round.
-    return {
-        # --- round-5 additions (never driver-checked) ---
+    # Recertification rotation: the driver's bounded correctness sweep
+    # only reaches the first ~50 entries each round, so the dict is
+    # ordered (this round's new/changed entries) ++ (never driver-checked)
+    # ++ (least-recently-driver-checked first, from the CORRECTNESS_r*.json
+    # history). Each round the sweep therefore re-certifies the ~46 stalest
+    # entries after the new ones, and every entry's driver row stays at
+    # most ~3 rounds old. The literal dict below is the REGISTRY (grouped
+    # by the round that introduced each entry); the returned order is
+    # computed, and scripts/check_registry_docs.py gates the invariant.
+    registry: dict[str, Callable[[SparkSession, str], SparkDF]] = {
+        # --- round-5 additions ---
         "curation_summary_docs": curation_summary_docs,
         "media_format_mismatch_docs": media_format_mismatch_docs,
         "media_byte_stats_docs": media_byte_stats_docs,
@@ -2619,6 +2706,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "sessionize": sessionize,
         "winnow_sketch": winnow_sketch,
     }
+    checked = _driver_check_rounds()
+    lead = [n for n in _ROUND_CHANGED if n in registry]
+    lead_set = set(lead)
+    rest = sorted(
+        (n for n in registry if n not in lead_set),
+        key=lambda n: (checked.get(n, -1), n),
+    )
+    return {n: registry[n] for n in (*lead, *rest)}
 
 
 _NORM_TEXT = (
@@ -3068,6 +3163,136 @@ def _centroid_sql(c: list[float]) -> str:
     return "[" + ", ".join(repr(v) for v in c) + "]::DOUBLE[]"
 
 
+def _mulmod64(a: str, b: str) -> str:
+    """HUGEINT a·b mod 2^64 for a, b in [0, 2^64): split a into 32-bit
+    halves so no intermediate exceeds 2^96 (int128-safe) — the trick that
+    makes numpy's wrapping uint64 arithmetic SQL-expressible."""
+    return (
+        f"((({a}) & 4294967295) * ({b}) + (((({a}) >> 32) * ({b}))"
+        f" % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT"
+    )
+
+
+def _minhash_oracle_sql(
+    num_hashes: int = 96, shingle_k: int = 5, seed: int = 42, bands: int = 16,
+    threshold: float = 0.8,
+) -> str:
+    """Exact DuckDB replay of dedup.dedup_minhash's vectorized path
+    (dedup.py _minhash_full_udf): normalized text → k-byte sliding windows
+    → polynomial hash (FNV-ish multiplier P, mod 2^64) → murmur mix →
+    distinct → num_hashes affine rehashes (A·h+B mod 2^64, same mix) →
+    per-function min → LSH banding → est-Jaccard ≥ threshold drops the
+    larger id. All arithmetic runs in HUGEINT on [0, 2^64); logical shifts
+    and xor are exact there; banding compares band SLICES directly (the
+    Spark side keys on xxhash64 of the slice, identical up to a ~n²/2^64
+    collision that would also need 77/96 matching components to matter).
+    Signatures verified bit-equal to the UDF at both SFs (round 6)."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    A = [rng.randrange(1, 1 << 62) | 1 for _ in range(num_hashes)]
+    B = [rng.randrange(1 << 62) for _ in range(num_hashes)]
+    P = 1099511628211
+    pows = [pow(P, shingle_k - 1 - j, 1 << 64) for j in range(shingle_k)]
+    C = f"{0xFF51AFD7ED558CCD}::HUGEINT"
+    m64 = "18446744073709551616::HUGEINT"
+    rows = num_hashes // bands
+    min_match = -(-int(threshold * num_hashes * 1000000) // 1000000)  # ceil
+    poly = " + ".join(
+        f"ascii(substr(nt, i + {j}, 1))::HUGEINT * {pows[j]}::HUGEINT"
+        for j in range(shingle_k)
+    )
+    ab_rows = ", ".join(
+        f"({i}, {A[i]}::HUGEINT, {B[i]}::HUGEINT)" for i in range(num_hashes)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {_NORM_TEXT} AS nt FROM documents),
+win AS (
+  SELECT doc_id, ({poly}) % {m64} AS p0
+  FROM d, unnest(range(1, greatest(length(nt) - {shingle_k - 2}, 1))) AS w(i)
+  WHERE nt IS NOT NULL AND length(nt) >= {shingle_k}
+  UNION ALL
+  SELECT doc_id, NULL::HUGEINT AS p0 FROM d
+  WHERE nt IS NULL OR length(nt) < {shingle_k}),
+m1 AS (SELECT doc_id, xor(p0, p0 >> 33) AS t FROM win),
+m2 AS (SELECT doc_id, {_mulmod64('t', C)} AS t FROM m1),
+sh AS (SELECT DISTINCT doc_id, coalesce(xor(t, t >> 29), 0::HUGEINT) AS h FROM m2),
+ab(i, a, b) AS (VALUES {ab_rows}),
+y0 AS (SELECT doc_id, ab.i, ({_mulmod64('ab.a', 'sh.h')} + ab.b) % {m64} AS t
+       FROM sh CROSS JOIN ab),
+y1 AS (SELECT doc_id, i, xor(t, t >> 33) AS t FROM y0),
+y2 AS (SELECT doc_id, i, {_mulmod64('t', C)} AS t FROM y1),
+sig AS (SELECT doc_id, i, min(xor(t, t >> 29)) AS comp FROM y2 GROUP BY doc_id, i),
+band AS (
+  SELECT doc_id, i // {rows} AS band,
+         CAST(list(comp ORDER BY i) AS VARCHAR) AS bkey
+  FROM sig GROUP BY doc_id, i // {rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM band a JOIN band b ON a.band = b.band AND a.bkey = b.bkey
+   AND a.doc_id < b.doc_id),
+est AS (
+  SELECT c.id_a, c.id_b, count(*) FILTER (sa.comp = sb.comp) AS matches
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+  GROUP BY c.id_a, c.id_b),
+dups AS (SELECT DISTINCT id_b AS doc_id FROM est WHERE matches >= {min_match})
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+"""
+
+
+def _image_features_oracle_sql(size: int = 16) -> str:
+    """Exact DuckDB replay of image_features over fake_decode_image
+    (multimodal.py): rebuild the size²·3 fake-image bytes from the sha256
+    counter-mode hex chain (ASCII ':i' suffix ⇒ VARCHAR sha256 replays the
+    BLOB digests), then width/height literals, integer-moment mean/std
+    (the UDF's fixed IEEE op sequence), and the integer phash (bit i set
+    iff 64·block_gray3_sum > total_gray3_sum, two's-complement packed)."""
+    need = size * size * 3
+    nblocks = (need + 31) // 32
+    hx = " || ".join(
+        f"sha256(coalesce(text, '') || ':{i}')" for i in range(nblocks)
+    )
+    npix = size * size
+    bh = max(size // 8, 1)  # block height/width in pixels (=2 at size 16)
+    # block (R=i//8, C=i%8) covers pixel rows 2R..2R+1, cols 2C..2C+1 of the
+    # row-major size×size grid; g3 is 1-indexed.
+    bs = (
+        f"list_transform(range(0, 64), i -> "
+        f"g3[((i // 8) * {bh}) * {size} + (i % 8) * {bh} + 1]"
+        f" + g3[((i // 8) * {bh}) * {size} + (i % 8) * {bh} + 2]"
+        f" + g3[((i // 8) * {bh} + 1) * {size} + (i % 8) * {bh} + 1]"
+        f" + g3[((i // 8) * {bh} + 1) * {size} + (i % 8) * {bh} + 2])"
+    )
+    return f"""
+WITH h AS (SELECT doc_id AS media_id, {hx} AS hx FROM documents),
+b AS (
+  SELECT media_id,
+    list_transform(range(0, {need}), k ->
+      (strpos('0123456789abcdef', substr(hx, 2 * k + 1, 1)) - 1) * 16
+      + strpos('0123456789abcdef', substr(hx, 2 * k + 2, 1)) - 1) AS bl
+  FROM h),
+m AS (
+  SELECT media_id,
+    list_sum(bl)::BIGINT AS s,
+    list_sum(list_transform(bl, v -> v * v))::BIGINT AS ss,
+    list_transform(range(0, {npix}), p ->
+      bl[3 * p + 1] + bl[3 * p + 2] + bl[3 * p + 3]) AS g3
+  FROM b),
+ph AS (SELECT media_id, s, ss, {bs} AS bs FROM m)
+SELECT media_id,
+  {size} AS width, {size} AS height,
+  s / {need}.0 AS mean_intensity,
+  sqrt((ss - (s * s) / {need}.0) / {need}.0) AS std_intensity,
+  (list_sum(list_transform(range(0, 63), i ->
+     CASE WHEN 64 * bs[i + 1] > s THEN (1::BIGINT << i) ELSE 0::BIGINT END))
+   + CASE WHEN 64 * bs[64] > s THEN -9223372036854775807 - 1 ELSE 0 END
+  )::BIGINT AS phash
+FROM ph
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     toks = _TOKENS.format(col="text")
     toks_lower = _TOKENS.format(col="lower(text)")
@@ -3195,6 +3420,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_fingerprint_ids": f"""
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY {_NORM_TEXT}
+        """,
+        "dedup_minhash_ids": _minhash_oracle_sql(
+            num_hashes=96, shingle_k=5, seed=42, bands=16, threshold=0.8
+        ),
+        "image_features_stub": _image_features_oracle_sql(size=16),
+        "approx_stats": """
+            SELECT count(DISTINCT o_custkey) AS exact_customers,
+                   quantile_cont(o_totalprice, 0.5) AS exact_median,
+                   TRUE AS customers_ok, TRUE AS median_ok
+            FROM orders
+        """,
+        "sketch_rollup_users": """
+            SELECT event_type, count(DISTINCT user_id) AS exact_users,
+                   TRUE AS within_5pct
+            FROM events GROUP BY event_type
         """,
         "text_quality": f"""
             SELECT doc_id,

@@ -16,6 +16,7 @@ media bytes.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Callable, Iterator
 from typing import Any
 
@@ -76,24 +77,34 @@ def fake_decode_image(payload: bytes, size: int = 16) -> np.ndarray:
     tests and oracle checks."""
     # counter-mode expansion: each 32-byte block gets its own digest, so
     # the fake image has full entropy (a single tiled digest made every
-    # 8-row block identical — degenerate phashes with frequent collisions)
+    # 8-row block identical — degenerate phashes with frequent collisions).
+    # The counter suffix is ASCII (":i", not packed bytes) so a SQL oracle
+    # can replay the expansion with VARCHAR sha256 (DuckDB's sha256 does
+    # not accept BLOB): sha256(text || ':' || i) over the UTF-8 payload.
     need = size * size * 3
     blocks = []
     for i in range((need + 31) // 32):
         blocks.append(
-            hashlib.sha256((payload or b"") + i.to_bytes(4, "big")).digest()
+            hashlib.sha256((payload or b"") + b":" + str(i).encode()).digest()
         )
     raw = np.frombuffer(b"".join(blocks), dtype=np.uint8)
     return raw[:need].reshape(size, size, 3)
 
 
 def _phash64(img: np.ndarray) -> int:
-    """Tiny perceptual-hash: 8x8 mean-threshold bits of the grayscale image."""
-    gray = img.mean(axis=2)
-    h, w = gray.shape
+    """Tiny perceptual-hash: 8x8 mean-threshold bits of the grayscale image.
+
+    Integer formulation (block GRAY-SUM × 64 vs total gray-sum over the
+    truncated region — identical bits to block-mean > mean-of-block-means
+    for equal-size blocks): exact, tie-stable, and replayable in integer
+    SQL, where the float version's ~1e-12 rounding could flip a bit on an
+    exact rational tie."""
+    g3 = img.astype(np.int64).sum(axis=2)  # 3 x gray, exact integers
+    h, w = g3.shape
     bh, bw = max(h // 8, 1), max(w // 8, 1)
-    blocks = gray[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
-    bits = (blocks > blocks.mean()).flatten()
+    t = g3[: bh * 8, : bw * 8]
+    blocks = t.reshape(8, bh, 8, bw).sum(axis=(1, 3))
+    bits = (blocks * 64 > int(t.sum())).flatten()
     out = 0
     for i, b in enumerate(bits):
         if b:
@@ -127,8 +138,15 @@ def image_features(
                 out["media_id"].append(mid)
                 out["height"].append(img.shape[0])
                 out["width"].append(img.shape[1])
-                out["mean_intensity"].append(float(img.mean()))
-                out["std_intensity"].append(float(img.std()))
+                # integer-moment formulation: sum / sum-of-squares are exact
+                # int64, so mean and std reduce to a FIXED sequence of IEEE
+                # ops — bit-reproducible by a SQL oracle, unlike np.mean/
+                # np.std whose pairwise-summation order is private.
+                n = float(img.size)
+                s = int(img.sum(dtype=np.int64))
+                ss = int((img.astype(np.int64) ** 2).sum())
+                out["mean_intensity"].append(s / n)
+                out["std_intensity"].append(math.sqrt((ss - s * s / n) / n))
                 out["phash"].append(_phash64(img))
             yield pd.DataFrame(out)
 

@@ -37,16 +37,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# queries whose outputs are non-SQL-expressible by nature (minhash
-# signatures are mod-2^64 arithmetic DuckDB can't wrap; HLL/t-digest
-# binaries; the stubbed media decoder); the driver records a weaker
-# rows-only check for these and COVERAGE.md marks them `rows`
-ROWS_ONLY = {
-    "dedup_minhash_ids",
-    "image_features_stub",
-    "approx_stats",
-    "sketch_rollup_users",
-}
+# queries whose outputs are non-SQL-expressible by nature; the driver
+# records a weaker rows-only check for these and COVERAGE.md marks them
+# `rows`. Emptied in round 6: minhash's mod-2^64 arithmetic is replayed
+# with HUGEINT split-multiplies, the fake image decoder with VARCHAR
+# sha256 + integer moments, and the HLL/t-digest entries now emit exact
+# values + within-tolerance booleans — all 127 entries carry full oracles.
+ROWS_ONLY: set[str] = set()
 
 
 def main() -> int:
@@ -72,6 +69,32 @@ def main() -> int:
     for k in bench.HEADLINE:
         if k not in q:
             problems.append(f"bench HEADLINE entry {k!r} has no queries() entry")
+
+    # recertification-rotation invariant: this round's new/changed entries
+    # lead, then everything else ascending by last-driver-checked round
+    # (never-checked = -1 first) with name tiebreak — so the driver's
+    # bounded sweep always reaches the stalest certifications
+    from __spark_entry__ import _ROUND_CHANGED, _driver_check_rounds, queries as _q
+
+    order = list(_q())
+    lead = [n for n in _ROUND_CHANGED if n in set(order)]
+    if order[: len(lead)] != lead:
+        problems.append(
+            "queries() must lead with _ROUND_CHANGED entries, got"
+            f" {order[:len(lead)]!r}"
+        )
+    checked = _driver_check_rounds()
+    rest_keys = [
+        (checked.get(n, -1), n) for n in order[len(lead):] if n not in set(lead)
+    ]
+    if rest_keys != sorted(rest_keys):
+        bad = next(
+            (a, b) for a, b in zip(rest_keys, rest_keys[1:]) if a > b
+        )
+        problems.append(
+            f"queries() rotation order violated around {bad!r} — stale"
+            " entries must come first"
+        )
 
     # every headline query needs a committed plan-signature snapshot
     # (scripts/plan_signatures.py --update) — the import-only twin of the
