@@ -1618,6 +1618,37 @@ def corpus_card_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def corpus_card_approx_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """The datasheet's scan-side twin, driver-verified: corpus_card_approx
+    (percentile_approx in one hash agg — NO per-group sort window, plan-
+    gated) joined against the exact card, emitting the exact counts/mass
+    plus within-5%-of-exact booleans per quantile. GK at accuracy 10000 is
+    rank-exact below 10k rows/group (observed approx == exact at both
+    SFs), so the 5% bound has enormous margin; the oracle replays
+    (exact, TRUE, TRUE)."""
+    from colnade_spark.operators import report
+
+    docs = _docs_spread(spark, sf_dir)
+    ex = report.corpus_card(docs, group_col="lang", size_col="n_chars")
+    ap = report.corpus_card_approx(docs, group_col="lang", size_col="n_chars")
+    exr = ex.select(
+        F.col("lang"),
+        F.col("q_50").alias("_ex_q50"),
+        F.col("q_90").alias("_ex_q90"),
+    )
+    return ap.join(exr, "lang").select(
+        "lang",
+        "n_docs",
+        "total_size",
+        (F.abs(F.col("q_50") - F.col("_ex_q50")) <= 0.05 * F.col("_ex_q50")).alias(
+            "q50_ok"
+        ),
+        (F.abs(F.col("q_90") - F.col("_ex_q90")) <= 0.05 * F.col("_ex_q90")).alias(
+            "q90_ok"
+        ),
+    )
+
+
 def curation_summary_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     """The one-screen pipeline health check over the same three gates:
     how many documents each gate fired on (a doc failing two gates
@@ -2524,6 +2555,7 @@ def entry(spark: SparkSession) -> SparkDF:
 # the driver's bounded sweep so the newest code gets certified first.
 # Update this tuple each round; everything else rotates automatically.
 _ROUND_CHANGED: tuple[str, ...] = (
+    "corpus_card_approx_docs",  # round 6: new (approx-card tolerance audit)
     "dedup_minhash_ids",  # round 6: full mod-2^64 oracle (was rows-only)
     "image_features_stub",  # round 6: integer-moment/phash reformulation + oracle
     "approx_stats",  # round 6: reshaped to exact+tolerance projection
@@ -2570,6 +2602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
     # by the round that introduced each entry); the returned order is
     # computed, and scripts/check_registry_docs.py gates the invariant.
     registry: dict[str, Callable[[SparkSession, str], SparkDF]] = {
+        # --- round-6 additions ---
+        "corpus_card_approx_docs": corpus_card_approx_docs,
         # --- round-5 additions ---
         "curation_summary_docs": curation_summary_docs,
         "media_format_mismatch_docs": media_format_mismatch_docs,
@@ -4471,6 +4505,13 @@ def oracle_sql() -> dict[str, str]:
               max(CASE WHEN rk = (n * 50 + 99) // 100 THEN sz END) AS q_50,
               max(CASE WHEN rk = (n * 90 + 99) // 100 THEN sz END) AS q_90
             FROM r GROUP BY lang
+        """,
+        "corpus_card_approx_docs": """
+            SELECT coalesce(CAST(lang AS VARCHAR), '__null__') AS lang,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_size,
+              TRUE AS q50_ok, TRUE AS q90_ok
+            FROM documents GROUP BY 1
         """,
         "curation_summary_docs": f"""
             WITH {_curation_cte()},

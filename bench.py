@@ -101,6 +101,7 @@ HEADLINE = [
     "pq_contamination_bench",
     "corpus_diff_docs",
     "corpus_card_docs",
+    "corpus_card_approx_docs",
     "ppl_bucketed_docs",
     "pii_count_stats",
     "changed_docs_gate",

@@ -30,6 +30,7 @@ __all__ = [
     "curation_summary",
     "corpus_diff",
     "corpus_card",
+    "corpus_card_approx",
     "changed_rows_gate",
 ]
 
@@ -238,6 +239,46 @@ def corpus_card(
         )
         aggs.append(q.alias(f"q_{p}"))
     return ranked.groupBy(F.col("_cc_g").alias(group_col)).agg(*aggs)
+
+
+def corpus_card_approx(
+    df: DataFrame,
+    group_col: str = "lang",
+    size_col: str = "n_chars",
+    quantiles: tuple[int, ...] = (50, 90),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """``corpus_card``'s scan-side twin for groups too large to sort:
+    same output shape (group, n_docs, total_size, q_p...), but the
+    quantiles come from ``percentile_approx`` (Greenwald-Khanna sketch,
+    rank error ≤ n/``accuracy``) inside ONE hash aggregate — no
+    per-group sort window anywhere in the plan (gated by test), so a
+    single hot language/domain with billions of documents costs a
+    partial-aggregating shuffle of sketch buffers instead of a full
+    per-group sort. Use the exact card when groups fit the sort tier;
+    this one when they don't. Same NULL policy: NULL group keys report
+    under '__null__', NULL sizes raise (their quantile position would
+    be engine-dependent)."""
+    if not quantiles:
+        raise ValueError("corpus_card_approx requires at least one quantile")
+    for p in quantiles:
+        if not isinstance(p, int) or not 0 < p <= 100:
+            raise ValueError(f"quantile {p!r} must be an int percent in (0, 100]")
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    size = F.when(
+        F.col(size_col).isNull(),
+        F.raise_error(F.lit(f"corpus_card_approx: NULL {size_col} row")),
+    ).otherwise(F.col(size_col).cast("long"))
+    staged = df.select(g.alias("_cc_g"), size.alias("_cc_s"))
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_cc_s").cast("long").alias("total_size"),
+    ]
+    for p in quantiles:
+        aggs.append(
+            F.percentile_approx("_cc_s", p / 100.0, accuracy).alias(f"q_{p}")
+        )
+    return staged.groupBy(F.col("_cc_g").alias(group_col)).agg(*aggs)
 
 
 def changed_rows_gate(

@@ -124,6 +124,35 @@ def test_corpus_card_exact_quantiles(spark):
         report.corpus_card(df, quantiles=(0,))
 
 
+def test_corpus_card_approx_matches_exact_below_accuracy(spark):
+    """GK at accuracy >= group size is rank-exact, so the approx card
+    reproduces the exact card's shape and (here) values; NULL groups
+    report under __null__, NULL sizes raise, invalid quantiles raise —
+    the same policy surface as the exact card."""
+    rows = [("en", s) for s in [10, 20, 30, 40, 50, 60, 70, 80, 90, 100]]
+    rows += [("fr", s) for s in [5, 7, 9]]
+    rows += [(None, 42)]
+    df = spark.createDataFrame(rows, ["lang", "n_chars"])
+    exact = {r.lang: r for r in report.corpus_card(df).collect()}
+    approx = {r.lang: r for r in report.corpus_card_approx(df).collect()}
+    assert set(exact) == set(approx)
+    for k in exact:
+        assert (approx[k].n_docs, approx[k].total_size) == (
+            exact[k].n_docs,
+            exact[k].total_size,
+        )
+        # element-of-dataset guarantee + rank-exactness at this scale
+        assert abs(approx[k].q_50 - exact[k].q_50) <= 0.05 * exact[k].q_50
+        assert abs(approx[k].q_90 - exact[k].q_90) <= 0.05 * exact[k].q_90
+    with pytest.raises(ValueError):
+        report.corpus_card_approx(df, quantiles=())
+    with pytest.raises(ValueError):
+        report.corpus_card_approx(df, quantiles=(101,))
+    bad = spark.createDataFrame([("en", 10), ("en", None)], ["lang", "n_chars"])
+    with pytest.raises(Exception, match="NULL n_chars"):
+        report.corpus_card_approx(bad).collect()
+
+
 def test_changed_rows_gate_hand_checked(spark):
     """Full new-side rows survive with status; unchanged rows drop;
     NULL fingerprints follow the null-safe change rule."""

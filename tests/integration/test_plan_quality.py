@@ -637,6 +637,12 @@ def test_round5_ops_plan_shapes(spark, sf_dir):
     # corpus_card + perplexity buckets: every window is key-partitioned
     card = report.corpus_card(docs, group_col="lang", size_col="n_chars")
     assert "SinglePartition" not in _spark_plan(card)
+    # the approx card is the no-sort tier: percentile_approx folds into
+    # the hash aggregate — NO window and NO sort may appear, or the
+    # operator has lost its reason to exist (sort-free huge groups)
+    acard = report.corpus_card_approx(docs, group_col="lang", size_col="n_chars")
+    aplan = _spark_plan(acard)
+    assert "Window" not in aplan and "Sort" not in aplan, aplan
     pb = perplexity_buckets(
         docs.select("doc_id", "lang", F.col("n_chars").cast("double").alias("s")),
         "s",
