@@ -22,6 +22,7 @@ layer (pipeline observability).
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -32,6 +33,7 @@ __all__ = [
     "corpus_card",
     "corpus_card_approx",
     "changed_rows_gate",
+    "maintain_corpus_churn",
 ]
 
 
@@ -279,6 +281,138 @@ def corpus_card_approx(
             F.percentile_approx("_cc_s", p / 100.0, accuracy).alias(f"q_{p}")
         )
     return staged.groupBy(F.col("_cc_g").alias(group_col)).agg(*aggs)
+
+
+def maintain_corpus_churn(
+    stream: DataFrame,
+    table_path: str,
+    churn_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    fingerprint_col: str | None = None,
+    text_col: str = "text",
+    status_col: str = "status",
+    available_now: bool = True,
+):
+    """STREAMING corpus_diff: gate each micro-batch against a MAINTAINED
+    fingerprint table and emit the churn (added/changed full rows), so a
+    continuously-ingesting pipeline gets the per-batch diff artifact
+    without ever holding two full snapshots — the streaming half of
+    ``corpus_diff`` (batch x batch) and ``changed_rows_gate`` (stream x
+    frozen snapshot).
+
+    Per micro-batch (foreachBatch — the gate's join is stream-batch
+    illegal as a pure streaming plan because the old side grows):
+    1. resolve the CURRENT fingerprint per id from the table's
+       ``batch_id=<n>`` partitions STRICTLY BELOW this batch id
+       (max_by fp over batch_id — so a redelivered batch replays against
+       exactly the state it originally saw);
+    2. ``changed_rows_gate`` the batch against it → full added/changed
+       rows, written to ``churn_path/batch_id=<n>`` (overwrite);
+    3. append the batch's (id, fingerprint) pairs to
+       ``table_path/batch_id=<n>`` (overwrite).
+    Both writes overwrite their own batch partition, so redelivery is
+    idempotent end-to-end. An id carrying >1 DISTINCT fingerprint within
+    one batch RAISES (same keyed-snapshot discipline as corpus_diff —
+    which row is 'current' would be nondeterministic); repeated identical
+    rows collapse. A params manifest beside the table errors a resumed
+    run whose id/fingerprint configuration drifted.
+
+    Scale (100 TB): the table holds ids+fingerprints only; per batch, the
+    old side reduces to one (id)-keyed aggregate over those pairs and the
+    join shuffles ids+fps against the batch — payloads never leave the
+    batch. The per-batch table scan grows with ingest history; compact
+    periodically (rewrite max_by-resolved pairs as a fresh epoch) the
+    same way the sketch tables compact."""
+    from colnade_spark.streaming.stream import write_table_manifest
+
+    fp_src = "fingerprint(text)" if fingerprint_col is None else fingerprint_col
+    clash = sorted({"_mcc_fp", "batch_id"} & set(stream.columns))
+    if clash:
+        raise ValueError(
+            f"columns {clash} collide with maintain_corpus_churn's"
+            " staging/partition names; rename them upstream"
+        )
+    write_table_manifest(
+        stream.sparkSession,
+        table_path,
+        {
+            "kind": "corpus_fingerprints",
+            "id_col": id_col,
+            "fingerprint": fp_src,
+            "text_col": None if fingerprint_col is not None else text_col,
+        },
+    )
+    if fingerprint_col is None:
+        from colnade_spark.operators.text import fingerprint
+
+        fp_expr = fingerprint(F.col(text_col))
+    else:
+        fp_expr = F.col(fingerprint_col)
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        staged = batch_df.withColumn("_mcc_fp", fp_expr)
+        # one aggregate: collapse repeats, RAISE on conflicting
+        # fingerprints for one id (marker folded into the fp expression
+        # so the optimizer cannot prune it)
+        batch_fps = (
+            staged.groupBy(F.col(id_col))
+            .agg(
+                F.count_distinct(F.col("_mcc_fp")).alias("_n"),
+                F.max("_mcc_fp").alias("_fp"),
+            )
+            .select(
+                F.col(id_col),
+                F.when(
+                    F.col("_n") > 1,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "maintain_corpus_churn: conflicting"
+                                f" fingerprints for one {id_col} within a"
+                                " batch: "
+                            ),
+                            F.col(id_col).cast("string"),
+                        )
+                    ),
+                )
+                .otherwise(F.col("_fp"))
+                .alias("_mcc_fp"),
+            )
+        )
+        try:
+            hist = spark.read.parquet(table_path)
+        except AnalysisException:
+            hist = None  # first batch: no batch_id partitions yet
+        if hist is not None:
+            latest = (
+                hist.filter(F.col("batch_id") < F.lit(batch_id))
+                .groupBy(F.col(id_col))
+                .agg(F.max_by("_mcc_fp", "batch_id").alias("_mcc_fp"))
+            )
+            churn = changed_rows_gate(
+                staged,
+                old=latest,
+                id_col=id_col,
+                fingerprint_col="_mcc_fp",
+                status_col=status_col,
+            ).drop("_mcc_fp")
+        else:
+            churn = staged.drop("_mcc_fp").withColumn(
+                status_col, F.lit("added")
+            )
+        churn.write.mode("overwrite").parquet(f"{churn_path}/batch_id={batch_id}")
+        batch_fps.write.mode("overwrite").parquet(
+            f"{table_path}/batch_id={batch_id}"
+        )
+
+    w = stream.writeStream.foreachBatch(_gate).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
 
 
 def changed_rows_gate(

@@ -733,6 +733,117 @@ def test_changed_rows_gate_is_append_legal_on_streams(spark, sf_dir, tmp_path):
     )
 
 
+def test_maintain_corpus_churn_matches_batch_and_replays(spark, tmp_path):
+    """STREAMING corpus diff against a maintained fingerprint table:
+    batch 0 is all 'added'; batch 1's churn equals the BATCH
+    changed_rows_gate of ingest-2 vs ingest-1 (the equivalence pin); the
+    fingerprint table resolves to the latest fp per id; and a full
+    re-run from a fresh checkpoint (redelivery of every batch) leaves
+    both artifacts byte-identical because each batch overwrites its own
+    partition and gates against strictly-earlier state."""
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators import report
+
+    first = spark.createDataFrame(
+        [(1, "alpha doc"), (2, "beta doc"), (3, "gamma doc")],
+        ["doc_id", "text"],
+    )
+    second = spark.createDataFrame(
+        [(2, "beta doc"), (3, "gamma doc v2"), (4, "delta doc")],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "src")
+    first.coalesce(1).write.mode("append").parquet(src)
+    second.coalesce(1).write.mode("append").parquet(src)
+
+    table = str(tmp_path / "fps")
+    churn = str(tmp_path / "churn")
+
+    def run(ck: str):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = report.maintain_corpus_churn(stream, table, churn, ck)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(str(tmp_path / "ck1"))
+
+    got0 = {
+        (r.doc_id, r.status)
+        for r in spark.read.parquet(f"{churn}/batch_id=0").collect()
+    }
+    got1 = {
+        (r.doc_id, r.status)
+        for r in spark.read.parquet(f"{churn}/batch_id=1").collect()
+    }
+    # file order is deterministic (mtime): batch 0 = first ingest
+    assert got0 == {(1, "added"), (2, "added"), (3, "added")}
+    want1 = {
+        (r.doc_id, r.status)
+        for r in report.changed_rows_gate(second, old=first).collect()
+    }
+    assert got1 == want1 == {(3, "changed"), (4, "added")}
+
+    latest = {
+        r.doc_id: r._mcc_fp
+        for r in spark.read.parquet(table)
+        .groupBy("doc_id")
+        .agg(F.max_by("_mcc_fp", "batch_id").alias("_mcc_fp"))
+        .collect()
+    }
+    assert set(latest) == {1, 2, 3, 4}
+
+    # redelivery: replay the whole source from a fresh checkpoint — the
+    # same batches overwrite their own partitions against the same
+    # strictly-earlier state, so nothing changes
+    before_churn = {
+        (r.doc_id, r.status) for r in spark.read.parquet(churn).collect()
+    }
+    before_fps = {
+        (r.doc_id, r._mcc_fp) for r in spark.read.parquet(table).collect()
+    }
+    run(str(tmp_path / "ck2"))
+    assert {
+        (r.doc_id, r.status) for r in spark.read.parquet(churn).collect()
+    } == before_churn
+    assert {
+        (r.doc_id, r._mcc_fp) for r in spark.read.parquet(table).collect()
+    } == before_fps
+
+
+def test_maintain_corpus_churn_rejects_conflicting_batch_fps(spark, tmp_path):
+    """An id with two DISTINCT fingerprints inside one micro-batch has no
+    well-defined 'current' state — the maintainer raises instead of
+    picking one; identical repeats collapse fine."""
+    import pytest
+
+    from colnade_spark.operators import report
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "one"), (1, "uno"), (2, "two")], ["doc_id", "text"]
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = report.maintain_corpus_churn(
+        stream,
+        str(tmp_path / "fps"),
+        str(tmp_path / "churn"),
+        str(tmp_path / "ck"),
+    )
+    try:
+        with pytest.raises(Exception, match="conflicting"):
+            q.processAllAvailable()
+            q.awaitTermination()
+    finally:
+        q.stop()
+
+
 def test_pq_residual_screen_gate_is_stateless_on_streams(spark, sf_dir):
     """The residual-index screen is the same stateless scan shape as
     the raw-code screen (encode UDF + literal q·c array + literal LUT
