@@ -66,6 +66,14 @@ def main() -> int:
     for k in sorted(q):
         if k not in coverage:
             problems.append(f"queries() entry {k!r} not mentioned in COVERAGE.md")
+    # an oracled query must not carry a stale `rows`-only marker in the
+    # coverage map (rounds 2-5 left three of these behind)
+    for m in re.finditer(r"`(\w+)` \(?rows", coverage):
+        if m.group(1) in o:
+            problems.append(
+                f"COVERAGE.md marks {m.group(1)!r} rows-only but it has an"
+                " oracle_sql() entry — update the marker to ✓sql"
+            )
     for k in bench.HEADLINE:
         if k not in q:
             problems.append(f"bench HEADLINE entry {k!r} has no queries() entry")
