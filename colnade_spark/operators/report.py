@@ -34,6 +34,7 @@ __all__ = [
     "corpus_card_approx",
     "changed_rows_gate",
     "maintain_corpus_churn",
+    "compact_corpus_fingerprints",
 ]
 
 
@@ -413,6 +414,53 @@ def maintain_corpus_churn(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def compact_corpus_fingerprints(
+    spark, table_path: str, dest_path: str
+) -> dict:
+    """Compact a ``maintain_corpus_churn`` fingerprint table: resolve the
+    latest fingerprint per id across all ``batch_id`` partitions and
+    write ONE epoch partition (labeled with the max compacted batch id,
+    so later batches still sort strictly after it) plus the verbatim
+    params manifest to ``dest_path``. Like ``io.compact_parquet``, the
+    swap is the caller's move (rename while the maintainer is quiesced)
+    — compaction never overwrites its own input, so there is no crash
+    window where the table is partially visible.
+
+    Why: the maintainer appends one (ids+fps) partition per micro-batch;
+    after N batches every gate scans N partitions and re-resolves ids
+    that churned many times. Compaction collapses the history to one
+    pre-resolved partition. Correctness of the swap: the epoch label is
+    the max compacted id M, the checkpoint has committed past M (the
+    quiesced precondition), so every future batch N > M filters
+    ``batch_id < N`` and sees the epoch exactly as it saw the history.
+
+    Returns {"rows", "epoch", "source_batches"}."""
+    from colnade_spark.streaming.stream import (
+        read_table_manifest,
+        write_table_manifest,
+    )
+
+    mf = read_table_manifest(spark, table_path)
+    if mf is None or mf.get("kind") != "corpus_fingerprints":
+        raise ValueError(
+            f"no corpus_fingerprints manifest at {table_path}; was this"
+            " table written by maintain_corpus_churn?"
+        )
+    id_col = mf["id_col"]
+    hist = spark.read.parquet(table_path)
+    batches = [r[0] for r in hist.select("batch_id").distinct().collect()]
+    if not batches:
+        raise ValueError(f"fingerprint table at {table_path} is empty")
+    epoch = max(batches)
+    resolved = hist.groupBy(F.col(id_col)).agg(
+        F.max_by("_mcc_fp", "batch_id").alias("_mcc_fp")
+    )
+    resolved.write.mode("overwrite").parquet(f"{dest_path}/batch_id={epoch}")
+    write_table_manifest(spark, dest_path, mf)
+    n = spark.read.parquet(dest_path).count()
+    return {"rows": n, "epoch": epoch, "source_batches": len(batches)}
 
 
 def changed_rows_gate(

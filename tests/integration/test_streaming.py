@@ -817,6 +817,79 @@ def test_maintain_corpus_churn_matches_batch_and_replays(spark, tmp_path):
     } == before_fps
 
 
+def test_compact_corpus_fingerprints_preserves_gating(spark, tmp_path):
+    """Compaction collapses the batch history to one pre-resolved epoch
+    partition labeled with the max compacted batch id; after the caller
+    swaps directories (quiesced), the SAME checkpoint keeps streaming and
+    the next batch gates exactly as it would have against the
+    uncompacted history."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators import report
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "fps")
+    churn = str(tmp_path / "churn")
+    ck = str(tmp_path / "ck")
+    first = spark.createDataFrame([(1, "one"), (2, "two")], ["doc_id", "text"])
+    second = spark.createDataFrame(
+        [(2, "two v2"), (3, "three")], ["doc_id", "text"]
+    )
+    first.coalesce(1).write.mode("append").parquet(src)
+    second.coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = report.maintain_corpus_churn(stream, table, churn, ck)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()
+    want_resolved = {
+        (r.doc_id, r._mcc_fp)
+        for r in spark.read.parquet(table)
+        .groupBy("doc_id")
+        .agg(F.max_by("_mcc_fp", "batch_id").alias("_mcc_fp"))
+        .collect()
+    }
+    dest = str(tmp_path / "fps_compacted")
+    out = report.compact_corpus_fingerprints(spark, table, dest)
+    assert out == {"rows": 3, "epoch": 1, "source_batches": 2}
+    got_resolved = {
+        (r.doc_id, r._mcc_fp) for r in spark.read.parquet(dest).collect()
+    }
+    assert got_resolved == want_resolved
+
+    # quiesced swap, then a third ingest continues on the SAME checkpoint
+    shutil.rmtree(table)
+    shutil.move(dest, table)
+    third = spark.createDataFrame(
+        [(3, "three v2"), (1, "one"), (4, "four")], ["doc_id", "text"]
+    )
+    third.coalesce(1).write.mode("append").parquet(src)
+    run()
+    got2 = {
+        (r.doc_id, r.status)
+        for r in spark.read.parquet(f"{churn}/batch_id=2").collect()
+    }
+    # 3 changed, 4 added; 1 unchanged (its fp survived compaction)
+    assert got2 == {(3, "changed"), (4, "added")}
+
+    # a non-churn table is refused
+    import pytest
+
+    with pytest.raises(ValueError, match="manifest"):
+        report.compact_corpus_fingerprints(spark, str(tmp_path / "src"), dest)
+
+
 def test_maintain_corpus_churn_rejects_conflicting_batch_fps(spark, tmp_path):
     """An id with two DISTINCT fingerprints inside one micro-batch has no
     well-defined 'current' state — the maintainer raises instead of
