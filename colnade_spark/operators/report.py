@@ -183,6 +183,31 @@ def corpus_diff(
     )
 
 
+def _card_stage(
+    df: DataFrame,
+    group_col: str,
+    size_col: str,
+    quantiles: tuple[int, ...],
+    op_name: str,
+) -> DataFrame:
+    """Shared corpus-card staging (both tiers must agree on it forever):
+    validate the integer-percent quantiles, report NULL group keys under
+    the literal '__null__', and REJECT NULL sizes — the guard lives
+    inside the size expression itself, so the optimizer cannot prune it
+    (every downstream op consumes it)."""
+    if not quantiles:
+        raise ValueError(f"{op_name} requires at least one quantile")
+    for p in quantiles:
+        if not isinstance(p, int) or not 0 < p <= 100:
+            raise ValueError(f"quantile {p!r} must be an int percent in (0, 100]")
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    size = F.when(
+        F.col(size_col).isNull(),
+        F.raise_error(F.lit(f"{op_name}: NULL {size_col} row")),
+    ).otherwise(F.col(size_col).cast("long"))
+    return df.select(g.alias("_cc_g"), size.alias("_cc_s"))
+
+
 def corpus_card(
     df: DataFrame,
     group_col: str = "lang",
@@ -208,21 +233,9 @@ def corpus_card(
     NULL sizes are rejected (their rank position is engine-dependent —
     Spark sorts NULL first, DuckDB last — which would silently corrupt
     the quantiles); fill or filter upstream."""
-    if not quantiles:
-        raise ValueError("corpus_card requires at least one quantile")
-    for p in quantiles:
-        if not isinstance(p, int) or not 0 < p <= 100:
-            raise ValueError(f"quantile {p!r} must be an int percent in (0, 100]")
     from pyspark.sql.window import Window
 
-    g = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
-    # the guard lives inside the size expression itself (every
-    # downstream op consumes it, so the optimizer cannot prune it)
-    size = F.when(
-        F.col(size_col).isNull(),
-        F.raise_error(F.lit(f"corpus_card: NULL {size_col} row")),
-    ).otherwise(F.col(size_col).cast("long"))
-    staged = df.select(g.alias("_cc_g"), size.alias("_cc_s"))
+    staged = _card_stage(df, group_col, size_col, quantiles, "corpus_card")
     w = Window.partitionBy("_cc_g").orderBy("_cc_s")
     ranked = staged.withColumn(
         "_cc_r", F.row_number().over(w).cast("long")
@@ -262,17 +275,7 @@ def corpus_card_approx(
     this one when they don't. Same NULL policy: NULL group keys report
     under '__null__', NULL sizes raise (their quantile position would
     be engine-dependent)."""
-    if not quantiles:
-        raise ValueError("corpus_card_approx requires at least one quantile")
-    for p in quantiles:
-        if not isinstance(p, int) or not 0 < p <= 100:
-            raise ValueError(f"quantile {p!r} must be an int percent in (0, 100]")
-    g = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
-    size = F.when(
-        F.col(size_col).isNull(),
-        F.raise_error(F.lit(f"corpus_card_approx: NULL {size_col} row")),
-    ).otherwise(F.col(size_col).cast("long"))
-    staged = df.select(g.alias("_cc_g"), size.alias("_cc_s"))
+    staged = _card_stage(df, group_col, size_col, quantiles, "corpus_card_approx")
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("_cc_s").cast("long").alias("total_size"),
@@ -308,15 +311,23 @@ def maintain_corpus_churn(
        ``batch_id=<n>`` partitions STRICTLY BELOW this batch id
        (max_by fp over batch_id — so a redelivered batch replays against
        exactly the state it originally saw);
-    2. ``changed_rows_gate`` the batch against it → full added/changed
-       rows, written to ``churn_path/batch_id=<n>`` (overwrite);
-    3. append the batch's (id, fingerprint) pairs to
-       ``table_path/batch_id=<n>`` (overwrite).
+    2. validate and append the batch's (id, fingerprint) pairs to
+       ``table_path/batch_id=<n>`` (overwrite) — fps are written FIRST
+       so a batch that fails validation never publishes churn rows;
+    3. ``changed_rows_gate`` the batch against the step-1 state → full
+       added/changed rows, written to ``churn_path/batch_id=<n>``
+       (overwrite). The gate only ever reads strictly-earlier
+       partitions, so the step-2 write cannot feed back into it.
     Both writes overwrite their own batch partition, so redelivery is
     idempotent end-to-end. An id carrying >1 DISTINCT fingerprint within
     one batch RAISES (same keyed-snapshot discipline as corpus_diff —
-    which row is 'current' would be nondeterministic); repeated identical
-    rows collapse. A params manifest beside the table errors a resumed
+    which row is 'current' would be nondeterministic); a NULL and a
+    non-NULL fingerprint for one id is a conflict too (the gate's own
+    change rule is null-safe, so NULL is a real content state). The
+    fingerprint table collapses repeated identical rows; the CHURN
+    artifact does not — each incoming row gates independently (same
+    policy as changed_rows_gate), so upstream duplicates surface
+    downstream. A params manifest beside the table errors a resumed
     run whose id/fingerprint configuration drifted.
 
     Scale (100 TB): the table holds ids+fingerprints only; per batch, the
@@ -328,11 +339,27 @@ def maintain_corpus_churn(
     from colnade_spark.streaming.stream import write_table_manifest
 
     fp_src = "fingerprint(text)" if fingerprint_col is None else fingerprint_col
-    clash = sorted({"_mcc_fp", "batch_id"} & set(stream.columns))
+    # start-time guard over EVERY name any batch path writes or stages —
+    # including changed_rows_gate's internals and status_col, so a clash
+    # fails here instead of mid-stream after batch 0 already committed a
+    # clobbered churn partition (the first-batch path bypasses the gate
+    # and with it the gate's own validation)
+    clash = sorted(
+        {
+            "_mcc_fp",
+            "batch_id",
+            status_col,
+            "_crg_fp",
+            "_crg_in_old",
+            "_crg_new_fp",
+        }
+        & set(stream.columns)
+    )
     if clash:
         raise ValueError(
             f"columns {clash} collide with maintain_corpus_churn's"
-            " staging/partition names; rename them upstream"
+            " staging/status/partition names; rename them upstream or"
+            " pass a different status_col"
         )
     write_table_manifest(
         stream.sparkSession,
@@ -356,11 +383,18 @@ def maintain_corpus_churn(
         staged = batch_df.withColumn("_mcc_fp", fp_expr)
         # one aggregate: collapse repeats, RAISE on conflicting
         # fingerprints for one id (marker folded into the fp expression
-        # so the optimizer cannot prune it)
+        # so the optimizer cannot prune it). NULL counts as a distinct
+        # content state: count_distinct ignores NULLs, so the conflict
+        # count adds 1 when the id also has a NULL fp — a (NULL, 'x')
+        # pair is exactly the nondeterministic-'current' case, and the
+        # gate's own change rule is null-safe about it.
         batch_fps = (
             staged.groupBy(F.col(id_col))
             .agg(
-                F.count_distinct(F.col("_mcc_fp")).alias("_n"),
+                (
+                    F.count_distinct(F.col("_mcc_fp"))
+                    + F.max(F.col("_mcc_fp").isNull().cast("int"))
+                ).alias("_n"),
                 F.max("_mcc_fp").alias("_fp"),
             )
             .select(
@@ -403,10 +437,15 @@ def maintain_corpus_churn(
             churn = staged.drop("_mcc_fp").withColumn(
                 status_col, F.lit("added")
             )
-        churn.write.mode("overwrite").parquet(f"{churn_path}/batch_id={batch_id}")
+        # fps FIRST: this write evaluates the conflict marker, so a batch
+        # that can never commit also never publishes a churn partition
+        # for consumers to read. The gate above only reads partitions
+        # with batch_id strictly below this one, so the write cannot
+        # feed back into the churn computation (or a redelivery of it).
         batch_fps.write.mode("overwrite").parquet(
             f"{table_path}/batch_id={batch_id}"
         )
+        churn.write.mode("overwrite").parquet(f"{churn_path}/batch_id={batch_id}")
 
     w = stream.writeStream.foreachBatch(_gate).option(
         "checkpointLocation", checkpoint
@@ -420,24 +459,35 @@ def compact_corpus_fingerprints(
     spark, table_path: str, dest_path: str
 ) -> dict:
     """Compact a ``maintain_corpus_churn`` fingerprint table: resolve the
-    latest fingerprint per id across all ``batch_id`` partitions and
-    write ONE epoch partition (labeled with the max compacted batch id,
-    so later batches still sort strictly after it) plus the verbatim
-    params manifest to ``dest_path``. Like ``io.compact_parquet``, the
-    swap is the caller's move (rename while the maintainer is quiesced)
-    — compaction never overwrites its own input, so there is no crash
-    window where the table is partially visible.
+    latest fingerprint per id across every batch partition EXCEPT the
+    trailing one into a single epoch partition, carry the trailing
+    partition over verbatim, and write both plus the verbatim params
+    manifest to ``dest_path``. Like ``io.compact_parquet``, the swap is
+    the caller's move (rename while the maintainer is quiesced) —
+    compaction never overwrites its own input, and ``dest_path`` must
+    not already exist (a reused dest could smuggle a stale older epoch
+    partition into the swapped table).
 
-    Why: the maintainer appends one (ids+fps) partition per micro-batch;
-    after N batches every gate scans N partitions and re-resolves ids
-    that churned many times. Compaction collapses the history to one
-    pre-resolved partition. Correctness of the swap: the epoch label is
-    the max compacted id M, the checkpoint has committed past M (the
-    quiesced precondition), so every future batch N > M filters
-    ``batch_id < N`` and sees the epoch exactly as it saw the history.
+    Why the trailing partition is never folded: the maintainer writes
+    a batch's partitions BEFORE the checkpoint commits, so after a crash
+    the on-disk max batch id may belong to an UNCOMMITTED batch that the
+    restarted stream will redeliver. Folding it into the epoch would
+    label the epoch with that id — the redelivered batch (filtering
+    ``batch_id < id``) would then see NO state and its own overwrite
+    would erase the entire compacted history. Batches below the max are
+    always committed (streaming is sequential: batch N starts only after
+    N-1 commits), so epoch = second-max id is safe WITHOUT any
+    unverifiable "checkpoint has committed" precondition; a redelivery
+    of the carried batch replays against exactly the compacted state.
 
-    Returns {"rows", "epoch", "source_batches"}."""
+    Why at all: the maintainer appends one (ids+fps) partition per
+    micro-batch; after N batches every gate scans N partitions and
+    re-resolves ids that churned many times. Compaction collapses the
+    history to one pre-resolved partition.
+
+    Returns {"rows", "epoch", "carried_batch", "source_batches"}."""
     from colnade_spark.streaming.stream import (
+        _hadoop_path,
         read_table_manifest,
         write_table_manifest,
     )
@@ -448,19 +498,40 @@ def compact_corpus_fingerprints(
             f"no corpus_fingerprints manifest at {table_path}; was this"
             " table written by maintain_corpus_churn?"
         )
+    fs, dp, _ = _hadoop_path(spark, dest_path)
+    if fs.exists(dp):
+        raise ValueError(
+            f"dest_path {dest_path} already exists; compaction writes a"
+            " FRESH table (a leftover epoch partition from an abandoned"
+            " run would ride into the swap) — pick a new directory"
+        )
     id_col = mf["id_col"]
     hist = spark.read.parquet(table_path)
-    batches = [r[0] for r in hist.select("batch_id").distinct().collect()]
-    if not batches:
-        raise ValueError(f"fingerprint table at {table_path} is empty")
-    epoch = max(batches)
-    resolved = hist.groupBy(F.col(id_col)).agg(
-        F.max_by("_mcc_fp", "batch_id").alias("_mcc_fp")
+    batches = sorted(r[0] for r in hist.select("batch_id").distinct().collect())
+    if len(batches) < 2:
+        raise ValueError(
+            f"fingerprint table at {table_path} has {len(batches)} batch"
+            " partition(s); the trailing partition is never folded (it"
+            " may belong to an uncommitted batch), so there is nothing"
+            " to compact"
+        )
+    carried = batches[-1]
+    epoch = batches[-2]
+    resolved = hist.filter(F.col("batch_id") <= F.lit(epoch)).groupBy(
+        F.col(id_col)
+    ).agg(F.max_by("_mcc_fp", "batch_id").alias("_mcc_fp"))
+    resolved.write.parquet(f"{dest_path}/batch_id={epoch}")
+    hist.filter(F.col("batch_id") == F.lit(carried)).drop("batch_id").write.parquet(
+        f"{dest_path}/batch_id={carried}"
     )
-    resolved.write.mode("overwrite").parquet(f"{dest_path}/batch_id={epoch}")
     write_table_manifest(spark, dest_path, mf)
-    n = spark.read.parquet(dest_path).count()
-    return {"rows": n, "epoch": epoch, "source_batches": len(batches)}
+    n = spark.read.parquet(f"{dest_path}/batch_id={epoch}").count()
+    return {
+        "rows": n,
+        "epoch": epoch,
+        "carried_batch": carried,
+        "source_batches": len(batches) - 1,
+    }
 
 
 def changed_rows_gate(

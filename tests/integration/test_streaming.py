@@ -733,6 +733,27 @@ def test_changed_rows_gate_is_append_legal_on_streams(spark, sf_dir, tmp_path):
     )
 
 
+def _write_ingest(df, src: str, order: int) -> None:
+    """Append one ingest file with an EXPLICIT, strictly-increasing
+    mtime: FileStreamSource orders new files by modification time, and
+    two back-to-back writes can land in the same mtime tick on coarse-
+    granularity filesystems — which would flip the batch order randomly
+    (path tiebreak) and flake the batch-indexed assertions below."""
+    import os
+
+    before: set = set()
+    if os.path.exists(src):
+        for root, _dirs, files in os.walk(src):
+            before.update(os.path.join(root, f) for f in files)
+    df.coalesce(1).write.mode("append").parquet(src)
+    t = 1_600_000_000 + order * 100
+    for root, _dirs, files in os.walk(src):
+        for f in files:
+            p = os.path.join(root, f)
+            if p not in before:
+                os.utime(p, (t, t))
+
+
 def test_maintain_corpus_churn_matches_batch_and_replays(spark, tmp_path):
     """STREAMING corpus diff against a maintained fingerprint table:
     batch 0 is all 'added'; batch 1's churn equals the BATCH
@@ -754,8 +775,8 @@ def test_maintain_corpus_churn_matches_batch_and_replays(spark, tmp_path):
         ["doc_id", "text"],
     )
     src = str(tmp_path / "src")
-    first.coalesce(1).write.mode("append").parquet(src)
-    second.coalesce(1).write.mode("append").parquet(src)
+    _write_ingest(first, src, 0)
+    _write_ingest(second, src, 1)
 
     table = str(tmp_path / "fps")
     churn = str(tmp_path / "churn")
@@ -782,7 +803,7 @@ def test_maintain_corpus_churn_matches_batch_and_replays(spark, tmp_path):
         (r.doc_id, r.status)
         for r in spark.read.parquet(f"{churn}/batch_id=1").collect()
     }
-    # file order is deterministic (mtime): batch 0 = first ingest
+    # file order pinned by _write_ingest mtimes: batch 0 = first ingest
     assert got0 == {(1, "added"), (2, "added"), (3, "added")}
     want1 = {
         (r.doc_id, r.status)
@@ -837,8 +858,8 @@ def test_compact_corpus_fingerprints_preserves_gating(spark, tmp_path):
     second = spark.createDataFrame(
         [(2, "two v2"), (3, "three")], ["doc_id", "text"]
     )
-    first.coalesce(1).write.mode("append").parquet(src)
-    second.coalesce(1).write.mode("append").parquet(src)
+    _write_ingest(first, src, 0)
+    _write_ingest(second, src, 1)
 
     def run():
         stream = (
@@ -862,11 +883,23 @@ def test_compact_corpus_fingerprints_preserves_gating(spark, tmp_path):
     }
     dest = str(tmp_path / "fps_compacted")
     out = report.compact_corpus_fingerprints(spark, table, dest)
-    assert out == {"rows": 3, "epoch": 1, "source_batches": 2}
+    # batch 1 is the trailing partition: NEVER folded (it could be an
+    # uncommitted batch after a crash) — carried verbatim; epoch = 0
+    assert out == {"rows": 2, "epoch": 0, "carried_batch": 1, "source_batches": 1}
     got_resolved = {
-        (r.doc_id, r._mcc_fp) for r in spark.read.parquet(dest).collect()
+        (r.doc_id, r._mcc_fp)
+        for r in spark.read.parquet(dest)
+        .groupBy("doc_id")
+        .agg(F.max_by("_mcc_fp", "batch_id").alias("_mcc_fp"))
+        .collect()
     }
     assert got_resolved == want_resolved
+    # a reused dest directory is refused (stale epoch partitions would
+    # ride into the swap)
+    import pytest
+
+    with pytest.raises(ValueError, match="already exists"):
+        report.compact_corpus_fingerprints(spark, table, dest)
 
     # quiesced swap, then a third ingest continues on the SAME checkpoint
     shutil.rmtree(table)
@@ -874,7 +907,7 @@ def test_compact_corpus_fingerprints_preserves_gating(spark, tmp_path):
     third = spark.createDataFrame(
         [(3, "three v2"), (1, "one"), (4, "four")], ["doc_id", "text"]
     )
-    third.coalesce(1).write.mode("append").parquet(src)
+    _write_ingest(third, src, 2)
     run()
     got2 = {
         (r.doc_id, r.status)
@@ -884,37 +917,117 @@ def test_compact_corpus_fingerprints_preserves_gating(spark, tmp_path):
     assert got2 == {(3, "changed"), (4, "added")}
 
     # a non-churn table is refused
-    import pytest
-
     with pytest.raises(ValueError, match="manifest"):
-        report.compact_corpus_fingerprints(spark, str(tmp_path / "src"), dest)
+        report.compact_corpus_fingerprints(
+            spark, str(tmp_path / "src"), str(tmp_path / "fresh2")
+        )
 
 
 def test_maintain_corpus_churn_rejects_conflicting_batch_fps(spark, tmp_path):
     """An id with two DISTINCT fingerprints inside one micro-batch has no
     well-defined 'current' state — the maintainer raises instead of
-    picking one; identical repeats collapse fine."""
+    picking one, INCLUDING when one of the two is NULL (count_distinct
+    alone would skip NULLs and silently bless max(fp)); and the failing
+    batch publishes NO churn partition (fps are written/validated first).
+    Identical repeats collapse fine."""
+    import os
+
+    import pytest
+
+    from colnade_spark.operators import report
+
+    cases = [
+        ("plain", [(1, "one"), (1, "uno"), (2, "two")]),
+        ("null_vs_value", [(1, None), (1, "uno"), (2, "two")]),
+    ]
+    for name, rows in cases:
+        src = str(tmp_path / f"src_{name}")
+        churn = str(tmp_path / f"churn_{name}")
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = report.maintain_corpus_churn(
+            stream,
+            str(tmp_path / f"fps_{name}"),
+            churn,
+            str(tmp_path / f"ck_{name}"),
+        )
+        try:
+            with pytest.raises(Exception, match="conflicting"):
+                q.processAllAvailable()
+                q.awaitTermination()
+        finally:
+            q.stop()
+        assert not os.path.exists(
+            f"{churn}/batch_id=0"
+        ), f"{name}: a never-committing batch published churn rows"
+
+    # an id whose fp is ONLY NULL (e.g. NULL text everywhere) is not a
+    # conflict — it flows through and gates null-safely
+    src = str(tmp_path / "src_nullonly")
+    spark.createDataFrame(
+        [(1, None), (1, None), (2, "two")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = report.maintain_corpus_churn(
+        stream,
+        str(tmp_path / "fps_nullonly"),
+        str(tmp_path / "churn_nullonly"),
+        str(tmp_path / "ck_nullonly"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    by_id = {
+        r.doc_id: r._mcc_fp
+        for r in spark.read.parquet(str(tmp_path / "fps_nullonly")).collect()
+    }
+    assert set(by_id) == {1, 2} and by_id[1] is None and by_id[2] is not None
+
+
+def test_maintain_corpus_churn_rejects_payload_name_clashes_at_start(
+    spark, tmp_path
+):
+    """A payload column named like the churn status (or any staging name
+    the per-batch paths write) fails AT CALL TIME — not on batch 1 after
+    batch 0 already committed a clobbered churn partition (the first
+    batch bypasses changed_rows_gate and with it the gate's own guard)."""
     import pytest
 
     from colnade_spark.operators import report
 
     src = str(tmp_path / "src")
     spark.createDataFrame(
-        [(1, "one"), (1, "uno"), (2, "two")], ["doc_id", "text"]
+        [(1, "one", "keep")], ["doc_id", "text", "status"]
     ).coalesce(1).write.parquet(src)
-    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, status string"
+    ).parquet(src)
+    with pytest.raises(ValueError, match="status"):
+        report.maintain_corpus_churn(
+            stream,
+            str(tmp_path / "fps"),
+            str(tmp_path / "churn"),
+            str(tmp_path / "ck"),
+        )
+    # a different status_col name unblocks the same stream
     q = report.maintain_corpus_churn(
         stream,
         str(tmp_path / "fps"),
         str(tmp_path / "churn"),
         str(tmp_path / "ck"),
+        status_col="churn_status",
     )
     try:
-        with pytest.raises(Exception, match="conflicting"):
-            q.processAllAvailable()
-            q.awaitTermination()
+        q.processAllAvailable()
     finally:
         q.stop()
+    got = spark.read.parquet(str(tmp_path / "churn"))
+    assert set(got.columns) == {"doc_id", "text", "status", "churn_status", "batch_id"}
+    row = got.collect()[0]
+    assert row.status == "keep" and row.churn_status == "added"
 
 
 def test_pq_residual_screen_gate_is_stateless_on_streams(spark, sf_dir):
