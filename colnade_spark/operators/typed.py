@@ -68,6 +68,7 @@ __all__ = [
     "PiiCountRows",
     "corpus_diff",
     "corpus_card",
+    "corpus_card_approx",
     "pii_counts",
     "perplexity_bucket_select",
     "changed_rows_gate",
@@ -658,6 +659,27 @@ def corpus_card(frame, **kwargs) -> DataFrame[CorpusCardRows]:
 
     d = frame.native if isinstance(frame, DataFrame) else frame
     return _typed(_report.corpus_card(d, **kwargs), CorpusCardRows)
+
+
+def corpus_card_approx(frame, **kwargs) -> DataFrame[CorpusCardRows]:
+    """Typed scan-side datasheet (operators.report.corpus_card_approx):
+    same (50, 90) output shape as the exact card, quantiles from
+    percentile_approx in one hash aggregate — for groups too large to
+    sort. Same facade pins as corpus_card."""
+    if kwargs.get("quantiles") not in (None, (50, 90)):
+        raise ValueError(
+            "the typed corpus_card_approx facade pins quantiles=(50, 90);"
+            " use operators.report.corpus_card_approx for other shapes"
+        )
+    if kwargs.get("group_col") not in (None, "lang"):
+        raise ValueError(
+            "the typed corpus_card_approx facade pins group_col='lang';"
+            " use operators.report.corpus_card_approx for other groups"
+        )
+    from colnade_spark.operators import report as _report
+
+    d = frame.native if isinstance(frame, DataFrame) else frame
+    return _typed(_report.corpus_card_approx(d, **kwargs), CorpusCardRows)
 
 
 class PiiCountRows(Schema):

@@ -248,6 +248,15 @@ def test_round5_report_facades(spark, docs):
     with pytest.raises(ValueError):
         typed.corpus_card(docs.native, quantiles=(25, 75))
 
+    # approx card: same pinned shape, agrees with the exact card at
+    # fixture scale (GK is rank-exact below accuracy), same pins
+    acard = typed.corpus_card_approx(docs.native)
+    assert acard.schema is typed.CorpusCardRows
+    exact = {r.lang: (r.n_docs, r.total_size) for r in card.rows()}
+    assert {r.lang: (r.n_docs, r.total_size) for r in acard.rows()} == exact
+    with pytest.raises(ValueError):
+        typed.corpus_card_approx(docs.native, group_col="domain")
+
     # pii counts: pinned PiiCountRows over injected text
     injected = docs.native.withColumn(
         "text", F.concat(F.col("text"), F.lit(" a@b.com"))
