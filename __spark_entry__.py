@@ -440,6 +440,44 @@ def dedup_minhash_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
     return dedup.dedup_minhash(_docs(spark, sf_dir), threshold=0.8)
 
 
+def minhash_estimate_pairs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Graded MinHash-estimator audit (dedup.minhash_estimate_audit): for
+    every LSH candidate pair, estimated vs EXACT shingle-set Jaccard,
+    absolute error, and threshold-decision agreement — the dedup analog of
+    ann_recall_audit. Oracle replays the full signature pipeline (the
+    HUGEINT mod-2^64 replay of _minhash_pair_ctes) plus string-shingle
+    exact Jaccard; every column is a correctly-rounded IEEE division of
+    exact integers, bit-identical across engines."""
+    return dedup.minhash_estimate_audit(_docs(spark, sf_dir), threshold=0.8)
+
+
+def incremental_minhash_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Continuous-ingest near-dedup (dedup.dedup_minhash_incremental):
+    even-id documents play the persisted corpus (their signatures are the
+    store), odd-id documents the incoming batch; survivors are odd ids
+    with no est-Jaccard ≥ 0.8 match in the corpus and no smaller-odd-id
+    match within the batch. The oracle reuses the shared HUGEINT pair
+    replay — the `est` CTE already scores EVERY candidate pair, so the
+    incremental semantics are just parity predicates over it."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    # barrier the inline-computed corpus sigs: minhash_cross_pairs reads
+    # its old side twice (banding + signature join-back) and deliberately
+    # does NOT barrier it (the maintainer feeds a parquet-backed store
+    # where a repartition would be a wasted shuffle); computed inline the
+    # sketch UDF would run 2×, so materialize it once at this exchange
+    # and let ReuseExchange share it
+    corpus_sigs = (
+        dedup.minhash_signatures(corpus, num_hashes=96)
+        .select("doc_id", "_sig")
+        .repartition(F.col("doc_id"))
+    )
+    return dedup.dedup_minhash_incremental(
+        new, corpus_sigs, threshold=0.8
+    ).select("doc_id")
+
+
 def simhash_sketch(spark: SparkSession, sf_dir: str) -> SparkDF:
     """SimHash with the portable md5-derived 60-bit token hash so the full
     voting/packing logic is value-checked against the DuckDB oracle (the
@@ -2135,6 +2173,40 @@ def semantic_contamination_scores(spark: SparkSession, sf_dir: str) -> SparkDF:
     return semantic_contamination_report(e, e.filter(F.col("vec_id") < 4))
 
 
+def approx_prune_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Within-tolerance audit of quality_prune_threshold — the scan-side
+    (percentile_approx) reduction of quality_prune, previously the one
+    pipeline operator with no driver-checkable value signal. Per lang:
+    exact doc count and a boolean pinning the approx-pruned kept fraction
+    to 0.4 ± 0.12 (the slack covers GK rank error plus ties-at-threshold
+    inflation, which the operator documents as all-surviving). The oracle
+    replays the exact side and asserts the booleans TRUE — a drifting
+    sketch flips the bit and fails the value hash (same pattern as
+    approx_stats / corpus_card_approx_docs)."""
+    from colnade_spark.operators.quality import quality_prune_threshold
+
+    docs = _docs(spark, sf_dir)
+    kept = quality_prune_threshold(
+        docs, frac=0.4, score_col="n_chars", domain_col="lang"
+    )
+    kept_counts = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("_k"))
+    totals = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return totals.join(kept_counts, "lang", "left").select(
+        "lang",
+        "n_docs",
+        (
+            F.abs(
+                F.coalesce(F.col("_k"), F.lit(0)).cast("double")
+                / F.col("n_docs")
+                - F.lit(0.4)
+            )
+            <= F.lit(0.12)
+        ).alias("kept_frac_ok"),
+    )
+
+
 def quality_pruned_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Per-domain quality pruning: keep the top 40% of documents by
     n_chars WITHIN each lang (ceil(0.4·n) rows per lang, ties to lowest
@@ -2556,6 +2628,9 @@ def entry(spark: SparkSession) -> SparkDF:
 # Update this tuple each round; everything else rotates automatically.
 _ROUND_CHANGED: tuple[str, ...] = (
     "corpus_card_approx_docs",  # round 6: new (approx-card tolerance audit)
+    "minhash_estimate_pairs",  # round 6: new (graded est-vs-exact audit)
+    "incremental_minhash_ids",  # round 6: new (ingest-dedup oracle)
+    "approx_prune_stats",  # round 6: new (approx-prune tolerance audit)
     "dedup_minhash_ids",  # round 6: full mod-2^64 oracle (was rows-only)
     "image_features_stub",  # round 6: integer-moment/phash reformulation + oracle
     "approx_stats",  # round 6: reshaped to exact+tolerance projection
@@ -2604,6 +2679,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
     registry: dict[str, Callable[[SparkSession, str], SparkDF]] = {
         # --- round-6 additions ---
         "corpus_card_approx_docs": corpus_card_approx_docs,
+        "minhash_estimate_pairs": minhash_estimate_pairs,
+        "incremental_minhash_ids": incremental_minhash_ids,
+        "approx_prune_stats": approx_prune_stats,
         # --- round-5 additions ---
         "curation_summary_docs": curation_summary_docs,
         "media_format_mismatch_docs": media_format_mismatch_docs,
@@ -3207,20 +3285,22 @@ def _mulmod64(a: str, b: str) -> str:
     )
 
 
-def _minhash_oracle_sql(
+def _minhash_pair_ctes(
     num_hashes: int = 96, shingle_k: int = 5, seed: int = 42, bands: int = 16,
-    threshold: float = 0.8,
 ) -> str:
-    """Exact DuckDB replay of dedup.dedup_minhash's vectorized path
-    (dedup.py _minhash_full_udf): normalized text → k-byte sliding windows
-    → polynomial hash (FNV-ish multiplier P, mod 2^64) → murmur mix →
-    distinct → num_hashes affine rehashes (A·h+B mod 2^64, same mix) →
-    per-function min → LSH banding → est-Jaccard ≥ threshold drops the
-    larger id. All arithmetic runs in HUGEINT on [0, 2^64); logical shifts
-    and xor are exact there; banding compares band SLICES directly (the
-    Spark side keys on xxhash64 of the slice, identical up to a ~n²/2^64
-    collision that would also need 77/96 matching components to matter).
-    Signatures verified bit-equal to the UDF at both SFs (round 6)."""
+    """Shared WITH-body replaying dedup's vectorized MinHash path
+    (dedup.py _minhash_full_udf) up through per-candidate-pair match
+    counts: normalized text → k-byte sliding windows → polynomial hash
+    (FNV-ish multiplier P, mod 2^64) → murmur mix → distinct →
+    num_hashes affine rehashes (A·h+B mod 2^64, same mix) → per-function
+    min → LSH banding → matching-component count per candidate pair.
+    All arithmetic runs in HUGEINT on [0, 2^64); logical shifts and xor
+    are exact there; banding compares band SLICES directly (the Spark
+    side keys on xxhash64 of the slice, identical up to a ~n²/2^64
+    collision that would also need threshold·num_hashes matching
+    components to matter). Signatures verified bit-equal to the UDF at
+    both SFs (round 6). Composed by the dedup_minhash_ids and
+    minhash_estimate_pairs oracles."""
     import random as _random
 
     rng = _random.Random(seed)
@@ -3231,7 +3311,6 @@ def _minhash_oracle_sql(
     C = f"{0xFF51AFD7ED558CCD}::HUGEINT"
     m64 = "18446744073709551616::HUGEINT"
     rows = num_hashes // bands
-    min_match = -(-int(threshold * num_hashes * 1000000) // 1000000)  # ceil
     poly = " + ".join(
         f"ascii(substr(nt, i + {j}, 1))::HUGEINT * {pows[j]}::HUGEINT"
         for j in range(shingle_k)
@@ -3240,7 +3319,7 @@ def _minhash_oracle_sql(
         f"({i}, {A[i]}::HUGEINT, {B[i]}::HUGEINT)" for i in range(num_hashes)
     )
     return f"""
-WITH d AS (SELECT doc_id, {_NORM_TEXT} AS nt FROM documents),
+d AS (SELECT doc_id, {_NORM_TEXT} AS nt FROM documents),
 win AS (
   SELECT doc_id, ({poly}) % {m64} AS p0
   FROM d, unnest(range(1, greatest(length(nt) - {shingle_k - 2}, 1))) AS w(i)
@@ -3270,9 +3349,57 @@ est AS (
   FROM cand c
   JOIN sig sa ON sa.doc_id = c.id_a
   JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
-  GROUP BY c.id_a, c.id_b),
+  GROUP BY c.id_a, c.id_b)"""
+
+
+def _minhash_oracle_sql(
+    num_hashes: int = 96, shingle_k: int = 5, seed: int = 42, bands: int = 16,
+    threshold: float = 0.8,
+) -> str:
+    """dedup_minhash survivors on top of the shared pair CTEs: candidate
+    pairs with est-Jaccard ≥ threshold drop the larger id."""
+    min_match = -(-int(threshold * num_hashes * 1000000) // 1000000)  # ceil
+    return f"""
+WITH {_minhash_pair_ctes(num_hashes, shingle_k, seed, bands)},
 dups AS (SELECT DISTINCT id_b AS doc_id FROM est WHERE matches >= {min_match})
 SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+"""
+
+
+def _minhash_audit_oracle_sql(
+    num_hashes: int = 96, shingle_k: int = 5, seed: int = 42, bands: int = 16,
+    threshold: float = 0.8,
+) -> str:
+    """minhash_estimate_audit replay: per candidate pair, the estimated
+    Jaccard (matches/num_hashes) beside the EXACT Jaccard over distinct
+    char-k-shingle STRING sets (no hashing on the exact side — string
+    lists intersect identically in both engines), the absolute error, and
+    threshold-decision agreement. Every output is a single correctly-
+    rounded IEEE division (or comparison) of exact integers, so the replay
+    is bit-exact with no tolerance band."""
+    k = shingle_k
+    return f"""
+WITH {_minhash_pair_ctes(num_hashes, shingle_k, seed, bands)},
+shset AS (
+  SELECT doc_id,
+    CASE WHEN nt IS NULL OR length(nt) < {k} THEN []::VARCHAR[]
+         ELSE list_distinct(list_transform(
+                range(1, length(nt) - {k - 2}), i -> substr(nt, i, {k})))
+    END AS gs
+  FROM d),
+scored AS (
+  SELECT e.id_a, e.id_b,
+    e.matches::DOUBLE / {num_hashes} AS est_jaccard,
+    len(list_intersect(a.gs, b.gs))::DOUBLE
+      / greatest(len(list_distinct(list_concat(a.gs, b.gs))), 1) AS exact_jaccard
+  FROM est e
+  JOIN shset a ON a.doc_id = e.id_a
+  JOIN shset b ON b.doc_id = e.id_b)
+SELECT id_a, id_b, est_jaccard, exact_jaccard,
+  abs(est_jaccard - exact_jaccard) AS abs_err,
+  (est_jaccard >= {threshold!r}) = (exact_jaccard >= {threshold!r})
+    AS agree_at_threshold
+FROM scored
 """
 
 
@@ -3458,7 +3585,30 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_ids": _minhash_oracle_sql(
             num_hashes=96, shingle_k=5, seed=42, bands=16, threshold=0.8
         ),
+        "minhash_estimate_pairs": _minhash_audit_oracle_sql(
+            num_hashes=96, shingle_k=5, seed=42, bands=16, threshold=0.8
+        ),
+        # incremental ingest as parity predicates over the shared pair
+        # replay: est already scores every candidate pair, and odd-odd /
+        # odd-even pairs in the all-docs banding are exactly the pairs
+        # the split pipelines generate (band buckets are per-doc)
+        "incremental_minhash_ids": f"""
+WITH {_minhash_pair_ctes(num_hashes=96, shingle_k=5, seed=42, bands=16)},
+drop_cross AS (
+  SELECT DISTINCT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS doc_id
+  FROM est WHERE matches >= 77 AND (id_a % 2) <> (id_b % 2)),
+drop_within AS (
+  SELECT DISTINCT id_b AS doc_id FROM est
+  WHERE matches >= 77 AND id_a % 2 = 1 AND id_b % 2 = 1)
+SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+  AND doc_id NOT IN (SELECT doc_id FROM drop_cross)
+  AND doc_id NOT IN (SELECT doc_id FROM drop_within)
+""",
         "image_features_stub": _image_features_oracle_sql(size=16),
+        "approx_prune_stats": """
+            SELECT lang, count(*) AS n_docs, TRUE AS kept_frac_ok
+            FROM documents GROUP BY lang
+        """,
         "approx_stats": """
             SELECT count(DISTINCT o_custkey) AS exact_customers,
                    quantile_cont(o_totalprice, 0.5) AS exact_median,

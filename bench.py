@@ -102,6 +102,9 @@ HEADLINE = [
     "corpus_diff_docs",
     "corpus_card_docs",
     "corpus_card_approx_docs",
+    "minhash_estimate_pairs",
+    "incremental_minhash_ids",
+    "approx_prune_stats",
     "ppl_bucketed_docs",
     "pii_count_stats",
     "changed_docs_gate",

@@ -311,7 +311,15 @@ def minhash_cross_pairs(
     (id, band, bhash) only, pairs dedupe before the signatures join back
     once per unique pair. At 100 TB the corpus side's banded rows are a
     stable precomputable table — incremental ingest only shuffles the new
-    batch's bands against it."""
+    batch's bands against it.
+
+    The old side is consumed TWICE (banding + signature join-back) and is
+    deliberately NOT barriered here: the maintainer path feeds a
+    parquet-backed store, where re-scanning two narrow columns is cheaper
+    than an extra full shuffle. Callers that compute ``sig_old`` inline
+    (so each consumption would re-run the sketch) should materialize it
+    themselves — ``.repartition(id_col)`` (shared via ReuseExchange) or a
+    localCheckpoint."""
     rows = num_hashes // bands
 
     def _banded(sig_df: DataFrame, out_id: str) -> DataFrame:
@@ -427,6 +435,210 @@ def dedup_minhash(
         .distinct()
     )
     return df.select(id_col).join(dup_ids, id_col, "left_anti")
+
+
+def minhash_estimate_audit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 96,
+    bands: int = 16,
+    shingle_k: int = 5,
+    seed: int = 42,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Graded audit of the MinHash estimator against ground truth — the
+    dedup analog of ``similarity.recall_at_k``: for every LSH candidate
+    pair, emit the signature-estimated Jaccard next to the EXACT Jaccard
+    over the same distinct char-``shingle_k``-shingle sets, the absolute
+    estimation error, and whether both sides agree at ``threshold`` (the
+    decision the dedup actually takes). Columns: ``(id_a, id_b,
+    est_jaccard, exact_jaccard, abs_err, agree_at_threshold)``.
+
+    Both quantities are single correctly-rounded IEEE divisions of exact
+    integers (matches/num_hashes and |∩|/|∪|), so every engine computes
+    them bit-identically — the audit is SQL-replayable with no tolerance
+    band.
+
+    Scale: the exact side is computed ONLY for banded candidate pairs
+    (bounded by LSH selectivity, not n²); shingle sets stay out of the
+    candidate join and join back once per unique pair, the same
+    ids+sketches-first discipline as ``minhash_candidate_pairs`` /
+    ``ngram_jaccard_pairs``. On an all-pairs basis the estimator's error
+    is unobservable anyway — what matters operationally is its error on
+    the pairs the banding actually surfaces, which is exactly this set."""
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_k, seed
+    )
+    pairs = minhash_candidate_pairs(sigs, id_col, num_hashes, bands)
+    # stage the normalized text, THEN shingle it: char_ngrams' outer text
+    # reference inside its position lambda re-evaluates per element (the
+    # HOF gotcha), so an inlined normalized_text would re-run its regexes
+    # |text| times per row
+    staged = (
+        df.withColumn("_ma_norm", normalized_text(F.col(text_col)))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(
+                char_ngrams(F.col("_ma_norm"), shingle_k)
+            ).alias("_gs"),
+        )
+        # materialization barrier (same reason as minhash_candidate_pairs):
+        # without it the shingle pipeline is inlined into both join-back
+        # branches and recomputed per consumer
+        .repartition(F.col("_id"))
+    )
+    ga = staged.select(F.col("_id").alias("id_a"), F.col("_gs").alias("_ga"))
+    gb = staged.select(F.col("_id").alias("id_b"), F.col("_gs").alias("_gb"))
+    inter = F.size(F.array_intersect(F.col("_ga"), F.col("_gb")))
+    union = F.size(F.array_union(F.col("_ga"), F.col("_gb")))
+    exact = inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
+    return (
+        pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            exact.alias("exact_jaccard"),
+            F.abs(F.col("est_jaccard") - exact).alias("abs_err"),
+            (
+                (F.col("est_jaccard") >= F.lit(threshold))
+                == (exact >= F.lit(threshold))
+            ).alias("agree_at_threshold"),
+        )
+    )
+
+
+def maintain_minhash_dedup(
+    stream: DataFrame,
+    sigs_path: str,
+    survivors_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 96,
+    bands: int = 16,
+    shingle_k: int = 5,
+    seed: int = 42,
+    available_now: bool = True,
+):
+    """STREAMING bounded-growth NEAR-dedup: per micro-batch, run
+    ``dedup_minhash_incremental`` against a MAINTAINED signature store —
+    the near-duplicate sibling of the exact-dedup Bloom maintainer
+    (``decontaminate.maintain_fingerprint_bloom``) and the churn
+    maintainer (``report.maintain_corpus_churn``). A continuously-
+    ingesting corpus gets MinHash-LSH dedup without ever re-sketching
+    history: the store holds one ``(id, _sig)`` row per SURVIVOR, so it
+    grows with the deduped corpus, not the ingest volume.
+
+    Per micro-batch (foreachBatch — the banded self+cross joins are not
+    expressible as a pure streaming plan):
+    1. sketch the batch once (``minhash_signatures``);
+    2. read the store's ``batch_id=<n>`` partitions STRICTLY BELOW this
+       batch id (a redelivered batch replays against exactly the state it
+       originally saw — its own earlier write is filtered out);
+    3. drop batch docs with an est-Jaccard ≥ ``threshold`` match in the
+       store (``minhash_cross_pairs``) or a smaller-id match within the
+       batch (``minhash_candidate_pairs``) — identical policy to
+       ``dedup_minhash_incremental``;
+    4. append the survivors' ``(id, _sig)`` to
+       ``sigs_path/batch_id=<n>`` and the survivors' FULL rows to
+       ``survivors_path/batch_id=<n>`` (both overwrite their own
+       partition, so redelivery is idempotent end-to-end).
+    A params manifest beside the store errors a resumed run whose
+    sketch configuration drifted (signatures from different
+    num_hashes/shingle_k/seed are incomparable — a silent mis-probe,
+    exactly the Bloom/CMS hazard).
+
+    Scale (100 TB): the store is ids+signatures only (~num_hashes·8 B per
+    surviving doc); per batch, the cross-banding shuffles (id, band,
+    bhash) rows — the store side's banded projection is recomputed per
+    batch from the compact store (precompute/cache it externally if the
+    corpus side dominates; the banded table is itself a deterministic
+    projection of the store). Payloads never cross a join: survivors are
+    resolved as ids first, then the batch rows join back by id."""
+    from pyspark.errors import AnalysisException
+
+    from colnade_spark.streaming.stream import write_table_manifest
+
+    clash = sorted({"_sig", "batch_id"} & set(stream.columns))
+    if clash:
+        raise ValueError(
+            f"columns {clash} collide with maintain_minhash_dedup's"
+            " signature/partition names; rename them upstream"
+        )
+    write_table_manifest(
+        stream.sparkSession,
+        sigs_path,
+        {
+            "kind": "minhash_sigs",
+            "id_col": id_col,
+            "text_col": text_col,
+            "threshold": threshold,
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "shingle_k": shingle_k,
+            "seed": seed,
+        },
+    )
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sigs = minhash_signatures(
+            batch_df, id_col, text_col, num_hashes, shingle_k, seed
+        )
+        # the sig projection feeds three consumers (cross pairs, within
+        # pairs, survivor join-back); localCheckpoint materializes the
+        # expensive sketch once per batch instead of per consumer
+        sigs = sigs.select(id_col, "_sig").localCheckpoint(eager=False)
+        drop = None
+        try:
+            hist = spark.read.parquet(sigs_path)
+        except AnalysisException:
+            hist = None  # first batch: no batch_id partitions yet
+        if hist is not None:
+            vs_corpus = (
+                minhash_cross_pairs(
+                    sigs,
+                    hist.filter(F.col("batch_id") < F.lit(batch_id)),
+                    id_col,
+                    num_hashes,
+                    bands,
+                )
+                .filter(F.col("est_jaccard") >= threshold)
+                .select(F.col("id_new").alias(id_col))
+                .distinct()
+            )
+            drop = vs_corpus
+        dup_within = (
+            minhash_candidate_pairs(sigs, id_col, num_hashes, bands)
+            .filter(F.col("est_jaccard") >= threshold)
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+        drop = dup_within if drop is None else drop.unionByName(dup_within)
+        surv_sigs = sigs.join(drop, id_col, "left_anti")
+        surv_sigs.write.mode("overwrite").parquet(
+            f"{sigs_path}/batch_id={batch_id}"
+        )
+        # survivors' full payload — read the ids back from the partition
+        # just written so the two sinks cannot disagree under a partial
+        # redelivery (the sig store is the source of truth)
+        surv_ids = spark.read.parquet(f"{sigs_path}/batch_id={batch_id}").select(
+            id_col
+        )
+        batch_df.join(surv_ids, id_col, "left_semi").write.mode(
+            "overwrite"
+        ).parquet(f"{survivors_path}/batch_id={batch_id}")
+
+    w = stream.writeStream.foreachBatch(_gate).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
 
 
 def _simhash_pack_udf():

@@ -16,7 +16,7 @@ from __future__ import annotations
 from typing import TypeVar
 
 from colnade_spark.dataframe import DataFrame, _boundary_validate
-from colnade_spark.dtypes import Float64, Int64, Utf8
+from colnade_spark.dtypes import Bool, Float64, Int64, Utf8
 from colnade_spark.operators import chunking as _chunking
 from colnade_spark.operators import dedup as _dedup
 from colnade_spark.operators import packing as _packing
@@ -73,6 +73,8 @@ __all__ = [
     "perplexity_bucket_select",
     "changed_rows_gate",
     "pq_residual_screen_gate",
+    "MinhashAuditRows",
+    "minhash_estimate_audit",
     "group_split_select",
     "temperature_mixture",
     "quality_prune",
@@ -765,3 +767,21 @@ def pq_residual_screen_gate(
             d, query_vecs, codebooks, centroids, threshold, **kwargs
         )
     )
+
+
+class MinhashAuditRows(Schema):
+    id_a: Column[Int64]
+    id_b: Column[Int64]
+    est_jaccard: Column[Float64]
+    exact_jaccard: Column[Float64]
+    abs_err: Column[Float64]
+    agree_at_threshold: Column[Bool]
+
+
+def minhash_estimate_audit(frame, **kwargs) -> DataFrame[MinhashAuditRows]:
+    """Typed MinHash estimator audit: per LSH candidate pair, estimated
+    vs exact shingle-set Jaccard with error and threshold-decision
+    agreement (operators.dedup.minhash_estimate_audit — the dedup analog
+    of recall_at_k)."""
+    f = frame.native if isinstance(frame, DataFrame) else frame
+    return _typed(_dedup.minhash_estimate_audit(f, **kwargs), MinhashAuditRows)

@@ -210,6 +210,51 @@ def test_minhash_short_docs_both_impls(spark):
         assert by_id[1] == by_id[2]
 
 
+def test_minhash_estimate_audit_matches_python_model(spark):
+    import re
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running through "
+        "the quiet green field toward the distant river bank every single morning"
+    )
+    near = base.replace("quiet", "silent")
+    also = base.replace("morning", "evening")
+    far = "completely unrelated content about spark execution engines and shuffles"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, also)], ["doc_id", "text"]
+    )
+    out = dedup.minhash_estimate_audit(
+        df, num_hashes=64, bands=16, threshold=0.5
+    ).collect()
+    pairs = {(r.id_a, r.id_b): r for r in out}
+    assert (1, 2) in pairs and len(pairs) == len(out)
+
+    sigs = {
+        r.doc_id: r._sig
+        for r in dedup.minhash_signatures(df, num_hashes=64).collect()
+    }
+
+    def norm(t):
+        return re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", t.lower())).strip()
+
+    def shingles(t):
+        n = norm(t)
+        return {n[i : i + 5] for i in range(len(n) - 4)}
+
+    texts = {1: base, 2: near, 3: far, 4: also}
+    for (a, b), r in pairs.items():
+        est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / 64
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        exact = len(sa & sb) / max(len(sa | sb), 1)
+        # every column is a single IEEE division/comparison of exact ints —
+        # equality, not approx (the audit's whole point)
+        assert r.est_jaccard == est
+        assert r.exact_jaccard == exact
+        assert r.abs_err == abs(est - exact)
+        assert r.agree_at_threshold == ((est >= 0.5) == (exact >= 0.5))
+    assert pairs[(1, 2)].exact_jaccard > 0.5
+
+
 # ----------------------------------------------------------- similarity ----
 def test_brute_force_topk_self_consistency(embs):
     queries = embs.orderBy("vec_id").limit(3)

@@ -321,3 +321,13 @@ def test_round5_gate_facades(spark, docs, sf_dir):
     # self-match separation property is pinned with measured thresholds
     # in test_pq.py::test_residual_screen_trained_separation_and_shapes)
     assert 0 < kept.height < emb.height
+
+
+def test_minhash_estimate_audit_facade(spark, docs):
+    out = typed.minhash_estimate_audit(docs, threshold=0.8)
+    assert out.schema is typed.MinhashAuditRows
+    rows = out.rows()
+    assert len(rows) > 0
+    assert all(0.0 <= r.est_jaccard <= 1.0 for r in rows)
+    assert all(0.0 <= r.exact_jaccard <= 1.0 for r in rows)
+    assert all(isinstance(r.agree_at_threshold, bool) for r in rows)

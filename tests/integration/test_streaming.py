@@ -838,6 +838,106 @@ def test_maintain_corpus_churn_matches_batch_and_replays(spark, tmp_path):
     } == before_fps
 
 
+def test_maintain_minhash_dedup_matches_batch_and_replays(spark, tmp_path):
+    """STREAMING near-dedup against a maintained signature store: batch 0
+    keeps its unique docs, batch 1 drops near-dups of the STORE (cross)
+    and of smaller ids within the batch; batch 1's survivors equal the
+    BATCH dedup_minhash_incremental (equivalence pin); a full re-run from
+    a fresh checkpoint leaves store and survivor artifacts identical
+    (strictly-earlier-state gating + overwrite-own-partition)."""
+    from colnade_spark.operators import dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet green field toward the distant river bank "
+        "every single morning"
+    )
+    other = (
+        "completely different content describing spark execution engines "
+        "shuffles partitions and adaptive query planning internals in "
+        "great detail for testing"
+    )
+    fresh = (
+        "a third unrelated document about tokenizer vocabularies merge "
+        "rules and byte pair encodings used by language model pipelines "
+        "everywhere today"
+    )
+    first = spark.createDataFrame(
+        [(1, base), (2, other)], ["doc_id", "text"]
+    )
+    second = spark.createDataFrame(
+        [
+            (3, base.replace("quiet", "silent")),  # near-dup of stored 1
+            (4, fresh),  # unique -> survives
+            (5, fresh.replace("today", "now")),  # within-batch dup of 4
+        ],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "src")
+    _write_ingest(first, src, 0)
+    _write_ingest(second, src, 1)
+
+    sigs = str(tmp_path / "sigs")
+    surv = str(tmp_path / "surv")
+    params = dict(threshold=0.5, num_hashes=32, bands=8)
+
+    def run(ck: str, **over):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = dedup.maintain_minhash_dedup(
+            stream, sigs, surv, ck, **{**params, **over}
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(str(tmp_path / "ck1"))
+
+    got0 = {
+        r.doc_id for r in spark.read.parquet(f"{surv}/batch_id=0").collect()
+    }
+    got1 = {
+        r.doc_id for r in spark.read.parquet(f"{surv}/batch_id=1").collect()
+    }
+    assert got0 == {1, 2}
+    # equivalence pin vs the batch operator on the same store state
+    corpus_sigs = dedup.minhash_signatures(
+        first, num_hashes=32
+    )
+    want1 = {
+        r.doc_id
+        for r in dedup.dedup_minhash_incremental(
+            second, corpus_sigs, threshold=0.5, num_hashes=32, bands=8
+        ).collect()
+    }
+    assert got1 == want1 == {4}
+    stored = {r.doc_id for r in spark.read.parquet(sigs).collect()}
+    assert stored == {1, 2, 4}
+
+    # redelivery: replay everything from a fresh checkpoint — same
+    # batches, same strictly-earlier state, identical artifacts
+    before = {
+        (r.doc_id, tuple(r._sig)) for r in spark.read.parquet(sigs).collect()
+    }
+    run(str(tmp_path / "ck2"))
+    assert {
+        (r.doc_id, tuple(r._sig)) for r in spark.read.parquet(sigs).collect()
+    } == before
+    assert {
+        r.doc_id for r in spark.read.parquet(surv).collect()
+    } == {1, 2, 4}
+
+    # drifted sketch params refuse at maintainer construction (manifest)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="refusing to continue"):
+        run(str(tmp_path / "ck3"), num_hashes=16)
+
+
 def test_compact_corpus_fingerprints_preserves_gating(spark, tmp_path):
     """Compaction collapses the batch history to one pre-resolved epoch
     partition labeled with the max compacted batch id; after the caller

@@ -123,3 +123,16 @@ def check_round5_report_facades(frame: DataFrame[Corpus]) -> list[int]:
         m: int = p.n_emails
         out.append(m)
     return out
+
+
+def check_round6_facades(frame: DataFrame[Corpus]) -> list[float]:
+    audit: DataFrame[typed.MinhashAuditRows] = typed.minhash_estimate_audit(
+        frame, threshold=0.8
+    )
+    _ = audit.filter(typed.MinhashAuditRows.agree_at_threshold == True)  # noqa: E712
+    out: list[float] = []
+    for r in audit.rows():
+        e: float = r.abs_err
+        ok: bool = r.agree_at_threshold
+        out.append(e if ok else -e)
+    return out
