@@ -641,6 +641,29 @@ def maintain_minhash_dedup(
     return w.start()
 
 
+def compact_minhash_sigs(spark, table_path: str, dest_path: str) -> dict:
+    """Compact a ``maintain_minhash_dedup`` signature store: fold every
+    batch partition EXCEPT the trailing one into a single epoch partition
+    (verbatim rows — the store is append-only survivors, nothing to
+    resolve), carry the trailing partition over, and write both plus the
+    params manifest to a FRESH ``dest_path``. The swap is the caller's
+    move while the maintainer is quiesced. Shares
+    ``streaming.compact_batched_table``'s skeleton — see it for why the
+    trailing partition is never folded (it may belong to an uncommitted
+    batch the restarted stream will redeliver).
+
+    Why at all: the maintainer appends one partition per micro-batch;
+    after N batches every gate's banded corpus projection scans N
+    partitions. Compaction collapses them to one — the gating result is
+    unchanged because the gate consumes the UNION of strictly-earlier
+    rows and folding preserves the union."""
+    from colnade_spark.streaming.stream import compact_batched_table
+
+    return compact_batched_table(
+        spark, table_path, dest_path, "minhash_sigs", None
+    )
+
+
 def _simhash_pack_udf():
     """Vectorized per-bit majority vote + pack: array<long> token hashes in,
     one packed int64 sketch out. (batch × tokens × 64) bit matrix via numpy

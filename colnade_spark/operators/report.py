@@ -486,52 +486,16 @@ def compact_corpus_fingerprints(
     history to one pre-resolved partition.
 
     Returns {"rows", "epoch", "carried_batch", "source_batches"}."""
-    from colnade_spark.streaming.stream import (
-        _hadoop_path,
-        read_table_manifest,
-        write_table_manifest,
-    )
+    from colnade_spark.streaming.stream import compact_batched_table
 
-    mf = read_table_manifest(spark, table_path)
-    if mf is None or mf.get("kind") != "corpus_fingerprints":
-        raise ValueError(
-            f"no corpus_fingerprints manifest at {table_path}; was this"
-            " table written by maintain_corpus_churn?"
+    def _resolve(body, mf):
+        return body.groupBy(F.col(mf["id_col"])).agg(
+            F.max_by("_mcc_fp", "batch_id").alias("_mcc_fp")
         )
-    fs, dp, _ = _hadoop_path(spark, dest_path)
-    if fs.exists(dp):
-        raise ValueError(
-            f"dest_path {dest_path} already exists; compaction writes a"
-            " FRESH table (a leftover epoch partition from an abandoned"
-            " run would ride into the swap) — pick a new directory"
-        )
-    id_col = mf["id_col"]
-    hist = spark.read.parquet(table_path)
-    batches = sorted(r[0] for r in hist.select("batch_id").distinct().collect())
-    if len(batches) < 2:
-        raise ValueError(
-            f"fingerprint table at {table_path} has {len(batches)} batch"
-            " partition(s); the trailing partition is never folded (it"
-            " may belong to an uncommitted batch), so there is nothing"
-            " to compact"
-        )
-    carried = batches[-1]
-    epoch = batches[-2]
-    resolved = hist.filter(F.col("batch_id") <= F.lit(epoch)).groupBy(
-        F.col(id_col)
-    ).agg(F.max_by("_mcc_fp", "batch_id").alias("_mcc_fp"))
-    resolved.write.parquet(f"{dest_path}/batch_id={epoch}")
-    hist.filter(F.col("batch_id") == F.lit(carried)).drop("batch_id").write.parquet(
-        f"{dest_path}/batch_id={carried}"
+
+    return compact_batched_table(
+        spark, table_path, dest_path, "corpus_fingerprints", _resolve
     )
-    write_table_manifest(spark, dest_path, mf)
-    n = spark.read.parquet(f"{dest_path}/batch_id={epoch}").count()
-    return {
-        "rows": n,
-        "epoch": epoch,
-        "carried_batch": carried,
-        "source_batches": len(batches) - 1,
-    }
 
 
 def changed_rows_gate(

@@ -63,6 +63,82 @@ def maintain_partitioned_table(
     return w.start()
 
 
+def compact_batched_table(
+    spark,
+    table_path: str,
+    dest_path: str,
+    expect_kind: str,
+    resolve=None,
+) -> dict:
+    """Collapse a per-micro-batch partitioned maintainer table (one
+    ``batch_id=<n>`` partition per batch, params manifest beside it) into
+    ONE epoch partition plus the verbatim trailing partition, written to
+    a FRESH ``dest_path`` — the shared skeleton behind
+    ``report.compact_corpus_fingerprints`` and
+    ``dedup.compact_minhash_sigs``. The swap is the caller's move (rename
+    while the maintainer is quiesced); compaction never overwrites its
+    own input, and a pre-existing ``dest_path`` is refused (a leftover
+    epoch partition from an abandoned run would ride into the swap).
+
+    The trailing partition is NEVER folded: maintainers write their batch
+    partitions BEFORE the streaming checkpoint commits, so after a crash
+    the on-disk max batch id may belong to an UNCOMMITTED batch that the
+    restarted stream will redeliver — folding it would label the epoch
+    with that id, and the redelivered batch (gating on strictly-earlier
+    ids) would see NO state while its own overwrite erased the compacted
+    history. Batches below the max are always committed (streaming is
+    sequential), so epoch = second-max id is safe with no unverifiable
+    "checkpoint has committed" precondition.
+
+    ``resolve(body_df, manifest) -> DataFrame``: optional per-table
+    reduction of the folded history (e.g. latest-fingerprint-per-id);
+    ``None`` carries the folded rows verbatim (minus ``batch_id``) for
+    append-only stores. Returns ``{"rows", "epoch", "carried_batch",
+    "source_batches"}``."""
+    from pyspark.sql import functions as F
+
+    mf = read_table_manifest(spark, table_path)
+    if mf is None or mf.get("kind") != expect_kind:
+        raise ValueError(
+            f"no {expect_kind} manifest at {table_path}; was this table"
+            " written by its maintainer?"
+        )
+    fs, dp, _ = _hadoop_path(spark, dest_path)
+    if fs.exists(dp):
+        raise ValueError(
+            f"dest_path {dest_path} already exists; compaction writes a"
+            " FRESH table (a leftover epoch partition from an abandoned"
+            " run would ride into the swap) — pick a new directory"
+        )
+    hist = spark.read.parquet(table_path)
+    batches = sorted(
+        r[0] for r in hist.select("batch_id").distinct().collect()
+    )
+    if len(batches) < 2:
+        raise ValueError(
+            f"table at {table_path} has {len(batches)} batch"
+            " partition(s); the trailing partition is never folded (it"
+            " may belong to an uncommitted batch), so there is nothing"
+            " to compact"
+        )
+    carried = batches[-1]
+    epoch = batches[-2]
+    body = hist.filter(F.col("batch_id") <= F.lit(epoch))
+    body = resolve(body, mf) if resolve else body.drop("batch_id")
+    body.write.parquet(f"{dest_path}/batch_id={epoch}")
+    hist.filter(F.col("batch_id") == F.lit(carried)).drop(
+        "batch_id"
+    ).write.parquet(f"{dest_path}/batch_id={carried}")
+    write_table_manifest(spark, dest_path, mf)
+    n = spark.read.parquet(f"{dest_path}/batch_id={epoch}").count()
+    return {
+        "rows": n,
+        "epoch": epoch,
+        "carried_batch": carried,
+        "source_batches": len(batches) - 1,
+    }
+
+
 _MANIFEST_NAME = "_table_params.json"
 
 

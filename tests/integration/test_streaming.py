@@ -1023,6 +1023,106 @@ def test_compact_corpus_fingerprints_preserves_gating(spark, tmp_path):
         )
 
 
+def test_compact_minhash_sigs_preserves_gating(spark, tmp_path):
+    """Signature-store compaction folds all-but-trailing batch partitions
+    verbatim (append-only store — union preserved, no resolution); after
+    the quiesced swap the SAME checkpoint keeps deduping and a third
+    batch gates exactly as against the uncompacted store."""
+    import shutil
+
+    import pytest
+
+    from colnade_spark.operators import dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet green field toward the distant river bank "
+        "every single morning"
+    )
+    other = (
+        "completely different content describing spark execution engines "
+        "shuffles partitions and adaptive query planning internals in "
+        "great detail for testing"
+    )
+    first = spark.createDataFrame([(1, base)], ["doc_id", "text"])
+    second = spark.createDataFrame([(2, other)], ["doc_id", "text"])
+    src = str(tmp_path / "src")
+    _write_ingest(first, src, 0)
+    _write_ingest(second, src, 1)
+    sigs = str(tmp_path / "sigs")
+    surv = str(tmp_path / "surv")
+    ck = str(tmp_path / "ck")
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = dedup.maintain_minhash_dedup(
+            stream, sigs, surv, ck, threshold=0.5, num_hashes=32, bands=8
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()
+    want_rows = {
+        (r.doc_id, tuple(r._sig)) for r in spark.read.parquet(sigs).collect()
+    }
+    dest = str(tmp_path / "sigs_compacted")
+    out = dedup.compact_minhash_sigs(spark, sigs, dest)
+    assert out == {
+        "rows": 1, "epoch": 0, "carried_batch": 1, "source_batches": 1
+    }
+    # verbatim fold: the union of rows is unchanged
+    assert {
+        (r.doc_id, tuple(r._sig)) for r in spark.read.parquet(dest).collect()
+    } == want_rows
+
+    # quiesced swap, then a third ingest continues on the SAME checkpoint:
+    # a near-dup of stored doc 1 must still be dropped, a fresh doc kept
+    shutil.rmtree(sigs)
+    shutil.move(dest, sigs)
+    third = spark.createDataFrame(
+        [
+            (3, base.replace("quiet", "silent")),
+            (4, "a wholly new document about tokenizer vocabularies and "
+                "merge rules in language model training pipelines today"),
+        ],
+        ["doc_id", "text"],
+    )
+    _write_ingest(third, src, 2)
+    run()
+    got2 = {
+        r.doc_id for r in spark.read.parquet(f"{surv}/batch_id=2").collect()
+    }
+    assert got2 == {4}
+
+    # a single-partition store has nothing to compact (trailing partition
+    # is never folded)
+    single = str(tmp_path / "single")
+    ck2 = str(tmp_path / "ck_single")
+    src2 = str(tmp_path / "src2")
+    _write_ingest(first, src2, 0)
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string").parquet(src2)
+    )
+    q2 = dedup.maintain_minhash_dedup(
+        stream2, single, str(tmp_path / "surv2"), ck2,
+        threshold=0.5, num_hashes=32, bands=8,
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    with pytest.raises(ValueError, match="nothing to compact"):
+        dedup.compact_minhash_sigs(
+            spark, single, str(tmp_path / "fresh_dest")
+        )
+
+
 def test_maintain_corpus_churn_rejects_conflicting_batch_fps(spark, tmp_path):
     """An id with two DISTINCT fingerprints inside one micro-batch has no
     well-defined 'current' state — the maintainer raises instead of
