@@ -367,3 +367,91 @@ def test_round5_observe_bucket_balance_pipeline(spark, docs, tmp_path):
             F.count("*").alias("n"), F.sum("n_chars").alias("t")
         ).head()
         assert (r.n_docs, r.total_size) == (want.n, want.t)
+
+
+def test_round6_incremental_ingest_dedup_pipeline(spark, docs, tmp_path):
+    """The round-6 incremental-ingest tail, end to end:
+
+      established corpus → new snapshot with churn → changed_rows_gate
+      (unchanged re-deliveries gated out) → incremental minhash dedup vs
+      the corpus signature store (lightly-edited re-ingests dropped as
+      near-dups, genuinely new docs survive) → approx datasheet of the
+      merged corpus equals exact counts
+
+    Invariants assert the COMPOSITION: the gate passes exactly the
+    churn, the near-dedup separates edits from novelty, and the
+    datasheet reflects corpus + survivors."""
+    from colnade_spark.operators import report
+    from colnade_spark.operators.report import corpus_card_approx
+
+    corpus = docs.localCheckpoint()
+    max_id = corpus.agg(F.max("doc_id")).head()[0]
+    edited = corpus.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 9 == 0, F.concat(F.col("text"), F.lit(" updated"))
+        ).otherwise(F.col("text")),
+    )
+    fresh = (
+        corpus.orderBy("doc_id").limit(5)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(max_id + 1))
+        .withColumn(
+            "text",
+            # five genuinely different topics — fresh docs must be novel
+            # vs the corpus AND each other (a shared template with only
+            # the id differing shares ~80% of its shingles, which is
+            # above the dedup threshold; measured)
+            F.element_at(
+                F.array(
+                    F.lit("byte pair encoding merges frequent symbol pairs "
+                          "into subword vocabulary units for tokenization"),
+                    F.lit("adaptive query execution replans shuffle stages "
+                          "at runtime using observed partition statistics"),
+                    F.lit("watermark thresholds bound late event arrival so "
+                          "streaming state stores can evict old windows"),
+                    F.lit("columnar parquet layouts prune row groups with "
+                          "min max statistics during predicate pushdown"),
+                    F.lit("gradient checkpointing trades recomputation for "
+                          "activation memory in deep transformer training"),
+                ),
+                (F.col("doc_id") % 5 + 1).cast("int"),
+            ),
+        )
+    ).withColumn("n_chars", F.length("text"))
+    new = edited.unionByName(fresh).localCheckpoint()
+    new_ids = {r.doc_id for r in fresh.select("doc_id").collect()}
+    edited_ids = {
+        r.doc_id for r in corpus.filter("doc_id % 9 = 0").select("doc_id").collect()
+    }
+
+    # 1. the gate passes exactly the churn: new docs added, edits changed
+    gated = report.changed_rows_gate(new, old=corpus).localCheckpoint()
+    statuses = {
+        (r.doc_id, r.status) for r in gated.select("doc_id", "status").collect()
+    }
+    assert {d for d, s in statuses if s == "added"} == new_ids
+    assert {d for d, s in statuses if s == "changed"} == edited_ids
+
+    # 2. incremental near-dedup vs the corpus signature store: edited
+    # re-ingests are near-dups of their originals (tiny suffix edit) and
+    # drop; the wholly-new docs survive
+    corpus_sigs = dedup.minhash_signatures(corpus, num_hashes=96)
+    surv = dedup.dedup_minhash_incremental(
+        gated.drop("status"), corpus_sigs, threshold=0.8
+    )
+    surv_ids = {r.doc_id for r in surv.collect()}
+    assert surv_ids == new_ids
+
+    # 3. merged corpus datasheet: approx card (scan-side tier) totals
+    # equal exact per-lang counts of corpus + survivors
+    merged = corpus.unionByName(
+        new.join(surv.select("doc_id"), "doc_id", "left_semi")
+    )
+    card = {r.lang: r for r in corpus_card_approx(merged).collect()}
+    want = {
+        r.lang: (r.n, r.t)
+        for r in merged.groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("t"))
+        .collect()
+    }
+    assert {k: (v.n_docs, v.total_size) for k, v in card.items()} == want
