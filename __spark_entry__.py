@@ -478,6 +478,39 @@ def incremental_minhash_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
     ).select("doc_id")
 
 
+def dedup_rates_by_lang(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Per-language dedup datasheet: doc count, exact-duplicate count
+    (rows beyond the first per content fingerprint), MinHash near-dup
+    drops, and the near-dup fraction — the 'how duplicated is each slice'
+    artifact a curation run reports before and after cleaning. Composes
+    the fingerprint and minhash machinery; the oracle reuses the HUGEINT
+    pair replay for the near side and md5-of-normalized-text for the
+    exact side. The fraction is one IEEE division of exact longs."""
+    from colnade_spark.operators.text import fingerprint
+
+    docs = _docs(spark, sf_dir)
+    surv = dedup.dedup_minhash(docs, threshold=0.8)
+    drops = (
+        docs.select("doc_id")
+        .join(surv, "doc_id", "left_anti")
+        .withColumn("_d", F.lit(1))
+    )
+    return (
+        docs.join(drops, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (
+                F.count(F.lit(1)) - F.count_distinct(fingerprint(F.col("text")))
+            ).cast("long").alias("exact_dup_docs"),
+            F.count("_d").cast("long").alias("near_dup_drops"),
+            (
+                F.count("_d").cast("double") / F.count(F.lit(1))
+            ).alias("near_dup_frac"),
+        )
+    )
+
+
 def simhash_sketch(spark: SparkSession, sf_dir: str) -> SparkDF:
     """SimHash with the portable md5-derived 60-bit token hash so the full
     voting/packing logic is value-checked against the DuckDB oracle (the
@@ -2631,6 +2664,7 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "minhash_estimate_pairs",  # round 6: new (graded est-vs-exact audit)
     "incremental_minhash_ids",  # round 6: new (ingest-dedup oracle)
     "approx_prune_stats",  # round 6: new (approx-prune tolerance audit)
+    "dedup_rates_by_lang",  # round 6: new (per-lang dedup datasheet)
     "dedup_minhash_ids",  # round 6: full mod-2^64 oracle (was rows-only)
     "image_features_stub",  # round 6: integer-moment/phash reformulation + oracle
     "approx_stats",  # round 6: reshaped to exact+tolerance projection
@@ -2682,6 +2716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "minhash_estimate_pairs": minhash_estimate_pairs,
         "incremental_minhash_ids": incremental_minhash_ids,
         "approx_prune_stats": approx_prune_stats,
+        "dedup_rates_by_lang": dedup_rates_by_lang,
         # --- round-5 additions ---
         "curation_summary_docs": curation_summary_docs,
         "media_format_mismatch_docs": media_format_mismatch_docs,
@@ -3588,6 +3623,17 @@ def oracle_sql() -> dict[str, str]:
         "minhash_estimate_pairs": _minhash_audit_oracle_sql(
             num_hashes=96, shingle_k=5, seed=42, bands=16, threshold=0.8
         ),
+        "dedup_rates_by_lang": f"""
+WITH {_minhash_pair_ctes(num_hashes=96, shingle_k=5, seed=42, bands=16)},
+dups AS (SELECT DISTINCT id_b AS doc_id FROM est WHERE matches >= 77)
+SELECT d.lang,
+  count(*) AS n_docs,
+  count(*) - count(DISTINCT md5({_NORM_TEXT})) AS exact_dup_docs,
+  count(dp.doc_id) AS near_dup_drops,
+  count(dp.doc_id)::DOUBLE / count(*) AS near_dup_frac
+FROM documents d LEFT JOIN dups dp USING (doc_id)
+GROUP BY d.lang
+""",
         # incremental ingest as parity predicates over the shared pair
         # replay: est already scores every candidate pair, and odd-odd /
         # odd-even pairs in the all-docs banding are exactly the pairs

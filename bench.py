@@ -103,6 +103,7 @@ HEADLINE = [
     "corpus_card_docs",
     "corpus_card_approx_docs",
     "minhash_estimate_pairs",
+    "dedup_rates_by_lang",
     "incremental_minhash_ids",
     "approx_prune_stats",
     "ppl_bucketed_docs",

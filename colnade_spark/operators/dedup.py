@@ -369,6 +369,37 @@ def minhash_cross_pairs(
     )
 
 
+def _minhash_drop_ids(
+    sigs: DataFrame,
+    corpus_sigs: DataFrame | None,
+    id_col: str,
+    threshold: float,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """THE incremental gating policy, defined once: ids of ``sigs`` rows
+    with an est-Jaccard ≥ threshold match in ``corpus_sigs`` (any id) or
+    a smaller-id match within ``sigs`` itself. Consumed by both the
+    batch operator (``dedup_minhash_incremental``) and the streaming
+    maintainer (``maintain_minhash_dedup``) so the two can never drift —
+    their equivalence is also pinned by test."""
+    dup_within = (
+        minhash_candidate_pairs(sigs, id_col, num_hashes, bands)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    if corpus_sigs is None:
+        return dup_within
+    vs_corpus = (
+        minhash_cross_pairs(sigs, corpus_sigs, id_col, num_hashes, bands)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("id_new").alias(id_col))
+        .distinct()
+    )
+    return vs_corpus.unionByName(dup_within)
+
+
 def dedup_minhash_incremental(
     new_df: DataFrame,
     corpus_sigs: DataFrame,
@@ -386,25 +417,15 @@ def dedup_minhash_incremental(
     (b) not near-duplicates of a smaller id within the batch itself.
 
     Returns ``(id, _sig)`` for the survivors so the caller can append
-    them to the signature store — the corpus is never re-sketched."""
+    them to the signature store — the corpus is never re-sketched.
+    Assumes unique ids within the batch (the minhash family contract);
+    the streaming maintainer adds the duplicate-id guard at its
+    ingestion boundary."""
     sigs = minhash_signatures(new_df, id_col, text_col, num_hashes, shingle_k, seed)
-    vs_corpus = (
-        minhash_cross_pairs(sigs, corpus_sigs, id_col, num_hashes, bands)
-        .filter(F.col("est_jaccard") >= threshold)
-        .select(F.col("id_new").alias(id_col))
-        .distinct()
+    drop = _minhash_drop_ids(
+        sigs, corpus_sigs, id_col, threshold, num_hashes, bands
     )
-    within = minhash_candidate_pairs(sigs, id_col, num_hashes, bands)
-    dup_within = (
-        within.filter(F.col("est_jaccard") >= threshold)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
-    )
-    return (
-        sigs.select(id_col, "_sig")
-        .join(vs_corpus, id_col, "left_anti")
-        .join(dup_within, id_col, "left_anti")
-    )
+    return sigs.select(id_col, "_sig").join(drop, id_col, "left_anti")
 
 
 def dedup_minhash(
@@ -547,10 +568,19 @@ def maintain_minhash_dedup(
        ``sigs_path/batch_id=<n>`` and the survivors' FULL rows to
        ``survivors_path/batch_id=<n>`` (both overwrite their own
        partition, so redelivery is idempotent end-to-end).
-    A params manifest beside the store errors a resumed run whose
-    sketch configuration drifted (signatures from different
-    num_hashes/shingle_k/seed are incomparable — a silent mis-probe,
-    exactly the Bloom/CMS hazard).
+    An id appearing more than once WITHIN a batch collapses when the
+    repeats sketch identically and RAISES when they conflict (which row
+    is "the document" would be nondeterministic — same keyed-ingestion
+    discipline as ``maintain_corpus_churn``); the store always holds at
+    most one row per (batch, id). The SURVIVORS artifact keeps per-row
+    independence — identical upstream duplicates surface downstream,
+    same policy as the churn artifact. A params manifest beside the
+    store errors a resumed run whose SKETCH configuration drifted
+    (signatures from different num_hashes/shingle_k/seed are
+    incomparable — a silent mis-probe, exactly the Bloom/CMS hazard);
+    ``threshold`` and ``bands`` are deliberately NOT in the manifest:
+    they are gate-policy knobs, tunable across restarts without
+    invalidating stored signatures.
 
     Scale (100 TB): the store is ids+signatures only (~num_hashes·8 B per
     surviving doc); per batch, the cross-banding shuffles (id, band,
@@ -573,12 +603,13 @@ def maintain_minhash_dedup(
         stream.sparkSession,
         sigs_path,
         {
+            # sketch-identity params ONLY: these make stored signatures
+            # incomparable when changed. threshold/bands are gate policy
+            # and stay tunable across restarts.
             "kind": "minhash_sigs",
             "id_col": id_col,
             "text_col": text_col,
-            "threshold": threshold,
             "num_hashes": num_hashes,
-            "bands": bands,
             "shingle_k": shingle_k,
             "seed": seed,
         },
@@ -588,37 +619,49 @@ def maintain_minhash_dedup(
         spark = batch_df.sparkSession
         sigs = minhash_signatures(
             batch_df, id_col, text_col, num_hashes, shingle_k, seed
+        ).select(id_col, "_sig")
+        # ingestion-boundary duplicate-id guard: collapse identical
+        # repeats, raise on conflicting signatures for one id (the
+        # raise_error is folded into the signature value, so the
+        # optimizer cannot prune it). Also the materialization barrier:
+        # the aggregated sketch feeds three consumers (cross pairs,
+        # within pairs, survivor store write); the localCheckpoint
+        # computes it once per batch instead of per consumer.
+        sigs = (
+            sigs.groupBy(F.col(id_col))
+            .agg(
+                F.count_distinct(F.col("_sig")).alias("_n"),
+                F.max("_sig").alias("_s"),
+            )
+            .select(
+                F.col(id_col),
+                F.when(
+                    F.col("_n") > 1,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "maintain_minhash_dedup: conflicting"
+                                f" signatures for one {id_col} within a"
+                                " batch: "
+                            ),
+                            F.col(id_col).cast("string"),
+                        )
+                    ),
+                )
+                .otherwise(F.col("_s"))
+                .alias("_sig"),
+            )
+            .localCheckpoint(eager=False)
         )
-        # the sig projection feeds three consumers (cross pairs, within
-        # pairs, survivor join-back); localCheckpoint materializes the
-        # expensive sketch once per batch instead of per consumer
-        sigs = sigs.select(id_col, "_sig").localCheckpoint(eager=False)
-        drop = None
         try:
             hist = spark.read.parquet(sigs_path)
         except AnalysisException:
             hist = None  # first batch: no batch_id partitions yet
         if hist is not None:
-            vs_corpus = (
-                minhash_cross_pairs(
-                    sigs,
-                    hist.filter(F.col("batch_id") < F.lit(batch_id)),
-                    id_col,
-                    num_hashes,
-                    bands,
-                )
-                .filter(F.col("est_jaccard") >= threshold)
-                .select(F.col("id_new").alias(id_col))
-                .distinct()
-            )
-            drop = vs_corpus
-        dup_within = (
-            minhash_candidate_pairs(sigs, id_col, num_hashes, bands)
-            .filter(F.col("est_jaccard") >= threshold)
-            .select(F.col("id_b").alias(id_col))
-            .distinct()
+            hist = hist.filter(F.col("batch_id") < F.lit(batch_id))
+        drop = _minhash_drop_ids(
+            sigs, hist, id_col, threshold, num_hashes, bands
         )
-        drop = dup_within if drop is None else drop.unionByName(dup_within)
         surv_sigs = sigs.join(drop, id_col, "left_anti")
         surv_sigs.write.mode("overwrite").parquet(
             f"{sigs_path}/batch_id={batch_id}"

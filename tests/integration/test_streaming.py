@@ -931,11 +931,79 @@ def test_maintain_minhash_dedup_matches_batch_and_replays(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(surv).collect()
     } == {1, 2, 4}
 
-    # drifted sketch params refuse at maintainer construction (manifest)
+    # drifted SKETCH params refuse at maintainer construction (manifest)
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="refusing to continue"):
         run(str(tmp_path / "ck3"), num_hashes=16)
+
+    # threshold is gate POLICY, not sketch identity — a resumed run may
+    # tune it without invalidating the store (full redelivery at the new
+    # threshold yields the same survivors on this fixture)
+    run(str(tmp_path / "ck4"), threshold=0.6)
+    assert {
+        r.doc_id for r in spark.read.parquet(surv).collect()
+    } == {1, 2, 4}
+
+
+def test_maintain_minhash_dedup_duplicate_ids_in_batch(spark, tmp_path):
+    """An id appearing twice WITHIN a batch: identical texts collapse to
+    one store row (and the survivors artifact keeps both payload rows —
+    per-row independence, the churn-artifact policy); texts that sketch
+    DIFFERENTLY raise instead of nondeterministically picking one, and
+    the failing batch publishes no partitions."""
+    import os
+
+    import pytest
+
+    from colnade_spark.operators import dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet green field toward the distant river bank"
+    )
+    other = (
+        "completely different content describing spark execution engines "
+        "shuffles partitions and adaptive planning internals in detail"
+    )
+
+    def run(rows, tag):
+        src = str(tmp_path / f"src_{tag}")
+        sigs = str(tmp_path / f"sigs_{tag}")
+        surv = str(tmp_path / f"surv_{tag}")
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id long, text string").parquet(src)
+        )
+        q = dedup.maintain_minhash_dedup(
+            stream, sigs, surv, str(tmp_path / f"ck_{tag}"),
+            threshold=0.5, num_hashes=32, bands=8,
+        )
+        return q, sigs, surv
+
+    # identical repeats collapse in the store, fan out in survivors
+    q, sigs, surv = run([(1, base), (1, base), (2, other)], "dup_ok")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stored = [r.doc_id for r in spark.read.parquet(sigs).collect()]
+    assert sorted(stored) == [1, 2]
+    survived = [r.doc_id for r in spark.read.parquet(surv).collect()]
+    assert sorted(survived) == [1, 1, 2]
+
+    # conflicting texts for one id raise; nothing is published
+    q, sigs, surv = run([(1, base), (1, other)], "dup_conflict")
+    try:
+        with pytest.raises(Exception, match="conflicting"):
+            q.processAllAvailable()
+            q.awaitTermination()
+    finally:
+        q.stop()
+    assert not os.path.exists(f"{sigs}/batch_id=0")
+    assert not os.path.exists(f"{surv}/batch_id=0")
 
 
 def test_compact_corpus_fingerprints_preserves_gating(spark, tmp_path):
