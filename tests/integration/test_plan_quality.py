@@ -649,3 +649,41 @@ def test_round5_ops_plan_shapes(spark, sf_dir):
         domain_col="lang",
     )
     assert "SinglePartition" not in _spark_plan(pb)
+
+
+def test_round6_ops_plan_shapes(spark, sf_dir):
+    """Round-6 operators keep their scale contracts: the minhash
+    estimator audit's candidate generation shuffles sketches only (raw
+    text never crosses an Exchange — the shingle arrays join back after
+    pair dedup); the incremental drop policy stays banded (no cartesian
+    anywhere); the per-lang dedup datasheet aggregates without a global
+    single-partition stage."""
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    audit = dedup.minhash_estimate_audit(docs, num_hashes=32, bands=8)
+    aplan = _spark_plan(audit)
+    lines = aplan.splitlines()
+    ex_inputs = [
+        lines[i + 1]
+        for i, ln in enumerate(lines)
+        if ln.startswith("(") and ") Exchange" in ln and i + 1 < len(lines)
+    ]
+    assert ex_inputs and all("text#" not in ln for ln in ex_inputs), aplan
+    assert "Cartesian" not in aplan, aplan
+
+    sigs = dedup.minhash_signatures(docs, num_hashes=32)
+    drop = dedup._minhash_drop_ids(
+        sigs, sigs.select("doc_id", "_sig"), "doc_id", 0.8, 32, 8
+    )
+    dplan = _spark_plan(drop)
+    assert "Cartesian" not in dplan, dplan
+
+    import __spark_entry__ as entry
+
+    rates = entry.dedup_rates_by_lang(spark, sf_dir)
+    rplan = _spark_plan(rates)
+    assert "Cartesian" not in rplan, rplan
