@@ -492,12 +492,26 @@ def minhash_estimate_audit(
         df, id_col, text_col, num_hashes, shingle_k, seed
     )
     pairs = minhash_candidate_pairs(sigs, id_col, num_hashes, bands)
+    # the exact side exists ONLY for docs that appear in a candidate
+    # pair — semi-join the corpus down to those ids BEFORE building the
+    # multi-KB shingle-string arrays, so the array shuffle is sized by
+    # the LSH candidate set, not the corpus (measured 6.1 s → ~3.5 s at
+    # sf0.1 where a few hundred of 5000 docs are in candidate pairs)
+    # need is ids ONLY (8 B each, ≤ 2·|pairs| before distinct) — broadcast
+    # it so the corpus side stays a scan-side semi filter instead of a
+    # full-text shuffle (the plan gate pins text out of every Exchange)
+    need = F.broadcast(
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
     # stage the normalized text, THEN shingle it: char_ngrams' outer text
     # reference inside its position lambda re-evaluates per element (the
     # HOF gotcha), so an inlined normalized_text would re-run its regexes
     # |text| times per row
     staged = (
-        df.withColumn("_ma_norm", normalized_text(F.col(text_col)))
+        df.join(need, id_col, "left_semi")
+        .withColumn("_ma_norm", normalized_text(F.col(text_col)))
         .select(
             F.col(id_col).alias("_id"),
             F.array_distinct(
