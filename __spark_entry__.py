@@ -478,6 +478,33 @@ def incremental_minhash_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
     ).select("doc_id")
 
 
+def minhash_prt_summary(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """One-row precision/recall audit of the full MinHash-LSH pipeline
+    against EXHAUSTIVE ground truth (dedup.minhash_prt_audit): candidate
+    recall of the banding plus precision/recall of the est ≥ t decision,
+    all vs lossless-blocked exact char-shingle Jaccard pairs. Ground
+    truth is quadratic per size bucket BY NATURE (the operator docstring
+    says: audit a bounded slice at corpus scale) — so the query audits a
+    CONSTANT-size slice (doc_id < 100) augmented with planted near-dup
+    copies (every 3rd doc re-appears with a tail edit at id+100000), so
+    the audit has guaranteed true-pair signal and SF-independent cost.
+    The oracle replays ground truth from string shingles with the same
+    integer-bit-length buckets and integer size guard, the sketch side
+    from the shared HUGEINT pair CTEs over the same augmented slice."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    planted = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(100000))
+        .withColumn(
+            "text",
+            F.concat(F.col("text"), F.lit(" planted near duplicate tail")),
+        )
+    )
+    return dedup.minhash_prt_audit(
+        docs.unionByName(planted), threshold=0.8
+    )
+
+
 def dedup_rates_by_lang(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Per-language dedup datasheet: doc count, exact-duplicate count
     (rows beyond the first per content fingerprint), MinHash near-dup
@@ -2665,6 +2692,7 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "incremental_minhash_ids",  # round 6: new (ingest-dedup oracle)
     "approx_prune_stats",  # round 6: new (approx-prune tolerance audit)
     "dedup_rates_by_lang",  # round 6: new (per-lang dedup datasheet)
+    "minhash_prt_summary",  # round 6: new (LSH precision/recall audit)
     "dedup_minhash_ids",  # round 6: full mod-2^64 oracle (was rows-only)
     "image_features_stub",  # round 6: integer-moment/phash reformulation + oracle
     "approx_stats",  # round 6: reshaped to exact+tolerance projection
@@ -2717,6 +2745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "incremental_minhash_ids": incremental_minhash_ids,
         "approx_prune_stats": approx_prune_stats,
         "dedup_rates_by_lang": dedup_rates_by_lang,
+        "minhash_prt_summary": minhash_prt_summary,
         # --- round-5 additions ---
         "curation_summary_docs": curation_summary_docs,
         "media_format_mismatch_docs": media_format_mismatch_docs,
@@ -3322,6 +3351,7 @@ def _mulmod64(a: str, b: str) -> str:
 
 def _minhash_pair_ctes(
     num_hashes: int = 96, shingle_k: int = 5, seed: int = 42, bands: int = 16,
+    source: str = "documents",
 ) -> str:
     """Shared WITH-body replaying dedup's vectorized MinHash path
     (dedup.py _minhash_full_udf) up through per-candidate-pair match
@@ -3354,7 +3384,7 @@ def _minhash_pair_ctes(
         f"({i}, {A[i]}::HUGEINT, {B[i]}::HUGEINT)" for i in range(num_hashes)
     )
     return f"""
-d AS (SELECT doc_id, {_NORM_TEXT} AS nt FROM documents),
+d AS (SELECT doc_id, {_NORM_TEXT} AS nt FROM {source}),
 win AS (
   SELECT doc_id, ({poly}) % {m64} AS p0
   FROM d, unnest(range(1, greatest(length(nt) - {shingle_k - 2}, 1))) AS w(i)
@@ -3623,6 +3653,54 @@ def oracle_sql() -> dict[str, str]:
         "minhash_estimate_pairs": _minhash_audit_oracle_sql(
             num_hashes=96, shingle_k=5, seed=42, bands=16, threshold=0.8
         ),
+        "minhash_prt_summary": f"""
+WITH {_minhash_pair_ctes(num_hashes=96, shingle_k=5, seed=42, bands=16,
+    source="(SELECT doc_id, text FROM documents WHERE doc_id < 100"
+    " UNION ALL SELECT doc_id + 100000, text || ' planted near duplicate"
+    " tail' FROM documents WHERE doc_id < 100 AND doc_id % 3 = 0)")},
+shset AS (
+  SELECT doc_id,
+    CASE WHEN nt IS NULL OR length(nt) < 5 THEN []::VARCHAR[]
+         ELSE list_distinct(list_transform(
+                range(1, length(nt) - 3), i -> substr(nt, i, 5)))
+    END AS gs
+  FROM d),
+sh2 AS (
+  SELECT doc_id, gs, len(gs) AS sz, length(bin(len(gs))) - 1 AS b
+  FROM shset WHERE len(gs) > 0),
+tpc AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.gs AS ga, b.gs AS gb
+  FROM sh2 a JOIN sh2 b ON a.b = b.b AND a.doc_id < b.doc_id
+   AND a.sz * 800000 <= b.sz * 1000000 AND b.sz * 800000 <= a.sz * 1000000
+  UNION ALL
+  SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id), a.gs, b.gs
+  FROM sh2 a JOIN sh2 b ON a.b + 1 = b.b
+   AND a.sz * 800000 <= b.sz * 1000000 AND b.sz * 800000 <= a.sz * 1000000),
+true_pairs AS (
+  SELECT id_a, id_b, TRUE AS _t FROM tpc
+  WHERE len(list_intersect(ga, gb))::DOUBLE
+        / greatest(len(list_distinct(list_concat(ga, gb))), 1) >= 0.8),
+jj AS (
+  SELECT t._t IS NOT NULL AS is_true, e.id_a IS NOT NULL AS is_cand,
+         coalesce(e.matches >= 77, FALSE) AS is_pos
+  FROM true_pairs t FULL JOIN est e
+    ON t.id_a = e.id_a AND t.id_b = e.id_b),
+agg AS (
+  SELECT count(*) FILTER (is_true) AS n_true_pairs,
+         count(*) FILTER (is_cand) AS n_candidate_pairs,
+         count(*) FILTER (is_pos) AS n_est_positive,
+         count(*) FILTER (is_true AND is_cand) AS n_true_in_candidates,
+         count(*) FILTER (is_true AND is_pos) AS n_true_positive
+  FROM jj)
+SELECT n_true_pairs, n_candidate_pairs, n_est_positive,
+  n_true_in_candidates, n_true_positive,
+  n_true_in_candidates::DOUBLE / greatest(n_true_pairs, 1)
+    AS candidate_recall,
+  n_true_positive::DOUBLE / greatest(n_est_positive, 1)
+    AS decision_precision,
+  n_true_positive::DOUBLE / greatest(n_true_pairs, 1) AS decision_recall
+FROM agg
+""",
         "dedup_rates_by_lang": f"""
 WITH {_minhash_pair_ctes(num_hashes=96, shingle_k=5, seed=42, bands=16)},
 dups AS (SELECT DISTINCT id_b AS doc_id FROM est WHERE matches >= 77)

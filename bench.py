@@ -104,6 +104,7 @@ HEADLINE = [
     "corpus_card_approx_docs",
     "minhash_estimate_pairs",
     "dedup_rates_by_lang",
+    "minhash_prt_summary",
     "incremental_minhash_ids",
     "approx_prune_stats",
     "ppl_bucketed_docs",

@@ -505,28 +505,36 @@ def minhash_estimate_audit(
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    # stage the normalized text, THEN shingle it: char_ngrams' outer text
-    # reference inside its position lambda re-evaluates per element (the
-    # HOF gotcha), so an inlined normalized_text would re-run its regexes
-    # |text| times per row
+    # stage the normalized text as a PHYSICAL column (exchange), THEN
+    # shingle: a withColumn alone is collapsed into the per-position
+    # lambdas by CollapseProject and the regex chain re-runs ~2·|shingles|
+    # times per doc (the HOF outer-ref gotcha, one projection deeper than
+    # usual — measured in charshingle_jaccard_pairs). The exchange also
+    # serves as the usual materialization barrier for the two join-back
+    # consumers below.
     staged = (
         df.join(need, id_col, "left_semi")
-        .withColumn("_ma_norm", normalized_text(F.col(text_col)))
         .select(
             F.col(id_col).alias("_id"),
+            normalized_text(F.col(text_col)).alias("_ma_norm"),
+        )
+        .repartition(F.col("_id"))
+        .select(
+            "_id",
             F.array_distinct(
                 char_ngrams(F.col("_ma_norm"), shingle_k)
             ).alias("_gs"),
         )
-        # materialization barrier (same reason as minhash_candidate_pairs):
-        # without it the shingle pipeline is inlined into both join-back
-        # branches and recomputed per consumer
-        .repartition(F.col("_id"))
+        # no checkpoint here: it would split the job and recompute the
+        # candidate pipeline once per segment (measured 2×); the two
+        # join-back consumers re-hash the staged norm instead — hashing
+        # only, the regexes stay below the exchange
     )
     ga = staged.select(F.col("_id").alias("id_a"), F.col("_gs").alias("_ga"))
     gb = staged.select(F.col("_id").alias("id_b"), F.col("_gs").alias("_gb"))
     inter = F.size(F.array_intersect(F.col("_ga"), F.col("_gb")))
-    union = F.size(F.array_union(F.col("_ga"), F.col("_gb")))
+    # |A∪B| from sizes, not a second per-pair hash set (arrays distinct)
+    union = F.size(F.col("_ga")) + F.size(F.col("_gb")) - inter
     exact = inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
     return (
         pairs.join(ga, "id_a")
@@ -542,6 +550,205 @@ def minhash_estimate_audit(
                 == (exact >= F.lit(threshold))
             ).alias("agree_at_threshold"),
         )
+    )
+
+
+def charshingle_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXHAUSTIVE exact char-shingle Jaccard pairs — the LSH-independent
+    ground truth the banding audits against: every unordered doc pair
+    whose distinct char-``shingle_k``-shingle Jaccard reaches
+    ``threshold``, with no sketch, no banding, and no heuristic
+    prefilter. Exhaustiveness without n² comes from a LOSSLESS block:
+    J ≥ t forces min(|A|,|B|) ≥ t·max(|A|,|B|), so for t ≥ 0.5 the two
+    distinct-shingle counts are within 2× and their binary-magnitude
+    buckets differ by at most 1 — same/adjacent-bucket equi-joins with
+    the exact size-ratio guard meet every qualifying pair exactly once
+    (the mathematically-lossless version of ``ngram_jaccard_pairs``'
+    engineering block). ``threshold < 0.5`` is rejected: the adjacency
+    argument breaks and silently missing pairs would poison any audit
+    built on this.
+
+    Buckets use integer bit-length (length of the base-2 string), NOT
+    float log2 — libm log2 can land an ulp off at powers of two and
+    disagree across engines (the corpus_card float-ceil lesson).
+    Shingles compare as xxhash64 longs (exact up to ~n²/2⁶⁴ collisions);
+    the DuckDB oracle compares the strings themselves — identical up to
+    the same collision bound.
+
+    Scale: pair generation shuffles (id, bucket, size, shingle-hash
+    array); within-bucket joins are quadratic PER BUCKET — this is the
+    honest cost of exactness and why it is the audit/ground-truth tier,
+    not the dedup path (the banded sketch path is the production tier)."""
+    if threshold < 0.5:
+        raise ValueError(
+            "charshingle_jaccard_pairs: bucket-adjacency blocking is"
+            f" lossless only for threshold >= 0.5, got {threshold}"
+        )
+    # integer size guard, floor-relaxed: a FLOAT guard (sz_l·0.8d ≤ sz_r)
+    # silently EXCLUDES a genuine J=0.8 pair at the exact boundary
+    # (5·0.8d > 4 because the double 0.8 sits above 4/5, while 4/5's
+    # division rounds to that same double and passes the J filter) — the
+    # one place a stray ulp would turn "lossless" into a lie. Floor
+    # scaling only loosens the guard; the exact J filter decides.
+    import math as _math
+
+    t_micro = int(_math.floor(threshold * 1_000_000))
+    # TWO staging barriers, both load-bearing (each measured):
+    # (1) the regex normalization must be a PHYSICAL column (behind an
+    # exchange) before char_ngrams consumes it — CollapseProject
+    # otherwise inlines the regexp chain into the per-position lambdas
+    # and re-runs it ~2·|shingles| times per doc (19 s → <1 s on a
+    # 100-doc slice); (2) the hash arrays must be MATERIALIZED (local
+    # checkpoint) before the candidate joins — otherwise the size guards
+    # collapse into the join conditions as size(<full hash pipeline>)
+    # and the pipeline re-runs per PROBED PAIR (same blowup, one stage
+    # later). The checkpoint is safe here because nothing expensive sits
+    # upstream of it — unlike minhash_estimate_audit's staged frame,
+    # where a checkpoint would split the candidate pipeline into two
+    # jobs and recompute it.
+    staged = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            normalized_text(F.col(text_col)).alias("_cj_norm"),
+        )
+        .repartition(F.col("_id"))
+        .select(
+            "_id",
+            F.array_distinct(
+                F.transform(
+                    char_ngrams(F.col("_cj_norm"), shingle_k),
+                    lambda s: F.xxhash64(s),
+                )
+            ).alias("_gs"),
+        )
+        .localCheckpoint(eager=False)
+        .withColumn("_sz", F.size(F.col("_gs")))
+        .filter(F.col("_sz") > 0)
+        # integer bit-length bucket: length(base-2 string) - 1
+        .withColumn(
+            "_b",
+            F.length(F.conv(F.col("_sz").cast("string"), 10, 2)) - F.lit(1),
+        )
+    )
+    # longs on BOTH sides: _sz is int32 and sz·800000 overflows it for
+    # docs beyond ~2.7k distinct shingles (any ~3KB document)
+    size_guard = [
+        F.col("l._sz").cast("long") * F.lit(t_micro)
+        <= F.col("r._sz").cast("long") * F.lit(1_000_000),
+        F.col("r._sz").cast("long") * F.lit(t_micro)
+        <= F.col("l._sz").cast("long") * F.lit(1_000_000),
+    ]
+    # candidate generation on (id, bucket, size) ONLY — the usual
+    # ids+sketches-first discipline, but here it is also a CORRECTNESS-
+    # of-cost matter: with the shingle arrays in the join, Catalyst
+    # pushes the final jaccard filter INTO the join condition, where it
+    # runs array_intersect (twice, conditions get no subexpression
+    # elimination) for EVERY bucket-colliding probe BEFORE the cheap
+    # guards — measured 67 s for 134 docs. Pair ids first, arrays join
+    # back once per unique pair: 3 s.
+    sk = staged.select("_id", "_b", "_sz")
+    l, r = sk.alias("l"), sk.alias("r")
+    same = l.join(
+        r,
+        reduce_and(
+            [F.col("l._b") == F.col("r._b"), F.col("l._id") < F.col("r._id")]
+            + size_guard
+        ),
+    ).select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+    adjacent = l.join(
+        r,
+        reduce_and([F.col("l._b") + 1 == F.col("r._b")] + size_guard),
+    ).select(
+        F.least(F.col("l._id"), F.col("r._id")).alias("id_a"),
+        F.greatest(F.col("l._id"), F.col("r._id")).alias("id_b"),
+    )
+    ga = staged.select(
+        F.col("_id").alias("id_a"), F.col("_gs").alias("_ga"),
+        F.col("_sz").alias("_sza"),
+    )
+    gb = staged.select(
+        F.col("_id").alias("id_b"), F.col("_gs").alias("_gb"),
+        F.col("_sz").alias("_szb"),
+    )
+    inter = F.size(F.array_intersect(F.col("_ga"), F.col("_gb")))
+    # |A∪B| = |A|+|B|−|A∩B| exactly (arrays are distinct) — no second
+    # per-pair hash set
+    union = F.col("_sza") + F.col("_szb") - inter
+    jac = inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
+    return (
+        same.unionByName(adjacent)
+        .join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+def minhash_prt_audit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 96,
+    bands: int = 16,
+    shingle_k: int = 5,
+    seed: int = 42,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """ONE-row precision/recall audit of the whole MinHash-LSH pipeline
+    against exhaustive ground truth — the number a practitioner tunes
+    ``bands``/``num_hashes`` by: of the TRUE ≥-threshold pairs
+    (``charshingle_jaccard_pairs``, lossless-blocked, banding-free), how
+    many did the banding surface at all (candidate recall), and how does
+    the est-Jaccard ≥ threshold DECISION score (precision / recall)?
+    Columns: ``n_true_pairs, n_candidate_pairs, n_est_positive,
+    n_true_in_candidates, n_true_positive, candidate_recall,
+    decision_precision, decision_recall`` — counts are exact longs, the
+    fractions single IEEE divisions, so the whole row SQL-replays
+    bit-exactly.
+
+    Scale: ground truth is quadratic per size bucket (see
+    charshingle_jaccard_pairs) — run the audit on a sampled slice at
+    corpus scale; the sketch side is the production banded path."""
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_k, seed
+    )
+    cand = minhash_candidate_pairs(sigs, id_col, num_hashes, bands)
+    true_pairs = charshingle_jaccard_pairs(
+        df, id_col, text_col, shingle_k, threshold
+    ).select("id_a", "id_b", F.lit(True).alias("_t"))
+    scored = cand.select(
+        "id_a", "id_b", (F.col("est_jaccard") >= threshold).alias("_p")
+    )
+    j = true_pairs.join(scored, ["id_a", "id_b"], "full_outer")
+    is_true = F.col("_t").isNotNull()
+    is_cand = F.col("_p").isNotNull()
+    is_pos = F.coalesce(F.col("_p"), F.lit(False))
+    n_true = F.sum(is_true.cast("long"))
+    n_cand = F.sum(is_cand.cast("long"))
+    n_pos = F.sum(is_pos.cast("long"))
+    n_true_cand = F.sum((is_true & is_cand).cast("long"))
+    n_tp = F.sum((is_true & is_pos).cast("long"))
+    return j.agg(
+        n_true.alias("n_true_pairs"),
+        n_cand.alias("n_candidate_pairs"),
+        n_pos.alias("n_est_positive"),
+        n_true_cand.alias("n_true_in_candidates"),
+        n_tp.alias("n_true_positive"),
+        (
+            n_true_cand.cast("double") / F.greatest(n_true, F.lit(1))
+        ).alias("candidate_recall"),
+        (n_tp.cast("double") / F.greatest(n_pos, F.lit(1))).alias(
+            "decision_precision"
+        ),
+        (n_tp.cast("double") / F.greatest(n_true, F.lit(1))).alias(
+            "decision_recall"
+        ),
     )
 
 

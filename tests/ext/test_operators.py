@@ -255,6 +255,88 @@ def test_minhash_estimate_audit_matches_python_model(spark):
     assert pairs[(1, 2)].exact_jaccard > 0.5
 
 
+def test_charshingle_pairs_exhaustive_vs_brute_force(spark):
+    import itertools
+    import re
+
+    import pytest
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog every day",
+        2: "the quick brown fox jumps over the lazy dog every night",
+        3: "completely unrelated text about query planners and shuffles",
+        4: "the quick brown fox jumps over the lazy dog every day",  # exact
+        # boundary pair: shingles("abcdefgh") ⊂ shingles("abcdefghi"),
+        # sizes 4 and 5 → J = 4/5 = 0.8 EXACTLY. A float size guard
+        # (5·0.8d > 4) silently drops this pair — the integer guard keeps
+        # it; this is the regression pin for the lossless claim.
+        5: "abcdefgh",
+        6: "abcdefghi",
+        7: "xy",  # sub-shingle-length: no shingles, no pairs
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], ["doc_id", "text"]
+    )
+
+    def norm(t):
+        return re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", t.lower())).strip()
+
+    def sh(t):
+        n = norm(t)
+        return {n[i : i + 5] for i in range(len(n) - 4)}
+
+    for threshold in (0.5, 0.8, 1.0):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.charshingle_jaccard_pairs(
+                df, threshold=threshold
+            ).collect()
+        }
+        want = {}
+        for a, b in itertools.combinations(sorted(texts), 2):
+            sa, sb = sh(texts[a]), sh(texts[b])
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= threshold:
+                want[(a, b)] = j
+        assert set(got) == set(want), (threshold, got, want)
+        for k, v in want.items():
+            assert got[k] == v  # single IEEE division — exact equality
+    assert (5, 6) in {
+        (r.id_a, r.id_b)
+        for r in dedup.charshingle_jaccard_pairs(df, threshold=0.8).collect()
+    }
+    with pytest.raises(ValueError, match="lossless only"):
+        dedup.charshingle_jaccard_pairs(df, threshold=0.4)
+
+
+def test_minhash_prt_audit_planted(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet green field toward the distant river bank "
+        "every single morning"
+    )
+    rows = [
+        (1, base),
+        (2, base + " tail"),  # planted near-dup of 1
+        (3, "entirely different content about adaptive query execution "
+            "plans shuffles and partition statistics in detail"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    r = dedup.minhash_prt_audit(
+        df, num_hashes=64, bands=16, threshold=0.8
+    ).collect()[0]
+    assert r.n_true_pairs >= 1
+    assert r.n_true_positive <= r.n_true_pairs
+    assert r.n_true_in_candidates <= min(r.n_true_pairs, r.n_candidate_pairs)
+    assert r.candidate_recall == r.n_true_in_candidates / max(r.n_true_pairs, 1)
+    assert r.decision_precision == r.n_true_positive / max(r.n_est_positive, 1)
+    assert r.decision_recall == r.n_true_positive / max(r.n_true_pairs, 1)
+    # the planted pair is trivially bandable: full recall expected here
+    assert r.candidate_recall == 1.0 and r.decision_recall == 1.0
+
+
 # ----------------------------------------------------------- similarity ----
 def test_brute_force_topk_self_consistency(embs):
     queries = embs.orderBy("vec_id").limit(3)
