@@ -75,6 +75,10 @@ __all__ = [
     "pq_residual_screen_gate",
     "MinhashAuditRows",
     "minhash_estimate_audit",
+    "JaccardPairs",
+    "charshingle_jaccard_pairs",
+    "PrtAuditRow",
+    "minhash_prt_audit",
     "group_split_select",
     "temperature_mixture",
     "quality_prune",
@@ -767,6 +771,40 @@ def pq_residual_screen_gate(
             d, query_vecs, codebooks, centroids, threshold, **kwargs
         )
     )
+
+
+class JaccardPairs(Schema):
+    id_a: Column[Int64]
+    id_b: Column[Int64]
+    jaccard: Column[Float64]
+
+
+def charshingle_jaccard_pairs(frame, **kwargs) -> DataFrame[JaccardPairs]:
+    """Typed exhaustive exact-pair ground truth: every ≥-threshold char-
+    shingle Jaccard pair via the lossless bucket block
+    (operators.dedup.charshingle_jaccard_pairs — the audit/ground-truth
+    tier, quadratic per bucket by nature)."""
+    f = frame.native if isinstance(frame, DataFrame) else frame
+    return _typed(_dedup.charshingle_jaccard_pairs(f, **kwargs), JaccardPairs)
+
+
+class PrtAuditRow(Schema):
+    n_true_pairs: Column[Int64]
+    n_candidate_pairs: Column[Int64]
+    n_est_positive: Column[Int64]
+    n_true_in_candidates: Column[Int64]
+    n_true_positive: Column[Int64]
+    candidate_recall: Column[Float64]
+    decision_precision: Column[Float64]
+    decision_recall: Column[Float64]
+
+
+def minhash_prt_audit(frame, **kwargs) -> DataFrame[PrtAuditRow]:
+    """Typed one-row LSH precision/recall audit vs exhaustive ground
+    truth (operators.dedup.minhash_prt_audit — the bands/num_hashes
+    tuning artifact; audit a bounded slice at corpus scale)."""
+    f = frame.native if isinstance(frame, DataFrame) else frame
+    return _typed(_dedup.minhash_prt_audit(f, **kwargs), PrtAuditRow)
 
 
 class MinhashAuditRows(Schema):

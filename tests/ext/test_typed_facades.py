@@ -331,3 +331,16 @@ def test_minhash_estimate_audit_facade(spark, docs):
     assert all(0.0 <= r.est_jaccard <= 1.0 for r in rows)
     assert all(0.0 <= r.exact_jaccard <= 1.0 for r in rows)
     assert all(isinstance(r.agree_at_threshold, bool) for r in rows)
+
+
+def test_prt_audit_facades(spark, docs):
+    pairs = typed.charshingle_jaccard_pairs(docs, threshold=0.8)
+    assert pairs.schema is typed.JaccardPairs
+    assert all(r.jaccard >= 0.8 for r in pairs.rows())
+    audit = typed.minhash_prt_audit(docs, threshold=0.8)
+    assert audit.schema is typed.PrtAuditRow
+    rows = audit.rows()
+    assert len(rows) == 1
+    r = rows[0]
+    assert 0.0 <= r.candidate_recall <= 1.0
+    assert r.n_true_positive <= r.n_true_pairs

@@ -136,3 +136,17 @@ def check_round6_facades(frame: DataFrame[Corpus]) -> list[float]:
         ok: bool = r.agree_at_threshold
         out.append(e if ok else -e)
     return out
+
+
+def check_round6_audit_facades(frame: DataFrame[Corpus]) -> list[float]:
+    pairs: DataFrame[typed.JaccardPairs] = typed.charshingle_jaccard_pairs(
+        frame, threshold=0.8
+    )
+    _ = pairs.filter(typed.JaccardPairs.jaccard >= 0.9)
+    audit: DataFrame[typed.PrtAuditRow] = typed.minhash_prt_audit(frame)
+    out: list[float] = []
+    for r in audit.rows():
+        rc: float = r.candidate_recall
+        n: int = r.n_true_pairs
+        out.append(rc if n > 0 else 0.0)
+    return out
