@@ -499,7 +499,12 @@ def minhash_estimate_audit(
     # sf0.1 where a few hundred of 5000 docs are in candidate pairs)
     # need is ids ONLY (8 B each, ≤ 2·|pairs| before distinct) — broadcast
     # it so the corpus side stays a scan-side semi filter instead of a
-    # full-text shuffle (the plan gate pins text out of every Exchange)
+    # full-text shuffle (the plan gate pins text out of every Exchange).
+    # The broadcast is a DELIBERATE hard hint: it fails loudly if
+    # candidate membership outgrows the broadcast limit, at which point
+    # the audit's per-pair exact intersections are petascale anyway —
+    # audit a sampled slice instead (the minhash_prt_summary pattern);
+    # a silent fallback to shuffling full text would just hide that.
     need = F.broadcast(
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
@@ -729,11 +734,18 @@ def minhash_prt_audit(
     is_true = F.col("_t").isNotNull()
     is_cand = F.col("_p").isNotNull()
     is_pos = F.coalesce(F.col("_p"), F.lit(False))
-    n_true = F.sum(is_true.cast("long"))
-    n_cand = F.sum(is_cand.cast("long"))
-    n_pos = F.sum(is_pos.cast("long"))
-    n_true_cand = F.sum((is_true & is_cand).cast("long"))
-    n_tp = F.sum((is_true & is_pos).cast("long"))
+    # coalesce every sum: over an EMPTY join (no true pairs and no
+    # candidates anywhere) F.sum yields NULL, not 0 — the row must keep
+    # its exact-longs contract (and match the oracle's count(*) FILTER
+    # zeros) even on a pair-free corpus
+    def _n(cond):
+        return F.coalesce(F.sum(cond.cast("long")), F.lit(0).cast("long"))
+
+    n_true = _n(is_true)
+    n_cand = _n(is_cand)
+    n_pos = _n(is_pos)
+    n_true_cand = _n(is_true & is_cand)
+    n_tp = _n(is_true & is_pos)
     return j.agg(
         n_true.alias("n_true_pairs"),
         n_cand.alias("n_candidate_pairs"),

@@ -337,6 +337,32 @@ def test_minhash_prt_audit_planted(spark):
     assert r.candidate_recall == 1.0 and r.decision_recall == 1.0
 
 
+def test_minhash_prt_audit_pair_free_corpus_is_zeros(spark):
+    # F.sum over the EMPTY full-outer join returns NULL — the audit must
+    # coalesce to the contract's exact-longs zeros (and the oracle's
+    # count FILTER zeros), not emit a row of Nones
+    df = spark.createDataFrame(
+        [
+            (1, "one corpus document about tokenizers and vocabularies"),
+            (2, "second text on shuffle partitions and adaptive plans"),
+        ],
+        ["doc_id", "text"],
+    )
+    r = dedup.minhash_prt_audit(
+        df, num_hashes=32, bands=8, threshold=0.8
+    ).collect()[0]
+    assert r.asDict() == {
+        "n_true_pairs": 0,
+        "n_candidate_pairs": 0,
+        "n_est_positive": 0,
+        "n_true_in_candidates": 0,
+        "n_true_positive": 0,
+        "candidate_recall": 0.0,
+        "decision_precision": 0.0,
+        "decision_recall": 0.0,
+    }
+
+
 # ----------------------------------------------------------- similarity ----
 def test_brute_force_topk_self_consistency(embs):
     queries = embs.orderBy("vec_id").limit(3)
