@@ -2351,6 +2351,26 @@ def list_ops_ext(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def prototype_pruned_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Self-supervised-prototype data pruning end-to-end (Sorscher et al.
+    2022 "Beyond neural scaling laws"): train k-means centroids (k=4,
+    one Lloyd iteration, lowest-id init), score every embedding's
+    distance to its nearest centroid, and keep the HARDEST half of each
+    cluster (farthest from centroid — the abundant-data regime where
+    prototypical examples are redundant). Training, assignment, and the
+    per-cluster rank cut are ALL replayed in SQL — distances are
+    deterministic IEEE folds over integer-scaled vectors, so the emitted
+    proto_dist doubles match bit-for-bit."""
+    from colnade_spark.operators.clustering import kmeans, prototype_prune
+
+    emb = _embs(spark, sf_dir)
+    _, cents = kmeans(
+        emb, "vec_id", "embedding", k=4, iters=1, return_centroids=True
+    )
+    out = prototype_prune(emb, cents, frac=0.5, mode="keep_hard")
+    return out.select("vec_id", "cluster", "proto_dist")
+
+
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Distributed Lloyd's k-means (k=4, 2 iterations, lowest-id init) on
     the embeddings table. Reproducible by construction: integer-scaled
@@ -2362,10 +2382,14 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> SparkDF:
     return kmeans(_embs(spark, sf_dir), "vec_id", "embedding", k=4, iters=2)
 
 
-def _kmeans_oracle_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
-    """Unrolled Lloyd iterations in DuckDB SQL, mirroring
+def _kmeans_ctes(k: int = 4, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd iterations as a DuckDB WITH-body, mirroring
     operators/clustering.py operation-for-operation (same scale, same
-    left-to-right distance fold, same lowest-cid tie-break)."""
+    left-to-right distance fold, same lowest-cid tie-break). The final
+    assignment CTE ``asg{iters}`` carries both the centroid id AND the
+    squared distance (id, cid, d) so the kmeans oracle and the
+    prototypicality oracles share one replay; callers append their own
+    final SELECT."""
     scale = float(1 << 20)
     dist = (
         "list_reduce(list_transform(range(1, {d1}), i -> "
@@ -2387,7 +2411,8 @@ def _kmeans_oracle_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
     for it in range(iters + 1):
         parts.append(
             f""", asg{it} AS (
-          SELECT p.id, (min({{'d': {dist}, 'cid': c.cid}})).cid AS cid
+          SELECT p.id, (min({{'d': {dist}, 'cid': c.cid}})).cid AS cid,
+                 (min({{'d': {dist}, 'cid': c.cid}})).d AS d
           FROM pts p CROSS JOIN cent{it} c
           GROUP BY p.id
         )"""
@@ -2409,10 +2434,38 @@ def _kmeans_oracle_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
           ) m USING (cid)
         )"""
         )
-    parts.append(
-        f"\nSELECT id AS vec_id, CAST(cid AS BIGINT) AS cluster FROM asg{iters}"
-    )
     return "".join(parts)
+
+
+def _kmeans_oracle_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
+    """DuckDB twin of kmeans_clusters: the shared Lloyd CTEs plus the
+    (vec_id, cluster) projection."""
+    return (
+        _kmeans_ctes(k, iters, dim)
+        + f"\nSELECT id AS vec_id, CAST(cid AS BIGINT) AS cluster FROM asg{iters}"
+    )
+
+
+def _prototype_prune_oracle_sql(
+    k: int = 4, iters: int = 1, dim: int = 64, frac: float = 0.5
+) -> str:
+    """DuckDB twin of prototype_pruned_ids: the shared Lloyd CTEs train
+    the centroids, the final assignment's (cid, d) is exactly
+    clustering.prototypicality's output (same fold, same tie rule), and
+    the keep_hard cut replays the per-cluster rank window — farthest
+    first, ties to the lowest id, ceil(frac * n_cluster) survivors."""
+    return f"""
+        {_kmeans_ctes(k, iters, dim)},
+        ranked AS (
+          SELECT id, cid, d,
+            row_number() OVER (PARTITION BY cid
+                               ORDER BY d DESC, id) AS rn,
+            count(*) OVER (PARTITION BY cid) AS n
+          FROM asg{iters}
+        )
+        SELECT id AS vec_id, CAST(cid AS BIGINT) AS cluster, d AS proto_dist
+        FROM ranked WHERE rn <= ceil(n * {frac!r})
+    """
 
 
 def sketch_rollup_users(spark: SparkSession, sf_dir: str) -> SparkDF:
@@ -2687,6 +2740,7 @@ def entry(spark: SparkSession) -> SparkDF:
 # the driver's bounded sweep so the newest code gets certified first.
 # Update this tuple each round; everything else rotates automatically.
 _ROUND_CHANGED: tuple[str, ...] = (
+    "prototype_pruned_ids",  # round 6: new (Sorscher prototype pruning)
     "corpus_card_approx_docs",  # round 6: new (approx-card tolerance audit)
     "minhash_estimate_pairs",  # round 6: new (graded est-vs-exact audit)
     "incremental_minhash_ids",  # round 6: new (ingest-dedup oracle)
@@ -2829,6 +2883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "edit_distance_dups": edit_distance_dups,
         "sketch_rollup_users": sketch_rollup_users,
         "kmeans_clusters": kmeans_clusters,
+        "prototype_pruned_ids": prototype_pruned_ids,
         "price_rank_dist": price_rank_dist,
         "list_ops_ext": list_ops_ext,
         "dt_arith_funcs": dt_arith_funcs,
@@ -4606,6 +4661,9 @@ SELECT doc_id FROM documents WHERE doc_id % 2 = 1
             WHERE levenshtein(a.text, b.text) <= 16
         """,
         "kmeans_clusters": _kmeans_oracle_sql(k=4, iters=2, dim=64),
+        "prototype_pruned_ids": _prototype_prune_oracle_sql(
+            k=4, iters=1, dim=64, frac=0.5
+        ),
         "price_rank_dist": """
             SELECT o_orderkey, o_orderstatus,
               percent_rank() OVER (PARTITION BY o_orderstatus

@@ -59,6 +59,7 @@ HEADLINE = [
     "edit_distance_dups",
     "sketch_rollup_users",
     "kmeans_clusters",
+    "prototype_pruned_ids",
     "price_rank_dist",
     "list_ops_ext",
     "dt_arith_funcs",

@@ -48,15 +48,17 @@ def _scaled(df: DataFrame, vec_col: str) -> "F.Column":
     )
 
 
-def _dist_exprs(centroids: list[list[float]]):
+def _dist_exprs(centroids: list[list[float]], vec=None):
     """Squared L2 distance to each centroid; left-to-right fold order."""
+    if vec is None:
+        vec = F.col("_v")
     out = []
     for c in centroids:
         carr = F.array(*[F.lit(float(v)) for v in c])
         out.append(
             F.aggregate(
                 F.zip_with(
-                    F.col("_v"),
+                    vec,
                     carr,
                     lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
                 ),
@@ -67,14 +69,21 @@ def _dist_exprs(centroids: list[list[float]]):
     return out
 
 
+def _assign_struct(centroids: list[list[float]], vec=None):
+    """struct<dist,cid> of the nearest centroid: array_min over the
+    per-centroid structs — struct comparison is dist first, then cid, so
+    ties go to the lowest cid."""
+    dists = [
+        F.struct(d.alias("dist"), F.lit(cid).alias("cid"))
+        for cid, d in enumerate(_dist_exprs(centroids, vec))
+    ]
+    return F.array_min(F.array(*dists))
+
+
 def _assign_expr(centroids: list[list[float]]):
     """array<struct<dist,cid>> min -> cid; fold order is array order, ties
     go to the lowest cid (struct comparison: dist first, then cid)."""
-    dists = [
-        F.struct(d.alias("dist"), F.lit(cid).alias("cid"))
-        for cid, d in enumerate(_dist_exprs(centroids))
-    ]
-    return F.array_min(F.array(*dists))["cid"]
+    return _assign_struct(centroids)["cid"]
 
 
 def _kpp_init(pts, k: int) -> list[list[float]]:
@@ -118,6 +127,7 @@ def kmeans(
     k: int = 4,
     iters: int = 2,
     init: str = "lowest_ids",
+    return_centroids: bool = False,
 ) -> DataFrame:
     """(id, cluster) after ``iters`` Lloyd iterations. Deterministic
     across engines and partitionings with either init:
@@ -126,6 +136,12 @@ def kmeans(
       what the SQL oracle unrolls);
     - ``kpp``: deterministic k-means++ (hash-uniform weighted draws) —
       better spread starts, still zero RNG state.
+
+    With ``return_centroids=True`` returns ``(df, centroids)`` — the
+    final centroid list is already driver-side (each update collects
+    k*dim numerator longs), so exposing it costs nothing and feeds the
+    downstream consumers that need frozen centers (``prototypicality``,
+    ``embeddings.cluster_assign``).
     """
     if k < 1 or iters < 0:
         raise ValueError("kmeans requires k >= 1 and iters >= 0")
@@ -165,8 +181,103 @@ def kmeans(
                 ]
                 for cid in range(len(centroids))
             ]
-        return pts.withColumn("_cid", _assign_expr(centroids)).select(
+        out = pts.withColumn("_cid", _assign_expr(centroids)).select(
             F.col("_id").alias(id_col), F.col("_cid").cast("long").alias("cluster")
         )
+        if return_centroids:
+            return out, centroids
+        return out
     finally:
         pts.unpersist()
+
+
+def prototypicality(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    dist_col: str = "proto_dist",
+) -> DataFrame:
+    """Per-row prototypicality against FROZEN centroids: the nearest
+    centroid's id and the squared L2 distance to it (Sorscher et al.
+    2022, "Beyond neural scaling laws": distance to the k-means centroid
+    of a row's cluster is the self-supervised pruning metric — small
+    distance = prototypical/easy, large = hard/informative).
+
+    Deterministic across engines and partitionings by the same
+    construction as ``kmeans``: vectors integer-scaled once, distances a
+    left-to-right IEEE fold, ties to the lowest centroid id — so the
+    emitted double is bit-reproducible and SQL-replayable.
+
+    Scale shape: centroids ride the plan as literals (k x dim doubles, a
+    few KB), so scoring is one narrow scan projection — NO join, NO
+    shuffle, and stateless on streams (the frozen-DSIR pattern).
+    EXTENSION beyond the reference (no ML ops there); pairs with
+    ``kmeans(return_centroids=True)`` for training.
+    """
+    if not centroids:
+        raise ValueError("prototypicality: centroids must be non-empty")
+    for c in ("_proto_v", "_proto_min"):
+        if c in df.columns:
+            raise ValueError(f"prototypicality: input already has column {c!r}")
+    if cluster_col in df.columns or dist_col in df.columns:
+        raise ValueError(
+            f"prototypicality: output column {cluster_col!r}/{dist_col!r} "
+            "already present in the input"
+        )
+    staged = df.withColumn("_proto_v", _scaled(df, vec_col))
+    # stage the argmin struct once; the two field extracts below reference
+    # it twice, which keeps CollapseProject from inlining (and thus
+    # re-evaluating) the k-fold distance array
+    staged = staged.withColumn(
+        "_proto_min", _assign_struct(centroids, F.col("_proto_v"))
+    )
+    return (
+        staged.withColumn(cluster_col, F.col("_proto_min")["cid"].cast("long"))
+        .withColumn(dist_col, F.col("_proto_min")["dist"])
+        .drop("_proto_v", "_proto_min")
+    )
+
+
+def prototype_prune(
+    df: DataFrame,
+    centroids: list[list[float]],
+    frac: float,
+    mode: str = "keep_hard",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    dist_col: str = "proto_dist",
+) -> DataFrame:
+    """Self-supervised-prototype data pruning (Sorscher et al. 2022):
+    score every row's distance to its nearest frozen centroid, then keep
+    ``ceil(frac * n)`` rows PER CLUSTER — ``keep_hard`` keeps the
+    farthest-from-centroid (the paper's abundant-data regime: prune easy
+    prototypical examples), ``keep_easy`` the nearest (scarce-data
+    regime). Ties break to the LOWEST id, so the surviving set is
+    deterministic in any engine. Per-cluster (not global) cuts keep one
+    dense cluster from absorbing the whole budget — the same
+    domain-collapse argument as ``quality.quality_prune``.
+
+    Scale: scoring is scan-side (literal centroids); the cut is one rank
+    window per cluster — the quality_prune cost tier. For clusters too
+    large to sort, derive an approximate distance threshold first
+    (percentile_approx over ``prototypicality`` output) and reduce to a
+    scan-side filter, as quality_prune_threshold does for scores.
+    """
+    from pyspark.sql.window import Window
+
+    if not (0.0 < frac <= 1.0):
+        raise ValueError("frac must be in (0, 1]")
+    if mode not in ("keep_hard", "keep_easy"):
+        raise ValueError(f"unknown mode {mode!r}")
+    scored = prototypicality(df, centroids, id_col, vec_col, cluster_col, dist_col)
+    order = F.col(dist_col).desc() if mode == "keep_hard" else F.col(dist_col).asc()
+    w = Window.partitionBy(cluster_col).orderBy(order, F.col(id_col))
+    wc = Window.partitionBy(cluster_col)
+    staged = scored.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_nc", F.count(F.lit(1)).over(wc)
+    )
+    kept = staged.filter(F.col("_rn") <= F.ceil(F.col("_nc") * F.lit(float(frac))))
+    return kept.drop("_rn", "_nc")

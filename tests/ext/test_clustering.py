@@ -179,3 +179,136 @@ def test_kmeans_validates_args(spark, sf_dir):
         kmeans(emb, k=0)
     with pytest.raises(ValueError):
         kmeans(emb, k=2, iters=-1)
+
+
+# ---------------------------------------------------------------------------
+# prototypicality / prototype_prune (Sorscher et al. 2022 pruning metric)
+# ---------------------------------------------------------------------------
+
+
+def _python_prototypicality(rows, cents):
+    """Twin of clustering.prototypicality: integer-scaled vectors, same
+    left-to-right IEEE fold, ties to the lowest centroid id."""
+    out = {}
+    for rid, vec in rows:
+        v = [_half_up(float(x) * DEFAULT_SCALE) for x in vec]
+        best = None
+        for cid, c in enumerate(cents):
+            d = 0.0
+            for a, b in zip(v, c):
+                d += (a - b) * (a - b)
+            if best is None or (d, cid) < best:
+                best = (d, cid)
+        out[rid] = (best[1], best[0])
+    return out
+
+
+def test_prototypicality_matches_python_model_exactly(spark, sf_dir):
+    from colnade_spark.operators.clustering import kmeans, prototypicality
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    asg, cents = kmeans(emb, k=4, iters=1, return_centroids=True)
+    rows = [(r.vec_id, r.embedding) for r in emb.collect()]
+    want = _python_prototypicality(rows, cents)
+
+    got_df = prototypicality(emb, cents)
+    got = {r.vec_id: (r.cluster, r.proto_dist) for r in got_df.collect()}
+    assert got == want  # bit-exact doubles, not approx
+
+    # the frozen-centroid assignment IS the kmeans assignment
+    km = {r.vec_id: r.cluster for r in asg.collect()}
+    assert {k: v[0] for k, v in got.items()} == km
+
+    # all input columns preserved, two added
+    assert set(got_df.columns) == set(emb.columns) | {"cluster", "proto_dist"}
+
+
+def test_prototypicality_is_scan_side(spark, sf_dir):
+    from colnade_spark.operators.clustering import kmeans, prototypicality
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    _, cents = kmeans(emb, k=4, iters=1, return_centroids=True)
+    plan = (
+        prototypicality(emb, cents)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_prototype_prune_modes_and_counts(spark, sf_dir):
+    import math
+
+    from colnade_spark.operators.clustering import (
+        kmeans,
+        prototype_prune,
+        prototypicality,
+    )
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    _, cents = kmeans(emb, k=4, iters=1, return_centroids=True)
+    rows = [(r.vec_id, r.embedding) for r in emb.collect()]
+    scored = _python_prototypicality(rows, cents)
+
+    by_cluster = {}
+    for rid, (cid, d) in scored.items():
+        by_cluster.setdefault(cid, []).append((d, rid))
+
+    frac = 0.5
+    want_hard, want_easy = set(), set()
+    for cid, members in by_cluster.items():
+        keep = math.ceil(frac * len(members))
+        # hard: farthest first, ties to lowest id
+        hard = sorted(members, key=lambda t: (-t[0], t[1]))[:keep]
+        easy = sorted(members, key=lambda t: (t[0], t[1]))[:keep]
+        want_hard |= {rid for _, rid in hard}
+        want_easy |= {rid for _, rid in easy}
+
+    got_hard = {
+        r.vec_id
+        for r in prototype_prune(emb, cents, frac, mode="keep_hard").collect()
+    }
+    got_easy = {
+        r.vec_id
+        for r in prototype_prune(emb, cents, frac, mode="keep_easy").collect()
+    }
+    assert got_hard == want_hard
+    assert got_easy == want_easy
+
+    # frac=1.0 keeps everything in either mode
+    n = emb.count()
+    assert prototype_prune(emb, cents, 1.0).count() == n
+
+    # per-cluster survivor counts are exactly ceil(frac * n_cluster)
+    got_counts = {
+        r.cluster: r.n
+        for r in prototype_prune(emb, cents, frac)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    want_counts = {
+        cid: math.ceil(frac * len(m)) for cid, m in by_cluster.items()
+    }
+    assert got_counts == want_counts
+
+
+def test_prototype_ops_validate_args(spark, sf_dir):
+    import pytest
+
+    from colnade_spark.operators.clustering import (
+        prototype_prune,
+        prototypicality,
+    )
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    cents = [[0.0] * 64]
+    with pytest.raises(ValueError):
+        prototypicality(emb, [])
+    with pytest.raises(ValueError):
+        prototype_prune(emb, cents, 0.0)
+    with pytest.raises(ValueError):
+        prototype_prune(emb, cents, 0.5, mode="keep_some")
+    with pytest.raises(ValueError):
+        prototypicality(emb.withColumn("cluster", F.lit(1)), cents)
+    with pytest.raises(ValueError):
+        prototypicality(emb.withColumn("_proto_v", F.lit(1)), cents)
