@@ -505,6 +505,26 @@ def minhash_prt_summary(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def soft_dedup_weights_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """SoftDeDup-style reweighting (He et al. 2024): per-doc inverse mean
+    corpus occurrence count of its word 3-grams — unique docs weigh 1.0,
+    boilerplate-heavy docs are down-weighted instead of dropped. n_grams
+    and sum_df are exact integer counts and the weight is one IEEE
+    division, so every column replays bit-exactly."""
+    from colnade_spark.operators.importance import commonness_weights
+
+    return commonness_weights(_docs(spark, sf_dir), n=3)
+
+
+def dup_weight_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Cluster-size soft dedup: 1/|exact fingerprint cluster| per doc —
+    the downweight-instead-of-drop twin of dedup_fingerprint. Exact
+    counts + one IEEE division; NULL-fingerprint docs weigh 1.0."""
+    from colnade_spark.operators.importance import duplication_weights
+
+    return duplication_weights(_docs(spark, sf_dir))
+
+
 def dedup_rates_by_lang(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Per-language dedup datasheet: doc count, exact-duplicate count
     (rows beyond the first per content fingerprint), MinHash near-dup
@@ -2746,6 +2766,8 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "incremental_minhash_ids",  # round 6: new (ingest-dedup oracle)
     "approx_prune_stats",  # round 6: new (approx-prune tolerance audit)
     "dedup_rates_by_lang",  # round 6: new (per-lang dedup datasheet)
+    "soft_dedup_weights_docs",  # round 6: new (SoftDeDup commonness weights)
+    "dup_weight_docs",  # round 6: new (cluster-size soft dedup)
     "minhash_prt_summary",  # round 6: new (LSH precision/recall audit)
     "dedup_minhash_ids",  # round 6: full mod-2^64 oracle (was rows-only)
     "image_features_stub",  # round 6: integer-moment/phash reformulation + oracle
@@ -2799,6 +2821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "incremental_minhash_ids": incremental_minhash_ids,
         "approx_prune_stats": approx_prune_stats,
         "dedup_rates_by_lang": dedup_rates_by_lang,
+        "soft_dedup_weights_docs": soft_dedup_weights_docs,
+        "dup_weight_docs": dup_weight_docs,
         "minhash_prt_summary": minhash_prt_summary,
         # --- round-5 additions ---
         "curation_summary_docs": curation_summary_docs,
@@ -3756,6 +3780,53 @@ SELECT n_true_pairs, n_candidate_pairs, n_est_positive,
   n_true_positive::DOUBLE / greatest(n_true_pairs, 1) AS decision_recall
 FROM agg
 """,
+        "soft_dedup_weights_docs": f"""
+            WITH nt AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array({_NORM_TEXT}, '\\s+'),
+                            x -> x <> '') AS tk
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                {_md5h("array_to_string(list_slice(tk, i, i + 2), ' ')")} AS gh
+              FROM (
+                SELECT doc_id, tk,
+                       unnest(range(1, greatest(len(tk) - 2, 0) + 1)) AS i
+                FROM nt
+              )
+            ),
+            cnt AS (
+              SELECT gh, CAST(count(*) AS BIGINT) AS dfc FROM g GROUP BY gh
+            ),
+            per AS (
+              SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                     CAST(sum(cnt.dfc) AS BIGINT) AS sum_df
+              FROM g JOIN cnt USING (gh) GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+              CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+              CAST(coalesce(per.sum_df, 0) AS BIGINT) AS sum_df,
+              CASE WHEN coalesce(per.sum_df, 0) > 0
+                   THEN CAST(per.n_grams AS DOUBLE)
+                        / CAST(per.sum_df AS DOUBLE)
+                   ELSE 1.0 END AS weight
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "dup_weight_docs": f"""
+            WITH fp AS (
+              SELECT doc_id, md5({_NORM_TEXT}) AS f FROM documents
+            ),
+            cnt AS (
+              SELECT f, CAST(count(*) AS BIGINT) AS n
+              FROM fp WHERE f IS NOT NULL GROUP BY f
+            )
+            SELECT fp.doc_id,
+              CAST(coalesce(cnt.n, 1) AS BIGINT) AS cluster_size,
+              coalesce(CAST(1.0 AS DOUBLE) / CAST(cnt.n AS DOUBLE), 1.0)
+                AS dup_weight
+            FROM fp LEFT JOIN cnt USING (f)
+        """,
         "dedup_rates_by_lang": f"""
 WITH {_minhash_pair_ctes(num_hashes=96, shingle_k=5, seed=42, bands=16)},
 dups AS (SELECT DISTINCT id_b AS doc_id FROM est WHERE matches >= 77)

@@ -105,6 +105,8 @@ HEADLINE = [
     "corpus_card_approx_docs",
     "minhash_estimate_pairs",
     "dedup_rates_by_lang",
+    "soft_dedup_weights_docs",
+    "dup_weight_docs",
     "minhash_prt_summary",
     "incremental_minhash_ids",
     "approx_prune_stats",

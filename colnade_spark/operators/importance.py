@@ -257,3 +257,114 @@ def gumbel_topk(
         topk.withColumn("rk", F.row_number().over(w).cast("long"))
         .drop("_gkey")
     )
+
+
+def commonness_weights(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    weight_col: str = "weight",
+) -> DataFrame:
+    """SoftDeDup-style soft deduplication (He et al. 2024, "SoftDedup":
+    reweight common data instead of dropping it): a document's
+    COMMONNESS is the mean corpus-wide occurrence count of its word
+    n-grams, and its training weight is the inverse —
+    ``weight = n_grams / sum_df`` — so a fully unique document weighs
+    1.0 (every gram's count is its own occurrence) and a document made
+    of boilerplate seen d times corpus-wide weighs ~1/d. Unlike hard
+    dedup this keeps the long tail of partially-duplicated text, just
+    down-weighted; compose with ``sampling.weighted_sample`` or emit the
+    weight into the training manifest.
+
+    Returns ``(id_col, n_grams, sum_df, weight_col)`` — ids only, the
+    payload joins back by id (candidate-join discipline). Every output
+    is exact-integer-derived: n_grams and sum_df are exact counts and
+    the weight is ONE correctly-rounded IEEE division, so the result is
+    bit-reproducible in any engine. Documents with no grams (NULL/empty
+    text, or fewer than ``n`` tokens) carry weight 1.0 by definition —
+    no duplication evidence.
+
+    Scale shape (100 TB): tokens are STAGED as a real column before the
+    n-gram HOF (outer-ref re-eval gotcha, see NOTES); the explode
+    carries (id, 8-byte gram hash) only; the gram-count table is one
+    map-side-combined aggregation (the token-count tier); the count
+    join-back is hash-keyed long-to-long. Raw text never shuffles.
+    """
+    if n < 1:
+        raise ValueError("commonness_weights: n must be >= 1")
+    for c in ("_sd_tk", "_sd_g", "_sd_gh", "_sd_df"):
+        if c in df.columns:
+            raise ValueError(f"commonness_weights: input already has {c!r}")
+    staged = df.withColumn("_sd_tk", clean_tokens(F.col(text_col)))
+    grams = staged.select(
+        F.col(id_col),
+        F.explode_outer(word_ngrams(F.col("_sd_tk"), n)).alias("_sd_g"),
+    ).select(
+        id_col,
+        F.when(
+            F.col("_sd_g").isNotNull(), md5_hash60(F.col("_sd_g"))
+        ).alias("_sd_gh"),
+    )
+    counts = (
+        grams.filter(F.col("_sd_gh").isNotNull())
+        .groupBy("_sd_gh")
+        .agg(F.count(F.lit(1)).alias("_sd_df"))
+    )
+    per_doc = (
+        grams.join(counts, "_sd_gh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("_sd_gh").alias("n_grams"),
+            F.coalesce(F.sum("_sd_df"), F.lit(0)).cast("long").alias("sum_df"),
+        )
+    )
+    w = F.when(
+        F.col("sum_df") > 0,
+        F.col("n_grams").cast("double") / F.col("sum_df").cast("double"),
+    ).otherwise(F.lit(1.0))
+    return per_doc.select(
+        id_col, "n_grams", "sum_df", w.alias(weight_col)
+    )
+
+
+def duplication_weights(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weight_col: str = "dup_weight",
+) -> DataFrame:
+    """Cluster-size soft dedup: each document's weight is 1/|its exact
+    near-dup cluster| by normalized-text fingerprint — the k copies of a
+    document together contribute ONE document's worth of training mass
+    (the downweight-instead-of-drop counterpart of ``dedup.
+    dedup_fingerprint``, which keeps a single survivor). Documents with
+    a NULL fingerprint (NULL text) carry weight 1.0 — NULLs are not a
+    cluster.
+
+    Returns ``(id_col, cluster_size, weight_col)``; the weight is one
+    IEEE division of an exact count, bit-reproducible anywhere.
+
+    Scale: one map-side-combined count on the 16-byte digest, then a
+    digest-keyed join back of (id, digest) — ids and digests only, the
+    payload never shuffles.
+    """
+    from colnade_spark.operators.text import fingerprint
+
+    for c in ("_dw_fp", "_dw_n"):
+        if c in df.columns:
+            raise ValueError(f"duplication_weights: input already has {c!r}")
+    idsfp = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("_dw_fp"))
+    counts = (
+        idsfp.filter(F.col("_dw_fp").isNotNull())
+        .groupBy("_dw_fp")
+        .agg(F.count(F.lit(1)).alias("_dw_n"))
+    )
+    joined = idsfp.join(counts, "_dw_fp", "left")
+    return joined.select(
+        id_col,
+        F.coalesce(F.col("_dw_n"), F.lit(1)).cast("long").alias("cluster_size"),
+        F.coalesce(
+            F.lit(1.0) / F.col("_dw_n").cast("double"), F.lit(1.0)
+        ).alias(weight_col),
+    )

@@ -171,3 +171,110 @@ def test_frozen_scoring_plan_has_no_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# SoftDeDup-style reweighting (commonness_weights / duplication_weights)
+# ---------------------------------------------------------------------------
+
+SOFT_DOCS = [
+    (1, "alpha beta gamma delta epsilon"),
+    (2, "alpha beta gamma delta epsilon"),      # exact dup of 1
+    (3, "alpha beta gamma delta DIFFERENT"),    # shares a leading gram
+    (4, "zeta eta theta iota kappa"),           # unique
+    (5, "one two"),                             # fewer than n tokens
+    (6, ""),                                    # empty
+    (7, None),                                  # NULL
+]
+
+
+def _soft_model(rows, n=3):
+    """Pure-python twin of commonness_weights: gram occurrence counts,
+    per-doc exact sums, one float division."""
+    per_doc_grams = {}
+    counts = {}
+    for rid, text in rows:
+        tk = _toks(text)
+        grams = [" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)]
+        hs = [_h60(g) for g in grams]
+        per_doc_grams[rid] = hs
+        for h in hs:
+            counts[h] = counts.get(h, 0) + 1
+    out = {}
+    for rid, hs in per_doc_grams.items():
+        s = sum(counts[h] for h in hs)
+        w = (len(hs) / float(s)) if s > 0 else 1.0
+        out[rid] = (len(hs), s, w)
+    return out
+
+
+def test_commonness_weights_match_python_model(spark):
+    from colnade_spark.operators.importance import commonness_weights
+
+    df = spark.createDataFrame(SOFT_DOCS, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_grams, r.sum_df, r.weight)
+        for r in commonness_weights(df, n=3).collect()
+    }
+    want = _soft_model(SOFT_DOCS, n=3)
+    assert got == want  # exact ints + one IEEE division -> bit equality
+
+    # semantics: dup pair down-weighted, unique doc weighs exactly 1.0
+    assert got[4][2] == 1.0
+    assert got[1][2] < 1.0 and got[1] == got[2]
+    # partial overlap sits between full dup and unique
+    assert got[1][2] < got[3][2] <= 1.0
+    # gram-free docs (short/empty/NULL) weigh 1.0 with zero grams
+    for rid in (5, 6, 7):
+        assert got[rid] == (0, 0, 1.0)
+
+
+def test_commonness_weights_corpus_bounds(spark, sf_dir):
+    from colnade_spark.operators.importance import commonness_weights
+    from colnade_spark.tpch import table_path
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    out = commonness_weights(docs, n=3)
+    assert out.count() == docs.count()  # every doc gets a weight
+    bad = out.filter(
+        (F.col("weight") <= 0) | (F.col("weight") > 1.0)
+        | (F.col("sum_df") < F.col("n_grams"))
+    ).count()
+    assert bad == 0  # df >= 1 per own occurrence => 0 < weight <= 1
+
+
+def test_duplication_weights_cluster_sizes(spark):
+    from colnade_spark.operators.importance import duplication_weights
+
+    rows = [
+        (1, "Hello, World!"),
+        (2, "hello world"),      # same fingerprint as 1 (normalization)
+        (3, "hello world!!!"),   # same fingerprint again
+        (4, "something else"),
+        (5, None),               # NULL text -> weight 1.0, not a cluster
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.cluster_size, r.dup_weight)
+        for r in duplication_weights(df).collect()
+    }
+    third = 1.0 / 3.0
+    assert got[1] == got[2] == got[3] == (3, third)
+    assert got[4] == (1, 1.0)
+    assert got[5] == (1, 1.0) and got[6] == (1, 1.0)
+
+
+def test_soft_dedup_ops_validate_columns(spark):
+    from colnade_spark.operators.importance import (
+        commonness_weights,
+        duplication_weights,
+    )
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        commonness_weights(df, n=0)
+    with pytest.raises(ValueError):
+        commonness_weights(df.withColumn("_sd_tk", F.lit(1)))
+    with pytest.raises(ValueError):
+        duplication_weights(df.withColumn("_dw_fp", F.lit(1)))
