@@ -588,6 +588,15 @@ def text_quality(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Per-language tokenizer-fertility datasheet: exact word/BPE/byte
+    totals plus the fertility (subword per word) and bytes-per-token
+    ratios — one scan-side projection into one |languages|-row
+    aggregation. Totals are exact integer sums and each ratio is one
+    IEEE division, so every column replays bit-exactly."""
+    return text.fertility_stats(_docs(spark, sf_dir))
+
+
 def token_counts(spark: SparkSession, sf_dir: str) -> SparkDF:
     d = _docs(spark, sf_dir)
     return d.select(
@@ -2768,6 +2777,7 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "dedup_rates_by_lang",  # round 6: new (per-lang dedup datasheet)
     "soft_dedup_weights_docs",  # round 6: new (SoftDeDup commonness weights)
     "dup_weight_docs",  # round 6: new (cluster-size soft dedup)
+    "token_fertility_by_lang",  # round 6: new (per-lang tokenizer datasheet)
     "minhash_prt_summary",  # round 6: new (LSH precision/recall audit)
     "dedup_minhash_ids",  # round 6: full mod-2^64 oracle (was rows-only)
     "image_features_stub",  # round 6: integer-moment/phash reformulation + oracle
@@ -2933,6 +2943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "ngram_jaccard_dups": ngram_jaccard_dups,
         "text_quality": text_quality,
         "token_counts": token_counts,
+        "token_fertility_by_lang": token_fertility_by_lang,
         "language_pred": language_pred,
         "repetition_profile": repetition_profile,
         "top_token_profile": top_token_profile,
@@ -3885,6 +3896,28 @@ SELECT doc_id FROM documents WHERE doc_id % 2 = 1
               round(CAST({_stop_hits('en', toks_lower)} AS DOUBLE) / 10, 6)
                 AS q_stopword_ratio
             FROM documents
+        """,
+        "token_fertility_by_lang": f"""
+            WITH s AS (
+              SELECT lang,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_null_docs,
+                CAST(coalesce(sum(len({toks})), 0) AS BIGINT) AS sum_words,
+                CAST(coalesce(sum(len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))), 0)
+                  AS BIGINT) AS sum_bpe,
+                CAST(coalesce(sum(strlen(text)), 0) AS BIGINT) AS sum_bytes
+              FROM documents GROUP BY lang
+            )
+            SELECT lang, n_docs, n_null_docs, sum_words, sum_bpe, sum_bytes,
+              CASE WHEN sum_words > 0
+                   THEN CAST(sum_bpe AS DOUBLE) / CAST(sum_words AS DOUBLE)
+              END AS fertility,
+              CASE WHEN sum_bpe > 0
+                   THEN CAST(sum_bytes AS DOUBLE) / CAST(sum_bpe AS DOUBLE)
+              END AS bytes_per_token
+            FROM s
         """,
         "token_counts": f"""
             SELECT doc_id, len({toks}) AS n_tokens,

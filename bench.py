@@ -36,6 +36,7 @@ HEADLINE = [
     "ngram_jaccard_dups",
     "text_quality",
     "token_counts",
+    "token_fertility_by_lang",
     "language_pred",
     "ann_bruteforce",
     "ann_lsh",

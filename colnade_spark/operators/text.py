@@ -105,6 +105,56 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def fertility_stats(
+    df: DataFrame, lang_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Per-language tokenizer-fertility datasheet: document counts plus
+    EXACT whitespace-word / BPE-ish-token / UTF-8-byte totals, and the
+    two derived ratios every multilingual pipeline reports —
+    ``fertility`` (subword tokens per whitespace word: high for
+    morphologically rich or unsegmented scripts) and ``bytes_per_token``
+    (UTF-8 bytes per subword token: compression efficiency per
+    language). NULL texts are counted in ``n_null_docs`` and contribute
+    nothing to the sums; a language whose token total is zero emits NULL
+    ratios rather than a division error.
+
+    Every total is an exact integer sum and each ratio is ONE
+    correctly-rounded IEEE division of those totals, so the output is
+    bit-reproducible in any engine. Plan shape: one scan-side projection
+    (token counts are regex built-ins) into one map-side-combined
+    aggregation keyed on language — the shuffle carries |languages| rows
+    of longs, nothing else, at any corpus size.
+    """
+    t = F.col(text_col)
+    agg = df.groupBy(lang_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(t.isNull(), 1).otherwise(0)).cast("long").alias("n_null_docs"),
+        F.coalesce(F.sum(token_count(t)), F.lit(0)).cast("long").alias("sum_words"),
+        F.coalesce(F.sum(bpe_token_count(t)), F.lit(0))
+        .cast("long")
+        .alias("sum_bpe"),
+        F.coalesce(F.sum(F.octet_length(t)), F.lit(0))
+        .cast("long")
+        .alias("sum_bytes"),
+    )
+    return agg.select(
+        lang_col,
+        "n_docs",
+        "n_null_docs",
+        "sum_words",
+        "sum_bpe",
+        "sum_bytes",
+        F.when(
+            F.col("sum_words") > 0,
+            F.col("sum_bpe").cast("double") / F.col("sum_words").cast("double"),
+        ).alias("fertility"),
+        F.when(
+            F.col("sum_bpe") > 0,
+            F.col("sum_bytes").cast("double") / F.col("sum_bpe").cast("double"),
+        ).alias("bytes_per_token"),
+    )
+
+
 def language_scores(text: Column) -> Column:
     """Struct of per-language stopword-hit counts."""
     toks = tokens(F.lower(text))

@@ -881,3 +881,45 @@ def test_media_format_sniffing_and_byte_stats(spark):
     assert stats[1] == (100, 1, 0.0)
     assert stats[2] == (1024, 256, 8.0)
     assert stats[3] == (0, 0, 0.0)
+
+
+def test_fertility_stats_matches_python(spark):
+    import re
+
+    rows = [
+        (1, "hello world, this is English text!", "en"),
+        (2, "naturverständnis und wörterbuch", "de"),
+        (3, "这是中文文本没有空格", "zh"),
+        (4, None, "zh"),
+        (5, "", "fr"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {
+        r.lang: (
+            r.n_docs, r.n_null_docs, r.sum_words, r.sum_bpe, r.sum_bytes,
+            r.fertility, r.bytes_per_token,
+        )
+        for r in text.fertility_stats(df).collect()
+    }
+
+    bpe_re = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    want = {}
+    for lang in {r[2] for r in rows}:
+        texts = [t for _, t, lg in rows if lg == lang]
+        present = [t for t in texts if t is not None]
+        words = sum(len(re.split(r"\s+", t.strip())) for t in present)
+        bpe = sum(len(bpe_re.findall(t)) for t in present)
+        byts = sum(len(t.encode("utf-8")) for t in present)
+        want[lang] = (
+            len(texts), len(texts) - len(present), words, bpe, byts,
+            (bpe / words) if words else None,
+            (byts / bpe) if bpe else None,
+        )
+    assert got == want  # exact ints + single IEEE divisions
+
+    # semantics: the unsegmented script has far higher fertility than en
+    assert got["zh"][5] > got["en"][5]
+    # empty-string text: one whitespace token (split semantics), zero BPE
+    # tokens -> fertility 0.0 and a NULL bytes_per_token, not an error
+    assert got["fr"][2] == 1 and got["fr"][3] == 0
+    assert got["fr"][5] == 0.0 and got["fr"][6] is None
