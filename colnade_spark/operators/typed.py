@@ -75,6 +75,15 @@ __all__ = [
     "pq_residual_screen_gate",
     "MinhashAuditRows",
     "minhash_estimate_audit",
+    "prototypicality",
+    "prototype_prune_select",
+    "commonness_weights",
+    "duplication_weights",
+    "fertility_stats",
+    "PrototypeScores",
+    "SoftDedupWeights",
+    "DupWeights",
+    "FertilityRows",
     "JaccardPairs",
     "charshingle_jaccard_pairs",
     "PrtAuditRow",
@@ -823,3 +832,101 @@ def minhash_estimate_audit(frame, **kwargs) -> DataFrame[MinhashAuditRows]:
     of recall_at_k)."""
     f = frame.native if isinstance(frame, DataFrame) else frame
     return _typed(_dedup.minhash_estimate_audit(f, **kwargs), MinhashAuditRows)
+
+
+class PrototypeScores(Schema):
+    vec_id: Column[Int64]
+    cluster: Column[Int64]
+    proto_dist: Column[Float64]
+
+
+def prototypicality(frame, centroids, **kwargs) -> DataFrame[PrototypeScores]:
+    """Typed prototypicality scores (operators.clustering.prototypicality):
+    each row's nearest frozen centroid + squared distance, projected to
+    the score triple. The raw operator preserves the input payload; the
+    typed surface pins the id/cluster/distance contract."""
+    from colnade_spark.operators import clustering as _clustering
+
+    f = frame.native if isinstance(frame, DataFrame) else frame
+    out = _clustering.prototypicality(f, centroids, **kwargs)
+    id_col = kwargs.get("id_col", "vec_id")
+    cluster_col = kwargs.get("cluster_col", "cluster")
+    dist_col = kwargs.get("dist_col", "proto_dist")
+    out = out.select(
+        out[id_col].alias("vec_id"),
+        out[cluster_col].alias("cluster"),
+        out[dist_col].alias("proto_dist"),
+    )
+    return _typed(out, PrototypeScores)
+
+
+def prototype_prune_select(frame: DataFrame[S], centroids, frac, **kwargs) -> DataFrame[S]:
+    """Schema-preserving prototype pruning (operators.clustering.
+    prototype_prune): keep ceil(frac*n) per cluster by distance rank,
+    drop the scoring columns, revalidate through with_raw."""
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators import clustering as _clustering
+
+    cluster_col = kwargs.pop("cluster_col", "_pp_cluster")
+    dist_col = kwargs.pop("dist_col", "_pp_dist")
+
+    def _apply(d):
+        out = _clustering.prototype_prune(
+            d, centroids, frac, cluster_col=cluster_col, dist_col=dist_col,
+            **kwargs,
+        )
+        return out.drop(cluster_col, dist_col)
+
+    return frame.with_raw(_apply)
+
+
+class SoftDedupWeights(Schema):
+    doc_id: Column[Int64]
+    n_grams: Column[Int64]
+    sum_df: Column[Int64]
+    weight: Column[Float64]
+
+
+def commonness_weights(frame, **kwargs) -> DataFrame[SoftDedupWeights]:
+    """Typed SoftDeDup commonness weights (operators.importance.
+    commonness_weights): inverse mean corpus n-gram occurrence count."""
+    from colnade_spark.operators import importance as _importance
+
+    f = frame.native if isinstance(frame, DataFrame) else frame
+    return _typed(_importance.commonness_weights(f, **kwargs), SoftDedupWeights)
+
+
+class DupWeights(Schema):
+    doc_id: Column[Int64]
+    cluster_size: Column[Int64]
+    dup_weight: Column[Float64]
+
+
+def duplication_weights(frame, **kwargs) -> DataFrame[DupWeights]:
+    """Typed cluster-size soft-dedup weights (operators.importance.
+    duplication_weights)."""
+    from colnade_spark.operators import importance as _importance
+
+    f = frame.native if isinstance(frame, DataFrame) else frame
+    return _typed(_importance.duplication_weights(f, **kwargs), DupWeights)
+
+
+class FertilityRows(Schema):
+    lang: Column[Utf8]
+    n_docs: Column[Int64]
+    n_null_docs: Column[Int64]
+    sum_words: Column[Int64]
+    sum_bpe: Column[Int64]
+    sum_bytes: Column[Int64]
+    fertility: Column[Float64]
+    bytes_per_token: Column[Float64]
+
+
+def fertility_stats(frame, **kwargs) -> DataFrame[FertilityRows]:
+    """Typed per-language tokenizer-fertility datasheet
+    (operators.text.fertility_stats)."""
+    from colnade_spark.operators import text as _text
+
+    f = frame.native if isinstance(frame, DataFrame) else frame
+    return _typed(_text.fertility_stats(f, **kwargs), FertilityRows)

@@ -344,3 +344,45 @@ def test_prt_audit_facades(spark, docs):
     r = rows[0]
     assert 0.0 <= r.candidate_recall <= 1.0
     assert r.n_true_positive <= r.n_true_pairs
+
+
+def test_prototype_facades(spark, sf_dir):
+    from colnade_spark.operators.clustering import kmeans
+    from colnade_spark.tpch import Embeddings
+
+    embs = read_parquet(table_path(sf_dir, "embeddings"), Embeddings, spark=spark)
+    _, cents = kmeans(embs.native, k=4, iters=1, return_centroids=True)
+
+    scores = typed.prototypicality(embs, cents)
+    assert scores.schema is typed.PrototypeScores
+    rows = scores.rows()
+    assert len(rows) == embs.height
+    assert all(r.proto_dist >= 0.0 and 0 <= r.cluster < 4 for r in rows)
+
+    kept = typed.prototype_prune_select(embs, cents, 0.5, mode="keep_hard")
+    assert kept.schema is Embeddings
+    assert 0 < kept.height <= embs.height
+    # scoring columns dropped, payload intact
+    r = kept.rows()[0]
+    assert isinstance(r.embedding, list) and len(r.embedding) == 64
+
+
+def test_soft_dedup_weight_facades(docs):
+    cw = typed.commonness_weights(docs, n=3)
+    assert cw.schema is typed.SoftDedupWeights
+    assert cw.height == docs.height
+    assert all(0.0 < r.weight <= 1.0 for r in cw.rows())
+
+    dw = typed.duplication_weights(docs)
+    assert dw.schema is typed.DupWeights
+    assert dw.height == docs.height
+    assert all(r.dup_weight * r.cluster_size == 1.0 or r.cluster_size >= 1
+               for r in dw.rows())
+
+
+def test_fertility_facade(docs):
+    out = typed.fertility_stats(docs)
+    assert out.schema is typed.FertilityRows
+    rows = out.rows()
+    assert {r.lang for r in rows} == {"en", "de", "es", "fr", "zh"}
+    assert all(r.sum_bpe >= 0 and r.n_docs > 0 for r in rows)

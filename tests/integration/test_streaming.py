@@ -1339,3 +1339,32 @@ def test_pq_residual_screen_gate_is_stateless_on_streams(spark, sf_dir):
     got = {r.vec_id for r in spark.table(name).collect()}
     want = {r.vec_id for r in gate(batch).collect()}
     assert got == want and 0 < len(got) < batch.count()
+
+
+def test_prototypicality_is_stateless_on_streams(spark, sf_dir):
+    """Prototypicality scoring against frozen centroids is a pure
+    scan-side projection (literal centroids, integer-scaled IEEE fold):
+    a streamed embeddings source scores every row exactly as the batch
+    path does in append mode with NO streaming state — the pruning
+    decision can ride an ingest (with a precomputed distance threshold)
+    the same way the frozen-DSIR and PQ-screen gates do."""
+    from colnade_spark.operators.clustering import kmeans, prototypicality
+    from colnade_spark.streaming import scan_stream_parquet
+    from colnade_spark.tpch import Embeddings
+
+    batch = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    _, cents = kmeans(batch, k=4, iters=1, return_centroids=True)
+
+    def score(d):
+        return prototypicality(
+            d.select("vec_id", "embedding"), cents
+        ).select("vec_id", "cluster", "proto_dist")
+
+    sf = scan_stream_parquet(
+        table_path(sf_dir, "embeddings"), Embeddings, spark=spark
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _await(sf.with_raw(score).to_memory_sink(name, output_mode="append"))
+    got = {r.vec_id: (r.cluster, r.proto_dist) for r in spark.table(name).collect()}
+    want = {r.vec_id: (r.cluster, r.proto_dist) for r in score(batch).collect()}
+    assert got == want and len(got) == batch.count()

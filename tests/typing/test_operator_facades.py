@@ -8,7 +8,8 @@ access on the returned frames' typed rows.
 
 from __future__ import annotations
 
-from colnade_spark import Column, DataFrame, Int64, Schema, Utf8
+from colnade_spark import Column, DataFrame, Float32, Int64, Schema, Utf8
+from colnade_spark.dtypes import List as ListD
 from colnade_spark.operators import typed
 from colnade_spark.operators.typed import Chunks, PackedChunks
 
@@ -17,6 +18,11 @@ class Corpus(Schema):
     doc_id: Column[Int64]
     text: Column[Utf8]
     lang: Column[Utf8]
+
+
+class Emb(Schema):
+    vec_id: Column[Int64]
+    embedding: Column[ListD[Float32]]
 
 
 def check_schema_preserving(frame: DataFrame[Corpus]) -> DataFrame[Corpus]:
@@ -149,4 +155,38 @@ def check_round6_audit_facades(frame: DataFrame[Corpus]) -> list[float]:
         rc: float = r.candidate_recall
         n: int = r.n_true_pairs
         out.append(rc if n > 0 else 0.0)
+    return out
+
+
+def check_round6_weight_facades(frame: DataFrame[Corpus]) -> list[float]:
+    cw: DataFrame[typed.SoftDedupWeights] = typed.commonness_weights(frame, n=3)
+    _ = cw.filter(typed.SoftDedupWeights.weight < 1.0)
+    dw: DataFrame[typed.DupWeights] = typed.duplication_weights(frame)
+    _ = dw.filter(typed.DupWeights.cluster_size > 1)
+    fert: DataFrame[typed.FertilityRows] = typed.fertility_stats(frame)
+    out: list[float] = []
+    for r in cw.rows():
+        w: float = r.weight
+        out.append(w)
+    for f in fert.rows():
+        n: int = f.n_docs
+        out.append(float(n))
+    return out
+
+
+def check_round6_prototype_facades(
+    frame: DataFrame[Emb], centroids: list[list[float]]
+) -> list[float]:
+    scores: DataFrame[typed.PrototypeScores] = typed.prototypicality(
+        frame, centroids
+    )
+    _ = scores.filter(typed.PrototypeScores.proto_dist > 0.0)
+    kept: DataFrame[Emb] = typed.prototype_prune_select(
+        frame, centroids, 0.5, mode="keep_hard"
+    )
+    _ = kept.filter(Emb.vec_id > 0)
+    out: list[float] = []
+    for r in scores.rows():
+        d: float = r.proto_dist
+        out.append(d)
     return out
