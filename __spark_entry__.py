@@ -1706,6 +1706,51 @@ def _churned_snapshot(docs: SparkDF) -> SparkDF:
     )
 
 
+def source_overlap_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Cross-source duplication matrix over a three-source corpus built
+    in-query (the fixture corpus has no exact cross-source duplicates at
+    small SFs): 'full' is the corpus as-is, 'mirror_even' re-ids every
+    even doc with case/punctuation mangling, 'mirror_third' every third
+    doc with leading whitespace — both normalize to IDENTICAL
+    fingerprints, so the expected overlaps are the even/third/sixth
+    populations and the matrix also demonstrates normalization
+    robustness. Counts are exact ints; jaccard is one IEEE division."""
+    from colnade_spark.operators.report import source_overlap_matrix
+
+    d = _docs(spark, sf_dir)
+    base = d.select("doc_id", "text", F.lit("full").alias("src"))
+    mirror = d.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("!!!")).alias("text"),
+        F.lit("mirror_even").alias("src"),
+    )
+    third = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.lit("   "), F.col("text")).alias("text"),
+        F.lit("mirror_third").alias("src"),
+    )
+    u = base.unionByName(mirror).unionByName(third)
+    return source_overlap_matrix(u, group_col="src")
+
+
+def length_drift_psi_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Per-language PSI drift report between the even-id and odd-id
+    halves of the corpus (the standing two-snapshot convention): one row
+    per (lang, length bin) with exact counts, add-1-smoothed fractions,
+    and the bin's rounded PSI contribution. Exact ints + IEEE divisions
+    + the round-6 ln convention, so every column replays."""
+    from colnade_spark.operators.report import length_drift_psi
+
+    d = _docs(spark, sf_dir)
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    out = length_drift_psi(
+        old, new=new, value_col="n_chars",
+        edges=(100, 200, 300, 400, 500), group_col="lang",
+    )
+    return out.withColumn("bin", F.col("bin").cast("long"))
+
+
 def corpus_diff_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Incremental-ingest verification: diff two corpus snapshots into
     (doc_id, status ∈ added/removed/changed) by normalized-text
@@ -2778,6 +2823,8 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "soft_dedup_weights_docs",  # round 6: new (SoftDeDup commonness weights)
     "dup_weight_docs",  # round 6: new (cluster-size soft dedup)
     "token_fertility_by_lang",  # round 6: new (per-lang tokenizer datasheet)
+    "source_overlap_docs",  # round 6: new (cross-source dup matrix)
+    "length_drift_psi_docs",  # round 6: new (PSI drift report)
     "minhash_prt_summary",  # round 6: new (LSH precision/recall audit)
     "dedup_minhash_ids",  # round 6: full mod-2^64 oracle (was rows-only)
     "image_features_stub",  # round 6: integer-moment/phash reformulation + oracle
@@ -2841,6 +2888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "balanced_shards_docs": balanced_shards_docs,
         "pq_contamination_bench": pq_contamination_bench,
         "corpus_diff_docs": corpus_diff_docs,
+        "source_overlap_docs": source_overlap_docs,
+        "length_drift_psi_docs": length_drift_psi_docs,
         "corpus_card_docs": corpus_card_docs,
         "ppl_bucketed_docs": ppl_bucketed_docs,
         "pii_count_stats": pii_count_stats,
@@ -4874,6 +4923,77 @@ SELECT doc_id FROM documents WHERE doc_id % 2 = 1
               CAST(len(reasons) AS BIGINT) AS n_reasons,
               coalesce(array_to_string(reasons, '|'), '') AS reasons
             FROM verdicts
+        """,
+        "source_overlap_docs": f"""
+            WITH u AS (
+              SELECT doc_id, text, 'full' AS src FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, upper(text) || '!!!', 'mirror_even'
+              FROM documents WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT doc_id + 200000, '   ' || text, 'mirror_third'
+              FROM documents WHERE doc_id % 3 = 0
+            ),
+            s AS (
+              SELECT DISTINCT src, md5({_NORM_TEXT}) AS f
+              FROM u WHERE text IS NOT NULL AND src IS NOT NULL
+            ),
+            tot AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY src),
+            sh AS (
+              SELECT a.src AS source_a, b.src AS source_b,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM s a JOIN s b USING (f)
+              WHERE a.src < b.src
+              GROUP BY 1, 2
+            )
+            SELECT sh.source_a, sh.source_b,
+              ta.n AS n_fps_a, tb.n AS n_fps_b, sh.n_shared,
+              CAST(sh.n_shared AS DOUBLE)
+                / CAST(ta.n + tb.n - sh.n_shared AS DOUBLE) AS jaccard
+            FROM sh
+            JOIN tot ta ON ta.src = sh.source_a
+            JOIN tot tb ON tb.src = sh.source_b
+        """,
+        "length_drift_psi_docs": """
+            WITH binned AS (
+              SELECT lang, doc_id % 2 = 0 AS is_old,
+                CASE WHEN n_chars IS NULL THEN 6 ELSE
+                  (n_chars >= 100)::INT + (n_chars >= 200)::INT
+                  + (n_chars >= 300)::INT + (n_chars >= 400)::INT
+                  + (n_chars >= 500)::INT END AS bin
+              FROM documents
+            ),
+            co AS (
+              SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_old
+              FROM binned WHERE is_old GROUP BY 1, 2
+            ),
+            cn AS (
+              SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_new
+              FROM binned WHERE NOT is_old GROUP BY 1, 2
+            ),
+            j AS (
+              SELECT coalesce(co.lang, cn.lang) AS lang,
+                     coalesce(co.bin, cn.bin) AS bin,
+                     CAST(coalesce(n_old, 0) AS BIGINT) AS n_old,
+                     CAST(coalesce(n_new, 0) AS BIGINT) AS n_new
+              FROM co FULL OUTER JOIN cn
+                ON co.lang = cn.lang AND co.bin = cn.bin
+            ),
+            t AS (
+              SELECT lang, bin, n_old, n_new,
+                sum(n_old) OVER (PARTITION BY lang) AS t_old,
+                sum(n_new) OVER (PARTITION BY lang) AS t_new
+              FROM j
+            )
+            SELECT lang, CAST(bin AS BIGINT) AS bin, n_old, n_new,
+              CAST(n_old + 1 AS DOUBLE) / CAST(t_old + 7 AS DOUBLE) AS p_old,
+              CAST(n_new + 1 AS DOUBLE) / CAST(t_new + 7 AS DOUBLE) AS p_new,
+              round((CAST(n_new + 1 AS DOUBLE) / CAST(t_new + 7 AS DOUBLE)
+                     - CAST(n_old + 1 AS DOUBLE) / CAST(t_old + 7 AS DOUBLE))
+                    * ln((CAST(n_new + 1 AS DOUBLE) / CAST(t_new + 7 AS DOUBLE))
+                         / (CAST(n_old + 1 AS DOUBLE)
+                            / CAST(t_old + 7 AS DOUBLE))), 6) AS psi_term
+            FROM t
         """,
         "corpus_diff_docs": f"""
             WITH oldc AS (SELECT doc_id, text FROM documents),

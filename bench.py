@@ -102,6 +102,8 @@ HEADLINE = [
     "balanced_shards_docs",
     "pq_contamination_bench",
     "corpus_diff_docs",
+    "source_overlap_docs",
+    "length_drift_psi_docs",
     "corpus_card_docs",
     "corpus_card_approx_docs",
     "minhash_estimate_pairs",

@@ -35,6 +35,8 @@ __all__ = [
     "changed_rows_gate",
     "maintain_corpus_churn",
     "compact_corpus_fingerprints",
+    "source_overlap_matrix",
+    "length_drift_psi",
 ]
 
 
@@ -596,4 +598,165 @@ def changed_rows_gate(
         staged.withColumn(status_col, status)
         .filter(F.col(status_col).isNotNull())
         .select(*new.columns, status_col)
+    )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-source duplication matrix: for every unordered source pair,
+    how many distinct normalized-text fingerprints appear in BOTH — the
+    "how much of crawl X is already in dataset Y" datasheet every
+    multi-source corpus owes its users (mixture weights double-count
+    mass that two sources share). One row per pair with each side's
+    distinct-fingerprint total, the shared count, and their Jaccard
+    (ONE IEEE division of exact counts — bit-reproducible anywhere).
+    Only pairs that share at least one fingerprint are emitted;
+    ``source_a < source_b`` lexicographically, so each pair appears
+    once. NULL fingerprints (NULL text) and NULL sources are excluded —
+    NULLs are not a cluster and not a source.
+
+    Scale shape (100 TB): the join is keyed on the 16-byte digest and
+    carries (digest, source) pairs only — payloads never shuffle. The
+    per-fingerprint fanout is |sources sharing that digest| squared;
+    sources are corpus-level labels (dozens, not millions), so the
+    blowup is bounded by the label vocabulary, and a digest shared by
+    ALL sources produces |sources| choose 2 rows, not |docs| squared.
+    The totals table is |sources| rows and broadcasts. The distinct-ed
+    (digest, source) table is referenced three times (self-join sides +
+    totals) but its exchange subtree is identical in all three, so
+    Spark's exchange reuse materializes the fingerprint scan ONCE at
+    runtime (verified: the adaptive plan shows ReusedExchange for both
+    extra references).
+    """
+    from colnade_spark.operators.text import fingerprint
+
+    s = (
+        df.select(
+            F.col(group_col).alias("_so_src"),
+            fingerprint(F.col(text_col)).alias("_so_fp"),
+        )
+        .filter(F.col("_so_fp").isNotNull() & F.col("_so_src").isNotNull())
+        .distinct()
+    )
+    totals = s.groupBy("_so_src").agg(F.count(F.lit(1)).alias("_so_n"))
+    a = s.select(F.col("_so_src").alias("source_a"), "_so_fp")
+    b = s.select(F.col("_so_src").alias("source_b"), "_so_fp")
+    shared = (
+        a.join(b, "_so_fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    out = (
+        shared.join(
+            F.broadcast(totals.withColumnRenamed("_so_src", "source_a")),
+            "source_a",
+        )
+        .withColumnRenamed("_so_n", "n_fps_a")
+        .join(
+            F.broadcast(totals.withColumnRenamed("_so_src", "source_b")),
+            "source_b",
+        )
+        .withColumnRenamed("_so_n", "n_fps_b")
+    )
+    jac = F.col("n_shared").cast("double") / (
+        F.col("n_fps_a") + F.col("n_fps_b") - F.col("n_shared")
+    ).cast("double")
+    return out.select(
+        "source_a",
+        "source_b",
+        F.col("n_fps_a").cast("long").alias("n_fps_a"),
+        F.col("n_fps_b").cast("long").alias("n_fps_b"),
+        "n_shared",
+        jac.alias("jaccard"),
+    )
+
+
+def length_drift_psi(
+    old: DataFrame,
+    *,
+    new: DataFrame,
+    value_col: str = "n_chars",
+    edges: tuple[int, ...] = (100, 200, 400, 800, 1600),
+    group_col: str | None = None,
+) -> DataFrame:
+    """Population-stability-index drift report between two corpus
+    snapshots over an integer metric column (doc length, token count):
+    bin both snapshots on the same literal integer edges, add-1 smooth,
+    and emit one row per (group,) bin with both counts, both smoothed
+    fractions, and the bin's PSI contribution
+    ``(p_new - p_old) * ln(p_new / p_old)`` rounded to 6 places (the
+    cross-engine float convention). Sum ``psi_term`` for the scalar PSI;
+    the usual reading: <0.1 stable, 0.1-0.25 drifting, >0.25 shifted.
+    Snapshot arguments are keyword-only (the corpus_diff discipline —
+    transposing old/new silently flips every sign).
+
+    Rows with a NULL metric are counted in a dedicated NULL bin (drift
+    TO null-ness is drift). Bins are right-open: bin i holds
+    ``edges[i-1] <= x < edges[i]``, bin 0 everything below, bin
+    ``len(edges)`` everything at or above the last edge.
+
+    Scale: two scan-side bin projections into map-side-combined counts
+    (shuffle carries |groups|·|bins| rows of longs), one bin-keyed join
+    of the two bounded count tables. Exact integer counts; each
+    fraction is one IEEE division, so the report replays bit-exactly.
+    """
+    if not edges or list(edges) != sorted(set(edges)):
+        raise ValueError("edges must be strictly increasing and non-empty")
+    n_bins = len(edges) + 2  # below/between/above ... plus the NULL bin
+
+    def _bin(c):
+        # number of edges <= x, computed over a literal edge array; the
+        # NULL bin is the last index
+        idx = F.aggregate(
+            F.array(*[F.lit(int(e)) for e in edges]),
+            F.lit(0),
+            lambda acc, e: acc + F.when(c >= e, 1).otherwise(0),
+        )
+        return F.when(c.isNull(), F.lit(n_bins - 1)).otherwise(idx)
+
+    keys = ([group_col] if group_col else []) + ["bin"]
+
+    def _counts(d, out):
+        return (
+            d.select(
+                *([group_col] if group_col else []),
+                _bin(F.col(value_col)).alias("bin"),
+            )
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+
+    co = _counts(old, "n_old")
+    cn = _counts(new, "n_new")
+    j = co.join(cn, keys, "full").select(
+        *keys,
+        F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+    )
+    # totals per group (or global): bounded-size window over the counts
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*([group_col] if group_col else [F.lit(1)]))
+    j = j.withColumn("_t_old", F.sum("n_old").over(w)).withColumn(
+        "_t_new", F.sum("n_new").over(w)
+    )
+    p_old = (F.col("n_old") + 1).cast("double") / (
+        F.col("_t_old") + n_bins
+    ).cast("double")
+    p_new = (F.col("n_new") + 1).cast("double") / (
+        F.col("_t_new") + n_bins
+    ).cast("double")
+    term = F.round((p_new - p_old) * F.log(p_new / p_old), 6)
+    return j.select(
+        *keys,
+        "n_old",
+        "n_new",
+        p_old.alias("p_old"),
+        p_new.alias("p_new"),
+        term.alias("psi_term"),
     )

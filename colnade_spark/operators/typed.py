@@ -84,6 +84,10 @@ __all__ = [
     "SoftDedupWeights",
     "DupWeights",
     "FertilityRows",
+    "source_overlap_matrix",
+    "length_drift_psi",
+    "SourceOverlapRows",
+    "DriftPsiRows",
     "JaccardPairs",
     "charshingle_jaccard_pairs",
     "PrtAuditRow",
@@ -930,3 +934,46 @@ def fertility_stats(frame, **kwargs) -> DataFrame[FertilityRows]:
 
     f = frame.native if isinstance(frame, DataFrame) else frame
     return _typed(_text.fertility_stats(f, **kwargs), FertilityRows)
+
+
+class SourceOverlapRows(Schema):
+    source_a: Column[Utf8]
+    source_b: Column[Utf8]
+    n_fps_a: Column[Int64]
+    n_fps_b: Column[Int64]
+    n_shared: Column[Int64]
+    jaccard: Column[Float64]
+
+
+def source_overlap_matrix(frame, **kwargs) -> DataFrame[SourceOverlapRows]:
+    """Typed cross-source duplication matrix
+    (operators.report.source_overlap_matrix)."""
+    from colnade_spark.operators import report as _report
+
+    f = frame.native if isinstance(frame, DataFrame) else frame
+    return _typed(_report.source_overlap_matrix(f, **kwargs), SourceOverlapRows)
+
+
+class DriftPsiRows(Schema):
+    bin: Column[Int64]
+    n_old: Column[Int64]
+    n_new: Column[Int64]
+    p_old: Column[Float64]
+    p_new: Column[Float64]
+    psi_term: Column[Float64]
+
+
+def length_drift_psi(frame, *, new, **kwargs) -> DataFrame[DriftPsiRows]:
+    """Typed PSI drift report (operators.report.length_drift_psi) —
+    UNGROUPED form (group_col pins extra key columns the fixed schema
+    can't carry; use the raw operator for grouped reports)."""
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators import report as _report
+
+    if kwargs.get("group_col"):
+        raise ValueError("typed length_drift_psi is ungrouped; use the raw op")
+    old_n = frame.native if isinstance(frame, DataFrame) else frame
+    new_n = new.native if isinstance(new, DataFrame) else new
+    out = _report.length_drift_psi(old_n, new=new_n, **kwargs)
+    return _typed(out.withColumn("bin", F.col("bin").cast("long")), DriftPsiRows)

@@ -253,3 +253,113 @@ def test_snapshot_args_are_keyword_only():
     for fn, kw in ((report.corpus_diff, "new"), (report.changed_rows_gate, "old")):
         p = inspect.signature(fn).parameters[kw]
         assert p.kind is inspect.Parameter.KEYWORD_ONLY
+
+
+# ---------------------------------------------------------------------------
+# source_overlap_matrix / length_drift_psi (corpus diagnostics)
+# ---------------------------------------------------------------------------
+
+
+def test_source_overlap_matrix_hand_checked(spark):
+    rows = [
+        # srcA: 3 distinct fps {hello world, foo bar, solo a}
+        (1, "Hello, World!", "srcA"),
+        (2, "foo bar", "srcA"),
+        (3, "solo a", "srcA"),
+        # srcB shares "hello world" (normalization) and "foo bar"
+        (4, "hello   world", "srcB"),
+        (5, "FOO BAR!!!", "srcB"),
+        # srcC shares only "foo bar"; has one unique fp
+        (6, "foo bar", "srcC"),
+        (7, "only in c", "srcC"),
+        # NULLs are neither a source nor a fingerprint
+        (8, None, "srcA"),
+        (9, "orphan text", None),
+        # duplicate (fp, source) collapses before counting
+        (10, "hello world", "srcA"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {
+        (r.source_a, r.source_b): (r.n_fps_a, r.n_fps_b, r.n_shared, r.jaccard)
+        for r in report.source_overlap_matrix(df).collect()
+    }
+    assert out[("srcA", "srcB")] == (3, 2, 2, 2 / 3.0)
+    assert out[("srcA", "srcC")] == (3, 2, 1, 1 / 4.0)
+    assert out[("srcB", "srcC")] == (2, 2, 1, 1 / 3.0)
+    assert len(out) == 3  # only sharing pairs, each once, a < b
+
+
+def test_source_overlap_matrix_disjoint_sources_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa", "x"), (2, "bbb", "y")], ["doc_id", "text", "source"]
+    )
+    assert report.source_overlap_matrix(df).count() == 0
+
+
+def _psi_model(old_vals, new_vals, edges):
+    """Pure-python twin of length_drift_psi (global, no groups)."""
+    import math
+
+    n_bins = len(edges) + 2
+
+    def b(x):
+        if x is None:
+            return n_bins - 1
+        return sum(1 for e in edges if x >= e)
+
+    co, cn = {}, {}
+    for x in old_vals:
+        co[b(x)] = co.get(b(x), 0) + 1
+    for x in new_vals:
+        cn[b(x)] = cn.get(b(x), 0) + 1
+    to, tn = len(old_vals), len(new_vals)
+    out = {}
+    for k in sorted(set(co) | set(cn)):
+        no, nn = co.get(k, 0), cn.get(k, 0)
+        po = (no + 1) / float(to + n_bins)
+        pn = (nn + 1) / float(tn + n_bins)
+        t = (pn - po) * math.log(pn / po)
+        out[k] = (no, nn, po, pn, round(t, 6))
+    return out
+
+
+def test_length_drift_psi_matches_python_model(spark):
+    old_vals = [50, 120, 130, 250, 900, None, 80]
+    new_vals = [500, 510, 520, 10, None, None]
+    edges = (100, 200, 400, 800)
+    old = spark.createDataFrame([(v,) for v in old_vals], "n_chars int")
+    new = spark.createDataFrame([(v,) for v in new_vals], "n_chars int")
+    got = {
+        r.bin: (r.n_old, r.n_new, r.p_old, r.p_new, r.psi_term)
+        for r in report.length_drift_psi(old, new=new, edges=edges).collect()
+    }
+    assert got == _psi_model(old_vals, new_vals, edges)
+    # identical snapshots -> every term is exactly 0
+    same = report.length_drift_psi(old, new=old, edges=edges)
+    assert {r.psi_term for r in same.collect()} == {0.0}
+
+
+def test_length_drift_psi_grouped_and_validated(spark):
+    old = spark.createDataFrame(
+        [(1, "en", 50), (2, "en", 150), (3, "fr", 50)],
+        ["doc_id", "lang", "n_chars"],
+    )
+    new = spark.createDataFrame(
+        [(4, "en", 450), (5, "de", 50)], ["doc_id", "lang", "n_chars"]
+    )
+    out = report.length_drift_psi(
+        old, new=new, edges=(100, 400), group_col="lang"
+    )
+    rows = out.collect()
+    # groups union: en (both), fr (old only), de (new only)
+    assert {r.lang for r in rows} == {"en", "fr", "de"}
+    # fr appears with n_new=0 (drift to absence is drift)
+    fr = [r for r in rows if r.lang == "fr"][0]
+    assert fr.n_old == 1 and fr.n_new == 0
+
+    with pytest.raises(ValueError):
+        report.length_drift_psi(old, new=new, edges=())
+    with pytest.raises(ValueError):
+        report.length_drift_psi(old, new=new, edges=(5, 5, 10))
+    with pytest.raises(TypeError):
+        report.length_drift_psi(old, new)  # keyword-only snapshots

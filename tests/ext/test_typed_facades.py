@@ -386,3 +386,17 @@ def test_fertility_facade(docs):
     rows = out.rows()
     assert {r.lang for r in rows} == {"en", "de", "es", "fr", "zh"}
     assert all(r.sum_bpe >= 0 and r.n_docs > 0 for r in rows)
+
+
+def test_diagnostics_facades(docs):
+    mat = typed.source_overlap_matrix(docs, group_col="lang")
+    assert mat.schema is typed.SourceOverlapRows  # may be empty: no x-lang dups
+    psi = typed.length_drift_psi(
+        docs, new=docs, value_col="n_chars", edges=(100, 300)
+    )
+    assert psi.schema is typed.DriftPsiRows
+    assert {r.psi_term for r in psi.rows()} == {0.0}  # identical snapshots
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        typed.length_drift_psi(docs, new=docs, group_col="lang")

@@ -190,3 +190,20 @@ def check_round6_prototype_facades(
         d: float = r.proto_dist
         out.append(d)
     return out
+
+
+def check_round6_diagnostics_facades(frame: DataFrame[Corpus]) -> list[float]:
+    mat: DataFrame[typed.SourceOverlapRows] = typed.source_overlap_matrix(
+        frame, group_col="lang"
+    )
+    _ = mat.filter(typed.SourceOverlapRows.jaccard > 0.5)
+    psi: DataFrame[typed.DriftPsiRows] = typed.length_drift_psi(
+        frame, new=frame, value_col="doc_id", edges=(10, 20)
+    )
+    _ = psi.filter(typed.DriftPsiRows.psi_term > 0.0)
+    out: list[float] = []
+    for r in mat.rows():
+        out.append(r.jaccard)
+    for p in psi.rows():
+        out.append(p.psi_term)
+    return out
