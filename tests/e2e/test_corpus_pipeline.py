@@ -455,3 +455,66 @@ def test_round6_incremental_ingest_dedup_pipeline(spark, docs, tmp_path):
         .collect()
     }
     assert {k: (v.n_docs, v.total_size) for k, v in card.items()} == want
+
+
+def test_round6_weighting_prune_pipeline(spark, docs, sf_dir, tmp_path):
+    """Round-6 chain: the reweight-instead-of-drop curation path —
+
+      soft-dedup weights (commonness + cluster size) → combined training
+      weight → prototype-prune the embedding space (keep_hard) →
+      restrict the weighted corpus to prototype survivors → per-language
+      fertility datasheet + PSI drift report (survivors vs full corpus)
+      → write the weighted manifest → read back
+
+    with mass/ordering invariants on the read-back output."""
+    from colnade_spark.operators.clustering import kmeans, prototype_prune
+    from colnade_spark.operators.importance import (
+        commonness_weights,
+        duplication_weights,
+    )
+    from colnade_spark.operators.report import length_drift_psi
+    from colnade_spark.operators.text import fertility_stats
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_docs = docs.count()
+
+    # 1) weights: commonness x cluster-size, combined multiplicatively
+    cw = commonness_weights(docs, n=3)
+    dw = duplication_weights(docs)
+    weighted = cw.join(dw, "doc_id").select(
+        "doc_id", (F.col("weight") * F.col("dup_weight")).alias("train_weight")
+    )
+    assert weighted.count() == n_docs
+
+    # 2) prototype-prune the embedding space; survivors gate the corpus
+    _, cents = kmeans(embs, k=4, iters=1, return_centroids=True)
+    kept_vecs = prototype_prune(embs, cents, 0.5, mode="keep_hard").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    survivors = weighted.join(kept_vecs, "doc_id")
+    n_kept = survivors.count()
+    assert 0 < n_kept < n_docs
+
+    # 3) datasheets over the surviving slice
+    kept_docs = docs.join(kept_vecs, "doc_id")
+    fert = {r.lang: r.fertility for r in fertility_stats(kept_docs).collect()}
+    assert fert and all(v is None or v > 0 for v in fert.values())
+    psi = length_drift_psi(
+        docs, new=kept_docs, value_col="n_chars",
+        edges=(100, 200, 300, 400, 500), group_col="lang",
+    )
+    total_psi = psi.agg(F.sum(F.abs(F.col("psi_term")))).collect()[0][0]
+    assert total_psi is not None and total_psi >= 0.0
+
+    # 4) manifest round-trip: weights survive the write intact
+    out = str(tmp_path / "weighted_manifest")
+    survivors.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    assert back.count() == n_kept
+    got_mass = back.agg(F.sum("train_weight")).collect()[0][0]
+    want_mass = survivors.agg(F.sum("train_weight")).collect()[0][0]
+    assert abs(got_mass - want_mass) < 1e-12
+    # every weight in (0, 1]: both factors are <=1 by construction
+    assert back.filter(
+        (F.col("train_weight") <= 0) | (F.col("train_weight") > 1.0)
+    ).count() == 0

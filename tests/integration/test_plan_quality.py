@@ -687,3 +687,68 @@ def test_round6_ops_plan_shapes(spark, sf_dir):
     rates = entry.dedup_rates_by_lang(spark, sf_dir)
     rplan = _spark_plan(rates)
     assert "Cartesian" not in rplan, rplan
+
+
+def test_round6_weighting_and_diagnostics_plan_shapes(spark, sf_dir):
+    """The round-6 weighting/diagnostics operators keep their scale
+    contracts: prototypicality scores scan-side (no exchange/join — the
+    centroids are literals); prototype_prune adds exactly one
+    cluster-keyed exchange for the rank window; commonness_weights
+    shuffles (id, gram-hash) pairs only (raw text never crosses an
+    Exchange); fertility_stats is one map-side-combined aggregation;
+    source_overlap_matrix carries (digest, source) only through its
+    exchanges and broadcasts the totals; length_drift_psi windows over
+    the bounded count table, never the corpus."""
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators.clustering import (
+        kmeans,
+        prototype_prune,
+        prototypicality,
+    )
+    from colnade_spark.operators.importance import commonness_weights
+    from colnade_spark.operators.report import (
+        length_drift_psi,
+        source_overlap_matrix,
+    )
+    from colnade_spark.operators.text import fertility_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    _, cents = kmeans(embs, k=4, iters=0, return_centroids=True)
+    splan = _spark_plan(prototypicality(embs, cents))
+    assert "Exchange" not in splan and "Join" not in splan, splan
+    pplan = _spark_plan(prototype_prune(embs, cents, 0.5))
+    assert pplan.count(") Exchange") == 1 and "Join" not in pplan, pplan
+
+    def _exchange_inputs(plan):
+        lines = plan.splitlines()
+        return [
+            lines[i + 1]
+            for i, ln in enumerate(lines)
+            if ln.startswith("(") and ") Exchange" in ln and i + 1 < len(lines)
+        ]
+
+    cwplan = _spark_plan(commonness_weights(docs, n=3))
+    cw_ex = _exchange_inputs(cwplan)
+    assert cw_ex and all("text#" not in ln for ln in cw_ex), cwplan
+
+    fplan = _spark_plan(fertility_stats(docs))
+    assert fplan.count(") Exchange") == 1, fplan
+    assert "Join" not in fplan and "Window" not in fplan, fplan
+
+    mplan = _spark_plan(source_overlap_matrix(docs))
+    m_ex = _exchange_inputs(mplan)
+    assert m_ex and all("text#" not in ln for ln in m_ex), mplan
+    assert "BroadcastHashJoin" in mplan and "Cartesian" not in mplan, mplan
+
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    psi = length_drift_psi(old, new=new, group_col="lang")
+    psiplan = _spark_plan(psi)
+    # the window runs over the post-aggregation count table: every
+    # Window sits above a HashAggregate, never directly on the scan
+    assert "Window" in psiplan and "Cartesian" not in psiplan, psiplan
+    p_ex = _exchange_inputs(psiplan)
+    assert p_ex and all("text#" not in ln for ln in p_ex), psiplan
