@@ -312,3 +312,42 @@ def test_prototype_ops_validate_args(spark, sf_dir):
         prototypicality(emb.withColumn("cluster", F.lit(1)), cents)
     with pytest.raises(ValueError):
         prototypicality(emb.withColumn("_proto_v", F.lit(1)), cents)
+
+
+def test_prototype_prune_threshold_composition(spark, sf_dir):
+    """The documented 100 TB reduction: when a cluster outgrows its sort,
+    prototypicality + quality_prune_threshold (score = proto_dist,
+    per-domain = per-cluster) replaces the exact rank window with a
+    scan-side filter. Pin that the composition (a) keeps approximately
+    the requested fraction and (b) agrees with the exact keep_hard cut up
+    to the sketch's rank error (ties all survive in the approx path)."""
+    from colnade_spark.operators.clustering import (
+        kmeans,
+        prototype_prune,
+        prototypicality,
+    )
+    from colnade_spark.operators.quality import quality_prune_threshold
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    _, cents = kmeans(emb, k=4, iters=1, return_centroids=True)
+    scored = prototypicality(emb, cents)
+
+    frac = 0.5
+    approx = quality_prune_threshold(
+        scored, frac, score_col="proto_dist", domain_col="cluster",
+        accuracy=100_000,
+    )
+    exact = prototype_prune(emb, cents, frac, mode="keep_hard")
+
+    n = emb.count()
+    na, ne = approx.count(), exact.count()
+    # kept fraction within the sketch tolerance band
+    assert abs(na - ne) <= max(4, 0.05 * n), (na, ne, n)
+    # the approx cut is the same top-of-distance slice: near-total overlap
+    a_ids = {r.vec_id for r in approx.select("vec_id").collect()}
+    e_ids = {r.vec_id for r in exact.select("vec_id").collect()}
+    assert len(a_ids & e_ids) >= 0.9 * len(e_ids)
+
+    # and the approx plan has NO per-cluster sort window (the point)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
