@@ -505,6 +505,33 @@ def minhash_prt_summary(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def code_quality_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """The Stack / StarCoder source-file filters over the corpus:
+    per-doc line/char signals (exact ints + single IEEE divisions),
+    long-line / low-alnum / auto-generated flags, and the keep verdict —
+    every column replays in SQL (line splits, regex char counts, the
+    published thresholds)."""
+    from colnade_spark.operators.quality import code_quality_signals
+
+    return code_quality_signals(_docs(spark, sf_dir))
+
+
+def stratified_split_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Exact stratified train/val/test split over the documents table:
+    within each language, rows rank in content-addressed hash order and
+    cut at floor(cum_weight * n) — so the 80/10/10 proportions hold
+    EXACTLY per language, not just in expectation. The full assignment
+    replays in SQL (md5 rank order + the same float boundary products)."""
+    from colnade_spark.operators.sampling import stratified_exact_split
+
+    out = stratified_exact_split(
+        _docs(spark, sf_dir),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        strata_col="lang",
+    )
+    return out.select("doc_id", "lang", "split")
+
+
 def soft_dedup_weights_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     """SoftDeDup-style reweighting (He et al. 2024): per-doc inverse mean
     corpus occurrence count of its word 3-grams — unique docs weigh 1.0,
@@ -2825,6 +2852,8 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "token_fertility_by_lang",  # round 6: new (per-lang tokenizer datasheet)
     "source_overlap_docs",  # round 6: new (cross-source dup matrix)
     "length_drift_psi_docs",  # round 6: new (PSI drift report)
+    "stratified_split_docs",  # round 6: new (exact per-stratum split)
+    "code_quality_docs",  # round 6: new (Stack/StarCoder code filters)
     "minhash_prt_summary",  # round 6: new (LSH precision/recall audit)
     "dedup_minhash_ids",  # round 6: full mod-2^64 oracle (was rows-only)
     "image_features_stub",  # round 6: integer-moment/phash reformulation + oracle
@@ -2878,6 +2907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "incremental_minhash_ids": incremental_minhash_ids,
         "approx_prune_stats": approx_prune_stats,
         "dedup_rates_by_lang": dedup_rates_by_lang,
+        "code_quality_docs": code_quality_docs,
+        "stratified_split_docs": stratified_split_docs,
         "soft_dedup_weights_docs": soft_dedup_weights_docs,
         "dup_weight_docs": dup_weight_docs,
         "minhash_prt_summary": minhash_prt_summary,
@@ -3840,6 +3871,57 @@ SELECT n_true_pairs, n_candidate_pairs, n_est_positive,
   n_true_positive::DOUBLE / greatest(n_true_pairs, 1) AS decision_recall
 FROM agg
 """,
+        "code_quality_docs": """
+            WITH s AS (
+              SELECT doc_id,
+                string_split(text, chr(10)) AS ls,
+                length(text) AS nc,
+                length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS na,
+                regexp_matches(lower(text),
+                               'auto-?generated|generated by') AS autogen
+              FROM documents
+            ),
+            sig AS (
+              SELECT doc_id,
+                CAST(len(ls) AS BIGINT) AS n_lines,
+                CAST(list_max(list_transform(ls, l -> length(l)))
+                     AS BIGINT) AS max_line_len,
+                CASE WHEN len(ls) > 0 THEN
+                  CAST(list_sum(list_transform(ls, l -> length(l)))
+                       AS DOUBLE) / CAST(len(ls) AS DOUBLE) END
+                  AS avg_line_len,
+                CASE WHEN nc > 0 THEN
+                  CAST(na AS DOUBLE) / CAST(nc AS DOUBLE) END AS alnum_frac,
+                autogen AS flag_autogen
+              FROM s
+            )
+            SELECT doc_id, n_lines, max_line_len, avg_line_len, alnum_frac,
+              flag_autogen,
+              coalesce(avg_line_len > 100.0 OR max_line_len > 1000, FALSE)
+                AS flag_long_lines,
+              coalesce(alnum_frac < 0.25, FALSE) AS flag_low_alnum,
+              n_lines IS NOT NULL
+                AND NOT coalesce(avg_line_len > 100.0 OR max_line_len > 1000,
+                                 FALSE)
+                AND NOT coalesce(alnum_frac < 0.25, FALSE)
+                AND NOT coalesce(flag_autogen, TRUE) AS keep
+            FROM sig
+        """,
+        "stratified_split_docs": f"""
+            WITH r AS (
+              SELECT doc_id, lang,
+                row_number() OVER (
+                  PARTITION BY lang
+                  ORDER BY {_md5h("doc_id::VARCHAR")}, doc_id) AS rn,
+                count(*) OVER (PARTITION BY lang) AS n
+              FROM documents
+            )
+            SELECT doc_id, lang,
+              CASE WHEN rn <= floor(n * 0.8) THEN 'train'
+                   WHEN rn <= floor(n * 0.9) THEN 'val'
+                   ELSE 'test' END AS split
+            FROM r
+        """,
         "soft_dedup_weights_docs": f"""
             WITH nt AS (
               SELECT doc_id,

@@ -109,6 +109,8 @@ HEADLINE = [
     "minhash_estimate_pairs",
     "dedup_rates_by_lang",
     "soft_dedup_weights_docs",
+    "stratified_split_docs",
+    "code_quality_docs",
     "dup_weight_docs",
     "minhash_prt_summary",
     "incremental_minhash_ids",

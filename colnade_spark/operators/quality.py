@@ -533,3 +533,65 @@ def perplexity_buckets(
         .otherwise("tail")
     )
     return staged.withColumn(bucket_col, bucket).drop("_pb_r", "_pb_n")
+
+
+def code_quality_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_avg_line: float = 100.0,
+    max_line: int = 1000,
+    min_alnum_frac: float = 0.25,
+) -> DataFrame:
+    """The Stack / StarCoder source-file filters (Kocetkov et al. 2022,
+    Li et al. 2023) as per-document signals + flags: files with very
+    long lines (minified/data blobs), low alphanumeric fraction
+    (encoded data), or auto-generation markers are dropped from code
+    corpora. Emits exact line/char counts, ``avg_line_len`` and
+    ``alnum_frac`` as single IEEE divisions of exact ints, the three
+    boolean flags, and ``keep`` (no flag fired). NULL text keeps NULL
+    signals and ``keep = false`` (contentless files drop).
+
+    All signals are one scan-side projection — line splits and regex
+    counts in codegen, no shuffle, no UDF; stateless on streams by
+    construction. Thresholds are the published defaults; tune per
+    corpus.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    line_lens = F.transform(lines, lambda l: F.length(l))
+    n_lines = F.size(lines)
+    sum_lens = F.aggregate(line_lens, F.lit(0), lambda a, x: a + x)
+    max_len = F.array_max(line_lens)
+    n_chars = F.length(t)
+    n_alnum = F.length(F.regexp_replace(t, "[^a-zA-Z0-9]", ""))
+    avg = F.when(
+        n_lines > 0, sum_lens.cast("double") / n_lines.cast("double")
+    )
+    frac = F.when(
+        n_chars > 0, n_alnum.cast("double") / n_chars.cast("double")
+    )
+    autogen = F.lower(t).rlike("auto-?generated|generated by")
+    staged = df.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        max_len.cast("long").alias("max_line_len"),
+        avg.alias("avg_line_len"),
+        frac.alias("alnum_frac"),
+        autogen.alias("flag_autogen"),
+    )
+    flag_long = (F.col("avg_line_len") > float(max_avg_line)) | (
+        F.col("max_line_len") > int(max_line)
+    )
+    flag_alnum = F.col("alnum_frac") < float(min_alnum_frac)
+    return staged.select(
+        "*",
+        F.coalesce(flag_long, F.lit(False)).alias("flag_long_lines"),
+        F.coalesce(flag_alnum, F.lit(False)).alias("flag_low_alnum"),
+    ).withColumn(
+        "keep",
+        F.col("n_lines").isNotNull()
+        & ~F.col("flag_long_lines")
+        & ~F.col("flag_low_alnum")
+        & ~F.coalesce(F.col("flag_autogen"), F.lit(True)),
+    )

@@ -394,3 +394,62 @@ def solve_epochs(
         d: 1.0 if r <= 0 else min(float(max_epochs), r / base)
         for d, r in ratios.items()
     }
+
+
+def stratified_exact_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    strata_col: str,
+    key_col: str = "doc_id",
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Split with EXACT per-stratum proportions: within each stratum,
+    rows are ranked in content-addressed hash order (unbiased,
+    reproducible — the ``hash_split`` gate's order) and cut at integer
+    boundaries ``floor(cum_weight_k * n_stratum)``; the last label takes
+    the remainder. Where ``hash_split`` realizes its fractions only in
+    expectation (a 1% val split of a 300-row language can come back
+    empty), this realizes them exactly per stratum — the shape eval-set
+    construction needs. Ties cannot occur (rank is over a hash with the
+    key as tiebreak), so the assignment is deterministic in any engine;
+    cumulative weights accumulate in IEEE float exactly as
+    ``hash_split``'s boundaries do, and the boundary product
+    ``cum * n`` is one float multiply both engines round identically.
+
+    NULL strata form their own stratum (they get exact proportions
+    too). Weights must sum to 1.
+
+    Scale: one rank window per stratum — the ``quality_prune`` tier; at
+    the extreme (a stratum too large to sort) reduce with the
+    percentile_approx threshold pattern over the hash itself.
+    """
+    from pyspark.sql.window import Window
+
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for c in ("_ses_h", "_ses_rn", "_ses_n"):
+        if c in df.columns:
+            raise ValueError(f"stratified_exact_split: input already has {c!r}")
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_hash(F.col(key_col), salt), F.col(key_col)
+    )
+    wc = Window.partitionBy(strata_col)
+    staged = df.withColumn("_ses_rn", F.row_number().over(w)).withColumn(
+        "_ses_n", F.count(F.lit(1)).over(wc)
+    )
+    expr = None
+    acc = 0.0
+    *head, (last_label, _) = list(weights.items())
+    for label, wgt in head:
+        acc += wgt
+        bound = F.floor(F.col("_ses_n") * F.lit(acc)).cast("long")
+        cond = F.col("_ses_rn") <= bound
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(
+            cond, F.lit(label)
+        )
+    expr = F.lit(last_label) if expr is None else expr.otherwise(F.lit(last_label))
+    return staged.withColumn(out_col, expr).drop("_ses_rn", "_ses_n")

@@ -88,6 +88,9 @@ __all__ = [
     "length_drift_psi",
     "SourceOverlapRows",
     "DriftPsiRows",
+    "stratified_split_select",
+    "code_quality_signals",
+    "CodeQualityRows",
     "JaccardPairs",
     "charshingle_jaccard_pairs",
     "PrtAuditRow",
@@ -977,3 +980,44 @@ def length_drift_psi(frame, *, new, **kwargs) -> DataFrame[DriftPsiRows]:
     new_n = new.native if isinstance(new, DataFrame) else new
     out = _report.length_drift_psi(old_n, new=new_n, **kwargs)
     return _typed(out.withColumn("bin", F.col("bin").cast("long")), DriftPsiRows)
+
+
+def stratified_split_select(
+    frame: DataFrame[S], weights, strata_col: str, keep: str, **kwargs
+) -> DataFrame[S]:
+    """Schema-preserving exact stratified split (operators.sampling.
+    stratified_exact_split): assign per-stratum exact-proportion labels,
+    keep one split, drop the label — the typed counterpart of
+    group_split_select for proportion-exact eval sets."""
+    if keep not in weights:
+        raise ValueError(f"keep={keep!r} is not a split label")
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators import sampling as _sampling
+
+    def _apply(d):
+        out = _sampling.stratified_exact_split(
+            d, weights, strata_col, out_col="_ses_split", **kwargs
+        )
+        return out.filter(F.col("_ses_split") == keep).drop("_ses_split")
+
+    return frame.with_raw(_apply)
+
+
+class CodeQualityRows(Schema):
+    doc_id: Column[Int64]
+    n_lines: Column[Int64]
+    max_line_len: Column[Int64]
+    avg_line_len: Column[Float64]
+    alnum_frac: Column[Float64]
+    flag_autogen: Column[Bool]
+    flag_long_lines: Column[Bool]
+    flag_low_alnum: Column[Bool]
+    keep: Column[Bool]
+
+
+def code_quality_signals(frame, **kwargs) -> DataFrame[CodeQualityRows]:
+    """Typed Stack/StarCoder code-file signals
+    (operators.quality.code_quality_signals)."""
+    f = frame.native if isinstance(frame, DataFrame) else frame
+    return _typed(_quality.code_quality_signals(f, **kwargs), CodeQualityRows)

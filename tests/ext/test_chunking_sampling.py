@@ -400,3 +400,73 @@ def test_temperature_mixture_all_null_sources_drops_all(spark):
     )
     assert sampling.temperature_mixture(df, alpha=0.5).count() == 0
     assert sampling.temperature_mixture(df.limit(0), alpha=0.5).count() == 0
+
+
+def test_stratified_exact_split_matches_python_model(spark):
+    import hashlib
+    import math
+
+    from colnade_spark.operators.sampling import stratified_exact_split
+
+    rows = [(i, ["en", "fr", "zh", None][i % 4]) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+    def h60(key, salt=""):
+        return int(hashlib.md5(f"{key}{salt}".encode()).hexdigest()[:15], 16)
+
+    want = {}
+    by_stratum = {}
+    for rid, lang in rows:
+        by_stratum.setdefault(lang, []).append(rid)
+    for lang, ids in by_stratum.items():
+        ordered = sorted(ids, key=lambda i: (h60(i), i))
+        n = len(ordered)
+        acc, bounds = 0.0, []
+        for label, w in list(weights.items())[:-1]:
+            acc += w
+            bounds.append((label, math.floor(n * acc)))
+        for rank, rid in enumerate(ordered, start=1):
+            label = next(
+                (lb for lb, b in bounds if rank <= b), list(weights)[-1]
+            )
+            want[rid] = label
+
+    out = stratified_exact_split(df, weights, strata_col="lang")
+    got = {r.doc_id: r.split for r in out.collect()}
+    assert got == want
+
+    # exact per-stratum counts: floor(0.8*25)=20, floor(0.9*25)-20=2, rest 3
+    from collections import Counter
+
+    for lang in ("en", "fr", "zh", None):
+        c = Counter(got[i] for i, lg in rows if lg == lang)
+        assert c == {"train": 20, "val": 2, "test": 3}, (lang, c)
+
+    # determinism under repartitioning
+    got2 = {
+        r.doc_id: r.split
+        for r in stratified_exact_split(
+            df.repartition(7), weights, strata_col="lang"
+        ).collect()
+    }
+    assert got2 == got
+
+
+def test_stratified_exact_split_validates(spark):
+    import pytest
+
+    from colnade_spark.operators.sampling import stratified_exact_split
+
+    df = spark.createDataFrame([(1, "en")], ["doc_id", "lang"])
+    with pytest.raises(ValueError):
+        stratified_exact_split(df, {"a": 0.5, "b": 0.4}, "lang")
+    with pytest.raises(ValueError):
+        stratified_exact_split(
+            df.withColumn("_ses_rn", F.lit(1)), {"a": 1.0}, "lang"
+        )
+    # tiny strata still realize every nonzero floor boundary: a single
+    # row goes to the LAST label (all floors are 0)
+    one = spark.createDataFrame([(1, "en")], ["doc_id", "lang"])
+    out = stratified_exact_split(one, {"train": 0.9, "val": 0.1}, "lang")
+    assert out.collect()[0].split == "val"

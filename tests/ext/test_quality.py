@@ -184,3 +184,51 @@ def test_perplexity_buckets_hand_checked(spark):
             "nll",
             domain_col="lang",
         ).collect()
+
+
+def test_code_quality_signals_hand_checked(spark):
+    from colnade_spark.operators.quality import code_quality_signals
+
+    rows = [
+        (1, "def f(x):\n    return x + 1\n"),                # clean
+        (2, "x" * 2000),                                     # minified blob
+        (3, "!@# $%^ &*() {}[] ::: ;;; ...\n<<< >>> ???"),   # low alnum
+        (4, "// auto-generated file, do not edit\ncode()"),  # marker
+        (5, "// AUTOGENERATED\ncode()"),                     # marker, case
+        (6, None),                                           # contentless
+        (7, ""),                                             # empty
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in code_quality_signals(df).collect()}
+
+    r1 = got[1]
+    assert r1.n_lines == 3 and r1.max_line_len == 16
+    assert r1.avg_line_len == (9 + 16 + 0) / 3.0
+    assert r1.keep and not (
+        r1.flag_long_lines or r1.flag_low_alnum or r1.flag_autogen
+    )
+
+    assert got[2].flag_long_lines and not got[2].keep
+    assert got[3].flag_low_alnum and not got[3].keep
+    assert got[4].flag_autogen and not got[4].keep
+    assert got[5].flag_autogen and not got[5].keep  # auto-?generated variant
+
+    r6 = got[6]
+    assert r6.n_lines is None and not r6.keep
+    r7 = got[7]
+    # empty text: one empty line (split semantics) -> avg 0.0; zero chars
+    # -> NULL alnum fraction, so low-alnum does not fire (no evidence)
+    assert r7.n_lines == 1 and r7.max_line_len == 0
+    assert r7.avg_line_len == 0.0 and r7.alnum_frac is None
+    assert not r7.flag_long_lines and not r7.flag_low_alnum
+    assert r7.keep  # nothing flagged; gate on length upstream if desired
+
+
+def test_code_quality_signals_plan_is_scan_side(spark, sf_dir):
+    from colnade_spark.operators.quality import code_quality_signals
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        code_quality_signals(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan, plan

@@ -400,3 +400,21 @@ def test_diagnostics_facades(docs):
 
     with _pytest.raises(ValueError):
         typed.length_drift_psi(docs, new=docs, group_col="lang")
+
+
+def test_stratified_split_and_code_quality_facades(docs):
+    val = typed.stratified_split_select(
+        docs, {"train": 0.8, "val": 0.2}, "lang", keep="val"
+    )
+    assert val.schema is Documents
+    assert 0 < val.height < docs.height
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        typed.stratified_split_select(docs, {"a": 1.0}, "lang", keep="b")
+
+    cq = typed.code_quality_signals(docs)
+    assert cq.schema is typed.CodeQualityRows
+    assert cq.height == docs.height
+    r = cq.rows()[0]
+    assert isinstance(r.keep, bool)

@@ -207,3 +207,17 @@ def check_round6_diagnostics_facades(frame: DataFrame[Corpus]) -> list[float]:
     for p in psi.rows():
         out.append(p.psi_term)
     return out
+
+
+def check_round6_split_code_facades(frame: DataFrame[Corpus]) -> list[int]:
+    val: DataFrame[Corpus] = typed.stratified_split_select(
+        frame, {"train": 0.9, "val": 0.1}, "lang", keep="val"
+    )
+    _ = val.filter(Corpus.doc_id > 0)
+    cq: DataFrame[typed.CodeQualityRows] = typed.code_quality_signals(frame)
+    _ = cq.filter(typed.CodeQualityRows.keep == True)  # noqa: E712
+    out: list[int] = []
+    for r in cq.rows():
+        n: int = r.n_lines
+        out.append(n)
+    return out
