@@ -5059,7 +5059,8 @@ SELECT doc_id FROM documents WHERE doc_id % 2 = 1
                      CAST(coalesce(n_old, 0) AS BIGINT) AS n_old,
                      CAST(coalesce(n_new, 0) AS BIGINT) AS n_new
               FROM co FULL OUTER JOIN cn
-                ON co.lang = cn.lang AND co.bin = cn.bin
+                ON co.lang IS NOT DISTINCT FROM cn.lang
+                AND co.bin = cn.bin
             ),
             t AS (
               SELECT lang, bin, n_old, n_new,

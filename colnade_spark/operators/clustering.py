@@ -272,6 +272,9 @@ def prototype_prune(
         raise ValueError("frac must be in (0, 1]")
     if mode not in ("keep_hard", "keep_easy"):
         raise ValueError(f"unknown mode {mode!r}")
+    for c in ("_rn", "_nc"):
+        if c in df.columns:
+            raise ValueError(f"prototype_prune: input already has column {c!r}")
     scored = prototypicality(df, centroids, id_col, vec_col, cluster_col, dist_col)
     order = F.col(dist_col).desc() if mode == "keep_hard" else F.col(dist_col).asc()
     w = Window.partitionBy(cluster_col).orderBy(order, F.col(id_col))

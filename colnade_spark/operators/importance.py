@@ -290,6 +290,13 @@ def commonness_weights(
     carries (id, 8-byte gram hash) only; the gram-count table is one
     map-side-combined aggregation (the token-count tier); the count
     join-back is hash-keyed long-to-long. Raw text never shuffles.
+    Deliberate trade-off: the exploded-gram subtree is referenced twice
+    (count build + join back), so tokenization+hashing run twice — a
+    constant 2x of embarrassingly-parallel scan CPU. The alternative
+    (repartition once on the gram hash and reuse the exchange for both)
+    saves that pass but drops the counts' map-side combine, turning a
+    boilerplate hot gram into a single-task straggler; skew-robustness
+    wins at 100 TB.
     """
     if n < 1:
         raise ValueError("commonness_weights: n must be >= 1")

@@ -731,10 +731,22 @@ def length_drift_psi(
             .agg(F.count(F.lit(1)).cast("long").alias(out))
         )
 
-    co = _counts(old, "n_old")
-    cn = _counts(new, "n_new")
-    j = co.join(cn, keys, "full").select(
-        *keys,
+    # null-SAFE key equality: a NULL group is a real stratum (drift in
+    # unlabeled rows is drift); a plain name-list join would mismatch the
+    # two sides' NULL groups into disjoint half-rows with wrong totals.
+    # Frames are alias-qualified — both snapshots often derive from the
+    # same scan, and unqualified column refs are ambiguous on self-joins.
+    co = _counts(old, "n_old").alias("_psi_o")
+    cn = _counts(new, "n_new").alias("_psi_n")
+    cond = None
+    for k in keys:
+        c = F.col(f"_psi_o.{k}").eqNullSafe(F.col(f"_psi_n.{k}"))
+        cond = c if cond is None else cond & c
+    j = co.join(cn, cond, "full").select(
+        *[
+            F.coalesce(F.col(f"_psi_o.{k}"), F.col(f"_psi_n.{k}")).alias(k)
+            for k in keys
+        ],
         F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
         F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
     )

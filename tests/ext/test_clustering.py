@@ -351,3 +351,14 @@ def test_prototype_prune_threshold_composition(spark, sf_dir):
     # and the approx plan has NO per-cluster sort window (the point)
     plan = approx._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
+
+
+def test_prototype_prune_rejects_window_staging_collision(spark, sf_dir):
+    import pytest
+
+    from colnade_spark.operators.clustering import prototype_prune
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    cents = [[0.0] * 64]
+    with pytest.raises(ValueError):
+        prototype_prune(emb.withColumn("_rn", F.lit(1)), cents, 0.5)

@@ -363,3 +363,25 @@ def test_length_drift_psi_grouped_and_validated(spark):
         report.length_drift_psi(old, new=new, edges=(5, 5, 10))
     with pytest.raises(TypeError):
         report.length_drift_psi(old, new)  # keyword-only snapshots
+
+
+def test_length_drift_psi_null_group_is_one_stratum(spark):
+    """A NULL group value must behave as ONE stratum on both sides —
+    a null-unsafe join would split it into two half-rows with zeroed
+    opposite counts and wrong totals."""
+    old = spark.createDataFrame(
+        [(1, None, 50), (2, None, 150), (3, "en", 50)],
+        ["doc_id", "lang", "n_chars"],
+    )
+    new = spark.createDataFrame(
+        [(4, None, 50), (5, "en", 150)], ["doc_id", "lang", "n_chars"]
+    )
+    out = report.length_drift_psi(
+        old, new=new, edges=(100,), group_col="lang"
+    ).collect()
+    null_rows = [r for r in out if r.lang is None]
+    # one row per observed bin, both sides' counts present on the SAME row
+    assert {(r.bin, r.n_old, r.n_new) for r in null_rows} == {
+        (0, 1, 1),  # <100: one old, one new
+        (1, 1, 0),  # >=100: one old, zero new
+    }
