@@ -505,6 +505,29 @@ def minhash_prt_summary(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def blended_quality_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Ensemble quality blending per language: three cheap signals
+    (chars, whitespace tokens, BPE-ish tokens) rank-normalized with
+    percent_rank inside each language and combined 0.5/0.3/0.2 — the
+    classifier-ensemble curation shape. Ranks are unique ((score, id)
+    order), percent_rank is one IEEE division, the mean a fixed-order
+    float chain: bit-exact replay."""
+    from colnade_spark.operators.quality import blend_quality_scores
+    from colnade_spark.operators import text as _text
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").alias("s1"),
+        _text.token_count(F.col("text")).alias("s2"),
+        _text.bpe_token_count(F.col("text")).alias("s3"),
+    )
+    out = blend_quality_scores(
+        d, {"s1": 0.5, "s2": 0.3, "s3": 0.2}, domain_col="lang"
+    )
+    return out.select("doc_id", "lang", "blended_score")
+
+
 def code_quality_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     """The Stack / StarCoder source-file filters over the corpus:
     per-doc line/char signals (exact ints + single IEEE divisions),
@@ -2854,6 +2877,7 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "length_drift_psi_docs",  # round 6: new (PSI drift report)
     "stratified_split_docs",  # round 6: new (exact per-stratum split)
     "code_quality_docs",  # round 6: new (Stack/StarCoder code filters)
+    "blended_quality_docs",  # round 6: new (ensemble rank blending)
     "minhash_prt_summary",  # round 6: new (LSH precision/recall audit)
     "dedup_minhash_ids",  # round 6: full mod-2^64 oracle (was rows-only)
     "image_features_stub",  # round 6: integer-moment/phash reformulation + oracle
@@ -2907,6 +2931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "incremental_minhash_ids": incremental_minhash_ids,
         "approx_prune_stats": approx_prune_stats,
         "dedup_rates_by_lang": dedup_rates_by_lang,
+        "blended_quality_docs": blended_quality_docs,
         "code_quality_docs": code_quality_docs,
         "stratified_split_docs": stratified_split_docs,
         "soft_dedup_weights_docs": soft_dedup_weights_docs,
@@ -3871,6 +3896,28 @@ SELECT n_true_pairs, n_candidate_pairs, n_est_positive,
   n_true_positive::DOUBLE / greatest(n_true_pairs, 1) AS decision_recall
 FROM agg
 """,
+        "blended_quality_docs": f"""
+            WITH s AS (
+              SELECT doc_id, lang, n_chars AS s1,
+                len({toks}) AS s2,
+                len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS s3
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id, lang,
+                percent_rank() OVER (PARTITION BY lang
+                                     ORDER BY s1, doc_id) AS p1,
+                percent_rank() OVER (PARTITION BY lang
+                                     ORDER BY s2, doc_id) AS p2,
+                percent_rank() OVER (PARTITION BY lang
+                                     ORDER BY s3, doc_id) AS p3
+              FROM s
+            )
+            SELECT doc_id, lang,
+              0.5 * p1 + 0.3 * p2 + 0.2 * p3 AS blended_score
+            FROM r
+        """,
         "code_quality_docs": """
             WITH s AS (
               SELECT doc_id,

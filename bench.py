@@ -111,6 +111,7 @@ HEADLINE = [
     "soft_dedup_weights_docs",
     "stratified_split_docs",
     "code_quality_docs",
+    "blended_quality_docs",
     "dup_weight_docs",
     "minhash_prt_summary",
     "incremental_minhash_ids",

@@ -595,3 +595,53 @@ def code_quality_signals(
         & ~F.col("flag_low_alnum")
         & ~F.coalesce(F.col("flag_autogen"), F.lit(True)),
     )
+
+
+def blend_quality_scores(
+    df: DataFrame,
+    score_weights: dict[str, float],
+    domain_col: str | None = None,
+    id_col: str = "doc_id",
+    out_col: str = "blended_score",
+) -> DataFrame:
+    """Ensemble quality blending (the FineWeb-Edu / Nemotron-CC shape:
+    no single classifier is trustworthy, so curation ranks documents by
+    a WEIGHTED MIX of signals): each score column is rank-normalized to
+    [0, 1] with ``percent_rank`` — per domain when ``domain_col`` is
+    given, so signals with incomparable scales and per-language score
+    distributions blend fairly — then combined as a weighted mean in
+    declaration order. Rank ties cannot occur (the window orders by
+    (score, id)), so normalized ranks and the blend are deterministic
+    in any engine: percent_rank is one IEEE division of exact ranks and
+    the weighted mean is a fixed-order float chain.
+
+    NULL scores are REJECTED inside the rank expression (engines order
+    NULLs differently — the perplexity_buckets rule): fill or filter
+    upstream. Weights must be positive; they are normalized to sum 1.
+
+    Scale: one rank window per score column over the same domain
+    partitioning — Spark plans them into a single exchange + sort per
+    partition key (the quality_prune tier); the percentile_approx
+    threshold pattern is the scan-side reduction when a domain outgrows
+    its sort.
+    """
+    from pyspark.sql.window import Window
+
+    if not score_weights:
+        raise ValueError("blend_quality_scores: need at least one score")
+    if any(w <= 0 for w in score_weights.values()):
+        raise ValueError("blend_quality_scores: weights must be positive")
+    total = sum(score_weights.values())
+    part = [domain_col] if domain_col else [F.lit(1)]
+    blended = None
+    for col, w in score_weights.items():
+        win = Window.partitionBy(*part).orderBy(F.col(col), F.col(id_col))
+        # the NULL guard lives INSIDE the blend expression — a separate
+        # assert-only column would be pruned away (perplexity_buckets rule)
+        pr = F.when(
+            F.col(col).isNull(),
+            F.raise_error(F.lit(f"blend_quality_scores: NULL {col} row")),
+        ).otherwise(F.percent_rank().over(win))
+        term = F.lit(float(w) / total) * pr
+        blended = term if blended is None else blended + term
+    return df.withColumn(out_col, blended)

@@ -91,6 +91,8 @@ __all__ = [
     "stratified_split_select",
     "code_quality_signals",
     "CodeQualityRows",
+    "blend_quality_scores",
+    "BlendedQualityRows",
     "JaccardPairs",
     "charshingle_jaccard_pairs",
     "PrtAuditRow",
@@ -1021,3 +1023,21 @@ def code_quality_signals(frame, **kwargs) -> DataFrame[CodeQualityRows]:
     (operators.quality.code_quality_signals)."""
     f = frame.native if isinstance(frame, DataFrame) else frame
     return _typed(_quality.code_quality_signals(f, **kwargs), CodeQualityRows)
+
+
+class BlendedQualityRows(Schema):
+    doc_id: Column[Int64]
+    blended_score: Column[Float64]
+
+
+def blend_quality_scores(frame, score_weights, **kwargs) -> DataFrame[BlendedQualityRows]:
+    """Typed ensemble quality blend (operators.quality.
+    blend_quality_scores), projected to the id/score pair."""
+    f = frame.native if isinstance(frame, DataFrame) else frame
+    out = _quality.blend_quality_scores(f, score_weights, **kwargs)
+    id_col = kwargs.get("id_col", "doc_id")
+    out_col = kwargs.get("out_col", "blended_score")
+    out = out.select(
+        out[id_col].alias("doc_id"), out[out_col].alias("blended_score")
+    )
+    return _typed(out, BlendedQualityRows)

@@ -232,3 +232,58 @@ def test_code_quality_signals_plan_is_scan_side(spark, sf_dir):
         code_quality_signals(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Join" not in plan, plan
+
+
+def test_blend_quality_scores_matches_python_model(spark):
+    from colnade_spark.operators.quality import blend_quality_scores
+
+    rows = [
+        (1, "en", 10, 100),
+        (2, "en", 30, 50),
+        (3, "en", 20, 75),
+        (4, "en", 20, 60),   # tied s1 with doc 3 -> id breaks the rank
+        (5, "fr", 5, 10),
+        (6, "fr", 7, 5),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "s1", "s2"])
+    weights = {"s1": 2.0, "s2": 1.0}
+    got = {
+        r.doc_id: r.blended_score
+        for r in blend_quality_scores(df, weights, domain_col="lang").collect()
+    }
+
+    def pranks(vals):
+        # percent_rank over (score, id): rank-1 / (n-1), unique ranks
+        ordered = sorted(vals, key=lambda t: (t[1], t[0]))
+        n = len(ordered)
+        return {
+            rid: (i / (n - 1)) if n > 1 else 0.0
+            for i, (rid, _) in enumerate(ordered)
+        }
+    want = {}
+    for lang in ("en", "fr"):
+        sub = [r for r in rows if r[1] == lang]
+        p1 = pranks([(r[0], r[2]) for r in sub])
+        p2 = pranks([(r[0], r[3]) for r in sub])
+        for rid, _, _, _ in sub:
+            want[rid] = (2.0 / 3.0) * p1[rid] + (1.0 / 3.0) * p2[rid]
+    assert got == want  # exact divisions + fixed-order float chain
+
+    # the doc best on both signals ranks top of its domain
+    assert max(got, key=lambda k: got[k] if k <= 4 else -1) == 2
+
+
+def test_blend_quality_scores_validates_and_rejects_nulls(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkRuntimeError
+
+    from colnade_spark.operators.quality import blend_quality_scores
+
+    df = spark.createDataFrame([(1, 1.0), (2, None)], ["doc_id", "s"])
+    with pytest.raises(ValueError):
+        blend_quality_scores(df, {})
+    with pytest.raises(ValueError):
+        blend_quality_scores(df, {"s": -1.0})
+    with pytest.raises((Py4JJavaError, PySparkRuntimeError, Exception)):
+        blend_quality_scores(df, {"s": 1.0}).collect()

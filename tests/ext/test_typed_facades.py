@@ -418,3 +418,16 @@ def test_stratified_split_and_code_quality_facades(docs):
     assert cq.height == docs.height
     r = cq.rows()[0]
     assert isinstance(r.keep, bool)
+
+
+def test_blend_quality_facade(docs):
+    scored = docs.with_raw(
+        lambda d: d.selectExpr("doc_id", "lang", "n_chars as s1", "n_chars + doc_id as s2")
+    )
+    out = typed.blend_quality_scores(
+        scored, {"s1": 1.0, "s2": 1.0}, domain_col="lang"
+    )
+    assert out.schema is typed.BlendedQualityRows
+    rows = out.rows()
+    assert len(rows) == docs.height
+    assert all(0.0 <= r.blended_score <= 1.0 for r in rows)

@@ -221,3 +221,15 @@ def check_round6_split_code_facades(frame: DataFrame[Corpus]) -> list[int]:
         n: int = r.n_lines
         out.append(n)
     return out
+
+
+def check_round6_blend_facade(frame: DataFrame[Corpus]) -> list[float]:
+    blend: DataFrame[typed.BlendedQualityRows] = typed.blend_quality_scores(
+        frame, {"doc_id": 1.0}, domain_col="lang"
+    )
+    _ = blend.filter(typed.BlendedQualityRows.blended_score > 0.5)
+    out: list[float] = []
+    for r in blend.rows():
+        s: float = r.blended_score
+        out.append(s)
+    return out
