@@ -2705,6 +2705,30 @@ def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def span_decontaminated_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """SURGICAL decontamination end-to-end: benchmark = every 97th doc
+    (in-query — its passages are corpus text by construction, so
+    contamination is guaranteed), n=13 GPT-3 rule; each doc's normalized
+    text with benchmark-overlapping spans excised, plus the exact count
+    of removed tokens. String + count compare against the oracle's
+    reconstruction."""
+    from colnade_spark.operators import decontaminate as _dc
+
+    d = _docs_spread(spark, sf_dir)
+    bench = _docs(spark, sf_dir).filter(F.col("doc_id") % 97 == 0)
+    out = _dc.remove_contaminated_spans(d, bench, n=13)
+    n_clean = F.size(
+        F.filter(F.split(F.col("text_clean"), " "), lambda x: x != "")
+    )
+    return out.select(
+        "doc_id",
+        "text_clean",
+        (F.size(spans.clean_tokens(F.col("text"))) - n_clean)
+        .cast("long")
+        .alias("n_removed"),
+    )
+
+
 def span_removal_clean(spark: SparkSession, sf_dir: str) -> SparkDF:
     """End-to-end duplicated-span REMOVAL: every doc's normalized text
     with corpus-duplicated >=8-token spans excised (string-compared
@@ -2878,6 +2902,7 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "stratified_split_docs",  # round 6: new (exact per-stratum split)
     "code_quality_docs",  # round 6: new (Stack/StarCoder code filters)
     "blended_quality_docs",  # round 6: new (ensemble rank blending)
+    "span_decontaminated_docs",  # round 6: new (surgical decontamination)
     "minhash_prt_summary",  # round 6: new (LSH precision/recall audit)
     "dedup_minhash_ids",  # round 6: full mod-2^64 oracle (was rows-only)
     "image_features_stub",  # round 6: integer-moment/phash reformulation + oracle
@@ -2978,6 +3003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         # --- round-3 additions (driver-green in round 3) ---
         "duplicate_span_stats": duplicate_span_stats,
         "span_removal_clean": span_removal_clean,
+        "span_decontaminated_docs": span_decontaminated_docs,
         "line_dedup_clean": line_dedup_clean,
         "quality_classifier_scores": quality_classifier_scores,
         "upsample_epoch_counts": upsample_epoch_counts,
@@ -5713,6 +5739,68 @@ SELECT doc_id FROM documents WHERE doc_id % 2 = 1
             )
             SELECT d.doc_id, coalesce(k.text_clean, '') AS text_clean
             FROM documents d LEFT JOIN kept k USING (doc_id)
+        """,
+        "span_decontaminated_docs": f"""
+            WITH nt AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array({_NORM_TEXT}, '\\s+'),
+                            x -> x <> '') AS tk
+              FROM documents
+            ),
+            bh AS (
+              SELECT DISTINCT
+                {_md5h("array_to_string(list_slice(tk, p + 1, p + 13), ' ')")}
+                  AS h
+              FROM (
+                SELECT tk,
+                  unnest(list_filter(range(0, greatest(len(tk) - 12, 1), 1),
+                                     p -> p < len(tk) - 12)) AS p
+                FROM nt WHERE doc_id % 97 = 0
+              )
+            ),
+            hits AS (
+              SELECT doc_id, p,
+                {_md5h("array_to_string(list_slice(tk, p + 1, p + 13), ' ')")}
+                  AS h
+              FROM (
+                SELECT doc_id, tk,
+                  unnest(list_filter(range(0, greatest(len(tk) - 12, 1), 1),
+                                     p -> p < len(tk) - 12)) AS p
+                FROM nt
+              )
+            ),
+            fl AS (SELECT doc_id, p FROM hits JOIN bh USING (h)),
+            isl AS (
+              SELECT doc_id, p,
+                SUM(CASE WHEN prev IS NULL OR p > prev + 12 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY p) AS island
+              FROM (SELECT doc_id, p,
+                      lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+                    FROM fl)
+            ),
+            sp AS (
+              SELECT doc_id, island, min(p) AS s, max(p) + 12 AS e
+              FROM isl GROUP BY doc_id, island
+            ),
+            tokpos AS (
+              SELECT doc_id, tk, unnest(range(0, len(tk))) AS i FROM nt
+            ),
+            bad AS (
+              SELECT DISTINCT t.doc_id, t.i
+              FROM tokpos t JOIN sp s
+                ON t.doc_id = s.doc_id AND t.i BETWEEN s.s AND s.e
+            ),
+            kept AS (
+              SELECT t.doc_id,
+                array_to_string(list(tk[i + 1] ORDER BY i), ' ') AS text_clean,
+                CAST(count(*) AS BIGINT) AS n_kept
+              FROM tokpos t ANTI JOIN bad b
+                ON t.doc_id = b.doc_id AND t.i = b.i
+              GROUP BY t.doc_id
+            )
+            SELECT n.doc_id, coalesce(k.text_clean, '') AS text_clean,
+              CAST(len(n.tk) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+            FROM nt n LEFT JOIN kept k USING (doc_id)
         """,
         "line_dedup_clean": f"""
             WITH nt AS (

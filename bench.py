@@ -112,6 +112,7 @@ HEADLINE = [
     "stratified_split_docs",
     "code_quality_docs",
     "blended_quality_docs",
+    "span_decontaminated_docs",
     "dup_weight_docs",
     "minhash_prt_summary",
     "incremental_minhash_ids",

@@ -41,6 +41,8 @@ __all__ = [
     "BLOOM_SCHEME",
     "read_bloom_manifest",
     "write_bloom_manifest",
+    "contaminated_spans",
+    "remove_contaminated_spans",
 ]
 
 # Hash-scheme tag persisted with every Bloom table. A table's bit layout
@@ -570,3 +572,73 @@ def bloom_contaminated_ids(
         != 0,
     )
     return grams.filter(probe).select(id_col).distinct()
+
+
+def contaminated_spans(
+    df: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 13,
+    hash_fn=None,
+) -> DataFrame:
+    """SURGICAL decontamination, detection half: maximal per-document
+    token spans whose every ``n``-gram appears in the benchmark —
+    instead of dropping a whole document for one leaked passage
+    (``contaminated_ids``), find exactly the leaked ranges. Output
+    (id, span_start, span_end), 0-based inclusive indices into
+    ``spans.clean_tokens(text)``; overlapping n-gram hits merge via the
+    shared gaps-and-islands pass. Same n=13 default as the GPT-3 rule.
+
+    Scale shape: corpus side is the usual (id, pos, 8-byte hash)
+    projection; the benchmark gram set is distinct-ed and BROADCAST
+    (benchmarks are small by definition — the contaminated_ids
+    contract), so flagging is a broadcast semi-join at scan speed; the
+    only corpus exchange is the per-doc island merge.
+    """
+    from colnade_spark.operators.spans import (
+        _gram_hits,
+        clean_tokens,
+        merge_hit_islands,
+    )
+    from colnade_spark.operators.quality import word_ngrams
+    from colnade_spark.operators.text import md5_hash60
+
+    h = md5_hash60 if hash_fn is None else hash_fn
+    hits = _gram_hits(df, id_col, text_col, n, hash_fn)
+    staged = bench.withColumn("_toks", clean_tokens(F.col(bench_text_col)))
+    bench_hashes = (
+        staged.select(
+            F.explode(word_ngrams(F.col("_toks"), n)).alias("_g")
+        )
+        .select(h(F.col("_g")).alias("_h"))
+        .distinct()
+    )
+    flagged = hits.join(F.broadcast(bench_hashes), "_h").select(id_col, "pos")
+    return merge_hit_islands(flagged, id_col, n)
+
+
+def remove_contaminated_spans(
+    df: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 13,
+    hash_fn=None,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """SURGICAL decontamination, removal half: input rows plus
+    ``out_col`` — the normalized text with every benchmark-overlapping
+    span's tokens removed (the Llama-style alternative to dropping
+    whole documents: the document's unique content survives, only the
+    leaked passage goes). Documents without contamination keep their
+    full normalized text, so the output column is a drop-in for the
+    training text field."""
+    from colnade_spark.operators.spans import remove_spans_text
+
+    spans = contaminated_spans(
+        df, bench, id_col, text_col, bench_text_col, n, hash_fn
+    )
+    return remove_spans_text(df, spans, id_col, text_col, out_col)

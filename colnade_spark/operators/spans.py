@@ -54,6 +54,8 @@ __all__ = [
     "remove_duplicate_spans",
     "duplicate_lines",
     "remove_duplicate_lines",
+    "merge_hit_islands",
+    "remove_spans_text",
 ]
 
 
@@ -109,10 +111,16 @@ def duplicate_spans(
     # minority side. (AQE turns this into a broadcast join when the
     # duplicated set is small enough.)
     flagged = hits.join(dup_hashes, "_h").select(id_col, "pos")
+    return merge_hit_islands(flagged, id_col, k)
 
-    # gaps-and-islands: window ends (pos + k - 1) increase with pos, so
-    # a hit starts a new island iff it begins after the previous hit's
-    # window ends. Window state = one lag row.
+
+def merge_hit_islands(flagged: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Merge flagged k-token window starts ``(id, pos)`` into maximal
+    spans ``(id, span_start, span_end)`` — gaps-and-islands: window ends
+    (pos + k - 1) increase with pos, so a hit starts a new island iff it
+    begins after the previous hit's window ends. Window state = one lag
+    row; shared by corpus-internal span dedup and benchmark span
+    decontamination (decontaminate.contaminated_spans)."""
     w = Window.partitionBy(id_col).orderBy("pos")
     prev = F.lag("pos").over(w)
     island_start = F.when(prev.isNull() | (F.col("pos") > prev + (k - 1)), 1).otherwise(0)
@@ -128,20 +136,19 @@ def duplicate_spans(
     ).drop("_island")
 
 
-def remove_duplicate_spans(
+def remove_spans_text(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 8,
-    min_count: int = 2,
-    hash_fn=None,
-    out_col: str = "text_dedup",
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_col: str,
 ) -> DataFrame:
-    """Input rows plus ``out_col``: the normalized text with every
-    duplicated span's tokens removed (surviving tokens re-joined with
-    single spaces, original order preserved). Documents with no
-    duplicated span get their full normalized text."""
-    spans = duplicate_spans(df, id_col, text_col, k, min_count, hash_fn)
+    """Input rows plus ``out_col``: the normalized text with every span's
+    tokens removed (survivors re-joined with single spaces, original
+    order preserved); rows without spans keep their full normalized
+    text. ``spans`` is any (id, span_start, span_end) frame over
+    ``clean_tokens(text)`` indices — the removal half shared by span
+    dedup and span decontamination."""
     per_doc = spans.groupBy(id_col).agg(
         F.array_sort(
             F.collect_list(F.struct("span_start", "span_end"))
@@ -161,6 +168,23 @@ def remove_duplicate_spans(
     return staged.withColumn(out_col, F.concat_ws(" ", kept)).drop(
         "_toks", "_spans"
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+    hash_fn=None,
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """Input rows plus ``out_col``: the normalized text with every
+    duplicated span's tokens removed (surviving tokens re-joined with
+    single spaces, original order preserved). Documents with no
+    duplicated span get their full normalized text."""
+    spans = duplicate_spans(df, id_col, text_col, k, min_count, hash_fn)
+    return remove_spans_text(df, spans, id_col, text_col, out_col)
 
 
 def _split_literal(text: Column, delimiter: str) -> Column:

@@ -93,6 +93,7 @@ __all__ = [
     "CodeQualityRows",
     "blend_quality_scores",
     "BlendedQualityRows",
+    "remove_contaminated_spans",
     "JaccardPairs",
     "charshingle_jaccard_pairs",
     "PrtAuditRow",
@@ -1041,3 +1042,26 @@ def blend_quality_scores(frame, score_weights, **kwargs) -> DataFrame[BlendedQua
         out[id_col].alias("doc_id"), out[out_col].alias("blended_score")
     )
     return _typed(out, BlendedQualityRows)
+
+
+def remove_contaminated_spans(
+    frame: DataFrame[S], bench, **kwargs
+) -> DataFrame[S]:
+    """Schema-preserving surgical decontamination (operators.
+    decontaminate.remove_contaminated_spans): REPLACE the text column
+    with its span-cleaned normalized form in place, keeping the schema
+    (the typed counterpart of the drop-doc `decontaminate` gate)."""
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators import decontaminate as _dc
+
+    text_col = kwargs.pop("text_col", "text")
+    bench_n = bench.native if isinstance(bench, DataFrame) else bench
+
+    def _apply(d):
+        out = _dc.remove_contaminated_spans(
+            d, bench_n, text_col=text_col, out_col="_rcs_clean", **kwargs
+        )
+        return out.withColumn(text_col, F.col("_rcs_clean")).drop("_rcs_clean")
+
+    return frame.with_raw(_apply)

@@ -360,3 +360,61 @@ def test_bloom_duplicate_gate_null_text_passes(spark):
         ).collect()
     }
     assert kept == {2, 3}
+
+
+def test_contaminated_spans_surgical_removal(spark):
+    """Planted leak: a benchmark passage embedded mid-document is found
+    as exactly one maximal span and only its tokens are removed."""
+    from colnade_spark.operators.decontaminate import (
+        contaminated_spans,
+        remove_contaminated_spans,
+    )
+
+    leak = " ".join(f"bench{i}" for i in range(15))  # 15 tokens, n=13
+    prefix = " ".join(f"pre{i}" for i in range(5))
+    suffix = " ".join(f"post{i}" for i in range(5))
+    rows = [
+        (1, f"{prefix} {leak} {suffix}"),          # leak mid-doc
+        (2, "totally unrelated clean document with enough words here"),
+        (3, leak),                                  # the whole doc is a leak
+        (4, None),                                  # NULL text survives
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = spark.createDataFrame([(100, f"intro words {leak} outro")],
+                                  ["bid", "text"])
+
+    spans = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in contaminated_spans(df, bench, n=13).collect()
+    }
+    # doc 1: leak occupies tokens 5..19 -> windows 5..7 merge to [5, 19]
+    assert spans[1] == (5, 19)
+    assert spans[3] == (0, 14)
+    assert 2 not in spans and 4 not in spans
+
+    out = {
+        r.doc_id: r.text_clean
+        for r in remove_contaminated_spans(df, bench, n=13).collect()
+    }
+    assert out[1] == f"{prefix} {suffix}"
+    assert out[2] == rows[1][1]  # untouched (already normalized form)
+    assert out[3] == ""          # fully leaked doc empties
+    assert out[4] == ""          # NULL text -> empty normalized stream
+
+    # sub-n leaks do NOT fire (the GPT-3 rule's n floor)
+    short_bench = spark.createDataFrame([(1, "pre0 pre1 pre2")], ["bid", "text"])
+    assert contaminated_spans(df, short_bench, n=13).count() == 0
+
+
+def test_contaminated_spans_broadcast_plan(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators.decontaminate import contaminated_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 100 == 0).select("doc_id", "text")
+    plan = (
+        contaminated_spans(docs, bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "Cartesian" not in plan, plan

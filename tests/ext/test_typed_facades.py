@@ -431,3 +431,16 @@ def test_blend_quality_facade(docs):
     rows = out.rows()
     assert len(rows) == docs.height
     assert all(0.0 <= r.blended_score <= 1.0 for r in rows)
+
+
+def test_surgical_decontamination_facade(docs):
+    from pyspark.sql import functions as F
+
+    bench = docs.with_raw(lambda d: d.filter(F.col("doc_id") % 100 == 0))
+    out = typed.remove_contaminated_spans(docs, bench, n=13)
+    assert out.schema is Documents and out.height == docs.height
+    # benchmark members are fully excised (their text IS benchmark text)
+    emptied = out.filter(Documents.n_chars > 0).native.filter(
+        (F.col("doc_id") % 100 == 0) & (F.length("text") > 0)
+    )
+    assert emptied.count() == 0

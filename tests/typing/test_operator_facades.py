@@ -233,3 +233,12 @@ def check_round6_blend_facade(frame: DataFrame[Corpus]) -> list[float]:
         s: float = r.blended_score
         out.append(s)
     return out
+
+
+def check_round6_surgical_facade(
+    frame: DataFrame[Corpus], bench: DataFrame[Corpus]
+) -> DataFrame[Corpus]:
+    clean: DataFrame[Corpus] = typed.remove_contaminated_spans(
+        frame, bench, n=13
+    )
+    return clean.filter(Corpus.doc_id > 0)
