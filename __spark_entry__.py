@@ -3951,7 +3951,7 @@ FROM agg
                 length(text) AS nc,
                 length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS na,
                 regexp_matches(lower(text),
-                               'auto-?generated|generated by') AS autogen
+                  '\\bauto-?generated\\b|\\bgenerated by\\b') AS autogen
               FROM documents
             ),
             sig AS (

@@ -46,6 +46,8 @@ __all__ = [
     "perplexity_buckets",
     "quality_prune_threshold",
     "token_budget_prune",
+    "blend_quality_scores",
+    "code_quality_signals",
 ]
 
 
@@ -571,7 +573,7 @@ def code_quality_signals(
     frac = F.when(
         n_chars > 0, n_alnum.cast("double") / n_chars.cast("double")
     )
-    autogen = F.lower(t).rlike("auto-?generated|generated by")
+    autogen = F.lower(t).rlike(r"\bauto-?generated\b|\bgenerated by\b")
     staged = df.select(
         F.col(id_col),
         n_lines.cast("long").alias("n_lines"),

@@ -287,3 +287,16 @@ def test_blend_quality_scores_validates_and_rejects_nulls(spark):
         blend_quality_scores(df, {"s": -1.0})
     with pytest.raises((Py4JJavaError, PySparkRuntimeError, Exception)):
         blend_quality_scores(df, {"s": 1.0}).collect()
+
+
+def test_code_quality_autogen_needs_word_boundary(spark):
+    from colnade_spark.operators.quality import code_quality_signals
+
+    rows = [
+        (1, "this file regenerated bytes of data"),   # no marker: substring only
+        (2, "degenerated by the process"),            # 'generated by' inside a word
+        (3, "AUTO-GENERATED: do not edit"),           # real marker
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.flag_autogen for r in code_quality_signals(df).collect()}
+    assert got == {1: False, 2: False, 3: True}
