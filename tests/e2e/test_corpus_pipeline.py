@@ -518,3 +518,85 @@ def test_round6_weighting_prune_pipeline(spark, docs, sf_dir, tmp_path):
     assert back.filter(
         (F.col("train_weight") <= 0) | (F.col("train_weight") > 1.0)
     ).count() == 0
+
+
+def test_round6_surgical_curation_pipeline(spark, docs, tmp_path):
+    """Round-6 chain, part two: the keep-the-document curation path —
+
+      code-quality gate → surgical benchmark-span decontamination
+      (excise, don't drop) → ensemble quality blend over the CLEANED
+      text → exact stratified split → write → read back
+
+    asserting the leak is gone but the documents survived, blend scores
+    rank the cleaned corpus, and split proportions hold exactly."""
+    import math
+
+    from colnade_spark.operators.decontaminate import (
+        contaminated_spans,
+        remove_contaminated_spans,
+    )
+    from colnade_spark.operators.quality import (
+        blend_quality_scores,
+        code_quality_signals,
+    )
+    from colnade_spark.operators.sampling import stratified_exact_split
+    from colnade_spark.operators.text import token_count
+
+    n_docs = docs.count()
+
+    # 1) code-quality gate (prose corpus: long-line flag fires a lot —
+    #    gate only on low-alnum + autogen here)
+    cq = code_quality_signals(docs)
+    good_ids = cq.filter(
+        ~F.col("flag_low_alnum") & ~F.col("flag_autogen")
+    ).select("doc_id")
+    gated = docs.join(good_ids, "doc_id")
+    assert 0 < gated.count() <= n_docs
+
+    # 2) surgical decontamination against an in-query benchmark
+    bench = docs.filter(F.col("doc_id") % 101 == 0)
+    spans_found = contaminated_spans(gated, bench, n=13).count()
+    cleaned = remove_contaminated_spans(gated, bench, n=13)
+    assert spans_found > 0  # benchmark text IS corpus text
+    # no 13-gram of the cleaned text still hits the benchmark
+    recheck = contaminated_spans(
+        cleaned.select("doc_id", F.col("text_clean").alias("text")),
+        bench, n=13,
+    )
+    assert recheck.count() == 0
+    assert cleaned.count() == gated.count()  # docs survived
+
+    # 3) blend quality over the CLEANED text
+    scored = cleaned.select(
+        "doc_id", "lang",
+        F.length("text_clean").alias("s_chars"),
+        token_count(F.col("text_clean")).alias("s_toks"),
+    )
+    blended = blend_quality_scores(
+        scored, {"s_chars": 1.0, "s_toks": 1.0}, domain_col="lang"
+    )
+    assert blended.filter(
+        (F.col("blended_score") < 0) | (F.col("blended_score") > 1)
+    ).count() == 0
+
+    # 4) exact split, proportions hold per language on the final corpus
+    split = stratified_exact_split(
+        blended, {"train": 0.9, "val": 0.1}, strata_col="lang"
+    )
+    out = str(tmp_path / "final_corpus")
+    split.write.mode("overwrite").partitionBy("split").parquet(out)
+    back = spark.read.parquet(out)
+    counts = {
+        (r.lang, r.split): r.n
+        for r in back.groupBy("lang", "split").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    per_lang = {}
+    for (lang, sp), n in counts.items():
+        per_lang.setdefault(lang, {})[sp] = n
+    for lang, by in per_lang.items():
+        total = sum(by.values())
+        want_train = math.floor(total * 0.9)
+        assert by.get("train", 0) == want_train, (lang, by)
+        assert by.get("val", 0) == total - want_train, (lang, by)

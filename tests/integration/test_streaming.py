@@ -1368,3 +1368,29 @@ def test_prototypicality_is_stateless_on_streams(spark, sf_dir):
     got = {r.vec_id: (r.cluster, r.proto_dist) for r in spark.table(name).collect()}
     want = {r.vec_id: (r.cluster, r.proto_dist) for r in score(batch).collect()}
     assert got == want and len(got) == batch.count()
+
+
+def test_code_quality_signals_are_stateless_on_streams(spark, sf_dir):
+    """The Stack/StarCoder file filters are a pure scan-side projection
+    (line splits + regex counts): a streamed corpus scores exactly as
+    the batch path in append mode with no streaming state — the code
+    ingest gate shape."""
+    from colnade_spark.operators.quality import code_quality_signals
+    from colnade_spark.streaming import scan_stream_parquet
+    from colnade_spark.tpch import Documents
+
+    batch = spark.read.parquet(table_path(sf_dir, "documents"))
+
+    def score(d):
+        return code_quality_signals(d.select("doc_id", "text"))
+
+    sf = scan_stream_parquet(
+        table_path(sf_dir, "documents"), Documents, spark=spark
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _await(sf.with_raw(score).to_memory_sink(name, output_mode="append"))
+    got = {r.doc_id: (r.keep, r.n_lines, r.flag_long_lines)
+           for r in spark.table(name).collect()}
+    want = {r.doc_id: (r.keep, r.n_lines, r.flag_long_lines)
+            for r in score(batch).collect()}
+    assert got == want and len(got) == batch.count()
