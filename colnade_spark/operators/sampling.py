@@ -429,8 +429,8 @@ def stratified_exact_split(
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"weights must sum to 1, got {total}")
-    if not weights:
-        raise ValueError("weights must be non-empty")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
     for c in ("_ses_h", "_ses_rn", "_ses_n"):
         if c in df.columns:
             raise ValueError(f"stratified_exact_split: input already has {c!r}")

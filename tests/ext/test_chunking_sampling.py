@@ -470,3 +470,23 @@ def test_stratified_exact_split_validates(spark):
     one = spark.createDataFrame([(1, "en")], ["doc_id", "lang"])
     out = stratified_exact_split(one, {"train": 0.9, "val": 0.1}, "lang")
     assert out.collect()[0].split == "val"
+
+
+def test_stratified_exact_split_rejects_negative_weights(spark):
+    import pytest
+
+    from colnade_spark.operators.sampling import stratified_exact_split
+
+    df = spark.createDataFrame([(1, "en")], ["doc_id", "lang"])
+    # sums to 1 but a negative weight would make the rank bounds
+    # non-monotone and silently misassign
+    with pytest.raises(ValueError):
+        stratified_exact_split(df, {"a": 1.5, "b": -0.5}, "lang")
+    # zero-weight labels are legal and simply empty
+    out = stratified_exact_split(
+        spark.createDataFrame([(i, "en") for i in range(10)], ["doc_id", "lang"]),
+        {"a": 0.0, "b": 1.0},
+        "lang",
+    )
+    assert out.filter(F.col("split") == "a").count() == 0
+    assert out.filter(F.col("split") == "b").count() == 10
