@@ -1718,6 +1718,20 @@ def _curation_gates(spark: SparkSession, sf_dir: str):
     return docs, gates
 
 
+def curation_funnel_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """The curation funnel over the shared three-gate chain (blocked ->
+    contaminated -> short, pipeline order): per stage, docs entering,
+    dropped (attributed to the FIRST firing gate), surviving, and the
+    drop fraction. Exact counts + one IEEE division; the oracle replays
+    first-gate attribution from the shared verdicts CTE (pipeline order
+    coincides with the sorted reasons order here)."""
+    from colnade_spark.operators import report
+
+    docs, gates = _curation_gates(spark, sf_dir)
+    ordered = {k: gates[k] for k in ("blocked", "contaminated", "short")}
+    return report.curation_funnel(docs, ordered)
+
+
 def curation_decisions_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Explainable curation verdicts: every doc's keep/drop decision
     with the sorted list of gates it failed (see _curation_gates). The
@@ -2903,6 +2917,7 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "code_quality_docs",  # round 6: new (Stack/StarCoder code filters)
     "blended_quality_docs",  # round 6: new (ensemble rank blending)
     "span_decontaminated_docs",  # round 6: new (surgical decontamination)
+    "curation_funnel_docs",  # round 6: new (stage-attribution funnel)
     "minhash_prt_summary",  # round 6: new (LSH precision/recall audit)
     "dedup_minhash_ids",  # round 6: full mod-2^64 oracle (was rows-only)
     "image_features_stub",  # round 6: integer-moment/phash reformulation + oracle
@@ -2964,6 +2979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "minhash_prt_summary": minhash_prt_summary,
         # --- round-5 additions ---
         "curation_summary_docs": curation_summary_docs,
+        "curation_funnel_docs": curation_funnel_docs,
         "media_format_mismatch_docs": media_format_mismatch_docs,
         "media_byte_stats_docs": media_byte_stats_docs,
         "balanced_shards_docs": balanced_shards_docs,
@@ -5078,6 +5094,43 @@ SELECT doc_id FROM documents WHERE doc_id % 2 = 1
               CAST(len(reasons) AS BIGINT) AS n_reasons,
               coalesce(array_to_string(reasons, '|'), '') AS reasons
             FROM verdicts
+        """,
+        "curation_funnel_docs": f"""
+            WITH {_curation_cte()},
+            att AS (
+              SELECT CASE WHEN len(reasons) = 0 THEN 3
+                          WHEN reasons[1] = 'blocked' THEN 0
+                          WHEN reasons[1] = 'contaminated' THEN 1
+                          ELSE 2 END AS idx
+              FROM verdicts
+            ),
+            cnt AS (
+              SELECT idx, CAST(count(*) AS BIGINT) AS n FROM att GROUP BY idx
+            ),
+            spine AS (
+              SELECT * FROM (VALUES (0, 'blocked'), (1, 'contaminated'),
+                                    (2, 'short')) t(stage_idx, stage)
+            ),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cnt),
+            j AS (
+              SELECT s.stage_idx, s.stage,
+                     CAST(coalesce(c.n, 0) AS BIGINT) AS n_dropped
+              FROM spine s LEFT JOIN cnt c ON c.idx = s.stage_idx
+            ),
+            r AS (
+              SELECT j.stage_idx, j.stage, j.n_dropped,
+                CAST(t.total - coalesce(sum(j.n_dropped) OVER (
+                    ORDER BY j.stage_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_in
+              FROM j CROSS JOIN tot t
+            )
+            SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage, n_in,
+              n_dropped, CAST(n_in - n_dropped AS BIGINT) AS n_out,
+              CASE WHEN n_in > 0
+                   THEN CAST(n_dropped AS DOUBLE) / CAST(n_in AS DOUBLE)
+              END AS drop_frac
+            FROM r
         """,
         "source_overlap_docs": f"""
             WITH u AS (

@@ -97,6 +97,7 @@ HEADLINE = [
     "winnow_overlap_docs",
     "curation_decisions_docs",
     "curation_summary_docs",
+    "curation_funnel_docs",
     "media_format_mismatch_docs",
     "media_byte_stats_docs",
     "balanced_shards_docs",

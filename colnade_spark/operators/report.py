@@ -37,6 +37,7 @@ __all__ = [
     "compact_corpus_fingerprints",
     "source_overlap_matrix",
     "length_drift_psi",
+    "curation_funnel",
 ]
 
 
@@ -771,4 +772,86 @@ def length_drift_psi(
         p_old.alias("p_old"),
         p_new.alias("p_new"),
         term.alias("psi_term"),
+    )
+
+
+def curation_funnel(
+    df: DataFrame,
+    stages: dict[str, DataFrame],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The curation FUNNEL: survivor counts through an ORDERED chain of
+    drop-id gates — the stage-by-stage "where did my corpus go" summary
+    every pipeline run should print (aggregate keep rates hide which
+    gate did the damage; ``curation_decisions`` explains single docs,
+    this explains the run). Each document is attributed to the FIRST
+    gate (in ``stages`` order) that fired on it; later gates never see
+    it, exactly as a sequential pipeline would behave. One row per
+    stage: ``stage_idx``, ``stage``, docs entering, dropped here,
+    surviving, and the drop fraction (one IEEE division of exact
+    counts; NULL for a stage nothing entered).
+
+    Scale shape: each gate joins as an ids-only distinct table (the
+    curation_decisions discipline — broadcast when small); attribution
+    is a scan-side CASE over the flags; the count table is
+    |stages|-sized, and the running survivor arithmetic runs as a
+    window over THAT table, never the corpus.
+    """
+    if not stages:
+        raise ValueError("curation_funnel requires at least one stage")
+    names = list(stages)
+    out = df.select(id_col)
+    for name in names:
+        gate = stages[name].select(F.col(id_col)).distinct().withColumn(
+            f"_g_{name}", F.lit(True)
+        )
+        out = out.join(gate, id_col, "left")
+    first = F.coalesce(
+        *[
+            F.when(F.col(f"_g_{n}").isNotNull(), F.lit(i))
+            for i, n in enumerate(names)
+        ],
+        F.lit(len(names)),
+    )
+    counts = (
+        out.select(first.alias("_stage_idx"))
+        .groupBy("_stage_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    spark = df.sparkSession
+    spine = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], ["stage_idx", "stage"]
+    )
+    from pyspark.sql.window import Window
+
+    # total = sum over the |stages|+1-row count table (every doc lands in
+    # exactly one bucket, survivors included) — keeps the whole funnel
+    # one lazy plan instead of forcing an eager corpus count here
+    tot = counts.agg(F.sum("_n").cast("long").alias("_total"))
+    joined = (
+        spine.join(counts, spine["stage_idx"] == counts["_stage_idx"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "stage_idx",
+            "stage",
+            F.coalesce("_n", F.lit(0)).cast("long").alias("n_dropped"),
+            F.coalesce("_total", F.lit(0)).alias("_total"),
+        )
+    )
+    w = (
+        Window.orderBy("stage_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_in = F.col("_total") - F.coalesce(F.sum("n_dropped").over(w), F.lit(0))
+    staged = joined.withColumn("n_in", n_in.cast("long")).drop("_total")
+    return staged.select(
+        "stage_idx",
+        "stage",
+        "n_in",
+        "n_dropped",
+        (F.col("n_in") - F.col("n_dropped")).cast("long").alias("n_out"),
+        F.when(
+            F.col("n_in") > 0,
+            F.col("n_dropped").cast("double") / F.col("n_in").cast("double"),
+        ).alias("drop_frac"),
     )

@@ -94,6 +94,8 @@ __all__ = [
     "blend_quality_scores",
     "BlendedQualityRows",
     "remove_contaminated_spans",
+    "curation_funnel",
+    "FunnelRows",
     "JaccardPairs",
     "charshingle_jaccard_pairs",
     "PrtAuditRow",
@@ -1065,3 +1067,25 @@ def remove_contaminated_spans(
         return out.withColumn(text_col, F.col("_rcs_clean")).drop("_rcs_clean")
 
     return frame.with_raw(_apply)
+
+
+class FunnelRows(Schema):
+    stage_idx: Column[Int64]
+    stage: Column[Utf8]
+    n_in: Column[Int64]
+    n_dropped: Column[Int64]
+    n_out: Column[Int64]
+    drop_frac: Column[Float64]
+
+
+def curation_funnel(frame, stages, **kwargs) -> DataFrame[FunnelRows]:
+    """Typed curation funnel (operators.report.curation_funnel); gate
+    frames may be typed or native."""
+    from colnade_spark.operators import report as _report
+
+    f = frame.native if isinstance(frame, DataFrame) else frame
+    gates = {
+        k: (v.native if isinstance(v, DataFrame) else v)
+        for k, v in stages.items()
+    }
+    return _typed(_report.curation_funnel(f, gates, **kwargs), FunnelRows)

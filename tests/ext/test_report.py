@@ -385,3 +385,40 @@ def test_length_drift_psi_null_group_is_one_stratum(spark):
         (0, 1, 1),  # <100: one old, one new
         (1, 1, 0),  # >=100: one old, zero new
     }
+
+
+def test_curation_funnel_sequential_attribution(spark):
+    """Docs are attributed to the FIRST gate that fires (pipeline
+    order), later gates never see them; the running survivor counts
+    chain exactly."""
+    docs = spark.createDataFrame([(i,) for i in range(1, 11)], ["doc_id"])
+    stages = {
+        "gate_a": spark.createDataFrame([(1,), (2,), (2,)], ["doc_id"]),
+        "gate_b": spark.createDataFrame([(2,), (3,), (4,)], ["doc_id"]),  # 2 already gone
+        "gate_c": spark.createDataFrame([], "doc_id long"),               # drops nothing
+        "gate_d": spark.createDataFrame([(4,), (9,)], ["doc_id"]),        # 4 already gone
+    }
+    rows = {
+        r.stage: (r.stage_idx, r.n_in, r.n_dropped, r.n_out, r.drop_frac)
+        for r in report.curation_funnel(docs, stages).collect()
+    }
+    assert rows["gate_a"] == (0, 10, 2, 8, 0.2)
+    assert rows["gate_b"] == (1, 8, 2, 6, 0.25)
+    assert rows["gate_c"] == (2, 6, 0, 6, 0.0)
+    assert rows["gate_d"] == (3, 6, 1, 5, 1 / 6.0)
+    assert len(rows) == 4
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        report.curation_funnel(docs, {})
+
+
+def test_curation_funnel_empty_corpus(spark):
+    docs = spark.createDataFrame([], "doc_id long")
+    stages = {"g": spark.createDataFrame([(1,)], ["doc_id"])}
+    rows = report.curation_funnel(docs, stages).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_in, r.n_dropped, r.n_out) == (0, 0, 0)
+    assert r.drop_frac is None  # nothing entered: fraction undefined

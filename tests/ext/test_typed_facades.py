@@ -444,3 +444,17 @@ def test_surgical_decontamination_facade(docs):
         (F.col("doc_id") % 100 == 0) & (F.length("text") > 0)
     )
     assert emptied.count() == 0
+
+
+def test_curation_funnel_facade(docs):
+    from pyspark.sql import functions as F
+
+    stages = {
+        "short": docs.with_raw(lambda d: d.filter(F.col("n_chars") < 120)),
+        "tail": docs.with_raw(lambda d: d.filter(F.col("doc_id") % 7 == 0)),
+    }
+    out = typed.curation_funnel(docs, stages)
+    assert out.schema is typed.FunnelRows
+    rows = sorted(out.rows(), key=lambda r: r.stage_idx)
+    assert rows[0].n_in == docs.height
+    assert rows[1].n_in == rows[0].n_out
