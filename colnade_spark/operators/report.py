@@ -607,6 +607,7 @@ def source_overlap_matrix(
     group_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    key_col: str | None = None,
 ) -> DataFrame:
     """Cross-source duplication matrix: for every unordered source pair,
     how many distinct normalized-text fingerprints appear in BOTH — the
@@ -619,6 +620,11 @@ def source_overlap_matrix(
     ``source_a < source_b`` lexicographically, so each pair appears
     once. NULL fingerprints (NULL text) and NULL sources are excluded —
     NULLs are not a cluster and not a source.
+
+    ``key_col`` swaps the exact fingerprint for ANY precomputed overlap
+    key: MinHash band hashes give a NEAR-dup overlap matrix (counts =
+    shared candidate buckets), a normalized URL column gives URL-level
+    overlap — same plan, same guarantees, no new machinery.
 
     Scale shape (100 TB): the join is keyed on the 16-byte digest and
     carries (digest, source) pairs only — payloads never shuffle. The
@@ -635,10 +641,11 @@ def source_overlap_matrix(
     """
     from colnade_spark.operators.text import fingerprint
 
+    key = F.col(key_col) if key_col else fingerprint(F.col(text_col))
     s = (
         df.select(
             F.col(group_col).alias("_so_src"),
-            fingerprint(F.col(text_col)).alias("_so_fp"),
+            key.alias("_so_fp"),
         )
         .filter(F.col("_so_fp").isNotNull() & F.col("_so_src").isNotNull())
         .distinct()

@@ -422,3 +422,39 @@ def test_curation_funnel_empty_corpus(spark):
     r = rows[0]
     assert (r.n_in, r.n_dropped, r.n_out) == (0, 0, 0)
     assert r.drop_frac is None  # nothing entered: fraction undefined
+
+
+def test_source_overlap_matrix_custom_key_near_dup(spark):
+    """key_col generalizes the matrix beyond exact fingerprints: with a
+    MinHash band key, near-duplicates (different exact fingerprints)
+    still count as shared buckets."""
+    from colnade_spark.operators.dedup import minhash_signatures
+    from pyspark.sql import functions as F
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base, "srcA"),
+        (2, base + " extra", "srcB"),          # near-dup of 1, not exact
+        (3, "completely different text with nothing shared here", "srcB"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    # exact fingerprints: no overlap at all
+    assert report.source_overlap_matrix(df).count() == 0
+
+    sigs = minhash_signatures(df, num_hashes=32)
+    banded = sigs.select(
+        "doc_id",
+        F.col("source"),
+        F.posexplode(
+            F.transform(
+                F.array(*[F.slice("_sig", 1 + 8 * b, 8) for b in range(4)]),
+                lambda band: F.md5(F.concat_ws(",", band)),
+            )
+        ).alias("_band", "bkey"),
+    ).withColumn("bkey", F.concat_ws(":", F.col("_band"), F.col("bkey")))
+    out = report.source_overlap_matrix(
+        banded, group_col="source", key_col="bkey"
+    )
+    got = {(r.source_a, r.source_b): r.n_shared for r in out.collect()}
+    # the near-dup pair shares at least one band bucket across sources
+    assert got.get(("srcA", "srcB"), 0) >= 1
