@@ -242,3 +242,17 @@ def check_round6_surgical_facade(
         frame, bench, n=13
     )
     return clean.filter(Corpus.doc_id > 0)
+
+
+def check_round6_funnel_facade(
+    frame: DataFrame[Corpus], gate: DataFrame[Corpus]
+) -> list[int]:
+    funnel: DataFrame[typed.FunnelRows] = typed.curation_funnel(
+        frame, {"gate": gate}
+    )
+    _ = funnel.filter(typed.FunnelRows.drop_frac > 0.5)
+    out: list[int] = []
+    for r in funnel.rows():
+        n: int = r.n_dropped
+        out.append(n)
+    return out
