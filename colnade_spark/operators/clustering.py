@@ -128,7 +128,7 @@ def kmeans(
     iters: int = 2,
     init: str = "lowest_ids",
     return_centroids: bool = False,
-) -> DataFrame:
+) -> "DataFrame | tuple[DataFrame, list[list[float]]]":
     """(id, cluster) after ``iters`` Lloyd iterations. Deterministic
     across engines and partitionings with either init:
 
@@ -218,6 +218,9 @@ def prototypicality(
     """
     if not centroids:
         raise ValueError("prototypicality: centroids must be non-empty")
+    for needed in (id_col, vec_col):
+        if needed not in df.columns:
+            raise ValueError(f"prototypicality: missing column {needed!r}")
     for c in ("_proto_v", "_proto_min"):
         if c in df.columns:
             raise ValueError(f"prototypicality: input already has column {c!r}")

@@ -633,6 +633,10 @@ def blend_quality_scores(
         raise ValueError("blend_quality_scores: need at least one score")
     if any(w <= 0 for w in score_weights.values()):
         raise ValueError("blend_quality_scores: weights must be positive")
+    if out_col in df.columns:
+        raise ValueError(
+            f"blend_quality_scores: output column {out_col!r} already exists"
+        )
     total = sum(score_weights.values())
     part = [domain_col] if domain_col else [F.lit(1)]
     blended = None

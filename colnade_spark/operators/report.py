@@ -55,8 +55,11 @@ def curation_decisions(
         raise ValueError("curation_decisions requires at least one gate")
     out = df.select(id_col)
     flags = []
-    for name in sorted(bad_ids):
-        flag = f"_g_{name}"
+    # internal flag names are INDEX-based: gate names are arbitrary
+    # report labels, and embedding them in column names breaks F.col()
+    # parsing for dots/backticks
+    for i, name in enumerate(sorted(bad_ids)):
+        flag = f"_g_{i}"
         gate = (
             bad_ids[name]
             .select(F.col(id_col))
@@ -693,8 +696,8 @@ def length_drift_psi(
     group_col: str | None = None,
 ) -> DataFrame:
     """Population-stability-index drift report between two corpus
-    snapshots over an integer metric column (doc length, token count):
-    bin both snapshots on the same literal integer edges, add-1 smooth,
+    snapshots over a numeric metric column (doc length, token count,
+    a blend score): bin both snapshots on the same literal edges, add-1 smooth,
     and emit one row per (group,) bin with both counts, both smoothed
     fractions, and the bin's PSI contribution
     ``(p_new - p_old) * ln(p_new / p_old)`` rounded to 6 places (the
@@ -713,15 +716,21 @@ def length_drift_psi(
     of the two bounded count tables. Exact integer counts; each
     fraction is one IEEE division, so the report replays bit-exactly.
     """
+    import numbers
+
     if not edges or list(edges) != sorted(set(edges)):
         raise ValueError("edges must be strictly increasing and non-empty")
+    if not all(isinstance(e, numbers.Real) and not isinstance(e, bool)
+               for e in edges):
+        raise ValueError("edges must be numeric")
     n_bins = len(edges) + 2  # below/between/above ... plus the NULL bin
 
     def _bin(c):
-        # number of edges <= x, computed over a literal edge array; the
-        # NULL bin is the last index
+        # number of edges <= x, computed over a literal edge array (the
+        # edge literals keep their Python type — float edges bin float
+        # metrics like blend scores); the NULL bin is the last index
         idx = F.aggregate(
-            F.array(*[F.lit(int(e)) for e in edges]),
+            F.array(*[F.lit(e).cast("double") for e in edges]),
             F.lit(0),
             lambda acc, e: acc + F.when(c >= e, 1).otherwise(0),
         )
@@ -808,15 +817,17 @@ def curation_funnel(
         raise ValueError("curation_funnel requires at least one stage")
     names = list(stages)
     out = df.select(id_col)
-    for name in names:
+    # index-based internal flags: stage names are labels, not column
+    # names (a dotted name would break F.col() parsing)
+    for i, name in enumerate(names):
         gate = stages[name].select(F.col(id_col)).distinct().withColumn(
-            f"_g_{name}", F.lit(True)
+            f"_g_{i}", F.lit(True)
         )
         out = out.join(gate, id_col, "left")
     first = F.coalesce(
         *[
-            F.when(F.col(f"_g_{n}").isNotNull(), F.lit(i))
-            for i, n in enumerate(names)
+            F.when(F.col(f"_g_{i}").isNotNull(), F.lit(i))
+            for i in range(len(names))
         ],
         F.lit(len(names)),
     )

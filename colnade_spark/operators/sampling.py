@@ -431,9 +431,13 @@ def stratified_exact_split(
         raise ValueError(f"weights must sum to 1, got {total}")
     if any(w < 0 for w in weights.values()):
         raise ValueError("weights must be non-negative")
-    for c in ("_ses_h", "_ses_rn", "_ses_n"):
+    for c in ("_ses_rn", "_ses_n"):
         if c in df.columns:
             raise ValueError(f"stratified_exact_split: input already has {c!r}")
+    if out_col in df.columns:
+        raise ValueError(
+            f"stratified_exact_split: output column {out_col!r} already exists"
+        )
     w = Window.partitionBy(strata_col).orderBy(
         sample_hash(F.col(key_col), salt), F.col(key_col)
     )

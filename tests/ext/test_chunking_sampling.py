@@ -490,3 +490,17 @@ def test_stratified_exact_split_rejects_negative_weights(spark):
     )
     assert out.filter(F.col("split") == "a").count() == 0
     assert out.filter(F.col("split") == "b").count() == 10
+
+
+def test_stratified_exact_split_output_column_guard(spark):
+    import pytest
+
+    from colnade_spark.operators.sampling import stratified_exact_split
+
+    df = spark.createDataFrame([(1, "en", "old")], ["doc_id", "lang", "split"])
+    with pytest.raises(ValueError):
+        stratified_exact_split(df, {"a": 1.0}, "lang")
+    # an unrelated _ses_h column is no longer spuriously rejected
+    ok = spark.createDataFrame([(1, "en", 9)], ["doc_id", "lang", "_ses_h"])
+    out = stratified_exact_split(ok, {"a": 1.0}, "lang")
+    assert out.collect()[0].split == "a"

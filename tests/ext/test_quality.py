@@ -300,3 +300,15 @@ def test_code_quality_autogen_needs_word_boundary(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {r.doc_id: r.flag_autogen for r in code_quality_signals(df).collect()}
     assert got == {1: False, 2: False, 3: True}
+
+
+def test_blend_rejects_existing_output_column(spark):
+    import pytest
+
+    from colnade_spark.operators.quality import blend_quality_scores
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 0.5)], ["doc_id", "s", "blended_score"]
+    )
+    with pytest.raises(ValueError):
+        blend_quality_scores(df, {"s": 1.0})

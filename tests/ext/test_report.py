@@ -458,3 +458,37 @@ def test_source_overlap_matrix_custom_key_near_dup(spark):
     got = {(r.source_a, r.source_b): r.n_shared for r in out.collect()}
     # the near-dup pair shares at least one band bucket across sources
     assert got.get(("srcA", "srcB"), 0) >= 1
+
+
+def test_gate_names_with_dots_are_legal(spark):
+    """Stage/gate names are labels, not column names: dotted names must
+    not break the internal flag columns (index-based staging)."""
+    docs = spark.createDataFrame([(i,) for i in range(1, 5)], ["doc_id"])
+    gates = {
+        "pii.email": spark.createDataFrame([(1,)], ["doc_id"]),
+        "dedup`weird": spark.createDataFrame([(2,)], ["doc_id"]),
+    }
+    dec = {r.doc_id: r.reasons
+           for r in report.curation_decisions(docs, gates).collect()}
+    assert dec[1] == ["pii.email"] and dec[2] == ["dedup`weird"]
+    fun = {r.stage: r.n_dropped
+           for r in report.curation_funnel(docs, gates).collect()}
+    assert fun == {"pii.email": 1, "dedup`weird": 1}
+
+
+def test_length_drift_psi_float_edges(spark):
+    """Float edges bin float metrics (blend scores) correctly — they are
+    not silently truncated to integers."""
+    old = spark.createDataFrame([(0.1,), (0.4,), (0.9,)], "score double")
+    new = spark.createDataFrame([(0.6,), (0.7,)], "score double")
+    out = report.length_drift_psi(
+        old, new=new, value_col="score", edges=(0.25, 0.5, 0.75)
+    )
+    got = {r.bin: (r.n_old, r.n_new) for r in out.collect()}
+    # old: 0.1->bin0, 0.4->bin1, 0.9->bin3; new: 0.6,0.7->bin2
+    assert got == {0: (1, 0), 1: (1, 0), 2: (0, 2), 3: (1, 0)}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        report.length_drift_psi(old, new=new, edges=("a", "b"))
