@@ -1723,8 +1723,11 @@ def curation_funnel_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     contaminated -> short, pipeline order): per stage, docs entering,
     dropped (attributed to the FIRST firing gate), surviving, and the
     drop fraction. Exact counts + one IEEE division; the oracle replays
-    first-gate attribution from the shared verdicts CTE (pipeline order
-    coincides with the sorted reasons order here)."""
+    first-gate attribution as an EXPLICIT literal CASE over the gate
+    membership CTEs in pipeline order — independent of the sorted-name
+    order the decisions reasons array uses, so renaming a gate cannot
+    silently reorder attribution (pinned operator-side by the
+    renamed-gate test in tests/ext/test_report.py)."""
     from colnade_spark.operators import report
 
     docs, gates = _curation_gates(spark, sf_dir)
@@ -5097,12 +5100,20 @@ SELECT doc_id FROM documents WHERE doc_id % 2 = 1
         """,
         "curation_funnel_docs": f"""
             WITH {_curation_cte()},
+            -- first-fired attribution as an EXPLICIT literal CASE over
+            -- the gate memberships in pipeline order (blocked ->
+            -- contaminated -> short). Deliberately NOT derived from the
+            -- verdicts.reasons array: its element order is the gate
+            -- chain's SORTED-name order (the decisions contract), which
+            -- only coincides with pipeline order for these three names
+            -- — a renamed gate must not silently reorder attribution.
             att AS (
-              SELECT CASE WHEN len(reasons) = 0 THEN 3
-                          WHEN reasons[1] = 'blocked' THEN 0
-                          WHEN reasons[1] = 'contaminated' THEN 1
-                          ELSE 2 END AS idx
-              FROM verdicts
+              SELECT CASE
+                WHEN d.doc_id IN (SELECT doc_id FROM blocked) THEN 0
+                WHEN d.doc_id IN (SELECT doc_id FROM contaminated) THEN 1
+                WHEN d.n_chars < 120 THEN 2
+                ELSE 3 END AS idx
+              FROM documents d
             ),
             cnt AS (
               SELECT idx, CAST(count(*) AS BIGINT) AS n FROM att GROUP BY idx

@@ -822,9 +822,10 @@ def maintain_minhash_dedup(
     corpus side dominates; the banded table is itself a deterministic
     projection of the store). Payloads never cross a join: survivors are
     resolved as ids first, then the batch rows join back by id."""
-    from pyspark.errors import AnalysisException
-
-    from colnade_spark.streaming.stream import write_table_manifest
+    from colnade_spark.streaming.stream import (
+        read_batched_history,
+        write_table_manifest,
+    )
 
     clash = sorted({"_sig", "batch_id"} & set(stream.columns))
     if clash:
@@ -886,10 +887,10 @@ def maintain_minhash_dedup(
             )
             .localCheckpoint(eager=False)
         )
-        try:
-            hist = spark.read.parquet(sigs_path)
-        except AnalysisException:
-            hist = None  # first batch: no batch_id partitions yet
+        # explicit first-batch probe: only a store with NO batch_id
+        # partitions reads as empty history; a real read failure raises
+        # (gating against an accidentally-empty corpus admits near-dups)
+        hist = read_batched_history(spark, sigs_path)
         if hist is not None:
             hist = hist.filter(F.col("batch_id") < F.lit(batch_id))
         drop = _minhash_drop_ids(

@@ -552,7 +552,10 @@ def code_quality_signals(
     corpora. Emits exact line/char counts, ``avg_line_len`` and
     ``alnum_frac`` as single IEEE divisions of exact ints, the three
     boolean flags, and ``keep`` (no flag fired). NULL text keeps NULL
-    signals and ``keep = false`` (contentless files drop).
+    signals and ``keep = false``; EMPTY-string text passes all flags
+    (``alnum_frac`` is NULL, flags coalesce to false, ``keep = true`` —
+    pinned by test) — gate zero-length files upstream if dropping them
+    is desired.
 
     All signals are one scan-side projection — line splits and regex
     counts in codegen, no shuffle, no UDF; stateless on streams by

@@ -22,7 +22,6 @@ layer (pipeline observability).
 
 from __future__ import annotations
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -342,7 +341,10 @@ def maintain_corpus_churn(
     batch. The per-batch table scan grows with ingest history; compact
     periodically (rewrite max_by-resolved pairs as a fresh epoch) the
     same way the sketch tables compact."""
-    from colnade_spark.streaming.stream import write_table_manifest
+    from colnade_spark.streaming.stream import (
+        read_batched_history,
+        write_table_manifest,
+    )
 
     fp_src = "fingerprint(text)" if fingerprint_col is None else fingerprint_col
     # start-time guard over EVERY name any batch path writes or stages —
@@ -422,10 +424,10 @@ def maintain_corpus_churn(
                 .alias("_mcc_fp"),
             )
         )
-        try:
-            hist = spark.read.parquet(table_path)
-        except AnalysisException:
-            hist = None  # first batch: no batch_id partitions yet
+        # explicit first-batch probe (shared helper): a store with no
+        # batch_id partitions is first-batch; any real read failure
+        # raises instead of silently labeling the whole batch "added"
+        hist = read_batched_history(spark, table_path)
         if hist is not None:
             latest = (
                 hist.filter(F.col("batch_id") < F.lit(batch_id))

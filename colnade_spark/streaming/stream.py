@@ -142,6 +142,28 @@ def compact_batched_table(
 _MANIFEST_NAME = "_table_params.json"
 
 
+def read_batched_history(spark, table_path: str):
+    """History reader shared by the ``batch_id``-partitioned maintainer
+    stores (minhash signatures, churn fingerprints): the store's rows,
+    or None ONLY when the store genuinely has no batch partitions yet
+    (first batch — the params manifest legitimately sits there alone).
+    The first-batch probe is an explicit directory listing, NOT an
+    exception catch: a store made unreadable mid-run (corrupt footer,
+    partially deleted path) must FAIL the batch, because silently
+    gating against an empty history admits near-duplicates / mislabels
+    churn — strictly worse than a crash."""
+    fs, p, _ = _hadoop_path(spark, table_path)
+    if not fs.exists(p):
+        return None
+    has_parts = any(
+        st.getPath().getName().startswith("batch_id=")
+        for st in fs.listStatus(p)
+    )
+    if not has_parts:
+        return None
+    return spark.read.parquet(table_path)
+
+
 def _hadoop_path(spark, path_str: str):
     """(fs, path, jvm) via the Hadoop FileSystem API — works on any
     filesystem the cluster can reach (local, HDFS, object stores),

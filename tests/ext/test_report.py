@@ -414,6 +414,37 @@ def test_curation_funnel_sequential_attribution(spark):
         report.curation_funnel(docs, {})
 
 
+def test_curation_funnel_renamed_gate_keeps_pipeline_order(spark):
+    """Renamed-gate pin (VERDICT r6): funnel attribution follows the
+    stages dict's PIPELINE order even when the gate names sort the
+    other way round — while curation_decisions keeps its sorted-name
+    reasons contract on the same gates. A doc failing both gates is
+    attributed to the pipeline-FIRST gate ('z_url'), not the
+    alphabetically first ('a_short')."""
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc_id"])
+    both = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    stages = {
+        "z_url": both,  # pipeline-first, sorts LAST
+        "a_short": spark.createDataFrame([(1,), (2,), (3,)], ["doc_id"]),
+    }
+    rows = {
+        r.stage: (r.stage_idx, r.n_in, r.n_dropped, r.n_out)
+        for r in report.curation_funnel(docs, stages).collect()
+    }
+    # docs 1,2 fall at z_url (pipeline first); only 3 is left for a_short
+    assert rows["z_url"] == (0, 6, 2, 4)
+    assert rows["a_short"] == (1, 4, 1, 3)
+
+    # decisions on the SAME gates: reasons stay sorted-name order
+    dec = {
+        r.doc_id: list(r.reasons)
+        for r in report.curation_decisions(docs, stages).collect()
+    }
+    assert dec[1] == ["a_short", "z_url"]
+    assert dec[3] == ["a_short"]
+    assert dec[4] == []
+
+
 def test_curation_funnel_empty_corpus(spark):
     docs = spark.createDataFrame([], "doc_id long")
     stages = {"g": spark.createDataFrame([(1,)], ["doc_id"])}

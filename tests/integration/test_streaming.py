@@ -1394,3 +1394,48 @@ def test_code_quality_signals_are_stateless_on_streams(spark, sf_dir):
     want = {r.doc_id: (r.keep, r.n_lines, r.flag_long_lines)
             for r in score(batch).collect()}
     assert got == want and len(got) == batch.count()
+
+
+def test_read_batched_history_first_batch_vs_corrupt_store(spark, tmp_path):
+    """The maintainer history probe (ADVICE r6): a store directory that
+    is absent, or holds only the params manifest, reads as first-batch
+    (None); a store WITH batch partitions reads normally; and a store
+    whose batch partition is unreadable RAISES instead of silently
+    degrading to an empty history (which would admit near-duplicates /
+    mislabel churn)."""
+    import pytest as _pytest
+
+    from colnade_spark.streaming.stream import (
+        read_batched_history,
+        write_table_manifest,
+    )
+
+    store = str(tmp_path / "store")
+    # absent directory -> first batch
+    assert read_batched_history(spark, store) is None
+
+    # manifest-only directory (the maintainer writes it at setup,
+    # before any batch) -> still first batch
+    write_table_manifest(spark, store, {"kind": "t"})
+    assert read_batched_history(spark, store) is None
+
+    # a real batch partition -> rows come back
+    spark.createDataFrame([(1, 10)], ["doc_id", "v"]).write.parquet(
+        f"{store}/batch_id=0"
+    )
+    hist = read_batched_history(spark, store)
+    assert hist is not None and hist.count() == 1
+
+    # corrupt the partition's parquet files: the probe sees batch
+    # partitions, so the read failure must PROPAGATE, not read as None
+    import pathlib
+
+    part = pathlib.Path(store) / "batch_id=0"
+    for f in part.glob("*.parquet"):
+        f.write_bytes(b"not a parquet file at all")
+    with _pytest.raises(Exception):
+        df = read_batched_history(spark, store)
+        # schema inference may survive on the footer-less bytes only if
+        # lazily deferred — force evaluation so either stage may raise
+        if df is not None:
+            df.collect()
