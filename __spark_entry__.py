@@ -566,6 +566,26 @@ def soft_dedup_weights_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     return commonness_weights(_docs(spark, sf_dir), n=3)
 
 
+def commonness_frozen_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Stream-legal SoftDeDup scoring: fit the bucketed gram-count table
+    once on the corpus (4096 buckets, word 3-grams, md5-hash60 mod
+    buckets — bounded whatever the corpus size), then score every doc as
+    a pure scan-side array fold with each gram's df clamped to >= 1.
+    The production ingest shape: commonness_weights' corpus-wide gram
+    aggregation is not stream-legal; the frozen table is (stateless-
+    stream pin in tests/integration/test_streaming.py). n_grams/sum_df
+    are exact longs, weight one IEEE division; the oracle replays the
+    bucket table with the same md5 hashing and greatest(c, 1) clamp."""
+    from colnade_spark.operators.importance import (
+        commonness_score_frozen,
+        fit_gram_counts,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ct = fit_gram_counts(docs, n=3, buckets=4096)
+    return commonness_score_frozen(_docs_spread(spark, sf_dir), ct, n=3)
+
+
 def dup_weight_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Cluster-size soft dedup: 1/|exact fingerprint cluster| per doc —
     the downweight-instead-of-drop twin of dedup_fingerprint. Exact
@@ -2905,27 +2925,8 @@ def entry(spark: SparkSession) -> SparkDF:
 # the driver's bounded sweep so the newest code gets certified first.
 # Update this tuple each round; everything else rotates automatically.
 _ROUND_CHANGED: tuple[str, ...] = (
-    "prototype_pruned_ids",  # round 6: new (Sorscher prototype pruning)
-    "corpus_card_approx_docs",  # round 6: new (approx-card tolerance audit)
-    "minhash_estimate_pairs",  # round 6: new (graded est-vs-exact audit)
-    "incremental_minhash_ids",  # round 6: new (ingest-dedup oracle)
-    "approx_prune_stats",  # round 6: new (approx-prune tolerance audit)
-    "dedup_rates_by_lang",  # round 6: new (per-lang dedup datasheet)
-    "soft_dedup_weights_docs",  # round 6: new (SoftDeDup commonness weights)
-    "dup_weight_docs",  # round 6: new (cluster-size soft dedup)
-    "token_fertility_by_lang",  # round 6: new (per-lang tokenizer datasheet)
-    "source_overlap_docs",  # round 6: new (cross-source dup matrix)
-    "length_drift_psi_docs",  # round 6: new (PSI drift report)
-    "stratified_split_docs",  # round 6: new (exact per-stratum split)
-    "code_quality_docs",  # round 6: new (Stack/StarCoder code filters)
-    "blended_quality_docs",  # round 6: new (ensemble rank blending)
-    "span_decontaminated_docs",  # round 6: new (surgical decontamination)
-    "curation_funnel_docs",  # round 6: new (stage-attribution funnel)
-    "minhash_prt_summary",  # round 6: new (LSH precision/recall audit)
-    "dedup_minhash_ids",  # round 6: full mod-2^64 oracle (was rows-only)
-    "image_features_stub",  # round 6: integer-moment/phash reformulation + oracle
-    "approx_stats",  # round 6: reshaped to exact+tolerance projection
-    "sketch_rollup_users",  # round 6: reshaped to exact+tolerance projection
+    "commonness_frozen_docs",  # round 7: new (stream-legal frozen scoring)
+    "curation_funnel_docs",  # round 7: oracle attribution made explicit
 )
 
 
@@ -2978,6 +2979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "code_quality_docs": code_quality_docs,
         "stratified_split_docs": stratified_split_docs,
         "soft_dedup_weights_docs": soft_dedup_weights_docs,
+        "commonness_frozen_docs": commonness_frozen_docs,
         "dup_weight_docs": dup_weight_docs,
         "minhash_prt_summary": minhash_prt_summary,
         # --- round-5 additions ---
@@ -4037,6 +4039,43 @@ FROM agg
               SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
                      CAST(sum(cnt.dfc) AS BIGINT) AS sum_df
               FROM g JOIN cnt USING (gh) GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+              CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+              CAST(coalesce(per.sum_df, 0) AS BIGINT) AS sum_df,
+              CASE WHEN coalesce(per.sum_df, 0) > 0
+                   THEN CAST(per.n_grams AS DOUBLE)
+                        / CAST(per.sum_df AS DOUBLE)
+                   ELSE 1.0 END AS weight
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        # frozen-table twin of soft_dedup_weights_docs: same gram CTEs,
+        # but df comes from the 4096-bucket count table (md5h % 4096)
+        # with the >= 1 clamp — the stream-legal scoring semantics
+        "commonness_frozen_docs": f"""
+            WITH nt AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array({_NORM_TEXT}, '\\s+'),
+                            x -> x <> '') AS tk
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                {_md5h("array_to_string(list_slice(tk, i, i + 2), ' ')")}
+                  % 4096 AS b
+              FROM (
+                SELECT doc_id, tk,
+                       unnest(range(1, greatest(len(tk) - 2, 0) + 1)) AS i
+                FROM nt
+              )
+            ),
+            cnt AS (
+              SELECT b, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY b
+            ),
+            per AS (
+              SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                     CAST(sum(greatest(cnt.c, 1)) AS BIGINT) AS sum_df
+              FROM g JOIN cnt USING (b) GROUP BY g.doc_id
             )
             SELECT d.doc_id,
               CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,

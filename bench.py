@@ -110,6 +110,7 @@ HEADLINE = [
     "minhash_estimate_pairs",
     "dedup_rates_by_lang",
     "soft_dedup_weights_docs",
+    "commonness_frozen_docs",
     "stratified_split_docs",
     "code_quality_docs",
     "blended_quality_docs",

@@ -52,6 +52,10 @@ __all__ = [
     "fit_logratio",
     "dsir_score_frozen",
     "gumbel_topk",
+    "commonness_weights",
+    "fit_gram_counts",
+    "commonness_score_frozen",
+    "duplication_weights",
 ]
 
 MICRO = 1_000_000
@@ -332,6 +336,121 @@ def commonness_weights(
     ).otherwise(F.lit(1.0))
     return per_doc.select(
         id_col, "n_grams", "sum_df", w.alias(weight_col)
+    )
+
+
+def fit_gram_counts(
+    corpus: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    buckets: int = 4096,
+) -> list[int]:
+    """The FROZEN SoftDeDup model: corpus-wide word-n-gram occurrence
+    counts folded into a ``buckets``-length table indexed by
+    ``md5_hash60(gram) % buckets`` — the commonness twin of
+    ``fit_logratio`` (same bounded-driver-materialization tier: the
+    groupBy yields at most ``buckets`` rows whatever the corpus size).
+    Fit once on a corpus snapshot, then score batches or STREAMS with
+    ``commonness_score_frozen``.
+
+    Bucketing is the stream-legality trade: the exact gram-count table
+    (``commonness_weights``) is unbounded and needs a corpus-wide
+    aggregation per scoring pass; this table is a broadcastable
+    constant. Collisions only ever OVER-count a gram's frequency, so
+    frozen weights are conservative (never higher than the exact ones)
+    — size ``buckets`` to the corpus's boilerplate vocabulary."""
+    if n < 1:
+        raise ValueError("fit_gram_counts: n must be >= 1")
+    if buckets < 1:
+        raise ValueError("fit_gram_counts: buckets must be >= 1")
+    staged = corpus.withColumn("_cf_tk", clean_tokens(F.col(text_col)))
+    b = staged.select(
+        F.explode(word_ngrams(F.col("_cf_tk"), n)).alias("_cf_g")
+    ).select(
+        F.pmod(md5_hash60(F.col("_cf_g")), F.lit(buckets))
+        .cast("int")
+        .alias("_cf_b")
+    )
+    out = [0] * buckets
+    for r in b.groupBy("_cf_b").agg(F.count(F.lit(1)).alias("_n")).collect():
+        out[r["_cf_b"]] = r["_n"]
+    return out
+
+
+def commonness_score_frozen(
+    df: DataFrame,
+    counts: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    weight_col: str = "weight",
+) -> DataFrame:
+    """SoftDeDup commonness scoring against a FROZEN bucketed gram-count
+    table (``fit_gram_counts``) — a pure scan-side projection: tokenize,
+    n-gram, bucket-hash, one array fold over the staged count column. NO
+    shuffle, no state, so it drops into a streaming ingest as a
+    stateless gate (pinned by test) — the production shape for
+    continuously arriving data, where ``commonness_weights``' exact
+    corpus-wide gram aggregation is not stream-legal.
+
+    Semantics: each gram's document frequency is the frozen bucket
+    count clamped to ≥ 1 — a gram the fit corpus never saw counts only
+    its own occurrence, so entirely-novel documents weigh exactly 1.0.
+    Scoring the fit corpus itself reproduces ``commonness_weights``
+    bit-exactly when no two distinct grams share a bucket (equivalence
+    pinned by test); under collisions ``sum_df`` only grows, so frozen
+    weights are CONSERVATIVE (≤ exact). Output matches
+    ``commonness_weights``: ``(id_col, n_grams, sum_df, weight_col)``,
+    exact longs plus one IEEE division.
+
+    Scale (100 TB): the count table rides along as one literal array
+    column (``buckets`` longs — the DSIR ``_lr`` discipline: stage it
+    as a REAL column, never an outer ref re-evaluated per element); the
+    fold is per-row arithmetic inside the projection. Raw text never
+    shuffles; there is no exchange at all."""
+    if n < 1:
+        raise ValueError("commonness_score_frozen: n must be >= 1")
+    buckets = len(counts)
+    if buckets < 1:
+        raise ValueError("commonness_score_frozen: empty count table")
+    for c in ("_cf_tk", "_cf_ct", "_cf_gb"):
+        if c in df.columns:
+            raise ValueError(
+                f"commonness_score_frozen: input already has {c!r}"
+            )
+    staged = df.withColumns(
+        {
+            "_cf_tk": clean_tokens(F.col(text_col)),
+            "_cf_ct": F.lit([int(x) for x in counts]),
+        }
+    ).withColumn(
+        "_cf_gb",
+        F.transform(
+            word_ngrams(F.col("_cf_tk"), n),
+            lambda g: F.pmod(md5_hash60(g), F.lit(buckets)).cast("int"),
+        ),
+    )
+    sum_df = F.aggregate(
+        F.col("_cf_gb"),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc
+        + F.greatest(F.get(F.col("_cf_ct"), b), F.lit(1).cast("long")),
+    )
+    scored = staged.select(
+        F.col(id_col),
+        F.size("_cf_gb").cast("long").alias("n_grams"),
+        sum_df.alias("sum_df"),
+    )
+    return scored.select(
+        id_col,
+        "n_grams",
+        "sum_df",
+        F.when(
+            F.col("sum_df") > 0,
+            F.col("n_grams").cast("double") / F.col("sum_df").cast("double"),
+        )
+        .otherwise(F.lit(1.0))
+        .alias(weight_col),
     )
 
 

@@ -278,3 +278,135 @@ def test_soft_dedup_ops_validate_columns(spark):
         commonness_weights(df.withColumn("_sd_tk", F.lit(1)))
     with pytest.raises(ValueError):
         duplication_weights(df.withColumn("_dw_fp", F.lit(1)))
+
+
+# ---------------------------------------------------------------------------
+# Frozen-count commonness scoring (commonness_score_frozen)
+# ---------------------------------------------------------------------------
+
+
+def test_commonness_frozen_matches_exact_when_collision_free(spark):
+    """Scoring the fit corpus against its own frozen table reproduces
+    commonness_weights bit-exactly when no two distinct grams share a
+    bucket (2^14 buckets over ~15 distinct grams — verified
+    collision-free below, not assumed)."""
+    from colnade_spark.operators.importance import (
+        commonness_score_frozen,
+        commonness_weights,
+        fit_gram_counts,
+    )
+
+    buckets = 1 << 14
+    # verify the fixture really is collision-free at this size
+    grams = set()
+    for _, text in SOFT_DOCS:
+        tk = _toks(text)
+        grams.update(" ".join(tk[i : i + 3]) for i in range(len(tk) - 2))
+    assert len({_h60(g) % buckets for g in grams}) == len(grams)
+
+    df = spark.createDataFrame(SOFT_DOCS, ["doc_id", "text"])
+    ct = fit_gram_counts(df, n=3, buckets=buckets)
+    assert len(ct) == buckets and sum(ct) > 0
+    frozen = {
+        r.doc_id: (r.n_grams, r.sum_df, r.weight)
+        for r in commonness_score_frozen(df, ct, n=3).collect()
+    }
+    exact = {
+        r.doc_id: (r.n_grams, r.sum_df, r.weight)
+        for r in commonness_weights(df, n=3).collect()
+    }
+    assert frozen == exact
+
+
+def test_commonness_frozen_collisions_are_conservative(spark):
+    """buckets=1 is the worst collision case: every gram shares one
+    bucket, so each gram's df becomes the corpus-wide gram total and
+    weight collapses to 1/total — never HIGHER than the exact weight."""
+    from colnade_spark.operators.importance import (
+        commonness_score_frozen,
+        commonness_weights,
+        fit_gram_counts,
+    )
+
+    df = spark.createDataFrame(SOFT_DOCS, ["doc_id", "text"])
+    ct = fit_gram_counts(df, n=3, buckets=1)
+    total = ct[0]
+    assert total == sum(
+        max(len(_toks(t)) - 2, 0) for _, t in SOFT_DOCS
+    )
+    frozen = {
+        r.doc_id: (r.n_grams, r.sum_df, r.weight)
+        for r in commonness_score_frozen(df, ct, n=3).collect()
+    }
+    exact = {
+        r.doc_id: r.weight for r in commonness_weights(df, n=3).collect()
+    }
+    for rid, (n_grams, sum_df, w) in frozen.items():
+        if n_grams == 0:
+            assert (sum_df, w) == (0, 1.0)
+        else:
+            assert sum_df == n_grams * total
+            assert w == n_grams / float(sum_df) == 1.0 / total
+            assert w <= exact[rid]
+
+
+def test_commonness_frozen_unseen_grams_weigh_one(spark):
+    """Grams absent from the fit corpus clamp to df=1 (their own
+    occurrence): an entirely-novel document weighs exactly 1.0, a
+    half-novel document sits strictly between."""
+    from colnade_spark.operators.importance import (
+        commonness_score_frozen,
+        fit_gram_counts,
+    )
+
+    fit = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")] * 2, ["doc_id", "text"]
+    )
+    ct = fit_gram_counts(fit, n=3, buckets=1 << 14)
+    novel = spark.createDataFrame(
+        [
+            (10, "totally new words never seen before anywhere"),
+            (11, "alpha beta gamma delta epsilon"),  # all grams seen 2x
+            (12, None),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.sum_df, r.weight)
+        for r in commonness_score_frozen(novel, ct, n=3).collect()
+    }
+    assert got[10][2] == 1.0 and got[10][1] == got[10][0]  # every df clamped to 1
+    assert got[11] == (3, 6, 0.5)  # each of 3 grams counted twice in fit
+    assert got[12] == (0, 0, 1.0)
+
+
+def test_commonness_frozen_plan_has_no_shuffle(spark):
+    """Frozen scoring is a pure scan-side projection: NO exchange."""
+    from colnade_spark.operators.importance import commonness_score_frozen
+
+    df = spark.createDataFrame(SOFT_DOCS, ["doc_id", "text"])
+    plan = (
+        commonness_score_frozen(df, [0] * 256)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_commonness_frozen_guards(spark):
+    from colnade_spark.operators.importance import (
+        commonness_score_frozen,
+        fit_gram_counts,
+    )
+
+    df = spark.createDataFrame(SOFT_DOCS, ["doc_id", "text"])
+    with pytest.raises(ValueError, match="empty count table"):
+        commonness_score_frozen(df, [])
+    with pytest.raises(ValueError, match="n must be"):
+        fit_gram_counts(df, n=0)
+    with pytest.raises(ValueError, match="buckets must be"):
+        fit_gram_counts(df, buckets=0)
+    clash = df.withColumn("_cf_tk", F.lit(1))
+    with pytest.raises(ValueError, match="_cf_tk"):
+        commonness_score_frozen(clash, [1])

@@ -428,6 +428,40 @@ def test_dsir_frozen_gate_is_stateless_on_streams(spark, sf_dir):
     assert got == want and 0 < len(got) < batch.count()
 
 
+def test_commonness_frozen_gate_is_stateless_on_streams(spark, sf_dir):
+    """SoftDeDup commonness scoring against a frozen bucketed gram-count
+    table is a pure scan-side projection (array fold over a staged
+    literal table): a streamed documents source scores and gates
+    identically to batch — fit the table offline on a corpus snapshot,
+    then down-weight/gate the ingest with zero streaming state (the
+    stream-legal stand-in for commonness_weights' corpus-wide gram
+    aggregation, which is not expressible on a stream)."""
+    from colnade_spark.operators.importance import (
+        commonness_score_frozen,
+        fit_gram_counts,
+    )
+    from colnade_spark.streaming import scan_stream_parquet
+    from colnade_spark.tpch import Documents
+    from pyspark.sql import functions as F
+
+    batch = spark.read.parquet(table_path(sf_dir, "documents"))
+    ct = fit_gram_counts(batch, n=3, buckets=2048)
+
+    def gate(d):
+        return commonness_score_frozen(d, ct, n=3).filter(
+            F.col("weight") >= 0.066  # ~median on this fixture: a real gate
+        )
+
+    sf = scan_stream_parquet(table_path(sf_dir, "documents"), Documents, spark=spark)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _await(sf.with_raw(gate).to_memory_sink(name, output_mode="append"))
+    got = {(r.doc_id, r.n_grams, r.sum_df, r.weight)
+           for r in spark.table(name).collect()}
+    want = {(r.doc_id, r.n_grams, r.sum_df, r.weight)
+            for r in gate(batch).collect()}
+    assert got == want and 0 < len(got) < batch.count()
+
+
 def test_semantic_decontamination_is_stateless_on_streams(spark, sf_dir):
     """Semantic decontamination (cosine screen vs a BROADCAST benchmark
     embedding set) is a stateless stream-static join + filter: a
