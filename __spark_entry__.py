@@ -1838,6 +1838,45 @@ def length_drift_psi_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     return out.withColumn("bin", F.col("bin").cast("long"))
 
 
+def blend_drift_psi_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """PSI drift over ENSEMBLE BLEND scores between two corpus snapshots
+    (even-id vs odd-id halves, the standing convention): each half is
+    rank-blended independently (the blended_quality_docs 0.5/0.3/0.2
+    signal mix per language), then the two blended-score distributions
+    are binned on FLOAT edges (0.2/0.4/0.6/0.8) per language — the
+    'did my quality-score distribution move between runs' report a
+    curation pipeline owes its operators. Exact counts, add-1 smoothing,
+    one rounded ln term per bin; the oracle replays the per-half
+    percent_rank blend and the float-edge binning."""
+    from colnade_spark.operators import text as _text
+    from colnade_spark.operators.quality import blend_quality_scores
+    from colnade_spark.operators.report import length_drift_psi
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").alias("s1"),
+        _text.token_count(F.col("text")).alias("s2"),
+        _text.bpe_token_count(F.col("text")).alias("s3"),
+    )
+
+    def blend(half: SparkDF) -> SparkDF:
+        return blend_quality_scores(
+            half, {"s1": 0.5, "s2": 0.3, "s3": 0.2}, domain_col="lang"
+        ).select("doc_id", "lang", "blended_score")
+
+    old = blend(d.filter(F.col("doc_id") % 2 == 0))
+    new = blend(d.filter(F.col("doc_id") % 2 == 1))
+    out = length_drift_psi(
+        old,
+        new=new,
+        value_col="blended_score",
+        edges=(0.2, 0.4, 0.6, 0.8),
+        group_col="lang",
+    )
+    return out.withColumn("bin", F.col("bin").cast("long"))
+
+
 def corpus_diff_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Incremental-ingest verification: diff two corpus snapshots into
     (doc_id, status ∈ added/removed/changed) by normalized-text
@@ -2927,6 +2966,7 @@ def entry(spark: SparkSession) -> SparkDF:
 _ROUND_CHANGED: tuple[str, ...] = (
     "commonness_frozen_docs",  # round 7: new (stream-legal frozen scoring)
     "curation_funnel_docs",  # round 7: oracle attribution made explicit
+    "blend_drift_psi_docs",  # round 7: new (PSI drift over blend scores)
 )
 
 
@@ -2992,6 +3032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "corpus_diff_docs": corpus_diff_docs,
         "source_overlap_docs": source_overlap_docs,
         "length_drift_psi_docs": length_drift_psi_docs,
+        "blend_drift_psi_docs": blend_drift_psi_docs,
         "corpus_card_docs": corpus_card_docs,
         "ppl_bucketed_docs": ppl_bucketed_docs,
         "pii_count_stats": pii_count_stats,
@@ -5252,6 +5293,74 @@ SELECT doc_id FROM documents WHERE doc_id % 2 = 1
                     * ln((CAST(n_new + 1 AS DOUBLE) / CAST(t_new + 7 AS DOUBLE))
                          / (CAST(n_old + 1 AS DOUBLE)
                             / CAST(t_old + 7 AS DOUBLE))), 6) AS psi_term
+            FROM t
+        """,
+        # per-half percent_rank blend (the blended_quality_docs float
+        # chain, PARTITION BY half+lang), float-edge binning, then the
+        # length_drift_psi smoothing/ln tail with n_bins = 6
+        "blend_drift_psi_docs": f"""
+            WITH s AS (
+              SELECT doc_id, lang, doc_id % 2 = 0 AS is_old,
+                n_chars AS s1,
+                len({toks}) AS s2,
+                len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS s3
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id, lang, is_old,
+                percent_rank() OVER (PARTITION BY is_old, lang
+                                     ORDER BY s1, doc_id) AS p1,
+                percent_rank() OVER (PARTITION BY is_old, lang
+                                     ORDER BY s2, doc_id) AS p2,
+                percent_rank() OVER (PARTITION BY is_old, lang
+                                     ORDER BY s3, doc_id) AS p3
+              FROM s
+            ),
+            binned AS (
+              SELECT lang, is_old,
+                (bs >= CAST(0.2 AS DOUBLE))::INT
+                + (bs >= CAST(0.4 AS DOUBLE))::INT
+                + (bs >= CAST(0.6 AS DOUBLE))::INT
+                + (bs >= CAST(0.8 AS DOUBLE))::INT AS bin
+              FROM (
+                SELECT lang, is_old,
+                  0.5 * p1 + 0.3 * p2 + 0.2 * p3 AS bs
+                FROM r
+              )
+            ),
+            co AS (
+              SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_old
+              FROM binned WHERE is_old GROUP BY 1, 2
+            ),
+            cn AS (
+              SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_new
+              FROM binned WHERE NOT is_old GROUP BY 1, 2
+            ),
+            j AS (
+              SELECT coalesce(co.lang, cn.lang) AS lang,
+                     coalesce(co.bin, cn.bin) AS bin,
+                     CAST(coalesce(n_old, 0) AS BIGINT) AS n_old,
+                     CAST(coalesce(n_new, 0) AS BIGINT) AS n_new
+              FROM co FULL OUTER JOIN cn
+                ON co.lang IS NOT DISTINCT FROM cn.lang
+                AND co.bin = cn.bin
+            ),
+            t AS (
+              SELECT lang, bin, n_old, n_new,
+                sum(n_old) OVER (PARTITION BY lang) AS t_old,
+                sum(n_new) OVER (PARTITION BY lang) AS t_new
+              FROM j
+            )
+            SELECT lang, CAST(bin AS BIGINT) AS bin, n_old, n_new,
+              CAST(n_old + 1 AS DOUBLE) / CAST(t_old + 6 AS DOUBLE) AS p_old,
+              CAST(n_new + 1 AS DOUBLE) / CAST(t_new + 6 AS DOUBLE) AS p_new,
+              round((CAST(n_new + 1 AS DOUBLE) / CAST(t_new + 6 AS DOUBLE)
+                     - CAST(n_old + 1 AS DOUBLE) / CAST(t_old + 6 AS DOUBLE))
+                    * ln((CAST(n_new + 1 AS DOUBLE)
+                          / CAST(t_new + 6 AS DOUBLE))
+                         / (CAST(n_old + 1 AS DOUBLE)
+                            / CAST(t_old + 6 AS DOUBLE))), 6) AS psi_term
             FROM t
         """,
         "corpus_diff_docs": f"""

@@ -105,6 +105,7 @@ HEADLINE = [
     "corpus_diff_docs",
     "source_overlap_docs",
     "length_drift_psi_docs",
+    "blend_drift_psi_docs",
     "corpus_card_docs",
     "corpus_card_approx_docs",
     "minhash_estimate_pairs",
