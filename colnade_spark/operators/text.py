@@ -105,6 +105,51 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def fertility_sums(
+    df: DataFrame, lang_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """The MERGEABLE half of the fertility datasheet: per-language doc
+    counts and exact word/BPE-ish/byte totals, no ratios. All five
+    columns are associative integer sums, so per-slice tables (one per
+    micro-batch, shard, or source) merge by re-summing — the model the
+    streaming maintainer persists (``maintain_fertility_table``).
+    One scan-side projection into one map-side-combined aggregation;
+    the shuffle carries |languages| rows of longs."""
+    t = F.col(text_col)
+    return df.groupBy(lang_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(t.isNull(), 1).otherwise(0)).cast("long").alias("n_null_docs"),
+        F.coalesce(F.sum(token_count(t)), F.lit(0)).cast("long").alias("sum_words"),
+        F.coalesce(F.sum(bpe_token_count(t)), F.lit(0))
+        .cast("long")
+        .alias("sum_bpe"),
+        F.coalesce(F.sum(F.octet_length(t)), F.lit(0))
+        .cast("long")
+        .alias("sum_bytes"),
+    )
+
+
+def _fertility_ratios(agg: DataFrame, lang_col: str = "lang") -> DataFrame:
+    """Derive the two datasheet ratios from a sums table — applied ONLY
+    after all merging is done (ratios of sums, never sums of ratios)."""
+    return agg.select(
+        lang_col,
+        "n_docs",
+        "n_null_docs",
+        "sum_words",
+        "sum_bpe",
+        "sum_bytes",
+        F.when(
+            F.col("sum_words") > 0,
+            F.col("sum_bpe").cast("double") / F.col("sum_words").cast("double"),
+        ).alias("fertility"),
+        F.when(
+            F.col("sum_bpe") > 0,
+            F.col("sum_bytes").cast("double") / F.col("sum_bpe").cast("double"),
+        ).alias("bytes_per_token"),
+    )
+
+
 def fertility_stats(
     df: DataFrame, lang_col: str = "lang", text_col: str = "text"
 ) -> DataFrame:
@@ -123,35 +168,99 @@ def fertility_stats(
     bit-reproducible in any engine. Plan shape: one scan-side projection
     (token counts are regex built-ins) into one map-side-combined
     aggregation keyed on language — the shuffle carries |languages| rows
-    of longs, nothing else, at any corpus size.
+    of longs, nothing else, at any corpus size. Composed as
+    ``fertility_sums`` (the mergeable totals) -> ``_fertility_ratios``;
+    for a continuously-ingesting corpus, maintain the sums with
+    ``maintain_fertility_table`` and read with ``merge_fertility_table``.
     """
-    t = F.col(text_col)
-    agg = df.groupBy(lang_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.when(t.isNull(), 1).otherwise(0)).cast("long").alias("n_null_docs"),
-        F.coalesce(F.sum(token_count(t)), F.lit(0)).cast("long").alias("sum_words"),
-        F.coalesce(F.sum(bpe_token_count(t)), F.lit(0))
-        .cast("long")
-        .alias("sum_bpe"),
-        F.coalesce(F.sum(F.octet_length(t)), F.lit(0))
-        .cast("long")
-        .alias("sum_bytes"),
+    return _fertility_ratios(fertility_sums(df, lang_col, text_col), lang_col)
+
+
+def merge_fertility_table(table: DataFrame, lang_col: str = "lang") -> DataFrame:
+    """Collapse a persisted per-batch fertility-sums table into the
+    datasheet: re-sum every total per language (integer sums are
+    associative — the merged result equals ONE ``fertility_stats`` pass
+    over everything ever streamed, pinned by test), then derive the
+    ratios. The input is the maintainer's whole history
+    (``spark.read.parquet(table_path)``); |languages| x |batches| rows
+    in, |languages| rows out."""
+    merged = table.groupBy(lang_col).agg(
+        *[
+            F.sum(c).cast("long").alias(c)
+            for c in ("n_docs", "n_null_docs", "sum_words", "sum_bpe", "sum_bytes")
+        ]
     )
-    return agg.select(
-        lang_col,
-        "n_docs",
-        "n_null_docs",
-        "sum_words",
-        "sum_bpe",
-        "sum_bytes",
-        F.when(
-            F.col("sum_words") > 0,
-            F.col("sum_bpe").cast("double") / F.col("sum_words").cast("double"),
-        ).alias("fertility"),
-        F.when(
-            F.col("sum_bpe") > 0,
-            F.col("sum_bytes").cast("double") / F.col("sum_bpe").cast("double"),
-        ).alias("bytes_per_token"),
+    return _fertility_ratios(merged, lang_col)
+
+
+def maintain_fertility_table(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """STREAMING maintenance of the per-language fertility datasheet:
+    each micro-batch aggregates its own ``fertility_sums`` (|languages|
+    rows of longs) and OVERWRITES its ``batch_id=<n>`` partition — the
+    mergeable-model maintainer pattern (HLL/CMS/Bloom tier): idempotent
+    under redelivery, and since the totals are associative sums the
+    merged table equals a single batch pass over everything ever
+    streamed. Read with ``merge_fertility_table``; compact the history
+    with ``compact_fertility_table`` when the partition count grows.
+    The raw stream is never re-scanned and per-batch state is KBs,
+    whatever the ingest volume.
+
+    A params manifest pins (lang_col, text_col): totals computed over a
+    different text column are not comparable — fail fast on a resumed
+    run whose columns drifted rather than silently mixing them."""
+    from colnade_spark.streaming.stream import (
+        maintain_partitioned_table,
+        write_table_manifest,
+    )
+
+    write_table_manifest(
+        stream.sparkSession,
+        table_path,
+        {"kind": "fertility_sums", "lang_col": lang_col, "text_col": text_col},
+    )
+    return maintain_partitioned_table(
+        stream,
+        lambda b: fertility_sums(b, lang_col, text_col),
+        table_path,
+        checkpoint,
+        available_now,
+    )
+
+
+def compact_fertility_table(spark, table_path: str, dest_path: str) -> dict:
+    """Compact a ``maintain_fertility_table`` history: fold every batch
+    partition EXCEPT the trailing one into a single epoch partition —
+    RE-SUMMED to |languages| rows (sums merge losslessly, so the fold
+    changes nothing the reader can observe) — carry the trailing
+    partition verbatim, and write both plus the manifest to a FRESH
+    ``dest_path``. Shares ``streaming.compact_batched_table``'s skeleton;
+    see it for why the trailing partition is never folded."""
+    from colnade_spark.streaming.stream import compact_batched_table
+
+    def _resolve(body, mf):
+        lang = mf.get("lang_col", "lang")
+        return body.drop("batch_id").groupBy(lang).agg(
+            *[
+                F.sum(c).cast("long").alias(c)
+                for c in (
+                    "n_docs",
+                    "n_null_docs",
+                    "sum_words",
+                    "sum_bpe",
+                    "sum_bytes",
+                )
+            ]
+        )
+
+    return compact_batched_table(
+        spark, table_path, dest_path, "fertility_sums", _resolve
     )
 
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 import uuid
 
 import pytest
+from pyspark.sql import functions as F
 
 from colnade_spark.expr import lit
 from colnade_spark.operators import sessions
@@ -1473,3 +1474,111 @@ def test_read_batched_history_first_batch_vs_corrupt_store(spark, tmp_path):
         # lazily deferred — force evaluation so either stage may raise
         if df is not None:
             df.collect()
+
+
+def test_maintain_fertility_table_matches_batch_and_replays(
+    spark, sf_dir, tmp_path
+):
+    """Maintained per-language fertility datasheet: per micro-batch the
+    maintainer persists the mergeable sums; merging the whole history
+    equals ONE fertility_stats pass over everything ever streamed
+    (bit-exact, ratios included); a full re-run from a fresh checkpoint
+    leaves the table identical (overwrite-own-partition idempotence);
+    a resumed run whose text column drifted refuses at the manifest."""
+    import pytest as _pytest
+
+    from colnade_spark.operators.text import (
+        fertility_stats,
+        maintain_fertility_table,
+        merge_fertility_table,
+    )
+    from colnade_spark.tpch import table_path as _tp
+
+    docs = spark.read.parquet(_tp(sf_dir, "documents"))
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    _write_ingest(first, src, 0)
+    _write_ingest(second, src, 1)
+
+    table = str(tmp_path / "fert")
+
+    def run(ck: str, **over):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = maintain_fertility_table(stream, table, ck, **over)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(str(tmp_path / "ck1"))
+
+    def snap():
+        return {
+            tuple(r)
+            for r in merge_fertility_table(
+                spark.read.parquet(table)
+            ).collect()
+        }
+
+    got = snap()
+    want = {tuple(r) for r in fertility_stats(docs).collect()}
+    assert got == want and len(got) == 5  # 5 langs, ratios bit-equal
+
+    # idempotent replay from a fresh checkpoint
+    raw_before = {
+        tuple(r) for r in spark.read.parquet(table).collect()
+    }
+    run(str(tmp_path / "ck2"))
+    assert {
+        tuple(r) for r in spark.read.parquet(table).collect()
+    } == raw_before
+    assert snap() == want
+
+    # drifted column config refuses at the manifest
+    with _pytest.raises(ValueError, match="refusing to continue"):
+        run(str(tmp_path / "ck3"), text_col="lang")
+
+
+def test_compact_fertility_table_preserves_datasheet(spark, sf_dir, tmp_path):
+    """Compaction folds all-but-trailing batch partitions into one
+    RE-SUMMED epoch partition: the merged datasheet is unchanged, the
+    epoch body is |languages| rows, and the maintainer can continue
+    appending to the compacted table (manifest carried over)."""
+    from colnade_spark.operators.text import (
+        compact_fertility_table,
+        fertility_stats,
+        maintain_fertility_table,
+        merge_fertility_table,
+    )
+    from colnade_spark.tpch import table_path as _tp
+
+    docs = spark.read.parquet(_tp(sf_dir, "documents"))
+    src = str(tmp_path / "src")
+    for i, m in enumerate((0, 1, 2)):
+        _write_ingest(docs.filter(F.col("doc_id") % 3 == m), src, i)
+
+    table = str(tmp_path / "fert")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_fertility_table(stream, table, str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    want = {tuple(r) for r in fertility_stats(docs).collect()}
+    dest = str(tmp_path / "fert2")
+    out = compact_fertility_table(spark, table, dest)
+    assert out["epoch"] == 1 and out["carried_batch"] == 2
+    assert out["rows"] == 5  # re-summed to one row per language
+    assert {
+        tuple(r) for r in merge_fertility_table(spark.read.parquet(dest)).collect()
+    } == want
