@@ -47,6 +47,8 @@ __all__ = [
     "quality_prune_threshold",
     "token_budget_prune",
     "blend_quality_scores",
+    "fit_blend_quantiles",
+    "blend_quality_frozen",
     "code_quality_signals",
 ]
 
@@ -654,3 +656,159 @@ def blend_quality_scores(
         term = F.lit(float(w) / total) * pr
         blended = term if blended is None else blended + term
     return df.withColumn(out_col, blended)
+
+
+def fit_blend_quantiles(
+    df: DataFrame,
+    score_cols: list[str],
+    domain_col: str | None = None,
+    n_quantiles: int = 100,
+    accuracy: int = 10_000,
+) -> list[dict]:
+    """The FROZEN half of stream-legal quality blending: per domain (or
+    globally), the ``n_quantiles - 1`` approximate quantile edges of
+    each score column (``percentile_approx``, one aggregation) — a
+    |domains| x |scores| x n_quantiles model, bounded whatever the
+    corpus size (the fit_logratio / fit_gram_counts bounded-driver
+    tier). Fit once on a corpus snapshot, then rank-surrogate streams
+    with ``blend_quality_frozen``.
+
+    Returned as a list of plain dicts (one per domain;
+    ``{domain_col: value, score_col: [edges...]}``) so the model
+    serializes and ships like any other frozen artifact. Edges are
+    sketch-approximate (~1/``accuracy`` rank error) and deterministic
+    for a fixed input layout, but not bit-portable across engines —
+    the exact ``blend_quality_scores`` stays the oracle-checkable batch
+    path."""
+    if not score_cols:
+        raise ValueError("fit_blend_quantiles: need at least one score")
+    if n_quantiles < 2:
+        raise ValueError("fit_blend_quantiles: n_quantiles must be >= 2")
+    probs = [i / n_quantiles for i in range(1, n_quantiles)]
+    aggs = [
+        F.percentile_approx(c, probs, accuracy).alias(c) for c in score_cols
+    ]
+    if domain_col:
+        rows = df.groupBy(domain_col).agg(*aggs).collect()
+    else:
+        rows = [df.agg(*aggs).collect()[0]]
+    return [r.asDict() for r in rows]
+
+
+def blend_quality_frozen(
+    df: DataFrame,
+    score_weights: dict[str, float],
+    quantiles: list[dict],
+    domain_col: str | None = None,
+    id_col: str = "doc_id",
+    out_col: str = "blended_score",
+) -> DataFrame:
+    """Stream-legal ensemble blending against FROZEN per-domain quantile
+    edges (``fit_blend_quantiles``): each score maps to its approximate
+    rank ``(# edges <= score) / n_quantiles`` — a scan-side fold over
+    the domain's edge array, delivered by a BROADCAST stream-static
+    join of the |domains|-row edge table — then scores combine as the
+    same weighted mean as ``blend_quality_scores``. No window, no
+    state: drops into a streaming ingest as a stateless gate (pinned by
+    test).
+
+    This is a rank SURROGATE, not the exact ``percent_rank``: it is
+    quantile-granular (resolution 1/n_quantiles) and inherits the
+    sketch's rank error, but it is monotone in each score within a
+    domain, so threshold gates on the blend select the same kind of
+    tail the exact blend would. Use the exact operator for batch
+    curation runs; use this when the data arrives as a stream or a
+    domain is too large to sort (the quality_prune_threshold
+    trade-off, applied to blending). A domain absent from the fit
+    (or a NULL score) RAISES in-expression — silently scoring against
+    the wrong distribution is the mis-probe hazard the maintainer
+    manifests exist to prevent.
+
+    Scale: the edge table is |domains| rows of ``n_quantiles``-float
+    arrays (KBs for thousands of domains) and broadcasts; scoring is
+    per-row arithmetic inside the projection — raw text and scores
+    never shuffle."""
+    if not score_weights:
+        raise ValueError("blend_quality_frozen: need at least one score")
+    if any(w <= 0 for w in score_weights.values()):
+        raise ValueError("blend_quality_frozen: weights must be positive")
+    if out_col in df.columns:
+        raise ValueError(
+            f"blend_quality_frozen: output column {out_col!r} already exists"
+        )
+    if not quantiles:
+        raise ValueError("blend_quality_frozen: empty quantile model")
+    for c in score_weights:
+        if any(c not in row or row[c] is None for row in quantiles):
+            raise ValueError(
+                f"blend_quality_frozen: score {c!r} missing from the"
+                " quantile model (fit and blend score lists must match)"
+            )
+    edge_cols = {c: f"_bqf_{c}" for c in score_weights}
+    n_q = len(quantiles[0][next(iter(score_weights))]) + 1
+    spark = df.sparkSession
+    total = sum(score_weights.values())
+    if domain_col:
+        edges = spark.createDataFrame(
+            [
+                tuple([row[domain_col]] + [
+                    [float(x) for x in row[c]] for c in score_weights
+                ])
+                for row in quantiles
+            ],
+            [domain_col] + [edge_cols[c] for c in score_weights],
+        )
+        joined = df.join(F.broadcast(edges), domain_col, "left")
+    else:
+        if len(quantiles) != 1:
+            raise ValueError(
+                "blend_quality_frozen: global model must have exactly one"
+                " row when domain_col is None"
+            )
+        edges = spark.createDataFrame(
+            [
+                tuple(
+                    [float(x) for x in quantiles[0][c]]
+                    for c in score_weights
+                )
+            ],
+            [edge_cols[c] for c in score_weights],
+        )
+        joined = df.crossJoin(F.broadcast(edges))
+    blended = None
+    for c, w in score_weights.items():
+        ec = F.col(edge_cols[c])
+        rank = F.aggregate(
+            ec,
+            F.lit(0),
+            lambda acc, e: acc + F.when(F.col(c) >= e, 1).otherwise(0),
+        ).cast("double") / F.lit(float(n_q))
+        # unknown domain / NULL score raise IN-expression (a separate
+        # assert column would be pruned — the perplexity_buckets rule)
+        guarded = (
+            F.when(
+                ec.isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "blend_quality_frozen: domain not in the"
+                            " quantile model: "
+                        ),
+                        F.coalesce(
+                            F.col(domain_col).cast("string")
+                            if domain_col
+                            else F.lit(""),
+                            F.lit("NULL"),
+                        ),
+                    )
+                ),
+            )
+            .when(
+                F.col(c).isNull(),
+                F.raise_error(F.lit(f"blend_quality_frozen: NULL {c} row")),
+            )
+            .otherwise(rank)
+        )
+        term = F.lit(float(w) / total) * guarded
+        blended = term if blended is None else blended + term
+    return joined.withColumn(out_col, blended).drop(*edge_cols.values())

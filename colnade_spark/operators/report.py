@@ -37,6 +37,9 @@ __all__ = [
     "source_overlap_matrix",
     "length_drift_psi",
     "curation_funnel",
+    "curation_attribution",
+    "maintain_funnel_counts",
+    "merge_funnel_counts",
 ]
 
 
@@ -793,6 +796,41 @@ def length_drift_psi(
     )
 
 
+def curation_attribution(
+    df: DataFrame,
+    stages: dict[str, DataFrame],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, ``stage_idx``): each document's FIRST-fired gate index in
+    ``stages`` order — ``len(stages)`` for survivors. The per-document
+    half of the funnel, factored out because it is STATELESS given
+    static gate frames: ids-only distinct gate joins (broadcast when
+    small — stream-static joins on a stream) plus one scan-side CASE,
+    no window, no aggregation — so attribution drops into a streaming
+    ingest unchanged (pinned by test). Only the funnel's counts/running-
+    survivor arithmetic needs batch semantics; maintain that half with
+    ``maintain_funnel_counts``."""
+    if not stages:
+        raise ValueError("curation_attribution requires at least one stage")
+    names = list(stages)
+    out = df.select(id_col)
+    # index-based internal flags: stage names are labels, not column
+    # names (a dotted name would break F.col() parsing)
+    for i, name in enumerate(names):
+        gate = stages[name].select(F.col(id_col)).distinct().withColumn(
+            f"_g_{i}", F.lit(True)
+        )
+        out = out.join(gate, id_col, "left")
+    first = F.coalesce(
+        *[
+            F.when(F.col(f"_g_{i}").isNotNull(), F.lit(i))
+            for i in range(len(names))
+        ],
+        F.lit(len(names)),
+    )
+    return out.select(F.col(id_col), first.cast("int").alias("stage_idx"))
+
+
 def curation_funnel(
     df: DataFrame,
     stages: dict[str, DataFrame],
@@ -811,34 +849,28 @@ def curation_funnel(
 
     Scale shape: each gate joins as an ids-only distinct table (the
     curation_decisions discipline — broadcast when small); attribution
-    is a scan-side CASE over the flags; the count table is
-    |stages|-sized, and the running survivor arithmetic runs as a
-    window over THAT table, never the corpus.
+    is a scan-side CASE over the flags (``curation_attribution``); the
+    count table is |stages|-sized, and the running survivor arithmetic
+    runs as a window over THAT table, never the corpus.
     """
-    if not stages:
-        raise ValueError("curation_funnel requires at least one stage")
     names = list(stages)
-    out = df.select(id_col)
-    # index-based internal flags: stage names are labels, not column
-    # names (a dotted name would break F.col() parsing)
-    for i, name in enumerate(names):
-        gate = stages[name].select(F.col(id_col)).distinct().withColumn(
-            f"_g_{i}", F.lit(True)
-        )
-        out = out.join(gate, id_col, "left")
-    first = F.coalesce(
-        *[
-            F.when(F.col(f"_g_{i}").isNotNull(), F.lit(i))
-            for i in range(len(names))
-        ],
-        F.lit(len(names)),
-    )
     counts = (
-        out.select(first.alias("_stage_idx"))
+        curation_attribution(df, stages, id_col)
+        .select(F.col("stage_idx").alias("_stage_idx"))
         .groupBy("_stage_idx")
         .agg(F.count(F.lit(1)).cast("long").alias("_n"))
     )
-    spark = df.sparkSession
+    return _funnel_from_counts(df.sparkSession, counts, names)
+
+
+def _funnel_from_counts(
+    spark, counts: DataFrame, names: list[str]
+) -> DataFrame:
+    """The funnel datasheet from a (``_stage_idx``, ``_n``) count table
+    (at most |stages|+1 rows — survivors land at index len(names)):
+    spine join, running-survivor window over the count table, drop
+    fractions. Shared by the batch funnel and the maintained-counts
+    reader (``merge_funnel_counts``)."""
     spine = spark.createDataFrame(
         [(i, n) for i, n in enumerate(names)], ["stage_idx", "stage"]
     )
@@ -875,3 +907,83 @@ def curation_funnel(
             F.col("n_dropped").cast("double") / F.col("n_in").cast("double"),
         ).alias("drop_frac"),
     )
+
+
+def maintain_funnel_counts(
+    stream: DataFrame,
+    stages: dict[str, DataFrame],
+    table_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    available_now: bool = True,
+):
+    """STREAMING maintenance of the curation funnel: per micro-batch,
+    attribute each document to its first-fired gate
+    (``curation_attribution`` — stateless stream-static joins against
+    the STATIC gate frames) and OVERWRITE the batch's own
+    ``batch_id=<n>`` partition with the |stages|+1-row attribution
+    count table — the mergeable-model maintainer tier (fertility/HLL/
+    CMS): counts are associative sums, so the merged history equals one
+    batch funnel over everything ever streamed (pinned by test), and
+    redelivery is idempotent. Read with ``merge_funnel_counts``.
+
+    What is NOT stream-legal, and why this shape exists: the funnel's
+    running-survivor window needs every stage's GLOBAL count — a
+    streaming aggregation over the whole history — so the datasheet
+    itself cannot be one incremental query; the bounded per-batch count
+    table + read-time merge is the honest decomposition. Gate frames
+    must be static (blocklists, benchmark fingerprints, a frozen short-
+    doc id set): a gate computed from the evolving corpus itself would
+    make earlier batches' attributions retroactively wrong.
+
+    A params manifest pins the STAGE CHAIN (names, order, id_col):
+    merging count tables attributed under different chains would
+    silently mix semantics — fail fast instead (the sketch-manifest
+    rule)."""
+    from colnade_spark.streaming.stream import (
+        maintain_partitioned_table,
+        write_table_manifest,
+    )
+
+    if not stages:
+        raise ValueError("maintain_funnel_counts requires at least one stage")
+    names = list(stages)
+    write_table_manifest(
+        stream.sparkSession,
+        table_path,
+        {"kind": "funnel_counts", "stages": names, "id_col": id_col},
+    )
+
+    def _build(batch_df: DataFrame) -> DataFrame:
+        return (
+            curation_attribution(batch_df, stages, id_col)
+            .groupBy("stage_idx")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        )
+
+    return maintain_partitioned_table(
+        stream, _build, table_path, checkpoint, available_now
+    )
+
+
+def merge_funnel_counts(spark, table_path: str) -> DataFrame:
+    """Collapse a ``maintain_funnel_counts`` history into the funnel
+    datasheet (same columns as ``curation_funnel``): re-sum the
+    per-batch attribution counts (associative — equal to one batch
+    funnel over everything ever streamed), then run the spine/window
+    tail over the |stages|+1-row merged table. Stage names and order
+    come from the manifest the maintainer pinned."""
+    from colnade_spark.streaming.stream import read_table_manifest
+
+    mf = read_table_manifest(spark, table_path)
+    if mf is None or mf.get("kind") != "funnel_counts":
+        raise ValueError(
+            f"no funnel_counts manifest at {table_path}; was this table"
+            " written by maintain_funnel_counts?"
+        )
+    counts = (
+        spark.read.parquet(table_path)
+        .groupBy(F.col("stage_idx").alias("_stage_idx"))
+        .agg(F.sum("n_docs").cast("long").alias("_n"))
+    )
+    return _funnel_from_counts(spark, counts, list(mf["stages"]))

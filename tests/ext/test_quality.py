@@ -312,3 +312,108 @@ def test_blend_rejects_existing_output_column(spark):
     )
     with pytest.raises(ValueError):
         blend_quality_scores(df, {"s": 1.0})
+
+
+# ---------------------------------------------------------------------------
+# Frozen-quantile blending (fit_blend_quantiles / blend_quality_frozen)
+# ---------------------------------------------------------------------------
+
+
+def _blend_fixture(spark):
+    rows = [
+        # (doc_id, dom, s1, s2) — two domains with incomparable scales
+        (1, "a", 10.0, 0.1),
+        (2, "a", 20.0, 0.9),
+        (3, "a", 30.0, 0.5),
+        (4, "a", 40.0, 0.7),
+        (5, "b", 1000.0, 5.0),
+        (6, "b", 2000.0, 1.0),
+        (7, "b", 3000.0, 9.0),
+        (8, "b", 4000.0, 3.0),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "dom", "s1", "s2"])
+
+
+def test_blend_frozen_orders_like_exact_blend(spark):
+    """The frozen rank surrogate is monotone in each score within a
+    domain: with enough quantiles to separate the fixture's values, the
+    per-domain ORDER of blended scores matches the exact percent_rank
+    blend (values differ — quantile granularity + sketch error — but a
+    threshold gate selects the same tail)."""
+    df = _blend_fixture(spark)
+    weights = {"s1": 0.7, "s2": 0.3}
+    q = quality.fit_blend_quantiles(df, list(weights), "dom", n_quantiles=50)
+    assert len(q) == 2 and all(len(r["s1"]) == 49 for r in q)
+    frozen = {
+        r.doc_id: r.blended_score
+        for r in quality.blend_quality_frozen(df, weights, q, "dom").collect()
+    }
+    exact = {
+        r.doc_id: r.blended_score
+        for r in quality.blend_quality_scores(df, weights, "dom").collect()
+    }
+    for dom_ids in ([1, 2, 3, 4], [5, 6, 7, 8]):
+        fr = sorted(dom_ids, key=lambda i: (frozen[i], i))
+        ex = sorted(dom_ids, key=lambda i: (exact[i], i))
+        assert fr == ex
+    assert all(0.0 <= v <= 1.0 for v in frozen.values())
+
+
+def test_blend_frozen_scores_new_data_against_fit_distribution(spark):
+    """Scoring NEW rows against the frozen model: a value above every
+    fit edge ranks ~1, below every edge ranks 0 — the fit snapshot is
+    the distribution, not the scored batch."""
+    df = _blend_fixture(spark)
+    q = quality.fit_blend_quantiles(df, ["s1"], "dom", n_quantiles=10)
+    new = spark.createDataFrame(
+        [(10, "a", 99999.0), (11, "a", -5.0)], ["doc_id", "dom", "s1"]
+    )
+    got = {
+        r.doc_id: r.blended_score
+        for r in quality.blend_quality_frozen(new, {"s1": 1.0}, q, "dom").collect()
+    }
+    assert got[10] == 0.9  # all 9 edges <= score -> 9/10
+    assert got[11] == 0.0
+
+
+def test_blend_frozen_guards(spark):
+    from pyspark.errors import PySparkException
+
+    df = _blend_fixture(spark)
+    q = quality.fit_blend_quantiles(df, ["s1"], "dom", n_quantiles=10)
+    # unknown domain raises in-expression
+    alien = spark.createDataFrame([(9, "zz", 1.0)], ["doc_id", "dom", "s1"])
+    with pytest.raises(PySparkException, match="domain not in the"):
+        quality.blend_quality_frozen(alien, {"s1": 1.0}, q, "dom").collect()
+    # NULL score raises in-expression
+    nul = spark.createDataFrame(
+        [(9, "a", None)], "doc_id long, dom string, s1 double"
+    )
+    with pytest.raises(PySparkException, match="NULL s1"):
+        quality.blend_quality_frozen(nul, {"s1": 1.0}, q, "dom").collect()
+    # model/score mismatch, empty model, bad weights, clashing output
+    with pytest.raises(ValueError, match="missing from the"):
+        quality.blend_quality_frozen(df, {"s2": 1.0}, q, "dom")
+    with pytest.raises(ValueError, match="empty quantile model"):
+        quality.blend_quality_frozen(df, {"s1": 1.0}, [], "dom")
+    with pytest.raises(ValueError, match="weights must be positive"):
+        quality.blend_quality_frozen(df, {"s1": -1.0}, q, "dom")
+    with pytest.raises(ValueError, match="n_quantiles"):
+        quality.fit_blend_quantiles(df, ["s1"], "dom", n_quantiles=1)
+    with pytest.raises(ValueError, match="at least one score"):
+        quality.fit_blend_quantiles(df, [], "dom")
+
+
+def test_blend_frozen_global_model_and_plan(spark):
+    """domain_col=None: one-row global model cross-joined broadcast;
+    the scoring plan has NO shuffle exchange and NO sort — the whole
+    point of the surrogate (the exact blend needs a per-domain sort)."""
+    df = _blend_fixture(spark)
+    q = quality.fit_blend_quantiles(df, ["s1", "s2"], None, n_quantiles=20)
+    assert len(q) == 1
+    out = quality.blend_quality_frozen(df, {"s1": 0.5, "s2": 0.5}, q, None)
+    assert out.count() == 8
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Sort" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastExchange" in plan or "Exchange" not in plan

@@ -1582,3 +1582,120 @@ def test_compact_fertility_table_preserves_datasheet(spark, sf_dir, tmp_path):
     assert {
         tuple(r) for r in merge_fertility_table(spark.read.parquet(dest)).collect()
     } == want
+
+
+def test_blend_frozen_gate_is_stateless_on_streams(spark, sf_dir):
+    """Frozen-quantile blending is a stream-static broadcast join plus a
+    scan-side fold — no window, no state: a streamed documents source
+    scores identically to batch. The exact percent_rank blend is NOT
+    stream-legal (global rank over the whole partition); this is its
+    documented streaming stand-in (SCALE.md)."""
+    from colnade_spark.operators.quality import (
+        blend_quality_frozen,
+        fit_blend_quantiles,
+    )
+    from colnade_spark.streaming import scan_stream_parquet
+    from colnade_spark.tpch import Documents
+
+    batch = spark.read.parquet(table_path(sf_dir, "documents"))
+    weights = {"n_chars": 1.0}
+    model = fit_blend_quantiles(batch, ["n_chars"], "lang", n_quantiles=20)
+
+    def gate(d):
+        return blend_quality_frozen(
+            d.select("doc_id", "lang", "n_chars"), weights, model, "lang"
+        ).filter(F.col("blended_score") >= 0.5)
+
+    sf = scan_stream_parquet(table_path(sf_dir, "documents"), Documents, spark=spark)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _await(sf.with_raw(gate).to_memory_sink(name, output_mode="append"))
+    got = {(r.doc_id, r.blended_score) for r in spark.table(name).collect()}
+    want = {(r.doc_id, r.blended_score) for r in gate(batch).collect()}
+    assert got == want and 0 < len(got) < batch.count()
+
+
+def test_curation_attribution_is_stateless_on_streams(spark, sf_dir):
+    """First-fired funnel attribution against STATIC gate frames is
+    stateless (ids-only stream-static joins + a scan-side CASE): a
+    streamed documents source attributes exactly as batch. Only the
+    funnel's count/window tail needs the maintainer."""
+    from colnade_spark.operators.report import curation_attribution
+    from colnade_spark.streaming import scan_stream_parquet
+    from colnade_spark.tpch import Documents
+
+    batch = spark.read.parquet(table_path(sf_dir, "documents"))
+    gates = {
+        "short": batch.filter(F.col("n_chars") < 150).select("doc_id"),
+        "mod7": batch.filter(F.col("doc_id") % 7 == 0).select("doc_id"),
+    }
+
+    def attr(d):
+        return curation_attribution(d, gates)
+
+    sf = scan_stream_parquet(table_path(sf_dir, "documents"), Documents, spark=spark)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _await(sf.with_raw(attr).to_memory_sink(name, output_mode="append"))
+    got = {(r.doc_id, r.stage_idx) for r in spark.table(name).collect()}
+    want = {(r.doc_id, r.stage_idx) for r in attr(batch).collect()}
+    assert got == want and len(got) == batch.count()
+    assert {s for _, s in got} == {0, 1, 2}  # both gates fire; survivors exist
+
+
+def test_maintain_funnel_counts_matches_batch_and_replays(
+    spark, sf_dir, tmp_path
+):
+    """Maintained funnel counts: merging the per-batch attribution count
+    partitions equals ONE batch curation_funnel over everything ever
+    streamed (associative sums); replay from a fresh checkpoint is
+    idempotent; a resumed run whose stage CHAIN drifted refuses at the
+    manifest."""
+    import pytest as _pytest
+
+    from colnade_spark.operators.report import (
+        curation_funnel,
+        maintain_funnel_counts,
+        merge_funnel_counts,
+    )
+    from colnade_spark.tpch import table_path as _tp
+
+    docs = spark.read.parquet(_tp(sf_dir, "documents"))
+    gates = {
+        "short": docs.filter(F.col("n_chars") < 150).select("doc_id"),
+        "mod7": docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"),
+    }
+    src = str(tmp_path / "src")
+    _write_ingest(docs.filter(F.col("doc_id") % 2 == 0), src, 0)
+    _write_ingest(docs.filter(F.col("doc_id") % 2 == 1), src, 1)
+
+    table = str(tmp_path / "funnel")
+
+    def run(ck: str, stages=gates):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = maintain_funnel_counts(stream, stages, table, ck)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(str(tmp_path / "ck1"))
+
+    got = {tuple(r) for r in merge_funnel_counts(spark, table).collect()}
+    want = {tuple(r) for r in curation_funnel(docs, gates).collect()}
+    assert got == want and len(got) == 2
+
+    # idempotent replay
+    run(str(tmp_path / "ck2"))
+    assert {
+        tuple(r) for r in merge_funnel_counts(spark, table).collect()
+    } == want
+
+    # drifted stage chain (reordered names) refuses at the manifest
+    with _pytest.raises(ValueError, match="refusing to continue"):
+        run(
+            str(tmp_path / "ck3"),
+            stages={"mod7": gates["mod7"], "short": gates["short"]},
+        )
