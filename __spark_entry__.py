@@ -1838,6 +1838,40 @@ def length_drift_psi_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     return out.withColumn("bin", F.col("bin").cast("long"))
 
 
+def blend_frozen_audit_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Within-tolerance audit of the stream-legal frozen-quantile blend
+    (blend_quality_frozen) against the EXACT percent_rank blend: per
+    language, the exact doc count plus a boolean pinning the max
+    |frozen - exact| rank deviation to <= 0.06 — the surrogate's design
+    bound is 1/n_quantiles (0.02 at n=50) plus sketch rank error and
+    tie spread; measured max on both fixture SFs is 0.020-0.027, so
+    0.06 carries >2x margin while still failing on any real drift. The
+    oracle replays the exact side and asserts the booleans TRUE (the
+    approx_stats / approx_prune_stats pattern: a drifting sketch flips
+    the bit and fails the value hash)."""
+    from colnade_spark.operators.quality import (
+        blend_quality_frozen,
+        blend_quality_scores,
+        fit_blend_quantiles,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("s1")
+    )
+    model = fit_blend_quantiles(docs, ["s1"], "lang", n_quantiles=50)
+    fr = blend_quality_frozen(docs, {"s1": 1.0}, model, "lang")
+    ex = blend_quality_scores(docs, {"s1": 1.0}, "lang")
+    j = fr.select(
+        "doc_id", "lang", F.col("blended_score").alias("_f")
+    ).join(ex.select("doc_id", F.col("blended_score").alias("_e")), "doc_id")
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.max(F.abs(F.col("_f") - F.col("_e"))) <= F.lit(0.06)).alias(
+            "max_dev_ok"
+        ),
+    )
+
+
 def blend_drift_psi_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     """PSI drift over ENSEMBLE BLEND scores between two corpus snapshots
     (even-id vs odd-id halves, the standing convention): each half is
@@ -2967,6 +3001,7 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "commonness_frozen_docs",  # round 7: new (stream-legal frozen scoring)
     "curation_funnel_docs",  # round 7: oracle attribution made explicit
     "blend_drift_psi_docs",  # round 7: new (PSI drift over blend scores)
+    "blend_frozen_audit_docs",  # round 7: new (frozen-blend tolerance audit)
 )
 
 
@@ -3033,6 +3068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "source_overlap_docs": source_overlap_docs,
         "length_drift_psi_docs": length_drift_psi_docs,
         "blend_drift_psi_docs": blend_drift_psi_docs,
+        "blend_frozen_audit_docs": blend_frozen_audit_docs,
         "corpus_card_docs": corpus_card_docs,
         "ppl_bucketed_docs": ppl_bucketed_docs,
         "pii_count_stats": pii_count_stats,
@@ -5298,6 +5334,14 @@ SELECT doc_id FROM documents WHERE doc_id % 2 = 1
         # per-half percent_rank blend (the blended_quality_docs float
         # chain, PARTITION BY half+lang), float-edge binning, then the
         # length_drift_psi smoothing/ln tail with n_bins = 6
+        # exact percent_rank side replayed; the tolerance boolean is
+        # asserted TRUE (approx_stats pattern: sketch drift flips the
+        # bit Spark-side and fails the value hash)
+        "blend_frozen_audit_docs": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              TRUE AS max_dev_ok
+            FROM documents GROUP BY lang
+        """,
         "blend_drift_psi_docs": f"""
             WITH s AS (
               SELECT doc_id, lang, doc_id % 2 = 0 AS is_old,

@@ -106,6 +106,7 @@ HEADLINE = [
     "source_overlap_docs",
     "length_drift_psi_docs",
     "blend_drift_psi_docs",
+    "blend_frozen_audit_docs",
     "corpus_card_docs",
     "corpus_card_approx_docs",
     "minhash_estimate_pairs",

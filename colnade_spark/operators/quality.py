@@ -745,7 +745,19 @@ def blend_quality_frozen(
                 " quantile model (fit and blend score lists must match)"
             )
     edge_cols = {c: f"_bqf_{c}" for c in score_weights}
+    for c in edge_cols.values():
+        if c in df.columns:
+            raise ValueError(
+                f"blend_quality_frozen: input already has staging column {c!r}"
+            )
     n_q = len(quantiles[0][next(iter(score_weights))]) + 1
+    if any(
+        len(row[c]) != n_q - 1 for row in quantiles for c in score_weights
+    ):
+        raise ValueError(
+            "blend_quality_frozen: ragged quantile model — every domain"
+            " row must carry the same n_quantiles - 1 edges per score"
+        )
     spark = df.sparkSession
     total = sum(score_weights.values())
     if domain_col:

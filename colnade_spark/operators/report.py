@@ -975,15 +975,21 @@ def merge_funnel_counts(spark, table_path: str) -> DataFrame:
     come from the manifest the maintainer pinned."""
     from colnade_spark.streaming.stream import read_table_manifest
 
+    from colnade_spark.streaming.stream import read_batched_history
+
     mf = read_table_manifest(spark, table_path)
     if mf is None or mf.get("kind") != "funnel_counts":
         raise ValueError(
             f"no funnel_counts manifest at {table_path}; was this table"
             " written by maintain_funnel_counts?"
         )
-    counts = (
-        spark.read.parquet(table_path)
-        .groupBy(F.col("stage_idx").alias("_stage_idx"))
-        .agg(F.sum("n_docs").cast("long").alias("_n"))
-    )
+    hist = read_batched_history(spark, table_path)
+    if hist is None:
+        # maintainer registered but no batch committed yet: a valid
+        # all-zero datasheet, not a cryptic read error
+        counts = spark.createDataFrame([], "_stage_idx int, _n long")
+    else:
+        counts = hist.groupBy(F.col("stage_idx").alias("_stage_idx")).agg(
+            F.sum("n_docs").cast("long").alias("_n")
+        )
     return _funnel_from_counts(spark, counts, list(mf["stages"]))

@@ -328,15 +328,47 @@ def embedding_near_dups(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
-    threshold), candidates via the same multi-table RP-LSH bucketing."""
+    threshold), candidates via the same multi-table RP-LSH bucketing.
+
+    SIZE ``bits`` WITH THE CORPUS: candidate pairs grow as
+    ``tables · n² / 2^bits`` (expected, for spread-out vectors), so a
+    ``bits`` that worked at 2k vectors detonates at 200k — the round-7
+    scale board measured exactly this (fixed bits=8 at 200k vectors ≈
+    312M candidate id pairs, spill-to-disk-full). The sizing rule:
+    ``bits ≈ log2(n) - 3`` keeps expected bucket occupancy ≈ 8 (≈ 28
+    pairs per bucket per table) at any scale; add tables (or multiprobe)
+    to buy back the per-table recall lost to finer buckets. Identical
+    vectors collide at EVERY bits setting (recall 1.0 on exact dups).
+
+    ``max_bucket`` is the skew guard for real (clustered) data, where a
+    dense region can overflow any uniform sizing rule: buckets holding
+    more than ``max_bucket`` ids are DROPPED before the self-join —
+    an oversized bucket means the hash carries no discriminating
+    information there, and its members almost certainly meet through
+    their other ``tables - 1`` sketches. Documented recall trade-off:
+    a pair whose EVERY shared bucket is oversized is missed (pinned by
+    test); None (default) disables the guard."""
     plane_sets = [_hyperplanes(dim, bits, seed + 1000 * t) for t in range(tables)]
     sketch = rp_buckets_udf(plane_sets)
     b = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(sketch(F.col(vec_col))).alias("tbl", "bkt"),
     )
+    if max_bucket is not None:
+        if max_bucket < 2:
+            raise ValueError("embedding_near_dups: max_bucket must be >= 2")
+        # ids-only count per (table, bucket); the anti-join drops the
+        # non-discriminative buckets before any pair is formed
+        big = (
+            b.groupBy("tbl", "bkt")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("tbl", "bkt")
+        )
+        b = b.join(F.broadcast(big), ["tbl", "bkt"], "left_anti")
     l, r = b.alias("l"), b.alias("r")
     # id-only candidate pairs (see lsh_topk: never distinct() on vectors),
     # then score once per pair after joining the vectors back

@@ -414,6 +414,38 @@ def test_embedding_near_dups_finds_planted_duplicate(spark, embs):
     assert any(r.id_b == r.id_a + 1_000_000 for r in pairs)
 
 
+def test_embedding_near_dups_max_bucket_skew_guard(spark):
+    """The oversized-bucket guard (round-7 scale fix): 40 copies of one
+    vector land in ONE oversized bucket in EVERY table (identical
+    sketches), so with max_bucket=10 all their pairs are dropped — the
+    documented recall trade-off for non-discriminative buckets — while
+    a planted near-dup pair living in small buckets is still found.
+    Without the guard the copy block contributes 40·39/2 pairs."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    v_common = rng.normal(size=dim)
+    v_pair = rng.normal(size=dim)
+    rows = [(i, [float(x) for x in v_common]) for i in range(40)]
+    rows += [(100, [float(x) for x in v_pair]),
+             (101, [float(x) for x in v_pair * 1.001])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    guarded = similarity.embedding_near_dups(
+        df, dim=dim, threshold=0.99, bits=6, tables=3, max_bucket=10
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in guarded}
+    assert got == {(100, 101)}  # copy-block pairs gone, real pair kept
+    unguarded = similarity.embedding_near_dups(
+        df, dim=dim, threshold=0.99, bits=6, tables=3
+    ).count()
+    assert unguarded == 40 * 39 // 2 + 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_bucket"):
+        similarity.embedding_near_dups(df, dim=dim, max_bucket=1)
+
+
 # ------------------------------------------------------------ multimodal ---
 def test_image_features_with_fake_decoder(spark):
     media = multimodal.make_fake_media(spark, n=12)

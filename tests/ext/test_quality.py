@@ -417,3 +417,16 @@ def test_blend_frozen_global_model_and_plan(spark):
     assert "Sort" not in plan
     assert "Exchange hashpartitioning" not in plan
     assert "BroadcastExchange" in plan or "Exchange" not in plan
+
+
+def test_blend_frozen_staging_clash_and_ragged_model(spark):
+    df = _blend_fixture(spark).withColumn("_bqf_s1", F.lit(1))
+    q = quality.fit_blend_quantiles(_blend_fixture(spark), ["s1"], "dom")
+    with pytest.raises(ValueError, match="_bqf_s1"):
+        quality.blend_quality_frozen(df, {"s1": 1.0}, q, "dom")
+    ragged = [dict(q[0]), dict(q[1])]
+    ragged[1]["s1"] = ragged[1]["s1"][:-1]
+    with pytest.raises(ValueError, match="ragged"):
+        quality.blend_quality_frozen(
+            _blend_fixture(spark), {"s1": 1.0}, ragged, "dom"
+        )

@@ -1699,3 +1699,18 @@ def test_maintain_funnel_counts_matches_batch_and_replays(
             str(tmp_path / "ck3"),
             stages={"mod7": gates["mod7"], "short": gates["short"]},
         )
+
+
+def test_merge_funnel_counts_before_first_batch_is_all_zero(spark, tmp_path):
+    """A registered maintainer whose stream has not committed a batch
+    yet merges to a valid all-zero datasheet (the manifest is there,
+    the history is not) — not a cryptic parquet read error."""
+    from colnade_spark.operators.report import merge_funnel_counts
+    from colnade_spark.streaming.stream import write_table_manifest
+
+    table = str(tmp_path / "funnel")
+    write_table_manifest(
+        spark, table, {"kind": "funnel_counts", "stages": ["a", "b"], "id_col": "doc_id"}
+    )
+    rows = {r.stage: (r.n_in, r.n_dropped, r.n_out) for r in merge_funnel_counts(spark, table).collect()}
+    assert rows == {"a": (0, 0, 0), "b": (0, 0, 0)}
