@@ -440,6 +440,20 @@ def dedup_minhash_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
     return dedup.dedup_minhash(_docs(spark, sf_dir), threshold=0.8)
 
 
+def dedup_minhash_k13_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """MinHash-LSH near-dedup at the PRODUCTION shingle length (k=13,
+    Gopher/RefinedWeb practice). The round-7 scale board measured why
+    this knob exists: char-5 shingles give unrelated docs background
+    Jaccard ~0.14+ on any corpus with repeated vocabulary, so band
+    collisions grow candidate pairs ~n^2 (7.2M at 500k docs), while
+    k=13 keeps them exactly linear (26k) at the same drop rate — see
+    SCALE.md "Measured scaling". Same fully-replayed HUGEINT oracle,
+    parameterized at k=13."""
+    return dedup.dedup_minhash(
+        _docs(spark, sf_dir), threshold=0.8, shingle_k=13
+    )
+
+
 def minhash_estimate_pairs(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Graded MinHash-estimator audit (dedup.minhash_estimate_audit): for
     every LSH candidate pair, estimated vs EXACT shingle-set Jaccard,
@@ -3002,6 +3016,7 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "curation_funnel_docs",  # round 7: oracle attribution made explicit
     "blend_drift_psi_docs",  # round 7: new (PSI drift over blend scores)
     "blend_frozen_audit_docs",  # round 7: new (frozen-blend tolerance audit)
+    "dedup_minhash_k13_ids",  # round 7: new (production shingle length)
 )
 
 
@@ -3168,6 +3183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "dedup_exact_ids": dedup_exact_ids,
         "dedup_fingerprint_ids": dedup_fingerprint_ids,
         "dedup_minhash_ids": dedup_minhash_ids,
+        "dedup_minhash_k13_ids": dedup_minhash_k13_ids,
         "simhash_sketch": simhash_sketch,
         "ngram_jaccard_dups": ngram_jaccard_dups,
         "text_quality": text_quality,
@@ -3968,6 +3984,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_ids": _minhash_oracle_sql(
             num_hashes=96, shingle_k=5, seed=42, bands=16, threshold=0.8
+        ),
+        "dedup_minhash_k13_ids": _minhash_oracle_sql(
+            num_hashes=96, shingle_k=13, seed=42, bands=16, threshold=0.8
         ),
         "minhash_estimate_pairs": _minhash_audit_oracle_sql(
             num_hashes=96, shingle_k=5, seed=42, bands=16, threshold=0.8

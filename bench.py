@@ -32,6 +32,7 @@ HEADLINE = [
     "rollup_daily",
     "dedup_exact_ids",
     "dedup_minhash_ids",
+    "dedup_minhash_k13_ids",
     "simhash_sketch",
     "ngram_jaccard_dups",
     "text_quality",
