@@ -16,7 +16,7 @@ from __future__ import annotations
 from typing import TypeVar
 
 from colnade_spark.dataframe import DataFrame, _boundary_validate
-from colnade_spark.dtypes import Bool, Float64, Int64, Utf8
+from colnade_spark.dtypes import Bool, Float64, Int32, Int64, Utf8
 from colnade_spark.operators import chunking as _chunking
 from colnade_spark.operators import dedup as _dedup
 from colnade_spark.operators import packing as _packing
@@ -98,6 +98,12 @@ __all__ = [
     "FunnelRows",
     "JaccardPairs",
     "charshingle_jaccard_pairs",
+    "commonness_score_frozen",
+    "blend_quality_frozen",
+    "curation_attribution",
+    "AttributionRows",
+    "merge_fertility_table",
+    "merge_funnel_counts",
     "PrtAuditRow",
     "minhash_prt_audit",
     "group_split_select",
@@ -1089,3 +1095,74 @@ def curation_funnel(frame, stages, **kwargs) -> DataFrame[FunnelRows]:
         for k, v in stages.items()
     }
     return _typed(_report.curation_funnel(f, gates, **kwargs), FunnelRows)
+
+
+def commonness_score_frozen(
+    frame, counts, **kwargs
+) -> DataFrame[SoftDedupWeights]:
+    """Typed stream-legal SoftDeDup scoring against a frozen bucketed
+    gram-count table (operators.importance.commonness_score_frozen) —
+    same output shape as the exact commonness_weights."""
+    from colnade_spark.operators import importance as _importance
+
+    f = frame.native if isinstance(frame, DataFrame) else frame
+    return _typed(
+        _importance.commonness_score_frozen(f, counts, **kwargs),
+        SoftDedupWeights,
+    )
+
+
+def blend_quality_frozen(
+    frame, score_weights, quantiles, **kwargs
+) -> DataFrame[BlendedQualityRows]:
+    """Typed stream-legal frozen-quantile blend (operators.quality.
+    blend_quality_frozen), projected to the id/score pair like the
+    exact facade."""
+    f = frame.native if isinstance(frame, DataFrame) else frame
+    out = _quality.blend_quality_frozen(f, score_weights, quantiles, **kwargs)
+    id_col = kwargs.get("id_col", "doc_id")
+    out_col = kwargs.get("out_col", "blended_score")
+    out = out.select(
+        out[id_col].alias("doc_id"), out[out_col].alias("blended_score")
+    )
+    return _typed(out, BlendedQualityRows)
+
+
+class AttributionRows(Schema):
+    doc_id: Column[Int64]
+    stage_idx: Column[Int32]
+
+
+def curation_attribution(frame, stages, **kwargs) -> DataFrame[AttributionRows]:
+    """Typed first-fired funnel attribution (operators.report.
+    curation_attribution) — the stateless per-document half of the
+    funnel; gate frames may be typed or native."""
+    from colnade_spark.operators import report as _report
+
+    f = frame.native if isinstance(frame, DataFrame) else frame
+    gates = {
+        k: (v.native if isinstance(v, DataFrame) else v)
+        for k, v in stages.items()
+    }
+    return _typed(
+        _report.curation_attribution(f, gates, **kwargs), AttributionRows
+    )
+
+
+def merge_fertility_table(spark, table_path: str) -> DataFrame[FertilityRows]:
+    """Typed reader for a maintain_fertility_table store
+    (operators.text.merge_fertility_table over the whole history)."""
+    from colnade_spark.operators import text as _text
+
+    return _typed(
+        _text.merge_fertility_table(spark.read.parquet(table_path)),
+        FertilityRows,
+    )
+
+
+def merge_funnel_counts(spark, table_path: str) -> DataFrame[FunnelRows]:
+    """Typed reader for a maintain_funnel_counts store
+    (operators.report.merge_funnel_counts)."""
+    from colnade_spark.operators import report as _report
+
+    return _typed(_report.merge_funnel_counts(spark, table_path), FunnelRows)

@@ -458,3 +458,58 @@ def test_curation_funnel_facade(docs):
     rows = sorted(out.rows(), key=lambda r: r.stage_idx)
     assert rows[0].n_in == docs.height
     assert rows[1].n_in == rows[0].n_out
+
+
+def test_round7_frozen_facades(docs):
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators.importance import fit_gram_counts
+    from colnade_spark.operators.quality import fit_blend_quantiles
+
+    ct = fit_gram_counts(docs.native, n=3, buckets=2048)
+    out = typed.commonness_score_frozen(docs, ct, n=3)
+    assert out.schema is typed.SoftDedupWeights
+    rows = out.rows()
+    assert len(rows) == docs.height
+    assert all(0.0 < r.weight <= 1.0 for r in rows)
+
+    scored = docs.with_raw(
+        lambda d: d.select("doc_id", "lang", F.col("n_chars").cast("double").alias("s1"))
+    )
+    q = fit_blend_quantiles(scored.native, ["s1"], "lang", n_quantiles=20)
+    bl = typed.blend_quality_frozen(scored, {"s1": 1.0}, q, domain_col="lang")
+    assert bl.schema is typed.BlendedQualityRows
+    assert all(0.0 <= r.blended_score <= 1.0 for r in bl.rows())
+
+
+def test_round7_attribution_and_readers_facades(docs, tmp_path, spark):
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators.report import maintain_funnel_counts
+    from colnade_spark.operators.text import maintain_fertility_table
+
+    stages = {
+        "short": docs.with_raw(lambda d: d.filter(F.col("n_chars") < 120)),
+        "tail": docs.with_raw(lambda d: d.filter(F.col("doc_id") % 7 == 0)),
+    }
+    attr = typed.curation_attribution(docs, stages)
+    assert attr.schema is typed.AttributionRows
+    assert len(attr.rows()) == docs.height
+
+    native = docs.native
+    src = str(tmp_path / "src")
+    native.write.parquet(src)
+    stream = spark.readStream.schema(native.schema).parquet(src)
+    q1 = maintain_fertility_table(stream, str(tmp_path / "fert"), str(tmp_path / "ck1"))
+    q1.processAllAvailable(); q1.stop()
+    fert = typed.merge_fertility_table(spark, str(tmp_path / "fert"))
+    assert fert.schema is typed.FertilityRows and len(fert.rows()) == 5
+
+    stream2 = spark.readStream.schema(native.schema).parquet(src)
+    gates = {k: v.native for k, v in stages.items()}
+    q2 = maintain_funnel_counts(stream2, gates, str(tmp_path / "fun"), str(tmp_path / "ck2"))
+    q2.processAllAvailable(); q2.stop()
+    fun = typed.merge_funnel_counts(spark, str(tmp_path / "fun"))
+    assert fun.schema is typed.FunnelRows
+    rows = sorted(fun.rows(), key=lambda r: r.stage_idx)
+    assert rows[0].n_in == docs.height and rows[1].n_in == rows[0].n_out

@@ -256,3 +256,53 @@ def check_round6_funnel_facade(
         n: int = r.n_dropped
         out.append(n)
     return out
+
+
+def check_round7_frozen_facades(
+    frame: DataFrame[Corpus], counts: list[int], quantiles: list[dict]
+) -> list[float]:
+    frozen: DataFrame[typed.SoftDedupWeights] = typed.commonness_score_frozen(
+        frame, counts, n=3
+    )
+    _ = frozen.filter(typed.SoftDedupWeights.weight < 0.5)
+    blend: DataFrame[typed.BlendedQualityRows] = typed.blend_quality_frozen(
+        frame, {"doc_id": 1.0}, quantiles, domain_col="lang"
+    )
+    _ = blend.filter(typed.BlendedQualityRows.blended_score > 0.5)
+    out: list[float] = []
+    for r in frozen.rows():
+        w: float = r.weight
+        out.append(w)
+    for b in blend.rows():
+        out.append(b.blended_score)
+    return out
+
+
+def check_round7_attribution_facade(
+    frame: DataFrame[Corpus], gate: DataFrame[Corpus]
+) -> list[int]:
+    attr: DataFrame[typed.AttributionRows] = typed.curation_attribution(
+        frame, {"gate": gate}
+    )
+    _ = attr.filter(typed.AttributionRows.stage_idx == 0)
+    out: list[int] = []
+    for r in attr.rows():
+        i: int = r.stage_idx
+        out.append(i)
+    return out
+
+
+def check_round7_maintained_readers(spark: object) -> list[float]:
+    fert: DataFrame[typed.FertilityRows] = typed.merge_fertility_table(
+        spark, "/tmp/fert"
+    )
+    _ = fert.filter(typed.FertilityRows.fertility > 1.0)
+    funnel: DataFrame[typed.FunnelRows] = typed.merge_funnel_counts(
+        spark, "/tmp/funnel"
+    )
+    _ = funnel.filter(typed.FunnelRows.n_dropped > 0)
+    out: list[float] = []
+    for r in fert.rows():
+        f: float = r.bytes_per_token
+        out.append(f)
+    return out
