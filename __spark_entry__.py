@@ -1925,6 +1925,38 @@ def blend_drift_psi_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     return out.withColumn("bin", F.col("bin").cast("long"))
 
 
+def psi_frozen_baseline_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """The frozen-baseline PSI path (report.fit_psi_baseline ->
+    psi_against_baseline): fit the even-id half's exact bin counts once
+    (a bounded |groups|x|bins| driver-side artifact — the monitoring
+    shape: fit a reference snapshot, score every ingest batch against
+    it forever, maintain_drift_reports on streams), then score the
+    odd-id half. Deliberately the SAME report as length_drift_psi_docs
+    computed through the frozen artifact instead of a second scan —
+    bit-equality between the two paths is the point (also pinned in
+    tests/ext/test_report.py), so the oracle is shared."""
+    from colnade_spark.operators.report import (
+        fit_psi_baseline,
+        psi_against_baseline,
+    )
+
+    d = _docs(spark, sf_dir)
+    base = fit_psi_baseline(
+        d.filter(F.col("doc_id") % 2 == 0),
+        "n_chars",
+        (100, 200, 300, 400, 500),
+        group_col="lang",
+    )
+    out = psi_against_baseline(
+        d.filter(F.col("doc_id") % 2 == 1),
+        base,
+        "n_chars",
+        (100, 200, 300, 400, 500),
+        group_col="lang",
+    )
+    return out.withColumn("bin", F.col("bin").cast("long"))
+
+
 def corpus_diff_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Incremental-ingest verification: diff two corpus snapshots into
     (doc_id, status ∈ added/removed/changed) by normalized-text
@@ -3017,6 +3049,7 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "blend_drift_psi_docs",  # round 7: new (PSI drift over blend scores)
     "blend_frozen_audit_docs",  # round 7: new (frozen-blend tolerance audit)
     "dedup_minhash_k13_ids",  # round 7: new (production shingle length)
+    "psi_frozen_baseline_docs",  # round 7: new (frozen-baseline monitor path)
 )
 
 
@@ -3083,6 +3116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "source_overlap_docs": source_overlap_docs,
         "length_drift_psi_docs": length_drift_psi_docs,
         "blend_drift_psi_docs": blend_drift_psi_docs,
+        "psi_frozen_baseline_docs": psi_frozen_baseline_docs,
         "blend_frozen_audit_docs": blend_frozen_audit_docs,
         "corpus_card_docs": corpus_card_docs,
         "ppl_bucketed_docs": ppl_bucketed_docs,
@@ -3873,7 +3907,7 @@ def oracle_sql() -> dict[str, str]:
         f"{{'score': {_stop_hits(lang, toks_lower)}, 'lang': '{lang}'}}"
         for lang in _STOP
     )
-    return {
+    out = {
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -6303,3 +6337,8 @@ SELECT doc_id FROM documents WHERE doc_id % 2 = 1
             FROM exact e JOIN est USING (term)
         """,
     }
+    # the frozen-baseline path is DELIBERATELY the same report as the
+    # two-frame length_drift_psi (bit-equality between paths is the
+    # contract, pinned operator-side) — share the oracle
+    out["psi_frozen_baseline_docs"] = out["length_drift_psi_docs"]
+    return out

@@ -36,6 +36,9 @@ __all__ = [
     "compact_corpus_fingerprints",
     "source_overlap_matrix",
     "length_drift_psi",
+    "fit_psi_baseline",
+    "psi_against_baseline",
+    "maintain_drift_reports",
     "curation_funnel",
     "curation_attribution",
     "maintain_funnel_counts",
@@ -721,6 +724,14 @@ def length_drift_psi(
     of the two bounded count tables. Exact integer counts; each
     fraction is one IEEE division, so the report replays bit-exactly.
     """
+    _psi_validate_edges(edges)
+    n_bins = len(edges) + 2  # below/between/above ... plus the NULL bin
+    co = _psi_counts(old, value_col, edges, group_col, "n_old")
+    cn = _psi_counts(new, value_col, edges, group_col, "n_new")
+    return _psi_report(co, cn, group_col, n_bins)
+
+
+def _psi_validate_edges(edges) -> None:
     import numbers
 
     if not edges or list(edges) != sorted(set(edges)):
@@ -728,7 +739,13 @@ def length_drift_psi(
     if not all(isinstance(e, numbers.Real) and not isinstance(e, bool)
                for e in edges):
         raise ValueError("edges must be numeric")
-    n_bins = len(edges) + 2  # below/between/above ... plus the NULL bin
+
+
+def _psi_counts(d, value_col, edges, group_col, out) -> DataFrame:
+    """Exact (group?, bin, count) table of one snapshot — the shared
+    binning of the two-frame report, the frozen baseline, and the
+    per-batch scorer (all three MUST bin identically forever)."""
+    n_bins = len(edges) + 2
 
     def _bin(c):
         # number of edges <= x, computed over a literal edge array (the
@@ -742,24 +759,27 @@ def length_drift_psi(
         return F.when(c.isNull(), F.lit(n_bins - 1)).otherwise(idx)
 
     keys = ([group_col] if group_col else []) + ["bin"]
-
-    def _counts(d, out):
-        return (
-            d.select(
-                *([group_col] if group_col else []),
-                _bin(F.col(value_col)).alias("bin"),
-            )
-            .groupBy(*keys)
-            .agg(F.count(F.lit(1)).cast("long").alias(out))
+    return (
+        d.select(
+            *([group_col] if group_col else []),
+            _bin(F.col(value_col)).alias("bin"),
         )
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("long").alias(out))
+    )
 
-    # null-SAFE key equality: a NULL group is a real stratum (drift in
-    # unlabeled rows is drift); a plain name-list join would mismatch the
-    # two sides' NULL groups into disjoint half-rows with wrong totals.
-    # Frames are alias-qualified — both snapshots often derive from the
-    # same scan, and unqualified column refs are ambiguous on self-joins.
-    co = _counts(old, "n_old").alias("_psi_o")
-    cn = _counts(new, "n_new").alias("_psi_n")
+
+def _psi_report(co, cn, group_col, n_bins) -> DataFrame:
+    """The smoothing/ln tail over two (group?, bin, count) tables.
+
+    null-SAFE key equality: a NULL group is a real stratum (drift in
+    unlabeled rows is drift); a plain name-list join would mismatch the
+    two sides' NULL groups into disjoint half-rows with wrong totals.
+    Frames are alias-qualified — both snapshots often derive from the
+    same scan, and unqualified column refs are ambiguous on self-joins."""
+    keys = ([group_col] if group_col else []) + ["bin"]
+    co = co.alias("_psi_o")
+    cn = cn.alias("_psi_n")
     cond = None
     for k in keys:
         c = F.col(f"_psi_o.{k}").eqNullSafe(F.col(f"_psi_n.{k}"))
@@ -993,3 +1013,128 @@ def merge_funnel_counts(spark, table_path: str) -> DataFrame:
             F.sum("n_docs").cast("long").alias("_n")
         )
     return _funnel_from_counts(spark, counts, list(mf["stages"]))
+
+
+def fit_psi_baseline(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    edges: tuple[float, ...] = (100, 200, 400, 800, 1600),
+    group_col: str | None = None,
+) -> dict:
+    """The FROZEN PSI baseline: a snapshot's exact per-(group, bin)
+    counts plus the binning parameters that produced them — fit once on
+    a reference corpus, then score any batch or MICRO-BATCH against it
+    with ``psi_against_baseline``. Counts are exact longs (deterministic
+    whatever the partitioning — unlike quantile sketches, nothing here
+    is approximate), and the table is |groups|·|bins| rows: the
+    fit_logratio bounded-driver tier.
+
+    The returned dict pins ``edges``/``value_col``/``group_col``
+    alongside the counts: scoring against a baseline binned on
+    different edges silently mis-reports drift, so the scorer refuses
+    a parameter mismatch (the sketch-manifest rule, driver-side)."""
+    _psi_validate_edges(edges)
+    rows = _psi_counts(df, value_col, edges, group_col, "n_old").collect()
+    return {
+        "value_col": value_col,
+        "edges": [float(e) for e in edges],
+        "group_col": group_col,
+        "counts": [r.asDict() for r in rows],
+    }
+
+
+def psi_against_baseline(
+    df: DataFrame,
+    baseline: dict,
+    value_col: str = "n_chars",
+    edges: tuple[float, ...] = (100, 200, 400, 800, 1600),
+    group_col: str | None = None,
+) -> DataFrame:
+    """PSI drift report of ``df`` against a FROZEN baseline
+    (``fit_psi_baseline``): same output columns and bit-identical
+    values as ``length_drift_psi(old=<fit snapshot>, new=df, ...)`` —
+    pinned by test — but the old side is a constant table instead of a
+    second scan, so this is the monitoring shape: fit once, score every
+    ingest batch against the same reference forever. Parameter drift
+    vs the baseline RAISES (mis-binned drift reports read as stable).
+
+    Scale: one scan-side bin projection + map-side-combined count of
+    ``df`` (|groups|·|bins| longs on the shuffle), joined to the
+    literal baseline table. Per-batch on streams via foreachBatch
+    (``maintain_drift_reports``): PSI needs the batch's own bin counts,
+    an aggregation — not a stateless projection — so the per-batch
+    report table is the stream-legal artifact (reports are per-batch BY
+    DESIGN: PSI is not associative, nothing is merged)."""
+    _psi_validate_edges(edges)
+    want = {
+        "value_col": value_col,
+        "edges": [float(e) for e in edges],
+        "group_col": group_col,
+    }
+    have = {k: baseline.get(k) for k in want}
+    if have != want:
+        raise ValueError(
+            f"psi_against_baseline: baseline was fit with {have}; caller"
+            f" passed {want} — mis-binned baselines mis-report drift"
+        )
+    n_bins = len(edges) + 2
+    spark = df.sparkSession
+    if group_col:
+        gtype = df.schema[group_col].dataType.simpleString()
+        schema = f"{group_col} {gtype}, bin int, n_old long"
+        rows = [
+            (r.get(group_col), r["bin"], r["n_old"])
+            for r in baseline["counts"]
+        ]
+    else:
+        schema = "bin int, n_old long"
+        rows = [(r["bin"], r["n_old"]) for r in baseline["counts"]]
+    co = spark.createDataFrame(rows, schema)
+    cn = _psi_counts(df, value_col, edges, group_col, "n_new")
+    return _psi_report(co, cn, group_col, n_bins)
+
+
+def maintain_drift_reports(
+    stream: DataFrame,
+    baseline: dict,
+    table_path: str,
+    checkpoint: str,
+    value_col: str = "n_chars",
+    edges: tuple[float, ...] = (100, 200, 400, 800, 1600),
+    group_col: str | None = None,
+    available_now: bool = True,
+):
+    """STREAMING drift monitoring: per micro-batch, the batch's PSI
+    report against the FROZEN baseline overwrites its own
+    ``batch_id=<n>`` partition — one |groups|·|bins|-row report per
+    batch, idempotent under redelivery. Unlike the fertility/funnel
+    maintainers nothing merges at read time: PSI is not associative,
+    and per-batch reports are the monitoring artifact (read partition
+    N for "how drifted was batch N"; alert on sum(psi_term) per
+    group). The manifest pins the binning parameters so a resumed run
+    cannot silently score against different bins."""
+    from colnade_spark.streaming.stream import (
+        maintain_partitioned_table,
+        write_table_manifest,
+    )
+
+    _psi_validate_edges(edges)
+    write_table_manifest(
+        stream.sparkSession,
+        table_path,
+        {
+            "kind": "psi_reports",
+            "value_col": value_col,
+            "edges": [float(e) for e in edges],
+            "group_col": group_col,
+        },
+    )
+    return maintain_partitioned_table(
+        stream,
+        lambda b: psi_against_baseline(
+            b, baseline, value_col, edges, group_col
+        ),
+        table_path,
+        checkpoint,
+        available_now,
+    )

@@ -523,3 +523,49 @@ def test_length_drift_psi_float_edges(spark):
 
     with pytest.raises(ValueError):
         report.length_drift_psi(old, new=new, edges=("a", "b"))
+
+
+def test_psi_against_baseline_matches_two_frame_report(spark):
+    """The frozen-baseline scorer is bit-identical to length_drift_psi
+    on the same snapshots (exact integer counts both ways — nothing
+    approximate in the baseline), grouped and global, including a NULL
+    group stratum."""
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators.report import (
+        fit_psi_baseline,
+        length_drift_psi,
+        psi_against_baseline,
+    )
+
+    rows = [(i, ["a", "b", None][i % 3], float(i * 7 % 50)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, v double")
+    old = df.filter(F.col("doc_id") % 2 == 0)
+    new = df.filter(F.col("doc_id") % 2 == 1)
+    for gcol in ("g", None):
+        base = fit_psi_baseline(old, "v", (10.0, 25.0, 40.0), gcol)
+        got = {
+            tuple(r)
+            for r in psi_against_baseline(
+                new, base, "v", (10.0, 25.0, 40.0), gcol
+            ).collect()
+        }
+        want = {
+            tuple(r)
+            for r in length_drift_psi(
+                old, new=new, value_col="v", edges=(10.0, 25.0, 40.0),
+                group_col=gcol,
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+
+    # parameter drift refuses: edges, value_col, group_col each pinned
+    base = fit_psi_baseline(old, "v", (10.0, 25.0), "g")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="baseline was fit with"):
+        psi_against_baseline(new, base, "v", (10.0, 30.0), "g")
+    with _pytest.raises(ValueError, match="baseline was fit with"):
+        psi_against_baseline(new, base, "doc_id", (10.0, 25.0), "g")
+    with _pytest.raises(ValueError, match="baseline was fit with"):
+        psi_against_baseline(new, base, "v", (10.0, 25.0), None)

@@ -1714,3 +1714,66 @@ def test_merge_funnel_counts_before_first_batch_is_all_zero(spark, tmp_path):
     )
     rows = {r.stage: (r.n_in, r.n_dropped, r.n_out) for r in merge_funnel_counts(spark, table).collect()}
     assert rows == {"a": (0, 0, 0), "b": (0, 0, 0)}
+
+
+def test_maintain_drift_reports_per_batch(spark, sf_dir, tmp_path):
+    """Streaming drift monitoring vs a FROZEN baseline: each batch's
+    partition equals psi_against_baseline over exactly that batch
+    (per-batch reports, nothing merged — PSI is not associative);
+    replay from a fresh checkpoint is idempotent; a resumed run with
+    drifted bin edges refuses at the manifest."""
+    import pytest as _pytest
+
+    from colnade_spark.operators.report import (
+        fit_psi_baseline,
+        maintain_drift_reports,
+        psi_against_baseline,
+    )
+    from colnade_spark.tpch import table_path as _tp
+
+    docs = spark.read.parquet(_tp(sf_dir, "documents"))
+    base = fit_psi_baseline(
+        docs, "n_chars", (100, 200, 300), group_col="lang"
+    )
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    _write_ingest(b0, src, 0)
+    _write_ingest(b1, src, 1)
+
+    table = str(tmp_path / "drift")
+
+    def run(ck: str, edges=(100, 200, 300)):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = maintain_drift_reports(
+            stream, base, table, ck, "n_chars", edges, "lang"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(str(tmp_path / "ck1"))
+    for bid, batch in ((0, b0), (1, b1)):
+        got = {
+            tuple(r)
+            for r in spark.read.parquet(f"{table}/batch_id={bid}").collect()
+        }
+        want = {
+            tuple(r)
+            for r in psi_against_baseline(
+                batch, base, "n_chars", (100, 200, 300), "lang"
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+
+    raw = {tuple(r) for r in spark.read.parquet(table).collect()}
+    run(str(tmp_path / "ck2"))  # idempotent replay
+    assert {tuple(r) for r in spark.read.parquet(table).collect()} == raw
+
+    with _pytest.raises(ValueError, match="refusing to continue"):
+        run(str(tmp_path / "ck3"), edges=(100, 250, 300))
