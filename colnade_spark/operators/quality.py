@@ -722,7 +722,9 @@ def blend_quality_frozen(
     trade-off, applied to blending). A domain absent from the fit
     (or a NULL score) RAISES in-expression — silently scoring against
     the wrong distribution is the mis-probe hazard the maintainer
-    manifests exist to prevent.
+    manifests exist to prevent. The domain join is NULL-SAFE: the fit
+    keeps a NULL-domain stratum, so NULL-domain rows score against it
+    when present and raise only when the fit never saw a NULL domain.
 
     Scale: the edge table is |domains| rows of ``n_quantiles``-float
     arrays (KBs for thousands of domains) and broadcasts; scoring is
@@ -761,6 +763,20 @@ def blend_quality_frozen(
     spark = df.sparkSession
     total = sum(score_weights.values())
     if domain_col:
+        import pyspark.sql.types as T
+
+        # explicit schema: the fit keeps a NULL-domain stratum (groupBy
+        # preserves NULL groups), and a model whose only row is the NULL
+        # domain would defeat type inference from data
+        edge_schema = T.StructType(
+            [T.StructField(domain_col, df.schema[domain_col].dataType, True)]
+            + [
+                T.StructField(
+                    edge_cols[c], T.ArrayType(T.DoubleType(), False), False
+                )
+                for c in score_weights
+            ]
+        )
         edges = spark.createDataFrame(
             [
                 tuple([row[domain_col]] + [
@@ -768,9 +784,16 @@ def blend_quality_frozen(
                 ])
                 for row in quantiles
             ],
-            [domain_col] + [edge_cols[c] for c in score_weights],
+            edge_schema,
         )
-        joined = df.join(F.broadcast(edges), domain_col, "left")
+        # eqNullSafe, not name equality: the fit's NULL-domain stratum
+        # must be reachable (the _psi_report NULL-stratum rule) — a
+        # plain equi-join would send every NULL-domain row into the
+        # unknown-domain raise even when the model covers it
+        e = F.broadcast(edges)
+        joined = df.join(
+            e, df[domain_col].eqNullSafe(e[domain_col]), "left"
+        ).drop(e[domain_col])
     else:
         if len(quantiles) != 1:
             raise ValueError(

@@ -1094,6 +1094,36 @@ def psi_against_baseline(
     return _psi_report(co, cn, group_col, n_bins)
 
 
+def _psi_baseline_fingerprint(baseline: dict) -> str:
+    """Stable content hash of a ``fit_psi_baseline`` artifact: the
+    sorted (group, bin, n_old) count rows plus the binning parameters.
+    Two baselines fit on different reference snapshots differ here even
+    when their binning parameters are identical — which is exactly the
+    drift the maintainer manifest must refuse (per-batch PSI scored
+    against a silently-swapped reference reads as a monitoring
+    discontinuity, not an error)."""
+    import hashlib
+    import json
+
+    group_col = baseline.get("group_col")
+    rows = sorted(
+        (
+            [r.get(group_col) if group_col else None, r["bin"], r["n_old"]]
+            for r in baseline["counts"]
+        ),
+        key=lambda t: (repr(t[0]), t[1]),
+    )
+    key = {
+        "value_col": baseline.get("value_col"),
+        "edges": baseline.get("edges"),
+        "group_col": group_col,
+        "counts": rows,
+    }
+    return hashlib.sha256(
+        json.dumps(key, sort_keys=True, default=str).encode("utf-8")
+    ).hexdigest()
+
+
 def maintain_drift_reports(
     stream: DataFrame,
     baseline: dict,
@@ -1111,8 +1141,11 @@ def maintain_drift_reports(
     maintainers nothing merges at read time: PSI is not associative,
     and per-batch reports are the monitoring artifact (read partition
     N for "how drifted was batch N"; alert on sum(psi_term) per
-    group). The manifest pins the binning parameters so a resumed run
-    cannot silently score against different bins."""
+    group). The manifest pins the binning parameters AND a fingerprint
+    of the baseline's counts, so a resumed run can neither silently
+    score against different bins nor against a baseline refit on a
+    different reference snapshot (identical params, different counts —
+    the subtler mix, and the one the binning pins alone would miss)."""
     from colnade_spark.streaming.stream import (
         maintain_partitioned_table,
         write_table_manifest,
@@ -1127,6 +1160,7 @@ def maintain_drift_reports(
             "value_col": value_col,
             "edges": [float(e) for e in edges],
             "group_col": group_col,
+            "baseline_sha256": _psi_baseline_fingerprint(baseline),
         },
     )
     return maintain_partitioned_table(

@@ -193,6 +193,41 @@ def merge_fertility_table(table: DataFrame, lang_col: str = "lang") -> DataFrame
     return _fertility_ratios(merged, lang_col)
 
 
+def merge_fertility_store(spark, table_path: str) -> DataFrame:
+    """Manifest-validating reader for a ``maintain_fertility_table``
+    store — the ``report.merge_funnel_counts`` shape: validate the
+    manifest ``kind`` (a path that was never written by the maintainer
+    fails loudly, not with a missing-column error), recover ``lang_col``
+    from the manifest instead of trusting a caller default, and a
+    registered-but-no-batch store (manifest only) yields a valid EMPTY
+    datasheet rather than a raw read error. Prefer this over
+    ``merge_fertility_table(spark.read.parquet(path))`` whenever the
+    input is the maintainer's store path."""
+    from colnade_spark.streaming.stream import (
+        read_batched_history,
+        read_table_manifest,
+    )
+
+    mf = read_table_manifest(spark, table_path)
+    if mf is None or mf.get("kind") != "fertility_sums":
+        raise ValueError(
+            f"no fertility_sums manifest at {table_path}; was this table"
+            " written by maintain_fertility_table?"
+        )
+    lang_col = mf["lang_col"]
+    hist = read_batched_history(spark, table_path)
+    if hist is None:
+        # the language column's dtype is not pinned in the manifest;
+        # string is the maintainer's overwhelmingly common case and the
+        # frame is empty either way
+        hist = spark.createDataFrame(
+            [],
+            f"{lang_col} string, n_docs long, n_null_docs long,"
+            " sum_words long, sum_bpe long, sum_bytes long",
+        )
+    return merge_fertility_table(hist, lang_col)
+
+
 def maintain_fertility_table(
     stream: DataFrame,
     table_path: str,

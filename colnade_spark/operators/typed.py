@@ -1151,13 +1151,19 @@ def curation_attribution(frame, stages, **kwargs) -> DataFrame[AttributionRows]:
 
 def merge_fertility_table(spark, table_path: str) -> DataFrame[FertilityRows]:
     """Typed reader for a maintain_fertility_table store
-    (operators.text.merge_fertility_table over the whole history)."""
+    (operators.text.merge_fertility_store): the manifest validates the
+    store kind and recovers lang_col — a store built with a non-default
+    language column reads correctly, renamed to the schema's ``lang``,
+    and a manifest-only store yields an empty datasheet (the
+    merge_funnel_counts behavior) instead of a raw read error."""
     from colnade_spark.operators import text as _text
+    from colnade_spark.streaming.stream import read_table_manifest
 
-    return _typed(
-        _text.merge_fertility_table(spark.read.parquet(table_path)),
-        FertilityRows,
-    )
+    out = _text.merge_fertility_store(spark, table_path)
+    lang_col = read_table_manifest(spark, table_path)["lang_col"]
+    if lang_col != "lang":
+        out = out.withColumnRenamed(lang_col, "lang")
+    return _typed(out, FertilityRows)
 
 
 def merge_funnel_counts(spark, table_path: str) -> DataFrame[FunnelRows]:

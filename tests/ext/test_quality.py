@@ -430,3 +430,57 @@ def test_blend_frozen_staging_clash_and_ragged_model(spark):
         quality.blend_quality_frozen(
             _blend_fixture(spark), {"s1": 1.0}, ragged, "dom"
         )
+
+
+def test_blend_frozen_null_domain_stratum(spark):
+    """The fit keeps a NULL-domain stratum (groupBy preserves NULL
+    groups) and the frozen blend joins NULL-SAFELY, so NULL-domain rows
+    score against their own stratum instead of raising — the
+    _psi_report NULL-stratum rule. A NULL domain the fit never saw
+    still raises loudly."""
+    from pyspark.errors import PySparkException
+
+    df = spark.createDataFrame(
+        [
+            (1, None, 1.0),
+            (2, None, 2.0),
+            (3, None, 3.0),
+            (4, "a", 10.0),
+            (5, "a", 20.0),
+        ],
+        "doc_id long, dom string, s1 double",
+    )
+    q = quality.fit_blend_quantiles(df, ["s1"], "dom", n_quantiles=10)
+    assert any(r["dom"] is None for r in q)
+    got = {
+        r.doc_id: r.blended_score
+        for r in quality.blend_quality_frozen(df, {"s1": 1.0}, q, "dom").collect()
+    }
+    # NULL-domain rows rank within the NULL stratum: monotone in s1 ...
+    assert got[1] < got[2] < got[3]
+    # ... and against the NULL stratum's own edges (in domain 'a',
+    # whose smallest score is 10.0, s1=3.0 would rank 0)
+    assert got[3] > 0.5
+    # a NULL domain ABSENT from the fit still raises in-expression
+    q_a = [r for r in q if r["dom"] is not None]
+    nul = spark.createDataFrame(
+        [(9, None, 1.0)], "doc_id long, dom string, s1 double"
+    )
+    with pytest.raises(PySparkException, match="domain not in the"):
+        quality.blend_quality_frozen(nul, {"s1": 1.0}, q_a, "dom").collect()
+
+
+def test_blend_frozen_all_null_domain_model(spark):
+    """A model whose ONLY stratum is the NULL domain still constructs
+    (the edge table uses an explicit schema — type inference from an
+    all-None column would fail) and scores NULL-domain rows."""
+    df = spark.createDataFrame(
+        [(1, None, 1.0), (2, None, 5.0)], "doc_id long, dom string, s1 double"
+    )
+    q = quality.fit_blend_quantiles(df, ["s1"], "dom", n_quantiles=4)
+    assert len(q) == 1 and q[0]["dom"] is None
+    got = {
+        r.doc_id: r.blended_score
+        for r in quality.blend_quality_frozen(df, {"s1": 1.0}, q, "dom").collect()
+    }
+    assert got[1] < got[2]

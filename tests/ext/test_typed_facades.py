@@ -513,3 +513,54 @@ def test_round7_attribution_and_readers_facades(docs, tmp_path, spark):
     assert fun.schema is typed.FunnelRows
     rows = sorted(fun.rows(), key=lambda r: r.stage_idx)
     assert rows[0].n_in == docs.height and rows[1].n_in == rows[0].n_out
+
+
+def test_merge_fertility_store_manifest_and_empty(docs, tmp_path, spark):
+    """merge_fertility_store mirrors merge_funnel_counts: kind-validated
+    manifest, lang_col recovered FROM THE MANIFEST (a store built with a
+    non-default language column reads correctly instead of failing on a
+    missing 'lang'), manifest-only store -> valid EMPTY datasheet, and
+    the typed facade renames the custom lang_col to the schema's
+    ``lang``."""
+    import pytest
+    from colnade_spark.operators.text import (
+        maintain_fertility_table,
+        merge_fertility_store,
+    )
+    from colnade_spark.streaming.stream import write_table_manifest
+
+    native = docs.native.withColumnRenamed("lang", "language")
+    src = str(tmp_path / "src")
+    native.write.parquet(src)
+    stream = spark.readStream.schema(native.schema).parquet(src)
+    store = str(tmp_path / "fert")
+    q = maintain_fertility_table(
+        stream, store, str(tmp_path / "ck"), lang_col="language"
+    )
+    q.processAllAvailable(); q.stop()
+
+    out = merge_fertility_store(spark, store)
+    assert "language" in out.columns and out.count() == 5
+
+    fert = typed.merge_fertility_table(spark, store)
+    assert fert.schema is typed.FertilityRows and len(fert.rows()) == 5
+
+    # registered but no batch committed: an empty datasheet, not a read error
+    empty_store = str(tmp_path / "fert_empty")
+    write_table_manifest(
+        spark,
+        empty_store,
+        {"kind": "fertility_sums", "lang_col": "language", "text_col": "text"},
+    )
+    assert merge_fertility_store(spark, empty_store).count() == 0
+    assert typed.merge_fertility_table(spark, empty_store).rows() == []
+
+    # absent or wrong-kind manifest fails loudly
+    with pytest.raises(ValueError, match="fertility_sums manifest"):
+        merge_fertility_store(spark, str(tmp_path / "nothing"))
+    bad = str(tmp_path / "bad")
+    write_table_manifest(
+        spark, bad, {"kind": "funnel_counts", "stages": [], "id_col": "doc_id"}
+    )
+    with pytest.raises(ValueError, match="fertility_sums manifest"):
+        merge_fertility_store(spark, bad)

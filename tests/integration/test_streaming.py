@@ -1777,3 +1777,60 @@ def test_maintain_drift_reports_per_batch(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError, match="refusing to continue"):
         run(str(tmp_path / "ck3"), edges=(100, 250, 300))
+
+
+def test_maintain_drift_reports_refuses_drifted_baseline(
+    spark, sf_dir, tmp_path
+):
+    """The maintainer manifest fingerprints the BASELINE COUNTS, not
+    just the binning params: a resumed run whose baseline was refit on a
+    different reference snapshot (identical edges/value_col/group_col —
+    the subtle mix the param pins alone would miss) refuses at the
+    manifest; resuming with the same baseline object proceeds."""
+    import os
+
+    import pytest as _pytest
+
+    from colnade_spark.operators.report import (
+        fit_psi_baseline,
+        maintain_drift_reports,
+    )
+    from colnade_spark.tpch import table_path as _tp
+
+    docs = spark.read.parquet(_tp(sf_dir, "documents"))
+    base = fit_psi_baseline(docs, "n_chars", (100, 200), group_col="lang")
+    drifted = fit_psi_baseline(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        "n_chars",
+        (100, 200),
+        group_col="lang",
+    )
+    assert drifted["edges"] == base["edges"]
+    assert drifted["counts"] != base["counts"]
+    src = str(tmp_path / "src")
+    _write_ingest(docs.filter(F.col("doc_id") % 2 == 0), src, 0)
+    table = str(tmp_path / "drift")
+
+    def run(ck: str, baseline: dict):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = maintain_drift_reports(
+            stream, baseline, table, ck, "n_chars", (100, 200), "lang"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(str(tmp_path / "ck1"), base)
+    # same baseline resumes and appends the next batch's report
+    _write_ingest(docs.filter(F.col("doc_id") % 2 == 1), src, 1)
+    run(str(tmp_path / "ck1"), base)
+    parts = {d for d in os.listdir(table) if d.startswith("batch_id=")}
+    assert parts == {"batch_id=0", "batch_id=1"}
+    # a drifted baseline refuses BEFORE any batch is scored against it
+    with _pytest.raises(ValueError, match="refusing to continue"):
+        run(str(tmp_path / "ck2"), drifted)
