@@ -1957,6 +1957,55 @@ def psi_frozen_baseline_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     return out.withColumn("bin", F.col("bin").cast("long"))
 
 
+def blend_drift_frozen_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """The FULLY stream-legal blend-drift monitor
+    (quality.blend_drift_frozen, the batch twin of
+    maintain_blend_drift): raw signals (n_chars + whitespace token
+    count) rank-blend against a LITERAL frozen quantile model — edges
+    pinned in-code so the rank surrogate is deterministic and
+    SQL-replayable; a sketch-fit model is exercised by
+    blend_frozen_audit_docs — then the even-id half's blended-score
+    bin counts freeze into a PSI baseline (exact longs,
+    report.fit_psi_baseline) and the odd-id half is scored against it.
+    No window anywhere: both halves are scan-side folds over literal
+    edge arrays, so the scoring path drops into a micro-batch
+    unchanged. The oracle replays the frozen ranks (count of edges <=
+    score over the literal model), the float-edge binning, and the
+    add-1-smoothed PSI report."""
+    from colnade_spark.operators import text as _text
+    from colnade_spark.operators.quality import (
+        blend_drift_frozen,
+        blend_quality_frozen,
+    )
+    from colnade_spark.operators.report import fit_psi_baseline
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("double").alias("s1"),
+        _text.token_count(F.col("text")).cast("double").alias("s2"),
+    )
+    model = [
+        {"s1": [150.0, 250.0, 350.0, 450.0], "s2": [25.0, 45.0, 65.0, 85.0]}
+    ]
+    weights = {"s1": 0.6, "s2": 0.4}
+    base = fit_psi_baseline(
+        blend_quality_frozen(d.filter(F.col("doc_id") % 2 == 0), weights, model),
+        "blended_score",
+        (0.2, 0.4, 0.6, 0.8),
+        group_col="lang",
+    )
+    out = blend_drift_frozen(
+        d.filter(F.col("doc_id") % 2 == 1),
+        weights,
+        model,
+        base,
+        edges=(0.2, 0.4, 0.6, 0.8),
+        group_col="lang",
+    )
+    return out.withColumn("bin", F.col("bin").cast("long"))
+
+
 def corpus_diff_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Incremental-ingest verification: diff two corpus snapshots into
     (doc_id, status ∈ added/removed/changed) by normalized-text
@@ -3044,12 +3093,7 @@ def entry(spark: SparkSession) -> SparkDF:
 # the driver's bounded sweep so the newest code gets certified first.
 # Update this tuple each round; everything else rotates automatically.
 _ROUND_CHANGED: tuple[str, ...] = (
-    "commonness_frozen_docs",  # round 7: new (stream-legal frozen scoring)
-    "curation_funnel_docs",  # round 7: oracle attribution made explicit
-    "blend_drift_psi_docs",  # round 7: new (PSI drift over blend scores)
-    "blend_frozen_audit_docs",  # round 7: new (frozen-blend tolerance audit)
-    "dedup_minhash_k13_ids",  # round 7: new (production shingle length)
-    "psi_frozen_baseline_docs",  # round 7: new (frozen-baseline monitor path)
+    "blend_drift_frozen_docs",  # round 8: new (stream-legal blend-drift monitor)
 )
 
 
@@ -3117,6 +3161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "length_drift_psi_docs": length_drift_psi_docs,
         "blend_drift_psi_docs": blend_drift_psi_docs,
         "psi_frozen_baseline_docs": psi_frozen_baseline_docs,
+        # --- round-8 additions ---
+        "blend_drift_frozen_docs": blend_drift_frozen_docs,
         "blend_frozen_audit_docs": blend_frozen_audit_docs,
         "corpus_card_docs": corpus_card_docs,
         "ppl_bucketed_docs": ppl_bucketed_docs,
@@ -5425,6 +5471,70 @@ SELECT doc_id FROM documents WHERE doc_id % 2 = 1
                   0.5 * p1 + 0.3 * p2 + 0.2 * p3 AS bs
                 FROM r
               )
+            ),
+            co AS (
+              SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_old
+              FROM binned WHERE is_old GROUP BY 1, 2
+            ),
+            cn AS (
+              SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_new
+              FROM binned WHERE NOT is_old GROUP BY 1, 2
+            ),
+            j AS (
+              SELECT coalesce(co.lang, cn.lang) AS lang,
+                     coalesce(co.bin, cn.bin) AS bin,
+                     CAST(coalesce(n_old, 0) AS BIGINT) AS n_old,
+                     CAST(coalesce(n_new, 0) AS BIGINT) AS n_new
+              FROM co FULL OUTER JOIN cn
+                ON co.lang IS NOT DISTINCT FROM cn.lang
+                AND co.bin = cn.bin
+            ),
+            t AS (
+              SELECT lang, bin, n_old, n_new,
+                sum(n_old) OVER (PARTITION BY lang) AS t_old,
+                sum(n_new) OVER (PARTITION BY lang) AS t_new
+              FROM j
+            )
+            SELECT lang, CAST(bin AS BIGINT) AS bin, n_old, n_new,
+              CAST(n_old + 1 AS DOUBLE) / CAST(t_old + 6 AS DOUBLE) AS p_old,
+              CAST(n_new + 1 AS DOUBLE) / CAST(t_new + 6 AS DOUBLE) AS p_new,
+              round((CAST(n_new + 1 AS DOUBLE) / CAST(t_new + 6 AS DOUBLE)
+                     - CAST(n_old + 1 AS DOUBLE) / CAST(t_old + 6 AS DOUBLE))
+                    * ln((CAST(n_new + 1 AS DOUBLE)
+                          / CAST(t_new + 6 AS DOUBLE))
+                         / (CAST(n_old + 1 AS DOUBLE)
+                            / CAST(t_old + 6 AS DOUBLE))), 6) AS psi_term
+            FROM t
+        """,
+        # frozen ranks replayed over the LITERAL quantile model (count
+        # of edges <= score over the pinned edge lists), then the same
+        # float-edge binning + add-1-smoothed PSI as blend_drift_psi;
+        # the even half's counts ARE the frozen baseline (exact longs)
+        "blend_drift_frozen_docs": """
+            WITH s AS (
+              SELECT doc_id, lang, doc_id % 2 = 0 AS is_old,
+                CAST(n_chars AS DOUBLE) AS s1,
+                CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                     AS DOUBLE) AS s2
+              FROM documents
+            ),
+            r AS (
+              SELECT lang, is_old,
+                0.6 * (CAST((s1 >= 150.0)::INT + (s1 >= 250.0)::INT
+                          + (s1 >= 350.0)::INT + (s1 >= 450.0)::INT
+                        AS DOUBLE) / CAST(5.0 AS DOUBLE))
+                + 0.4 * (CAST((s2 >= 25.0)::INT + (s2 >= 45.0)::INT
+                            + (s2 >= 65.0)::INT + (s2 >= 85.0)::INT
+                          AS DOUBLE) / CAST(5.0 AS DOUBLE)) AS bs
+              FROM s
+            ),
+            binned AS (
+              SELECT lang, is_old,
+                (bs >= CAST(0.2 AS DOUBLE))::INT
+                + (bs >= CAST(0.4 AS DOUBLE))::INT
+                + (bs >= CAST(0.6 AS DOUBLE))::INT
+                + (bs >= CAST(0.8 AS DOUBLE))::INT AS bin
+              FROM r
             ),
             co AS (
               SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_old

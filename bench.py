@@ -108,6 +108,7 @@ HEADLINE = [
     "length_drift_psi_docs",
     "blend_drift_psi_docs",
     "psi_frozen_baseline_docs",
+    "blend_drift_frozen_docs",
     "blend_frozen_audit_docs",
     "corpus_card_docs",
     "corpus_card_approx_docs",

@@ -847,3 +847,154 @@ def blend_quality_frozen(
         term = F.lit(float(w) / total) * guarded
         blended = term if blended is None else blended + term
     return joined.withColumn(out_col, blended).drop(*edge_cols.values())
+
+
+def _blend_model_fingerprint(
+    score_weights: dict[str, float],
+    quantiles: list[dict],
+    domain_col: str | None,
+) -> str:
+    """Stable content hash of a frozen blend model: the normalized
+    weights, the domain column, and every (domain, score, edges) row of
+    the ``fit_blend_quantiles`` artifact. Two models fit on different
+    corpus snapshots differ here even when their shape parameters are
+    identical — the ``report._psi_baseline_fingerprint`` rule applied
+    to the blend side: per-batch drift reports scored through a
+    silently-swapped rank surrogate read as a monitoring discontinuity,
+    not an error, so the maintainer manifest must refuse the swap."""
+    import hashlib
+    import json
+
+    total = sum(score_weights.values())
+    rows = sorted(
+        (
+            [repr(row.get(domain_col)) if domain_col else None]
+            + [[float(x) for x in row[c]] for c in sorted(score_weights)]
+            for row in quantiles
+        ),
+        key=lambda t: repr(t[0]),
+    )
+    key = {
+        "weights": {c: w / total for c, w in sorted(score_weights.items())},
+        "domain_col": domain_col,
+        "rows": rows,
+    }
+    return hashlib.sha256(
+        json.dumps(key, sort_keys=True, default=str).encode("utf-8")
+    ).hexdigest()
+
+
+def blend_drift_frozen(
+    df: DataFrame,
+    score_weights: dict[str, float],
+    quantiles: list[dict],
+    baseline: dict,
+    domain_col: str | None = None,
+    edges: tuple[float, ...] = (0.2, 0.4, 0.6, 0.8),
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PSI drift report of a snapshot's FROZEN-blend quality scores
+    against a FROZEN baseline — the fully stream-legal composition of
+    the two fit-once artifacts: ``fit_blend_quantiles`` turns raw
+    signals into rank-surrogate blends with no window and no state
+    (``blend_quality_frozen``), and ``fit_psi_baseline`` (fit over the
+    reference snapshot's frozen-blend scores) supplies the constant old
+    side, so the whole report is one scan-side projection + one
+    map-side-combined count of ``df`` joined to two broadcast-sized
+    literal tables. This is the monitoring shape for quality blends:
+    fit both artifacts once on a reference corpus, then ask "did my
+    blended-quality distribution move?" of every ingest batch forever
+    (``maintain_blend_drift`` runs exactly this per micro-batch).
+
+    Bit-identical to ``psi_against_baseline`` over a pre-scored frame —
+    it IS that call; this wrapper exists so the maintainer and the batch
+    path share one composition (equivalence pinned by test). The
+    baseline must have been fit with ``value_col="blended_score"`` and
+    the same ``edges``/``group_col`` (parameter drift raises in the
+    scorer)."""
+    from colnade_spark.operators.report import psi_against_baseline
+
+    scored = blend_quality_frozen(
+        df, score_weights, quantiles, domain_col, id_col=id_col
+    )
+    return psi_against_baseline(
+        scored, baseline, "blended_score", edges, group_col
+    )
+
+
+def maintain_blend_drift(
+    stream: DataFrame,
+    score_weights: dict[str, float],
+    quantiles: list[dict],
+    baseline: dict,
+    table_path: str,
+    checkpoint: str,
+    domain_col: str | None = None,
+    edges: tuple[float, ...] = (0.2, 0.4, 0.6, 0.8),
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    available_now: bool = True,
+):
+    """STREAMING drift monitoring over ENSEMBLE BLEND scores: per
+    micro-batch, the batch's raw quality signals are rank-blended
+    against the FROZEN quantile model (``blend_quality_frozen`` — a
+    stateless projection, no window) and the blended-score distribution
+    is PSI-scored against the FROZEN baseline; the per-batch report
+    overwrites its own ``batch_id=<n>`` partition (idempotent under
+    redelivery, per-batch BY DESIGN — PSI is not associative, nothing
+    merges; the ``maintain_drift_reports`` contract applied to blends).
+
+    The manifest pins the binning parameters, the PSI-baseline
+    fingerprint, AND a fingerprint of the blend model + weights: a
+    resumed run whose quantile model was refit on a different snapshot
+    (identical shape, different edges — the subtle mix) would silently
+    re-rank every batch against a different distribution, so it refuses
+    at the manifest instead. Batch-path equivalence: partition N equals
+    ``blend_drift_frozen`` over exactly batch N's rows (pinned by
+    test)."""
+    from colnade_spark.operators.report import (
+        _psi_baseline_fingerprint,
+        _psi_validate_edges,
+    )
+    from colnade_spark.streaming.stream import (
+        maintain_partitioned_table,
+        write_table_manifest,
+    )
+
+    _psi_validate_edges(edges)
+    total = sum(score_weights.values())
+    write_table_manifest(
+        stream.sparkSession,
+        table_path,
+        {
+            "kind": "blend_psi_reports",
+            "weights": {
+                c: w / total for c, w in sorted(score_weights.items())
+            },
+            "domain_col": domain_col,
+            "edges": [float(e) for e in edges],
+            "group_col": group_col,
+            "id_col": id_col,
+            "blend_model_sha256": _blend_model_fingerprint(
+                score_weights, quantiles, domain_col
+            ),
+            "baseline_sha256": _psi_baseline_fingerprint(baseline),
+        },
+    )
+    return maintain_partitioned_table(
+        stream,
+        lambda b: blend_drift_frozen(
+            b,
+            score_weights,
+            quantiles,
+            baseline,
+            domain_col,
+            edges,
+            group_col,
+            id_col,
+        ),
+        table_path,
+        checkpoint,
+        available_now,
+    )

@@ -1834,3 +1834,96 @@ def test_maintain_drift_reports_refuses_drifted_baseline(
     # a drifted baseline refuses BEFORE any batch is scored against it
     with _pytest.raises(ValueError, match="refusing to continue"):
         run(str(tmp_path / "ck2"), drifted)
+
+
+def test_maintain_blend_drift_per_batch(spark, sf_dir, tmp_path):
+    """Streaming blend-drift monitoring vs TWO frozen artifacts (the
+    quantile blend model + the PSI baseline): each batch's partition
+    equals blend_drift_frozen over exactly that batch (per-batch
+    reports, nothing merged — PSI is not associative); replay from a
+    fresh checkpoint is idempotent; a resumed run whose blend model was
+    REFIT on a different snapshot (same shape parameters, different
+    edge values — the subtle mix the shape pins alone would miss)
+    refuses at the manifest."""
+    import pytest as _pytest
+
+    from colnade_spark.operators.quality import (
+        blend_drift_frozen,
+        blend_quality_frozen,
+        fit_blend_quantiles,
+        maintain_blend_drift,
+    )
+    from colnade_spark.operators.report import fit_psi_baseline
+    from colnade_spark.tpch import table_path as _tp
+
+    docs = spark.read.parquet(_tp(sf_dir, "documents")).select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("s1")
+    )
+    weights = {"s1": 1.0}
+    model = fit_blend_quantiles(docs, ["s1"], "lang", n_quantiles=10)
+    base = fit_psi_baseline(
+        blend_quality_frozen(docs, weights, model, "lang"),
+        "blended_score",
+        (0.2, 0.4, 0.6, 0.8),
+        group_col="lang",
+    )
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    _write_ingest(b0, src, 0)
+    _write_ingest(b1, src, 1)
+
+    table = str(tmp_path / "blend_drift")
+
+    def run(ck: str, m: list[dict] | None = None):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = maintain_blend_drift(
+            stream,
+            weights,
+            m if m is not None else model,
+            base,
+            table,
+            ck,
+            domain_col="lang",
+            edges=(0.2, 0.4, 0.6, 0.8),
+            group_col="lang",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(str(tmp_path / "ck1"), model)
+    for bid, batch in ((0, b0), (1, b1)):
+        got = {
+            tuple(r)
+            for r in spark.read.parquet(f"{table}/batch_id={bid}").collect()
+        }
+        want = {
+            tuple(r)
+            for r in blend_drift_frozen(
+                batch,
+                weights,
+                model,
+                base,
+                "lang",
+                (0.2, 0.4, 0.6, 0.8),
+                "lang",
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+
+    raw = {tuple(r) for r in spark.read.parquet(table).collect()}
+    run(str(tmp_path / "ck2"))  # idempotent replay
+    assert {tuple(r) for r in spark.read.parquet(table).collect()} == raw
+
+    refit = fit_blend_quantiles(
+        docs.filter(F.col("doc_id") % 3 == 0), ["s1"], "lang", n_quantiles=10
+    )
+    assert refit != model
+    with _pytest.raises(ValueError, match="refusing to continue"):
+        run(str(tmp_path / "ck3"), refit)
