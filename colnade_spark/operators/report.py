@@ -650,10 +650,31 @@ def source_overlap_matrix(
     runtime (verified: the adaptive plan shows ReusedExchange for both
     extra references).
     """
+    s = overlap_fingerprints(df, group_col, text_col, key_col)
+    return _overlap_matrix_from_pairs(s)
+
+
+def overlap_fingerprints(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    key_col: str | None = None,
+) -> DataFrame:
+    """The MERGEABLE half of the cross-source overlap matrix: a
+    snapshot's DISTINCT (source, fingerprint) pairs, as the two-column
+    frame (``_so_src``, ``_so_fp``). Distinct pairs merge by
+    distinct-union (set union is associative and idempotent), so
+    per-slice pair tables — one per micro-batch, shard, or ingest day —
+    recombine into exactly the matrix a single pass would produce
+    (pinned by test); this is the model ``maintain_source_overlap``
+    persists. NULL fingerprints (NULL text) and NULL sources are
+    excluded here, once, for every consumer — NULLs are not a source
+    and not a cluster. Cost: one scan-side fingerprint projection into
+    one distinct on (label, 32-char digest) — payloads never shuffle."""
     from colnade_spark.operators.text import fingerprint
 
     key = F.col(key_col) if key_col else fingerprint(F.col(text_col))
-    s = (
+    return (
         df.select(
             F.col(group_col).alias("_so_src"),
             key.alias("_so_fp"),
@@ -661,6 +682,14 @@ def source_overlap_matrix(
         .filter(F.col("_so_fp").isNotNull() & F.col("_so_src").isNotNull())
         .distinct()
     )
+
+
+def _overlap_matrix_from_pairs(s: DataFrame) -> DataFrame:
+    """The matrix tail over a DISTINCT (``_so_src``, ``_so_fp``) pair
+    frame — shared verbatim by the one-pass ``source_overlap_matrix``
+    and the maintained-store reader ``merge_overlap_store`` (the two
+    paths must stay one code path: a drifted reimplementation would
+    un-pin their equivalence)."""
     totals = s.groupBy("_so_src").agg(F.count(F.lit(1)).alias("_so_n"))
     a = s.select(F.col("_so_src").alias("source_a"), "_so_fp")
     b = s.select(F.col("_so_src").alias("source_b"), "_so_fp")
@@ -692,6 +721,107 @@ def source_overlap_matrix(
         F.col("n_fps_b").cast("long").alias("n_fps_b"),
         "n_shared",
         jac.alias("jaccard"),
+    )
+
+
+def maintain_source_overlap(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    group_col: str = "source",
+    text_col: str = "text",
+    key_col: str | None = None,
+    available_now: bool = True,
+):
+    """STREAMING maintenance of the cross-source overlap matrix: each
+    micro-batch persists its own DISTINCT (source, fingerprint) pairs
+    (``overlap_fingerprints``) into its ``batch_id=<n>`` partition —
+    the mergeable-model maintainer pattern (fertility/HLL tier):
+    idempotent under redelivery, and since distinct pairs merge by
+    set union the merged store equals one ``source_overlap_matrix``
+    pass over everything ever streamed (pinned by test). Read with
+    ``merge_overlap_store``; compact with ``compact_overlap_table``.
+
+    Unlike the sums maintainers the per-batch state is NOT
+    |groups|-bounded — it grows with the batch's distinct content —
+    but each row is (label, 32-char digest): the raw text never lands
+    in the store, re-streamed duplicates collapse inside their batch,
+    and compaction collapses them across batches. The params manifest
+    pins (group_col, text_col, key_col): pairs keyed on different
+    columns are not comparable — fail fast on a drifted resume."""
+    from colnade_spark.streaming.stream import (
+        maintain_partitioned_table,
+        write_table_manifest,
+    )
+
+    write_table_manifest(
+        stream.sparkSession,
+        table_path,
+        {
+            "kind": "overlap_fps",
+            "group_col": group_col,
+            "text_col": text_col,
+            "key_col": key_col,
+        },
+    )
+    return maintain_partitioned_table(
+        stream,
+        lambda b: overlap_fingerprints(b, group_col, text_col, key_col),
+        table_path,
+        checkpoint,
+        available_now,
+    )
+
+
+def merge_overlap_store(spark, table_path: str) -> DataFrame:
+    """Manifest-validating reader for a ``maintain_source_overlap``
+    store: validate the manifest ``kind`` (a path never written by the
+    maintainer fails loudly, not with a missing-column error), DISTINCT
+    the pair history across batches (a fingerprint re-streamed in ten
+    batches is still one pair — set union is idempotent), and emit the
+    same matrix ``source_overlap_matrix`` computes in one pass
+    (equivalence pinned by test; the tail is literally the same code
+    path). A registered-but-no-batch store (manifest only) yields a
+    valid EMPTY matrix rather than a raw read error
+    (``merge_fertility_store`` shape; the empty frame pins the source
+    label as string — the maintainer's overwhelmingly common case —
+    since an empty store carries no dtype to recover)."""
+    from colnade_spark.streaming.stream import (
+        read_batched_history,
+        read_table_manifest,
+    )
+
+    mf = read_table_manifest(spark, table_path)
+    if mf is None or mf.get("kind") != "overlap_fps":
+        raise ValueError(
+            f"no overlap_fps manifest at {table_path}; was this table"
+            " written by maintain_source_overlap?"
+        )
+    hist = read_batched_history(spark, table_path)
+    if hist is None:
+        hist = spark.createDataFrame([], "_so_src string, _so_fp string")
+    pairs = hist.select("_so_src", "_so_fp").distinct()
+    return _overlap_matrix_from_pairs(pairs)
+
+
+def compact_overlap_table(spark, table_path: str, dest_path: str) -> dict:
+    """Compact a ``maintain_source_overlap`` history: fold every batch
+    partition EXCEPT the trailing one into a single epoch partition —
+    DISTINCT-ed back to one row per (source, fingerprint) pair (set
+    union is idempotent, so the fold changes nothing the reader can
+    observe) — carry the trailing partition verbatim, and write both
+    plus the manifest to a FRESH ``dest_path``. Shares
+    ``streaming.compact_batched_table``'s skeleton; see it for why the
+    trailing partition is never folded. This is the knob that bounds
+    the store: after compaction the epoch partition holds the deduped
+    pair set, not |batches| copies of recurring boilerplate."""
+    from colnade_spark.streaming.stream import compact_batched_table
+
+    def _resolve(body, mf):
+        return body.drop("batch_id").distinct()
+
+    return compact_batched_table(
+        spark, table_path, dest_path, "overlap_fps", _resolve
     )
 
 

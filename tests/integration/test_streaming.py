@@ -1927,3 +1927,156 @@ def test_maintain_blend_drift_per_batch(spark, sf_dir, tmp_path):
     assert refit != model
     with _pytest.raises(ValueError, match="refusing to continue"):
         run(str(tmp_path / "ck3"), refit)
+
+
+def test_maintain_source_overlap_merges_to_batch_matrix(
+    spark, sf_dir, tmp_path
+):
+    """Maintained cross-source overlap: per micro-batch the maintainer
+    persists the batch's distinct (source, fingerprint) pairs; the
+    merged store equals ONE source_overlap_matrix pass over everything
+    ever streamed (bit-exact, jaccard included — set union of distinct
+    pairs is associative and idempotent); replay from a fresh
+    checkpoint is idempotent; a resumed run whose key column drifted
+    refuses at the manifest; a registered-but-no-batch store merges to
+    a valid EMPTY matrix."""
+    import pytest as _pytest
+
+    from colnade_spark.operators.report import (
+        maintain_source_overlap,
+        merge_overlap_store,
+        overlap_fingerprints,
+        source_overlap_matrix,
+    )
+    from colnade_spark.streaming.stream import write_table_manifest
+    from colnade_spark.tpch import table_path as _tp
+
+    d = spark.read.parquet(_tp(sf_dir, "documents"))
+    # the fixture has no exact cross-source duplicates at small SFs:
+    # build the source_overlap_docs three-source corpus (mirror sources
+    # whose mangled texts normalize to identical fingerprints)
+    base = d.select("doc_id", "text", F.lit("full").alias("source"))
+    mirror = d.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("!!!")).alias("text"),
+        F.lit("mirror_even").alias("source"),
+    )
+    third = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.lit("   "), F.col("text")).alias("text"),
+        F.lit("mirror_third").alias("source"),
+    )
+    docs = base.unionByName(mirror).unionByName(third)
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    _write_ingest(first, src, 0)
+    _write_ingest(second, src, 1)
+
+    table = str(tmp_path / "overlap")
+
+    def run(ck: str, **over):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = maintain_source_overlap(stream, table, ck, **over)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(str(tmp_path / "ck1"))
+
+    # per-batch partition = that batch's own distinct pairs
+    got0 = {
+        tuple(r)
+        for r in spark.read.parquet(f"{table}/batch_id=0").collect()
+    }
+    want0 = {tuple(r) for r in overlap_fingerprints(first).collect()}
+    assert got0 == want0 and len(got0) > 0
+
+    # merged store = one-pass matrix over the whole corpus
+    want = {tuple(r) for r in source_overlap_matrix(docs).collect()}
+    got = {tuple(r) for r in merge_overlap_store(spark, table).collect()}
+    assert got == want and len(got) > 0
+
+    # idempotent replay
+    raw = {tuple(r) for r in spark.read.parquet(table).collect()}
+    run(str(tmp_path / "ck2"))
+    assert {tuple(r) for r in spark.read.parquet(table).collect()} == raw
+
+    # drifted key config refuses at the manifest
+    with _pytest.raises(ValueError, match="refusing to continue"):
+        run(str(tmp_path / "ck3"), key_col="lang")
+
+    # manifest-only store -> empty matrix, not a read error
+    empty = str(tmp_path / "empty")
+    write_table_manifest(
+        spark,
+        empty,
+        {"kind": "overlap_fps", "group_col": "source", "text_col": "text",
+         "key_col": None},
+    )
+    assert merge_overlap_store(spark, empty).count() == 0
+    # and a non-overlap store refuses by kind
+    with _pytest.raises(ValueError, match="overlap_fps manifest"):
+        merge_overlap_store(spark, str(tmp_path / "nowhere"))
+
+
+def test_compact_overlap_table_preserves_matrix(spark, sf_dir, tmp_path):
+    """Compaction folds all-but-trailing batch partitions into one
+    DISTINCT-ed epoch partition: the merged matrix is unchanged, and
+    pairs re-streamed across the folded batches collapse to one row
+    (the store stops growing with |batches| for recurring content)."""
+    from colnade_spark.operators.report import (
+        compact_overlap_table,
+        maintain_source_overlap,
+        merge_overlap_store,
+        source_overlap_matrix,
+    )
+    from colnade_spark.tpch import table_path as _tp
+
+    d = spark.read.parquet(_tp(sf_dir, "documents"))
+    docs = d.select("doc_id", "text", F.lit("full").alias("source")).unionByName(
+        d.filter(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.upper("text"), F.lit("!!!")).alias("text"),
+            F.lit("mirror_even").alias("source"),
+        )
+    )
+    src = str(tmp_path / "src")
+    # batches 0 and 1 share the mod-0 slice: cross-batch duplicate pairs
+    # that only the distinct-fold can collapse
+    _write_ingest(docs.filter(F.col("doc_id") % 3 <= 1), src, 0)
+    _write_ingest(docs.filter(F.col("doc_id") % 3 != 1), src, 1)
+    _write_ingest(docs.filter(F.col("doc_id") % 3 == 2), src, 2)
+
+    table = str(tmp_path / "overlap")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_source_overlap(stream, table, str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    want = {tuple(r) for r in source_overlap_matrix(docs).collect()}
+    dest = str(tmp_path / "overlap2")
+    out = compact_overlap_table(spark, table, dest)
+    assert out["epoch"] == 1 and out["carried_batch"] == 2
+    # the epoch body is the DISTINCT pair set of batches 0+1 — smaller
+    # than their concatenation (they overlap on the mod-0 slice)
+    raw01 = (
+        spark.read.parquet(table)
+        .filter(F.col("batch_id") <= 1)
+        .count()
+    )
+    assert out["rows"] < raw01
+    assert {
+        tuple(r) for r in merge_overlap_store(spark, dest).collect()
+    } == want
