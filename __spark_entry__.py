@@ -914,6 +914,31 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> SparkDF:
     ).select("id_a", "id_b", F.round(F.col("cos_sim"), 6).alias("cos_sim"))
 
 
+def emb_near_dup_multiprobe(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Multiprobe LSH near-dup pairs with PLANTED NEAR-copies (every
+    vec_id % 50 == 0 re-planted under id +1_000_000 with dimension 1
+    bumped by +0.2 — cosine ~0.97-0.99, so unlike the exact-copy
+    fixture the copies land in DIFFERENT buckets when a low-margin
+    plane separates them). At the sizing-rule-breaking bits=12 over
+    2k vectors, single-probe measurably misses 1-3 of the planted
+    pairs at every fixture SF; probing the 2 lowest-margin bit flips
+    recovers the full true set, which the oracle recomputes brute-force
+    (recall+precision bit-check of the multiprobe path, the knob's
+    design contract: buy recall back WITHOUT coarsening buckets)."""
+    e = _embs(spark, sf_dir).select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x + F.lit(0.2)).otherwise(x),
+        ).alias("embedding"),
+    )
+    allv = e.unionByName(planted)
+    return similarity.embedding_near_dups(
+        allv, dim=64, threshold=0.95, bits=12, tables=4, multiprobe=2
+    ).select("id_a", "id_b", F.round(F.col("cos_sim"), 6).alias("cos_sim"))
+
+
 # 16 centroids for SemDeDup: cluster count is the knob that bounds the
 # within-cluster quadratic pass — k=16 cuts candidate pairs 4x vs k=4
 # and gives the pairwise join 16-way key parallelism. Quarter-step
@@ -3094,6 +3119,7 @@ def entry(spark: SparkSession) -> SparkDF:
 # Update this tuple each round; everything else rotates automatically.
 _ROUND_CHANGED: tuple[str, ...] = (
     "blend_drift_frozen_docs",  # round 8: new (stream-legal blend-drift monitor)
+    "emb_near_dup_multiprobe",  # round 8: new (multiprobe LSH recall path)
 )
 
 
@@ -3163,6 +3189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "psi_frozen_baseline_docs": psi_frozen_baseline_docs,
         # --- round-8 additions ---
         "blend_drift_frozen_docs": blend_drift_frozen_docs,
+        "emb_near_dup_multiprobe": emb_near_dup_multiprobe,
         "blend_frozen_audit_docs": blend_frozen_audit_docs,
         "corpus_card_docs": corpus_card_docs,
         "ppl_bucketed_docs": ppl_bucketed_docs,
@@ -4978,6 +5005,31 @@ SELECT doc_id FROM documents WHERE doc_id % 2 = 1
                    round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
             FROM allv a JOIN allv b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+        """,
+        # cosine replayed STRUCTURALLY as the Spark fold computes it —
+        # dot / (sqrt(dot_aa) * sqrt(dot_bb)), list_inner_product being
+        # the bitwise twin of the sequential zip_with/aggregate fold —
+        # because the near-copies produce non-trivial cosines where a
+        # sqrt(x*y) vs sqrt(x)*sqrt(y) ulp could cross a round-6 edge
+        "emb_near_dup_multiprobe": """
+            WITH allv AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000,
+                list_transform(range(1, 65),
+                  i -> CAST(embedding[i] AS DOUBLE)
+                       + CASE WHEN i = 1 THEN 0.2 ELSE 0.0 END)
+              FROM embeddings WHERE vec_id % 50 = 0
+            ),
+            s AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                list_inner_product(a.v, b.v)
+                  / (sqrt(list_inner_product(a.v, a.v))
+                     * sqrt(list_inner_product(b.v, b.v))) AS cos
+              FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(cos, 6) AS cos_sim
+            FROM s WHERE cos >= 0.95
         """,
         "semdedup_survivors": f"""
             WITH allv AS (

@@ -71,6 +71,7 @@ HEADLINE = [
     "unigram_quality",
     "map_flag_stats",
     "emb_near_dup_pairs",
+    "emb_near_dup_multiprobe",
     "duplicate_span_stats",
     "span_removal_clean",
     "line_dedup_clean",

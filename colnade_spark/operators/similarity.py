@@ -329,6 +329,7 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int | None = None,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     threshold), candidates via the same multi-table RP-LSH bucketing.
@@ -339,9 +340,21 @@ def embedding_near_dups(
     scale board measured exactly this (fixed bits=8 at 200k vectors ≈
     312M candidate id pairs, spill-to-disk-full). The sizing rule:
     ``bits ≈ log2(n) - 3`` keeps expected bucket occupancy ≈ 8 (≈ 28
-    pairs per bucket per table) at any scale; add tables (or multiprobe)
+    pairs per bucket per table) at any scale; add tables or multiprobe
     to buy back the per-table recall lost to finer buckets. Identical
     vectors collide at EVERY bits setting (recall 1.0 on exact dups).
+
+    ``multiprobe`` buys recall back WITHOUT coarsening the buckets (Lv
+    et al. 2007, the single-bit-flip variant): besides its home bucket,
+    every vector also PROBES the ``multiprobe`` buckets obtained by
+    flipping its lowest-|margin| sign bits — the planes it sits closest
+    to, exactly the ones a near-neighbor most likely landed across —
+    and a candidate pair is any (probe, home) bucket meeting. Storage
+    stays one home bucket per (vector, table); candidate volume scales
+    by ``multiprobe + 1`` (linear in n for sized bits, measured on the
+    scale board), vs the 2× PER BIT of lowering ``bits``. Recall is
+    monotone: every single-probe pair is a multiprobe pair by
+    construction (home-home meetings survive; pinned by test).
 
     ``max_bucket`` is the skew guard for real (clustered) data, where a
     dense region can overflow any uniform sizing rule: buckets holding
@@ -350,18 +363,43 @@ def embedding_near_dups(
     information there, and its members almost certainly meet through
     their other ``tables - 1`` sketches. Documented recall trade-off:
     a pair whose EVERY shared bucket is oversized is missed (pinned by
-    test); None (default) disables the guard."""
+    test); None (default) disables the guard. Occupancy is counted on
+    HOME buckets (the stored side) and oversized buckets are dropped
+    from both sides — probes into a dropped bucket would meet the very
+    crowd the guard exists to skip."""
+    if multiprobe < 0 or multiprobe >= bits:
+        raise ValueError(
+            "embedding_near_dups: multiprobe must be in [0, bits)"
+        )
     plane_sets = [_hyperplanes(dim, bits, seed + 1000 * t) for t in range(tables)]
-    sketch = rp_buckets_udf(plane_sets)
-    b = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(sketch(F.col(vec_col))).alias("tbl", "bkt"),
-    )
+    if multiprobe:
+        sketch = rp_multiprobe_udf(plane_sets, multiprobe)
+        raw = df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(sketch(F.col(vec_col))).alias("tbl", "_bkts"),
+        )
+        # stored side: home bucket only (element 1); probe side: home +
+        # the flip variants. localCheckpoint is NOT needed — both frames
+        # are projections of one exchange-free scan.
+        b = raw.select(
+            "_id", "tbl", F.element_at(F.col("_bkts"), 1).alias("bkt")
+        )
+        probe = raw.select(
+            "_id", "tbl", F.explode(F.col("_bkts")).alias("bkt")
+        )
+    else:
+        sketch = rp_buckets_udf(plane_sets)
+        b = df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(sketch(F.col(vec_col))).alias("tbl", "bkt"),
+        )
+        probe = b
     if max_bucket is not None:
         if max_bucket < 2:
             raise ValueError("embedding_near_dups: max_bucket must be >= 2")
-        # ids-only count per (table, bucket); the anti-join drops the
-        # non-discriminative buckets before any pair is formed
+        # ids-only count per (table, bucket) of HOME occupancy; the
+        # anti-join drops the non-discriminative buckets before any
+        # pair is formed (from the probe side too — see docstring)
         big = (
             b.groupBy("tbl", "bkt")
             .agg(F.count(F.lit(1)).alias("_n"))
@@ -369,6 +407,31 @@ def embedding_near_dups(
             .select("tbl", "bkt")
         )
         b = b.join(F.broadcast(big), ["tbl", "bkt"], "left_anti")
+        probe = (
+            probe.join(F.broadcast(big), ["tbl", "bkt"], "left_anti")
+            if multiprobe
+            else b
+        )
+    if multiprobe:
+        # probe×home meetings: asymmetric (a's flip may hit b's home
+        # without the reverse), so canonicalize with least/greatest —
+        # the l < r shortcut of the single-probe path would drop the
+        # a-probes-b direction for a > b
+        l, r = probe.alias("l"), b.alias("r")
+        pair_ids = (
+            l.join(
+                r,
+                (F.col("l.tbl") == F.col("r.tbl"))
+                & (F.col("l.bkt") == F.col("r.bkt"))
+                & (F.col("l._id") != F.col("r._id")),
+            )
+            .select(
+                F.least(F.col("l._id"), F.col("r._id")).alias("id_a"),
+                F.greatest(F.col("l._id"), F.col("r._id")).alias("id_b"),
+            )
+            .distinct()
+        )
+        return _score_pairs(df, pair_ids, threshold, id_col, vec_col)
     l, r = b.alias("l"), b.alias("r")
     # id-only candidate pairs (see lsh_topk: never distinct() on vectors),
     # then score once per pair after joining the vectors back
@@ -382,6 +445,20 @@ def embedding_near_dups(
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .distinct()
     )
+    return _score_pairs(df, pair_ids, threshold, id_col, vec_col)
+
+
+def _score_pairs(
+    df: DataFrame,
+    pair_ids: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Attach both vectors back to an id-only candidate pair frame and
+    keep pairs at or above the cosine threshold — the shared tail of
+    the single-probe and multiprobe candidate paths (the candidate join
+    itself never carries vectors; see lsh_topk)."""
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
@@ -394,6 +471,44 @@ def embedding_near_dups(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def rp_multiprobe_udf(plane_sets: list[list[list[float]]], multiprobe: int):
+    """Vectorized multiprobe sketching: per (vector, table), the home
+    bucket FIRST, then the ``multiprobe`` buckets obtained by flipping
+    the lowest-|projection| sign bits one at a time — the planes the
+    vector sits closest to, in increasing-margin order (ties broken by
+    plane index via stable argsort, so the output is deterministic for
+    a fixed input). Returns ``array<array<long>>``, one
+    ``multiprobe + 1``-long bucket list per table; element 1 is always
+    the home bucket ``rp_buckets_udf`` would emit. Same BLAS shape as
+    the single-probe UDF — one (batch × dim) @ (dim × tables·bits)
+    matmul per Arrow batch plus an argsort over ``bits`` columns."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    tables = len(plane_sets)
+    bits = len(plane_sets[0])
+    stacked = np.asarray(
+        [p for planes in plane_sets for p in planes], dtype=np.float64
+    ).T  # (dim, tables*bits)
+    weights = 1 << np.arange(bits, dtype=np.int64)
+    m = multiprobe
+
+    def f(s):
+        mat = np.vstack(s.to_numpy()).astype(np.float64)  # (batch, dim)
+        proj = mat @ stacked  # (batch, tables*bits)
+        per = (proj >= 0).reshape(len(mat), tables, bits)
+        home = (per * weights).sum(axis=2)  # (batch, tables)
+        margins = np.abs(proj).reshape(len(mat), tables, bits)
+        order = np.argsort(margins, axis=2, kind="stable")[:, :, :m]
+        flips = home[:, :, None] ^ weights[order]  # (batch, tables, m)
+        out = np.concatenate([home[:, :, None], flips], axis=2)
+        return pd.Series([row.tolist() for row in out])
+
+    f.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(f, "array<array<long>>")
 
 
 def recall_at_k(

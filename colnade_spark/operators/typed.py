@@ -1172,3 +1172,33 @@ def merge_funnel_counts(spark, table_path: str) -> DataFrame[FunnelRows]:
     from colnade_spark.operators import report as _report
 
     return _typed(_report.merge_funnel_counts(spark, table_path), FunnelRows)
+
+
+def merge_overlap_store(spark, table_path: str) -> DataFrame[SourceOverlapRows]:
+    """Typed reader for a maintain_source_overlap store
+    (operators.report.merge_overlap_store): the manifest validates the
+    store kind, and a manifest-only store yields an EMPTY matrix (the
+    merge_funnel_counts behavior) instead of a raw read error."""
+    from colnade_spark.operators import report as _report
+
+    return _typed(
+        _report.merge_overlap_store(spark, table_path), SourceOverlapRows
+    )
+
+
+def blend_drift_frozen(
+    frame, score_weights, quantiles, baseline, **kwargs
+) -> DataFrame[DriftPsiRows]:
+    """Typed stream-legal blend-drift PSI report (operators.quality.
+    blend_drift_frozen) — UNGROUPED form, the length_drift_psi facade
+    rule (group_col pins extra key columns the fixed schema can't
+    carry; use the raw operator for grouped reports)."""
+    from pyspark.sql import functions as F
+
+    if kwargs.get("group_col"):
+        raise ValueError("typed blend_drift_frozen is ungrouped; use the raw op")
+    f = frame.native if isinstance(frame, DataFrame) else frame
+    out = _quality.blend_drift_frozen(
+        f, score_weights, quantiles, baseline, **kwargs
+    )
+    return _typed(out.withColumn("bin", F.col("bin").cast("long")), DriftPsiRows)

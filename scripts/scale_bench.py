@@ -62,6 +62,11 @@ DEFAULT_QUERIES = [
     # first round-7 board — the finding that motivated the sizing rule
     # and the max_bucket skew guard in embedding_near_dups.
     "emb_near_dup_pairs",
+    # round 8: the multiprobe recall knob at the same sizing rule —
+    # candidate volume should scale by (multiprobe+1), exponent still
+    # ~linear (the design contract vs lowering bits, which costs 2x
+    # PER recovered bit)
+    "emb_near_dup_multiprobe",
     # corpus-wide gram count + join-back: linear rows, skew-robust agg
     "soft_dedup_weights_docs",
     # ids-only gate joins + |stages|-row window
@@ -75,7 +80,7 @@ DEFAULT_QUERIES = [
 ]
 
 
-def _emb_near_dup_scaled(spark, d: str):
+def _emb_near_dup_scaled(spark, d: str, **kw):
     """embedding_near_dups with the docstring's sizing rule applied:
     bits = log2(n) - 3 (expected bucket occupancy ~8 at any scale) and
     the max_bucket skew guard at 32. Planted exact duplicates collide
@@ -93,7 +98,8 @@ def _emb_near_dup_scaled(spark, d: str):
     n = e.count()
     bits = max(8, int(math.ceil(math.log2(max(n, 2)))) - 3)
     return embedding_near_dups(
-        e, dim=64, threshold=0.95, bits=bits, tables=4, max_bucket=32
+        e, dim=64, threshold=0.95, bits=bits, tables=4, max_bucket=32,
+        **kw,
     ).select("id_a", "id_b", F.round(F.col("cos_sim"), 6).alias("cos_sim"))
 
 
@@ -139,6 +145,9 @@ def _incremental_k13(spark, d: str):
 # curve documents WHY n_clusters must scale with the corpus.
 _SCALED = {
     "emb_near_dup_pairs": _emb_near_dup_scaled,
+    "emb_near_dup_multiprobe": lambda spark, d: _emb_near_dup_scaled(
+        spark, d, multiprobe=2
+    ),
     "dedup_minhash_k13": _dedup_minhash_k13,
     "minhash_estimate_pairs": _estimate_pairs_k13,
     "incremental_minhash_ids": _incremental_k13,

@@ -955,3 +955,94 @@ def test_fertility_stats_matches_python(spark):
     # tokens -> fertility 0.0 and a NULL bytes_per_token, not an error
     assert got["fr"][2] == 1 and got["fr"][3] == 0
     assert got["fr"][5] == 0.0 and got["fr"][6] is None
+
+
+def test_embedding_near_dups_multiprobe_recovers_recall(spark):
+    """Multiprobe buys per-table recall back at HIGH bits without
+    coarsening the buckets: on clustered data at bits far above the
+    sizing rule (sparse buckets, single-probe misses cross-bucket
+    near-pairs), flipping the lowest-margin bits finds strictly more
+    true pairs; every single-probe pair survives (monotone by
+    construction — home-home meetings are a subset of probe-home
+    meetings); scores for shared pairs are identical (same scoring
+    tail); and the home buckets of the multiprobe sketch equal the
+    single-probe sketch exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    dim = 32
+    rows = []
+    for c in range(10):
+        center = rng.normal(size=dim)
+        center /= np.linalg.norm(center)
+        for i in range(12):
+            v = center + rng.normal(scale=0.02, size=dim)
+            rows.append((c * 100 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    kw = dict(dim=dim, threshold=0.99, bits=14, tables=2, seed=3)
+    single = similarity.embedding_near_dups(df, **kw).collect()
+    multi = similarity.embedding_near_dups(df, multiprobe=3, **kw).collect()
+    s_pairs = {(r.id_a, r.id_b) for r in single}
+    m_pairs = {(r.id_a, r.id_b) for r in multi}
+    assert s_pairs <= m_pairs, s_pairs - m_pairs
+    assert len(m_pairs) > len(s_pairs)
+    # only true (same-cluster) pairs either way — probing neighbors
+    # widens the candidate set, the cosine gate still decides
+    assert all(a // 100 == b // 100 for a, b in m_pairs)
+    s_score = {(r.id_a, r.id_b): r.cos_sim for r in single}
+    m_score = {(r.id_a, r.id_b): r.cos_sim for r in multi}
+    assert all(m_score[p] == s_score[p] for p in s_pairs)
+
+    # home buckets are unchanged by the multiprobe sketch
+    from colnade_spark.operators.similarity import (
+        _hyperplanes,
+        rp_buckets_udf,
+        rp_multiprobe_udf,
+    )
+
+    planes = [_hyperplanes(dim, 14, 3 + 1000 * t) for t in range(2)]
+    one = df.select(
+        "vec_id", rp_buckets_udf(planes)(F.col("embedding")).alias("h")
+    )
+    many = df.select(
+        "vec_id",
+        F.transform(
+            rp_multiprobe_udf(planes, 3)(F.col("embedding")),
+            lambda a: F.get(a, 0),
+        ).alias("h"),
+    )
+    assert {r.vec_id: tuple(r.h) for r in one.collect()} == {
+        r.vec_id: tuple(r.h) for r in many.collect()
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiprobe"):
+        similarity.embedding_near_dups(df, dim=dim, bits=6, multiprobe=6)
+
+
+def test_embedding_near_dups_multiprobe_respects_skew_guard(spark):
+    """max_bucket under multiprobe: occupancy is counted on HOME
+    buckets and oversized buckets are dropped from the probe side too —
+    a probe into the copy-block's bucket would meet the very crowd the
+    guard exists to skip. The planted pair in small buckets survives."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    v_common = rng.normal(size=dim)
+    v_pair = rng.normal(size=dim)
+    rows = [(i, [float(x) for x in v_common]) for i in range(40)]
+    rows += [(100, [float(x) for x in v_pair]),
+             (101, [float(x) for x in v_pair * 1.001])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dups(
+            df, dim=dim, threshold=0.99, bits=6, tables=3,
+            max_bucket=10, multiprobe=2,
+        ).collect()
+    }
+    assert (100, 101) in got
+    assert all(a >= 100 for a, _ in got)  # no copy-block pairs

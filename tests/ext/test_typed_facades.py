@@ -564,3 +564,65 @@ def test_merge_fertility_store_manifest_and_empty(docs, tmp_path, spark):
     )
     with pytest.raises(ValueError, match="fertility_sums manifest"):
         merge_fertility_store(spark, bad)
+
+
+def test_round8_facades(docs, tmp_path, spark):
+    """Typed merge_overlap_store (manifest-validated, empty-store
+    matrix) and typed blend_drift_frozen (ungrouped DriftPsiRows;
+    grouped raises — the length_drift_psi facade rule)."""
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators.quality import fit_blend_quantiles
+    from colnade_spark.operators.report import (
+        fit_psi_baseline,
+        maintain_source_overlap,
+    )
+    from colnade_spark.operators.quality import blend_quality_frozen
+    from colnade_spark.streaming.stream import write_table_manifest
+
+    d = docs.native
+    multi = d.select("doc_id", "text", F.lit("full").alias("source")).unionByName(
+        d.filter(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.upper("text").alias("text"),
+            F.lit("mirror").alias("source"),
+        )
+    )
+    src = str(tmp_path / "src")
+    multi.write.parquet(src)
+    stream = spark.readStream.schema(multi.schema).parquet(src)
+    store = str(tmp_path / "ovl")
+    q = maintain_source_overlap(stream, store, str(tmp_path / "ck"))
+    q.processAllAvailable(); q.stop()
+    m = typed.merge_overlap_store(spark, store)
+    assert m.schema is typed.SourceOverlapRows
+    rows = m.rows()
+    assert len(rows) == 1 and rows[0].source_a == "full"
+    assert 0.0 < rows[0].jaccard <= 1.0
+
+    empty_store = str(tmp_path / "ovl_empty")
+    write_table_manifest(
+        spark, empty_store,
+        {"kind": "overlap_fps", "group_col": "source", "text_col": "text",
+         "key_col": None},
+    )
+    assert typed.merge_overlap_store(spark, empty_store).rows() == []
+
+    scored = d.select(
+        "doc_id", F.col("n_chars").cast("double").alias("s1")
+    )
+    w = {"s1": 1.0}
+    model = fit_blend_quantiles(scored, ["s1"], n_quantiles=10)
+    base = fit_psi_baseline(
+        blend_quality_frozen(scored, w, model),
+        "blended_score", (0.2, 0.4, 0.6, 0.8),
+    )
+    rep = typed.blend_drift_frozen(
+        scored, w, model, base, edges=(0.2, 0.4, 0.6, 0.8)
+    )
+    assert rep.schema is typed.DriftPsiRows
+    rows = rep.rows()
+    assert len(rows) > 0 and all(r.n_old == r.n_new for r in rows)
+
+    with pytest.raises(ValueError, match="ungrouped"):
+        typed.blend_drift_frozen(scored, w, model, base, group_col="lang")
