@@ -885,6 +885,30 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> SparkDF:
     return similarity.lsh_topk(e, planted, dim=64, k=1, bits=10, tables=6)
 
 
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """RP-LSH top-1 with PLANTED NEAR-copy queries (vec_id < 8 with
+    dimension 1 bumped +0.2 — cosine to the source ~0.97-0.99 vs ~0.6
+    background, so the brute-force rank-1 is unambiguous) through the
+    QUERY-SIDE multiprobe knob (the ivf nprobe analog): at bits=12 the
+    near-copies land across a low-margin plane for some queries —
+    single-probe measurably returns a wrong (background) rank-1 for
+    1 of 8 queries at sf0.1 — and probing the 2 lowest-margin bit flips
+    recovers the exact brute-force answer for every query at every
+    fixture SF. The corpus index is untouched (one home bucket per
+    vector per table); only query fanout pays."""
+    e = _embs(spark, sf_dir).select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x + F.lit(0.2)).otherwise(x),
+        ).alias("embedding"),
+    )
+    return similarity.lsh_topk(
+        e, q, dim=64, k=1, bits=12, tables=4, multiprobe=2
+    )
+
+
 def ann_ivf(spark: SparkSession, sf_dir: str) -> SparkDF:
     """IVF top-k with nprobe == nlist (probes every inverted list): result
     is exactly brute force, so the same SQL oracle applies — validating the
@@ -3120,6 +3144,7 @@ def entry(spark: SparkSession) -> SparkDF:
 _ROUND_CHANGED: tuple[str, ...] = (
     "blend_drift_frozen_docs",  # round 8: new (stream-legal blend-drift monitor)
     "emb_near_dup_multiprobe",  # round 8: new (multiprobe LSH recall path)
+    "ann_lsh_multiprobe",  # round 8: new (query-side multiprobe top-k)
 )
 
 
@@ -3190,6 +3215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         # --- round-8 additions ---
         "blend_drift_frozen_docs": blend_drift_frozen_docs,
         "emb_near_dup_multiprobe": emb_near_dup_multiprobe,
+        "ann_lsh_multiprobe": ann_lsh_multiprobe,
         "blend_frozen_audit_docs": blend_frozen_audit_docs,
         "corpus_card_docs": corpus_card_docs,
         "ppl_bucketed_docs": ppl_bucketed_docs,
@@ -4986,6 +5012,24 @@ SELECT doc_id FROM documents WHERE doc_id % 2 = 1
             s AS (SELECT qid AS query_id, vec_id AS neighbor_id,
                     list_cosine_similarity(CAST(embedding AS DOUBLE[]),
                                            CAST(qv AS DOUBLE[])) AS sim
+                  FROM embeddings CROSS JOIN q)
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+              FROM s)
+            WHERE rank <= 1
+        """,
+        "ann_lsh_multiprobe": """
+            WITH q AS (SELECT vec_id + 1000000 AS qid,
+                         list_transform(range(1, 65),
+                           i -> CAST(embedding[i] AS DOUBLE)
+                                + CASE WHEN i = 1 THEN 0.2 ELSE 0.0 END)
+                         AS qv
+                       FROM embeddings WHERE vec_id < 8),
+            s AS (SELECT qid AS query_id, vec_id AS neighbor_id,
+                    list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                           qv) AS sim
                   FROM embeddings CROSS JOIN q)
             SELECT query_id, neighbor_id, rank FROM (
               SELECT query_id, neighbor_id,

@@ -72,6 +72,7 @@ HEADLINE = [
     "map_flag_stats",
     "emb_near_dup_pairs",
     "emb_near_dup_multiprobe",
+    "ann_lsh_multiprobe",
     "duplicate_span_stats",
     "span_removal_clean",
     "line_dedup_clean",

@@ -193,14 +193,39 @@ def semantic_dup_pairs(
     vec_col: str = "embedding",
     sim_decimals: int = 6,
     use_arrow: bool = True,
+    assign_arrow: bool = False,
 ) -> DataFrame:
     """Within-cluster near-duplicate pairs: (id_a, id_b, cluster_id,
     cos_sim) with id_a < id_b and rounded cos_sim >= threshold — the
     audit surface for ``semantic_dedup`` (see module docstring for the
-    two execution paths)."""
-    assigned = cluster_assign(df, centroids, vec_col=vec_col).select(
-        F.col(id_col), F.col(vec_col), F.col("cluster_id")
-    )
+    two execution paths).
+
+    ``assign_arrow`` swaps the literal-centroid expression assignment
+    for the IVF pandas-UDF matmul (similarity._assign_udf): the
+    expression path inlines k·dim literals into the plan, which is
+    the oracle-exact default at fixture k but detonates codegen at the
+    paper's production k ~ 10^4-10^5 (1600 centroids × 64 dims is
+    already a ~100k-node expression tree). The UDF path broadcasts the
+    centroid matrix once per executor and assigns each Arrow batch
+    with one BLAS matmul — the required tier for scaled-k SemDeDup
+    (k ~ n/1250 keeps within-cluster pairs linear; measured on the
+    scale board). Assignment parity between the two paths is pinned by
+    test on separated clusters; exact argmax ties at identical dots
+    may differ (both argmaxes are deterministic individually)."""
+    if assign_arrow:
+        from colnade_spark.operators.similarity import _assign_udf
+
+        assigned = df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            _assign_udf(centroids)(F.col(vec_col))
+            .cast("long")
+            .alias("cluster_id"),
+        )
+    else:
+        assigned = cluster_assign(df, centroids, vec_col=vec_col).select(
+            F.col(id_col), F.col(vec_col), F.col("cluster_id")
+        )
     fn = _pairs_arrow if use_arrow else _pairs_expr
     return fn(assigned, threshold, id_col, vec_col, sim_decimals)
 
@@ -213,6 +238,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     sim_decimals: int = 6,
     use_arrow: bool = True,
+    assign_arrow: bool = False,
 ) -> DataFrame:
     """Rows of ``df`` that SURVIVE semantic dedup: a row is dropped iff a
     lower-id row in the same cluster has rounded cosine >= threshold.
@@ -220,10 +246,18 @@ def semantic_dedup(
     Equivalent to keeping the minimum id of every (id_a < id_b)
     duplicate pair's right side out — one anti-join of ids against the
     pair set; full rows come back via the original frame (payloads never
-    enter the pairwise exchange)."""
+    enter the pairwise exchange). ``assign_arrow``: the large-k
+    assignment tier (see ``semantic_dup_pairs``)."""
     dropped = (
         semantic_dup_pairs(
-            df, centroids, threshold, id_col, vec_col, sim_decimals, use_arrow
+            df,
+            centroids,
+            threshold,
+            id_col,
+            vec_col,
+            sim_decimals,
+            use_arrow,
+            assign_arrow,
         )
         .select(F.col("id_b").alias(id_col))
         .distinct()

@@ -128,13 +128,24 @@ def lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k via multi-table random-hyperplane LSH.
 
     Each of ``tables`` independent sketches maps a vector to a bucket;
     query↔corpus candidates meet via an equi-join on (table, bucket) —
     shuffle is proportional to bucket collisions, not |corpus|×|queries|.
-    """
+
+    ``multiprobe`` (the ``ivf_topk`` ``nprobe`` analog for the hash
+    tier): each QUERY additionally probes the ``multiprobe`` buckets
+    across its lowest-|margin| planes (``rp_multiprobe_udf``) — the
+    corpus index stays one home bucket per (vector, table), so the
+    recall knob costs query-side candidate fanout only, never index
+    size. Candidate volume per query scales by ``multiprobe + 1``;
+    the result set is a monotone superset of single-probe candidates
+    re-ranked by exact cosine."""
+    if multiprobe < 0 or multiprobe >= bits:
+        raise ValueError("lsh_topk: multiprobe must be in [0, bits)")
     plane_sets = [_hyperplanes(dim, bits, seed + 1000 * t) for t in range(tables)]
     sketch = rp_buckets_udf(plane_sets)
 
@@ -148,11 +159,16 @@ def lsh_topk(
         "neighbor_id",
         "_cv",
     )
-    q = bucketed(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
-        "query_id",
-        "_qv",
+    qin = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
+    if multiprobe:
+        mp = rp_multiprobe_udf(plane_sets, multiprobe)
+        q = qin.select(
+            "query_id", F.posexplode(mp(F.col("_qv"))).alias("tbl", "_bkts")
+        ).select("query_id", "tbl", F.explode("_bkts").alias("bkt"))
+    else:
+        q = bucketed(qin, "query_id", "_qv")
     # Dedupe multi-table collisions on the ID PAIR only (16 bytes through
     # the shuffle), then attach vectors back for scoring — never distinct()
     # on the vector payload itself (at 100 TB that shuffles the embeddings

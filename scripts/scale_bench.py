@@ -54,6 +54,14 @@ DEFAULT_QUERIES = [
     "incremental_minhash_ids",
     # k-means + in-cluster pair screen: linear sketch + bounded pairs
     "semdedup_survivors",
+    # round 8: SemDeDup at the PRODUCTION cluster sizing — k ~ n/1250
+    # holds members-per-cluster ~constant so within-cluster pairs stay
+    # linear in n (the paper's k ~ 10^4-10^5 regime); assignment via
+    # the pandas-UDF matmul tier (assign_arrow), since literal-centroid
+    # expressions detonate codegen at k >= ~10^3. The fixed-16 entry
+    # above stays as the measured super-linear exhibit of WHY k must
+    # scale.
+    "semdedup_scaledk",
     # LSH-bucketed cosine pairs over embeddings — measured with the
     # documented bits sizing rule (see _SCALED below): the registry
     # entry's fixed bits=8 is a correctness fixture tuned to the 2k-vec
@@ -143,7 +151,27 @@ def _incremental_k13(spark, d: str):
 # centroids: its per-cluster numpy matmul absorbs the quadratic
 # in-cluster growth at these scales, and the measured super-linear
 # curve documents WHY n_clusters must scale with the corpus.
+def _semdedup_scaledk(spark, d: str):
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators.semdedup import semantic_dedup
+    from colnade_spark.operators.similarity import train_ivf_centroids
+
+    e = spark.read.parquet(f"{d}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n = e.count()
+    k = max(16, n // 1250)
+    cents = train_ivf_centroids(
+        e, nlist=k, iters=3, sample_n=max(2048, 8 * k), seed=42
+    )
+    return semantic_dedup(
+        e, cents, threshold=0.95, assign_arrow=(k > 64)
+    ).select("vec_id")
+
+
 _SCALED = {
+    "semdedup_scaledk": _semdedup_scaledk,
     "emb_near_dup_pairs": _emb_near_dup_scaled,
     "emb_near_dup_multiprobe": lambda spark, d: _emb_near_dup_scaled(
         spark, d, multiprobe=2

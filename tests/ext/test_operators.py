@@ -1046,3 +1046,49 @@ def test_embedding_near_dups_multiprobe_respects_skew_guard(spark):
     }
     assert (100, 101) in got
     assert all(a >= 100 for a, _ in got)  # no copy-block pairs
+
+
+def test_lsh_topk_multiprobe_improves_recall(spark):
+    """Query-side multiprobe for lsh_topk (the nprobe analog of the
+    hash tier): at bits high enough that single-probe recall visibly
+    drops on clustered data, probing the lowest-margin bit flips
+    recovers it — candidates are a monotone superset, the exact-cosine
+    re-rank keeps result quality, and the corpus index is untouched."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim = 32
+    rows = []
+    for c in range(3):
+        center = rng.normal(size=dim)
+        center /= np.linalg.norm(center)
+        for i in range(20):
+            v = center + rng.normal(scale=0.05, size=dim)
+            rows.append((c * 100 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(df, queries, k=5).collect()
+    }
+
+    def recall(mp):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.lsh_topk(
+                df, queries, dim=dim, k=5, bits=14, tables=2, multiprobe=mp
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    # measured: 0.333 single-probe -> 0.733 with 2 flips (this fixture);
+    # single-bit flips cannot reach pairs >= 2 bits apart per table, so
+    # the ceiling is below 1.0 — the knob's contract is the DELTA
+    r0, r2 = recall(0), recall(2)
+    assert r2 >= r0 + 0.3, (r0, r2)
+    assert r2 >= 0.7
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiprobe"):
+        similarity.lsh_topk(df, queries, dim=dim, bits=4, multiprobe=4)

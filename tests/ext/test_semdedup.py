@@ -179,3 +179,66 @@ def test_paths_agree_on_zero_vectors_at_negative_threshold(spark):
             ).collect()
         }
         assert pairs == {(2, 3)}, use_arrow
+
+
+def test_assign_arrow_parity_on_separated_clusters(spark):
+    """The large-k pandas-UDF assignment tier (assign_arrow=True)
+    produces the same cluster ids, pair set, and survivors as the
+    literal-centroid expression path on well-separated clusters —
+    including at a centroid count the expression path could never
+    codegen (the same vectors against 200 padded centroids)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    dim = 16
+    rows = []
+    centroids = []
+    for c in range(4):
+        center = rng.normal(size=dim)
+        center /= np.linalg.norm(center)
+        centroids.append([float(x) for x in center])
+        for i in range(10):
+            v = center + rng.normal(scale=0.05, size=dim)
+            v /= np.linalg.norm(v)
+            rows.append((c * 100 + i, [float(x) for x in v]))
+    # a planted paraphrase inside cluster 0
+    rows.append((99, [x * 1.0 for x in rows[0][1]]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    expr_pairs = {
+        (r.id_a, r.id_b)
+        for r in semantic_dup_pairs(df, centroids, 0.95).collect()
+    }
+    udf_pairs = {
+        (r.id_a, r.id_b)
+        for r in semantic_dup_pairs(
+            df, centroids, 0.95, assign_arrow=True
+        ).collect()
+    }
+    assert expr_pairs == udf_pairs and (0, 99) in udf_pairs
+
+    expr_surv = {
+        r.vec_id for r in semantic_dedup(df, centroids, 0.95).collect()
+    }
+    udf_surv = {
+        r.vec_id
+        for r in semantic_dedup(
+            df, centroids, 0.95, assign_arrow=True
+        ).collect()
+    }
+    assert expr_surv == udf_surv and 99 not in udf_surv
+
+    # large-k smoke: 200 centroids (the 4 real ones + 196 far-away
+    # padding) — pure UDF path, one matmul per batch, same survivors
+    far = []
+    for _ in range(196):
+        v = rng.normal(size=dim)
+        v /= np.linalg.norm(v)
+        far.append([float(-abs(x)) for x in v])  # negative orthant
+    big = centroids + far
+    big_surv = {
+        r.vec_id
+        for r in semantic_dedup(df, big, 0.95, assign_arrow=True).collect()
+    }
+    # padding can only SPLIT clusters, never merge: survivors can only grow
+    assert udf_surv <= big_surv
