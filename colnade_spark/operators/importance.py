@@ -292,15 +292,29 @@ def commonness_weights(
     Scale shape (100 TB): tokens are STAGED as a real column before the
     n-gram HOF (outer-ref re-eval gotcha, see NOTES); the explode
     carries (id, 8-byte gram hash) only; the gram-count table is one
-    map-side-combined aggregation (the token-count tier); the count
-    join-back is hash-keyed long-to-long. Raw text never shuffles.
-    Deliberate trade-off: the exploded-gram subtree is referenced twice
-    (count build + join back), so tokenization+hashing run twice — a
-    constant 2x of embarrassingly-parallel scan CPU. The alternative
-    (repartition once on the gram hash and reuse the exchange for both)
-    saves that pass but drops the counts' map-side combine, turning a
-    boilerplate hot gram into a single-task straggler; skew-robustness
-    wins at 100 TB.
+    map-side-combined aggregation (the token-count tier). The count
+    join-back joins ONLY the REPEATED grams (df > 1): a df=1 gram
+    contributes exactly its own occurrence, so
+    ``sum_df = n_grams + Σ_{df>1 occurrences}(df - 1)`` — identical
+    integers (oracle-pinned), with the join's build side shrunk from
+    every distinct gram to the repeated vocabulary (7.6x fewer rows on
+    the round-8 generated fixture; far more on real corpora, where
+    boilerplate is a small minority of distinct shingles — small
+    enough there for AQE's runtime broadcast conversion to delete the
+    gram-side shuffle entirely). The probe side (every occurrence) is
+    unchanged; for scoring STREAMS or avoiding the corpus-wide join
+    altogether, the frozen bucketed table
+    (``fit_gram_counts``/``commonness_score_frozen``) is the
+    production path — the round-8 scale board measured this exact
+    operator at 1.13 last-decade exponent at 5M docs (the join-back's
+    sort constant) vs 0.90 for the frozen twin. Raw text never
+    shuffles. Deliberate trade-off: the exploded-gram subtree is
+    referenced twice (count build + join back), so tokenization+hashing
+    run twice — a constant 2x of embarrassingly-parallel scan CPU. The
+    alternative (repartition once on the gram hash and reuse the
+    exchange for both) saves that pass but drops the counts' map-side
+    combine, turning a boilerplate hot gram into a single-task
+    straggler; skew-robustness wins at 100 TB.
     """
     if n < 1:
         raise ValueError("commonness_weights: n must be >= 1")
@@ -322,12 +336,18 @@ def commonness_weights(
         .groupBy("_sd_gh")
         .agg(F.count(F.lit(1)).alias("_sd_df"))
     )
+    repeated = counts.filter(F.col("_sd_df") > 1)
     per_doc = (
-        grams.join(counts, "_sd_gh", "left")
+        grams.join(repeated, "_sd_gh", "left")
         .groupBy(id_col)
         .agg(
             F.count("_sd_gh").alias("n_grams"),
-            F.coalesce(F.sum("_sd_df"), F.lit(0)).cast("long").alias("sum_df"),
+            (
+                F.count("_sd_gh")
+                + F.coalesce(F.sum(F.col("_sd_df") - 1), F.lit(0))
+            )
+            .cast("long")
+            .alias("sum_df"),
         )
     )
     w = F.when(

@@ -861,10 +861,28 @@ def _blend_model_fingerprint(
     identical — the ``report._psi_baseline_fingerprint`` rule applied
     to the blend side: per-batch drift reports scored through a
     silently-swapped rank surrogate read as a monitoring discontinuity,
-    not an error, so the maintainer manifest must refuse the swap."""
+    not an error, so the maintainer manifest must refuse the swap.
+
+    Validates the (weights, model) pair with ``blend_quality_frozen``'s
+    own checks first: the maintainer fingerprints at manifest-write
+    time, BEFORE any batch reaches the blend, and an empty weight dict
+    or a model row missing a score must fail with the operator's
+    message there too — not a ZeroDivision/KeyError."""
     import hashlib
     import json
 
+    if not score_weights:
+        raise ValueError("blend_quality_frozen: need at least one score")
+    if any(w <= 0 for w in score_weights.values()):
+        raise ValueError("blend_quality_frozen: weights must be positive")
+    if not quantiles:
+        raise ValueError("blend_quality_frozen: empty quantile model")
+    for c in score_weights:
+        if any(c not in row or row[c] is None for row in quantiles):
+            raise ValueError(
+                f"blend_quality_frozen: score {c!r} missing from the"
+                " quantile model (fit and blend score lists must match)"
+            )
     total = sum(score_weights.values())
     rows = sorted(
         (

@@ -366,9 +366,12 @@ def embedding_near_dups(
     flipping its lowest-|margin| sign bits — the planes it sits closest
     to, exactly the ones a near-neighbor most likely landed across —
     and a candidate pair is any (probe, home) bucket meeting. Storage
-    stays one home bucket per (vector, table); candidate volume scales
-    by ``multiprobe + 1`` (linear in n for sized bits, measured on the
-    scale board), vs the 2× PER BIT of lowering ``bits``. Recall is
+    stays one home bucket per (vector, table); cost stays LINEAR in n
+    for sized bits (round-8 board: exponent 0.89 at 5M docs) with a
+    measured constant of ~2·(multiprobe+1) over single-probe — the 2
+    from canonicalizing both meeting directions, plus probe buckets
+    deliberately landing in the dense neighboring cells (that IS the
+    recall mechanism) — vs the 2× PER BIT of lowering ``bits``. Recall is
     monotone: every single-probe pair is a multiprobe pair by
     construction (home-home meetings survive; pinned by test).
 

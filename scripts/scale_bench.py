@@ -190,6 +190,16 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
+    # Size the single local JVM like the executor fleet it stands in
+    # for: local[32] shares ONE heap across 32 task threads, and the
+    # round-8 board measured the default 8g dying of heap OOM at 5M
+    # docs (soft_dedup's 32 concurrent gram-count HashAggregates +
+    # Arrow buffers ~ 250M grams). A real cluster gives each executor
+    # its own tens-of-GB heap; 64g here is the host-side analog, and
+    # it is a HARNESS knob, not an operator fix — the operator's
+    # shuffle rows are (id, 8-byte hash) regardless.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
+
     from __spark_entry__ import queries
 
     from colnade_spark.session import get_spark

@@ -484,3 +484,33 @@ def test_blend_frozen_all_null_domain_model(spark):
         for r in quality.blend_quality_frozen(df, {"s1": 1.0}, q, "dom").collect()
     }
     assert got[1] < got[2]
+
+
+def test_maintain_blend_drift_validates_at_manifest_time(spark, tmp_path):
+    """The maintainer fingerprints the blend model BEFORE any batch
+    reaches the blend: a bad (weights, model) pair fails at manifest
+    write with the operator's own message, not a ZeroDivision/KeyError
+    from inside the hash."""
+    import pytest as _pytest
+
+    from colnade_spark.operators.quality import maintain_blend_drift
+
+    base = {
+        "value_col": "blended_score",
+        "edges": [0.2, 0.4, 0.6, 0.8],
+        "group_col": None,
+        "counts": [{"bin": 0, "n_old": 1}],
+    }
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    with _pytest.raises(ValueError, match="at least one score"):
+        maintain_blend_drift(
+            stream, {}, [{"s1": [1.0]}], base,
+            str(tmp_path / "t"), str(tmp_path / "ck"),
+        )
+    with _pytest.raises(ValueError, match="missing from the"):
+        maintain_blend_drift(
+            stream, {"s1": 1.0}, [{"s2": [1.0]}], base,
+            str(tmp_path / "t2"), str(tmp_path / "ck2"),
+        )
