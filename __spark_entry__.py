@@ -2094,6 +2094,27 @@ def corpus_card_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def corpus_card_binned_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """The datasheet's STREAM-MAINTAINABLE tier
+    (report.corpus_card_binned, the batch twin of
+    maintain_corpus_card/merge_corpus_card): exact per-language doc
+    counts and size mass from a fixed-edge bin histogram — pure
+    associative sums, so per-batch tables merge losslessly — plus
+    bin-resolution quantile UPPER BOUNDS (q_p_le = the smallest pinned
+    edge covering the integer-rank quantile; NULL in the unbounded top
+    bin). No sort window anywhere. The oracle replays the binning, the
+    cumulative threshold at rank (p*n + 99) div 100, and the
+    edge-array lookup."""
+    from colnade_spark.operators import report
+
+    return report.corpus_card_binned(
+        _docs_spread(spark, sf_dir),
+        group_col="lang",
+        size_col="n_chars",
+        edges=(100, 200, 300, 400, 500),
+    )
+
+
 def corpus_card_approx_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     """The datasheet's scan-side twin, driver-verified: corpus_card_approx
     (percentile_approx in one hash agg — NO per-group sort window, plan-
@@ -3145,6 +3166,7 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "blend_drift_frozen_docs",  # round 8: new (stream-legal blend-drift monitor)
     "emb_near_dup_multiprobe",  # round 8: new (multiprobe LSH recall path)
     "ann_lsh_multiprobe",  # round 8: new (query-side multiprobe top-k)
+    "corpus_card_binned_docs",  # round 8: new (stream-maintainable card tier)
 )
 
 
@@ -3216,6 +3238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "blend_drift_frozen_docs": blend_drift_frozen_docs,
         "emb_near_dup_multiprobe": emb_near_dup_multiprobe,
         "ann_lsh_multiprobe": ann_lsh_multiprobe,
+        "corpus_card_binned_docs": corpus_card_binned_docs,
         "blend_frozen_audit_docs": blend_frozen_audit_docs,
         "corpus_card_docs": corpus_card_docs,
         "ppl_bucketed_docs": ppl_bucketed_docs,
@@ -5665,6 +5688,45 @@ SELECT doc_id FROM documents WHERE doc_id % 2 = 1
                          / (CAST(n_old + 1 AS DOUBLE)
                             / CAST(t_old + 6 AS DOUBLE))), 6) AS psi_term
             FROM t
+        """,
+        "corpus_card_binned_docs": """
+            WITH s AS (
+              SELECT coalesce(CAST(lang AS VARCHAR), '__null__') AS lang,
+                     CAST(n_chars AS BIGINT) AS sz
+              FROM documents
+            ),
+            b AS (
+              SELECT lang,
+                (sz >= 100)::INT + (sz >= 200)::INT + (sz >= 300)::INT
+                + (sz >= 400)::INT + (sz >= 500)::INT AS bin, sz
+              FROM s
+            ),
+            h AS (
+              SELECT lang, bin, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(sz) AS BIGINT) AS sum_size
+              FROM b GROUP BY 1, 2
+            ),
+            c AS (
+              SELECT lang, bin, n, sum_size,
+                sum(n) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+                sum(n) OVER (PARTITION BY lang) AS nd
+              FROM h
+            ),
+            q AS (
+              SELECT lang, CAST(max(nd) AS BIGINT) AS n_docs,
+                CAST(sum(sum_size) AS BIGINT) AS total_size,
+                min(CASE WHEN cum >= (nd * 50 + 99) // 100
+                         THEN bin END) AS qb50,
+                min(CASE WHEN cum >= (nd * 90 + 99) // 100
+                         THEN bin END) AS qb90
+              FROM c GROUP BY lang
+            )
+            SELECT lang, n_docs, total_size,
+              CAST(([100, 200, 300, 400, 500])[qb50 + 1] AS BIGINT)
+                AS q_50_le,
+              CAST(([100, 200, 300, 400, 500])[qb90 + 1] AS BIGINT)
+                AS q_90_le
+            FROM q
         """,
         "corpus_diff_docs": f"""
             WITH oldc AS (SELECT doc_id, text FROM documents),

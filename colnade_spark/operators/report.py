@@ -298,6 +298,209 @@ def corpus_card_approx(
     return staged.groupBy(F.col("_cc_g").alias(group_col)).agg(*aggs)
 
 
+def size_histogram(
+    df: DataFrame,
+    group_col: str = "lang",
+    size_col: str = "n_chars",
+    edges: tuple[int, ...] = (100, 200, 400, 800, 1600),
+) -> DataFrame:
+    """The MERGEABLE half of the streaming corpus card: per-(group,
+    size-bin) exact doc counts and size sums on FIXED integer edges —
+    |groups|·|bins| rows of longs whatever the corpus size, and pure
+    associative sums, so per-slice tables (one per micro-batch, shard,
+    or source) merge by re-summing: the fertility-sums tier applied to
+    the size distribution. Bins follow the PSI convention (bin i =
+    number of edges <= size; right-open; bin 0 below the first edge,
+    bin len(edges) at-or-above the last). Same NULL policy as the
+    card tiers (shared staging): NULL group keys report under
+    '__null__', NULL sizes RAISE — their bin is engine-dependent
+    nonsense."""
+    _psi_validate_edges(edges)
+    if any(not isinstance(e, int) or isinstance(e, bool) for e in edges):
+        raise ValueError(
+            "size_histogram: edges must be ints (sizes are cast to long;"
+            " fractional edges would bin differently across engines)"
+        )
+    staged = _card_stage(df, group_col, size_col, (50,), "size_histogram")
+    idx = F.aggregate(
+        F.array(*[F.lit(int(e)).cast("long") for e in edges]),
+        F.lit(0),
+        lambda acc, e: acc + F.when(F.col("_cc_s") >= e, 1).otherwise(0),
+    )
+    return (
+        staged.select(
+            F.col("_cc_g").alias(group_col),
+            idx.alias("bin"),
+            F.col("_cc_s"),
+        )
+        .groupBy(group_col, "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_cc_s").cast("long").alias("sum_size"),
+        )
+    )
+
+
+def histogram_card(
+    hist: DataFrame,
+    edges: tuple[int, ...],
+    quantiles: tuple[int, ...] = (50, 90),
+    group_col: str = "lang",
+) -> DataFrame:
+    """Corpus card derived from a (group, bin, n, sum_size) histogram:
+    (group, n_docs, total_size, q_<p>_le ...). ``n_docs``/``total_size``
+    are EXACT (sums of sums); each quantile is BIN-RESOLUTION — the
+    integer-rank definition pinned by ``corpus_card`` (rank
+    ``(p·n + 99) div 100``) applied to the cumulative bin counts, and
+    ``q_<p>_le`` reports the quantile bin's UPPER edge: the smallest
+    pinned edge E such that at least p% of docs have size < E... i.e.
+    "p% of documents are <= q_p_le" holds exactly, with the true exact
+    quantile somewhere inside that bin (NULL when the quantile falls in
+    the unbounded top bin — widen the edges if that matters). This is
+    the deterministic trade for stream-legality: exact per-group
+    quantiles need a sort over all history; bin counts merge.
+
+    Shared tail of the one-pass ``corpus_card_binned`` and the
+    maintained-store reader ``merge_corpus_card`` (one code path, the
+    overlap-matrix rule). Cost: everything here operates on the
+    bounded histogram — a |groups|·|bins| window + one aggregation."""
+    from pyspark.sql.window import Window
+
+    _psi_validate_edges(edges)
+    for p in quantiles:
+        if not isinstance(p, int) or not 0 < p <= 100:
+            raise ValueError(
+                f"quantile {p!r} must be an int percent in (0, 100]"
+            )
+    if not quantiles:
+        raise ValueError("histogram_card requires at least one quantile")
+    w = Window.partitionBy(group_col).orderBy("bin")
+    wg = Window.partitionBy(group_col)
+    c = hist.withColumn("_hc_cum", F.sum("n").over(w)).withColumn(
+        "_hc_nd", F.sum("n").over(wg)
+    )
+    edge_arr = F.array(*[F.lit(int(e)).cast("long") for e in edges])
+    aggs = [
+        F.max("_hc_nd").cast("long").alias("n_docs"),
+        F.sum("sum_size").cast("long").alias("total_size"),
+    ]
+    for p in quantiles:
+        qb = F.min(
+            F.when(
+                F.col("_hc_cum")
+                >= F.expr(f"(_hc_nd * {int(p)} + 99) div 100"),
+                F.col("bin"),
+            )
+        )
+        # upper edge of the quantile bin; the top bin (== len(edges))
+        # indexes past the array -> NULL (F.get is OOB-safe)
+        aggs.append(F.get(edge_arr, qb.cast("int")).alias(f"q_{p}_le"))
+    return c.groupBy(group_col).agg(*aggs)
+
+
+def corpus_card_binned(
+    df: DataFrame,
+    group_col: str = "lang",
+    size_col: str = "n_chars",
+    edges: tuple[int, ...] = (100, 200, 400, 800, 1600),
+    quantiles: tuple[int, ...] = (50, 90),
+) -> DataFrame:
+    """One-pass binned corpus card — ``size_histogram`` composed with
+    ``histogram_card``: exact doc counts and size mass, bin-resolution
+    quantile bounds, no per-group sort anywhere (the scan aggregates
+    |groups|·|bins| longs). The batch twin of the maintained card
+    (``maintain_corpus_card``/``merge_corpus_card``), equal by
+    construction since both run the same tail over the same mergeable
+    histogram (pinned by test). Use ``corpus_card`` when exact
+    quantiles matter and groups fit the sort tier;
+    ``corpus_card_approx`` for sketch quantiles in one aggregation;
+    this one when the card must also be maintainable on a stream."""
+    return histogram_card(
+        size_histogram(df, group_col, size_col, edges),
+        edges,
+        quantiles,
+        group_col,
+    )
+
+
+def maintain_corpus_card(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    group_col: str = "lang",
+    size_col: str = "n_chars",
+    edges: tuple[int, ...] = (100, 200, 400, 800, 1600),
+    available_now: bool = True,
+):
+    """STREAMING maintenance of the corpus-card histogram: each
+    micro-batch aggregates its own ``size_histogram`` (|groups|·|bins|
+    rows of longs) and OVERWRITES its ``batch_id=<n>`` partition — the
+    fertility-sums maintainer pattern: idempotent under redelivery,
+    associative sums, merged table ≡ one batch pass over everything
+    ever streamed. Read with ``merge_corpus_card``. The manifest pins
+    (group_col, size_col, edges): counts binned on different edges are
+    not comparable — fail fast on a drifted resume."""
+    from colnade_spark.streaming.stream import (
+        maintain_partitioned_table,
+        write_table_manifest,
+    )
+
+    write_table_manifest(
+        stream.sparkSession,
+        table_path,
+        {
+            "kind": "size_histogram",
+            "group_col": group_col,
+            "size_col": size_col,
+            "edges": [int(e) for e in edges],
+        },
+    )
+    return maintain_partitioned_table(
+        stream,
+        lambda b: size_histogram(b, group_col, size_col, edges),
+        table_path,
+        checkpoint,
+        available_now,
+    )
+
+
+def merge_corpus_card(
+    spark, table_path: str, quantiles: tuple[int, ...] = (50, 90)
+) -> DataFrame:
+    """Manifest-validating reader for a ``maintain_corpus_card`` store:
+    validate the kind, recover (group_col, edges) FROM THE MANIFEST,
+    re-sum the bin history per (group, bin) (associative — merge ≡ one
+    ``corpus_card_binned`` pass over everything streamed, pinned), and
+    derive the card through the shared ``histogram_card`` tail. A
+    registered-but-no-batch store yields a valid EMPTY card rather
+    than a raw read error (the merge_fertility_store shape; group
+    label pinned string — the shared staging reports groups as
+    strings always, so nothing is lost here)."""
+    from colnade_spark.streaming.stream import (
+        read_batched_history,
+        read_table_manifest,
+    )
+
+    mf = read_table_manifest(spark, table_path)
+    if mf is None or mf.get("kind") != "size_histogram":
+        raise ValueError(
+            f"no size_histogram manifest at {table_path}; was this table"
+            " written by maintain_corpus_card?"
+        )
+    group_col = mf["group_col"]
+    edges = tuple(int(e) for e in mf["edges"])
+    hist = read_batched_history(spark, table_path)
+    if hist is None:
+        hist = spark.createDataFrame(
+            [], f"{group_col} string, bin int, n long, sum_size long"
+        )
+    merged = hist.groupBy(group_col, "bin").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sum_size").cast("long").alias("sum_size"),
+    )
+    return histogram_card(merged, edges, quantiles, group_col)
+
+
 def maintain_corpus_churn(
     stream: DataFrame,
     table_path: str,

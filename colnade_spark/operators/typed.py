@@ -1202,3 +1202,33 @@ def blend_drift_frozen(
         f, score_weights, quantiles, baseline, **kwargs
     )
     return _typed(out.withColumn("bin", F.col("bin").cast("long")), DriftPsiRows)
+
+
+class CorpusCardBinnedRows(Schema):
+    lang: Column[Utf8]
+    n_docs: Column[Int64]
+    total_size: Column[Int64]
+    q_50_le: Column[Int64 | None]
+    q_90_le: Column[Int64 | None]
+
+
+def merge_corpus_card(spark, table_path: str) -> DataFrame[CorpusCardBinnedRows]:
+    """Typed reader for a maintain_corpus_card store
+    (operators.report.merge_corpus_card) at the default (50, 90)
+    quantiles — the stream-maintainable datasheet tier: exact counts
+    and mass, bin-resolution quantile upper bounds (NULL when the
+    quantile falls in the unbounded top bin, hence the nullable
+    columns). The store's group column is pinned 'lang' here (the
+    corpus_card facade rule); custom groups use the raw reader."""
+    from colnade_spark.operators import report as _report
+    from colnade_spark.streaming.stream import read_table_manifest
+
+    mf = read_table_manifest(spark, table_path)
+    if mf is not None and mf.get("group_col") not in (None, "lang"):
+        raise ValueError(
+            "the typed merge_corpus_card facade pins group_col='lang';"
+            " use operators.report.merge_corpus_card for other groups"
+        )
+    return _typed(
+        _report.merge_corpus_card(spark, table_path), CorpusCardBinnedRows
+    )

@@ -626,3 +626,35 @@ def test_round8_facades(docs, tmp_path, spark):
 
     with pytest.raises(ValueError, match="ungrouped"):
         typed.blend_drift_frozen(scored, w, model, base, group_col="lang")
+
+
+def test_merge_corpus_card_facade(docs, tmp_path, spark):
+    """Typed maintained-card reader: CorpusCardBinnedRows with nullable
+    quantile-bound columns; group pin refusal for non-lang stores."""
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators.report import maintain_corpus_card
+
+    native = docs.native
+    src = str(tmp_path / "src")
+    native.write.parquet(src)
+    stream = spark.readStream.schema(native.schema).parquet(src)
+    store = str(tmp_path / "card")
+    q = maintain_corpus_card(
+        stream, store, str(tmp_path / "ck"), "lang", "n_chars",
+        (100, 200, 300, 400, 500),
+    )
+    q.processAllAvailable(); q.stop()
+    card = typed.merge_corpus_card(spark, store)
+    assert card.schema is typed.CorpusCardBinnedRows
+    rows = card.rows()
+    assert len(rows) == 5 and all(r.n_docs > 0 for r in rows)
+
+    other = str(tmp_path / "card2")
+    stream2 = spark.readStream.schema(native.schema).parquet(src)
+    q2 = maintain_corpus_card(
+        stream2, other, str(tmp_path / "ck2"), "source", "n_chars"
+    )
+    q2.processAllAvailable(); q2.stop()
+    with pytest.raises(ValueError, match="pins group_col"):
+        typed.merge_corpus_card(spark, other)

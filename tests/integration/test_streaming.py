@@ -2080,3 +2080,90 @@ def test_compact_overlap_table_preserves_matrix(spark, sf_dir, tmp_path):
     assert {
         tuple(r) for r in merge_overlap_store(spark, dest).collect()
     } == want
+
+
+def test_maintain_corpus_card_matches_batch_and_replays(
+    spark, sf_dir, tmp_path
+):
+    """Maintained corpus card: per micro-batch the maintainer persists
+    the mergeable size histogram; the merged card equals ONE
+    corpus_card_binned pass over everything ever streamed (bit-exact —
+    sums are associative and the quantile tail is shared code); the
+    exact corpus_card's quantiles sit at-or-below the binned upper
+    bounds; replay from a fresh checkpoint is idempotent; a resumed
+    run with drifted edges refuses at the manifest; a manifest-only
+    store merges to a valid EMPTY card."""
+    import pytest as _pytest
+
+    from colnade_spark.operators.report import (
+        corpus_card,
+        corpus_card_binned,
+        maintain_corpus_card,
+        merge_corpus_card,
+    )
+    from colnade_spark.streaming.stream import write_table_manifest
+    from colnade_spark.tpch import table_path as _tp
+
+    docs = spark.read.parquet(_tp(sf_dir, "documents"))
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    _write_ingest(first, src, 0)
+    _write_ingest(second, src, 1)
+
+    table = str(tmp_path / "card")
+    edges = (100, 200, 300, 400, 500)
+
+    def run(ck: str, e=edges):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = maintain_corpus_card(
+            stream, table, ck, "lang", "n_chars", e
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(str(tmp_path / "ck1"))
+
+    got = {tuple(r) for r in merge_corpus_card(spark, table).collect()}
+    want = {
+        tuple(r)
+        for r in corpus_card_binned(
+            docs, "lang", "n_chars", edges
+        ).collect()
+    }
+    assert got == want and len(got) == 5
+
+    # exact quantiles are contained by the binned upper bounds
+    exact = {
+        r.lang: (r.n_docs, r.total_size, r.q_50, r.q_90)
+        for r in corpus_card(docs, "lang", "n_chars").collect()
+    }
+    for r in merge_corpus_card(spark, table).collect():
+        n, t, q50, q90 = exact[r[0]]
+        assert (r.n_docs, r.total_size) == (n, t)
+        assert r.q_50_le is None or q50 <= r.q_50_le
+        assert r.q_90_le is None or q90 <= r.q_90_le
+
+    raw = {tuple(r) for r in spark.read.parquet(table).collect()}
+    run(str(tmp_path / "ck2"))  # idempotent replay
+    assert {tuple(r) for r in spark.read.parquet(table).collect()} == raw
+
+    with _pytest.raises(ValueError, match="refusing to continue"):
+        run(str(tmp_path / "ck3"), e=(100, 250, 500))
+
+    empty = str(tmp_path / "empty")
+    write_table_manifest(
+        spark,
+        empty,
+        {"kind": "size_histogram", "group_col": "lang",
+         "size_col": "n_chars", "edges": [100, 200]},
+    )
+    assert merge_corpus_card(spark, empty).count() == 0
+    with _pytest.raises(ValueError, match="size_histogram manifest"):
+        merge_corpus_card(spark, str(tmp_path / "nowhere"))
