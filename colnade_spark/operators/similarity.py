@@ -368,10 +368,13 @@ def embedding_near_dups(
     and a candidate pair is any (probe, home) bucket meeting. Storage
     stays one home bucket per (vector, table); cost stays LINEAR in n
     for sized bits (round-8 board: exponent 0.89 at 5M docs) with a
-    measured constant of ~2·(multiprobe+1) over single-probe — the 2
-    from canonicalizing both meeting directions, plus probe buckets
-    deliberately landing in the dense neighboring cells (that IS the
-    recall mechanism) — vs the 2× PER BIT of lowering ``bits``. Recall is
+    constant of roughly (1 + 2·multiprobe)× single-probe join volume:
+    flip meetings are asymmetric and must be kept in both directions,
+    but home-home meetings keep the single-probe l < r shortcut (a
+    probe row knows whether it is the home slot), and probe buckets
+    deliberately land in the dense neighboring cells — that IS the
+    recall mechanism. Still cheaper than the 2× PER BIT of lowering
+    ``bits``. Recall is
     monotone: every single-probe pair is a multiprobe pair by
     construction (home-home meetings survive; pinned by test).
 
@@ -404,8 +407,8 @@ def embedding_near_dups(
             "_id", "tbl", F.element_at(F.col("_bkts"), 1).alias("bkt")
         )
         probe = raw.select(
-            "_id", "tbl", F.explode(F.col("_bkts")).alias("bkt")
-        )
+            "_id", "tbl", F.posexplode(F.col("_bkts")).alias("_pi", "bkt")
+        ).select("_id", "tbl", "bkt", (F.col("_pi") == 0).alias("_home"))
     else:
         sketch = rp_buckets_udf(plane_sets)
         b = df.select(
@@ -432,17 +435,23 @@ def embedding_near_dups(
             else b
         )
     if multiprobe:
-        # probe×home meetings: asymmetric (a's flip may hit b's home
-        # without the reverse), so canonicalize with least/greatest —
-        # the l < r shortcut of the single-probe path would drop the
-        # a-probes-b direction for a > b
+        # probe×home meetings: a FLIP meeting is asymmetric (a's flip
+        # may hit b's home without the reverse), so those canonicalize
+        # with least/greatest; a HOME-home meeting is symmetric and
+        # would otherwise be produced in BOTH directions, so the probe
+        # row's home slot keeps the single-probe l < r shortcut —
+        # halving the join output for the dominant meeting kind while
+        # changing nothing after the distinct (pinned by test)
         l, r = probe.alias("l"), b.alias("r")
         pair_ids = (
             l.join(
                 r,
                 (F.col("l.tbl") == F.col("r.tbl"))
                 & (F.col("l.bkt") == F.col("r.bkt"))
-                & (F.col("l._id") != F.col("r._id")),
+                & F.when(
+                    F.col("l._home"),
+                    F.col("l._id") < F.col("r._id"),
+                ).otherwise(F.col("l._id") != F.col("r._id")),
             )
             .select(
                 F.least(F.col("l._id"), F.col("r._id")).alias("id_a"),
