@@ -730,36 +730,17 @@ def blend_quality_frozen(
     arrays (KBs for thousands of domains) and broadcasts; scoring is
     per-row arithmetic inside the projection — raw text and scores
     never shuffle."""
-    if not score_weights:
-        raise ValueError("blend_quality_frozen: need at least one score")
-    if any(w <= 0 for w in score_weights.values()):
-        raise ValueError("blend_quality_frozen: weights must be positive")
+    n_q = _validate_blend_model(score_weights, quantiles, domain_col)
     if out_col in df.columns:
         raise ValueError(
             f"blend_quality_frozen: output column {out_col!r} already exists"
         )
-    if not quantiles:
-        raise ValueError("blend_quality_frozen: empty quantile model")
-    for c in score_weights:
-        if any(c not in row or row[c] is None for row in quantiles):
-            raise ValueError(
-                f"blend_quality_frozen: score {c!r} missing from the"
-                " quantile model (fit and blend score lists must match)"
-            )
     edge_cols = {c: f"_bqf_{c}" for c in score_weights}
     for c in edge_cols.values():
         if c in df.columns:
             raise ValueError(
                 f"blend_quality_frozen: input already has staging column {c!r}"
             )
-    n_q = len(quantiles[0][next(iter(score_weights))]) + 1
-    if any(
-        len(row[c]) != n_q - 1 for row in quantiles for c in score_weights
-    ):
-        raise ValueError(
-            "blend_quality_frozen: ragged quantile model — every domain"
-            " row must carry the same n_quantiles - 1 edges per score"
-        )
     spark = df.sparkSession
     total = sum(score_weights.values())
     if domain_col:
@@ -795,11 +776,6 @@ def blend_quality_frozen(
             e, df[domain_col].eqNullSafe(e[domain_col]), "left"
         ).drop(e[domain_col])
     else:
-        if len(quantiles) != 1:
-            raise ValueError(
-                "blend_quality_frozen: global model must have exactly one"
-                " row when domain_col is None"
-            )
         edges = spark.createDataFrame(
             [
                 tuple(
@@ -849,6 +825,44 @@ def blend_quality_frozen(
     return joined.withColumn(out_col, blended).drop(*edge_cols.values())
 
 
+def _validate_blend_model(
+    score_weights: dict[str, float],
+    quantiles: list[dict],
+    domain_col: str | None,
+) -> int:
+    """The FULL (weights, frozen quantile model) validation that
+    ``blend_quality_frozen`` enforces, callable without a DataFrame —
+    one shared helper so manifest-time fingerprinting and batch-time
+    scoring cannot drift apart: a model the maintainer accepts is a
+    model every batch will score through. Returns ``n_quantiles``."""
+    if not score_weights:
+        raise ValueError("blend_quality_frozen: need at least one score")
+    if any(w <= 0 for w in score_weights.values()):
+        raise ValueError("blend_quality_frozen: weights must be positive")
+    if not quantiles:
+        raise ValueError("blend_quality_frozen: empty quantile model")
+    for c in score_weights:
+        if any(c not in row or row[c] is None for row in quantiles):
+            raise ValueError(
+                f"blend_quality_frozen: score {c!r} missing from the"
+                " quantile model (fit and blend score lists must match)"
+            )
+    n_q = len(quantiles[0][next(iter(score_weights))]) + 1
+    if any(
+        len(row[c]) != n_q - 1 for row in quantiles for c in score_weights
+    ):
+        raise ValueError(
+            "blend_quality_frozen: ragged quantile model — every domain"
+            " row must carry the same n_quantiles - 1 edges per score"
+        )
+    if domain_col is None and len(quantiles) != 1:
+        raise ValueError(
+            "blend_quality_frozen: global model must have exactly one"
+            " row when domain_col is None"
+        )
+    return n_q
+
+
 def _blend_model_fingerprint(
     score_weights: dict[str, float],
     quantiles: list[dict],
@@ -864,25 +878,15 @@ def _blend_model_fingerprint(
     not an error, so the maintainer manifest must refuse the swap.
 
     Validates the (weights, model) pair with ``blend_quality_frozen``'s
-    own checks first: the maintainer fingerprints at manifest-write
-    time, BEFORE any batch reaches the blend, and an empty weight dict
-    or a model row missing a score must fail with the operator's
-    message there too — not a ZeroDivision/KeyError."""
+    own checks first — the SHARED ``_validate_blend_model``, so a
+    ragged model or a multi-row global model fails here with the
+    operator's message at manifest-write time, BEFORE any batch
+    reaches the blend — never a ZeroDivision/KeyError or a first-batch
+    surprise."""
     import hashlib
     import json
 
-    if not score_weights:
-        raise ValueError("blend_quality_frozen: need at least one score")
-    if any(w <= 0 for w in score_weights.values()):
-        raise ValueError("blend_quality_frozen: weights must be positive")
-    if not quantiles:
-        raise ValueError("blend_quality_frozen: empty quantile model")
-    for c in score_weights:
-        if any(c not in row or row[c] is None for row in quantiles):
-            raise ValueError(
-                f"blend_quality_frozen: score {c!r} missing from the"
-                " quantile model (fit and blend score lists must match)"
-            )
+    _validate_blend_model(score_weights, quantiles, domain_col)
     total = sum(score_weights.values())
     rows = sorted(
         (
@@ -981,6 +985,10 @@ def maintain_blend_drift(
     )
 
     _psi_validate_edges(edges)
+    # fingerprint (and thereby validate) the blend model BEFORE the
+    # w/total normalization below — a weight dict summing to <= 0 must
+    # fail with the operator's own message, not a ZeroDivisionError
+    blend_sha = _blend_model_fingerprint(score_weights, quantiles, domain_col)
     total = sum(score_weights.values())
     write_table_manifest(
         stream.sparkSession,
@@ -994,9 +1002,7 @@ def maintain_blend_drift(
             "edges": [float(e) for e in edges],
             "group_col": group_col,
             "id_col": id_col,
-            "blend_model_sha256": _blend_model_fingerprint(
-                score_weights, quantiles, domain_col
-            ),
+            "blend_model_sha256": blend_sha,
             "baseline_sha256": _psi_baseline_fingerprint(baseline),
         },
     )

@@ -367,13 +367,13 @@ def histogram_card(
     from pyspark.sql.window import Window
 
     _psi_validate_edges(edges)
+    if not quantiles:
+        raise ValueError("histogram_card requires at least one quantile")
     for p in quantiles:
         if not isinstance(p, int) or not 0 < p <= 100:
             raise ValueError(
                 f"quantile {p!r} must be an int percent in (0, 100]"
             )
-    if not quantiles:
-        raise ValueError("histogram_card requires at least one quantile")
     w = Window.partitionBy(group_col).orderBy("bin")
     wg = Window.partitionBy(group_col)
     c = hist.withColumn("_hc_cum", F.sum("n").over(w)).withColumn(

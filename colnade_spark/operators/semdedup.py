@@ -212,6 +212,11 @@ def semantic_dup_pairs(
     scale board). Assignment parity between the two paths is pinned by
     test on separated clusters; exact argmax ties at identical dots
     may differ (both argmaxes are deterministic individually)."""
+    if not centroids:
+        # the expression path raises this inside cluster_assign; the
+        # UDF path would otherwise surface it as a numpy AxisError at
+        # batch time — same message, same point of failure
+        raise ValueError("centroids must be non-empty")
     if assign_arrow:
         from colnade_spark.operators.similarity import _assign_udf
 

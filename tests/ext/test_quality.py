@@ -514,3 +514,27 @@ def test_maintain_blend_drift_validates_at_manifest_time(spark, tmp_path):
             stream, {"s1": 1.0}, [{"s2": [1.0]}], base,
             str(tmp_path / "t2"), str(tmp_path / "ck2"),
         )
+    # a weight dict summing to <= 0 must hit the operator's own
+    # message, NOT the w/total manifest normalization (ZeroDivision)
+    with _pytest.raises(ValueError, match="weights must be positive"):
+        maintain_blend_drift(
+            stream, {"s1": 1.0, "s2": -1.0},
+            [{"s1": [1.0], "s2": [1.0]}], base,
+            str(tmp_path / "t3"), str(tmp_path / "ck3"),
+        )
+    # the fingerprint applies the FULL blend validation (shared
+    # helper): ragged models and multi-row global models fail at
+    # manifest time too, not at first-batch scoring
+    with _pytest.raises(ValueError, match="ragged"):
+        maintain_blend_drift(
+            stream, {"s1": 1.0},
+            [{"dom": "a", "s1": [1.0, 2.0]}, {"dom": "b", "s1": [1.0]}],
+            base, str(tmp_path / "t4"), str(tmp_path / "ck4"),
+            domain_col="dom",
+        )
+    with _pytest.raises(ValueError, match="exactly one"):
+        maintain_blend_drift(
+            stream, {"s1": 1.0},
+            [{"s1": [1.0]}, {"s1": [2.0]}], base,
+            str(tmp_path / "t5"), str(tmp_path / "ck5"),
+        )

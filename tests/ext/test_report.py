@@ -569,3 +569,15 @@ def test_psi_against_baseline_matches_two_frame_report(spark):
         psi_against_baseline(new, base, "doc_id", (10.0, 25.0), "g")
     with _pytest.raises(ValueError, match="baseline was fit with"):
         psi_against_baseline(new, base, "v", (10.0, 25.0), None)
+
+
+def test_histogram_card_empty_quantiles_guard(spark):
+    """The empty-quantiles guard fires before per-quantile validation
+    (the check order matches the guard's intent)."""
+    hist = spark.createDataFrame(
+        [("en", 0, 3, 30)], ["lang", "bin", "n", "sum_size"]
+    )
+    with pytest.raises(ValueError, match="at least one quantile"):
+        report.histogram_card(hist, (10, 100), quantiles=())
+    with pytest.raises(ValueError, match="must be an int percent"):
+        report.histogram_card(hist, (10, 100), quantiles=(0,))

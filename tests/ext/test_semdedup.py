@@ -242,3 +242,17 @@ def test_assign_arrow_parity_on_separated_clusters(spark):
     }
     # padding can only SPLIT clusters, never merge: survivors can only grow
     assert udf_surv <= big_surv
+
+
+def test_empty_centroids_raise_on_both_assignment_paths(spark):
+    """centroids=[] fails with the expression path's ValueError on the
+    assign_arrow tier too — not a numpy AxisError from inside the
+    batch-time UDF."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    for arrow in (False, True):
+        with pytest.raises(ValueError, match="centroids must be non-empty"):
+            semantic_dup_pairs(df, [], 0.9, assign_arrow=arrow)
+        with pytest.raises(ValueError, match="centroids must be non-empty"):
+            semantic_dedup(df, [], 0.9, assign_arrow=arrow)
