@@ -909,6 +909,34 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def ann_lsh_multiprobe2(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Multi-BIT multiprobe (Lv et al. 2007's perturbation sequences,
+    size <= 2 sets) with planted near-copies that SINGLE-flip probing
+    provably cannot reach: at bump +0.35 on dimension 1 (cosine ~0.94
+    vs ~0.6 background), query 6's sketch differs from its source in
+    AT LEAST TWO planes in EVERY table at sf0.01 (verified offline from
+    the hyperplanes; sf0.1's query 4 misses at the probe budget too),
+    so no budget of one-bit flips ever surfaces the true rank-1 —
+    multiprobe=2 (identical to the historical single-flip variant)
+    measurably returns a background vector. The pair perturbation sets
+    recover the exact brute-force answer for every query at every
+    fixture SF (measured green from multiprobe=8; 12 adds margin).
+    The oracle recomputes rank-1 by brute force, so this is a
+    recall bit-check of exactly the regime the single-flip knob's
+    measured 0.73 ceiling comes from."""
+    e = _embs(spark, sf_dir).select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x + F.lit(0.35)).otherwise(x),
+        ).alias("embedding"),
+    )
+    return similarity.lsh_topk(
+        e, q, dim=64, k=1, bits=12, tables=4, multiprobe=12
+    )
+
+
 def ann_ivf(spark: SparkSession, sf_dir: str) -> SparkDF:
     """IVF top-k with nprobe == nlist (probes every inverted list): result
     is exactly brute force, so the same SQL oracle applies — validating the
@@ -3163,10 +3191,9 @@ def entry(spark: SparkSession) -> SparkDF:
 # the driver's bounded sweep so the newest code gets certified first.
 # Update this tuple each round; everything else rotates automatically.
 _ROUND_CHANGED: tuple[str, ...] = (
-    "blend_drift_frozen_docs",  # round 8: new (stream-legal blend-drift monitor)
-    "emb_near_dup_multiprobe",  # round 8: new (multiprobe LSH recall path)
-    "ann_lsh_multiprobe",  # round 8: new (query-side multiprobe top-k)
-    "corpus_card_binned_docs",  # round 8: new (stream-maintainable card tier)
+    "ann_lsh_multiprobe2",  # round 9: new (multi-bit perturbation sets)
+    "ann_lsh_multiprobe",  # round 9: UDF generalized (T<=2 bit-identical)
+    "emb_near_dup_multiprobe",  # round 9: UDF generalized (T<=2 bit-identical)
 )
 
 
@@ -3238,6 +3265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "blend_drift_frozen_docs": blend_drift_frozen_docs,
         "emb_near_dup_multiprobe": emb_near_dup_multiprobe,
         "ann_lsh_multiprobe": ann_lsh_multiprobe,
+        "ann_lsh_multiprobe2": ann_lsh_multiprobe2,
         "corpus_card_binned_docs": corpus_card_binned_docs,
         "blend_frozen_audit_docs": blend_frozen_audit_docs,
         "corpus_card_docs": corpus_card_docs,
@@ -5048,6 +5076,24 @@ SELECT doc_id FROM documents WHERE doc_id % 2 = 1
                          list_transform(range(1, 65),
                            i -> CAST(embedding[i] AS DOUBLE)
                                 + CASE WHEN i = 1 THEN 0.2 ELSE 0.0 END)
+                         AS qv
+                       FROM embeddings WHERE vec_id < 8),
+            s AS (SELECT qid AS query_id, vec_id AS neighbor_id,
+                    list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                           qv) AS sim
+                  FROM embeddings CROSS JOIN q)
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+              FROM s)
+            WHERE rank <= 1
+        """,
+        "ann_lsh_multiprobe2": """
+            WITH q AS (SELECT vec_id + 1000000 AS qid,
+                         list_transform(range(1, 65),
+                           i -> CAST(embedding[i] AS DOUBLE)
+                                + CASE WHEN i = 1 THEN 0.35 ELSE 0.0 END)
                          AS qv
                        FROM embeddings WHERE vec_id < 8),
             s AS (SELECT qid AS query_id, vec_id AS neighbor_id,

@@ -73,6 +73,7 @@ HEADLINE = [
     "emb_near_dup_pairs",
     "emb_near_dup_multiprobe",
     "ann_lsh_multiprobe",
+    "ann_lsh_multiprobe2",
     "corpus_card_binned_docs",
     "duplicate_span_stats",
     "span_removal_clean",

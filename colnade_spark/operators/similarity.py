@@ -137,15 +137,20 @@ def lsh_topk(
     shuffle is proportional to bucket collisions, not |corpus|×|queries|.
 
     ``multiprobe`` (the ``ivf_topk`` ``nprobe`` analog for the hash
-    tier): each QUERY additionally probes the ``multiprobe`` buckets
-    across its lowest-|margin| planes (``rp_multiprobe_udf``) — the
+    tier): each QUERY additionally probes the ``multiprobe``
+    lowest-total-margin perturbation buckets — Lv et al. 2007's
+    sequence over single AND pair bit flips (``rp_multiprobe_udf``),
+    so probes reach neighbors up to two planes away per table — the
     corpus index stays one home bucket per (vector, table), so the
     recall knob costs query-side candidate fanout only, never index
     size. Candidate volume per query scales by ``multiprobe + 1``;
     the result set is a monotone superset of single-probe candidates
     re-ranked by exact cosine."""
-    if multiprobe < 0 or multiprobe >= bits:
-        raise ValueError("lsh_topk: multiprobe must be in [0, bits)")
+    if multiprobe < 0 or multiprobe > _max_multiprobe(bits):
+        raise ValueError(
+            "lsh_topk: multiprobe must be in [0, bits*(bits+1)/2]"
+            " (all perturbation sets of size <= 2)"
+        )
     plane_sets = [_hyperplanes(dim, bits, seed + 1000 * t) for t in range(tables)]
     sketch = rp_buckets_udf(plane_sets)
 
@@ -361,10 +366,12 @@ def embedding_near_dups(
     vectors collide at EVERY bits setting (recall 1.0 on exact dups).
 
     ``multiprobe`` buys recall back WITHOUT coarsening the buckets (Lv
-    et al. 2007, the single-bit-flip variant): besides its home bucket,
-    every vector also PROBES the ``multiprobe`` buckets obtained by
-    flipping its lowest-|margin| sign bits — the planes it sits closest
-    to, exactly the ones a near-neighbor most likely landed across —
+    et al. 2007's perturbation sequences, sets of size <= 2): besides
+    its home bucket, every vector also PROBES the ``multiprobe``
+    buckets whose perturbation sets have the lowest total |margin| —
+    single flips AND pair flips of the planes it sits closest to,
+    exactly the cells a near-neighbor most likely landed in (pair sets
+    reach the neighbors the single-flip variant structurally missed) —
     and a candidate pair is any (probe, home) bucket meeting. Storage
     stays one home bucket per (vector, table); cost stays LINEAR in n
     for sized bits (round-8 board: exponent 0.89 at 5M docs) with a
@@ -389,9 +396,10 @@ def embedding_near_dups(
     HOME buckets (the stored side) and oversized buckets are dropped
     from both sides — probes into a dropped bucket would meet the very
     crowd the guard exists to skip."""
-    if multiprobe < 0 or multiprobe >= bits:
+    if multiprobe < 0 or multiprobe > _max_multiprobe(bits):
         raise ValueError(
-            "embedding_near_dups: multiprobe must be in [0, bits)"
+            "embedding_near_dups: multiprobe must be in"
+            " [0, bits*(bits+1)/2] (all perturbation sets of size <= 2)"
         )
     plane_sets = [_hyperplanes(dim, bits, seed + 1000 * t) for t in range(tables)]
     if multiprobe:
@@ -501,17 +509,49 @@ def _score_pairs(
     )
 
 
+def _max_multiprobe(bits: int) -> int:
+    """Number of distinct perturbation sets of size <= 2 over ``bits``
+    planes — the upper bound of the ``multiprobe`` knob."""
+    return bits * (bits + 1) // 2
+
+
 def rp_multiprobe_udf(plane_sets: list[list[list[float]]], multiprobe: int):
-    """Vectorized multiprobe sketching: per (vector, table), the home
-    bucket FIRST, then the ``multiprobe`` buckets obtained by flipping
-    the lowest-|projection| sign bits one at a time — the planes the
-    vector sits closest to, in increasing-margin order (ties broken by
-    plane index via stable argsort, so the output is deterministic for
-    a fixed input). Returns ``array<array<long>>``, one
-    ``multiprobe + 1``-long bucket list per table; element 1 is always
-    the home bucket ``rp_buckets_udf`` would emit. Same BLAS shape as
-    the single-probe UDF — one (batch × dim) @ (dim × tables·bits)
-    matmul per Arrow batch plus an argsort over ``bits`` columns."""
+    """Vectorized multiprobe sketching via Lv et al. 2007's perturbation
+    SEQUENCES, truncated to sets of size <= 2: per (vector, table), the
+    home bucket FIRST, then the ``multiprobe`` buckets obtained by
+    XOR-ing the perturbation sets with the lowest total |projection|
+    margin — single-bit flips AND pair flips, ranked together by
+    summed margin, so a probe list of length T is exactly the T most
+    likely neighboring cells among all <= 2-bit perturbations. Size-2
+    sets are what the single-flip variant structurally cannot reach:
+    a true neighbor whose sketch differs in two low-margin planes of
+    EVERY table (the measured 0.73 recall ceiling on spread clusters)
+    is recovered here, while sets of size >= 3 are both exponentially
+    less likely to be needed (each extra flipped plane multiplies the
+    cell's collision probability down) and excluded from the top of
+    Lv's query-directed sequence until T is far beyond practical probe
+    budgets — the standard truncation.
+
+    The sequence is EXACT for its size class: scores are computed for
+    every single flip and every pair within the ``T + 1`` lowest-margin
+    planes — enough that no top-T set can involve a plane outside the
+    pool (a pair whose higher index is ``j`` is dominated by the ``j``
+    singles below it and the ``j - 1`` pairs through the minimum-margin
+    plane). Ordering ties break deterministically: singles before
+    pairs, then lower sorted-margin position (stable argsort over a
+    fixed candidate layout).
+
+    For ``multiprobe <= 2`` the output is IDENTICAL to the historical
+    single-flip variant: the two cheapest sets are always ``{0}`` and
+    ``{1}`` in sorted-margin order, because any pair's score is at
+    least the larger member's single score.
+
+    Returns ``array<array<long>>``, one ``multiprobe + 1``-long bucket
+    list per table; element 1 is always the home bucket
+    ``rp_buckets_udf`` would emit. Same BLAS shape as the single-probe
+    UDF — one (batch × dim) @ (dim × tables·bits) matmul per Arrow
+    batch plus argsorts over the ``O(bits + T²)``-wide candidate pool.
+    """
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -523,6 +563,16 @@ def rp_multiprobe_udf(plane_sets: list[list[list[float]]], multiprobe: int):
     ).T  # (dim, tables*bits)
     weights = 1 << np.arange(bits, dtype=np.int64)
     m = multiprobe
+    # pair pool: both members within the (m + 1) lowest-margin sorted
+    # positions — sufficient for an exact top-m over size <= 2 sets
+    # (see docstring); lexicographic (i, j) layout for stable ties
+    P = min(bits, m + 1)
+    pair_i = np.asarray(
+        [i for i in range(P) for _ in range(i + 1, P)], dtype=np.int64
+    )
+    pair_j = np.asarray(
+        [j for i in range(P) for j in range(i + 1, P)], dtype=np.int64
+    )
 
     def f(s):
         mat = np.vstack(s.to_numpy()).astype(np.float64)  # (batch, dim)
@@ -530,8 +580,21 @@ def rp_multiprobe_udf(plane_sets: list[list[list[float]]], multiprobe: int):
         per = (proj >= 0).reshape(len(mat), tables, bits)
         home = (per * weights).sum(axis=2)  # (batch, tables)
         margins = np.abs(proj).reshape(len(mat), tables, bits)
-        order = np.argsort(margins, axis=2, kind="stable")[:, :, :m]
-        flips = home[:, :, None] ^ weights[order]  # (batch, tables, m)
+        order = np.argsort(margins, axis=2, kind="stable")
+        sortedm = np.take_along_axis(margins, order, axis=2)
+        masks = weights[order]  # (batch, tables, bits) single-flip masks
+        if len(pair_i):
+            scores = np.concatenate(
+                [sortedm, sortedm[:, :, pair_i] + sortedm[:, :, pair_j]],
+                axis=2,
+            )
+            cmasks = np.concatenate(
+                [masks, masks[:, :, pair_i] ^ masks[:, :, pair_j]], axis=2
+            )
+        else:
+            scores, cmasks = sortedm, masks
+        top = np.argsort(scores, axis=2, kind="stable")[:, :, :m]
+        flips = home[:, :, None] ^ np.take_along_axis(cmasks, top, axis=2)
         out = np.concatenate([home[:, :, None], flips], axis=2)
         return pd.Series([row.tolist() for row in out])
 

@@ -1019,7 +1019,7 @@ def test_embedding_near_dups_multiprobe_recovers_recall(spark):
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="multiprobe"):
-        similarity.embedding_near_dups(df, dim=dim, bits=6, multiprobe=6)
+        similarity.embedding_near_dups(df, dim=dim, bits=6, multiprobe=22)
 
 
 def test_embedding_near_dups_multiprobe_respects_skew_guard(spark):
@@ -1081,14 +1081,112 @@ def test_lsh_topk_multiprobe_improves_recall(spark):
         }
         return len(exact & got) / len(exact)
 
-    # measured: 0.333 single-probe -> 0.733 with 2 flips (this fixture);
-    # single-bit flips cannot reach pairs >= 2 bits apart per table, so
-    # the ceiling is below 1.0 — the knob's contract is the DELTA
-    r0, r2 = recall(0), recall(2)
+    # measured: 0.333 single-probe -> 0.733 with 2 probes (this fixture).
+    # Two probes are always the two lowest single-bit flips, which
+    # cannot reach neighbors >= 2 bits apart per table — 0.733 was the
+    # measured ceiling of the historical single-flip-only variant at
+    # ANY budget here. The multi-bit perturbation sets (Lv et al.'s
+    # pairs) break through it: measured 1.0 at 16 probes.
+    r0, r2, r16 = recall(0), recall(2), recall(16)
     assert r2 >= r0 + 0.3, (r0, r2)
     assert r2 >= 0.7
+    assert r16 >= 0.9, r16
 
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="multiprobe"):
-        similarity.lsh_topk(df, queries, dim=dim, bits=4, multiprobe=4)
+        similarity.lsh_topk(df, queries, dim=dim, bits=4, multiprobe=11)
+
+
+def test_multiprobe_perturbation_sequence_properties(spark):
+    """The Lv et al. perturbation sequence (size <= 2 sets):
+    (1) probes 1-2 are ALWAYS the two lowest-margin single flips —
+    bit-identical to the historical single-flip variant at T <= 2 (the
+    shipped multiprobe=2 registry entries must not move);
+    (2) the probe list is the exact top-T by total margin over all
+    singles + pairs — checked against a brute-force numpy enumeration;
+    (3) a planted neighbor EXACTLY two low-margin bits apart in every
+    table — which no budget of single-bit flips can ever reach — is
+    recovered once T covers its pair set."""
+    import numpy as np
+
+    from colnade_spark.operators.similarity import (
+        _hyperplanes,
+        rp_multiprobe_udf,
+    )
+
+    rng = np.random.default_rng(5)
+    dim, bits, tables = 16, 10, 2
+    planes = [_hyperplanes(dim, bits, 5 + 1000 * t) for t in range(tables)]
+    vecs = [[float(x) for x in rng.normal(size=dim)] for _ in range(40)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    )
+    T = 7
+    got = {
+        r.vec_id: [tuple(t) for t in r.p]
+        for r in df.select(
+            "vec_id",
+            rp_multiprobe_udf(planes, T)(F.col("embedding")).alias("p"),
+        ).collect()
+    }
+    P = np.asarray(
+        [p for ps in planes for p in ps], dtype=np.float64
+    ).reshape(tables, bits, dim)
+    w = 1 << np.arange(bits, dtype=np.int64)
+    for i, v in enumerate(vecs):
+        for t in range(tables):
+            proj = P[t] @ np.asarray(v)
+            home = int(((proj >= 0) * w).sum())
+            margins = np.abs(proj)
+            # brute-force enumeration of every size<=2 set, ordered by
+            # (score, singles-first, sorted-margin position) — the
+            # documented deterministic tie-break
+            order = np.argsort(margins, kind="stable")
+            cands = [(margins[order[a]], 0, a, int(w[order[a]]))
+                     for a in range(bits)]
+            cands += [
+                (margins[order[a]] + margins[order[b]], 1, (a, b),
+                 int(w[order[a]] ^ w[order[b]]))
+                for a in range(bits) for b in range(a + 1, bits)
+            ]
+            cands.sort(key=lambda c: (c[0], c[1], c[2] if c[1] == 0 else c[2][0] * bits + c[2][1]))
+            want = [home] + [home ^ m for _, _, _, m in cands[:T]]
+            assert got[i][t] == tuple(want), (i, t)
+            # property (1): probes 1-2 are the two lowest single flips
+            assert got[i][t][1] == home ^ int(w[order[0]])
+            assert got[i][t][2] == home ^ int(w[order[1]])
+
+    # property (3): plant a pair whose sketches differ in EXACTLY the
+    # two lowest-margin planes of every table, then check recovery
+    base = rng.normal(size=dim)
+    nbr = base.copy()
+    # flip the two lowest-margin planes of table 0 for `base` by
+    # reflecting across each plane: x' = x - 2 (x.p / p.p) p
+    for t in range(1):
+        proj = P[0] @ base
+        for j in np.argsort(np.abs(proj))[:2]:
+            p = P[0][j]
+            nbr = nbr - 2 * (nbr @ p) / (p @ p) * p
+    h_base = ((P[0] @ base) >= 0) * w
+    h_nbr = ((P[0] @ nbr) >= 0) * w
+    assert bin(int(h_base.sum()) ^ int(h_nbr.sum())).count("1") == 2
+    pair_df = spark.createDataFrame(
+        [(0, [float(x) for x in base]), (1, [float(x) for x in nbr])],
+        ["vec_id", "embedding"],
+    )
+    one_planes = [planes[0]]
+    # cosine of a double reflection across two near-orthogonal planes
+    # through near-zero margins ~ 1: the pair is a true near-dup
+    cos = float(
+        base @ nbr / (np.linalg.norm(base) * np.linalg.norm(nbr))
+    )
+    assert cos > 0.95
+    found = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dups(
+            pair_df, dim=dim, threshold=0.9, bits=bits, tables=1,
+            seed=5, multiprobe=bits + 1,  # T > bits: must include pairs
+        ).collect()
+    }
+    assert (0, 1) in found
