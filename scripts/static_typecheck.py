@@ -1,0 +1,281 @@
+#!/usr/bin/env python3
+"""Minimal OFFLINE static type gate for the typing test layer.
+
+The reference runs a real static checker over its typing suite in CI
+(`ty check tests/typing/ --error-on-warning`,
+/root/reference/.github/workflows/ci.yml:66-71) so that a misspelled
+column is caught WITHOUT executing any query — safety layer 1 of 3
+(/root/reference/README.md:105-112). No mypy/ty/pyright wheel is
+installable in this container (pip index DNS-blocked, rounds 6-9), so
+this script implements the load-bearing slice of that guarantee by
+static analysis of the CHECKED FILES' AST — the checked files are
+parsed, never imported or executed, exactly like a real checker.
+
+What it verifies, per file:
+
+1. **Schema column access** — for every ``X.attr`` / ``mod.X.attr``
+   where ``X`` resolves to a ``Schema`` subclass, ``attr`` must be a
+   declared column (or inherited one, or part of the Schema class API).
+   ``X`` may be defined in the file (its annotated class body is read
+   from the AST, including bases defined earlier in the file) or
+   imported from the library (the library side is imported by THIS
+   script to enumerate real columns — the analog of a checker reading
+   installed types; the test file itself still never runs).
+2. **Module attribute access** — ``mod.attr`` for any imported library
+   module must exist (catches a misspelled operator-facade name like
+   ``typed.gopher_fitler`` statically).
+3. **Syntax** — files must parse.
+
+Anything it cannot resolve statically (locals, call results, chains
+through subscripts) is skipped, never guessed: the gate is
+deliberately zero-false-positive so it can run `--error-on-warning`
+style (any finding = nonzero exit).
+
+Usage:
+    python scripts/static_typecheck.py [paths...]   # default tests/typing/
+
+Exit status: 0 = clean, 1 = findings (printed as file:line: message).
+"""
+
+from __future__ import annotations
+
+import ast
+import importlib
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _is_schema_class(obj) -> bool:
+    try:
+        from colnade_spark.schema import Schema
+
+        return isinstance(obj, type) and issubclass(obj, Schema)
+    except Exception:
+        return False
+
+
+class FileChecker(ast.NodeVisitor):
+    def __init__(self, path: str, tree: ast.Module) -> None:
+        self.path = path
+        self.findings: list[str] = []
+        # name -> set of column/attr names for file-local Schema classes
+        self.local_schemas: dict[str, set[str]] = {}
+        # name -> live object (module or class) for library imports
+        self.imported: dict[str, object] = {}
+        # names assigned anywhere in the file: attribute bases shadowed
+        # by local assignment are skipped rather than mis-resolved
+        self.assigned: set[str] = set()
+        self._schema_api = self._collect_schema_api()
+        self._prescan(tree)
+
+    @staticmethod
+    def _collect_schema_api() -> set[str]:
+        try:
+            from colnade_spark.schema import Schema
+
+            # 'Row' is generated per-subclass by the metaclass, so it
+            # exists on every concrete schema even though dir(Schema)
+            # lacks it
+            return set(dir(Schema)) | {"Row"}
+        except Exception:
+            return set()
+
+    # -- pre-scan: imports, local Schema class bodies, assignments ----
+
+    def _prescan(self, tree: ast.Module) -> None:
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Import):
+                for a in node.names:
+                    root = a.name.split(".")[0]
+                    if root != "colnade_spark":
+                        continue
+                    bound = a.asname or root
+                    try:
+                        mod = importlib.import_module(a.name)
+                    except Exception as e:  # broken library import IS a finding
+                        self._report(node, f"cannot import {a.name}: {e}")
+                        continue
+                    self.imported[bound] = (
+                        mod
+                        if a.asname
+                        else importlib.import_module(root)
+                    )
+            elif isinstance(node, ast.ImportFrom):
+                if node.level or not node.module:
+                    continue
+                if node.module.split(".")[0] != "colnade_spark":
+                    continue
+                try:
+                    mod = importlib.import_module(node.module)
+                except Exception as e:
+                    self._report(node, f"cannot import {node.module}: {e}")
+                    continue
+                for a in node.names:
+                    if a.name == "*":
+                        continue
+                    if not hasattr(mod, a.name):
+                        # `from pkg import submodule`: the name is only
+                        # set on the package once the submodule loads
+                        try:
+                            importlib.import_module(
+                                f"{node.module}.{a.name}"
+                            )
+                        except Exception:
+                            self._report(
+                                node,
+                                f"'{a.name}' not found in {node.module}",
+                            )
+                            continue
+                    self.imported[a.asname or a.name] = getattr(mod, a.name)
+            elif isinstance(node, ast.ClassDef):
+                self._maybe_local_schema(node)
+            elif isinstance(node, (ast.Assign, ast.AugAssign, ast.AnnAssign)):
+                targets = (
+                    node.targets
+                    if isinstance(node, ast.Assign)
+                    else [node.target]
+                )
+                for t in targets:
+                    for n in ast.walk(t):
+                        if isinstance(n, ast.Name):
+                            self.assigned.add(n.id)
+
+    def _maybe_local_schema(self, node: ast.ClassDef) -> None:
+        """Record annotated names of classes whose base chain reaches
+        Schema — through an imported Schema (possibly generic, e.g.
+        ``Schema`` or a subscripted base) or an earlier local schema."""
+        base_cols: set[str] | None = None
+        for b in node.bases:  # UNION over all bases (multiple inheritance)
+            target = b.value if isinstance(b, ast.Subscript) else b
+            got: set[str] | None = None
+            if isinstance(target, ast.Name):
+                if target.id in self.local_schemas:
+                    got = set(self.local_schemas[target.id])
+                else:
+                    obj = self.imported.get(target.id)
+                    if _is_schema_class(obj):
+                        got = set(dir(obj))
+            elif isinstance(target, ast.Attribute) and isinstance(
+                target.value, ast.Name
+            ):
+                mod = self.imported.get(target.value.id)
+                obj = getattr(mod, target.attr, None) if mod else None
+                if _is_schema_class(obj):
+                    got = set(dir(obj))
+            if got is not None:
+                base_cols = got if base_cols is None else base_cols | got
+        if base_cols is None:
+            return
+        cols = base_cols
+        for stmt in node.body:
+            if isinstance(stmt, ast.AnnAssign) and isinstance(
+                stmt.target, ast.Name
+            ):
+                cols.add(stmt.target.id)
+            elif isinstance(stmt, ast.Assign):
+                for t in stmt.targets:
+                    if isinstance(t, ast.Name):
+                        cols.add(t.id)
+            elif isinstance(stmt, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                cols.add(stmt.name)
+        self.local_schemas[node.name] = cols
+
+    # -- the check ------------------------------------------------------
+
+    def _report(self, node: ast.AST, msg: str) -> None:
+        self.findings.append(
+            f"{self.path}:{getattr(node, 'lineno', 0)}: {msg}"
+        )
+
+    def _resolve_base(self, node: ast.expr):
+        """Resolve an attribute's base expression to ('schema', columns),
+        ('object', live_obj) or None when not statically known."""
+        if isinstance(node, ast.Name):
+            if node.id in self.local_schemas:
+                return ("schema", self.local_schemas[node.id])
+            if node.id in self.assigned:
+                return None  # shadowed — a local, not the import
+            obj = self.imported.get(node.id)
+            if obj is not None:
+                return ("object", obj)
+            return None
+        if isinstance(node, ast.Attribute):
+            base = self._resolve_base(node.value)
+            if base and base[0] == "object":
+                obj = base[1]
+                if hasattr(obj, node.attr):
+                    return ("object", getattr(obj, node.attr))
+                return None  # reported at that node's own visit
+            return None
+        return None
+
+    def visit_Attribute(self, node: ast.Attribute) -> None:
+        base = self._resolve_base(node.value)
+        if base is not None:
+            kind, val = base
+            if kind == "schema":
+                if node.attr not in val and node.attr not in self._schema_api:
+                    self._report(
+                        node,
+                        f"schema has no column or attribute '{node.attr}'",
+                    )
+            else:
+                obj = val
+                if _is_schema_class(obj):
+                    if not hasattr(obj, node.attr):
+                        self._report(
+                            node,
+                            f"{getattr(obj, '__name__', obj)!s} has no"
+                            f" column or attribute '{node.attr}'",
+                        )
+                elif hasattr(obj, "__path__") or hasattr(obj, "__file__"):
+                    # a module: attribute must exist
+                    if not hasattr(obj, node.attr):
+                        self._report(
+                            node,
+                            f"module {obj.__name__} has no attribute"
+                            f" '{node.attr}'",
+                        )
+        self.generic_visit(node)
+
+
+def check_file(path: str) -> list[str]:
+    try:
+        src = open(path, encoding="utf-8").read()
+        tree = ast.parse(src, filename=path)
+    except SyntaxError as e:
+        return [f"{path}:{e.lineno}: syntax error: {e.msg}"]
+    c = FileChecker(path, tree)
+    c.visit(tree)
+    return c.findings
+
+
+def main(argv: list[str]) -> int:
+    paths = argv or [os.path.join(REPO, "tests", "typing")]
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            files += sorted(
+                os.path.join(p, f)
+                for f in os.listdir(p)
+                if f.endswith(".py")
+            )
+        else:
+            files.append(p)
+    findings: list[str] = []
+    for f in files:
+        findings += check_file(f)
+    for line in findings:
+        print(line)
+    print(
+        f"static_typecheck: {len(files)} files,"
+        f" {len(findings)} findings"
+    )
+    return 1 if findings else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -1,9 +1,12 @@
 """Smoke file for type-checker CI integration (mypy --strict / ty).
 
-Must produce zero type errors. No checker ships in this container
-(documented in COVERAGE.md); the suite is written to be checkable the
-moment one is available, and tests/typing/test_imports_runtime.py keeps
-every file import-clean under pytest in the meantime.
+Must produce zero type errors. No checker wheel is installable in this
+container (documented in COVERAGE.md); the offline AST gate
+(scripts/static_typecheck.py, wired via test_static_gate.py) carries
+the misspelled-column guarantee statically in the meantime, the suite
+stays checkable the moment a real checker is available, and
+tests/typing/test_imports_runtime.py keeps every file import-clean
+under pytest.
 """
 
 import colnade_spark

@@ -1,0 +1,81 @@
+"""CI-style STATIC gate over the typing suite (VERDICT r8 #4).
+
+The reference's CI runs a real static checker over its typing tests
+(`ty check tests/typing/ --error-on-warning`,
+/root/reference/.github/workflows/ci.yml:66-71) so misspelled columns
+fail WITHOUT executing a query. No checker wheel is installable here
+(pip DNS-blocked), so scripts/static_typecheck.py implements the
+load-bearing slice by AST analysis — checked files are parsed, never
+imported. This test wires it into pytest the way the reference wires
+ty into CI: the suite must be finding-free, and the gate must actually
+catch an introduced column typo (otherwise a silent checker would pass
+vacuously).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+SCRIPT = os.path.join(REPO, "scripts", "static_typecheck.py")
+
+
+def _run(*paths: str) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, SCRIPT, *paths],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=300,
+    )
+
+
+def test_typing_suite_is_statically_clean():
+    res = _run()  # defaults to tests/typing/
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "0 findings" in res.stdout
+
+
+def test_gate_catches_introduced_column_typos(tmp_path):
+    bad = tmp_path / "bad_typing_case.py"
+    bad.write_text(
+        "from colnade_spark import Column, Int64, Schema\n"
+        "from colnade_spark.tpch import Customer\n"
+        "from colnade_spark.operators import typed\n"
+        "class S(Schema):\n"
+        "    doc_id: Column[Int64]\n"
+        "def f() -> None:\n"
+        "    _ = S.doc_idd\n"
+        "    _ = Customer.c_custkeyy\n"
+        "    _ = typed.gopher_fitler\n"
+    )
+    res = _run(str(bad))
+    assert res.returncode == 1, res.stdout + res.stderr
+    assert "doc_idd" in res.stdout
+    assert "c_custkeyy" in res.stdout
+    assert "gopher_fitler" in res.stdout
+
+
+def test_gate_resolves_inheritance_and_schema_api(tmp_path):
+    ok = tmp_path / "ok_typing_case.py"
+    ok.write_text(
+        "from colnade_spark import Column, Int64, Schema, Utf8\n"
+        "from colnade_spark.tpch import Customer\n"
+        "class A(Schema):\n"
+        "    x: Column[Int64]\n"
+        "class B(Schema):\n"
+        "    y: Column[Utf8]\n"
+        "class C(A, B):\n"
+        "    z: Column[Int64]\n"
+        "def f() -> None:\n"
+        "    _ = (C.x, C.y, C.z)\n"          # inherited + own columns
+        "    _ = C.column_names()\n"          # Schema API
+        "    _ = C.Row\n"                     # metaclass-generated
+        "    _ = Customer.c_acctbal\n"
+    )
+    res = _run(str(ok))
+    assert res.returncode == 0, res.stdout + res.stderr
