@@ -1911,6 +1911,40 @@ def source_overlap_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     return source_overlap_matrix(u, group_col="src")
 
 
+def source_overlap_near_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """NEAR-dup cross-source overlap matrix (report.source_overlap_near:
+    distinct MinHash band keys per source, shared keys, jaccard) over a
+    three-source corpus whose mirrors are NEAR copies that exact
+    fingerprints cannot see: 'near_even' re-ids every even doc with a
+    TRAILING PHRASE APPENDED, 'near_third' every third doc with a
+    LEADING PHRASE — both survive normalization as different strings
+    (the exact matrix reports zero overlap here), but at shingle_k=13
+    the shingle sets stay ~J>=0.9 and the banded sketch pairs them.
+    The oracle replays the ENTIRE pipeline structurally — the HUGEINT
+    minhash CTEs (signatures bit-equal to the UDF), band-slice
+    grouping, distinct (source, band) pairs, and the matrix tail — so
+    every count and the IEEE jaccard division are bit-checked, not
+    just sampled."""
+    from colnade_spark.operators.report import source_overlap_near
+
+    d = _docs(spark, sf_dir)
+    base = d.select("doc_id", "text", F.lit("full").alias("src"))
+    near_even = d.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near duplicate tail")).alias("text"),
+        F.lit("near_even").alias("src"),
+    )
+    near_third = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.lit("prefixed variant "), F.col("text")).alias("text"),
+        F.lit("near_third").alias("src"),
+    )
+    u = base.unionByName(near_even).unionByName(near_third)
+    return source_overlap_near(
+        u, group_col="src", num_hashes=64, bands=16, shingle_k=13
+    )
+
+
 def length_drift_psi_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Per-language PSI drift report between the even-id and odd-id
     halves of the corpus (the standing two-snapshot convention): one row
@@ -2140,6 +2174,31 @@ def corpus_card_binned_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
         group_col="lang",
         size_col="n_chars",
         edges=(100, 200, 300, 400, 500),
+    )
+
+
+def corpus_card_autofit_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """corpus_card_binned over AUTO-FIT edges (report.fit_size_edges):
+    log-spaced integer bins from a bounded content-addressed sample —
+    the 2048 rows with the smallest md5_hash60(doc_id), lo/hi their
+    min/max, ratio = smallest integer r >= 2 with lo * r^5 >= hi, edges
+    lo * r^k. The whole fit is integer-exact and replayed STRUCTURALLY
+    in the oracle (same top-k-by-hash sample, same minimal-ratio scan,
+    same products), so the fitted edges — not just the card tail — are
+    bit-checked. This is the frozen-artifact answer to hand-picked
+    edges going stale: fit once on a snapshot, pin in the maintainer
+    manifest (maintain_corpus_card refuses a refit resume)."""
+    from colnade_spark.operators import report
+
+    d = _docs(spark, sf_dir)
+    edges = report.fit_size_edges(
+        d, size_col="n_chars", id_col="doc_id", n_edges=6, sample_n=2048
+    )
+    return report.corpus_card_binned(
+        _docs_spread(spark, sf_dir),
+        group_col="lang",
+        size_col="n_chars",
+        edges=edges,
     )
 
 
@@ -3191,6 +3250,8 @@ def entry(spark: SparkSession) -> SparkDF:
 # the driver's bounded sweep so the newest code gets certified first.
 # Update this tuple each round; everything else rotates automatically.
 _ROUND_CHANGED: tuple[str, ...] = (
+    "source_overlap_near_docs",  # round 9: new (banded near-dup overlap)
+    "corpus_card_autofit_docs",  # round 9: new (auto-fit frozen edges)
     "ann_lsh_multiprobe2",  # round 9: new (multi-bit perturbation sets)
     "ann_lsh_multiprobe",  # round 9: UDF generalized (T<=2 bit-identical)
     "emb_near_dup_multiprobe",  # round 9: UDF generalized (T<=2 bit-identical)
@@ -3265,8 +3326,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "blend_drift_frozen_docs": blend_drift_frozen_docs,
         "emb_near_dup_multiprobe": emb_near_dup_multiprobe,
         "ann_lsh_multiprobe": ann_lsh_multiprobe,
-        "ann_lsh_multiprobe2": ann_lsh_multiprobe2,
         "corpus_card_binned_docs": corpus_card_binned_docs,
+        # --- round-9 additions ---
+        "ann_lsh_multiprobe2": ann_lsh_multiprobe2,
+        "corpus_card_autofit_docs": corpus_card_autofit_docs,
+        "source_overlap_near_docs": source_overlap_near_docs,
         "blend_frozen_audit_docs": blend_frozen_audit_docs,
         "corpus_card_docs": corpus_card_docs,
         "ppl_bucketed_docs": ppl_bucketed_docs,
@@ -5553,6 +5617,50 @@ SELECT doc_id FROM documents WHERE doc_id % 2 = 1
             JOIN tot ta ON ta.src = sh.source_a
             JOIN tot tb ON tb.src = sh.source_b
         """,
+        # full structural replay: corpus construction -> HUGEINT minhash
+        # signature CTEs (shared with dedup_minhash_ids) -> band-slice
+        # keys -> distinct (source, band key) pairs -> matrix tail.
+        # Spark keys bands on xxhash64(slice); the oracle groups on the
+        # slice itself — identical counts up to the same ~2^-64
+        # injectivity assumption the dedup oracle documents.
+        "source_overlap_near_docs": f"""
+            WITH corpus AS (
+              SELECT doc_id, text, 'full' AS src FROM documents
+              WHERE text IS NOT NULL
+              UNION ALL
+              SELECT doc_id + 100000, text || ' near duplicate tail',
+                     'near_even'
+              FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL
+              UNION ALL
+              SELECT doc_id + 200000, 'prefixed variant ' || text,
+                     'near_third'
+              FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL
+            ),
+            {_minhash_pair_ctes(64, 13, 42, 16, source="corpus")},
+            pairs AS (
+              SELECT DISTINCT c.src, b.band, b.bkey
+              FROM band b JOIN corpus c USING (doc_id)
+            ),
+            tot AS (
+              SELECT src, CAST(count(*) AS BIGINT) AS n
+              FROM pairs GROUP BY src
+            ),
+            shrd AS (
+              SELECT a.src AS source_a, b.src AS source_b,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM pairs a
+              JOIN pairs b ON a.band = b.band AND a.bkey = b.bkey
+               AND a.src < b.src
+              GROUP BY 1, 2
+            )
+            SELECT shrd.source_a, shrd.source_b,
+              ta.n AS n_fps_a, tb.n AS n_fps_b, shrd.n_shared,
+              CAST(shrd.n_shared AS DOUBLE)
+                / CAST(ta.n + tb.n - shrd.n_shared AS DOUBLE) AS jaccard
+            FROM shrd
+            JOIN tot ta ON ta.src = shrd.source_a
+            JOIN tot tb ON tb.src = shrd.source_b
+        """,
         "length_drift_psi_docs": """
             WITH binned AS (
               SELECT lang, doc_id % 2 = 0 AS is_old,
@@ -5773,6 +5881,63 @@ SELECT doc_id FROM documents WHERE doc_id % 2 = 1
               CAST(([100, 200, 300, 400, 500])[qb90 + 1] AS BIGINT)
                 AS q_90_le
             FROM q
+        """,
+        "corpus_card_autofit_docs": """
+            WITH samp AS (
+              SELECT CAST(n_chars AS BIGINT) AS sz
+              FROM documents
+              ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                         ::BIGINT,
+                       doc_id
+              LIMIT 2048
+            ),
+            bounds AS (
+              SELECT GREATEST(1, MIN(sz)) AS lo, MAX(sz) AS hi FROM samp
+            ),
+            ratio AS (
+              SELECT lo, hi,
+                (SELECT MIN(r) FROM range(2, 64) t(r)
+                 WHERE lo * r*r*r*r*r >= hi) AS r
+              FROM bounds
+            ),
+            s AS (
+              SELECT coalesce(CAST(lang AS VARCHAR), '__null__') AS lang,
+                     CAST(n_chars AS BIGINT) AS sz
+              FROM documents
+            ),
+            b AS (
+              SELECT lang,
+                (sz >= lo)::INT + (sz >= lo*r)::INT + (sz >= lo*r*r)::INT
+                + (sz >= lo*r*r*r)::INT + (sz >= lo*r*r*r*r)::INT
+                + (sz >= lo*r*r*r*r*r)::INT AS bin, sz
+              FROM s CROSS JOIN ratio
+            ),
+            h AS (
+              SELECT lang, bin, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(sz) AS BIGINT) AS sum_size
+              FROM b GROUP BY 1, 2
+            ),
+            c AS (
+              SELECT lang, bin, n, sum_size,
+                sum(n) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+                sum(n) OVER (PARTITION BY lang) AS nd
+              FROM h
+            ),
+            q AS (
+              SELECT lang, CAST(max(nd) AS BIGINT) AS n_docs,
+                CAST(sum(sum_size) AS BIGINT) AS total_size,
+                min(CASE WHEN cum >= (nd * 50 + 99) // 100
+                         THEN bin END) AS qb50,
+                min(CASE WHEN cum >= (nd * 90 + 99) // 100
+                         THEN bin END) AS qb90
+              FROM c GROUP BY lang
+            )
+            SELECT lang, n_docs, total_size,
+              CAST(([lo, lo*r, lo*r*r, lo*r*r*r, lo*r*r*r*r,
+                     lo*r*r*r*r*r])[qb50 + 1] AS BIGINT) AS q_50_le,
+              CAST(([lo, lo*r, lo*r*r, lo*r*r*r, lo*r*r*r*r,
+                     lo*r*r*r*r*r])[qb90 + 1] AS BIGINT) AS q_90_le
+            FROM q CROSS JOIN ratio
         """,
         "corpus_diff_docs": f"""
             WITH oldc AS (SELECT doc_id, text FROM documents),

@@ -75,6 +75,8 @@ HEADLINE = [
     "ann_lsh_multiprobe",
     "ann_lsh_multiprobe2",
     "corpus_card_binned_docs",
+    "corpus_card_autofit_docs",
+    "source_overlap_near_docs",
     "duplicate_span_stats",
     "span_removal_clean",
     "line_dedup_clean",

@@ -298,6 +298,72 @@ def corpus_card_approx(
     return staged.groupBy(F.col("_cc_g").alias(group_col)).agg(*aggs)
 
 
+def fit_size_edges(
+    df: DataFrame,
+    size_col: str = "n_chars",
+    id_col: str = "doc_id",
+    n_edges: int = 6,
+    sample_n: int = 2048,
+) -> tuple[int, ...]:
+    """FROZEN log-spaced bin edges for ``size_histogram``, auto-fit from
+    a BOUNDED content-addressed sample — the frozen-artifact tier of the
+    corpus-card family (fit once on a reference snapshot, pin in the
+    maintainer manifest, bin every batch forever): hand-picked fixed
+    edges go stale when the corpus's size distribution isn't known up
+    front, and edges that miss the mass put every quantile in the
+    unbounded top bin.
+
+    The fit is INTEGER-EXACT and fully replayable in SQL (no RNG, no
+    float spacing): the sample is the ``sample_n`` rows with the
+    smallest ``md5_hash60(id)`` (content-addressed — same rows in any
+    engine, any partitioning; a top-k, never a full sort, and the
+    driver transfer is bounded by construction like the
+    ``train_ivf_centroids`` codebook fit); ``lo = max(1, min(size))``,
+    ``hi = max(size)`` over the sample; the geometric ratio is the
+    SMALLEST INTEGER ``r >= 2`` with ``lo * r^(n_edges-1) >= hi`` (so
+    the sampled mass spans the bins as evenly as integer ratios allow),
+    and the edges are ``lo * r^k`` for ``k in [0, n_edges)`` — pure
+    integer products, bit-identical across engines, valid for
+    ``size_histogram``'s int-edges contract.
+
+    Raises on an empty/all-NULL sample and on a degenerate distribution
+    (``hi <= lo``): auto-fitting edges nobody can bin against should
+    fail at fit time, not at the first card read."""
+    from colnade_spark.operators.text import md5_hash60
+
+    if n_edges < 2:
+        raise ValueError("fit_size_edges: n_edges must be >= 2")
+    if sample_n < 2:
+        raise ValueError("fit_size_edges: sample_n must be >= 2")
+    rows = (
+        df.select(
+            F.col(size_col).cast("long").alias("_fse_s"),
+            md5_hash60(F.col(id_col).cast("string")).alias("_fse_h"),
+            F.col(id_col).alias("_fse_id"),
+        )
+        .orderBy("_fse_h", "_fse_id")
+        .limit(sample_n)
+        .select("_fse_s")
+        .collect()
+    )
+    sizes = [r[0] for r in rows if r[0] is not None]
+    if not sizes:
+        raise ValueError(
+            f"fit_size_edges: no non-NULL {size_col!r} values in the sample"
+        )
+    lo = max(1, min(sizes))
+    hi = max(sizes)
+    if hi <= lo:
+        raise ValueError(
+            f"fit_size_edges: degenerate size distribution"
+            f" (lo={lo}, hi={hi}); fixed edges are the honest choice here"
+        )
+    r = 2
+    while lo * r ** (n_edges - 1) < hi:
+        r += 1
+    return tuple(lo * r**k for k in range(n_edges))
+
+
 def size_histogram(
     df: DataFrame,
     group_col: str = "lang",
@@ -924,6 +990,198 @@ def _overlap_matrix_from_pairs(s: DataFrame) -> DataFrame:
         F.col("n_fps_b").cast("long").alias("n_fps_b"),
         "n_shared",
         jac.alias("jaccard"),
+    )
+
+
+def overlap_band_keys(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    num_hashes: int = 96,
+    bands: int = 16,
+    shingle_k: int = 13,
+    seed: int = 42,
+) -> DataFrame:
+    """The MERGEABLE half of the NEAR-dup cross-source overlap matrix:
+    a snapshot's DISTINCT (source, MinHash-LSH band key) pairs as the
+    (``_so_src``, ``_so_fp``) frame — ``overlap_fingerprints`` with the
+    exact content fingerprint swapped for the dedup pipeline's banded
+    sketch (``dedup.minhash_signatures`` + the ``minhash_candidate_pairs``
+    band hashing), so two sources overlap on a key exactly when they
+    hold documents the near-dedup banding would pair: boilerplate
+    variants, templated rewrites, near-copies — not just byte-identical
+    normalized text. Distinct pairs still merge by set union
+    (associative, idempotent), so the maintained/merged/compacted
+    machinery is shared with the exact tier.
+
+    Defaults are the PRODUCTION dedup sizing (num_hashes=96 /
+    shingle_k=13 — the k=5 fixture shingles saturate: background
+    Jaccard ~0.14 makes unrelated sources share band keys). Band keys
+    are ``band_index:xxhash64(band slice)`` — 8-byte-hash discipline
+    through the distinct/shuffle, injective up to ~2^-64 like the dedup
+    banding itself. NULL text and NULL sources are excluded (not a
+    source, not content); sub-shingle-length docs share the EMPTY
+    shingle set's signature — trivially identical content, same
+    semantics as ``dedup_minhash`` — so all-boilerplate-short sources
+    read as overlapping, which they are.
+
+    Scale: one scan-side signature projection (vectorized UDF), one
+    explode to ``bands`` (id-free!) key rows, one distinct on (label,
+    ~20-char key). Raw text never shuffles; doc ids never even leave
+    the scan."""
+    from colnade_spark.operators.dedup import minhash_signatures
+
+    if bands < 1 or num_hashes % bands:
+        raise ValueError(
+            "overlap_band_keys: num_hashes must be a positive multiple"
+            " of bands"
+        )
+    rows_per = num_hashes // bands
+    sigs = minhash_signatures(
+        df.filter(
+            F.col(text_col).isNotNull() & F.col(group_col).isNotNull()
+        ),
+        text_col=text_col,
+        num_hashes=num_hashes,
+        shingle_k=shingle_k,
+        seed=seed,
+    )
+    return (
+        sigs.select(
+            F.col(group_col).alias("_so_src"),
+            F.explode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            ":",
+                            F.lit(str(bi)),
+                            F.xxhash64(
+                                F.slice(
+                                    F.col("_sig"), bi * rows_per + 1, rows_per
+                                ).cast("string")
+                            ).cast("string"),
+                        )
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("_so_fp"),
+        )
+        .distinct()
+    )
+
+
+def source_overlap_near(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    num_hashes: int = 96,
+    bands: int = 16,
+    shingle_k: int = 13,
+    seed: int = 42,
+) -> DataFrame:
+    """NEAR-dup cross-source overlap matrix (source_a < source_b,
+    n_fps_a/n_fps_b = distinct band keys per source, n_shared, jaccard)
+    — ``source_overlap_matrix`` with band keys instead of exact
+    fingerprints: the answer to "how much of source B is a near-copy of
+    source A" rather than "how much is byte-identical after
+    normalization". Shares the exact tier's matrix tail verbatim
+    (``_overlap_matrix_from_pairs`` — one code path, the maintained
+    twin cannot drift). Read jaccard as banded-content overlap: a
+    document cluster contributes its ``bands`` keys to every source
+    holding a member."""
+    return _overlap_matrix_from_pairs(
+        overlap_band_keys(
+            df, group_col, text_col, num_hashes, bands, shingle_k, seed
+        )
+    )
+
+
+def maintain_source_overlap_near(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    group_col: str = "source",
+    text_col: str = "text",
+    num_hashes: int = 96,
+    bands: int = 16,
+    shingle_k: int = 13,
+    seed: int = 42,
+    available_now: bool = True,
+):
+    """STREAMING maintenance of the NEAR-dup overlap matrix: per
+    micro-batch, persist the batch's distinct (source, band key) pairs
+    (``overlap_band_keys``) into its ``batch_id=<n>`` partition — the
+    ``maintain_source_overlap`` pattern over the banded sketch; merged
+    store ≡ one ``source_overlap_near`` pass over everything ever
+    streamed (pinned by test). Read with ``merge_overlap_near_store``;
+    compact with ``compact_overlap_near_table``. The manifest pins the
+    FULL sketch parameterization (group/text cols, num_hashes, bands,
+    shingle_k, seed): band keys from different sketches collide only by
+    accident — a resumed run with a drifted sketch refuses at the
+    manifest, never silently mixes keys."""
+    from colnade_spark.streaming.stream import (
+        maintain_partitioned_table,
+        write_table_manifest,
+    )
+
+    write_table_manifest(
+        stream.sparkSession,
+        table_path,
+        {
+            "kind": "overlap_band_keys",
+            "group_col": group_col,
+            "text_col": text_col,
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "shingle_k": shingle_k,
+            "seed": seed,
+        },
+    )
+    return maintain_partitioned_table(
+        stream,
+        lambda b: overlap_band_keys(
+            b, group_col, text_col, num_hashes, bands, shingle_k, seed
+        ),
+        table_path,
+        checkpoint,
+        available_now,
+    )
+
+
+def merge_overlap_near_store(spark, table_path: str) -> DataFrame:
+    """Manifest-validating reader for a ``maintain_source_overlap_near``
+    store — ``merge_overlap_store`` for the banded tier: validate the
+    kind, DISTINCT the pair history (set union is idempotent), emit the
+    matrix through the shared tail."""
+    from colnade_spark.streaming.stream import (
+        read_batched_history,
+        read_table_manifest,
+    )
+
+    mf = read_table_manifest(spark, table_path)
+    if mf is None or mf.get("kind") != "overlap_band_keys":
+        raise ValueError(
+            f"no overlap_band_keys manifest at {table_path}; was this"
+            " table written by maintain_source_overlap_near?"
+        )
+    hist = read_batched_history(spark, table_path)
+    if hist is None:
+        hist = spark.createDataFrame([], "_so_src string, _so_fp string")
+    pairs = hist.select("_so_src", "_so_fp").distinct()
+    return _overlap_matrix_from_pairs(pairs)
+
+
+def compact_overlap_near_table(spark, table_path: str, dest_path: str) -> dict:
+    """``compact_overlap_table`` for the banded tier: fold all but the
+    trailing batch partition into one DISTINCT epoch partition (see the
+    exact tier for the crash-safety argument)."""
+    from colnade_spark.streaming.stream import compact_batched_table
+
+    def _resolve(body, mf):
+        return body.drop("batch_id").distinct()
+
+    return compact_batched_table(
+        spark, table_path, dest_path, "overlap_band_keys", _resolve
     )
 
 

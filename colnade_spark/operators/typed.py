@@ -85,6 +85,7 @@ __all__ = [
     "DupWeights",
     "FertilityRows",
     "source_overlap_matrix",
+    "source_overlap_near",
     "length_drift_psi",
     "SourceOverlapRows",
     "DriftPsiRows",
@@ -966,6 +967,16 @@ def source_overlap_matrix(frame, **kwargs) -> DataFrame[SourceOverlapRows]:
 
     f = frame.native if isinstance(frame, DataFrame) else frame
     return _typed(_report.source_overlap_matrix(f, **kwargs), SourceOverlapRows)
+
+
+def source_overlap_near(frame, **kwargs) -> DataFrame[SourceOverlapRows]:
+    """Typed NEAR-dup cross-source overlap matrix over MinHash band
+    keys (operators.report.source_overlap_near) — same row shape as the
+    exact matrix: the tails are one code path."""
+    from colnade_spark.operators import report as _report
+
+    f = frame.native if isinstance(frame, DataFrame) else frame
+    return _typed(_report.source_overlap_near(f, **kwargs), SourceOverlapRows)
 
 
 class DriftPsiRows(Schema):

@@ -581,3 +581,85 @@ def test_histogram_card_empty_quantiles_guard(spark):
         report.histogram_card(hist, (10, 100), quantiles=())
     with pytest.raises(ValueError, match="must be an int percent"):
         report.histogram_card(hist, (10, 100), quantiles=(0,))
+
+
+def test_fit_size_edges_minimal_integer_ratio(spark):
+    """The auto-fit is integer-exact: lo = max(1, sample min), hi =
+    sample max, ratio = the SMALLEST integer r >= 2 with
+    lo * r^(n_edges-1) >= hi, edges = lo * r^k — hand-checked, stable
+    under repartitioning (content-addressed sample), guarded on
+    degenerate and all-NULL inputs, and composable with
+    corpus_card_binned (int-edges contract)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate([10, 50, 3000, 200, 80])],
+        ["doc_id", "n_chars"],
+    )
+    edges = report.fit_size_edges(df, n_edges=6, sample_n=2048)
+    # r=2: 10*32=320 < 3000; r=3: 2430 < 3000; r=4: 10*1024 >= 3000
+    assert edges == (10, 40, 160, 640, 2560, 10240)
+    assert report.fit_size_edges(df.repartition(7), n_edges=6) == edges
+    card = report.corpus_card_binned(
+        df.withColumn("lang", F.lit("en")), edges=edges
+    )
+    assert card.count() == 1
+
+    with pytest.raises(ValueError, match="degenerate"):
+        report.fit_size_edges(
+            spark.createDataFrame([(1, 7), (2, 7)], ["doc_id", "n_chars"])
+        )
+    with pytest.raises(ValueError, match="no non-NULL"):
+        report.fit_size_edges(
+            spark.createDataFrame([(1, None)], "doc_id long, n_chars long")
+        )
+    with pytest.raises(ValueError, match="n_edges"):
+        report.fit_size_edges(df, n_edges=1)
+    with pytest.raises(ValueError, match="sample_n"):
+        report.fit_size_edges(df, sample_n=1)
+
+
+def test_source_overlap_near_sees_what_exact_matrix_cannot(spark):
+    """Band-key overlap pairs sources holding NEAR copies: trailing/
+    leading-phrase variants share most k=13 shingles, so their band
+    keys collide, while the exact fingerprint matrix reports NOTHING
+    (different normalized strings). Unrelated sources stay disjoint.
+    Key accounting: each source holds at most bands keys per distinct
+    content cluster."""
+    from pyspark.sql import functions as F
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog near the river bank today",
+        "pack my box with five dozen liquor jugs before the morning train leaves",
+        "a completely different document about spark partitions and shuffle costs",
+    ]
+    rows = [(i, t, "full") for i, t in enumerate(texts)]
+    rows += [
+        (100 + i, t + " near duplicate tail", "near")
+        for i, t in enumerate(texts)
+    ]
+    rows += [
+        (200, "entirely unrelated content discussing medieval castle masonry works", "other"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "src"])
+
+    exact = report.source_overlap_matrix(df, group_col="src").collect()
+    assert exact == []  # no pair of sources shares an exact fingerprint
+
+    near = {
+        (r.source_a, r.source_b): r
+        for r in report.source_overlap_near(
+            df, group_col="src", num_hashes=64, bands=16, shingle_k=13
+        ).collect()
+    }
+    assert ("full", "near") in near
+    r = near[("full", "near")]
+    assert r.n_shared > 0
+    assert 0.0 < r.jaccard <= 1.0
+    # at most bands keys per doc, 3 docs per source
+    assert r.n_fps_a <= 3 * 16 and r.n_fps_b <= 3 * 16
+    # the unrelated source never pairs with anything
+    assert all("other" not in k for k in near)
+
+    with pytest.raises(ValueError, match="multiple of bands"):
+        report.overlap_band_keys(df, group_col="src", num_hashes=10, bands=16)

@@ -391,6 +391,10 @@ def test_fertility_facade(docs):
 def test_diagnostics_facades(docs):
     mat = typed.source_overlap_matrix(docs, group_col="lang")
     assert mat.schema is typed.SourceOverlapRows  # may be empty: no x-lang dups
+    nearm = typed.source_overlap_near(
+        docs, group_col="lang", num_hashes=32, bands=8, shingle_k=13
+    )
+    assert nearm.schema is typed.SourceOverlapRows  # shared row shape
     psi = typed.length_drift_psi(
         docs, new=docs, value_col="n_chars", edges=(100, 300)
     )

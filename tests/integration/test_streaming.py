@@ -2167,3 +2167,127 @@ def test_maintain_corpus_card_matches_batch_and_replays(
     assert merge_corpus_card(spark, empty).count() == 0
     with _pytest.raises(ValueError, match="size_histogram manifest"):
         merge_corpus_card(spark, str(tmp_path / "nowhere"))
+
+
+def test_maintain_corpus_card_pins_autofit_edges(spark, sf_dir, tmp_path):
+    """Auto-fit edges are a FROZEN artifact: fit once (fit_size_edges,
+    bounded content-addressed sample), pin via the maintain_corpus_card
+    manifest, and a resumed run whose edges were REFIT on a different
+    snapshot refuses at the manifest — the fit composes with the
+    existing edge pinning, no new manifest machinery."""
+    import pytest as _pytest
+
+    from colnade_spark.operators.report import (
+        corpus_card_binned,
+        fit_size_edges,
+        maintain_corpus_card,
+        merge_corpus_card,
+    )
+    from colnade_spark.tpch import table_path as _tp
+
+    docs = spark.read.parquet(_tp(sf_dir, "documents"))
+    edges = fit_size_edges(docs, size_col="n_chars", id_col="doc_id")
+    assert len(edges) == 6 and list(edges) == sorted(set(edges))
+
+    src = str(tmp_path / "src")
+    _write_ingest(docs.filter(F.col("doc_id") % 2 == 0), src, 0)
+    table = str(tmp_path / "card")
+
+    def run(ck: str, e):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = maintain_corpus_card(stream, table, ck, "lang", "n_chars", e)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(str(tmp_path / "ck1"), edges)
+    got = {tuple(r) for r in merge_corpus_card(spark, table).collect()}
+    want = {
+        tuple(r)
+        for r in corpus_card_binned(
+            docs.filter(F.col("doc_id") % 2 == 0), "lang", "n_chars", edges
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # refit on a different snapshot -> different edges -> refusal
+    refit = fit_size_edges(
+        docs.filter(F.col("doc_id") % 7 == 0), size_col="n_chars"
+    )
+    if refit == edges:  # make the drift explicit if the fixture ties
+        refit = tuple(e * 2 for e in edges)
+    with _pytest.raises(ValueError, match="refusing to continue"):
+        run(str(tmp_path / "ck2"), refit)
+
+
+def test_maintain_source_overlap_near_merges_and_pins_sketch(
+    spark, sf_dir, tmp_path
+):
+    """Maintained NEAR-dup overlap: the merged store equals ONE
+    source_overlap_near pass over everything ever streamed (bit-exact
+    — distinct band-key pairs merge by set union, the matrix tail is
+    shared code); a resumed run with a drifted sketch (different
+    shingle_k) refuses at the manifest; the reader refuses a store the
+    maintainer never wrote."""
+    import pytest as _pytest
+
+    from colnade_spark.operators.report import (
+        maintain_source_overlap_near,
+        merge_overlap_near_store,
+        source_overlap_near,
+    )
+    from colnade_spark.streaming.stream import write_table_manifest
+    from colnade_spark.tpch import table_path as _tp
+
+    d = spark.read.parquet(_tp(sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    base = d.select("doc_id", "text", F.lit("full").alias("source"))
+    near = d.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near duplicate tail")).alias("text"),
+        F.lit("near_even").alias("source"),
+    )
+    allv = base.unionByName(near)
+    src = str(tmp_path / "src")
+    _write_ingest(base, src, 0)
+    _write_ingest(near, src, 1)
+    table = str(tmp_path / "overlap")
+    kw = dict(num_hashes=64, bands=16, shingle_k=13)
+
+    def run(ck: str, **over):
+        stream = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = maintain_source_overlap_near(
+            stream, table, ck, "source", "text", **{**kw, **over}
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(str(tmp_path / "ck1"))
+    got = {tuple(r) for r in merge_overlap_near_store(spark, table).collect()}
+    want = {
+        tuple(r)
+        for r in source_overlap_near(allv, "source", "text", **kw).collect()
+    }
+    assert got == want and len(got) == 1  # the (full, near_even) row
+    row = next(iter(got))
+    assert row[4] > 0  # n_shared: the near copies DO pair
+
+    with _pytest.raises(ValueError, match="refusing to continue"):
+        run(str(tmp_path / "ck2"), shingle_k=5)
+
+    alien = str(tmp_path / "alien")
+    write_table_manifest(spark, alien, {"kind": "something_else"})
+    with _pytest.raises(ValueError, match="overlap_band_keys"):
+        merge_overlap_near_store(spark, alien)
