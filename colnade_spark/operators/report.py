@@ -958,7 +958,11 @@ def _overlap_matrix_from_pairs(s: DataFrame) -> DataFrame:
     frame — shared verbatim by the one-pass ``source_overlap_matrix``
     and the maintained-store reader ``merge_overlap_store`` (the two
     paths must stay one code path: a drifted reimplementation would
-    un-pin their equivalence)."""
+    un-pin their equivalence). The tail references ``s`` four times
+    (two totals broadcasts + both join sides): producers whose pair
+    frame is expensive to recompute materialize it first
+    (``overlap_band_keys``' lazy localCheckpoint); the exact tier's
+    md5 projection re-runs cheaply by design."""
     totals = s.groupBy("_so_src").agg(F.count(F.lit(1)).alias("_so_n"))
     a = s.select(F.col("_so_src").alias("source_a"), "_so_fp")
     b = s.select(F.col("_so_src").alias("source_b"), "_so_fp")
@@ -1028,7 +1032,15 @@ def overlap_band_keys(
     Scale: one scan-side signature projection (vectorized UDF), one
     explode to ``bands`` (id-free!) key rows, one distinct on (label,
     ~20-char key). Raw text never shuffles; doc ids never even leave
-    the scan."""
+    the scan. The trailing lazy ``localCheckpoint`` is the cooccur/
+    dedup materialization pattern: the matrix tail references this
+    frame FOUR times (two totals broadcasts + both join sides), and a
+    repartition barrier alone does not dedupe them — at broadcast-able
+    sizes AQE plants BroadcastExchange variants that cannot reuse a
+    shuffle — so without the checkpoint the signature UDF re-runs the
+    corpus sketch per consumer. The checkpoint materializes only the
+    bounded distinct pair set (labels + ~20-char keys) on executor
+    storage, once (plan-gated)."""
     from colnade_spark.operators.dedup import minhash_signatures
 
     if bands < 1 or num_hashes % bands:
@@ -1067,6 +1079,7 @@ def overlap_band_keys(
             ).alias("_so_fp"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
 
 
