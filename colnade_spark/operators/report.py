@@ -326,9 +326,14 @@ def fit_size_edges(
     integer products, bit-identical across engines, valid for
     ``size_histogram``'s int-edges contract.
 
-    Raises on an empty/all-NULL sample and on a degenerate distribution
-    (``hi <= lo``): auto-fitting edges nobody can bin against should
-    fail at fit time, not at the first card read."""
+    Raises on an empty/all-NULL sample, on a degenerate distribution
+    (``hi <= lo``), and on a spread so wide the ratio exceeds 63
+    (``hi/lo > 63^(n_edges-1)`` — bins 64x apart carry no resolution;
+    raise ``n_edges`` instead). The ratio cap also pins the SQL-replay
+    contract: the oracle's minimal-ratio scan enumerates r in [2, 63],
+    where every ``lo * r^k`` product is integer-exact in both engines.
+    Auto-fitting edges nobody can bin against should fail at fit time,
+    not at the first card read."""
     from colnade_spark.operators.text import md5_hash60
 
     if n_edges < 2:
@@ -361,6 +366,12 @@ def fit_size_edges(
     r = 2
     while lo * r ** (n_edges - 1) < hi:
         r += 1
+        if r > 63:
+            raise ValueError(
+                f"fit_size_edges: size spread lo={lo}, hi={hi} needs a"
+                f" geometric ratio > 63 at n_edges={n_edges} — the bins"
+                " would carry no resolution; raise n_edges"
+            )
     return tuple(lo * r**k for k in range(n_edges))
 
 
@@ -1032,18 +1043,13 @@ def overlap_band_keys(
     Scale: one scan-side signature projection (vectorized UDF), one
     explode to ``bands`` (id-free!) key rows, one distinct on (label,
     ~20-char key). Raw text never shuffles; doc ids never even leave
-    the scan. The trailing lazy ``localCheckpoint`` is the cooccur/
-    dedup materialization pattern: the matrix tail references this
-    frame FOUR times (two totals broadcasts + both join sides), and a
-    repartition barrier alone does not dedupe them — at broadcast-able
-    sizes AQE plants BroadcastExchange variants that cannot reuse a
-    shuffle — so without the checkpoint the signature UDF re-runs the
-    corpus sketch per consumer. The checkpoint materializes only the
-    bounded distinct pair set (labels + ~20-char keys) on executor
-    storage, once (plan-gated)."""
+    the scan. Consumers that reference the result more than once must
+    materialize it themselves (``source_overlap_near`` lazily
+    localCheckpoints — see there); the maintainer writes it exactly
+    once per batch, so this producer stays checkpoint-free."""
     from colnade_spark.operators.dedup import minhash_signatures
 
-    if bands < 1 or num_hashes % bands:
+    if num_hashes < 1 or bands < 1 or num_hashes % bands:
         raise ValueError(
             "overlap_band_keys: num_hashes must be a positive multiple"
             " of bands"
@@ -1079,7 +1085,6 @@ def overlap_band_keys(
             ).alias("_so_fp"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
     )
 
 
@@ -1101,11 +1106,23 @@ def source_overlap_near(
     (``_overlap_matrix_from_pairs`` — one code path, the maintained
     twin cannot drift). Read jaccard as banded-content overlap: a
     document cluster contributes its ``bands`` keys to every source
-    holding a member."""
+    holding a member.
+
+    The pair set is lazily ``localCheckpoint``-ed HERE (the cooccur/
+    dedup materialization pattern) because the matrix tail references
+    it four times (two totals broadcasts + both join sides) and a
+    repartition barrier cannot dedupe them — at broadcastable sizes
+    AQE plants BroadcastExchange variants that cannot reuse a shuffle
+    — so without it the corpus-wide signature UDF would re-run per
+    consumer. Only the bounded distinct pair set (labels + ~20-char
+    keys) lands on executor storage, once (plan-gated). The streaming
+    maintainer deliberately does NOT go through this function: it
+    consumes the pair frame exactly once per batch and needs no
+    checkpoint."""
     return _overlap_matrix_from_pairs(
         overlap_band_keys(
             df, group_col, text_col, num_hashes, bands, shingle_k, seed
-        )
+        ).localCheckpoint(eager=False)
     )
 
 
@@ -1161,40 +1178,62 @@ def maintain_source_overlap_near(
     )
 
 
-def merge_overlap_near_store(spark, table_path: str) -> DataFrame:
-    """Manifest-validating reader for a ``maintain_source_overlap_near``
-    store — ``merge_overlap_store`` for the banded tier: validate the
-    kind, DISTINCT the pair history (set union is idempotent), emit the
-    matrix through the shared tail."""
+def _merge_overlap_kind(spark, table_path: str, kind: str, maintainer: str):
+    """Shared manifest-validating merge for BOTH overlap-store tiers
+    (exact fingerprints and band keys): validate the kind (a path never
+    written by the right maintainer fails loudly, not with a
+    missing-column error), DISTINCT the (``_so_src``, ``_so_fp``) pair
+    history across batches (set union is idempotent), and emit the
+    matrix through the shared tail. A registered-but-no-batch store
+    yields a valid EMPTY matrix (source label pinned string — the
+    shared staging reports labels as strings). One code path: a fix to
+    either tier's reader IS a fix to the other."""
     from colnade_spark.streaming.stream import (
         read_batched_history,
         read_table_manifest,
     )
 
     mf = read_table_manifest(spark, table_path)
-    if mf is None or mf.get("kind") != "overlap_band_keys":
+    if mf is None or mf.get("kind") != kind:
         raise ValueError(
-            f"no overlap_band_keys manifest at {table_path}; was this"
-            " table written by maintain_source_overlap_near?"
+            f"no {kind} manifest at {table_path}; was this table"
+            f" written by {maintainer}?"
         )
     hist = read_batched_history(spark, table_path)
     if hist is None:
         hist = spark.createDataFrame([], "_so_src string, _so_fp string")
-    pairs = hist.select("_so_src", "_so_fp").distinct()
-    return _overlap_matrix_from_pairs(pairs)
+    return _overlap_matrix_from_pairs(
+        hist.select("_so_src", "_so_fp").distinct()
+    )
 
 
-def compact_overlap_near_table(spark, table_path: str, dest_path: str) -> dict:
-    """``compact_overlap_table`` for the banded tier: fold all but the
-    trailing batch partition into one DISTINCT epoch partition (see the
-    exact tier for the crash-safety argument)."""
+def _compact_overlap_kind(
+    spark, table_path: str, dest_path: str, kind: str
+) -> dict:
+    """Shared compaction for both overlap-store tiers: fold all but the
+    trailing batch partition into one DISTINCT epoch partition (see
+    ``streaming.compact_batched_table`` for the crash-safety
+    argument)."""
     from colnade_spark.streaming.stream import compact_batched_table
 
     def _resolve(body, mf):
         return body.drop("batch_id").distinct()
 
-    return compact_batched_table(
-        spark, table_path, dest_path, "overlap_band_keys", _resolve
+    return compact_batched_table(spark, table_path, dest_path, kind, _resolve)
+
+
+def merge_overlap_near_store(spark, table_path: str) -> DataFrame:
+    """Manifest-validating reader for a ``maintain_source_overlap_near``
+    store — the shared overlap merge over kind ``overlap_band_keys``."""
+    return _merge_overlap_kind(
+        spark, table_path, "overlap_band_keys", "maintain_source_overlap_near"
+    )
+
+
+def compact_overlap_near_table(spark, table_path: str, dest_path: str) -> dict:
+    """``compact_overlap_table`` for the banded tier (shared helper)."""
+    return _compact_overlap_kind(
+        spark, table_path, dest_path, "overlap_band_keys"
     )
 
 
@@ -1260,22 +1299,9 @@ def merge_overlap_store(spark, table_path: str) -> DataFrame:
     (``merge_fertility_store`` shape; the empty frame pins the source
     label as string — the maintainer's overwhelmingly common case —
     since an empty store carries no dtype to recover)."""
-    from colnade_spark.streaming.stream import (
-        read_batched_history,
-        read_table_manifest,
+    return _merge_overlap_kind(
+        spark, table_path, "overlap_fps", "maintain_source_overlap"
     )
-
-    mf = read_table_manifest(spark, table_path)
-    if mf is None or mf.get("kind") != "overlap_fps":
-        raise ValueError(
-            f"no overlap_fps manifest at {table_path}; was this table"
-            " written by maintain_source_overlap?"
-        )
-    hist = read_batched_history(spark, table_path)
-    if hist is None:
-        hist = spark.createDataFrame([], "_so_src string, _so_fp string")
-    pairs = hist.select("_so_src", "_so_fp").distinct()
-    return _overlap_matrix_from_pairs(pairs)
 
 
 def compact_overlap_table(spark, table_path: str, dest_path: str) -> dict:
@@ -1289,14 +1315,7 @@ def compact_overlap_table(spark, table_path: str, dest_path: str) -> dict:
     trailing partition is never folded. This is the knob that bounds
     the store: after compaction the epoch partition holds the deduped
     pair set, not |batches| copies of recurring boilerplate."""
-    from colnade_spark.streaming.stream import compact_batched_table
-
-    def _resolve(body, mf):
-        return body.drop("batch_id").distinct()
-
-    return compact_batched_table(
-        spark, table_path, dest_path, "overlap_fps", _resolve
-    )
+    return _compact_overlap_kind(spark, table_path, dest_path, "overlap_fps")
 
 
 def length_drift_psi(

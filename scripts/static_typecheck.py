@@ -91,6 +91,8 @@ class FileChecker(ast.NodeVisitor):
                 for a in node.names:
                     root = a.name.split(".")[0]
                     if root != "colnade_spark":
+                        # a non-library import shadows the name
+                        self.assigned.add(a.asname or root)
                         continue
                     bound = a.asname or root
                     try:
@@ -104,9 +106,14 @@ class FileChecker(ast.NodeVisitor):
                         else importlib.import_module(root)
                     )
             elif isinstance(node, ast.ImportFrom):
-                if node.level or not node.module:
-                    continue
-                if node.module.split(".")[0] != "colnade_spark":
+                if (
+                    node.level
+                    or not node.module
+                    or node.module.split(".")[0] != "colnade_spark"
+                ):
+                    for al in node.names:
+                        if al.name != "*":
+                            self.assigned.add(al.asname or al.name)
                     continue
                 try:
                     mod = importlib.import_module(node.module)
@@ -132,16 +139,52 @@ class FileChecker(ast.NodeVisitor):
                     self.imported[a.asname or a.name] = getattr(mod, a.name)
             elif isinstance(node, ast.ClassDef):
                 self._maybe_local_schema(node)
-            elif isinstance(node, (ast.Assign, ast.AugAssign, ast.AnnAssign)):
-                targets = (
-                    node.targets
-                    if isinstance(node, ast.Assign)
-                    else [node.target]
-                )
-                for t in targets:
-                    for n in ast.walk(t):
-                        if isinstance(n, ast.Name):
-                            self.assigned.add(n.id)
+            else:
+                self._record_bindings(node)
+
+    def _record_bindings(self, node: ast.AST) -> None:
+        """Record EVERY name-binding form into ``self.assigned`` so an
+        attribute base that is shadowed anywhere in the file is skipped
+        rather than mis-resolved to a library import — the
+        zero-false-positive contract. Scope-insensitive on purpose:
+        trading recall (a shadowed name is never checked, even in
+        scopes where the import is live) for never flagging correct
+        code."""
+
+        def names(t: ast.AST) -> None:
+            for n in ast.walk(t):
+                if isinstance(n, ast.Name):
+                    self.assigned.add(n.id)
+
+        if isinstance(node, (ast.Assign, ast.AugAssign, ast.AnnAssign)):
+            for t in node.targets if isinstance(node, ast.Assign) else [
+                node.target
+            ]:
+                names(t)
+        elif isinstance(node, ast.NamedExpr):
+            names(node.target)
+        elif isinstance(
+            node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.Lambda)
+        ):
+            a = node.args
+            for arg in (
+                a.posonlyargs
+                + a.args
+                + a.kwonlyargs
+                + ([a.vararg] if a.vararg else [])
+                + ([a.kwarg] if a.kwarg else [])
+            ):
+                self.assigned.add(arg.arg)
+        elif isinstance(node, (ast.For, ast.AsyncFor)):
+            names(node.target)
+        elif isinstance(node, ast.comprehension):
+            names(node.target)
+        elif isinstance(node, ast.withitem):
+            if node.optional_vars is not None:
+                names(node.optional_vars)
+        elif isinstance(node, ast.ExceptHandler):
+            if node.name:
+                self.assigned.add(node.name)
 
     def _maybe_local_schema(self, node: ast.ClassDef) -> None:
         """Record annotated names of classes whose base chain reaches

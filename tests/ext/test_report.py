@@ -617,6 +617,13 @@ def test_fit_size_edges_minimal_integer_ratio(spark):
         report.fit_size_edges(df, n_edges=1)
     with pytest.raises(ValueError, match="sample_n"):
         report.fit_size_edges(df, sample_n=1)
+    # ratio cap: a spread needing r > 63 raises (keeps the SQL-replay
+    # contract's bounded integer ratio scan airtight)
+    wide = spark.createDataFrame(
+        [(1, 1), (2, 10**9)], ["doc_id", "n_chars"]
+    )
+    with pytest.raises(ValueError, match="ratio > 63"):
+        report.fit_size_edges(wide, n_edges=2)
 
 
 def test_source_overlap_near_sees_what_exact_matrix_cannot(spark):
@@ -663,3 +670,10 @@ def test_source_overlap_near_sees_what_exact_matrix_cannot(spark):
 
     with pytest.raises(ValueError, match="multiple of bands"):
         report.overlap_band_keys(df, group_col="src", num_hashes=10, bands=16)
+    # zero/negative num_hashes are multiples of bands arithmetically but
+    # must still raise — rows_per=0 would give every source the same
+    # empty-slice band keys (jaccard ~1.0 between unrelated sources)
+    with pytest.raises(ValueError, match="multiple of bands"):
+        report.overlap_band_keys(df, group_col="src", num_hashes=0, bands=16)
+    with pytest.raises(ValueError, match="multiple of bands"):
+        report.overlap_band_keys(df, group_col="src", num_hashes=-16, bands=16)

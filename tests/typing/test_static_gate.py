@@ -60,6 +60,38 @@ def test_gate_catches_introduced_column_typos(tmp_path):
     assert "gopher_fitler" in res.stdout
 
 
+def test_gate_skips_shadowed_names(tmp_path):
+    """Zero-false-positive contract: every binding form shadows —
+    function parameters, for targets, with/except bindings, walrus,
+    comprehension variables, and non-library imports must all stop the
+    checker from resolving the name as the library import."""
+    ok = tmp_path / "shadow_case.py"
+    ok.write_text(
+        "from colnade_spark.operators import typed\n"
+        "from colnade_spark.tpch import Customer\n"
+        "from collections import namedtuple as Customer  # shadows\n"
+        "def f(typed):\n"
+        "    return typed.not_a_facade\n"
+        "def g(items):\n"
+        "    for typed in items:\n"
+        "        typed.whatever\n"
+        "    with open('x') as typed:\n"
+        "        typed.read\n"
+        "    try:\n"
+        "        pass\n"
+        "    except ValueError as typed:\n"
+        "        typed.args_whatever\n"
+        "    return [typed.x for typed in items]\n"
+        "def h(x):\n"
+        "    if (typed := x):\n"
+        "        return typed.anything\n"
+        "    lam = lambda typed: typed.z\n"
+        "    return Customer.not_a_column  # shadowed by namedtuple\n"
+    )
+    res = _run(str(ok))
+    assert res.returncode == 0, res.stdout + res.stderr
+
+
 def test_gate_resolves_inheritance_and_schema_api(tmp_path):
     ok = tmp_path / "ok_typing_case.py"
     ok.write_text(
