@@ -5886,6 +5886,7 @@ SELECT doc_id FROM documents WHERE doc_id % 2 = 1
             WITH samp AS (
               SELECT CAST(n_chars AS BIGINT) AS sz
               FROM documents
+              WHERE doc_id IS NOT NULL
               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
                          ::BIGINT,
                        doc_id

@@ -326,6 +326,17 @@ def fit_size_edges(
     integer products, bit-identical across engines, valid for
     ``size_histogram``'s int-edges contract.
 
+    NULL-``id_col`` rows are EXCLUDED from the sample before the top-k
+    (mirroring ``overlap_band_keys``'s NULL text/source exclusion):
+    ``md5_hash60(NULL)`` is NULL and Spark's ASC default is NULLS
+    FIRST, so without the filter NULL-id rows would preferentially fill
+    the sample while a SQL replay with NULLS-LAST semantics would drop
+    them — a silent sample divergence. ``id_col`` is assumed UNIQUE
+    among the sampled rows (the corpus-wide contract everywhere else in
+    this module); duplicate ids with different sizes make the
+    ``(hash, id)`` tie-break underdetermined and the replay
+    engine-dependent.
+
     Raises on an empty/all-NULL sample, on a degenerate distribution
     (``hi <= lo``), and on a spread so wide the ratio exceeds 63
     (``hi/lo > 63^(n_edges-1)`` — bins 64x apart carry no resolution;
@@ -341,7 +352,8 @@ def fit_size_edges(
     if sample_n < 2:
         raise ValueError("fit_size_edges: sample_n must be >= 2")
     rows = (
-        df.select(
+        df.filter(F.col(id_col).isNotNull())
+        .select(
             F.col(size_col).cast("long").alias("_fse_s"),
             md5_hash60(F.col(id_col).cast("string")).alias("_fse_h"),
             F.col(id_col).alias("_fse_id"),

@@ -156,6 +156,11 @@ class FileChecker(ast.NodeVisitor):
                 if isinstance(n, ast.Name):
                     self.assigned.add(n.id)
 
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            # the def's NAME is a binding too: a file-local
+            # ``def typed(...):`` shadows a library import, so attribute
+            # access on it must be skipped, not resolved to the import
+            self.assigned.add(node.name)
         if isinstance(node, (ast.Assign, ast.AugAssign, ast.AnnAssign)):
             for t in node.targets if isinstance(node, ast.Assign) else [
                 node.target
@@ -211,6 +216,11 @@ class FileChecker(ast.NodeVisitor):
             if got is not None:
                 base_cols = got if base_cols is None else base_cols | got
         if base_cols is None:
+            # NOT a schema subclass: the class NAME still shadows any
+            # same-named library import — record it so attribute access
+            # on the local class is skipped (zero-false-positive
+            # contract), mirroring the FunctionDef name binding above
+            self.assigned.add(node.name)
             return
         cols = base_cols
         for stmt in node.body:

@@ -613,6 +613,17 @@ def test_fit_size_edges_minimal_integer_ratio(spark):
         report.fit_size_edges(
             spark.createDataFrame([(1, None)], "doc_id long, n_chars long")
         )
+    # NULL ids are excluded BEFORE the top-k (ADVICE r9): md5(NULL) is
+    # NULL and sorts FIRST under Spark's ASC default, so an unfiltered
+    # NULL-id row would fill the bounded sample ahead of every real row
+    # (here: its 10**9 size would trip the ratio cap)
+    withnull = spark.createDataFrame(
+        [(1, 10), (2, 3000), (None, 10**9)],
+        "doc_id long, n_chars long",
+    )
+    assert report.fit_size_edges(withnull, n_edges=6, sample_n=2) == (
+        10, 40, 160, 640, 2560, 10240,
+    )
     with pytest.raises(ValueError, match="n_edges"):
         report.fit_size_edges(df, n_edges=1)
     with pytest.raises(ValueError, match="sample_n"):

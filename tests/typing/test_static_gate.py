@@ -92,6 +92,26 @@ def test_gate_skips_shadowed_names(tmp_path):
     assert res.returncode == 0, res.stdout + res.stderr
 
 
+def test_gate_skips_def_and_class_name_shadows(tmp_path):
+    """A file-local ``def typed(...)`` / non-schema ``class typed``
+    BINDS the name too (ADVICE r9): attribute access on the local
+    object must be skipped, not resolved against the library import."""
+    ok = tmp_path / "def_shadow_case.py"
+    ok.write_text(
+        "from colnade_spark.operators import typed\n"
+        "from colnade_spark.tpch import Customer\n"
+        "def typed():\n"
+        "    return 1\n"
+        "class Customer:\n"
+        "    pass\n"
+        "def use():\n"
+        "    _ = typed.not_a_facade_attr\n"
+        "    _ = Customer.not_a_column\n"
+    )
+    res = _run(str(ok))
+    assert res.returncode == 0, res.stdout + res.stderr
+
+
 def test_gate_resolves_inheritance_and_schema_api(tmp_path):
     ok = tmp_path / "ok_typing_case.py"
     ok.write_text(
