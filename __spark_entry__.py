@@ -991,6 +991,29 @@ def emb_near_dup_multiprobe(spark: SparkSession, sf_dir: str) -> SparkDF:
     ).select("id_a", "id_b", F.round(F.col("cos_sim"), 6).alias("cos_sim"))
 
 
+def emb_near_dup_fractional(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Near-dup pairs through the round-10 OCCUPANCY-STABLE cell sizing
+    (fractional-bit refinement, the sized_lsh production path): half the
+    2^8 coarse cells are split by a 9th hyperplane's sign, multiprobe=2
+    probes the two lowest-margin perturbations THROUGH the refinement
+    mapping. PLANTED exact duplicates (vec_id % 50 == 0 under
+    id +1_000_000) collide at every cell sizing — identical sketches map
+    to identical keys, refined or not — and the fixture's max
+    non-identical cosine is ~0.6, so the true pair set at threshold 0.95
+    is exactly the planted pairs and the oracle recomputes it
+    brute-force: a full recall+precision bit-check of the fractional
+    bucketing + multiprobe key mapping end to end."""
+    e = _embs(spark, sf_dir).select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
+    allv = e.unionByName(planted)
+    return similarity.embedding_near_dups(
+        allv, dim=64, threshold=0.95, bits=8, refine_frac=0.5, tables=4,
+        multiprobe=2,
+    ).select("id_a", "id_b", F.round(F.col("cos_sim"), 6).alias("cos_sim"))
+
+
 # 16 centroids for SemDeDup: cluster count is the knob that bounds the
 # within-cluster quadratic pass — k=16 cuts candidate pairs 4x vs k=4
 # and gives the pairwise join 16-way key parallelism. Quarter-step
@@ -3250,11 +3273,8 @@ def entry(spark: SparkSession) -> SparkDF:
 # the driver's bounded sweep so the newest code gets certified first.
 # Update this tuple each round; everything else rotates automatically.
 _ROUND_CHANGED: tuple[str, ...] = (
-    "source_overlap_near_docs",  # round 9: new (banded near-dup overlap)
-    "corpus_card_autofit_docs",  # round 9: new (auto-fit frozen edges)
-    "ann_lsh_multiprobe2",  # round 9: new (multi-bit perturbation sets)
-    "ann_lsh_multiprobe",  # round 9: UDF generalized (T<=2 bit-identical)
-    "emb_near_dup_multiprobe",  # round 9: UDF generalized (T<=2 bit-identical)
+    "emb_near_dup_fractional",  # round 10: new (occupancy-stable cells)
+    "corpus_card_autofit_docs",  # round 10: NULL-id sample exclusion fix
 )
 
 
@@ -3327,6 +3347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "emb_near_dup_multiprobe": emb_near_dup_multiprobe,
         "ann_lsh_multiprobe": ann_lsh_multiprobe,
         "corpus_card_binned_docs": corpus_card_binned_docs,
+        # --- round-10 additions ---
+        "emb_near_dup_fractional": emb_near_dup_fractional,
         # --- round-9 additions ---
         "ann_lsh_multiprobe2": ann_lsh_multiprobe2,
         "corpus_card_autofit_docs": corpus_card_autofit_docs,
@@ -5172,6 +5194,22 @@ SELECT doc_id FROM documents WHERE doc_id % 2 = 1
             WHERE rank <= 1
         """,
         "emb_near_dup_pairs": """
+            WITH allv AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+              FROM embeddings WHERE vec_id % 50 = 0
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+            FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+        """,
+        # same brute-force ground truth as emb_near_dup_pairs: planted
+        # EXACT copies are the full true set at 0.95, and they collide
+        # at every cell sizing, so the fractional-refinement pipeline
+        # must recover it exactly (recall + precision bit-check)
+        "emb_near_dup_fractional": """
             WITH allv AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
               UNION ALL

@@ -72,6 +72,7 @@ HEADLINE = [
     "map_flag_stats",
     "emb_near_dup_pairs",
     "emb_near_dup_multiprobe",
+    "emb_near_dup_fractional",
     "ann_lsh_multiprobe",
     "ann_lsh_multiprobe2",
     "corpus_card_binned_docs",

@@ -72,7 +72,93 @@ def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
 
 
-def rp_buckets_udf(plane_sets: list[list[list[float]]]):
+# Fractional-bit cell refinement (round-10 occupancy-stable sizing).
+#
+# Integer ``bits`` quantizes expected bucket occupancy n/2^bits by 2x:
+# under the r7-r9 rule ``bits = ceil(log2 n) - 3`` occupancy oscillates
+# in [4, 8) as n crosses powers of two, so per-decade candidate volume
+# (∝ n · occupancy) oscillates ABOVE linear on the rising half of the
+# sawtooth — SCALEBENCH_r09 measured exactly that (emb_near_dup_multiprobe
+# last-decade exponent 1.27 while occupancy rose 6.1 → 7.6). The fix
+# keeps sign-LSH semantics but makes the CELL COUNT continuous: generate
+# ``lo + 1`` hyperplanes, use the first ``lo`` as the coarse cell, and
+# REFINE a deterministic fraction ``p`` of coarse cells by the extra
+# plane's sign. Cell count = 2^lo · (1 + p) — any real ≥ 2^lo — so
+# ``sized_lsh`` can hold expected occupancy EXACTLY at target for every
+# corpus size; per-decade cost is flat by construction.
+#
+# The refinement decision is a pure function of the coarse cell id
+# (splitmix-style multiply, top 53 bits vs floor(p·2^53)), so both
+# members of a pair agree on it by construction and the scheme stays a
+# partition of sign space into axis-aligned cells. Per-table collision
+# probability for a pair with per-plane agreement q interpolates
+# GEOMETRICALLY between the integer settings: q^lo · ((1-p) + p·q) —
+# strictly better recall than rounding bits UP, strictly fewer
+# candidates than rounding DOWN.
+_REFINE_MIX = 0x9E3779B97F4A7C15
+
+
+def refine_key(sig: int, lo: int, refine_frac: float) -> int:
+    """Pure-Python twin of the vectorized bucket-key mapping — the
+    replayable spec (tests and SQL oracles mirror this): ``sig`` is the
+    packed sign sketch over ``lo + 1`` planes; the key is the coarse
+    ``lo``-bit cell, or — in the refined fraction of cells — the cell
+    split by the extra plane's sign, offset into a disjoint key range."""
+    coarse = sig & ((1 << lo) - 1)
+    mixed = ((coarse * _REFINE_MIX) % (1 << 64)) >> 11
+    if mixed < int(refine_frac * (1 << 53)):
+        return (1 << (lo + 1)) + 2 * coarse + ((sig >> lo) & 1)
+    return coarse
+
+
+def _refine_keys_np(lo: int, refine_frac: float):
+    """Vectorized ``refine_key`` over an int64 numpy array of packed
+    ``lo + 1``-plane sketches (uint64 wrap-around multiply == mod 2^64)."""
+    import numpy as np
+
+    mask = np.uint64((1 << lo) - 1)
+    mix = np.uint64(_REFINE_MIX)
+    thresh = np.uint64(int(refine_frac * (1 << 53)))
+    offset = np.uint64(1 << (lo + 1))
+    shift = np.uint64(lo)
+
+    def keys(sig):
+        u = sig.astype(np.uint64)
+        coarse = u & mask
+        refined = ((coarse * mix) >> np.uint64(11)) < thresh
+        split = offset + (coarse << np.uint64(1)) + ((u >> shift) & np.uint64(1))
+        return np.where(refined, split, coarse).astype(np.int64)
+
+    return keys
+
+
+def sized_lsh(
+    n: int, target_occupancy: float = 8.0, min_bits: int = 8
+) -> tuple[int, float]:
+    """Occupancy-stable LSH sizing: the ``(bits, refine_frac)`` pair for
+    ``embedding_near_dups`` that holds expected bucket occupancy at
+    EXACTLY ``target_occupancy`` for any corpus size ``n`` (cell count
+    ``2^bits · (1 + refine_frac) = n / target_occupancy``) — the
+    round-10 replacement for ``bits = ceil(log2 n) - 3``, whose integer
+    granularity made per-decade candidate volume oscillate above linear
+    (SCALEBENCH_r09: occupancy 6.1 → 7.6 across the last measured
+    decade, exponent 1.27). Below ``target_occupancy · 2^min_bits``
+    rows the bits floor applies and occupancy sits below target —
+    candidate volume is tiny there anyway."""
+    if n < 1:
+        raise ValueError("sized_lsh: n must be >= 1")
+    if target_occupancy <= 0:
+        raise ValueError("sized_lsh: target_occupancy must be > 0")
+    if min_bits < 1:
+        raise ValueError("sized_lsh: min_bits must be >= 1")
+    cells = n / target_occupancy
+    lo = int(cells).bit_length() - 1 if cells >= 1 else 0
+    if lo < min_bits:
+        return min_bits, 0.0
+    return lo, cells / (1 << lo) - 1.0
+
+
+def rp_buckets_udf(plane_sets: list[list[list[float]]], refine_frac: float = 0.0):
     """Vectorized multi-table sketching: one Arrow-batched pandas UDF
     computing ALL tables' bucket ids per vector via a single numpy matmul.
 
@@ -80,23 +166,34 @@ def rp_buckets_udf(plane_sets: list[list[list[float]]]):
     higher-order-function fold costs ~60 array traversals per row, while
     (batch × dim) @ (dim × total_bits) is one BLAS call per Arrow batch.
     Returns array<long>, one bucket id per table.
+
+    With ``refine_frac > 0`` each table's LAST plane is the fractional
+    refinement plane (see ``refine_key``): the packed sketch over all
+    planes is mapped to the coarse ``len(planes) - 1``-bit cell, split
+    by the last plane's sign in the refined fraction of cells.
+    ``refine_frac == 0`` is bit-identical to the historical behavior.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    if not 0.0 <= refine_frac < 1.0:
+        raise ValueError("rp_buckets_udf: refine_frac must be in [0, 1)")
     tables = len(plane_sets)
     bits = len(plane_sets[0])
     stacked = np.asarray(
         [p for planes in plane_sets for p in planes], dtype=np.float64
     ).T  # (dim, tables*bits)
     weights = 1 << np.arange(bits, dtype=np.int64)
+    to_keys = _refine_keys_np(bits - 1, refine_frac) if refine_frac else None
 
     def f(s):
         mat = np.vstack(s.to_numpy())  # (batch, dim)
         signs = (mat.astype(np.float64) @ stacked) >= 0  # (batch, tables*bits)
         per_table = signs.reshape(len(mat), tables, bits)
         buckets = (per_table * weights).sum(axis=2)  # (batch, tables)
+        if to_keys is not None:
+            buckets = to_keys(buckets)
         return pd.Series(list(buckets))
 
     # real class annotations: the module-wide `from __future__ import
@@ -351,19 +448,25 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     max_bucket: int | None = None,
     multiprobe: int = 0,
+    refine_frac: float = 0.0,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     threshold), candidates via the same multi-table RP-LSH bucketing.
 
-    SIZE ``bits`` WITH THE CORPUS: candidate pairs grow as
-    ``tables · n² / 2^bits`` (expected, for spread-out vectors), so a
-    ``bits`` that worked at 2k vectors detonates at 200k — the round-7
-    scale board measured exactly this (fixed bits=8 at 200k vectors ≈
-    312M candidate id pairs, spill-to-disk-full). The sizing rule:
-    ``bits ≈ log2(n) - 3`` keeps expected bucket occupancy ≈ 8 (≈ 28
-    pairs per bucket per table) at any scale; add tables or multiprobe
-    to buy back the per-table recall lost to finer buckets. Identical
-    vectors collide at EVERY bits setting (recall 1.0 on exact dups).
+    SIZE THE CELLS WITH THE CORPUS: candidate pairs grow as
+    ``tables · n² / cells``, so a ``bits`` that worked at 2k vectors
+    detonates at 200k — the round-7 scale board measured exactly this
+    (fixed bits=8 at 200k vectors ≈ 312M candidate id pairs,
+    spill-to-disk-full). Use ``sized_lsh(n)`` for the production
+    ``(bits, refine_frac)``: it holds expected bucket occupancy EXACTLY
+    at target (default 8) by refining a deterministic fraction of the
+    2^bits coarse cells with one extra hyperplane — cell count
+    ``2^bits · (1 + refine_frac)``, continuous in n, so per-decade
+    candidate volume stays flat instead of oscillating with the integer
+    bits step (the r9 board's 1.27 last-decade exponent under
+    ``bits = ceil(log2 n) - 3``). Add tables or multiprobe to buy back
+    the per-table recall lost to finer cells. Identical vectors collide
+    at EVERY cell sizing (recall 1.0 on exact dups).
 
     ``multiprobe`` buys recall back WITHOUT coarsening the buckets (Lv
     et al. 2007's perturbation sequences, sets of size <= 2): besides
@@ -396,14 +499,25 @@ def embedding_near_dups(
     HOME buckets (the stored side) and oversized buckets are dropped
     from both sides — probes into a dropped bucket would meet the very
     crowd the guard exists to skip."""
-    if multiprobe < 0 or multiprobe > _max_multiprobe(bits):
+    if not 0.0 <= refine_frac < 1.0:
+        raise ValueError(
+            "embedding_near_dups: refine_frac must be in [0, 1)"
+        )
+    # one extra plane per table carries the fractional refinement; the
+    # first `bits` planes are IDENTICAL to the refine_frac=0 planes
+    # (same rng stream), so the coarse cell structure is shared
+    nplanes = bits + 1 if refine_frac else bits
+    if multiprobe < 0 or multiprobe > _max_multiprobe(nplanes):
         raise ValueError(
             "embedding_near_dups: multiprobe must be in"
-            " [0, bits*(bits+1)/2] (all perturbation sets of size <= 2)"
+            " [0, p*(p+1)/2] over the p flippable planes"
+            " (all perturbation sets of size <= 2)"
         )
-    plane_sets = [_hyperplanes(dim, bits, seed + 1000 * t) for t in range(tables)]
+    plane_sets = [
+        _hyperplanes(dim, nplanes, seed + 1000 * t) for t in range(tables)
+    ]
     if multiprobe:
-        sketch = rp_multiprobe_udf(plane_sets, multiprobe)
+        sketch = rp_multiprobe_udf(plane_sets, multiprobe, refine_frac)
         raw = df.select(
             F.col(id_col).alias("_id"),
             F.posexplode(sketch(F.col(vec_col))).alias("tbl", "_bkts"),
@@ -418,7 +532,7 @@ def embedding_near_dups(
             "_id", "tbl", F.posexplode(F.col("_bkts")).alias("_pi", "bkt")
         ).select("_id", "tbl", "bkt", (F.col("_pi") == 0).alias("_home"))
     else:
-        sketch = rp_buckets_udf(plane_sets)
+        sketch = rp_buckets_udf(plane_sets, refine_frac)
         b = df.select(
             F.col(id_col).alias("_id"),
             F.posexplode(sketch(F.col(vec_col))).alias("tbl", "bkt"),
@@ -515,7 +629,11 @@ def _max_multiprobe(bits: int) -> int:
     return bits * (bits + 1) // 2
 
 
-def rp_multiprobe_udf(plane_sets: list[list[list[float]]], multiprobe: int):
+def rp_multiprobe_udf(
+    plane_sets: list[list[list[float]]],
+    multiprobe: int,
+    refine_frac: float = 0.0,
+):
     """Vectorized multiprobe sketching via Lv et al. 2007's perturbation
     SEQUENCES, truncated to sets of size <= 2: per (vector, table), the
     home bucket FIRST, then the ``multiprobe`` buckets obtained by
@@ -551,11 +669,22 @@ def rp_multiprobe_udf(plane_sets: list[list[list[float]]], multiprobe: int):
     ``rp_buckets_udf`` would emit. Same BLAS shape as the single-probe
     UDF — one (batch × dim) @ (dim × tables·bits) matmul per Arrow
     batch plus argsorts over the ``O(bits + T²)``-wide candidate pool.
+
+    With ``refine_frac > 0`` the last plane is the fractional
+    refinement plane (see ``rp_buckets_udf``): perturbation sets range
+    over ALL planes (flipping the refinement plane probes the sibling
+    half of a refined cell) and every probe's PERTURBED sketch is
+    mapped through ``refine_key``, so a probe lands exactly where the
+    perturbed neighbor's home would be. In an unrefined cell a
+    refinement-plane flip maps to the same key as its home — a wasted
+    probe slot, deduped by the candidate join's ``distinct``.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    if not 0.0 <= refine_frac < 1.0:
+        raise ValueError("rp_multiprobe_udf: refine_frac must be in [0, 1)")
     tables = len(plane_sets)
     bits = len(plane_sets[0])
     stacked = np.asarray(
@@ -573,6 +702,7 @@ def rp_multiprobe_udf(plane_sets: list[list[list[float]]], multiprobe: int):
     pair_j = np.asarray(
         [j for i in range(P) for j in range(i + 1, P)], dtype=np.int64
     )
+    to_keys = _refine_keys_np(bits - 1, refine_frac) if refine_frac else None
 
     def f(s):
         mat = np.vstack(s.to_numpy()).astype(np.float64)  # (batch, dim)
@@ -596,6 +726,8 @@ def rp_multiprobe_udf(plane_sets: list[list[list[float]]], multiprobe: int):
         top = np.argsort(scores, axis=2, kind="stable")[:, :, :m]
         flips = home[:, :, None] ^ np.take_along_axis(cmasks, top, axis=2)
         out = np.concatenate([home[:, :, None], flips], axis=2)
+        if to_keys is not None:
+            out = to_keys(out)
         return pd.Series([row.tolist() for row in out])
 
     f.__annotations__ = {"s": pd.Series, "return": pd.Series}

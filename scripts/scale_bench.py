@@ -89,25 +89,29 @@ DEFAULT_QUERIES = [
 
 
 def _emb_near_dup_scaled(spark, d: str, **kw):
-    """embedding_near_dups with the docstring's sizing rule applied:
-    bits = log2(n) - 3 (expected bucket occupancy ~8 at any scale) and
+    """embedding_near_dups at the production sizing (round 10:
+    sized_lsh — occupancy held EXACTLY at 8 via fractional-bit cell
+    refinement, replacing ceil(log2 n) - 3 whose 2x occupancy sawtooth
+    made per-decade cost oscillate above linear; SCALEBENCH_r09
+    measured 1.27 on the decade where occupancy rose 6.1 -> 7.6) and
     the max_bucket skew guard at 32. Planted exact duplicates collide
-    at every bits setting, so the found-pair semantics of the fixture
+    at every cell sizing, so the found-pair semantics of the fixture
     entry are preserved while the candidate volume stays linear."""
-    import math
-
     from pyspark.sql import functions as F
 
-    from colnade_spark.operators.similarity import embedding_near_dups
+    from colnade_spark.operators.similarity import (
+        embedding_near_dups,
+        sized_lsh,
+    )
 
     e = spark.read.parquet(f"{d}/embeddings.parquet").select(
         "vec_id", "embedding"
     )
     n = e.count()
-    bits = max(8, int(math.ceil(math.log2(max(n, 2)))) - 3)
+    bits, refine_frac = sized_lsh(n, target_occupancy=8.0)
     return embedding_near_dups(
-        e, dim=64, threshold=0.95, bits=bits, tables=4, max_bucket=32,
-        **kw,
+        e, dim=64, threshold=0.95, bits=bits, refine_frac=refine_frac,
+        tables=4, max_bucket=32, **kw,
     ).select("id_a", "id_b", F.round(F.col("cos_sim"), 6).alias("cos_sim"))
 
 

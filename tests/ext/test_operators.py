@@ -1048,6 +1048,159 @@ def test_embedding_near_dups_multiprobe_respects_skew_guard(spark):
     assert all(a >= 100 for a, _ in got)  # no copy-block pairs
 
 
+def test_sized_lsh_holds_occupancy_exactly(spark):
+    """Occupancy-stable sizing (round 10): for every n above the
+    min_bits floor, cell count 2^bits·(1+refine_frac) equals
+    n/target_occupancy EXACTLY — no power-of-two sawtooth — so
+    per-decade candidate volume is flat by construction (the r9 board's
+    1.27 last-decade exponent was the ceil rule's occupancy rising
+    6.1 → 7.6 across a decade)."""
+    import pytest as _pytest
+
+    from colnade_spark.operators.similarity import sized_lsh
+
+    for n in (2048 * 8, 20_000, 50_000, 200_000, 333_333, 2_000_000,
+              2**20 * 8, 2**20 * 8 + 1, 20_000_000):
+        bits, frac = sized_lsh(n, target_occupancy=8.0)
+        assert 0.0 <= frac < 1.0
+        cells = (1 << bits) * (1.0 + frac)
+        assert abs(n / cells - 8.0) < 1e-9, (n, bits, frac)
+    # below the floor: bits pinned at min_bits, no refinement
+    assert sized_lsh(100) == (8, 0.0)
+    assert sized_lsh(2048 * 8 - 1, min_bits=8)[0] >= 8
+    with _pytest.raises(ValueError, match="n must be"):
+        sized_lsh(0)
+    with _pytest.raises(ValueError, match="target_occupancy"):
+        sized_lsh(1000, target_occupancy=0)
+    with _pytest.raises(ValueError, match="min_bits"):
+        sized_lsh(1000, min_bits=0)
+
+
+def test_refine_key_python_numpy_twin():
+    """The pure-Python refine_key spec and the vectorized UDF-side
+    mapping agree bit-for-bit, the key ranges are disjoint (coarse in
+    [0, 2^lo), split in [2^(lo+1), 2^(lo+2))), and the refined fraction
+    of coarse cells tracks refine_frac."""
+    import numpy as np
+
+    from colnade_spark.operators.similarity import (
+        _refine_keys_np,
+        refine_key,
+    )
+
+    rng = np.random.default_rng(5)
+    lo = 10
+    sigs = rng.integers(0, 1 << (lo + 1), size=5000, dtype=np.int64)
+    for frac in (0.25, 0.5273, 0.95):
+        got = _refine_keys_np(lo, frac)(sigs)
+        want = np.asarray(
+            [refine_key(int(s), lo, frac) for s in sigs], dtype=np.int64
+        )
+        assert (got == want).all()
+        split = got >= (1 << (lo + 1))
+        assert ((got[~split] < (1 << lo))).all()
+        assert (got[split] < (1 << (lo + 2))).all()
+        # refined share of DISTINCT coarse cells ~ frac
+        cells = np.unique(sigs & ((1 << lo) - 1))
+        refined_cells = np.unique((got[split] - (1 << (lo + 1))) >> 1)
+        share = len(refined_cells) / len(cells)
+        assert abs(share - frac) < 0.08, (frac, share)
+
+
+def test_embedding_near_dups_refine_frac_nests_between_integer_bits(spark):
+    """Fractional refinement interpolates the INTEGER bits settings
+    structurally: per table, a hi-bit collision implies a fractional
+    collision implies a lo-bit collision (refined cells key on all
+    lo+1 signs, unrefined on the lo coarse signs — same rng stream, so
+    the plane sets are shared prefixes). Hence the found pair sets are
+    NESTED: pairs(bits=lo+1) ⊆ pairs(lo, frac) ⊆ pairs(lo, frac=0),
+    with identical scores on shared pairs (same scoring tail) — and
+    refine_frac=0 is bit-identical to the historical path."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    dim = 32
+    rows = []
+    for c in range(10):
+        center = rng.normal(size=dim)
+        center /= np.linalg.norm(center)
+        for i in range(12):
+            v = center + rng.normal(scale=0.02, size=dim)
+            rows.append((c * 100 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    kw = dict(dim=dim, threshold=0.99, tables=2, seed=7)
+    lo_pairs = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dups(df, bits=12, **kw).collect()
+    }
+    hi_pairs = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dups(df, bits=13, **kw).collect()
+    }
+    frac = similarity.embedding_near_dups(
+        df, bits=12, refine_frac=0.5, **kw
+    ).collect()
+    f_pairs = {(r.id_a, r.id_b) for r in frac}
+    assert hi_pairs <= f_pairs <= lo_pairs
+    # the fixture separates the three settings (not a vacuous nesting)
+    assert hi_pairs != f_pairs and f_pairs != lo_pairs
+    # true pairs only (cosine gate decides; cells only propose)
+    assert all(a // 100 == b // 100 for a, b in f_pairs)
+
+
+def test_embedding_near_dups_refine_frac_multiprobe_compose(spark):
+    """Multiprobe over refined cells: planted EXACT duplicates are
+    found at any (refine_frac, multiprobe) — identical sketches map to
+    identical keys — single-probe pairs survive under multiprobe
+    (monotone), and probes land where a perturbed neighbor's HOME would
+    be (probe keys are valid keys: each either coarse or split-range)."""
+    import numpy as np
+
+    from pyspark.sql import functions as SF
+
+    from colnade_spark.operators.similarity import (
+        _hyperplanes,
+        rp_multiprobe_udf,
+    )
+
+    rng = np.random.default_rng(23)
+    dim = 16
+    rows = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(60)]
+    rows += [(1_000_000 + i, rows[i][1]) for i in range(0, 60, 10)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kw = dict(dim=dim, threshold=0.999, bits=8, refine_frac=0.4, tables=3)
+    single = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dups(df, **kw).collect()
+    }
+    multi = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dups(
+            df, multiprobe=4, **kw
+        ).collect()
+    }
+    planted = {(i, 1_000_000 + i) for i in range(0, 60, 10)}
+    assert planted <= single <= multi
+
+    planes = [_hyperplanes(dim, 9, 42 + 1000 * t) for t in range(3)]
+    probed = df.select(
+        SF.explode(
+            SF.flatten(rp_multiprobe_udf(planes, 4, 0.4)(SF.col("embedding")))
+        ).alias("k")
+    ).collect()
+    lo = 8
+    for r in probed:
+        assert 0 <= r.k < (1 << lo) or (1 << (lo + 1)) <= r.k < (1 << (lo + 2))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="refine_frac"):
+        similarity.embedding_near_dups(df, dim=dim, refine_frac=1.0)
+    with _pytest.raises(ValueError, match="refine_frac"):
+        similarity.embedding_near_dups(df, dim=dim, refine_frac=-0.1)
+
+
 def test_lsh_topk_multiprobe_improves_recall(spark):
     """Query-side multiprobe for lsh_topk (the nprobe analog of the
     hash tier): at bits high enough that single-probe recall visibly
