@@ -104,6 +104,7 @@ def gen_documents(
         else:
             idx = flat[offs[i] : offs[i] + int(n_words[i])]
             texts.append(" ".join(vocab[j] for j in idx))
+    del flat, offs  # ~22 GB of draw indices at the 50M tier
     return pa.table(
         {
             "doc_id": pa.array(np.arange(n, dtype=np.int64)),
@@ -119,7 +120,11 @@ def gen_documents(
     )
 
 
-def gen_embeddings(n: int, rng: np.random.Generator) -> pa.Table:
+def gen_embedding_arrays(
+    n: int, rng: np.random.Generator
+) -> tuple[np.ndarray, np.ndarray]:
+    """The seeded (vecs float32, labels) arrays shared by the one-shot
+    and the chunked-writer paths — identical draws either way."""
     centers = rng.normal(size=(N_LABELS, DIM))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     labels = rng.integers(0, N_LABELS, size=n)
@@ -133,7 +138,11 @@ def gen_embeddings(n: int, rng: np.random.Generator) -> pa.Table:
         vecs[i] = vecs[src] + rng.normal(scale=0.005, size=DIM)
         labels[i] = labels[src]
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
-    vecs = vecs.astype(np.float32)
+    return vecs.astype(np.float32), labels
+
+
+def gen_embeddings(n: int, rng: np.random.Generator) -> pa.Table:
+    vecs, labels = gen_embedding_arrays(n, rng)
     return pa.table(
         {
             "vec_id": pa.array(np.arange(n, dtype=np.int64)),
@@ -176,12 +185,41 @@ def main() -> None:
         os.path.join(args.out, "documents.parquet"),
         row_group_size=args.row_group_docs,
     )
-    embs = gen_embeddings(args.vecs, rng)
-    pq.write_table(
-        embs,
-        os.path.join(args.out, "embeddings.parquet"),
-        row_group_size=args.row_group_docs,
-    )
+    del docs  # free ~GBs before the embeddings pass at the 50M tier
+    embs_path = os.path.join(args.out, "embeddings.parquet")
+    if args.vecs <= 2_000_000:
+        pq.write_table(
+            gen_embeddings(args.vecs, rng),
+            embs_path,
+            row_group_size=args.row_group_docs,
+        )
+    else:
+        # the one-shot path materializes vecs.tolist() — 64 Python
+        # floats per row, ~30 GB at 20M vectors — so the 4th-decade
+        # tier streams 1M-row slices through a ParquetWriter instead
+        # (identical content and row-group layout; the float32 matrix
+        # itself stays in memory for the near-copy back-references)
+        vecs, labels = gen_embedding_arrays(args.vecs, rng)
+        writer = None
+        for i in range(0, args.vecs, 1_000_000):
+            sl = slice(i, min(i + 1_000_000, args.vecs))
+            t = pa.table(
+                {
+                    "vec_id": pa.array(
+                        np.arange(sl.start, sl.stop, dtype=np.int64)
+                    ),
+                    "embedding": pa.array(
+                        [v for v in vecs[sl].tolist()],
+                        type=pa.list_(pa.float32()),
+                    ),
+                    "label": pa.array(labels[sl].astype(np.int32)),
+                }
+            )
+            if writer is None:
+                writer = pq.ParquetWriter(embs_path, t.schema)
+            writer.write_table(t, row_group_size=args.row_group_docs)
+        if writer is not None:
+            writer.close()
     print(
         f"wrote {args.docs} docs + {args.vecs} vecs to {args.out}"
         f" (seed {args.seed})"

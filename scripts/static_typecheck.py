@@ -24,7 +24,21 @@ What it verifies, per file:
 2. **Module attribute access** — ``mod.attr`` for any imported library
    module must exist (catches a misspelled operator-facade name like
    ``typed.gopher_fitler`` statically).
-3. **Syntax** — files must parse.
+3. **Dtype-method gating** (round 10, VERDICT r9 #5) — for every
+   ``X.col.method`` where ``X.col`` resolves to a live ``Column`` (an
+   imported schema's column, or a file-local schema column whose
+   ``Column[DType]`` annotation resolves to a library dtype), ``method``
+   must be admitted by the column's dtype category: ``.sum()`` on a
+   Utf8 column or ``.str_len()`` on Int64 fails HERE, without running a
+   query — the static witness for the reference's ``_NumericSelf``-style
+   self-narrowing (reference ``src/colnade/schema.py:516-537``). The
+   method → category table below mirrors the runtime ``_require`` sites
+   in ``colnade_spark/schema.py`` and is drift-pinned by
+   ``tests/typing/test_static_gate.py`` against the live Column class;
+   the category PREDICATES themselves are evaluated on the live Column
+   object, so category membership can never drift. Misspelled METHOD
+   names on a resolved Column are findings too.
+4. **Syntax** — files must parse.
 
 Anything it cannot resolve statically (locals, call results, chains
 through subscripts) is skipped, never guessed: the gate is
@@ -57,12 +71,72 @@ def _is_schema_class(obj) -> bool:
         return False
 
 
+def _column_class():
+    try:
+        from colnade_spark.schema import Column
+
+        return Column
+    except Exception:
+        return None
+
+
+def _dtype_base():
+    try:
+        from colnade_spark import dtypes as dt
+
+        return dt.DType
+    except Exception:
+        return None
+
+
+# method name -> Column predicate PROPERTY that must hold (the property
+# is evaluated on the live Column, so the category definitions are the
+# runtime's own). Mirrors the _require sites in colnade_spark/schema.py
+# (sum/mean/std/var :206-230; _str_fn :241; _math_fn :276; _dt_fn :365;
+# is_nan/fill_nan :417-430; field/.list/.map :452-465) — drift is pinned
+# by tests/typing/test_static_gate.py.
+METHOD_GATES: dict[str, str] = {
+    **{m: "_is_numeric" for m in (
+        "sum", "mean", "std", "var", "abs", "round", "floor", "ceil",
+        "sqrt", "ln", "log10", "exp", "pow",
+    )},
+    **{m: "_is_str" for m in (
+        "str_contains", "str_starts_with", "str_ends_with", "str_len",
+        "str_to_lowercase", "str_to_uppercase", "str_strip",
+        "str_replace", "str_extract", "str_matches", "str_count_matches",
+        "json_extract", "str_split", "str_slice",
+    )},
+    **{m: "_is_temporal" for m in (
+        "dt_year", "dt_month", "dt_day", "dt_hour", "dt_minute",
+        "dt_second", "dt_epoch_day", "dt_truncate", "dt_add", "dt_diff",
+    )},
+    "is_nan": "_is_float",
+    "fill_nan": "_is_float",
+    "field": "_is_struct",
+    "list": "_is_list",
+    "map": "_is_map",
+}
+
+
 class FileChecker(ast.NodeVisitor):
-    def __init__(self, path: str, tree: ast.Module) -> None:
+    def __init__(
+        self, path: str, tree: ast.Module, src: str = ""
+    ) -> None:
         self.path = path
         self.findings: list[str] = []
-        # name -> set of column/attr names for file-local Schema classes
-        self.local_schemas: dict[str, set[str]] = {}
+        # the `# type: ignore` analog: a line carrying `# static: ignore`
+        # documents a DELIBERATE violation (e.g. a typing-suite example
+        # of the runtime gate) and is excluded from findings
+        self.ignored_lines: set[int] = {
+            i + 1
+            for i, line in enumerate(src.splitlines())
+            if "# static: ignore" in line
+        }
+        # name -> {column/attr name: live Column | None} for file-local
+        # Schema classes (a live Column where the Column[DType]
+        # annotation resolved to a library dtype — enables method
+        # gating; None = membership only)
+        self.local_schemas: dict[str, dict[str, object]] = {}
         # name -> live object (module or class) for library imports
         self.imported: dict[str, object] = {}
         # names assigned anywhere in the file: attribute bases shadowed
@@ -194,27 +268,42 @@ class FileChecker(ast.NodeVisitor):
     def _maybe_local_schema(self, node: ast.ClassDef) -> None:
         """Record annotated names of classes whose base chain reaches
         Schema — through an imported Schema (possibly generic, e.g.
-        ``Schema`` or a subscripted base) or an earlier local schema."""
-        base_cols: set[str] | None = None
+        ``Schema`` or a subscripted base) or an earlier local schema.
+        Each recorded name maps to a live ``Column`` (when the base is a
+        live class, or the local annotation's dtype resolves) or None
+        (membership only — no method gating)."""
+        Column = _column_class()
+
+        def live_cols(obj) -> dict[str, object]:
+            out: dict[str, object] = {}
+            for n in dir(obj):
+                try:
+                    v = getattr(obj, n)
+                except Exception:
+                    v = None
+                out[n] = v if Column and isinstance(v, Column) else None
+            return out
+
+        base_cols: dict[str, object] | None = None
         for b in node.bases:  # UNION over all bases (multiple inheritance)
             target = b.value if isinstance(b, ast.Subscript) else b
-            got: set[str] | None = None
+            got: dict[str, object] | None = None
             if isinstance(target, ast.Name):
                 if target.id in self.local_schemas:
-                    got = set(self.local_schemas[target.id])
+                    got = dict(self.local_schemas[target.id])
                 else:
                     obj = self.imported.get(target.id)
                     if _is_schema_class(obj):
-                        got = set(dir(obj))
+                        got = live_cols(obj)
             elif isinstance(target, ast.Attribute) and isinstance(
                 target.value, ast.Name
             ):
                 mod = self.imported.get(target.value.id)
                 obj = getattr(mod, target.attr, None) if mod else None
                 if _is_schema_class(obj):
-                    got = set(dir(obj))
+                    got = live_cols(obj)
             if got is not None:
-                base_cols = got if base_cols is None else base_cols | got
+                base_cols = got if base_cols is None else {**base_cols, **got}
         if base_cols is None:
             # NOT a schema subclass: the class NAME still shadows any
             # same-named library import — record it so attribute access
@@ -227,21 +316,85 @@ class FileChecker(ast.NodeVisitor):
             if isinstance(stmt, ast.AnnAssign) and isinstance(
                 stmt.target, ast.Name
             ):
-                cols.add(stmt.target.id)
+                cols[stmt.target.id] = self._column_from_annotation(
+                    stmt.target.id, stmt.annotation
+                )
             elif isinstance(stmt, ast.Assign):
                 for t in stmt.targets:
                     if isinstance(t, ast.Name):
-                        cols.add(t.id)
+                        cols[t.id] = None
             elif isinstance(stmt, (ast.FunctionDef, ast.AsyncFunctionDef)):
-                cols.add(stmt.name)
+                cols[stmt.name] = None
         self.local_schemas[node.name] = cols
+
+    def _column_from_annotation(self, name: str, ann: ast.expr):
+        """A live Column for a ``col: Column[DType]`` annotation when the
+        dtype expression resolves to library dtypes; None otherwise
+        (skipped, never guessed)."""
+        Column = _column_class()
+        if Column is None or not isinstance(ann, ast.Subscript):
+            return None
+        base = ann.value
+        base_obj = (
+            self.imported.get(base.id) if isinstance(base, ast.Name) else None
+        )
+        if base_obj is not Column:
+            return None
+        dtype, nullable = self._resolve_dtype(ann.slice)
+        if dtype is None:
+            return None
+        try:
+            return Column(name, dtype, nullable)
+        except Exception:
+            return None
+
+    def _resolve_dtype(self, node: ast.expr):
+        """(live dtype, nullable) for a dtype annotation subtree —
+        Name, dotted Attribute, ``X | None``, and subscripted generics
+        over resolvable parts. (None, False) when not statically known."""
+        DType = _dtype_base()
+        if DType is None:
+            return None, False
+        if isinstance(node, ast.BinOp) and isinstance(node.op, ast.BitOr):
+            right_none = (
+                isinstance(node.right, ast.Constant)
+                and node.right.value is None
+            )
+            if right_none:
+                inner, _ = self._resolve_dtype(node.left)
+                return inner, True
+            return None, False
+        if isinstance(node, (ast.Name, ast.Attribute)):
+            obj = self._resolve_base(node)
+            cand = obj[1] if obj and obj[0] == "object" else None
+            if isinstance(cand, type) and issubclass(cand, DType):
+                return cand, False
+            return None, False
+        if isinstance(node, ast.Subscript):
+            base, _ = self._resolve_dtype(node.value)
+            if base is None:
+                return None, False
+            args = (
+                list(node.slice.elts)
+                if isinstance(node.slice, ast.Tuple)
+                else [node.slice]
+            )
+            inner = [self._resolve_dtype(a)[0] for a in args]
+            if any(i is None for i in inner):
+                return None, False
+            try:
+                return base[tuple(inner) if len(inner) > 1 else inner[0]], False
+            except Exception:
+                return None, False
+        return None, False
 
     # -- the check ------------------------------------------------------
 
     def _report(self, node: ast.AST, msg: str) -> None:
-        self.findings.append(
-            f"{self.path}:{getattr(node, 'lineno', 0)}: {msg}"
-        )
+        line = getattr(node, "lineno", 0)
+        if line in self.ignored_lines:
+            return
+        self.findings.append(f"{self.path}:{line}: {msg}")
 
     def _resolve_base(self, node: ast.expr):
         """Resolve an attribute's base expression to ('schema', columns),
@@ -259,9 +412,21 @@ class FileChecker(ast.NodeVisitor):
             base = self._resolve_base(node.value)
             if base and base[0] == "object":
                 obj = base[1]
+                Column = _column_class()
+                if Column and isinstance(obj, Column):
+                    # never chain THROUGH a column: property accessors
+                    # (.list/.map) raise on wrong dtypes at getattr time
+                    # and method results are plan IR, not columns
+                    return None
                 if hasattr(obj, node.attr):
                     return ("object", getattr(obj, node.attr))
                 return None  # reported at that node's own visit
+            if base and base[0] == "schema":
+                col = base[1].get(node.attr)
+                Column = _column_class()
+                if Column and isinstance(col, Column):
+                    return ("object", col)
+                return None
             return None
         return None
 
@@ -277,7 +442,30 @@ class FileChecker(ast.NodeVisitor):
                     )
             else:
                 obj = val
-                if _is_schema_class(obj):
+                Column = _column_class()
+                if Column and isinstance(obj, Column):
+                    gate = METHOD_GATES.get(node.attr)
+                    if gate is not None:
+                        try:
+                            ok = bool(getattr(obj, gate))
+                        except Exception:
+                            ok = True  # unknown category: skip, not guess
+                        if not ok:
+                            from colnade_spark import dtypes as _dt
+
+                            self._report(
+                                node,
+                                f"'{node.attr}' is not supported on column"
+                                f" {obj.name!r} of dtype"
+                                f" {_dt.dtype_name(obj.dtype)}",
+                            )
+                    elif not hasattr(obj, node.attr):
+                        self._report(
+                            node,
+                            f"Column {obj.name!r} has no method or"
+                            f" attribute '{node.attr}'",
+                        )
+                elif _is_schema_class(obj):
                     if not hasattr(obj, node.attr):
                         self._report(
                             node,
@@ -301,7 +489,7 @@ def check_file(path: str) -> list[str]:
         tree = ast.parse(src, filename=path)
     except SyntaxError as e:
         return [f"{path}:{e.lineno}: syntax error: {e.msg}"]
-    c = FileChecker(path, tree)
+    c = FileChecker(path, tree, src)
     c.visit(tree)
     return c.findings
 

@@ -84,10 +84,14 @@ def check_neg_frame_identity(df: DataFrame[Users], lf: LazyFrame[Users]) -> None
 
 
 def runtime_sum_on_utf8_raises(df: DataFrame[Users]) -> None:
-    """Users.name.sum() raises TypeError at expression-build time.
+    """Users.name.sum() raises TypeError at expression-build time — AND,
+    since round 10, is caught STATICALLY by scripts/static_typecheck.py's
+    dtype-method gate (the deliberate misuse below carries the
+    `# static: ignore` marker, the gate's `# type: ignore` analog; the
+    un-ignored twin is pinned in test_static_gate.py).
     Runtime twin: tests/unit/test_schema.py (dtype gating)."""
     try:
-        df.group_by(Users.id).agg(Users.name.sum().alias("x"))
+        df.group_by(Users.id).agg(Users.name.sum().alias("x"))  # static: ignore
     except TypeError:
         pass
 

@@ -112,6 +112,124 @@ def test_gate_skips_def_and_class_name_shadows(tmp_path):
     assert res.returncode == 0, res.stdout + res.stderr
 
 
+def test_gate_catches_dtype_method_misuse(tmp_path):
+    """Round 10 (VERDICT r9 #5): the dtype-method gate — `.sum()` on a
+    Utf8 column, `.str_len()` on numeric, `.dt_year()` on non-temporal,
+    `.is_nan()` on ints, `.list` on scalars — fails STATICALLY, on both
+    imported-schema columns (live Column objects) and file-local schemas
+    whose Column[DType] annotations resolve. Misspelled METHODS on a
+    resolved column are findings too."""
+    bad = tmp_path / "bad_dtype_case.py"
+    bad.write_text(
+        "from colnade_spark import Column, Datetime, Float64, Int64,"
+        " Schema, Utf8\n"
+        "from colnade_spark.tpch import Customer\n"
+        "class S(Schema):\n"
+        "    doc_id: Column[Int64]\n"
+        "    text: Column[Utf8]\n"
+        "    score: Column[Float64 | None]\n"
+        "    ts: Column[Datetime]\n"
+        "def f() -> None:\n"
+        "    _ = S.text.sum()\n"
+        "    _ = S.doc_id.str_len()\n"
+        "    _ = S.doc_id.dt_year()\n"
+        "    _ = S.doc_id.is_nan()\n"
+        "    _ = S.text.list\n"
+        "    _ = Customer.c_name.mean()\n"
+        "    _ = Customer.c_acctbal.summ()\n"
+    )
+    res = _run(str(bad))
+    assert res.returncode == 1, res.stdout + res.stderr
+    out = res.stdout
+    assert "'sum' is not supported on column 'text' of dtype Utf8" in out
+    assert "'str_len' is not supported on column 'doc_id'" in out
+    assert "'dt_year' is not supported on column 'doc_id'" in out
+    assert "'is_nan' is not supported on column 'doc_id'" in out
+    assert "'list' is not supported on column 'text'" in out
+    assert "'mean' is not supported on column 'c_name'" in out
+    assert "Column 'c_acctbal' has no method or attribute 'summ'" in out
+
+
+def test_gate_accepts_correct_dtype_methods_and_static_ignore(tmp_path):
+    """Correct dtype usage is finding-free (zero-false-positive), the
+    nullable annotation form resolves, unresolvable dtypes are SKIPPED
+    not guessed, and `# static: ignore` (the `# type: ignore` analog)
+    suppresses a deliberate violation on its line."""
+    ok = tmp_path / "ok_dtype_case.py"
+    ok.write_text(
+        "from colnade_spark import Column, Datetime, Float64, Int64,"
+        " List, Schema, Utf8\n"
+        "from colnade_spark.tpch import Customer\n"
+        "class S(Schema):\n"
+        "    doc_id: Column[Int64]\n"
+        "    text: Column[Utf8]\n"
+        "    score: Column[Float64 | None]\n"
+        "    ts: Column[Datetime]\n"
+        "    toks: Column[List[Utf8]]\n"
+        "    mystery: Column['NotResolvable']\n"
+        "def f() -> None:\n"
+        "    _ = S.doc_id.sum()\n"
+        "    _ = S.text.str_len()\n"
+        "    _ = S.ts.dt_year()\n"
+        "    _ = S.score.is_nan()\n"
+        "    _ = S.score.fill_nan(0.0)\n"
+        "    _ = S.toks.list\n"
+        "    _ = S.mystery.sum()\n"          # unresolvable: skipped
+        "    _ = Customer.c_acctbal.mean()\n"
+        "    _ = Customer.c_name.str_len()\n"
+        "    _ = S.text.alias(S.text)\n"
+        "    _ = S.text.sum()  # static: ignore\n"
+    )
+    res = _run(str(ok))
+    assert res.returncode == 0, res.stdout + res.stderr
+
+
+def test_method_gates_table_matches_runtime():
+    """Drift pin: every METHOD_GATES row must mirror a REAL runtime
+    _require gate — a Column whose dtype fails the predicate raises
+    TypeError when the method is invoked (or the property accessed).
+    If schema.py ever relaxes a gate, this fails before the static
+    checker can emit a false positive."""
+    import importlib.util
+
+    import pytest
+
+    from colnade_spark import dtypes as dt
+    from colnade_spark.schema import Column
+
+    spec = importlib.util.spec_from_file_location(
+        "static_typecheck", SCRIPT
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    bad_dtype = {
+        "_is_numeric": dt.Utf8,
+        "_is_str": dt.Int64,
+        "_is_temporal": dt.Int64,
+        "_is_float": dt.Int64,
+        "_is_struct": dt.Int64,
+        "_is_list": dt.Int64,
+        "_is_map": dt.Int64,
+    }
+    args = {
+        "pow": (2,),
+        "str_contains": ("x",), "str_starts_with": ("x",),
+        "str_ends_with": ("x",), "str_replace": ("a", "b"),
+        "str_extract": ("(a)",), "str_matches": ("a",),
+        "str_count_matches": ("a",), "json_extract": ("$.a",),
+        "str_split": (",",), "str_slice": (0, 1),
+        "dt_truncate": ("day",), "dt_add": ("day", 1),
+        "dt_diff": ("day", 0), "fill_nan": (0.0,), "field": ("x",),
+    }
+    for method, pred in mod.METHOD_GATES.items():
+        col = Column("c", bad_dtype[pred], nullable=False)
+        assert not getattr(col, pred)
+        with pytest.raises(TypeError):
+            attr = getattr(col, method)  # properties raise at access
+            attr(*args.get(method, ()))
+
+
 def test_gate_resolves_inheritance_and_schema_api(tmp_path):
     ok = tmp_path / "ok_typing_case.py"
     ok.write_text(
