@@ -50,10 +50,12 @@ __all__ = [
     "upsample_epochs",
     "bigram_pmi",
     "SemDupPairs",
+    "NearDupPairs",
     "DsirWeights",
     "CanonicalMap",
     "semantic_dup_pairs",
     "semantic_dedup",
+    "embedding_near_dups",
     "dsir_weights",
     "dsir_sample",
     "canonical_map",
@@ -400,6 +402,12 @@ class SemDupPairs(Schema):
     cos_sim: Column[Float64]
 
 
+class NearDupPairs(Schema):
+    id_a: Column[Int64]
+    id_b: Column[Int64]
+    cos_sim: Column[Float64]
+
+
 class DsirWeights(Schema):
     doc_id: Column[Int64]
     n_feats: Column[Int64]
@@ -437,6 +445,51 @@ def semantic_dedup(
     return frame.with_raw(
         lambda d: _semdedup.semantic_dedup(d, centroids, threshold, **kwargs)
     )
+
+
+def embedding_near_dups(
+    frame: DataFrame[S],
+    dim: int,
+    threshold: float = 0.95,
+    tables: int = 4,
+    multiprobe: int = 2,
+    max_bucket: int = 32,
+    target_occupancy: float = 8.0,
+    **kwargs,
+) -> DataFrame[NearDupPairs]:
+    """Embedding-cosine near-duplicate pairs at the PRODUCTION defaults
+    (round 10): occupancy-stable cells from ``sized_lsh`` — one count of
+    the corpus fixes ``(bits, refine_frac)`` so expected bucket
+    occupancy sits EXACTLY at ``target_occupancy`` at any scale, keeping
+    candidate volume linear per decade — ``multiprobe=2`` probes per
+    table (the pinned recall budget: the two lowest-margin perturbations
+    recover the cross-cell near pairs sized cells lose, at ~(1+2·T)×
+    home-candidate join volume — the measured T-vs-tables trade at the
+    5M board scale is tabled in SCALE.md round 10; prefer raising T over
+    adding tables: a table multiplies SKETCH STORAGE and candidates
+    alike, a probe multiplies candidates only), and the ``max_bucket=32``
+    skew guard for clustered corpora. Pass an explicit ``bits=`` to skip
+    the sizing count (fixture/debug tier); other kwargs forward to
+    ``operators.similarity.embedding_near_dups``."""
+    from colnade_spark.operators import similarity as _similarity
+
+    native = frame.native
+    if "bits" not in kwargs:
+        bits, frac = _similarity.sized_lsh(
+            native.count(), target_occupancy=target_occupancy
+        )
+        kwargs["bits"] = bits
+        kwargs.setdefault("refine_frac", frac)
+    out = _similarity.embedding_near_dups(
+        native,
+        dim=dim,
+        threshold=threshold,
+        tables=tables,
+        multiprobe=multiprobe,
+        max_bucket=max_bucket,
+        **kwargs,
+    )
+    return _typed(out, NearDupPairs)
 
 
 def dsir_weights(

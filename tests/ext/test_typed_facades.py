@@ -114,6 +114,34 @@ def test_semdedup_facades(spark, sf_dir):
     assert kept.schema is Embeddings and 0 < kept.height <= emb.height
 
 
+def test_embedding_near_dups_typed_production_defaults(spark, sf_dir):
+    """The production facade: occupancy-stable sizing (sized_lsh from
+    one corpus count), multiprobe=2 per table, max_bucket=32 — planted
+    exact copies are recovered exactly (they collide at every cell
+    sizing; the fixture's max non-identical cosine is ~0.6, so at 0.95
+    precision is exact too), output typed as NearDupPairs."""
+    from colnade_spark import read_parquet
+    from colnade_spark.dataframe import concat
+    from colnade_spark.tpch import Embeddings, table_path
+
+    emb = read_parquet(table_path(sf_dir, "embeddings"), Embeddings, spark=spark)
+    copies = emb.filter(Embeddings.vec_id % 50 == 0).with_columns(
+        (Embeddings.vec_id + 1_000_000).alias(Embeddings.vec_id)
+    )
+    allv = concat([emb, copies])
+    pairs = typed.embedding_near_dups(allv, dim=64)
+    assert pairs.schema is typed.NearDupPairs
+    got = {(r.id_a, r.id_b) for r in pairs.rows()}
+    want = {
+        (r.vec_id, r.vec_id + 1_000_000)
+        for r in emb.filter(Embeddings.vec_id % 50 == 0).rows()
+    }
+    assert got == want
+    # explicit bits= skips the sizing count (fixture tier)
+    fixed = typed.embedding_near_dups(allv, dim=64, bits=8, multiprobe=0)
+    assert {(r.id_a, r.id_b) for r in fixed.rows()} == want
+
+
 def test_dsir_facades(docs):
     target = docs.filter(Documents.lang == "en")
     w = typed.dsir_weights(docs, target, buckets=128)

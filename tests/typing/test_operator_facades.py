@@ -80,6 +80,12 @@ def check_round3_tables(frame: DataFrame[Corpus]) -> list[float]:
         frame, [[1.0, 0.0]], threshold=0.5
     )
     _ = pairs.filter(typed.SemDupPairs.cos_sim >= 0.5)
+    # round 10: production near-dup facade pins NearDupPairs
+    nd: DataFrame[typed.NearDupPairs] = typed.embedding_near_dups(
+        frame, dim=2
+    )
+    _ = nd.filter(typed.NearDupPairs.cos_sim >= 0.95)
+    _ = (typed.NearDupPairs.id_a, typed.NearDupPairs.id_b)
     return out
 
 
