@@ -474,12 +474,19 @@ def embedding_near_dups(
     from colnade_spark.operators import similarity as _similarity
 
     native = frame.native
-    if "bits" not in kwargs:
+    if "bits" not in kwargs and "refine_frac" not in kwargs:
         bits, frac = _similarity.sized_lsh(
             native.count(), target_occupancy=target_occupancy
         )
         kwargs["bits"] = bits
-        kwargs.setdefault("refine_frac", frac)
+        kwargs["refine_frac"] = frac
+    elif "bits" not in kwargs:
+        # refine_frac without bits would mix a caller fraction into a
+        # sized cell count — occupancy would be off target silently
+        raise ValueError(
+            "embedding_near_dups: refine_frac without bits — pass both"
+            " (fixture tier) or neither (sized_lsh production tier)"
+        )
     out = _similarity.embedding_near_dups(
         native,
         dim=dim,

@@ -191,6 +191,14 @@ def main() -> None:
     ap.add_argument("dirs", nargs="+", help="generated scale dirs, small->large")
     ap.add_argument("--queries", default=None)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument(
+        "--last-reps",
+        type=int,
+        default=None,
+        help="reps for the LARGEST dir only (the 4th-decade tier runs"
+        " single-shot: one 50M rep costs more than all lower decades"
+        " together, and the big point dominates the overall exponent)",
+    )
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -236,19 +244,29 @@ def main() -> None:
             pass
 
     results: dict[str, dict[str, float]] = {}
+    all_reps: dict[str, dict[str, list[float]]] = {}
     for name in names:
         fn = _SCALED.get(name) or qs[name]
         per_dir: dict[str, float] = {}
+        per_dir_reps: dict[str, list[float]] = {}
         for d in args.dirs:
-            best = None
-            for _ in range(max(1, args.reps)):
+            n_reps = max(1, args.reps)
+            if args.last_reps is not None and d == args.dirs[-1]:
+                n_reps = max(1, args.last_reps)
+            times = []
+            for _ in range(n_reps):
                 t0 = time.time()
                 fn(spark, d).write.format("noop").mode("overwrite").save()
-                dt = time.time() - t0
-                best = dt if best is None or dt < best else best
-            per_dir[d] = round(best, 3)
-            print(f"  {name} @ {d} ({rows[d]} docs): {per_dir[d]}s", flush=True)
+                times.append(round(time.time() - t0, 3))
+            per_dir[d] = min(times)
+            per_dir_reps[d] = times
+            print(
+                f"  {name} @ {d} ({rows[d]} docs): {per_dir[d]}s"
+                f" (reps: {times})",
+                flush=True,
+            )
         results[name] = per_dir
+        all_reps[name] = per_dir_reps
 
     def expo(r, a, b):
         return round(
@@ -262,7 +280,12 @@ def main() -> None:
         "metric": "scale_bench",
         "dirs": {d: rows[d] for d in args.dirs},
         "reps": args.reps,
+        "last_reps": args.last_reps,
         "queries": results,
+        # every rep, not just the min: the spread IS the stability
+        # evidence (VERDICT r9 #3 — exponents are only readable from
+        # points whose reps agree within ~2x)
+        "rep_times": all_reps,
         "exponents": {
             name: expo(r, lo, hi) for name, r in results.items()
         },

@@ -140,6 +140,11 @@ def test_embedding_near_dups_typed_production_defaults(spark, sf_dir):
     # explicit bits= skips the sizing count (fixture tier)
     fixed = typed.embedding_near_dups(allv, dim=64, bits=8, multiprobe=0)
     assert {(r.id_a, r.id_b) for r in fixed.rows()} == want
+    # refine_frac without bits would silently de-target the sizing
+    import pytest
+
+    with pytest.raises(ValueError, match="refine_frac without bits"):
+        typed.embedding_near_dups(allv, dim=64, refine_frac=0.5)
 
 
 def test_dsir_facades(docs):
