@@ -35,4 +35,12 @@ def get_spark(app_name: str = "colnade-spark") -> SparkSession:
     for k, v in _DEFAULTS.items():
         builder = builder.config(k, v)
     builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    # harness knob: extra confs as "k=v;k=v" (e.g. zstd shuffle
+    # compression for the single-disk scale-board host — a cluster has
+    # per-executor disks; the 252G local volume is the artificial bound)
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for item in filter(None, extra.split(";")):
+        k, _, v = item.partition("=")
+        if k.strip():
+            builder = builder.config(k.strip(), v.strip())
     return builder.getOrCreate()

@@ -79,17 +79,16 @@ def main() -> None:
             dim=64, threshold=0.95, bits=bits, refine_frac=frac,
             tables=tables, max_bucket=32, multiprobe=t,
         )
+        # one timed pass: collect the id pairs (a few 10^4 rows — the
+        # driver transfer is noise next to the candidate join)
         t0 = time.time()
-        embedding_near_dups(e, **kw).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        wall = round(time.time() - t0, 2)
         pairs = {
             (r.id_a, r.id_b)
             for r in embedding_near_dups(e, **kw)
             .select("id_a", "id_b")
             .collect()
         }
+        wall = round(time.time() - t0, 2)
         found[(t, tables)] = pairs
         results[f"T{t}@tables{tables}"] = {
             "wall_s": wall,
