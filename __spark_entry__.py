@@ -492,6 +492,29 @@ def incremental_minhash_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
     ).select("doc_id")
 
 
+def novelty_scores_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Graded novelty scoring against a frozen corpus
+    (dedup.novelty_scores): even-id documents play the persisted corpus,
+    odd-id documents the incoming batch; each odd doc reports the MAX
+    signature-estimated Jaccard the banding surfaces against any even doc
+    and novelty = 1 − that. The scoring twin of incremental_minhash_ids —
+    same parity trick in the oracle: the shared `est` CTE scores every
+    candidate pair, so cross-side best-match is a parity-filtered
+    group-max over it, left-joined back to all odd ids (no candidate →
+    max 0, novelty 1)."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    # same materialization rationale as incremental_minhash_ids: the
+    # cross-pairs old side is consumed twice, so barrier the inline sigs
+    corpus_sigs = (
+        dedup.minhash_signatures(corpus, num_hashes=96)
+        .select("doc_id", "_sig")
+        .repartition(F.col("doc_id"))
+    )
+    return dedup.novelty_scores(new, corpus_sigs)
+
+
 def minhash_prt_summary(spark: SparkSession, sf_dir: str) -> SparkDF:
     """One-row precision/recall audit of the full MinHash-LSH pipeline
     against EXHAUSTIVE ground truth (dedup.minhash_prt_audit): candidate
@@ -3275,6 +3298,7 @@ def entry(spark: SparkSession) -> SparkDF:
 _ROUND_CHANGED: tuple[str, ...] = (
     "emb_near_dup_fractional",  # round 10: new (occupancy-stable cells)
     "corpus_card_autofit_docs",  # round 10: NULL-id sample exclusion fix
+    "novelty_scores_docs",  # round 10: new (graded novelty vs corpus)
 )
 
 
@@ -3321,6 +3345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "corpus_card_approx_docs": corpus_card_approx_docs,
         "minhash_estimate_pairs": minhash_estimate_pairs,
         "incremental_minhash_ids": incremental_minhash_ids,
+        "novelty_scores_docs": novelty_scores_docs,
         "approx_prune_stats": approx_prune_stats,
         "dedup_rates_by_lang": dedup_rates_by_lang,
         "blended_quality_docs": blended_quality_docs,
@@ -4492,6 +4517,24 @@ drop_within AS (
 SELECT doc_id FROM documents WHERE doc_id % 2 = 1
   AND doc_id NOT IN (SELECT doc_id FROM drop_cross)
   AND doc_id NOT IN (SELECT doc_id FROM drop_within)
+""",
+        # graded twin of the incremental gate: cross-parity best match
+        # per odd doc over the same shared pair replay; no candidate →
+        # max 0 / novelty 1. max(matches)/96 = max(matches/96) since the
+        # division is monotone, and both engines compute ONE IEEE
+        # division of exact integers → bit-exact.
+        "novelty_scores_docs": f"""
+WITH {_minhash_pair_ctes(num_hashes=96, shingle_k=5, seed=42, bands=16)},
+cross_best AS (
+  SELECT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS doc_id,
+         max(matches) AS best
+  FROM est WHERE (id_a % 2) <> (id_b % 2)
+  GROUP BY 1)
+SELECT dd.doc_id,
+  coalesce(cb.best, 0)::DOUBLE / 96 AS max_est_jaccard,
+  1.0 - coalesce(cb.best, 0)::DOUBLE / 96 AS novelty
+FROM documents dd LEFT JOIN cross_best cb USING (doc_id)
+WHERE dd.doc_id % 2 = 1
 """,
         "image_features_stub": _image_features_oracle_sql(size=16),
         "approx_prune_stats": """

@@ -130,6 +130,7 @@ HEADLINE = [
     "dup_weight_docs",
     "minhash_prt_summary",
     "incremental_minhash_ids",
+    "novelty_scores_docs",
     "approx_prune_stats",
     "ppl_bucketed_docs",
     "pii_count_stats",

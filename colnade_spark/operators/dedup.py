@@ -428,6 +428,61 @@ def dedup_minhash_incremental(
     return sigs.select(id_col, "_sig").join(drop, id_col, "left_anti")
 
 
+def novelty_scores(
+    new_df: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 96,
+    bands: int = 16,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Graded per-doc novelty against an existing corpus — the scoring
+    twin of ``dedup_minhash_incremental``'s binary gate: for every new
+    doc, the MAX signature-estimated Jaccard against any corpus doc the
+    LSH banding surfaces, and ``novelty = 1 − max_est_jaccard``. Docs
+    with no banded corpus candidate score novelty 1.0 (the banding's
+    contract: a pair it misses has est-J below the band's sensitivity
+    with high probability, so "no candidate" IS the evidence of novelty).
+
+    Use: novelty-weighted curation/mixing (upweight genuinely new
+    material instead of binary-dropping near-dups — pair with
+    ``sampling.weighted_sample`` or ``importance.gumbel_topk``), and
+    ingest monitoring (a falling corpus-level novelty histogram means the
+    feed is recycling its own tail).
+
+    Columns: ``(id, max_est_jaccard, novelty)``. ``max_est_jaccard`` is
+    a max over exact ``matches/num_hashes`` divisions, so the output is
+    SQL-replayable bit-exactly.
+
+    Scale: identical movement to the incremental gate — the corpus is
+    never re-sketched (``corpus_sigs`` = persisted ``minhash_signatures``
+    output, same parameters); candidate banding and the signature
+    join-back shuffle ids+sketches only (``minhash_cross_pairs``); the
+    final left join keys on the id. Reference analog: none (extension);
+    the estimator's fidelity is audited by ``minhash_estimate_audit``."""
+    sigs = minhash_signatures(
+        new_df, id_col, text_col, num_hashes, shingle_k, seed
+    )
+    best = (
+        minhash_cross_pairs(sigs, corpus_sigs, id_col, num_hashes, bands)
+        .groupBy("id_new")
+        .agg(F.max("est_jaccard").alias("_best"))
+        .withColumnRenamed("id_new", id_col)
+    )
+    score = F.coalesce(F.col("_best"), F.lit(0.0))
+    return (
+        new_df.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            score.alias("max_est_jaccard"),
+            (F.lit(1.0) - score).alias("novelty"),
+        )
+    )
+
+
 def dedup_minhash(
     df: DataFrame,
     id_col: str = "doc_id",

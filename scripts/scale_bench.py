@@ -186,6 +186,36 @@ _SCALED = {
 }
 
 
+def _bytes_snapshot(spark) -> dict[str, int] | None:
+    """Cumulative shuffle/input bytes over all retained completed stages,
+    read from the local REST status API (the public monitoring interface
+    — the local-mode analog of a cluster's history server). Wall seconds
+    vary with the host; BYTES are a property of the plan, so per-decade
+    byte exponents are the machine-independent linearity evidence. Returns
+    None when the UI is disabled/unreachable; the board then reports
+    seconds only."""
+    import json as _json
+    import urllib.request
+
+    try:
+        sc = spark.sparkContext
+        base, app_id = sc.uiWebUrl, sc.applicationId
+        url = f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+        with urllib.request.urlopen(url, timeout=10) as r:
+            stages = _json.load(r)
+        return {
+            "shuffle_write": sum(
+                int(s.get("shuffleWriteBytes", 0)) for s in stages
+            ),
+            "shuffle_read": sum(
+                int(s.get("shuffleReadBytes", 0)) for s in stages
+            ),
+            "input": sum(int(s.get("inputBytes", 0)) for s in stages),
+        }
+    except Exception:
+        return None
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("dirs", nargs="+", help="generated scale dirs, small->large")
@@ -211,6 +241,13 @@ def main() -> None:
     # it is a HARNESS knob, not an operator fix — the operator's
     # shuffle rows are (id, 8-byte hash) regardless.
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
+    # keep every stage row retained so the byte-counter deltas below
+    # never undercount on the stage-heavy 50M tier (UI default is 1000)
+    _extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    if "spark.ui.retainedStages" not in _extra:
+        os.environ["SPARK_GRAFT_EXTRA_CONF"] = (
+            (_extra + ";" if _extra else "") + "spark.ui.retainedStages=100000"
+        )
 
     from __spark_entry__ import queries
 
@@ -245,28 +282,40 @@ def main() -> None:
 
     results: dict[str, dict[str, float]] = {}
     all_reps: dict[str, dict[str, list[float]]] = {}
+    all_bytes: dict[str, dict[str, dict[str, int]]] = {}
     for name in names:
         fn = _SCALED.get(name) or qs[name]
         per_dir: dict[str, float] = {}
         per_dir_reps: dict[str, list[float]] = {}
+        per_dir_bytes: dict[str, dict[str, int]] = {}
         for d in args.dirs:
             n_reps = max(1, args.reps)
             if args.last_reps is not None and d == args.dirs[-1]:
                 n_reps = max(1, args.last_reps)
             times = []
+            snap0 = _bytes_snapshot(spark)
             for _ in range(n_reps):
                 t0 = time.time()
                 fn(spark, d).write.format("noop").mode("overwrite").save()
                 times.append(round(time.time() - t0, 3))
+            snap1 = _bytes_snapshot(spark)
+            if snap0 is not None and snap1 is not None:
+                # reps re-run the identical plan, so per-rep bytes are
+                # the cumulative delta split evenly
+                per_dir_bytes[d] = {
+                    k: (snap1[k] - snap0[k]) // n_reps for k in snap0
+                }
             per_dir[d] = min(times)
             per_dir_reps[d] = times
             print(
                 f"  {name} @ {d} ({rows[d]} docs): {per_dir[d]}s"
-                f" (reps: {times})",
+                f" (reps: {times};"
+                f" bytes: {per_dir_bytes.get(d)})",
                 flush=True,
             )
         results[name] = per_dir
         all_reps[name] = per_dir_reps
+        all_bytes[name] = per_dir_bytes
 
     def expo(r, a, b):
         return round(
@@ -298,6 +347,22 @@ def main() -> None:
                 for a, b in zip(args.dirs, args.dirs[1:])
             }
             for name, r in results.items()
+        },
+        # per-(query, dir) shuffle/input bytes from the status API, plus
+        # byte-based overall exponents — bytes are a plan property, not a
+        # host property, so these slopes carry no GC/contention variance
+        "stage_bytes": all_bytes,
+        "shuffle_write_exponents": {
+            name: round(
+                math.log(
+                    max(b[hi]["shuffle_write"], 1)
+                    / max(b[lo]["shuffle_write"], 1)
+                )
+                / math.log(rows[hi] / rows[lo]),
+                3,
+            )
+            for name, b in all_bytes.items()
+            if lo in b and hi in b
         },
     }
     line = json.dumps(report)

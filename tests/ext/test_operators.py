@@ -626,6 +626,41 @@ def test_dedup_minhash_incremental(spark):
     assert out.columns == ["doc_id", "_sig"]
 
 
+def test_novelty_scores(spark):
+    """The graded twin of the incremental gate: a near-copy of a corpus
+    doc scores high max_est_jaccard / low novelty; a genuinely new doc
+    with no banded candidate scores exactly (0.0, 1.0); the exact copy
+    scores exactly (1.0, 0.0)."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "falls gently on the quiet green meadow near the old stone bridge"
+    )
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different text about spark query engines "
+                        "processing massive distributed datasets every day")],
+        ["doc_id", "text"],
+    )
+    corpus_sigs = dedup.minhash_signatures(corpus, num_hashes=96)
+    new = spark.createDataFrame(
+        [
+            (10, base),                        # exact copy of corpus doc 1
+            (11, base + " extra"),             # near-dup of corpus doc 1
+            (12, "a genuinely novel document describing mountain hiking "
+                 "trails and alpine weather patterns in great detail"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.max_est_jaccard, r.novelty)
+        for r in dedup.novelty_scores(new, corpus_sigs).collect()
+    }
+    assert set(out) == {10, 11, 12}
+    assert out[10] == (1.0, 0.0)
+    assert out[12] == (0.0, 1.0)
+    assert 0.5 < out[11][0] < 1.0
+    assert out[11][1] == 1.0 - out[11][0]
+
+
 def test_image_near_dups_and_dedup(spark):
     """Planted byte-identical images share a phash (hamming 0); dedup
     keeps the smallest id; distinct images with far hashes survive."""
