@@ -454,7 +454,8 @@ def novelty_scores(
 
     Columns: ``(id, max_est_jaccard, novelty)``. ``max_est_jaccard`` is
     a max over exact ``matches/num_hashes`` divisions, so the output is
-    SQL-replayable bit-exactly.
+    SQL-replayable bit-exactly. Assumes unique ids within the new batch
+    (the minhash family contract — see ``dedup_minhash_incremental``).
 
     Scale: identical movement to the incremental gate — the corpus is
     never re-sketched (``corpus_sigs`` = persisted ``minhash_signatures``

@@ -294,10 +294,24 @@ def main() -> None:
                 n_reps = max(1, args.last_reps)
             times = []
             snap0 = _bytes_snapshot(spark)
+            failed = None
             for _ in range(n_reps):
                 t0 = time.time()
-                fn(spark, d).write.format("noop").mode("overwrite").save()
+                try:
+                    fn(spark, d).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                except Exception as e:  # noqa: BLE001
+                    # a (query, tier) that dies (host disk, OOM) must
+                    # not take the rest of the board with it — record
+                    # the failure and move on; the report shows the gap
+                    failed = f"{type(e).__name__}"
+                    print(f"  {name} @ {d}: FAILED ({failed})", flush=True)
+                    break
                 times.append(round(time.time() - t0, 3))
+            if failed is not None or not times:
+                per_dir_reps[d] = times
+                continue
             snap1 = _bytes_snapshot(spark)
             if snap0 is not None and snap1 is not None:
                 # reps re-run the identical plan, so per-rep bytes are
@@ -318,6 +332,8 @@ def main() -> None:
         all_bytes[name] = per_dir_bytes
 
     def expo(r, a, b):
+        if a not in r or b not in r:
+            return None  # tier failed or skipped — no slope to report
         return round(
             math.log(max(r[b], 1e-3) / max(r[a], 1e-3))
             / math.log(rows[b] / rows[a]),
@@ -336,7 +352,14 @@ def main() -> None:
         # points whose reps agree within ~2x)
         "rep_times": all_reps,
         "exponents": {
-            name: expo(r, lo, hi) for name, r in results.items()
+            # first→last SUCCESSFUL tier (a failed top tier still gets
+            # its overall slope from the tiers that ran)
+            name: (
+                expo(r, p[0], p[-1])
+                if len(p := [d for d in args.dirs if d in r]) >= 2
+                else None
+            )
+            for name, r in results.items()
         },
         # adjacent-decade exponents: small scales are overhead-dominated
         # (sub-linear slopes near the job floor); the LAST pair is the
@@ -355,14 +378,14 @@ def main() -> None:
         "shuffle_write_exponents": {
             name: round(
                 math.log(
-                    max(b[hi]["shuffle_write"], 1)
-                    / max(b[lo]["shuffle_write"], 1)
+                    max(b[p[-1]]["shuffle_write"], 1)
+                    / max(b[p[0]]["shuffle_write"], 1)
                 )
-                / math.log(rows[hi] / rows[lo]),
+                / math.log(rows[p[-1]] / rows[p[0]]),
                 3,
             )
             for name, b in all_bytes.items()
-            if lo in b and hi in b
+            if len(p := [d for d in args.dirs if d in b]) >= 2
         },
     }
     line = json.dumps(report)
