@@ -82,12 +82,23 @@ def main() -> None:
         # one timed pass: collect the id pairs (a few 10^4 rows — the
         # driver transfer is noise next to the candidate join)
         t0 = time.time()
-        pairs = {
-            (r.id_a, r.id_b)
-            for r in embedding_near_dups(e, **kw)
-            .select("id_a", "id_b")
-            .collect()
-        }
+        try:
+            pairs = {
+                (r.id_a, r.id_b)
+                for r in embedding_near_dups(e, **kw)
+                .select("id_a", "id_b")
+                .collect()
+            }
+        except Exception as exc:  # noqa: BLE001
+            # a grid corner that outgrows the host (T·tables multiplies
+            # candidate volume; the single local disk is the bound a
+            # per-executor-disk cluster does not have) is recorded as
+            # infeasible-here, not a crash of the whole grid
+            results[f"T{t}@tables{tables}"] = {
+                "failed": type(exc).__name__
+            }
+            print(f"  T={t} tables={tables}: FAILED", flush=True)
+            continue
         wall = round(time.time() - t0, 2)
         found[(t, tables)] = pairs
         results[f"T{t}@tables{tables}"] = {
