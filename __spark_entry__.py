@@ -1037,6 +1037,30 @@ def emb_near_dup_fractional(spark: SparkSession, sf_dir: str) -> SparkDF:
     ).select("id_a", "id_b", F.round(F.col("cos_sim"), 6).alias("cos_sim"))
 
 
+def emb_near_dup_arrow(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """The PRODUCTION near-dup configuration end to end: sized_lsh
+    occupancy-stable cells from one corpus count, multiprobe=2, and the
+    round-10 BLAS-batch Arrow scoring tier (score_arrow=True — the
+    interpreted cosine fold measured ~85% of multiprobe wall on the
+    board). Same planted-exact-copy fixture as emb_near_dup_fractional:
+    identical vectors collide at every sizing, their cosine is ~1.0 in
+    any summation order, and the fixture's max non-identical cosine is
+    ~0.6 — so the round-6 values cannot sit near an ulp edge and the
+    brute-force oracle is exact despite the tier's BLAS summation."""
+    from colnade_spark.operators.similarity import sized_lsh
+
+    e = _embs(spark, sf_dir).select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
+    allv = e.unionByName(planted)
+    bits, frac = sized_lsh(allv.count(), target_occupancy=8.0)
+    return similarity.embedding_near_dups(
+        allv, dim=64, threshold=0.95, bits=bits, refine_frac=frac,
+        tables=4, multiprobe=2, score_arrow=True,
+    ).select("id_a", "id_b", F.round(F.col("cos_sim"), 6).alias("cos_sim"))
+
+
 # 16 centroids for SemDeDup: cluster count is the knob that bounds the
 # within-cluster quadratic pass — k=16 cuts candidate pairs 4x vs k=4
 # and gives the pairwise join 16-way key parallelism. Quarter-step
@@ -3299,6 +3323,7 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "emb_near_dup_fractional",  # round 10: new (occupancy-stable cells)
     "corpus_card_autofit_docs",  # round 10: NULL-id sample exclusion fix
     "novelty_scores_docs",  # round 10: new (graded novelty vs corpus)
+    "emb_near_dup_arrow",  # round 10: new (BLAS-batch scoring tier)
 )
 
 
@@ -3374,6 +3399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         "corpus_card_binned_docs": corpus_card_binned_docs,
         # --- round-10 additions ---
         "emb_near_dup_fractional": emb_near_dup_fractional,
+        "emb_near_dup_arrow": emb_near_dup_arrow,
         # --- round-9 additions ---
         "ann_lsh_multiprobe2": ann_lsh_multiprobe2,
         "corpus_card_autofit_docs": corpus_card_autofit_docs,
@@ -5253,6 +5279,22 @@ WHERE dd.doc_id % 2 = 1
         # at every cell sizing, so the fractional-refinement pipeline
         # must recover it exactly (recall + precision bit-check)
         "emb_near_dup_fractional": """
+            WITH allv AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+              FROM embeddings WHERE vec_id % 50 = 0
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+            FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+        """,
+        # same brute-force truth as the fractional entry: exact copies
+        # score ~1.0 under ANY summation order, so the arrow tier's
+        # BLAS reduction cannot move a round-6 value or a threshold
+        # decision on this fixture
+        "emb_near_dup_arrow": """
             WITH allv AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
               UNION ALL

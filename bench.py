@@ -73,6 +73,7 @@ HEADLINE = [
     "emb_near_dup_pairs",
     "emb_near_dup_multiprobe",
     "emb_near_dup_fractional",
+    "emb_near_dup_arrow",
     "ann_lsh_multiprobe",
     "ann_lsh_multiprobe2",
     "corpus_card_binned_docs",

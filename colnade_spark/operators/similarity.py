@@ -449,9 +449,18 @@ def embedding_near_dups(
     max_bucket: int | None = None,
     multiprobe: int = 0,
     refine_frac: float = 0.0,
+    score_arrow: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     threshold), candidates via the same multi-table RP-LSH bucketing.
+
+    ``score_arrow=True`` scores candidates with the BLAS-batch cosine
+    UDF instead of the interpreted HOF fold — the production tier
+    (candidate scoring dominates the wall once cells are sized; the
+    round-10 board measured the fold at ~85% of multiprobe wall). Pair
+    SETS are identical unless a pair sits within ~1 ulp of the
+    threshold; cos_sim may differ from the fold in the last ulp, which
+    is why the bit-exact oracle twins keep the default fold.
 
     SIZE THE CELLS WITH THE CORPUS: candidate pairs grow as
     ``tables · n² / cells``, so a ``bits`` that worked at 2k vectors
@@ -581,7 +590,9 @@ def embedding_near_dups(
             )
             .distinct()
         )
-        return _score_pairs(df, pair_ids, threshold, id_col, vec_col)
+        return _score_pairs(
+            df, pair_ids, threshold, id_col, vec_col, arrow=score_arrow
+        )
     l, r = b.alias("l"), b.alias("r")
     # id-only candidate pairs (see lsh_topk: never distinct() on vectors),
     # then score once per pair after joining the vectors back
@@ -595,7 +606,37 @@ def embedding_near_dups(
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .distinct()
     )
-    return _score_pairs(df, pair_ids, threshold, id_col, vec_col)
+    return _score_pairs(
+        df, pair_ids, threshold, id_col, vec_col, arrow=score_arrow
+    )
+
+
+def _cosine_arrow_udf():
+    """Arrow-batched pairwise cosine: one ``einsum`` per Arrow batch
+    instead of three interpreted HOF folds per pair. The HOF ``cosine``
+    is CSE-excluded and never enters whole-stage codegen, so per-pair
+    scoring dominates every candidate-bounded near-dup wall (measured on
+    the round-10 board: 60 s of compute on a 7 MB-shuffle tier). Dense
+    per-row linear algebra is the sanctioned pandas-UDF case (see
+    ``rp_buckets_udf``). Summation order differs from the sequential
+    fold (BLAS/pairwise vs left fold), so results may differ in the
+    last ulp — the production tier; the fold stays the default for the
+    bit-exact oracle twins."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def f(va, vb):
+        a = np.vstack(va.to_numpy()).astype(np.float64)
+        b = np.vstack(vb.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", a, b)
+        den = np.sqrt(np.einsum("ij,ij->i", a, a)) * np.sqrt(
+            np.einsum("ij,ij->i", b, b)
+        )
+        return pd.Series(num / den)
+
+    f.__annotations__ = {"va": pd.Series, "vb": pd.Series, "return": pd.Series}
+    return pandas_udf(f, "double")
 
 
 def _score_pairs(
@@ -604,21 +645,25 @@ def _score_pairs(
     threshold: float,
     id_col: str,
     vec_col: str,
+    arrow: bool = False,
 ) -> DataFrame:
     """Attach both vectors back to an id-only candidate pair frame and
     keep pairs at or above the cosine threshold — the shared tail of
     the single-probe and multiprobe candidate paths (the candidate join
-    itself never carries vectors; see lsh_topk)."""
+    itself never carries vectors; see lsh_topk). ``arrow=True`` scores
+    via the BLAS-batch UDF (production tier, ~ulp-different summation);
+    the default sequential fold is what the SQL oracles replay bitwise."""
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    score = (
+        _cosine_arrow_udf()(F.col("_va"), F.col("_vb"))
+        if arrow
+        else cosine(F.col("_va"), F.col("_vb"))
+    )
     return (
         pair_ids.join(va, "id_a")
         .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"),
-        )
+        .select("id_a", "id_b", score.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 

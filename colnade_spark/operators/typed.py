@@ -468,8 +468,13 @@ def embedding_near_dups(
     5M board scale is tabled in SCALE.md round 10; prefer raising T over
     adding tables: a table multiplies SKETCH STORAGE and candidates
     alike, a probe multiplies candidates only), and the ``max_bucket=32``
-    skew guard for clustered corpora. Pass an explicit ``bits=`` to skip
-    the sizing count (fixture/debug tier); other kwargs forward to
+    skew guard for clustered corpora. Scoring runs the BLAS-batch Arrow
+    tier (``score_arrow=True`` default here) — candidate scoring
+    dominates the wall once cells are sized (round-10 board: the
+    interpreted fold was ~85% of multiprobe wall); cosines may differ
+    from the sequential fold in the last ulp (pair sets identical away
+    from the threshold — pinned by test). Pass an explicit ``bits=`` to
+    skip the sizing count (fixture/debug tier); other kwargs forward to
     ``operators.similarity.embedding_near_dups``."""
     from colnade_spark.operators import similarity as _similarity
 
@@ -480,7 +485,8 @@ def embedding_near_dups(
         )
         kwargs["bits"] = bits
         kwargs["refine_frac"] = frac
-    elif "bits" not in kwargs:
+    kwargs.setdefault("score_arrow", True)
+    if "bits" not in kwargs and "refine_frac" in kwargs:
         # refine_frac without bits would mix a caller fraction into a
         # sized cell count — occupancy would be off target silently
         raise ValueError(

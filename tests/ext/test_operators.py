@@ -414,6 +414,44 @@ def test_embedding_near_dups_finds_planted_duplicate(spark, embs):
     assert any(r.id_b == r.id_a + 1_000_000 for r in pairs)
 
 
+def test_embedding_near_dups_score_arrow_matches_fold(spark, embs):
+    """The BLAS-batch scoring tier (score_arrow=True, the production
+    path) finds the IDENTICAL pair set as the sequential HOF fold at
+    the same candidates, and its cosines agree to ~ulp (summation order
+    is the only difference; fixtures keep pairs far from the threshold,
+    so the set cannot flip). Covers the multiprobe path too — scoring
+    is the shared tail of both candidate paths."""
+    dim = len(embs.select("embedding").first().embedding)
+    base = embs.limit(200).select("vec_id", "embedding")
+    # plant near-copies (tiny first-component nudge → non-trivial
+    # cosines, so the value comparison below is not all-1.0s)
+    clones = base.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.05)),
+            F.slice("embedding", 2, dim - 1),
+        ).cast("array<float>").alias("embedding"),
+    )
+    df = base.unionByName(clones)
+    kw = dict(
+        dim=dim, threshold=0.9, bits=6, tables=3, multiprobe=2,
+        refine_frac=0.3,
+    )
+    fold = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in similarity.embedding_near_dups(df, **kw).collect()
+    }
+    arrow = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in similarity.embedding_near_dups(
+            df, score_arrow=True, **kw
+        ).collect()
+    }
+    assert fold, "fixture must surface at least one candidate pair"
+    assert set(fold) == set(arrow)
+    assert all(abs(fold[p] - arrow[p]) < 1e-9 for p in fold)
+
+
 def test_embedding_near_dups_max_bucket_skew_guard(spark):
     """The oversized-bucket guard (round-7 scale fix): 40 copies of one
     vector land in ONE oversized bucket in EVERY table (identical
