@@ -229,6 +229,17 @@ def main() -> None:
         " single-shot: one 50M rep costs more than all lower decades"
         " together, and the big point dominates the overall exponent)",
     )
+    ap.add_argument(
+        "--rows-table",
+        default="documents",
+        choices=["documents", "embeddings"],
+        help="table whose row count is the exponent denominator. The"
+        " embedding family scales with EMBEDDINGS rows, so an"
+        " embeddings-only tier (e.g. 10M vectors — the largest whose"
+        " ~linear shuffle fits the single board host's disk; 20M"
+        " projects past it, see SCALE.md round 10) can extend the"
+        " emb-family board without paying for 10x the documents",
+    )
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -260,7 +271,9 @@ def main() -> None:
     # row counts per dir (the exponent denominator)
     rows: dict[str, int] = {}
     for d in args.dirs:
-        rows[d] = spark.read.parquet(f"{d}/documents.parquet").count()
+        rows[d] = spark.read.parquet(
+            f"{d}/{args.rows_table}.parquet"
+        ).count()
 
     # warm JIT/codegen/UDF workers on the tiny REAL fixture; generated
     # tables stay cold until their own first measured pass
