@@ -1061,6 +1061,33 @@ def emb_near_dup_arrow(spark: SparkSession, sf_dir: str) -> SparkDF:
     ).select("id_a", "id_b", F.round(F.col("cos_sim"), 6).alias("cos_sim"))
 
 
+def emb_near_dup_injoin(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """The round-10 IN-JOIN scoring tier end to end (score_in_join=True
+    — vectors ride the bucket rows, every meeting is scored by the
+    BLAS-batch UDF inside the join, and only threshold survivors reach
+    the distinct): same sized cells + multiprobe=2 production config as
+    emb_near_dup_arrow, minus the operator's dominant shuffle term (the
+    per-pair vector attach AFTER the distinct — ~11 of 16.7 GB/rep at
+    the 2M-vector board tier). Same planted-exact-copy fixture and the
+    same brute-force oracle: identical vectors collide at every sizing,
+    their cosine is ~1.0 in any summation order, and the fixture's max
+    non-identical cosine is ~0.6 — duplicate meetings collapse in the
+    distinct because the per-row einsum is bit-symmetric and
+    batch-independent."""
+    from colnade_spark.operators.similarity import sized_lsh
+
+    e = _embs(spark, sf_dir).select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
+    allv = e.unionByName(planted)
+    bits, frac = sized_lsh(allv.count(), target_occupancy=8.0)
+    return similarity.embedding_near_dups(
+        allv, dim=64, threshold=0.95, bits=bits, refine_frac=frac,
+        tables=4, multiprobe=2, score_in_join=True,
+    ).select("id_a", "id_b", F.round(F.col("cos_sim"), 6).alias("cos_sim"))
+
+
 # 16 centroids for SemDeDup: cluster count is the knob that bounds the
 # within-cluster quadratic pass — k=16 cuts candidate pairs 4x vs k=4
 # and gives the pairwise join 16-way key parallelism. Quarter-step
@@ -3324,6 +3351,7 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "corpus_card_autofit_docs",  # round 10: NULL-id sample exclusion fix
     "novelty_scores_docs",  # round 10: new (graded novelty vs corpus)
     "emb_near_dup_arrow",  # round 10: new (BLAS-batch scoring tier)
+    "emb_near_dup_injoin",  # round 10: new (in-join scoring tier)
 )
 
 
@@ -3400,6 +3428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], SparkDF]]:
         # --- round-10 additions ---
         "emb_near_dup_fractional": emb_near_dup_fractional,
         "emb_near_dup_arrow": emb_near_dup_arrow,
+        "emb_near_dup_injoin": emb_near_dup_injoin,
         # --- round-9 additions ---
         "ann_lsh_multiprobe2": ann_lsh_multiprobe2,
         "corpus_card_autofit_docs": corpus_card_autofit_docs,
@@ -5295,6 +5324,22 @@ WHERE dd.doc_id % 2 = 1
         # BLAS reduction cannot move a round-6 value or a threshold
         # decision on this fixture
         "emb_near_dup_arrow": """
+            WITH allv AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+              FROM embeddings WHERE vec_id % 50 = 0
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+            FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+        """,
+        # same brute-force truth again for the in-join scoring tier:
+        # the planted pairs are exact copies, so the meeting-time BLAS
+        # cosine is ~1.0 under any summation order and the distinct
+        # collapses duplicate meetings bit-exactly
+        "emb_near_dup_injoin": """
             WITH allv AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
               UNION ALL

@@ -74,6 +74,7 @@ HEADLINE = [
     "emb_near_dup_multiprobe",
     "emb_near_dup_fractional",
     "emb_near_dup_arrow",
+    "emb_near_dup_injoin",
     "ann_lsh_multiprobe",
     "ann_lsh_multiprobe2",
     "corpus_card_binned_docs",

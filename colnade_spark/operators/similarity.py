@@ -450,6 +450,7 @@ def embedding_near_dups(
     multiprobe: int = 0,
     refine_frac: float = 0.0,
     score_arrow: bool = False,
+    score_in_join: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     threshold), candidates via the same multi-table RP-LSH bucketing.
@@ -461,6 +462,23 @@ def embedding_near_dups(
     SETS are identical unless a pair sits within ~1 ulp of the
     threshold; cos_sim may differ from the fold in the last ulp, which
     is why the bit-exact oracle twins keep the default fold.
+
+    ``score_in_join=True`` moves the scoring INTO the bucket meeting
+    join: vectors ride the bucket rows, every meeting is scored by the
+    BLAS-batch UDF on the join output, and only the pairs at or above
+    the threshold reach the ``distinct``. The default path shuffles the
+    full candidate-pair set twice more to attach vectors AFTER the
+    distinct — and the second attach drags a ~dim·4-byte vector per
+    PAIR through an id-keyed exchange, the dominant shuffle term of the
+    whole operator once cells are sized (round-10 board, 2M vectors:
+    16.7 GB/rep total shuffle, ~11 GB of it that join; in-join scoring
+    measured ~9 GB). Costs: each side of the ONE meeting join carries
+    its vector (rows × ~dim·4 B instead of ids), duplicate meetings are
+    scored redundantly (cheap BLAS; cosine is bit-symmetric and
+    batch-independent, so the post-threshold ``distinct`` on
+    (id_a, id_b, cos_sim) still collapses them exactly). Implies
+    BLAS-batch scoring — the ulp note above applies; the bit-exact
+    oracle twins keep the default path.
 
     SIZE THE CELLS WITH THE CORPUS: candidate pairs grow as
     ``tables · n² / cells``, so a ``bits`` that worked at 2k vectors
@@ -525,25 +543,35 @@ def embedding_near_dups(
     plane_sets = [
         _hyperplanes(dim, nplanes, seed + 1000 * t) for t in range(tables)
     ]
+    # in-join scoring: the vector rides the bucket rows so the meeting
+    # join can score without a later per-pair vector attach (see
+    # docstring); ids-only rows otherwise
+    vcols = [F.col(vec_col).alias("_v")] if score_in_join else []
+    vnames = ["_v"] if score_in_join else []
     if multiprobe:
         sketch = rp_multiprobe_udf(plane_sets, multiprobe, refine_frac)
         raw = df.select(
             F.col(id_col).alias("_id"),
+            *vcols,
             F.posexplode(sketch(F.col(vec_col))).alias("tbl", "_bkts"),
         )
         # stored side: home bucket only (element 1); probe side: home +
         # the flip variants. localCheckpoint is NOT needed — both frames
         # are projections of one exchange-free scan.
         b = raw.select(
-            "_id", "tbl", F.element_at(F.col("_bkts"), 1).alias("bkt")
+            "_id", *vnames, "tbl", F.element_at(F.col("_bkts"), 1).alias("bkt")
         )
         probe = raw.select(
-            "_id", "tbl", F.posexplode(F.col("_bkts")).alias("_pi", "bkt")
-        ).select("_id", "tbl", "bkt", (F.col("_pi") == 0).alias("_home"))
+            "_id", *vnames, "tbl",
+            F.posexplode(F.col("_bkts")).alias("_pi", "bkt"),
+        ).select(
+            "_id", *vnames, "tbl", "bkt", (F.col("_pi") == 0).alias("_home")
+        )
     else:
         sketch = rp_buckets_udf(plane_sets, refine_frac)
         b = df.select(
             F.col(id_col).alias("_id"),
+            *vcols,
             F.posexplode(sketch(F.col(vec_col))).alias("tbl", "bkt"),
         )
         probe = b
@@ -574,16 +602,18 @@ def embedding_near_dups(
         # halving the join output for the dominant meeting kind while
         # changing nothing after the distinct (pinned by test)
         l, r = probe.alias("l"), b.alias("r")
+        cond = (
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.bkt") == F.col("r.bkt"))
+            & F.when(
+                F.col("l._home"),
+                F.col("l._id") < F.col("r._id"),
+            ).otherwise(F.col("l._id") != F.col("r._id"))
+        )
+        if score_in_join:
+            return _score_meetings(l, r, cond, threshold)
         pair_ids = (
-            l.join(
-                r,
-                (F.col("l.tbl") == F.col("r.tbl"))
-                & (F.col("l.bkt") == F.col("r.bkt"))
-                & F.when(
-                    F.col("l._home"),
-                    F.col("l._id") < F.col("r._id"),
-                ).otherwise(F.col("l._id") != F.col("r._id")),
-            )
+            l.join(r, cond)
             .select(
                 F.least(F.col("l._id"), F.col("r._id")).alias("id_a"),
                 F.greatest(F.col("l._id"), F.col("r._id")).alias("id_b"),
@@ -594,15 +624,17 @@ def embedding_near_dups(
             df, pair_ids, threshold, id_col, vec_col, arrow=score_arrow
         )
     l, r = b.alias("l"), b.alias("r")
+    cond = (
+        (F.col("l.tbl") == F.col("r.tbl"))
+        & (F.col("l.bkt") == F.col("r.bkt"))
+        & (F.col("l._id") < F.col("r._id"))
+    )
+    if score_in_join:
+        return _score_meetings(l, r, cond, threshold)
     # id-only candidate pairs (see lsh_topk: never distinct() on vectors),
     # then score once per pair after joining the vectors back
     pair_ids = (
-        l.join(
-            r,
-            (F.col("l.tbl") == F.col("r.tbl"))
-            & (F.col("l.bkt") == F.col("r.bkt"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
+        l.join(r, cond)
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .distinct()
     )
@@ -636,7 +668,14 @@ def _cosine_arrow_udf():
         return pd.Series(num / den)
 
     f.__annotations__ = {"va": pd.Series, "vb": pd.Series, "return": pd.Series}
-    return pandas_udf(f, "double")
+    # nondeterministic marking is a pure OPTIMIZER fence: the threshold
+    # filter sits directly on this UDF's output, and a deterministic
+    # expression gets duplicated into the pushed-down filter — two
+    # ArrowEvalPython nodes scoring every candidate twice (observed in
+    # the physical plan). The function is in fact deterministic (per-row
+    # einsum, batch-independent), so results are unchanged; the fence
+    # just keeps one evaluation feeding both the filter and the output.
+    return pandas_udf(f, "double").asNondeterministic()
 
 
 def _score_pairs(
@@ -665,6 +704,29 @@ def _score_pairs(
         .join(vb, "id_b")
         .select("id_a", "id_b", score.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _score_meetings(l: DataFrame, r: DataFrame, cond, threshold: float) -> DataFrame:
+    """In-join scoring tail (``score_in_join=True``): every bucket
+    meeting is scored by the BLAS-batch cosine UDF directly on the join
+    output, sub-threshold meetings are dropped, and only the survivors
+    reach the ``distinct``. Duplicate meetings of the same pair collapse
+    exactly: the per-row einsum is batch-independent and bit-symmetric
+    in its arguments (products commute, per-row summation order is
+    fixed), so every meeting of a pair emits the identical
+    (id_a, id_b, cos_sim) row."""
+    return (
+        l.join(r, cond)
+        .select(
+            F.least(F.col("l._id"), F.col("r._id")).alias("id_a"),
+            F.greatest(F.col("l._id"), F.col("r._id")).alias("id_b"),
+            _cosine_arrow_udf()(F.col("l._v"), F.col("r._v")).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
     )
 
 

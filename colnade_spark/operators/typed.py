@@ -468,10 +468,14 @@ def embedding_near_dups(
     5M board scale is tabled in SCALE.md round 10; prefer raising T over
     adding tables: a table multiplies SKETCH STORAGE and candidates
     alike, a probe multiplies candidates only), and the ``max_bucket=32``
-    skew guard for clustered corpora. Scoring runs the BLAS-batch Arrow
-    tier (``score_arrow=True`` default here) — candidate scoring
-    dominates the wall once cells are sized (round-10 board: the
-    interpreted fold was ~85% of multiprobe wall); cosines may differ
+    skew guard for clustered corpora. Scoring runs IN the meeting join
+    (``score_in_join=True`` default here): the BLAS-batch cosine is
+    computed on the join output and only threshold survivors reach the
+    distinct — candidate scoring dominates the wall once cells are
+    sized (round-10 board: the interpreted fold was ~85% of multiprobe
+    wall), and scoring after the distinct dragged a vector per PAIR
+    through an id-keyed exchange, the operator's dominant shuffle term
+    (~11 of 16.7 GB/rep at the 2M-vector board tier); cosines may differ
     from the sequential fold in the last ulp (pair sets identical away
     from the threshold — pinned by test). Pass an explicit ``bits=`` to
     skip the sizing count (fixture/debug tier); other kwargs forward to
@@ -485,7 +489,8 @@ def embedding_near_dups(
         )
         kwargs["bits"] = bits
         kwargs["refine_frac"] = frac
-    kwargs.setdefault("score_arrow", True)
+    if "score_arrow" not in kwargs:
+        kwargs.setdefault("score_in_join", True)
     if "bits" not in kwargs and "refine_frac" in kwargs:
         # refine_frac without bits would mix a caller fraction into a
         # sized cell count — occupancy would be off target silently

@@ -450,6 +450,32 @@ def test_embedding_near_dups_score_arrow_matches_fold(spark, embs):
     assert fold, "fixture must surface at least one candidate pair"
     assert set(fold) == set(arrow)
     assert all(abs(fold[p] - arrow[p]) < 1e-9 for p in fold)
+    # the IN-JOIN scoring tier (score_in_join=True): same pair set,
+    # same ~ulp cosine agreement, and — because duplicate meetings of a
+    # pair are scored redundantly before the distinct — no duplicate
+    # (id_a, id_b) may survive (the einsum must be bit-symmetric and
+    # batch-independent for the distinct to collapse them)
+    injoin_rows = similarity.embedding_near_dups(
+        df, score_in_join=True, **kw
+    ).collect()
+    injoin = {(r.id_a, r.id_b): r.cos_sim for r in injoin_rows}
+    assert len(injoin_rows) == len(injoin)
+    assert set(fold) == set(injoin)
+    assert all(abs(fold[p] - injoin[p]) < 1e-9 for p in fold)
+    # single-probe path shares the tail through the other branch
+    kw1 = dict(dim=dim, threshold=0.9, bits=6, tables=3, max_bucket=64)
+    f1 = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in similarity.embedding_near_dups(df, **kw1).collect()
+    }
+    i1 = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in similarity.embedding_near_dups(
+            df, score_in_join=True, **kw1
+        ).collect()
+    }
+    assert f1 and set(f1) == set(i1)
+    assert all(abs(f1[p] - i1[p]) < 1e-9 for p in f1)
 
 
 def test_embedding_near_dups_max_bucket_skew_guard(spark):
