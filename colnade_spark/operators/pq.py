@@ -155,7 +155,13 @@ def pq_encode(
 def _lut_col(qv: Column, codebooks: list[list[list[float]]]) -> Column:
     """m x ksub ADC lookup table for one query vector: dot(q_subvector,
     codeword) via the sequential fold (identical op order to DuckDB's
-    list_inner_product — bit-reproducible)."""
+    list_inner_product — bit-reproducible).
+
+    Kept as the reference JVM-expression implementation; the hot paths
+    use ``_lut_udf`` instead — building this tree costs m·ksub
+    aggregate-HOF nodes (~4 s of py4j + analyzer time per plan at
+    m=8, ksub=16), which dwarfs the work of scoring a handful of query
+    rows."""
     m = len(codebooks)
     ds = len(codebooks[0][0])
     luts = []
@@ -163,7 +169,7 @@ def _lut_col(qv: Column, codebooks: list[list[list[float]]]) -> Column:
         sub = F.slice(qv, j * ds + 1, ds)
         entries = []
         for cw in book:
-            carr = F.array(*[F.lit(float(x)) for x in cw])
+            carr = F.lit([float(x) for x in cw])
             entries.append(
                 F.aggregate(
                     F.zip_with(
@@ -175,6 +181,33 @@ def _lut_col(qv: Column, codebooks: list[list[list[float]]]) -> Column:
             )
         luts.append(F.array(*entries))
     return F.array(*luts)
+
+
+def _lut_udf(codebooks):
+    """pandas UDF twin of ``_lut_col``: the per-query m x ksub ADC table
+    computed by ``_adc_lut_py`` — the SAME sequential float64 fold
+    (acc = acc + x*y in index order) the JVM expression and DuckDB's
+    list_inner_product evaluate, so scores stay bit-identical.
+
+    Query sets are small (10^0-10^3 rows), so the win is not executor
+    time — it is removing the m·ksub aggregate-HOF expression tree whose
+    py4j construction + analysis + codegen cost seconds of driver time
+    per plan (and recompiles whenever the fitted codebooks change)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def f(s):
+        return pd.Series(
+            [
+                None
+                if v is None
+                else _adc_lut_py([float(x) for x in v], codebooks)
+                for v in s
+            ]
+        )
+
+    f.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(f, "array<array<double>>")
 
 
 def pq_topk(
@@ -198,9 +231,7 @@ def pq_topk(
     m = len(codebooks)
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        _lut_col(F.col(vec_col).cast("array<double>"), codebooks).alias(
-            "_lut"
-        ),
+        _lut_udf(codebooks)(F.col(vec_col)).alias("_lut"),
     )
     c = codes.select(
         F.col(id_col).alias("neighbor_id"), F.col(code_col).alias("_codes")
@@ -259,9 +290,7 @@ def ivfpq_topk(
     probe = _probe_udf(centroids, nprobe)
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        _lut_col(F.col(vec_col).cast("array<double>"), codebooks).alias(
-            "_lut"
-        ),
+        _lut_udf(codebooks)(F.col(vec_col)).alias("_lut"),
         F.explode(probe(F.col(vec_col))).alias("_list"),
     )
     m = len(codebooks)
@@ -368,6 +397,46 @@ def _residual_encode_udf(codebooks, centroids):
     return pandas_udf(f, "array<int>")
 
 
+def _residual_probe_udf(centroids, nprobe: int):
+    """pandas UDF: the nprobe (cid, q·c) probes of one query vector,
+    ranked by the rounded dot — the Python twin of the former
+    array_sort(array(struct(round(dot,6), cid, dot))) expression.
+
+    Exact-replay contract: each q·c is the SEQUENTIAL float64 fold
+    (acc = acc + x*y in index order — same op order as similarity.dot
+    and DuckDB list_inner_product); the rank key rounds half away from
+    zero at 1e-6 (the module's established F.round(_, 6) replay); the
+    descending sort breaks rank ties toward the HIGHEST centroid id,
+    exactly as reverse(array_sort(...)) does on (sim, cid) structs."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cents = [[float(x) for x in cw] for cw in centroids]
+
+    def probes(v):
+        if v is None:
+            return None
+        cands = []
+        for i, cw in enumerate(cents):
+            acc = 0.0
+            for x, y in zip(v, cw):
+                acc = acc + float(x) * y
+            sim = math.copysign(
+                math.floor(abs(acc) * 1e6 + 0.5), acc
+            ) / 1e6
+            cands.append((sim, i, acc))
+        cands.sort(reverse=True)
+        return [{"cid": i, "qc": qc} for (_, i, qc) in cands[:nprobe]]
+
+    def f(s):
+        return pd.Series([probes(v) for v in s])
+
+    f.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(f, "array<struct<cid:int,qc:double>>")
+
+
 def ivfpq_residual_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -393,8 +462,6 @@ def ivfpq_residual_topk(
     v - centroid[assign(v)] to train_pq_codebooks); the coarse
     assignment here is the deterministic rounded-dot argmax
     (ties -> highest id), replayable in SQL."""
-    from colnade_spark.operators.similarity import dot
-
     c = pq_residual_encode(
         corpus, codebooks, centroids,
         id_col=id_col, vec_col=vec_col,
@@ -402,25 +469,19 @@ def ivfpq_residual_topk(
     ).withColumnRenamed(id_col, "neighbor_id")
     # query side: probe EVERY list deterministically ranked by the same
     # rounded dot (ties -> highest id), keep nprobe; q·c per probed list
-    # rides the row
-    qv = F.col(vec_col).cast("array<double>")
-    cand_structs = [
-        F.struct(
-            F.round(dot(qv, F.array(*[F.lit(float(x)) for x in cw])), 6).alias(
-                "sim"
-            ),
-            F.lit(i).alias("cid"),
-            dot(qv, F.array(*[F.lit(float(x)) for x in cw])).alias("qc"),
-        )
-        for i, cw in enumerate(centroids)
-    ]
-    probes = F.slice(
-        F.reverse(F.array_sort(F.array(*cand_structs))), 1, nprobe
-    )
+    # rides the row. Computed in one pandas UDF (the _lut_udf rationale:
+    # a JVM expression here is 2·nlist sequential-fold dots of literal
+    # arrays whose construction + analysis costs seconds of driver time
+    # per plan); the UDF replays the exact same math — sequential float64
+    # fold per centroid, half-away-from-zero 1e-6 rounding for the rank
+    # key, ties -> highest centroid id — so probe sets and qc values are
+    # bit-identical to the expression form the oracle replays.
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        _lut_col(qv, codebooks).alias("_lut"),
-        F.explode(probes).alias("_p"),
+        _lut_udf(codebooks)(F.col(vec_col)).alias("_lut"),
+        F.explode(
+            _residual_probe_udf(centroids, nprobe)(F.col(vec_col))
+        ).alias("_p"),
     ).select(
         "query_id",
         "_lut",
