@@ -25,6 +25,7 @@ import random
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from colnade_spark.operators.skew import full_shuffle_width
 from colnade_spark.operators.text import char_ngrams, fingerprint, normalized_text, tokens
 
 # Mersenne prime 2^61-1: universal-hash modulus, products of 61-bit values
@@ -579,7 +580,7 @@ def minhash_estimate_audit(
             F.col(id_col).alias("_id"),
             normalized_text(F.col(text_col)).alias("_ma_norm"),
         )
-        .repartition(F.col("_id"))
+        .repartition(full_shuffle_width(df), F.col("_id"))
         .select(
             "_id",
             F.array_distinct(
@@ -678,7 +679,7 @@ def charshingle_jaccard_pairs(
             F.col(id_col).alias("_id"),
             normalized_text(F.col(text_col)).alias("_cj_norm"),
         )
-        .repartition(F.col("_id"))
+        .repartition(full_shuffle_width(df), F.col("_id"))
         .select(
             "_id",
             F.array_distinct(
@@ -1197,7 +1198,7 @@ def ngram_jaccard_pairs(
     # payload join-back branches — a ~15× recompute measured at sf0.1.
     # The repartition computes _g exactly once at shuffle write; all
     # branches then share it via ReuseExchange.
-    staged = staged.repartition(F.col("_id"))
+    staged = staged.repartition(full_shuffle_width(df), F.col("_id"))
     # Pair generation runs on a SKETCH-ONLY projection: the full gram
     # arrays (~KB/doc) never flow through the candidate join — only
     # (id, bucket, size, bottom-k sketch). Survivors (tiny) join the gram
@@ -1354,6 +1355,13 @@ def edit_distance_pairs(
             [a["_bkt_a"] == b["_bkt_b"]]
             + [a[f"_ba_{c}"] == b[f"_bb_{c}"] for c in block_cols]
         )
+        # the pair-dedup exchange is pinned at full shuffle width: the
+        # banded-DP levenshtein verify downstream is pure CPU per pair,
+        # and AQE's byte-based coalescing would otherwise shrink this
+        # thin (16 B/row) shuffle to one task holding all of it
+        # (measured 2.9 s single-task at sf0.1). The explicit
+        # repartition doubles as the dedup's required distribution, so
+        # no extra exchange is added.
         candidates = (
             a.join(b, cond)
             .filter(
@@ -1361,6 +1369,7 @@ def edit_distance_pairs(
                 & (F.abs(F.col("_la") - F.col("_lb")) <= max_dist)
             )
             .select("id_a", "id_b")
+            .repartition(full_shuffle_width(docs), "id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"])
         )
     ta = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))

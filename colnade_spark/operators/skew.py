@@ -18,6 +18,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def full_shuffle_width(df: DataFrame) -> int:
+    """The session's configured shuffle width (spark.sql.shuffle.partitions).
+
+    Used to pin exchanges that feed COMPUTE-dense stages — shingling,
+    per-pair set intersection, bounded edit distance — at explicit width:
+    AQE's partition coalescing sizes post-shuffle partitions by shuffle
+    BYTES, but these stages cost orders of magnitude more CPU per byte
+    than a scan, so byte-sized coalescing runs them on a handful of tasks
+    while the rest of the cluster idles (measured at sf0.1: the
+    minhash-audit exact-Jaccard stage coalesced to ONE task holding 3.5 s
+    of CPU). Passing an explicit numPartitions marks the exchange
+    REPARTITION_BY_NUM, which AQE never coalesces; the value is the
+    cluster-sized conf knob (env-overridable via SPARK_GRAFT_SHUFFLE in
+    session.py), never a literal."""
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return df.sparkSession.sparkContext.defaultParallelism
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
