@@ -20,6 +20,8 @@ import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from colnade_spark.operators.skew import full_shuffle_width
 from pyspark.sql.window import Window
 
 
@@ -612,12 +614,18 @@ def embedding_near_dups(
         )
         if score_in_join:
             return _score_meetings(l, r, cond, threshold)
+        # pair-dedup exchange pinned at full width: the per-pair cosine
+        # fold downstream is CPU-dense per byte and AQE's byte-based
+        # coalescing would run it near-serial (see skew.full_shuffle_width);
+        # the explicit repartition IS the distinct's required
+        # distribution, so no exchange is added
         pair_ids = (
             l.join(r, cond)
             .select(
                 F.least(F.col("l._id"), F.col("r._id")).alias("id_a"),
                 F.greatest(F.col("l._id"), F.col("r._id")).alias("id_b"),
             )
+            .repartition(full_shuffle_width(df), "id_a", "id_b")
             .distinct()
         )
         return _score_pairs(
@@ -636,6 +644,7 @@ def embedding_near_dups(
     pair_ids = (
         l.join(r, cond)
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .repartition(full_shuffle_width(df), "id_a", "id_b")
         .distinct()
     )
     return _score_pairs(
