@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from colnade_spark.operators.litutil import lit_long_array
 from colnade_spark.operators.quality import word_ngrams
 from colnade_spark.operators.spans import clean_tokens
 from colnade_spark.operators.text import md5_hash60
@@ -207,7 +208,7 @@ def dsir_score_frozen(
     staged = df.withColumns(
         {
             "_tk": clean_tokens(F.col(text_col)),
-            "_lr": F.lit([int(x) for x in lr_micro]),
+            "_lr": lit_long_array(lr_micro),
         }
     ).withColumn("_fs", hashed_feature_buckets(F.col("_tk"), buckets, bigrams))
     weight = (
@@ -441,7 +442,7 @@ def commonness_score_frozen(
     staged = df.withColumns(
         {
             "_cf_tk": clean_tokens(F.col(text_col)),
-            "_cf_ct": F.lit([int(x) for x in counts]),
+            "_cf_ct": lit_long_array(counts),
         }
     ).withColumn(
         "_cf_gb",

@@ -536,8 +536,10 @@ def _adc_expr(
 ) -> Column:
     """Rounded ADC score of one frozen LUT against a code column: m
     integer array gets + m-1 adds — scan-speed, codegen-friendly."""
+    from colnade_spark.operators.litutil import lit_double_array
+
     terms = [
-        F.get(F.lit(lut[j]), F.get(F.col(code_col), j))
+        F.get(lit_double_array(lut[j]), F.get(F.col(code_col), j))
         for j in range(len(lut))
     ]
     return F.round(reduce(lambda a, b: a + b, terms), 6)
