@@ -3200,8 +3200,10 @@ def _lined_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     """documents plus ``lined``: normalized tokens grouped into 8-token
     lines joined with newlines — a deterministic multi-line derivation
     both engines express identically (the fixture has no raw newlines,
-    so line-level dedup needs a derived line structure)."""
-    d = _docs(spark, sf_dir)
+    so line-level dedup needs a derived line structure). Spread scan:
+    the nested HOF line derivation is compute-dense and the fixture is
+    one parquet split."""
+    d = _docs_spread(spark, sf_dir)
     staged = d.withColumn("_lt", spans.clean_tokens(F.col("text")))
     n_lines = F.ceil(F.size("_lt") / F.lit(8)).cast("int")
     # filter-guard, not F.when: F.sequence(0, -1) descends (see

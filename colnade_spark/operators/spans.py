@@ -21,15 +21,16 @@ at sub-document granularity:
   order of surviving lines.
 
 Scale notes (100 TB):
-- The only wide operations are keyed on 8-byte gram/line hashes: one
-  map-side-combined count per hash and one shuffle join of (doc, pos,
-  hash) hits against the (small, post-filter) duplicated-hash set. Raw
-  text never shuffles; span merging exchanges once on doc_id.
+- The only wide operations are keyed on 8-byte gram/line hashes: the
+  (doc, pos, hash) hits shuffle ONCE on the hash and the corpus-wide
+  occurrence count is a window over that one exchange (no second
+  scan+hash pass, no join, nothing broadcast). Raw gram text never
+  shuffles; span merging exchanges once on doc_id.
 - Span merging is gaps-and-islands over per-doc hit positions — window
   state is one row (running lag), never the document.
-- ``min_count``/``min_docs`` filtering happens BEFORE the join back, so
-  the join's build side is only the duplicated hashes (power-law corpus:
-  a tiny fraction of all grams), not the full gram inventory.
+- ``min_count``/``min_docs`` filtering happens in the same window pass,
+  so only flagged positions (power-law corpus: a tiny fraction of all
+  grams) reach the doc_id exchange.
 - Detection and removal operate on the NORMALIZED token stream
   (operators/text.normalized_text) — duplicate detection must be
   formatting-insensitive; production pipelines that must preserve raw
@@ -101,16 +102,23 @@ def duplicate_spans(
     checkable); pass ``F.xxhash64`` for the cheaper production hash.
     """
     hits = _gram_hits(df, id_col, text_col, k, hash_fn)
-    dup_hashes = (
-        hits.groupBy("_h")
-        .agg(F.count("*").alias("_n"))
+    # Corpus-wide occurrence count as a WINDOW over the hash, not
+    # groupBy+join-back: the count side's partial aggregate gives its
+    # exchange a different child plan than the join side's, so Catalyst
+    # cannot ReuseExchange and the scan→tokenize→gram→hash subtree runs
+    # TWICE (and shuffles twice: partial-agged hash counts + the full
+    # hits). Power-law gram inventories barely compress under partial
+    # aggregation (most grams are unique within a map task), so the
+    # windowed form shuffles ~half the bytes, computes the expensive
+    # hits subtree once, and drops the join. Skew on a mega-duplicated
+    # gram concentrates one window partition exactly as it would one
+    # groupBy partition — same hazard, one fewer copy of it.
+    w = Window.partitionBy("_h")
+    flagged = (
+        hits.withColumn("_n", F.count("*").over(w))
         .filter(F.col("_n") >= min_count)
-        .select("_h")
+        .select(id_col, "pos")
     )
-    # shuffle join on the 8-byte hash; dup_hashes is the post-filter
-    # minority side. (AQE turns this into a broadcast join when the
-    # duplicated set is small enough.)
-    flagged = hits.join(dup_hashes, "_h").select(id_col, "pos")
     return merge_hit_islands(flagged, id_col, k)
 
 
@@ -249,12 +257,25 @@ def remove_duplicate_lines(
     re-joined with ``delimiter`` in original order. Empty lines are
     dropped (they carry no content and would otherwise all count as
     duplicates of each other)."""
-    boiler = duplicate_lines(df, id_col, text_col, delimiter, min_docs, hash_fn)
     lines = _line_hits(
         df, id_col, _split_literal(F.col(text_col), delimiter), hash_fn
     )
+    # Distinct-doc counts as two stacked windows over ONE exchange on the
+    # line hash (row_number flags the first hit per (_h, doc), the outer
+    # sum totals the flags per _h) instead of duplicate_lines + broadcast
+    # anti-join. The join form re-ran the whole split+hash pass for the
+    # count side AND broadcast the boilerplate-hash set — unbounded in
+    # the corpus, a driver/executor memory hazard at scale. Here the
+    # line rows shuffle once more (the _h exchange) but the text is
+    # split and hashed exactly once and nothing broadcasts.
+    wd = Window.partitionBy("_h", id_col).orderBy("pos")
+    w = Window.partitionBy("_h")
+    n_docs = F.sum(
+        F.when(F.row_number().over(wd) == 1, 1).otherwise(0)
+    ).over(w)
     kept = (
-        lines.join(F.broadcast(boiler.select("_h")), "_h", "left_anti")
+        lines.withColumn("_nd", n_docs)
+        .filter(F.col("_nd") < min_docs)
         .groupBy(id_col)
         .agg(
             F.array_join(

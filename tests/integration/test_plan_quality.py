@@ -10,6 +10,7 @@ If a refactor regresses one of these, correctness tests stay green but the
 from __future__ import annotations
 
 import io as _io
+import re
 from contextlib import redirect_stdout
 
 from colnade_spark import read_parquet
@@ -405,11 +406,12 @@ def test_map_ops_are_codegen_expressions(spark, sf_dir):
 
 
 def test_duplicate_spans_shuffles_hashes_not_text(spark, sf_dir):
-    """Span dedup: exactly 2 hash exchanges (map-side-combined gram-hash
-    count; doc-keyed island window) — the post-filter duplicated-hash set
-    comes back as a BROADCAST join build side, and no Python evaluation;
-    the exchanged gram rows carry (id, pos, 8-byte hash) — raw text must
-    not appear in any exchange's output schema."""
+    """Span dedup: exactly 2 exchanges (gram-hash window count; doc-keyed
+    island window), NO join — the corpus-wide occurrence count is a window
+    over the single hash exchange, so the scan→gram→hash subtree runs
+    once (one Generate) — and no Python evaluation; the exchanged gram
+    rows carry (id, pos, 8-byte hash) — raw text must not appear in any
+    exchange's output schema."""
     from colnade_spark.operators import spans
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -417,15 +419,19 @@ def test_duplicate_spans_shuffles_hashes_not_text(spark, sf_dir):
     plan = _plan(out)
     assert "BatchEvalPython" not in plan, plan
     assert _n_shuffles(plan) == 2, plan
-    assert "BroadcastHashJoin" in plan, plan
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
     for ln in plan.splitlines():
         if "Exchange" in ln and "Arguments" in ln:
             assert "text" not in ln, ln
 
 
-def test_remove_duplicate_lines_anti_join_broadcasts(spark, sf_dir):
-    """Boilerplate-line removal: the duplicated-line set joins back as a
-    BROADCAST anti-join (it is the tiny side), and no Python eval."""
+def test_remove_duplicate_lines_single_pass(spark, sf_dir):
+    """Boilerplate-line removal: ONE split+hash pass (one Generate) with
+    the distinct-doc count as stacked windows over the line-hash
+    exchange — no anti-join, no broadcast of the unbounded boilerplate
+    hash set — and no Python eval. The only join left is the per-doc
+    rebuilt text joining back to the input rows."""
     from pyspark.sql import functions as F
 
     from colnade_spark.operators import spans
@@ -436,7 +442,8 @@ def test_remove_duplicate_lines_anti_join_broadcasts(spark, sf_dir):
     out = spans.remove_duplicate_lines(docs, text_col="lined")
     plan = _plan(out)
     assert "BatchEvalPython" not in plan, plan
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "LeftAnti" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
 
 
 def test_hashed_classifier_is_scan_speed(spark, sf_dir):
