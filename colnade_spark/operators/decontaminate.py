@@ -222,9 +222,6 @@ def semantic_contaminated_ids(
     Output: (id) distinct — feed to a left_anti join like decontaminate.
     """
     bcol = benchmark_vec_col or vec_col
-    bench = benchmark.select(
-        F.col(bcol).cast("array<double>").alias("_bv")
-    )
     v = F.col(vec_col).cast("array<double>")
 
     def _dot(a, b):
@@ -232,14 +229,29 @@ def semantic_contaminated_ids(
             F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
         )
 
-    vnorm = F.sqrt(_dot(v, v))
-    bnorm = F.sqrt(_dot(F.col("_bv"), F.col("_bv")))
+    # Norms staged ONCE PER ROW on each side before the cross join: the
+    # interpreted HOF fold is the whole per-pair cost here, and inlining
+    # vnorm/bnorm into the pair predicate re-evaluates them per PAIR —
+    # 3 folds per pair instead of 1 (same arithmetic, same values).
+    bench = benchmark.select(
+        F.col(bcol).cast("array<double>").alias("_bv")
+    )
+    bench = bench.withColumn("_bn", F.sqrt(_dot(F.col("_bv"), F.col("_bv"))))
+    staged = corpus.select(F.col(id_col), v.alias(vec_col)).withColumn(
+        "_vn", F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+    )
+    # the broadcast join is narrow, so a single-split corpus (the fixture
+    # is one parquet file) would fold every pair on one core; at real
+    # scale the reader's splits make this branch dead.
+    sc = corpus.sparkSession.sparkContext
+    if staged.rdd.getNumPartitions() < sc.defaultParallelism:
+        staged = staged.repartition(sc.defaultParallelism)
     cos = F.when(
-        (vnorm > 0) & (bnorm > 0), _dot(v, F.col("_bv")) / (vnorm * bnorm)
+        (F.col("_vn") > 0) & (F.col("_bn") > 0),
+        _dot(F.col(vec_col), F.col("_bv")) / (F.col("_vn") * F.col("_bn")),
     )
     return (
-        corpus.select(F.col(id_col), v.alias(vec_col))
-        .crossJoin(F.broadcast(bench))
+        staged.crossJoin(F.broadcast(bench))
         .filter(cos >= threshold)
         .select(id_col)
         .distinct()
@@ -262,9 +274,6 @@ def semantic_contamination_report(
     broadcasts, the corpus streams through one narrow map + a per-id
     max — no shuffle of vectors beyond the id-keyed aggregation."""
     bcol = benchmark_vec_col or vec_col
-    bench = benchmark.select(
-        F.col(bcol).cast("array<double>").alias("_bv")
-    )
     v = F.col(vec_col).cast("array<double>")
 
     def _dot(a, b):
@@ -272,14 +281,25 @@ def semantic_contamination_report(
             F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
         )
 
-    vnorm = F.sqrt(_dot(v, v))
-    bnorm = F.sqrt(_dot(F.col("_bv"), F.col("_bv")))
+    # same staging discipline as semantic_contaminated_ids: norms once
+    # per row (not per pair), single-split corpora spread before the
+    # narrow broadcast join.
+    bench = benchmark.select(
+        F.col(bcol).cast("array<double>").alias("_bv")
+    )
+    bench = bench.withColumn("_bn", F.sqrt(_dot(F.col("_bv"), F.col("_bv"))))
+    staged = corpus.select(F.col(id_col), v.alias(vec_col)).withColumn(
+        "_vn", F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+    )
+    sc = corpus.sparkSession.sparkContext
+    if staged.rdd.getNumPartitions() < sc.defaultParallelism:
+        staged = staged.repartition(sc.defaultParallelism)
     cos = F.when(
-        (vnorm > 0) & (bnorm > 0), _dot(v, F.col("_bv")) / (vnorm * bnorm)
+        (F.col("_vn") > 0) & (F.col("_bn") > 0),
+        _dot(F.col(vec_col), F.col("_bv")) / (F.col("_vn") * F.col("_bn")),
     )
     return (
-        corpus.select(F.col(id_col), v.alias(vec_col))
-        .crossJoin(F.broadcast(bench))
+        staged.crossJoin(F.broadcast(bench))
         .groupBy(id_col)
         .agg(F.round(F.max(cos), 6).alias("max_cos"))
     )
