@@ -244,7 +244,12 @@ def semantic_contaminated_ids(
     # is one parquet file) would fold every pair on one core; at real
     # scale the reader's splits make this branch dead.
     sc = corpus.sparkSession.sparkContext
-    if staged.rdd.getNumPartitions() < sc.defaultParallelism:
+    # .rdd is illegal on a streaming frame (and a micro-batch is already
+    # distributed by the source) — the spread is batch-only
+    if (
+        not staged.isStreaming
+        and staged.rdd.getNumPartitions() < sc.defaultParallelism
+    ):
         staged = staged.repartition(sc.defaultParallelism)
     cos = F.when(
         (F.col("_vn") > 0) & (F.col("_bn") > 0),
@@ -292,7 +297,12 @@ def semantic_contamination_report(
         "_vn", F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
     )
     sc = corpus.sparkSession.sparkContext
-    if staged.rdd.getNumPartitions() < sc.defaultParallelism:
+    # .rdd is illegal on a streaming frame (and a micro-batch is already
+    # distributed by the source) — the spread is batch-only
+    if (
+        not staged.isStreaming
+        and staged.rdd.getNumPartitions() < sc.defaultParallelism
+    ):
         staged = staged.repartition(sc.defaultParallelism)
     cos = F.when(
         (F.col("_vn") > 0) & (F.col("_bn") > 0),

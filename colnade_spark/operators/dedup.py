@@ -179,7 +179,12 @@ def minhash_signatures(
         # UDF on 1-2 tasks; spread it. At real scale inputs have thousands
         # of splits and this branch never fires — no extra shuffle.
         sc = df.sparkSession.sparkContext
-        if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        # .rdd is illegal on a streaming frame; the projection itself is
+        # stateless, so just skip the batch-only spread there
+        if (
+            not df.isStreaming
+            and df.rdd.getNumPartitions() < sc.defaultParallelism
+        ):
             staged = staged.repartition(sc.defaultParallelism)
         sig = _minhash_full_udf(num_hashes, shingle_k, seed)(F.col("_mh_norm"))
         return staged.withColumn("_sig", sig).drop("_mh_norm")
