@@ -243,14 +243,15 @@ def semantic_contaminated_ids(
     # the broadcast join is narrow, so a single-split corpus (the fixture
     # is one parquet file) would fold every pair on one core; at real
     # scale the reader's splits make this branch dead.
-    sc = corpus.sparkSession.sparkContext
-    # .rdd is illegal on a streaming frame (and a micro-batch is already
-    # distributed by the source) — the spread is batch-only
-    if (
-        not staged.isStreaming
-        and staged.rdd.getNumPartitions() < sc.defaultParallelism
-    ):
-        staged = staged.repartition(sc.defaultParallelism)
+    # few_input_splits: streaming-safe (returns False on streams) and
+    # milliseconds — the .rdd partition probe ran the whole planner on a
+    # throwaway plan, ~1 s of driver time per bench rep
+    from colnade_spark.operators.skew import few_input_splits
+
+    if few_input_splits(staged):
+        staged = staged.repartition(
+            corpus.sparkSession.sparkContext.defaultParallelism
+        )
     cos = F.when(
         (F.col("_vn") > 0) & (F.col("_bn") > 0),
         _dot(F.col(vec_col), F.col("_bv")) / (F.col("_vn") * F.col("_bn")),
@@ -296,14 +297,15 @@ def semantic_contamination_report(
     staged = corpus.select(F.col(id_col), v.alias(vec_col)).withColumn(
         "_vn", F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
     )
-    sc = corpus.sparkSession.sparkContext
-    # .rdd is illegal on a streaming frame (and a micro-batch is already
-    # distributed by the source) — the spread is batch-only
-    if (
-        not staged.isStreaming
-        and staged.rdd.getNumPartitions() < sc.defaultParallelism
-    ):
-        staged = staged.repartition(sc.defaultParallelism)
+    # few_input_splits: streaming-safe (returns False on streams) and
+    # milliseconds — the .rdd partition probe ran the whole planner on a
+    # throwaway plan, ~1 s of driver time per bench rep
+    from colnade_spark.operators.skew import few_input_splits
+
+    if few_input_splits(staged):
+        staged = staged.repartition(
+            corpus.sparkSession.sparkContext.defaultParallelism
+        )
     cos = F.when(
         (F.col("_vn") > 0) & (F.col("_bn") > 0),
         _dot(F.col(vec_col), F.col("_bv")) / (F.col("_vn") * F.col("_bn")),

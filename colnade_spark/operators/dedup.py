@@ -178,14 +178,15 @@ def minhash_signatures(
         # a small input (fewer splits than cores) would run the signature
         # UDF on 1-2 tasks; spread it. At real scale inputs have thousands
         # of splits and this branch never fires — no extra shuffle.
-        sc = df.sparkSession.sparkContext
-        # .rdd is illegal on a streaming frame; the projection itself is
-        # stateless, so just skip the batch-only spread there
-        if (
-            not df.isStreaming
-            and df.rdd.getNumPartitions() < sc.defaultParallelism
-        ):
-            staged = staged.repartition(sc.defaultParallelism)
+        # few_input_splits: streaming-safe and milliseconds (the .rdd
+        # partition probe ran the whole planner on a throwaway plan —
+        # ~1 s of driver time per bench rep)
+        from colnade_spark.operators.skew import few_input_splits
+
+        if few_input_splits(df):
+            staged = staged.repartition(
+                df.sparkSession.sparkContext.defaultParallelism
+            )
         sig = _minhash_full_udf(num_hashes, shingle_k, seed)(F.col("_mh_norm"))
         return staged.withColumn("_sig", sig).drop("_mh_norm")
 
@@ -223,6 +224,22 @@ def minhash_signatures(
     )
 
 
+def _band_array_sql(bands: int, rows: int) -> str:
+    """The LSH band array as ONE SQL expression string:
+    ``array(named_struct('band', <i>, 'bhash', xxhash64(cast(slice(_sig,
+    off, rows) as string))), ...)``. Parsed in a single py4j call; the
+    element-wise ``F.struct``/``F.xxhash64``/``F.slice`` form costs one
+    round-trip per sub-expression × bands on EVERY plan build (the
+    litutil lesson applied to expression trees — values and plan are
+    identical, only driver-side construction time drops)."""
+    parts = ",".join(
+        f"named_struct('band', {bi}, 'bhash', xxhash64(cast("
+        f"slice(_sig, {bi * rows + 1}, {rows}) as string)))"
+        for bi in range(bands)
+    )
+    return f"array({parts})"
+
+
 def minhash_candidate_pairs(
     sig_df: DataFrame,
     id_col: str = "doc_id",
@@ -253,21 +270,12 @@ def minhash_candidate_pairs(
     # in multiple bands collapse via distinct() BEFORE any scoring, then
     # the signatures join back once per UNIQUE pair for the estimate
     # (same pattern as lsh_topk / ngram sketch prefilter).
+    # one parsed SQL expression for the band array — the element-wise
+    # F.struct/F.xxhash64/F.slice form costs a py4j round-trip per
+    # sub-expression × bands on every plan build (see overlap_band_keys)
     banded = sig_df.select(
         F.col(id_col).alias("_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.slice(F.col("_sig"), bi * rows + 1, rows).cast("string")
-                        ).alias("bhash"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.explode(F.expr(_band_array_sql(bands, rows))).alias("bb"),
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
     left = banded.alias("l")
     right = banded.alias("r")
@@ -331,21 +339,7 @@ def minhash_cross_pairs(
     def _banded(sig_df: DataFrame, out_id: str) -> DataFrame:
         return sig_df.select(
             F.col(id_col).alias(out_id),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(bi).alias("band"),
-                            F.xxhash64(
-                                F.slice(
-                                    F.col("_sig"), bi * rows + 1, rows
-                                ).cast("string")
-                            ).alias("bhash"),
-                        )
-                        for bi in range(bands)
-                    ]
-                )
-            ).alias("bb"),
+            F.explode(F.expr(_band_array_sql(bands, rows))).alias("bb"),
         ).select(out_id, F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
 
     sig_new = sig_new.select(id_col, "_sig").repartition(F.col(id_col))

@@ -14,8 +14,67 @@ Cost: right side shuffles ``salt``× its size — use only when right ≪ left.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_BYTE_SUFFIX = {
+    "": 1,
+    "b": 1,
+    "k": 1 << 10,
+    "kb": 1 << 10,
+    "m": 1 << 20,
+    "mb": 1 << 20,
+    "g": 1 << 30,
+    "gb": 1 << 30,
+}
+
+
+def _bytes_conf(spark, key: str, default: int) -> int:
+    """A byte-size conf value ('134217728b', '128m', '1g') as an int."""
+    try:
+        raw = str(spark.conf.get(key)).strip().lower()
+    except Exception:  # pragma: no cover - conf not set anywhere
+        return default
+    m = re.match(r"^(\d+)([a-z]*)$", raw)
+    if not m or m.group(2) not in _BYTE_SUFFIX:
+        return default
+    return int(m.group(1)) * _BYTE_SUFFIX[m.group(2)]
+
+
+def few_input_splits(df: DataFrame) -> bool:
+    """Cheap test for "this frame's scan cannot feed every core": the
+    ANALYZED plan's sizeInBytes estimate (leaf file sizes — milliseconds)
+    against cores × maxPartitionBytes, the reader's own split arithmetic.
+
+    The obvious probe — ``df.rdd.getNumPartitions()`` — runs the full
+    optimizer + physical planner + codegen on a THROWAWAY plan just to
+    read one number: measured ~1 s of driver time per query build at
+    sf0.1 for a 3-branch union, paid again on every bench rep. The
+    estimate answers the same question (splits ≈ size / maxPartitionBytes)
+    for the price of an analysis pass that the query needs anyway.
+
+    Streaming frames report False: ``.rdd`` is illegal there and a
+    micro-batch is already distributed by its source. Used by the
+    single-split spread guards (minhash_signatures, the semantic
+    decontamination operators): at real scale inputs dwarf
+    cores × 128 MB and the spread branch is dead, exactly like the old
+    probe."""
+    if df.isStreaming:
+        return False
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        size = int(
+            str(df._jdf.queryExecution().analyzed().stats().sizeInBytes())
+        )
+    except Exception:  # pragma: no cover - stats unavailable
+        return df.rdd.getNumPartitions() < cores
+    max_split = _bytes_conf(
+        spark, "spark.sql.files.maxPartitionBytes", 128 << 20
+    )
+    return size < cores * max_split
 
 
 def full_shuffle_width(df: DataFrame) -> int:
