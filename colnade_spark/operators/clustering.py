@@ -48,18 +48,41 @@ def _scaled(df: DataFrame, vec_col: str) -> "F.Column":
     )
 
 
-def _dist_exprs(centroids: list[list[float]], vec=None):
+def _finite(centroids: list[list[float]]) -> bool:
+    import math
+
+    return all(math.isfinite(float(v)) for c in centroids for v in c)
+
+
+def _dist_sql(vec_name: str, c: list[float]) -> str:
+    """Squared L2 distance to one centroid as a SQL string (identical
+    fold/casts to the python-lambda form — the whole expression parses
+    in one py4j call instead of one round-trip per sub-expression; the
+    k-means++ loop alone rebuilds Θ(k²) of these per fit, measured
+    seconds of driver time per plan build at k=8, dim=64)."""
+    arr = "array(" + ",".join(f"{float(v)!r}D" for v in c) + ")"
+    return (
+        f"aggregate(zip_with(`{vec_name}`, {arr}, "
+        f"(a, b) -> ((CAST(a AS double) - b) * (CAST(a AS double) - b))), "
+        f"0.0D, (acc, x) -> (acc + x))"
+    )
+
+
+def _dist_exprs(centroids: list[list[float]], vec=None, vec_name: str = "_v"):
     """Squared L2 distance to each centroid; left-to-right fold order."""
+    if vec is None and _finite(centroids):
+        return [F.expr(_dist_sql(vec_name, c)) for c in centroids]
+    # element-wise fallback: an explicit Column input or non-finite
+    # centroid values (SQL has no inf/nan literals)
     if vec is None:
-        vec = F.col("_v")
+        vec = F.col(vec_name)
     out = []
     for c in centroids:
-        carr = F.array(*[F.lit(float(v)) for v in c])
         out.append(
             F.aggregate(
                 F.zip_with(
                     vec,
-                    carr,
+                    F.array(*[F.lit(float(v)) for v in c]),
                     lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
                 ),
                 F.lit(0.0),
@@ -69,13 +92,20 @@ def _dist_exprs(centroids: list[list[float]], vec=None):
     return out
 
 
-def _assign_struct(centroids: list[list[float]], vec=None):
+def _assign_struct(centroids: list[list[float]], vec=None, vec_name: str = "_v"):
     """struct<dist,cid> of the nearest centroid: array_min over the
     per-centroid structs — struct comparison is dist first, then cid, so
-    ties go to the lowest cid."""
+    ties go to the lowest cid. Parsed from ONE SQL string when possible
+    (see ``_dist_sql``)."""
+    if vec is None and _finite(centroids):
+        structs = ",".join(
+            f"named_struct('dist', {_dist_sql(vec_name, c)}, 'cid', {cid})"
+            for cid, c in enumerate(centroids)
+        )
+        return F.expr(f"array_min(array({structs}))")
     dists = [
         F.struct(d.alias("dist"), F.lit(cid).alias("cid"))
-        for cid, d in enumerate(_dist_exprs(centroids, vec))
+        for cid, d in enumerate(_dist_exprs(centroids, vec, vec_name))
     ]
     return F.array_min(F.array(*dists))
 
@@ -234,7 +264,7 @@ def prototypicality(
     # it twice, which keeps CollapseProject from inlining (and thus
     # re-evaluating) the k-fold distance array
     staged = staged.withColumn(
-        "_proto_min", _assign_struct(centroids, F.col("_proto_v"))
+        "_proto_min", _assign_struct(centroids, vec_name="_proto_v")
     )
     return (
         staged.withColumn(cluster_col, F.col("_proto_min")["cid"].cast("long"))

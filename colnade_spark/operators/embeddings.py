@@ -49,18 +49,48 @@ def normalize_embeddings(
     return out.drop("_l2")
 
 
-def _best_cluster(vec: Column, centroids: list[list[float]]) -> Column:
-    """Struct (sim, cluster_id) of the max-dot-product centroid."""
-    cands = [
-        F.struct(
-            F.round(
-                dot(vec, F.array(*[F.lit(float(x)) for x in c])), 6
-            ).alias("sim"),
-            F.lit(i).alias("cid"),
-        )
+def _best_cluster(vec_name: str, centroids: list[list[float]]) -> Column:
+    """Struct (sim, cid) of the max-dot-product centroid, parsed from
+    ONE SQL expression.
+
+    The element-wise form (k × ``F.struct``/``F.round``/``dot`` with
+    python ``zip_with``/``aggregate`` lambdas over k·dim ``F.lit``
+    elements) cost 1.4–2.2 s of py4j/driver time PER PLAN BUILD at
+    k=16, dim=64 — paid again on every bench rep; the single parsed
+    string builds the identical Catalyst tree (same fold, same casts,
+    same round — pinned bit-equal) in ~0.2 s. The litutil lesson,
+    applied to the whole expression rather than just the literals.
+    Requires the vector column's NAME (backtick-quoted here); non-finite
+    centroid values cannot appear in SQL literals — those fall back to
+    the element-wise construction (litutil's convention)."""
+    import math
+
+    if not all(math.isfinite(float(v)) for c in centroids for v in c):
+        cands = [
+            F.struct(
+                F.round(
+                    dot(
+                        F.col(vec_name),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                    ),
+                    6,
+                ).alias("sim"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+        return cands[0] if len(cands) == 1 else F.greatest(*cands)
+
+    def arr(c: list[float]) -> str:
+        return "array(" + ",".join(f"{float(v)!r}D" for v in c) + ")"
+
+    cands = ",".join(
+        f"named_struct('sim', round(aggregate(zip_with(`{vec_name}`, "
+        f"{arr(c)}, (x, y) -> (CAST(x AS double) * CAST(y AS double))), "
+        f"0.0D, (acc, v) -> (acc + v)), 6), 'cid', {i})"
         for i, c in enumerate(centroids)
-    ]
-    return cands[0] if len(cands) == 1 else F.greatest(*cands)
+    )
+    return F.expr(f"greatest({cands})" if len(centroids) > 1 else cands)
 
 
 def cluster_assign(
@@ -75,7 +105,7 @@ def cluster_assign(
     ``sim_col`` optionally keeps the winning (rounded) dot product."""
     if not centroids:
         raise ValueError("centroids must be non-empty")
-    staged = df.withColumn("_bc", _best_cluster(F.col(vec_col), centroids))
+    staged = df.withColumn("_bc", _best_cluster(vec_col, centroids))
     out = staged.withColumn(out_col, F.col("_bc.cid").cast("long"))
     if sim_col is not None:
         out = out.withColumn(sim_col, F.col("_bc.sim"))

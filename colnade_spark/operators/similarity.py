@@ -207,9 +207,13 @@ def rp_buckets_udf(plane_sets: list[list[list[float]]], refine_frac: float = 0.0
 
 def rp_sketch(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane sign sketch packed into a long (≤ 63 planes)."""
+    from colnade_spark.operators.litutil import lit_double_array
+
     out = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(x) for x in p])
+        # one parsed SQL literal per plane, not bits·dim py4j lit()
+        # round-trips per plan build — see litutil
+        plane = lit_double_array(p)
         bit = F.when(dot(vec, plane) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
             F.lit(0).cast("long")
         )
