@@ -144,15 +144,25 @@ def connected_components(
     dedicated job (the normal deployment); on a session shared with
     concurrent planners, either accept the transient sizing or run this
     on its own session."""
+    # the raw edge selection is checkpointed FIRST: its producer (often a
+    # window/join pipeline over the corpus) is consumed by e below AND by
+    # all_nodes' two union branches, and every consumer of the returned
+    # label frame re-evaluates the roots anti-join — without this barrier
+    # the edge derivation re-ran once per branch per consumer (measured:
+    # the length-chain window subtree evaluated 3-6× across the CC query
+    # family at sf0.1). Ids-only rows, the same storage tier as the
+    # per-round checkpoints.
+    raw = edges.select(
+        F.col(src).alias("_a"), F.col(dst).alias("_b")
+    ).localCheckpoint(eager=False)
     e = (
-        edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
-        .filter(F.col("_a") != F.col("_b"))
+        raw.filter(F.col("_a") != F.col("_b"))
         .distinct()
         # lazy: the first fingerprint below is the materializing action
         .localCheckpoint(eager=False)
     )
-    all_nodes = edges.select(F.col(src).alias("_n")).union(
-        edges.select(F.col(dst).alias("_n"))
+    all_nodes = raw.select(F.col("_a").alias("_n")).union(
+        raw.select(F.col("_b").alias("_n"))
     )
     if nodes is not None:
         first = nodes.columns[0]
