@@ -600,7 +600,11 @@ def soft_dedup_weights_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     division, so every column replays bit-exactly."""
     from colnade_spark.operators.importance import commonness_weights
 
-    return commonness_weights(_docs(spark, sf_dir), n=3)
+    # spread the one-file fixture scan: the tokenize+ngram+md5 gram
+    # subtree runs twice (count build + join back, the documented
+    # skew-robustness trade) and was serializing on a single input
+    # split — measured two 1-task jobs of 1.8 s and 1.3 s at sf0.1
+    return commonness_weights(_docs_spread(spark, sf_dir), n=3)
 
 
 def commonness_frozen_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
