@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from colnade_spark.operators.litutil import lit_long_array
 from colnade_spark.operators.quality import word_ngrams
 from colnade_spark.operators.spans import clean_tokens
 
@@ -510,7 +511,7 @@ def bloom_duplicate_gate(
         raise ValueError("bloom_words length must equal m_bits/64")
     from colnade_spark.operators.text import fingerprint
 
-    lit_words = F.lit(bloom_words)
+    lit_words = lit_long_array(bloom_words)
     fp = fingerprint(F.col(text_col))
     probe = F.forall(
         bloom_positions(fp, m_bits, n_hashes),
@@ -590,7 +591,7 @@ def bloom_contaminated_ids(
     """
     if len(bloom_words) * 64 != m_bits:
         raise ValueError("bloom_words length must equal m_bits/64")
-    lit_words = F.lit(bloom_words)
+    lit_words = lit_long_array(bloom_words)
     grams = df.withColumn("_tk", clean_tokens(F.col(text_col))).select(
         F.col(id_col), F.explode(_word_ngram_texts(F.col("_tk"), n)).alias("_g")
     )
