@@ -1511,6 +1511,14 @@ def curation_funnel(
         .select(F.col("stage_idx").alias("_stage_idx"))
         .groupBy("_stage_idx")
         .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        # |stages|+1 rows at most, but its producer is the whole
+        # attribution pipeline (every gate's corpus pass): the funnel
+        # tail consumes it twice (total-agg + spine join), and AQE's
+        # broadcast exchanges block plan-level reuse of the producer —
+        # a tiny checkpoint makes both consumers read the counts, not
+        # recompute the gates. Batch-only op (the window below), so the
+        # checkpoint is stream-safe by construction.
+        .localCheckpoint(eager=False)
     )
     return _funnel_from_counts(df.sparkSession, counts, names)
 
