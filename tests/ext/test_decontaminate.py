@@ -418,3 +418,35 @@ def test_contaminated_spans_broadcast_plan(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "Cartesian" not in plan, plan
+
+
+def test_bloom_bitmap_literal_covers_64bit_edge_words(spark):
+    """The bitmap rides the plan via lit_long_array (one SQL parse, not
+    one py4j call per word): words with the sign bit set — including a
+    word whose ONLY set bit is 63, i.e. INT64_MIN — must round-trip the
+    SQL literal path exactly, and the probe must behave identically to
+    the bit math: an all-ones bitmap flags every gram-bearing doc, an
+    all-zeros bitmap flags none."""
+    from pyspark.sql import functions as F
+
+    from colnade_spark.operators.litutil import lit_long_array
+
+    edge_words = [-(1 << 63), -1, 0, 1, (1 << 63) - 1, 1 << 62]
+    got = spark.range(1).select(lit_long_array(edge_words).alias("w")).first().w
+    assert list(got) == edge_words
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"tok{i}" for i in range(20))), (2, "too short")],
+        ["doc_id", "text"],
+    )
+    m_bits = 1 << 10
+    all_ones = [-1] * (m_bits // 64)   # every probe positive
+    all_zero = [0] * (m_bits // 64)    # every probe negative
+    hit = decontaminate.bloom_contaminated_ids(
+        docs, all_ones, n=13, m_bits=m_bits, n_hashes=4
+    )
+    assert {r.doc_id for r in hit.collect()} == {1}  # doc 2 has no 13-gram
+    miss = decontaminate.bloom_contaminated_ids(
+        docs, all_zero, n=13, m_bits=m_bits, n_hashes=4
+    )
+    assert miss.count() == 0

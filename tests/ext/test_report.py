@@ -688,3 +688,27 @@ def test_source_overlap_near_sees_what_exact_matrix_cannot(spark):
         report.overlap_band_keys(df, group_col="src", num_hashes=0, bands=16)
     with pytest.raises(ValueError, match="multiple of bands"):
         report.overlap_band_keys(df, group_col="src", num_hashes=-16, bands=16)
+
+
+def test_curation_funnel_consistent_with_nondeterministic_gate(spark):
+    """The funnel's count table materializes ONCE (localCheckpoint) —
+    the total-aggregate and the per-stage rows must come from the SAME
+    evaluation. A nondeterministic gate makes any double evaluation
+    visible: if the gates re-ran per consumer, the running-survivor
+    arithmetic (derived from the total) and the drop counts (from the
+    spine join) would disagree across rows. Internal-consistency
+    invariants must hold exactly regardless of what the gate sampled."""
+    docs = spark.createDataFrame([(i,) for i in range(1, 201)], ["doc_id"])
+    flaky = docs.filter(F.rand() < 0.5).select("doc_id")
+    fixed = spark.createDataFrame([(1,), (2,), (3,)], ["doc_id"])
+    rows = sorted(
+        report.curation_funnel(docs, {"flaky": flaky, "fixed": fixed}).collect(),
+        key=lambda r: r.stage_idx,
+    )
+    # chain: every stage's n_out is the next stage's n_in
+    assert rows[0].n_in == 200
+    assert rows[0].n_out == rows[0].n_in - rows[0].n_dropped
+    assert rows[1].n_in == rows[0].n_out
+    assert rows[1].n_out == rows[1].n_in - rows[1].n_dropped
+    # total docs are conserved: drops + final survivors == corpus
+    assert rows[0].n_dropped + rows[1].n_dropped + rows[1].n_out == 200
