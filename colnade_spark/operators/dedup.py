@@ -1187,6 +1187,18 @@ def ngram_jaccard_pairs(
     blocks = [lb.alias("_lb")]
     if block_col is not None:
         blocks.append(F.col(block_col).alias("_blk"))
+    # The gram pipeline evaluates at the barrier's shuffle WRITE, i.e. on
+    # the INPUT partitioning: a single-split source (one parquet file)
+    # runs normalize→tokenize→hash→distinct on ONE task, and the branch
+    # exchanges below don't canonicalize equal (per-branch pruning), so
+    # that 1-task stage ran up to 3× sequentially (profiled ~1.3 s each
+    # at sf0.1). Spread tiny inputs first so the map side is wide; at
+    # real scale the reader's own splits make this branch dead — the
+    # minhash_signatures guard, same helper.
+    from colnade_spark.operators.skew import few_input_splits
+
+    if few_input_splits(df):
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     staged = df.withColumn("_ng_toks", tokens(normalized_text(F.col(text_col)))).select(
         F.col(id_col).alias("_id"), grams.alias("_g"), *blocks
     )
