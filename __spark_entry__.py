@@ -724,7 +724,7 @@ def language_pred(spark: SparkSession, sf_dir: str) -> SparkDF:
 def repetition_profile(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Per-doc repetition signals (duplicate line/paragraph/token
     fractions) — quality.repetition_stats, DuckDB-oracled."""
-    out = quality.repetition_stats(_docs(spark, sf_dir))
+    out = quality.repetition_stats(_docs_spread(spark, sf_dir))
     return out.select(
         "doc_id",
         F.round("rep_dup_line_frac", 6).alias("rep_dup_line_frac"),
@@ -739,7 +739,7 @@ def repetition_profile(spark: SparkSession, sf_dir: str) -> SparkDF:
 def top_ngram_profile(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Most-frequent word-bigram fraction per doc (MassiveText repetition
     signal at n=2) — same one-shuffle shape as top_token_profile."""
-    out = quality.top_ngram_stats(_docs(spark, sf_dir), 2)
+    out = quality.top_ngram_stats(_docs_spread(spark, sf_dir), 2)
     return out.select(
         "doc_id",
         "n_grams",
@@ -2681,7 +2681,7 @@ def unigram_quality(spark: SparkSession, sf_dir: str) -> SparkDF:
     to 6 places on both engines (float log sums)."""
     from colnade_spark.operators.quality import unigram_logprob
 
-    out = unigram_logprob(_docs(spark, sf_dir))
+    out = unigram_logprob(_docs_spread(spark, sf_dir))
     return out.select(
         "doc_id", "n_toks", F.round("neg_logprob", 6).alias("neg_logprob")
     )
