@@ -1499,14 +1499,25 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
     o = _load(spark, sf_dir, "orders", Orders).native
     exact_med = F.expr("percentile(o_totalprice, 0.5)").cast("double")
     approx_med = F.percentile_approx("o_totalprice", 0.5, 10000).cast("double")
-    return o.agg(
-        F.countDistinct("o_custkey").alias("exact_customers"),
+    # distinct-counts and percentiles aggregate SEPARATELY: mixing a
+    # DISTINCT aggregate with percentile buffers in one agg forces the
+    # Expand-based multi-distinct plan, whose duplicated rows run the
+    # exact-percentile ObjectAggs too — measured 3.6 s vs 0.6 s for the
+    # two single-shape aggs + 1-row broadcast crossJoin at sf0.1 (each
+    # component alone is ≤0.6 s). The two scans run as concurrent jobs.
+    meds = o.agg(
         exact_med.alias("exact_median"),
+        (F.abs(approx_med - exact_med) <= 0.005 * exact_med).alias("median_ok"),
+    )
+    cds = o.agg(
+        F.countDistinct("o_custkey").alias("exact_customers"),
         (
             F.abs(F.approx_count_distinct("o_custkey") - F.countDistinct("o_custkey"))
             <= 0.15 * F.countDistinct("o_custkey")
         ).alias("customers_ok"),
-        (F.abs(approx_med - exact_med) <= 0.005 * exact_med).alias("median_ok"),
+    )
+    return cds.crossJoin(F.broadcast(meds)).select(
+        "exact_customers", "exact_median", "customers_ok", "median_ok"
     )
 
 
@@ -1759,7 +1770,11 @@ def winnow_sketch(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Winnowing/bottom-k sketch with the portable md5-derived hash; the
     oracle recomputes every sketch row-by-row in DuckDB. h0/hx (first
     element + xor-fold) pin the full sketch content, not just its length."""
-    d = _docs(spark, sf_dir).withColumn("_norm", text.normalized_text(F.col("text")))
+    # the per-character substr+md5 winnow transform ran 7.4 s on the ONE
+    # task of the single-file fixture scan; the spread is dead at scale
+    d = _docs_spread(spark, sf_dir).withColumn(
+        "_norm", text.normalized_text(F.col("text"))
+    )
     sk_expr = text.winnowing_fingerprint(
         F.col("_norm"), window=8, keep=16, normalized=True, hash_fn=text.md5_hash60
     )
