@@ -1738,7 +1738,9 @@ def decontaminated_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
     which removes the slice itself plus its planted near-copies. The
     oracle replicates with STRING grams (no xxhash64 in DuckDB); results
     agree unless xxhash64 collides (~2^-64 per pair)."""
-    d = _docs(spark, sf_dir)
+    # spread: the corpus gram probe ran on the fixture's one input split
+    # (0.87 s single-task); dead at scale (reader splits)
+    d = _docs_spread(spark, sf_dir)
     bench = d.filter(F.col("doc_id") % 50 == 0)
     out = decontaminate.decontaminate(d, bench, n=13)
     return out.select("doc_id", "lang")
