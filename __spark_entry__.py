@@ -622,9 +622,12 @@ def commonness_frozen_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
         fit_gram_counts,
     )
 
-    docs = _docs(spark, sf_dir)
+    # spread the FIT input too: the scoring side already spreads, but
+    # the fit's gram aggregation ran on the fixture's one input split
+    # (1.5 s single-task, paid eagerly at build per bench rep)
+    docs = _docs_spread(spark, sf_dir)
     ct = fit_gram_counts(docs, n=3, buckets=4096)
-    return commonness_score_frozen(_docs_spread(spark, sf_dir), ct, n=3)
+    return commonness_score_frozen(docs, ct, n=3)
 
 
 def dup_weight_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
@@ -3258,7 +3261,7 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> SparkDF:
     ties vs float-multiply ties) and flipped a last digit on a real
     sf0.1 decimal-tie score (-4039/16000)."""
     out = classifier.hashed_linear_score(
-        _docs(spark, sf_dir), dim=4096, seed=7
+        _docs_spread(spark, sf_dir), dim=4096, seed=7
     )
     return out.select("doc_id", "clf_int", "clf_score", "clf_prob")
 
