@@ -422,6 +422,16 @@ def _embs(spark: SparkSession, sf_dir: str) -> SparkDF:
     return spark.read.parquet(table_path(sf_dir, "embeddings"))
 
 
+def _embs_spread(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Embeddings with the one-file fixture scan spread across cores —
+    the _docs_spread twin for per-vector compute (dot products against
+    broadcast query sets ran 0.55 s single-task on the raw scan). Dead
+    at real scale, where the reader's own splits provide this."""
+    return _embs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def dedup_exact_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
     return dedup.dedup_exact(_docs(spark, sf_dir))
 
@@ -893,7 +903,7 @@ def cluster_profile(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 def ann_bruteforce(spark: SparkSession, sf_dir: str) -> SparkDF:
-    e = _embs(spark, sf_dir)
+    e = _embs_spread(spark, sf_dir)
     q = e.filter(F.col("vec_id") < 8)
     return similarity.brute_force_topk(e, q, k=5)
 
@@ -1368,7 +1378,7 @@ def image_features_stub(spark: SparkSession, sf_dir: str) -> SparkDF:
     integer-moment / integer-phash formulation (multimodal.py) — so DuckDB
     rebuilds the 768 image bytes from sha256(text || ':' || i) hex and
     replays width/height/mean/std/phash bit-for-bit, UDF path included."""
-    media = _docs(spark, sf_dir).select(
+    media = _docs_spread(spark, sf_dir).select(
         F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
     )
     return multimodal.image_features(media, decoder=multimodal.fake_decode_image)
