@@ -3388,6 +3388,15 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "novelty_scores_docs",  # round 10: new (graded novelty vs corpus)
     "emb_near_dup_arrow",  # round 10: new (BLAS-batch scoring tier)
     "emb_near_dup_injoin",  # round 10: new (in-join scoring tier)
+    # round 10 optimization restructures (results identical, proven
+    # bit-exact locally; listed so the driver re-certifies them first)
+    "approx_stats",  # split distinct/percentile aggregations
+    "curation_funnel_docs",  # checkpointed count table
+    "bigram_nll_docs",  # (unchanged shape; neighbors of the reverted
+    # bigram restructure — cheap insurance re-check)
+    "ngram_jaccard_dups",  # spread gram pipeline
+    "quality_classifier_scores",  # spread classifier scan
+    "commonness_frozen_docs",  # spread fit input
 )
 
 
