@@ -407,15 +407,28 @@ def _docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     return spark.read.parquet(table_path(sf_dir, "documents"))
 
 
+def _spread(df: SparkDF) -> SparkDF:
+    """Guarded single-split spread: repartition only when the scan
+    cannot feed every core (skew.few_input_splits — the analyzed-plan
+    size estimate vs cores × maxPartitionBytes, milliseconds). The
+    guard makes the 'dead at real scale' claim literal: point sf_dir at
+    a dataset bigger than cores × 128 MB and the repartition vanishes
+    instead of round-robin-shuffling the whole corpus."""
+    from colnade_spark.operators.skew import few_input_splits
+
+    if few_input_splits(df):
+        return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return df
+
+
 def _docs_spread(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Documents with the scan spread across the executor threads: the
     fixture is ONE parquet file -> one input split, which serializes
     compute-dense per-doc pipelines (gram inversion, feature hashing) on
     a single core. At real scale the reader's own splits provide this
-    parallelism; the repartition moves only ~KB/doc of text once."""
-    return _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    parallelism (guarded — see _spread); the repartition moves only
+    ~KB/doc of text once."""
+    return _spread(_docs(spark, sf_dir))
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> SparkDF:
@@ -425,11 +438,9 @@ def _embs(spark: SparkSession, sf_dir: str) -> SparkDF:
 def _embs_spread(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Embeddings with the one-file fixture scan spread across cores —
     the _docs_spread twin for per-vector compute (dot products against
-    broadcast query sets ran 0.55 s single-task on the raw scan). Dead
-    at real scale, where the reader's own splits provide this."""
-    return _embs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    broadcast query sets ran 0.55 s single-task on the raw scan).
+    Guarded like _docs_spread: dead at real scale."""
+    return _spread(_embs(spark, sf_dir))
 
 
 def dedup_exact_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
@@ -3397,6 +3408,14 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "ngram_jaccard_dups",  # spread gram pipeline
     "quality_classifier_scores",  # spread classifier scan
     "commonness_frozen_docs",  # spread fit input
+    "winnow_sketch",  # spread winnow transform
+    "top_ngram_profile",  # spread max-run fold
+    "repetition_profile",  # spread repetition signals
+    "unigram_quality",  # spread explode aggregations
+    "decontaminated_ids",  # spread gram probe
+    "ann_bruteforce",  # spread dot-product chain
+    "image_features_stub",  # spread mapInPandas decode
+    "bloom_decontaminated_ids",  # bitmap literal via lit_long_array
 )
 
 

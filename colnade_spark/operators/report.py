@@ -1504,6 +1504,15 @@ def curation_funnel(
     is a scan-side CASE over the flags (``curation_attribution``); the
     count table is |stages|-sized, and the running survivor arithmetic
     runs as a window over THAT table, never the corpus.
+
+    NOTE the count table is localCheckpoint-ed (its producer — every
+    gate's corpus pass — feeds two consumers that AQE cannot share):
+    under AQE, building this frame therefore runs the gate jobs at
+    CONSTRUCTION time, and the checkpointed blocks are executor-local
+    (an executor lost between build and action fails the consumer
+    instead of recomputing — the standard localCheckpoint trade, fine
+    for a ≤|stages|+1-row table that is cheap to rebuild by re-calling
+    the operator).
     """
     names = list(stages)
     counts = (
