@@ -1357,12 +1357,18 @@ def dsir_doc_weights(spark: SparkSession, sf_dir: str) -> SparkDF:
     buckets; target = the English subset, raw = the whole corpus).
     Per-bucket log-ratios are integer-micro-scaled before the per-doc
     sum, so the weight is exact integer arithmetic — order-independent
-    and bit-comparable after the final /1e6."""
-    from colnade_spark.operators.importance import dsir_weights
+    and bit-comparable after the final /1e6. The fit uses the fused
+    single-pass path (target = a predicate-subset of the corpus, so both
+    bucket distributions fall out of ONE tokenize+explode aggregation —
+    bit-identical to the two-pass fit, pinned by test)."""
+    from colnade_spark.operators.importance import (
+        dsir_score_frozen,
+        fit_logratio_flagged,
+    )
 
     docs = _docs_spread(spark, sf_dir)
-    target = docs.filter(F.col("lang") == "en")
-    w = dsir_weights(docs, target, buckets=256)
+    lr = fit_logratio_flagged(docs, F.col("lang") == "en", buckets=256)
+    w = dsir_score_frozen(docs, lr)
     return w.select(
         "doc_id", "n_feats", F.round("weight", 6).alias("weight")
     )
@@ -1371,12 +1377,17 @@ def dsir_doc_weights(spark: SparkSession, sf_dir: str) -> SparkDF:
 def dsir_sample_ids(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Deterministic Gumbel-top-k importance resampling over the DSIR
     weights: content-addressed uniforms (md5 of salted id), keys rounded
-    before ranking, ties on id — the draw replays identically in SQL."""
-    from colnade_spark.operators.importance import dsir_weights, gumbel_topk
+    before ranking, ties on id — the draw replays identically in SQL.
+    Same fused single-pass fit as dsir_doc_weights."""
+    from colnade_spark.operators.importance import (
+        dsir_score_frozen,
+        fit_logratio_flagged,
+        gumbel_topk,
+    )
 
     docs = _docs_spread(spark, sf_dir)
-    target = docs.filter(F.col("lang") == "en")
-    w = dsir_weights(docs, target, buckets=256)
+    lr = fit_logratio_flagged(docs, F.col("lang") == "en", buckets=256)
+    w = dsir_score_frozen(docs, lr)
     return gumbel_topk(w, k=100).select("doc_id", "rk")
 
 
@@ -3394,28 +3405,42 @@ def entry(spark: SparkSession) -> SparkDF:
 # the driver's bounded sweep so the newest code gets certified first.
 # Update this tuple each round; everything else rotates automatically.
 _ROUND_CHANGED: tuple[str, ...] = (
-    "emb_near_dup_fractional",  # round 10: new (occupancy-stable cells)
-    "corpus_card_autofit_docs",  # round 10: NULL-id sample exclusion fix
-    "novelty_scores_docs",  # round 10: new (graded novelty vs corpus)
-    "emb_near_dup_arrow",  # round 10: new (BLAS-batch scoring tier)
-    "emb_near_dup_injoin",  # round 10: new (in-join scoring tier)
-    # round 10 optimization restructures (results identical, proven
-    # bit-exact locally; listed so the driver re-certifies them first)
-    "approx_stats",  # split distinct/percentile aggregations
-    "curation_funnel_docs",  # checkpointed count table
-    "bigram_nll_docs",  # (unchanged shape; neighbors of the reverted
-    # bigram restructure — cheap insurance re-check)
-    "ngram_jaccard_dups",  # spread gram pipeline
-    "quality_classifier_scores",  # spread classifier scan
-    "commonness_frozen_docs",  # spread fit input
-    "winnow_sketch",  # spread winnow transform
-    "top_ngram_profile",  # spread max-run fold
-    "repetition_profile",  # spread repetition signals
-    "unigram_quality",  # spread explode aggregations
-    "decontaminated_ids",  # spread gram probe
-    "ann_bruteforce",  # spread dot-product chain
-    "image_features_stub",  # spread mapInPandas decode
-    "bloom_decontaminated_ids",  # bitmap literal via lit_long_array
+    # Round-10 restructures whose implementation changed in that round's
+    # INHERITED (interrupted) session and therefore fell outside the
+    # round-10 driver sample (VERDICT r10, correctness-gate residual):
+    # the PQ pandas-UDF rewrite, the spans window rewrite, the CC edge
+    # checkpoint, the minhash band-array parse, the semantic-decon norm
+    # staging, the clustering SQL-parse argmin. All verified bit-exact
+    # against the local sf0.01 oracle mirror; listed here so the round-11
+    # driver sweep certifies them FIRST.
+    "ann_pq",
+    "ann_ivfpq",
+    "ann_ivfpq_residual",
+    "ann_recall_audit",
+    "pq_residual_screen_survivors",
+    "duplicate_span_stats",
+    "span_removal_clean",
+    "line_dedup_clean",
+    "dup_cluster_sizes",
+    "canonical_docs_map",
+    "leakage_safe_split_stats",
+    "dedup_minhash_ids",
+    "incremental_minhash_ids",
+    "minhash_estimate_pairs",
+    "minhash_prt_summary",
+    "dedup_rates_by_lang",
+    "source_overlap_near_docs",
+    "semantic_decontaminated_ids",
+    "semantic_contamination_scores",
+    "cluster_assignments",
+    "prototype_pruned_ids",
+    "semdedup_survivors",
+    "emb_near_dup_pairs",
+    "emb_near_dup_multiprobe",
+    # Round-11 optimization restructures (results identical, pinned by
+    # test + local oracle; listed so the driver certifies them first):
+    "dsir_doc_weights",  # fused single-pass fit (fit_logratio_flagged)
+    "dsir_sample_ids",  # same fused fit
 )
 
 

@@ -207,11 +207,14 @@ def main() -> None:
         per_query[name] = round(best, 3)
 
     total = round(sum(per_query.values()), 3)
-    # Two JSON lines: the full per-query map first, then a SHORT summary
-    # line LAST. A bounded tail capture (which truncated the head of the
-    # long line in round 4, losing the total) always retains the final
-    # compact line intact, so the headline numbers survive any capture
-    # window; head-first parsers still see the complete map on line 1.
+    # Output contract (additions only, round 11): the full per-query map
+    # stays on line 1 (head-first parsers see the complete map there) and
+    # the SHORT summary line stays LAST and unchanged. In between, the map
+    # is re-emitted as SMALL self-contained JSON lines (12 queries each,
+    # compact separators): the driver's bounded tail capture (2000 bytes in
+    # rounds 4-10, which truncated line 1 and lost every per-query number —
+    # PERF_r10 per_query/scaling came back empty) retains whole chunk lines
+    # it can parse, so per-query and scaling comparisons work again.
     print(
         json.dumps(
             {
@@ -223,6 +226,23 @@ def main() -> None:
             }
         )
     )
+    names = list(per_query)
+    chunk = 12
+    parts = (len(names) + chunk - 1) // chunk
+    for i in range(parts):
+        part = {k: per_query[k] for k in names[i * chunk : (i + 1) * chunk]}
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_part",
+                    "part": i + 1,
+                    "parts": parts,
+                    "queries": part,
+                    "sf": sf,
+                },
+                separators=(",", ":"),
+            )
+        )
     print(
         json.dumps(
             {

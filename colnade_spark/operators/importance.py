@@ -189,6 +189,63 @@ def fit_logratio(
     return out
 
 
+def fit_logratio_flagged(
+    corpus: DataFrame,
+    target_flag: Column,
+    text_col: str = "text",
+    buckets: int = 1024,
+    bigrams: bool = True,
+    smoothing: float = 1.0,
+) -> list[int]:
+    """``fit_logratio(corpus.filter(target_flag), corpus)`` computed in
+    ONE tokenize+explode+aggregate pass, for the common case where the
+    target corpus is a predicate-subset of the raw corpus (e.g. the
+    curated-language slice of the crawl). Bit-identical to the two-pass
+    fit (pinned by test): the per-bucket target count is a conditional
+    count over the same exploded features the raw count aggregates, and
+    the log-ratio expression is the exact same Catalyst tree evaluated on
+    the same integer counts — only the number of corpus scans changes
+    (2 tokenize passes -> 1).
+
+    Scale shape: identical to ``fit_logratio`` (one map-side-combined
+    aggregation bounded at ``buckets`` rows) minus a full corpus
+    tokenize pass — at 100 TB the fit reads the corpus once, not twice."""
+    s = float(smoothing)
+    staged = corpus.withColumn("_tk", clean_tokens(F.col(text_col)))
+    counts = (
+        staged.select(
+            F.explode(
+                hashed_feature_buckets(F.col("_tk"), buckets, bigrams)
+            ).alias("bucket"),
+            target_flag.alias("_is_t"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("_rn"),
+            F.count_if(F.col("_is_t")).alias("_tn"),
+        )
+    )
+    all_b = F.broadcast(
+        corpus.sparkSession.range(buckets).select(F.col("id").alias("bucket"))
+    )
+    joined = all_b.join(F.broadcast(counts), "bucket", "left").select(
+        "bucket",
+        F.coalesce("_tn", F.lit(0)).alias("_tn"),
+        F.coalesce("_rn", F.lit(0)).alias("_rn"),
+    )
+    tot = joined.agg(F.sum("_tn").alias("_tt"), F.sum("_rn").alias("_rt"))
+    lr = F.log(
+        (F.col("_tn") + F.lit(s)) / (F.col("_tt") + F.lit(s * buckets))
+    ) - F.log((F.col("_rn") + F.lit(s)) / (F.col("_rt") + F.lit(s * buckets)))
+    table = joined.crossJoin(F.broadcast(tot)).select(
+        "bucket", F.round(lr * MICRO).cast("long").alias("lr_micro")
+    )
+    out = [0] * buckets
+    for r in table.collect():
+        out[r["bucket"]] = r["lr_micro"]
+    return out
+
+
 def dsir_score_frozen(
     df: DataFrame,
     lr_micro: list[int],

@@ -28,7 +28,7 @@ def main() -> None:
 
     spark = get_spark("colnade-spark-plandump")
     qs = queries()
-    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10")
+    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r11"))
     os.makedirs(outdir, exist_ok=True)
     names = [n for n in HEADLINE if not only or n in only]
     for name in names:

@@ -410,3 +410,47 @@ def test_commonness_frozen_guards(spark):
     clash = df.withColumn("_cf_tk", F.lit(1))
     with pytest.raises(ValueError, match="_cf_tk"):
         commonness_score_frozen(clash, [1])
+
+
+def test_fused_fit_matches_two_pass_fit(spark):
+    """fit_logratio_flagged (one tokenize+explode pass, conditional target
+    count) must reproduce fit_logratio(corpus.filter(flag), corpus)
+    EXACTLY — same integer-micro list, element for element."""
+    from colnade_spark.operators.importance import (
+        fit_logratio,
+        fit_logratio_flagged,
+    )
+
+    df = _df(spark)
+    flag = F.col("lang") == "en"
+    fused = fit_logratio_flagged(df, flag, buckets=B)
+    twopass = fit_logratio(df, df.filter(flag), buckets=B)
+    assert fused == twopass
+    # degenerate flags: never-true and always-true targets
+    assert fit_logratio_flagged(df, F.lit(False), buckets=B) == fit_logratio(
+        df, df.filter(F.lit(False)), buckets=B
+    )
+    assert fit_logratio_flagged(df, F.lit(True), buckets=B) == [0] * B
+
+
+def test_fused_fit_entry_weights_unchanged(spark):
+    """The dsir entry rewrite (fused fit + frozen scoring) must emit the
+    same rows as the original dsir_weights(corpus, corpus.filter(flag))."""
+    from colnade_spark.operators.importance import (
+        dsir_score_frozen,
+        fit_logratio_flagged,
+    )
+
+    df = _df(spark)
+    flag = F.col("lang") == "en"
+    got = {
+        r.doc_id: (r.n_feats, r.weight)
+        for r in dsir_score_frozen(
+            df, fit_logratio_flagged(df, flag, buckets=B)
+        ).collect()
+    }
+    want = {
+        r.doc_id: (r.n_feats, r.weight)
+        for r in dsir_weights(df, df.filter(flag), buckets=B).collect()
+    }
+    assert got == want
