@@ -404,7 +404,12 @@ def drop_nulls_agg(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> SparkDF:
-    return spark.read.parquet(table_path(sf_dir, "documents"))
+    # footer-schema fast path: identical frame, minus ~100 ms of JVM
+    # schema inference per build (see io.footer_schema) — the bench
+    # rebuilds every query per rep, so inference was a per-rep tax
+    from colnade_spark.io import read_parquet_table
+
+    return read_parquet_table(table_path(sf_dir, "documents"), spark)
 
 
 def _spread(df: SparkDF) -> SparkDF:
@@ -432,7 +437,9 @@ def _docs_spread(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> SparkDF:
-    return spark.read.parquet(table_path(sf_dir, "embeddings"))
+    from colnade_spark.io import read_parquet_table
+
+    return read_parquet_table(table_path(sf_dir, "embeddings"), spark)
 
 
 def _embs_spread(spark: SparkSession, sf_dir: str) -> SparkDF:
@@ -3127,7 +3134,9 @@ def sketch_rollup_users(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
     from colnade_spark.tpch import table_path as _tp
 
-    ev = spark.read.parquet(_tp(sf_dir, "events")).withColumn(
+    from colnade_spark.io import read_parquet_table
+
+    ev = read_parquet_table(_tp(sf_dir, "events"), spark).withColumn(
         "day", F.to_date("ts")
     )
     daily = build_sketch_table(ev, ["event_type", "day"], "user_id")

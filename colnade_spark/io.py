@@ -48,6 +48,79 @@ def _nanos_columns(path: str) -> set[str] | None:
         return None
 
 
+def footer_schema(path: str, spark: SparkSession):
+    """(spark_schema | None, nanos_columns | None) from ONE pyarrow footer
+    read — the driver-cost-free twin of Spark's parquet schema inference.
+
+    ``spark.read.parquet(path)`` runs file listing + footer decoding
+    through the JVM data-source machinery: measured ~105 ms of
+    driver time per call at sf0.1, paid on EVERY query build (and the
+    bench rebuilds each query per rep). The same footer via
+    ``pyarrow.dataset`` is ~0.3 ms; converting its arrow schema with
+    pyspark's own ``from_arrow_type`` and passing it to
+    ``spark.read.schema(...)`` skips inference for ~16 ms total — an
+    identical scan (ReadSchema equal, verified against Spark's inferred
+    StructType on every fixture table; the plan-signature gate pins it).
+
+    Inference quirks reproduced exactly:
+    - TIMESTAMP(NANOS) -> LongType (the ``nanosAsLong`` path the callers
+      already handle via ``_normalize_scan``);
+    - tz-less TIMESTAMP -> TimestampNTZType when
+      ``spark.sql.parquet.inferTimestampNTZ.enabled`` (Spark 4 default),
+      TimestampType otherwise;
+    - every field nullable (file-source relations are force-nullable).
+
+    Returns ``(None, None)`` when the footer can't be read or a type has
+    no arrow->Spark mapping — callers fall back to JVM inference."""
+    try:
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+        from pyspark.sql import types as T
+        from pyspark.sql.pandas.types import from_arrow_type
+
+        sch = pads.dataset(path, format="parquet").schema
+        try:
+            ntz = (
+                str(
+                    spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled")
+                ).lower()
+                == "true"
+            )
+        except Exception:
+            ntz = True
+        nanos: set[str] = set()
+        fields = []
+        for f in sch:
+            if pa.types.is_timestamp(f.type):
+                if f.type.unit == "ns":
+                    dt = T.LongType()
+                    nanos.add(f.name)
+                elif f.type.tz is None and ntz:
+                    dt = T.TimestampNTZType()
+                else:
+                    dt = T.TimestampType()
+            else:
+                dt = from_arrow_type(f.type)
+            fields.append(T.StructField(f.name, dt, True))
+        return T.StructType(fields), nanos
+    except Exception:
+        return None, None
+
+
+def read_parquet_table(path: str, spark: SparkSession | None = None):
+    """Untyped parquet read with the footer-schema fast path: identical
+    frame to ``spark.read.parquet(path)`` minus the ~100 ms of JVM schema
+    inference per call. Falls back to plain inference when the footer is
+    unreadable. NOTE: callers that may hit TIMESTAMP(NANOS) columns should
+    use the typed ``read_parquet`` (this helper does not set
+    ``nanosAsLong`` or normalize nanos columns)."""
+    sp = spark if spark is not None else get_spark()
+    st, nanos = footer_schema(path, sp)
+    if st is None or nanos:
+        return sp.read.parquet(path)
+    return sp.read.schema(st).parquet(path)
+
+
 def _reader(spark: SparkSession | None, nanos: set[str] | None = None) -> SparkSession:
     sp = spark if spark is not None else get_spark()
     if nanos is None or nanos:
@@ -96,14 +169,29 @@ def _normalize_scan(data, schema: type[Schema], nanos: set[str] | None = None):
     return data.withColumns(fixes) if fixes else data
 
 
+def _parquet_scan(path: str, spark: SparkSession | None):
+    """(raw frame, nanos set | None) shared by read_parquet/scan_parquet:
+    one pyarrow footer read supplies BOTH the nanos-column set and the
+    explicit read schema (skipping JVM schema inference, ~100 ms/call —
+    see footer_schema); unreadable footers fall back to the old
+    inference path with nanos unknown."""
+    sp0 = spark if spark is not None else get_spark()
+    st, nanos = footer_schema(path, sp0)
+    if st is None:
+        nanos = _nanos_columns(path)
+        sp = _reader(spark, nanos)
+        return sp.read.parquet(path), nanos
+    sp = _reader(spark, nanos)
+    return sp.read.schema(st).parquet(path), nanos
+
+
 def read_parquet(
     path: str, schema: type[S], *, spark: SparkSession | None = None
 ) -> DataFrame[S]:
-    nanos = _nanos_columns(path)
-    sp = _reader(spark, nanos)
+    data, nanos = _parquet_scan(path, spark)
     # project to declared columns: extra file columns are dropped at the scan
     names = list(schema._columns)
-    data = _normalize_scan(sp.read.parquet(path).select(*names), schema, nanos)
+    data = _normalize_scan(data.select(*names), schema, nanos)
     out = DataFrame(data, schema)
     _boundary_validate(out)
     return out
@@ -112,10 +200,9 @@ def read_parquet(
 def scan_parquet(
     path: str, schema: type[S], *, spark: SparkSession | None = None
 ) -> LazyFrame[S]:
-    nanos = _nanos_columns(path)
-    sp = _reader(spark, nanos)
+    data, nanos = _parquet_scan(path, spark)
     names = list(schema._columns)
-    data = _normalize_scan(sp.read.parquet(path).select(*names), schema, nanos)
+    data = _normalize_scan(data.select(*names), schema, nanos)
     out = LazyFrame(data, schema)
     _boundary_validate(out)
     return out
