@@ -240,6 +240,65 @@ def _band_array_sql(bands: int, rows: int) -> str:
     return f"array({parts})"
 
 
+def _sig_barrier(sig_df: DataFrame, id_col: str) -> DataFrame:
+    """The signature-frame materialization barrier used by the banding
+    operators. Two modes:
+
+    - default: ``repartition(id)`` — the signatures compute once at the
+      shuffle write and the banding / join-back consumers share the
+      exchange via ReuseExchange. Caveat measured in round 10: whenever
+      AQE plants a per-consumer BroadcastExchange above it, exchange
+      reuse dies and the sketch UDF re-runs per consumer — hidden on an
+      idle local box (the recomputes run as concurrent stages), NOT
+      hidden on a saturated cluster.
+    - ``SPARK_GRAFT_SIG_STORE=parquet``: write the ids+sig frame to a
+      per-run scratch parquet (columnar, prunable — unlike
+      localCheckpoint's row-format ExistingRDD, which round 10 measured
+      at 2-6x the cost of recompute) and read it back; every consumer
+      then scans the 2-column file instead of re-running the sketch.
+      The scratch path is unique per call (per-run, inside the timed
+      query — nothing persists across runs) under the JVM's
+      io.tmpdir."""
+    import os as _os
+
+    projected = sig_df.select(id_col, "_sig")
+    if _os.environ.get("SPARK_GRAFT_SIG_STORE", "") == "parquet":
+        import uuid as _uuid
+        import tempfile as _tempfile
+
+        path = _os.path.join(
+            _tempfile.gettempdir(),
+            "colnade_sig_store",
+            _uuid.uuid4().hex,
+        )
+        projected.write.mode("overwrite").parquet(path)
+        _sig_store_cleanup_register(path)
+        from colnade_spark.io import read_parquet_table
+
+        return read_parquet_table(path, sig_df.sparkSession)
+    return projected.repartition(F.col(id_col))
+
+
+_SIG_STORE_PATHS: list[str] = []
+
+
+def _sig_store_cleanup_register(path: str) -> None:
+    """Best-effort scratch cleanup at interpreter exit (a 5M-doc sig
+    frame is ~1 GB per materialization; a long session would otherwise
+    accumulate them in tmp). atexit runs after every consumer job has
+    finished, so the lazy readers are safe."""
+    if not _SIG_STORE_PATHS:
+        import atexit
+        import shutil
+
+        def _cleanup() -> None:
+            for p in _SIG_STORE_PATHS:
+                shutil.rmtree(p, ignore_errors=True)
+
+        atexit.register(_cleanup)
+    _SIG_STORE_PATHS.append(path)
+
+
 def minhash_candidate_pairs(
     sig_df: DataFrame,
     id_col: str = "doc_id",
@@ -259,8 +318,9 @@ def minhash_candidate_pairs(
     # Catalyst inlines it into every band row (×bands) on BOTH sides of the
     # self-join (×2) — a 2·bands× recompute. The repartition forces the
     # signatures to be computed exactly once at shuffle write; the banding
-    # and join-back branches then share it via ReuseExchange.
-    sig_df = sig_df.select(id_col, "_sig").repartition(F.col(id_col))
+    # and join-back branches then share it via ReuseExchange. (Opt-in
+    # alternative for saturated clusters: _sig_barrier's parquet store.)
+    sig_df = _sig_barrier(sig_df, id_col)
     # Candidate generation runs on (id, band, bhash) rows ONLY — 24 bytes
     # through the self-join instead of the ~num_hashes·8B signature
     # duplicated onto every band row of both sides. Common-vocabulary

@@ -1442,3 +1442,26 @@ def test_multiprobe_perturbation_sequence_properties(spark):
         ).collect()
     }
     assert (0, 1) in found
+
+
+def test_sig_store_parquet_mode_matches_default(spark, monkeypatch):
+    """SPARK_GRAFT_SIG_STORE=parquet (the saturated-cluster sig barrier:
+    per-run scratch parquet instead of the reusable exchange) must yield
+    the identical candidate-pair set and estimates."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    near = base.replace("kappa", "lambda")
+    far = "completely unrelated content about spark execution engines and shuffles etc"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    sigs = dedup.minhash_signatures(df, num_hashes=64)
+    want = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dedup.minhash_candidate_pairs(sigs, num_hashes=64).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_SIG_STORE", "parquet")
+    got = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dedup.minhash_candidate_pairs(sigs, num_hashes=64).collect()
+    }
+    assert got == want
