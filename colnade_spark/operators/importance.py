@@ -51,6 +51,7 @@ __all__ = [
     "logratio_table",
     "dsir_weights",
     "fit_logratio",
+    "fit_logratio_flagged",
     "dsir_score_frozen",
     "gumbel_topk",
     "commonness_weights",
